@@ -1,0 +1,120 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Declarative pipeline model — the Spark-native equivalent of the reference's
+  * `AggregationDefinition` (config/AggregationDefinition.java:7-130).
+  *
+  * The reference binds this from JSON/YAML via Spring; here the same shape is a
+  * plain case-class tree with a Jackson codec. Field names follow the reference
+  * exactly so a user's existing JSON specs parse unchanged.
+  */
+object ProcessingMode {
+  val JoinChain    = "JOIN_CHAIN"    // AggregationDefinition.java:37
+  val Aggregation  = "AGGREGATION"   // AggregationDefinition.java:38
+  val SimpleStream = "SIMPLE_STREAM" // AggregationDefinition.java:39
+}
+
+object JoinType {
+  // AggregationDefinition.java:42-46 — reference enum has only these two.
+  val Inner = "INNER_JOIN"
+  val Left  = "LEFT_JOIN"
+}
+
+/** Mirror of TopicConfig (AggregationDefinition.java:49-53).
+  * `keyClass` defaults to java.lang.String as in the reference (:51);
+  * `valueClass == None` means generic JSON (SerdeFactory.java:49-56).
+  */
+case class TopicConfig(
+    name: String,
+    keyClass: String = "java.lang.String",
+    valueClass: Option[String] = None)
+
+/** Mirror of KeyExtractionConfig (AggregationDefinition.java:103-110).
+  * source: "KEY" keeps the current key; "VALUE" pulls a named field
+  * (DynamicPojoKeyExtractor.java:42-59).
+  */
+case class KeyExtraction(source: String, fieldName: Option[String] = None)
+
+/** Mirror of JoinFieldMapping (AggregationDefinition.java:89-97).
+  * source: "LEFT" | "RIGHT"; a missing source field yields a typed null output
+  * column (DynamicPojoValueJoiner.java:58-63 warn-and-null semantics).
+  */
+case class FieldMapping(source: String, sourceFieldName: String, outputFieldName: String)
+
+/** Mirror of JoinOperationConfig (AggregationDefinition.java:57-83).
+  * `global = true` marks the enrichment table as a GlobalKTable analogue
+  * (KTableRegistry.java:52-57) → broadcast join hint in Spark.
+  */
+case class JoinOp(
+    id: String,
+    `type`: String, // INNER_JOIN | LEFT_JOIN
+    initialSourceIsStream: Boolean = true,
+    primaryKeyExtraction: Option[KeyExtraction] = None,
+    enrichmentTopic: TopicConfig,
+    outputFieldsMapping: Seq[FieldMapping] = Nil,
+    global: Boolean = false)
+
+/** Mirror of OutputTopicConfig (AggregationDefinition.java:112-130).
+  * retentionMs == -1 → compacted topic (TopicProvisioner.java:37-43).
+  */
+case class OutputTopic(
+    enabled: Boolean = true,
+    name: String,
+    retentionMs: Option[Long] = None,
+    partitions: Option[Int] = None,
+    replicationFactor: Option[Short] = None)
+
+/** Aggregation beyond the reference's stubbed count
+  * (DynamicTopologyBuilder.java:188-223 names "count, sum, reduce, etc.").
+  */
+case class AggSpec(function: String = "count", fieldName: Option[String] = None)
+
+/** Mirror of AggregationDefinition (config/AggregationDefinition.java:7-130). */
+case class PipelineSpec(
+    id: String,
+    processingMode: String,
+    sourceTopic: TopicConfig,
+    sourceKeyExtraction: Option[KeyExtraction] = None,
+    joinOperations: Seq[JoinOp] = Nil,
+    groupByKeyExtraction: Option[KeyExtraction] = None,
+    groupByKeyType: Option[String] = None,
+    aggregations: Seq[AggSpec] = Nil,
+    stateStoreName: Option[String] = None,
+    outputTopic: Option[OutputTopic] = None) {
+
+  /** Build-time validation — the reference throws IllegalArgumentException for
+    * the same conditions (DynamicTopologyBuilder.java:41-43, 96-101, 144-146).
+    */
+  def validate(): Unit = processingMode match {
+    case ProcessingMode.JoinChain =>
+      require(joinOperations.nonEmpty, s"[$id] JOIN_CHAIN requires joinOperations")
+      require(sourceTopic.name.nonEmpty, s"[$id] sourceTopic required")
+      joinOperations.foreach { op =>
+        require(op.outputFieldsMapping.nonEmpty, s"[$id/${op.id}] outputFieldsMapping required")
+      }
+    case ProcessingMode.Aggregation =>
+      require(groupByKeyExtraction.isDefined && groupByKeyType.isDefined,
+        s"[$id] AGGREGATION requires groupByKeyExtraction and groupByKeyType")
+    case ProcessingMode.SimpleStream => ()
+    case other => throw new IllegalArgumentException(s"[$id] unknown processingMode $other")
+  }
+}
+
+object PipelineSpec {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    // FAIL_ON_UNKNOWN_PROPERTIES=false matches the reference's lenient
+    // schema-on-read (SerdeFactory.java:30).
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def fromJson(json: String): PipelineSpec = {
+    val spec = mapper.readValue(json, classOf[PipelineSpec])
+    spec.validate()
+    spec
+  }
+}

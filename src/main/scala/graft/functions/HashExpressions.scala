@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-sketch expressions for near-duplicate detection (SURVEY §2B X2).
+  *
+  * Each computes a whole-document sketch from the token/shingle array *in one
+  * pass per row* — crucially WITHOUT exploding shingles into the shuffle: the
+  * naive built-in formulation (`explode(shingles) → groupBy(doc) → k × min`)
+  * multiplies row count by shingle count before the exchange, which at 100 TB
+  * of documents is the difference between a map-only sketch stage and a
+  * petabyte shuffle. Token hashing uses Spark's own XXH64 (the engine behind
+  * `xxhash64()`), so results are deterministic and engine-consistent.
+  */
+object Sketches {
+  @inline def hashToken(t: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, seed)
+}
+
+/** MinHash signature: array<string> shingles → array<long> of `numHashes`
+  * per-seed minima. Empty input → array of Long.MaxValue (no shingles ⇒ no
+  * similarity). Jaccard(a,b) ≈ fraction of equal signature positions.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        var j = 0
+        while (j < numHashes) {
+          val h = Sketches.hashToken(t, seed + j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash over a token array: per-bit vote by token hash, sign of the
+  * vote becomes the bit. Near-duplicates have small Hamming distance.
+  */
+case class SimHash64(child: Expression, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null) {
+        val h = Sketches.hashToken(t, seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Rolling polynomial fingerprint of a string (Rabin-Karp style, base 31,
+  * 64-bit wraparound) — a cheap order-sensitive document fingerprint for
+  * exact-content identity (X5 document fingerprinting).
+  */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "doc_fingerprint"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 1125899906842597L // large prime
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Hamming distance between two 64-bit hashes (companion to SimHash64). */
+case class HammingDistance64(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def prettyName: String = "hamming64"
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Integer.valueOf(java.lang.Long.bitCount(l.asInstanceOf[Long] ^ r.asInstanceOf[Long]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HashFunctions {
+  def minhash_signature(tokens: Column, numHashes: Int = 128, seed: Long = 42L): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))
+  def simhash64(tokens: Column, seed: Long = 42L): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), seed))
+  def doc_fingerprint(text: Column): Column =
+    Bridge.column(RollingFingerprint(Bridge.expression(text)))
+  def hamming64(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
+}

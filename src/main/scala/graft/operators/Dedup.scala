@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, VectorFunctions}
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2B X1/X2):
+  * exact, exact-Jaccard, MinHash-LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (the 100 TB contract):
+  *  - exact dedup is one hash-partial-aggregated shuffle on the dedup key;
+  *  - sketches (minhash/simhash) are computed map-side per row (native
+  *    expressions, no shingle explosion into the exchange);
+  *  - candidate generation shuffles only (id, band-key) pairs — tiny rows —
+  *    and never materializes the O(n²) cross product;
+  *  - verification joins only candidate pairs back to their sketches/sets.
+  */
+object Dedup {
+
+  /** Exact dedup keeping a deterministic representative per duplicate group:
+    * min tie-break column wins (X1). One shuffle, map-side combined.
+    */
+  def exact(df: DataFrame, dupCols: Seq[String], tieBreak: String): DataFrame = {
+    val valueCols = df.columns.filterNot(c => dupCols.contains(c)).toSeq
+    df.groupBy(dupCols.map(col): _*)
+      .agg(min_by(struct(valueCols.map(col): _*), col(tieBreak)).as("__rep"))
+      .select(dupCols.map(col) ++ valueCols.map(c => col(s"__rep.$c").as(c)): _*)
+  }
+
+  /** All pairs (id1 < id2) with exact Jaccard similarity ≥ threshold over
+    * word shingles, via an inverted-index join: explode *distinct* shingles,
+    * self-join the postings, count common shingles per pair, then
+    * |∩| / (|a|+|b|-|∩|). No LSH approximation — this is the oracle-exact
+    * variant; at extreme scale prefer [[minhashLshPairs]], which bounds the
+    * explode to `bands` rows per doc instead of one per shingle.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleSize)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val a = posts.as("a"); val b = posts.as("b")
+    val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup candidates, verified by signature-estimated
+    * Jaccard (X2 scale path). `numHashes = bands * rowsPerBand`. Docs sharing
+    * ≥1 identical band land in one bucket; each doc contributes exactly
+    * `bands` shuffle rows regardless of length.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.minhash_signature(
+        array_distinct(TextAnalysis.shingles(col(textCol), shingleSize)), numHashes).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    cands
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit sketch, pigeonhole banding into 4×16-bit chunks
+    * (Hamming distance ≤ 3 ⇒ at least one chunk identical), Hamming-verified.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    val banded = sh.select(col("id"), col("sim"),
+      explode(sequence(lit(0), lit(3))).as("chunk"))
+      .withColumn("bucket",
+        expr("shiftrightunsigned(sim, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        HashFunctions.hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane (sign) LSH buckets,
+    * cosine-verified. Hyperplanes are derived deterministically from `seed`.
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 16, threshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", signBucket(col("v"), planes))
+    val a = withBucket.as("a"); val b = withBucket.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        VectorFunctions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny). */
+  private[operators] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(n) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+  }
+
+  /** Pack sign(v·p_i) bits into an int bucket id. */
+  private[operators] def signBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dot = VectorFunctions.vec_dot(vec,
+        array(p.map(x => lit(x)).toSeq: _*).cast("array<double>"))
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

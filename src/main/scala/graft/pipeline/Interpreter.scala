@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.config._
+import graft.sources.SourceResolver
+
+/** PipelineSpec → DataFrame interpreter — the Spark-native equivalent of
+  * `DynamicTopologyBuilder.buildAggregationTopology`
+  * (DynamicTopologyBuilder.java:28-75). Where the reference hand-wires a Kafka
+  * Streams `Topology`, this builds a declarative logical plan and lets Catalyst
+  * choose the physical strategy (join algorithm, exchange placement, pruning).
+  *
+  * Key-handling model: Kafka records carry a key outside the value; Spark rows
+  * do not. The interpreter threads the record key as a `__key` column. Re-keys
+  * (DynamicPojoKeyExtractor) become projections; "join on key" becomes an
+  * equi-join on `__key`. The sink drops/renames it (R15).
+  */
+object Interpreter extends Logging {
+
+  val KeyCol = "__key"
+
+  /** Entry point ≅ buildAggregationTopology (DynamicTopologyBuilder.java:28-75):
+    * dispatch on processing mode, producing the pre-sink DataFrame.
+    */
+  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
+    spec.validate()
+    spec.processingMode match {
+      case ProcessingMode.JoinChain    => buildChainedJoin(spark, spec, sources)
+      case ProcessingMode.Aggregation  => buildAggregation(spark, spec, sources)
+      case ProcessingMode.SimpleStream =>
+        // DynamicTopologyBuilder.java:51-55: source → peek(debug) → sink.
+        // peek (R13) is observability, not data flow — identity here; the
+        // streaming runner attaches df.observe()/listeners instead.
+        withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
+          spec.sourceKeyExtraction, sources.catalog)
+    }
+  }
+
+  /** Attach the record key column: either the catalog's key for the topic
+    * (the "already keyed" Kafka case) or an extraction from the value
+    * (DynamicPojoKeyExtractor.java:42-59). Null value → null key passthrough
+    * (:46-49); nulls are filtered at join time, not here, to match Kafka
+    * Streams' drop-on-repartition semantics (SURVEY §2A.1).
+    */
+  private def withKey(df: DataFrame, topic: TopicConfig, extraction: Option[KeyExtraction],
+      catalog: SchemaCatalog): DataFrame = {
+    val keyExpr: Column = extraction match {
+      case Some(KeyExtraction("VALUE", Some(field))) => fieldOrNull(df, field, topic.name)
+      case Some(KeyExtraction("KEY", _)) | None =>
+        catalog.keyOf(topic.name) match {
+          case Seq(single) => col(single)
+          case Seq()       => lit(null).cast(StringType)
+          case many        => struct(many.map(col): _*)
+        }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unknown key extraction source ${other.source}")
+    }
+    df.withColumn(KeyCol, keyExpr)
+  }
+
+  /** Field access with the reference's warn-and-null posture: a declared but
+    * absent field is a runtime warning + null there
+    * (DynamicPojoValueJoiner.java:58-63, DynamicPojoKeyExtractor.java:52-57);
+    * in Spark absence is a plan-time fact, so we validate against the schema
+    * and substitute a typed null literal to preserve the output contract.
+    */
+  private def fieldOrNull(df: DataFrame, field: String, where: String): Column =
+    if (df.columns.contains(field)) df(field)
+    else {
+      logWarning(s"field '$field' not found in $where; emitting null " +
+        "(reference warn-and-null semantics, DynamicPojoValueJoiner.java:58-63)")
+      lit(null).cast(StringType)
+    }
+
+  /** ≅ buildChainedJoin (DynamicTopologyBuilder.java:95-186): resolve the root
+    * (stream- or table-rooted per the first op's `initialSourceIsStream`,
+    * :106-126), optional re-key, then a strict left-deep fold of join steps
+    * (:136-176) — step i+1 sees only step i's *projected* output (inter-step
+    * projection is semantic, SURVEY §2A.1). Catalyst still prunes/pushes
+    * through the whole fold because each step is a plain join+select.
+    */
+  private def buildChainedJoin(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver): DataFrame = {
+    val firstOp = spec.joinOperations.head
+    val root0 =
+      if (firstOp.initialSourceIsStream) sources.stream(spark, spec.sourceTopic)
+      else sources.table(spark, spec.sourceTopic)
+
+    val rekey = firstOp.primaryKeyExtraction.orElse(spec.sourceKeyExtraction)
+    val root = withKey(root0, spec.sourceTopic, rekey, sources.catalog)
+
+    spec.joinOperations.zipWithIndex.foldLeft(root) { case (acc0, (op, i)) =>
+      // The reference honors primaryKeyExtraction only on the root
+      // (DynamicTopologyBuilder.java:117-122); later steps join on the
+      // carried key. We additionally honor a per-step re-key when a step
+      // i>0 declares one — a strict superset that makes multi-hop
+      // enrichment (orders→customer→nation) expressible; specs written for
+      // the reference (no mid-chain extraction) behave identically.
+      val acc = op.primaryKeyExtraction match {
+        case Some(KeyExtraction("VALUE", Some(field))) if i > 0 =>
+          acc0.withColumn(KeyCol, fieldOrNull(acc0, field, s"step-$i output"))
+        case _ => acc0
+      }
+      val enrichment0 =
+        if (op.global) sources.globalTable(spark, op.enrichmentTopic)
+        else sources.table(spark, op.enrichmentTopic)
+      val rightKey: Column = sources.catalog.keyOf(op.enrichmentTopic.name) match {
+        case Seq(single) => enrichment0(single)
+        case many        => struct(many.map(enrichment0(_)): _*)
+      }
+      // Kafka Streams drops null-keyed records when repartitioning into a
+      // join (SURVEY §2A.1 null-key note) — inner joins drop them anyway;
+      // left joins need the explicit filter only for strict fidelity on the
+      // left side, which we match.
+      val left = acc.filter(col(KeyCol).isNotNull)
+      val joinType = op.`type` match {
+        case JoinType.Inner => "inner"
+        case JoinType.Left  => "left_outer"
+        case other => throw new IllegalArgumentException(s"[${op.id}] unknown join type $other")
+      }
+      val joined = left.join(enrichment0, left(KeyCol) === rightKey, joinType)
+      // Projection ≅ DynamicPojoValueJoiner (joins/DynamicPojoValueJoiner.java:37-66):
+      // every declared output field is always present; a missing source field
+      // becomes a warned-and-typed null (:58-63). Keep __key — Kafka Streams
+      // joins never change the record key.
+      val outCols = op.outputFieldsMapping.map { m =>
+        val side = m.source match {
+          case "LEFT"  => left
+          case "RIGHT" => enrichment0
+          case other   => throw new IllegalArgumentException(s"[${op.id}] unknown mapping source $other")
+        }
+        val sideName = if (m.source == "LEFT") "left input" else op.enrichmentTopic.name
+        (if (side.columns.contains(m.sourceFieldName)) side(m.sourceFieldName)
+         else {
+           logWarning(s"[${spec.id}/${op.id}] field '${m.sourceFieldName}' not found in " +
+             s"$sideName; emitting null (reference warn-and-null semantics)")
+           lit(null).cast(StringType)
+         }).as(m.outputFieldName)
+      }
+      joined.select(left(KeyCol) +: outCols: _*)
+    }
+    // Table-rooted chains end in toStream() (DynamicTopologyBuilder.java:179-185)
+    // — identity in batch (R14): the latest-per-key view IS the changelog head.
+  }
+
+  /** ≅ Flow B (DynamicTopologyBuilder.java:37-50 + the stubbed-but-intended
+    * buildCountAggregation :188-223): re-key by the configured extraction, then
+    * group-count into a named state store. Generalized to sum/avg/min/max per
+    * the reference's declared intent ("count, sum, reduce, etc.",
+    * AggregationDefinition.java:38). Partial (map-side) aggregation makes this
+    * a single reduced shuffle at any scale.
+    */
+  private def buildAggregation(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver): DataFrame = {
+    val src = withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
+      spec.groupByKeyExtraction, sources.catalog)
+    val aggs = if (spec.aggregations.isEmpty) Seq(AggSpec("count", None)) else spec.aggregations
+    val exprs = aggs.map {
+      case AggSpec("count", _)            => count(lit(1)).as("count")
+      case AggSpec("sum", Some(f))        => sum(col(f)).as(s"sum_$f")
+      case AggSpec("avg", Some(f))        => avg(col(f)).as(s"avg_$f")
+      case AggSpec("min", Some(f))        => min(col(f)).as(s"min_$f")
+      case AggSpec("max", Some(f))        => max(col(f)).as(s"max_$f")
+      case AggSpec(fn, f) =>
+        throw new IllegalArgumentException(s"[${spec.id}] unsupported aggregation $fn($f)")
+    }
+    src.groupBy(col(KeyCol)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Sink projection (R15, DynamicTopologyBuilder.java:61-74): the record key
+    * plus the value serialized back to JSON — `to_json(struct(*))` matches the
+    * reference's generic-map JSON serialization (SerdeFactory.java:110-137).
+    */
+  def toKafkaShape(df: DataFrame): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == KeyCol).map(col)
+    df.select(col(KeyCol).cast(StringType).as("key"),
+      to_json(struct(valueCols.toSeq: _*)).as("value"))
+  }
+
+  /** Drop the threaded key for plain-relational output. */
+  def values(df: DataFrame): DataFrame =
+    if (df.columns.contains(KeyCol)) df.drop(KeyCol) else df
+}

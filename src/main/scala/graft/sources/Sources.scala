@@ -1,0 +1,98 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.{SchemaCatalog, TopicConfig}
+
+/** Source abstraction — the Spark-native equivalent of the reference's three
+  * source shapes (SURVEY.md §2A R1–R3):
+  *
+  *  - `stream`      ≅ KStream from topic (DynamicTopologyBuilder.java:83-86)
+  *  - `table`       ≅ KTable latest-per-key view (KTableRegistry.java:41-50)
+  *  - `globalTable` ≅ GlobalKTable broadcast lookup (KTableRegistry.java:52-57)
+  *
+  * One trait, two implementations: parquet batch (the correctness oracle) and
+  * Kafka Structured Streaming (graft.streaming.KafkaSources). All pipeline
+  * logic is written against the trait so the same spec runs either way.
+  */
+trait SourceResolver {
+  def stream(spark: SparkSession, topic: TopicConfig): DataFrame
+  def table(spark: SparkSession, topic: TopicConfig): DataFrame
+  def globalTable(spark: SparkSession, topic: TopicConfig): DataFrame =
+    broadcast(table(spark, topic))
+  def catalog: SchemaCatalog
+}
+
+/** Batch resolver over the driver-provisioned parquet tables.
+  *
+  * Table views are *latest-per-key*: the reference's KTable is last-write-wins
+  * per key (KTableRegistry.java:48). "Latest" is defined by the catalog's
+  * explicit order columns (FIXTURES.md §C) — never file order. When a topic
+  * has no order columns its rows are key-unique dims and the view is the scan
+  * itself (no shuffle at all — important at 100 TB: a dimension load must not
+  * pay a window shuffle it doesn't need).
+  *
+  * The memoization mirrors KTableRegistry's ConcurrentHashMap dedup
+  * (KTableRegistry.java:26-30): repeated references to one topic share a single
+  * DataFrame, so Catalyst sees one scan it can reuse.
+  */
+class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceResolver {
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  private def path(name: String) = s"$dir/$name.parquet"
+
+  /** Floor-convert raw-nanos long columns (read under
+    * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
+    * see TopicSchema.nanosTimestampColumns.
+    */
+  private def fixNanos(df: DataFrame, topicName: String): DataFrame =
+    catalog.nanosColumnsOf(topicName).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
+
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame =
+    fixNanos(spark.read.parquet(path(topic.name)), topic.name)
+
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    tables.getOrElseUpdate(topic.name, {
+      val df = fixNanos(spark.read.parquet(path(topic.name)), topic.name)
+      val order = catalog.orderOf(topic.name)
+      if (order.isEmpty) df
+      else Tables.latestPerKey(df, catalog.keyOf(topic.name), order)
+    })
+}
+
+object Tables {
+  /** Deterministic latest-per-key changelog view (R2).
+    *
+    * `max_by(struct(*cols), struct(*order))` gives one shuffle with map-side
+    * partial aggregation — at scale this beats the window-function form
+    * (`row_number over (partition by key order by ord desc) = 1`), which
+    * must shuffle ALL rows to the key's partition and sort them before
+    * discarding everything but one. Partial agg keeps per-key state O(1)
+    * per map task, so a 100 TB changelog reduces before the exchange.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "latestPerKey requires key columns")
+    require(order.nonEmpty, "latestPerKey requires explicit order columns (FIXTURES.md §C)")
+    val valueCols = df.columns.filterNot(keys.contains).toSeq
+    val ord = struct(order.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), ord).as("__latest"))
+      .select(keys.map(col) ++ valueCols.map(c => col(s"__latest.$c").as(c)): _*)
+  }
+
+  /** Window-function variant, kept for cases where the full winning *row*
+    * (not just projected values) must survive with its original column order,
+    * or where ties must break by an expression not embeddable in max_by.
+    */
+  def latestPerKeyWindow(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
