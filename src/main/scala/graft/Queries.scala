@@ -1,0 +1,564 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{PipelineSpec, TestdataCatalog}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.Interpreter
+import graft.sources.ParquetSourceResolver
+
+/** The declared operator inventory (SURVEY.md §2A R1–R21 + §2B X1–X6) as
+  * runnable queries over the driver testdata, each with a DuckDB oracle where
+  * ANSI-SQL-expressible (the t2 correctness gate).
+  *
+  * Reference-surface queries (r*) run through the full config path —
+  * JSON `PipelineSpec` → Jackson parse → Interpreter → DataFrame — so the
+  * pipeline machinery itself is under test, not just hand-built plans.
+  */
+object Queries {
+
+  private def resolver(dir: String) = new ParquetSourceResolver(dir, TestdataCatalog)
+
+  private def runSpec(spark: SparkSession, dir: String, json: String): DataFrame =
+    Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json), resolver(dir)))
+
+  /** Like runSpec but keeps the record key under the given column name
+    * (aggregation outputs are keyed streams — R11 emits KStream[K, Long]).
+    */
+  private def runSpecKeyed(spark: SparkSession, dir: String, json: String,
+      keyName: String): DataFrame =
+    Interpreter.build(spark, PipelineSpec.fromJson(json), resolver(dir))
+      .withColumnRenamed(Interpreter.KeyCol, keyName)
+
+  // ---------------------------------------------------------------- R-surface
+
+  /** R21/R13/R15 SIMPLE_STREAM: source → peek → sink identity copy. */
+  def r01SimpleStream(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"events-passthrough","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"outputTopic":{"enabled":true,"name":"events-out"}}""".stripMargin)
+
+  /** R2 KTable materialization: deterministic latest-per-key changelog view
+    * of events keyed by user_id, ordered by (ts, event_id) — FIXTURES.md §C.
+    */
+  def r02TableLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    graft.sources.Tables.latestPerKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+  }
+
+  /** R3 GlobalKTable: lineitem stream ⋈ broadcast part dim (global=true →
+    * broadcast-hash join, the GlobalKTable analogue).
+    */
+  def r03GlobalJoin(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"lineitem-part-global","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"lineitem","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"part-step","type":"INNER_JOIN",
+         |  "initialSourceIsStream":true,"global":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"l_partkey"},
+         |  "enrichmentTopic":{"name":"part","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"l_orderkey","outputFieldName":"orderkey"},
+         |    {"source":"LEFT","sourceFieldName":"l_linenumber","outputFieldName":"linenumber"},
+         |    {"source":"LEFT","sourceFieldName":"l_quantity","outputFieldName":"qty"},
+         |    {"source":"RIGHT","sourceFieldName":"p_brand","outputFieldName":"brand"},
+         |    {"source":"RIGHT","sourceFieldName":"p_retailprice","outputFieldName":"retail"}]}],
+         |"outputTopic":{"enabled":true,"name":"lineitem-enriched"}}""".stripMargin)
+
+  /** R4/R5/R9/R10 stream⋈table inner join with re-key (FIXTURES.md B2). */
+  def r05JoinChainInner(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"orders-customer-enrichment","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"customer-step","type":"INNER_JOIN",
+         |  "initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+         |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"o_totalprice","outputFieldName":"total"},
+         |    {"source":"RIGHT","sourceFieldName":"c_name","outputFieldName":"customer_name"},
+         |    {"source":"RIGHT","sourceFieldName":"c_mktsegment","outputFieldName":"segment"}]}],
+         |"outputTopic":{"enabled":true,"name":"enriched-orders"}}""".stripMargin)
+
+  /** R6/R10 left join with warn-and-null on a missing declared field
+    * (c_phone does not exist → typed null, DynamicPojoValueJoiner.java:58-63)
+    * and a mid-chain re-key (FIXTURES.md B3).
+    */
+  def r06JoinChainLeftNull(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"orders-customer-nation-left","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+         |"joinOperations":[
+         | {"id":"customer-step","type":"LEFT_JOIN","initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+         |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"o_totalprice","outputFieldName":"total"},
+         |    {"source":"RIGHT","sourceFieldName":"c_name","outputFieldName":"customer_name"},
+         |    {"source":"RIGHT","sourceFieldName":"c_phone","outputFieldName":"phone"},
+         |    {"source":"RIGHT","sourceFieldName":"c_nationkey","outputFieldName":"nation_fk"}]},
+         | {"id":"nation-step","type":"LEFT_JOIN","initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"nation_fk"},
+         |  "enrichmentTopic":{"name":"nation","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"order_id","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"total","outputFieldName":"total"},
+         |    {"source":"LEFT","sourceFieldName":"customer_name","outputFieldName":"customer_name"},
+         |    {"source":"LEFT","sourceFieldName":"phone","outputFieldName":"phone"},
+         |    {"source":"RIGHT","sourceFieldName":"n_name","outputFieldName":"nation"}]}],
+         |"outputTopic":{"enabled":true,"name":"orders-left-enriched"}}""".stripMargin)
+
+  /** R7/R8/R14 table-rooted chain: customer (table) ⋈ nation (table), keyed by
+    * c_nationkey, final toStream (FIXTURES.md B4).
+    */
+  def r07TableTableJoin(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"customer-nation-tt","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"nation-step","type":"INNER_JOIN",
+         |  "initialSourceIsStream":false,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"c_nationkey"},
+         |  "enrichmentTopic":{"name":"nation","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"c_custkey","outputFieldName":"custkey"},
+         |    {"source":"LEFT","sourceFieldName":"c_name","outputFieldName":"name"},
+         |    {"source":"LEFT","sourceFieldName":"c_acctbal","outputFieldName":"acctbal"},
+         |    {"source":"RIGHT","sourceFieldName":"n_name","outputFieldName":"nation"}]}],
+         |"outputTopic":{"enabled":true,"name":"customer-nation"}}""".stripMargin)
+
+  /** R9 three-step left-deep chain: orders → customer → nation → region. */
+  def r09JoinChainMulti(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"orders-3hop","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+         |"joinOperations":[
+         | {"id":"s1","type":"INNER_JOIN","initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+         |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"o_totalprice","outputFieldName":"total"},
+         |    {"source":"RIGHT","sourceFieldName":"c_nationkey","outputFieldName":"nation_fk"}]},
+         | {"id":"s2","type":"INNER_JOIN","initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"nation_fk"},
+         |  "enrichmentTopic":{"name":"nation","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"order_id","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"total","outputFieldName":"total"},
+         |    {"source":"RIGHT","sourceFieldName":"n_name","outputFieldName":"nation"},
+         |    {"source":"RIGHT","sourceFieldName":"n_regionkey","outputFieldName":"region_fk"}]},
+         | {"id":"s3","type":"INNER_JOIN","initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"region_fk"},
+         |  "enrichmentTopic":{"name":"region","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"order_id","outputFieldName":"order_id"},
+         |    {"source":"LEFT","sourceFieldName":"total","outputFieldName":"total"},
+         |    {"source":"LEFT","sourceFieldName":"nation","outputFieldName":"nation"},
+         |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"region"}]}],
+         |"outputTopic":{"enabled":true,"name":"orders-3hop-out"}}""".stripMargin)
+
+  /** R11/R12 AGGREGATION count by extracted key (FIXTURES.md B5). */
+  def r11CountAgg(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-per-user","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |"groupByKeyType":"java.lang.Long",
+         |"stateStoreName":"events-per-user-store",
+         |"outputTopic":{"enabled":true,"name":"events-per-user"}}""".stripMargin,
+      keyName = "user_id").withColumnRenamed("count", "cnt")
+
+  /** R11 generalized aggregation functions (sum/avg/min/max, the reference's
+    * declared intent beyond the count stub, AggregationDefinition.java:38).
+    */
+  def r11AggMulti(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-stats","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"event_type"},
+         |"groupByKeyType":"java.lang.String",
+         |"aggregations":[{"function":"count"},{"function":"sum","fieldName":"value"},
+         |  {"function":"avg","fieldName":"value"},{"function":"min","fieldName":"value"},
+         |  {"function":"max","fieldName":"value"}],
+         |"stateStoreName":"events-stats-store",
+         |"outputTopic":{"enabled":true,"name":"events-stats"}}""".stripMargin,
+      keyName = "event_type").withColumnRenamed("count", "cnt")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .withColumn("avg_value", round(col("avg_value"), 6))
+
+  /** R16 JSON-string → object parse (JsonStringToObjectMapper ≅ from_json):
+    * lenient mode — malformed/missing fields → null (SerdeFactory.java:30).
+    */
+  def r16JsonParse(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("prop_k"))
+  }
+
+  /** R17 serde boundary round-trip: value → JSON → value must be lossless for
+    * the engine's record model (to_json ∘ from_json = id on declared fields).
+    */
+  def r17SerdeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val js = to_json(struct(col("user_id"), col("event_type")))
+    ev.select(col("event_id"),
+      from_json(js, org.apache.spark.sql.types.StructType.fromDDL("user_id BIGINT, event_type STRING")).as("v"))
+      .select(col("event_id"), col("v.user_id").as("user_id"),
+        col("v.event_type").as("event_type"))
+  }
+
+  // ---------------------------------------------------------------- headline
+
+  /** TPC-H Q1-shaped scan+agg (the flagship pricing-summary query). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-shaped join+agg+top-N (shipping-priority style). */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    c.filter(col("c_mktsegment") === "BUILDING")
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  // -------------------------------------------------------------- extensions
+
+  /** X1 exact dedup on full text content: one representative (min doc_id). */
+  def x1ExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.exact(docs.select("text", "doc_id", "n_chars"), Seq("text"), "doc_id")
+      .select("doc_id", "text", "n_chars")
+  }
+
+  /** X1 group-representative dedup: deterministic winner per (lang, source). */
+  def x1GroupRep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Dedup.exact(docs.select("lang", "source", "doc_id", "n_chars"),
+      Seq("lang", "source"), "doc_id")
+  }
+
+  /** X2 exact n-gram-Jaccard near-dup pairs (threshold 0.8, 3-word shingles).
+    * Oracle-exact inverted-index formulation; the MinHash-LSH variant below is
+    * the at-scale approximation of this same operator.
+    */
+  def x2JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", shingleSize = 3, threshold = 0.8)
+
+  /** X2 MinHash-LSH near-dup (scale path; sketch-estimated Jaccard). */
+  def x2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+
+  /** X2 SimHash near-dup (Hamming ≤ 3 over 64-bit sketches). */
+  def x2Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", maxHamming = 3)
+
+  /** X3 exact all-pairs embedding cosine ≥ 0.4 (oracle-exact; LSH variant is
+    * the 100 TB path).
+    */
+  def x3CosinePairsExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        graft.functions.VectorFunctions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** X3 exact brute-force cosine top-k for a fixed query set (vec_id < 5). */
+  def x3KnnExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** X3 IVF-style ANN (approximate — rows-only check; recall measured in tests). */
+  def x3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 4)
+  }
+
+  /** X4 multimodal: blob table → stubbed decode → per-media features. */
+  def x4Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.extractFeatures(Multimodal.asBlobTable(docs, "doc_id", "text"))
+      .select("media_id", "mime", "n_bytes", "content_hash")
+  }
+
+  /** X4 frame-sampling shape over stub durations (one row per sampled frame). */
+  def x4FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.sampleFrames(Multimodal.asBlobTable(docs, "doc_id", "text"), strideMs = 1000L)
+      .select("media_id", "frame_ts_ms")
+  }
+
+  /** X5 text statistics (token counts, quality ratios). */
+  def x5TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t = col("text")
+    val m = TextAnalysis.qualityMetrics(t).toMap
+    docs.select(col("doc_id"), m("n_chars").as("n_chars"), m("n_tokens").as("n_tokens"),
+      round(m("avg_token_len"), 6).as("avg_token_len"),
+      round(m("punct_ratio"), 6).as("punct_ratio"),
+      round(m("stopword_ratio"), 6).as("stopword_ratio"),
+      size(TextAnalysis.lexTokens(t)).cast("long").as("n_lex_tokens"))
+  }
+
+  /** X5 language ID (marker-token heuristic, deterministic tie-breaks). */
+  def x5LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+  }
+
+  /** X5 document fingerprint (rolling hash, native expression; rows-only). */
+  def x5Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+  }
+
+  /** X6 tumbling-window aggregation over event time (batch form; the
+    * streaming form with watermark is StreamingTables.windowedCounts).
+    */
+  def x6WindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** X6 session windows (5-minute gap) per user. */
+  def x6SessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"), col("user_id"), col("cnt"))
+  }
+
+  // ------------------------------------------------------------------ oracle
+
+  /** DuckDB-dialect oracle SQL per query (same tables registered by name).
+    * Column names/aliases match the Spark output exactly — the driver sorts
+    * columns by name before hashing. Float aggregates are rounded identically
+    * on both sides. `CAST(ts AS TIMESTAMP)` floors TIMESTAMP_NS → micros,
+    * matching the engine's nanos handling (Sources.fixNanos).
+    */
+  val oracles: Map[String, String] = Map(
+    "r01_simple_stream" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events""".stripMargin,
+    "r02_table_latest" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "r03_global_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber, l.l_quantity AS qty,
+        |       p.p_brand AS brand, p.p_retailprice AS retail
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin,
+    "r05_join_chain_inner" ->
+      """SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
+        |       c.c_name AS customer_name, c.c_mktsegment AS segment
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "r06_join_chain_left_null" ->
+      """WITH s1 AS (
+        |  SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
+        |         c.c_name AS customer_name, CAST(NULL AS VARCHAR) AS phone,
+        |         c.c_nationkey AS nation_fk
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT s1.order_id, s1.total, s1.customer_name, s1.phone, n.n_name AS nation
+        |FROM s1 LEFT JOIN nation n ON s1.nation_fk = n.n_nationkey
+        |WHERE s1.nation_fk IS NOT NULL""".stripMargin,
+    "r07_table_table_join" ->
+      """SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_acctbal AS acctbal,
+        |       n.n_name AS nation
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "r09_join_chain_multi" ->
+      """SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
+        |       n.n_name AS nation, r.r_name AS region
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "r11_count_agg" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id",
+    "r11_agg_multi" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value,
+        |       round(avg(value), 6) AS avg_value, min(value) AS min_value,
+        |       max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "r16_json_parse" ->
+      """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k FROM events""",
+    "r17_serde_roundtrip" ->
+      "SELECT event_id, user_id, event_type FROM events",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate, revenue FROM (
+        |  SELECT o.o_orderkey, o.o_orderdate,
+        |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |  GROUP BY o.o_orderkey, o.o_orderdate)
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "x1_exact_dedup" ->
+      """SELECT arg_min(doc_id, doc_id) AS doc_id, text,
+        |       arg_min(n_chars, doc_id) AS n_chars
+        |FROM documents GROUP BY text""".stripMargin,
+    "x1_group_rep" ->
+      """SELECT lang, source, arg_min(doc_id, doc_id) AS doc_id,
+        |       arg_min(n_chars, doc_id) AS n_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "x2_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2)
+        |SELECT id1, id2, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT p.id1, p.id2, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
+        |  FROM pairs p JOIN n n1 ON p.id1 = n1.id JOIN n n2 ON p.id2 = n2.id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "x3_cosine_pairs_exact" ->
+      """SELECT id1, id2, round(cos, 6) AS cos FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4""".stripMargin,
+    "x3_knn_exact" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    "x4_multimodal" ->
+      """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+        |       CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "x4_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |       unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
+        |FROM documents""".stripMargin,
+    "x5_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+        |  round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{}-]', '', 'g')))::DOUBLE
+        |    / length(text), 6) AS punct_ratio,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+        |    AS n_lex_tokens
+        |FROM documents""".stripMargin,
+    "x5_lang_id" ->
+      """WITH scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, t -> t IN ('der','die','das','und','nicht','ist','ein','eine','mit','für'))) AS de,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','is','that','for','with','this','not'))) AS en,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','las','es','una','para','por','como','pero'))) AS es,
+        |    len(list_filter(toks, t -> t IN ('le','les','des','est','une','dans','pour','que','pas','sur'))) AS fr,
+        |    length(text) - length(regexp_replace(text, '[一-龥]', '', 'g')) AS zh
+        |  FROM (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents))
+        |SELECT doc_id, CASE
+        |  WHEN greatest(de, en, es, fr, zh) <= 0 THEN 'und'
+        |  WHEN de = greatest(de, en, es, fr, zh) THEN 'de'
+        |  WHEN en = greatest(de, en, es, fr, zh) THEN 'en'
+        |  WHEN es = greatest(de, en, es, fr, zh) THEN 'es'
+        |  WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM scores""".stripMargin,
+    "x6_window_agg" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "x6_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin
+  )
+
+  /** name → implementation (SparkEntry.queries delegates here). */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_simple_stream" -> r01SimpleStream _,
+    "r02_table_latest" -> r02TableLatest _,
+    "r03_global_join" -> r03GlobalJoin _,
+    "r05_join_chain_inner" -> r05JoinChainInner _,
+    "r06_join_chain_left_null" -> r06JoinChainLeftNull _,
+    "r07_table_table_join" -> r07TableTableJoin _,
+    "r09_join_chain_multi" -> r09JoinChainMulti _,
+    "r11_count_agg" -> r11CountAgg _,
+    "r11_agg_multi" -> r11AggMulti _,
+    "r16_json_parse" -> r16JsonParse _,
+    "r17_serde_roundtrip" -> r17SerdeRoundtrip _,
+    "q1_agg" -> q1Agg _,
+    "q3_top_revenue" -> q3TopRevenue _,
+    "x1_exact_dedup" -> x1ExactDedup _,
+    "x1_group_rep" -> x1GroupRep _,
+    "x2_jaccard_pairs" -> x2JaccardPairs _,
+    "x2_minhash_lsh" -> x2MinhashLsh _,
+    "x2_simhash" -> x2Simhash _,
+    "x3_cosine_pairs_exact" -> x3CosinePairsExact _,
+    "x3_knn_exact" -> x3KnnExact _,
+    "x3_ann_ivf" -> x3AnnIvf _,
+    "x4_multimodal" -> x4Multimodal _,
+    "x4_frame_sample" -> x4FrameSample _,
+    "x5_text_stats" -> x5TextStats _,
+    "x5_lang_id" -> x5LangId _,
+    "x5_fingerprint" -> x5Fingerprint _,
+    "x6_window_agg" -> x6WindowAgg _,
+    "x6_session_window" -> x6SessionWindow _
+  )
+}

@@ -58,13 +58,15 @@ object Similarity {
     def distTo(vec: Column, p: Array[Double]): Column =
       VectorFunctions.l2_dist(vec, array(p.map(lit): _*).cast("array<double>"))
 
-    // argmin over the centroid literals via a fold (ties → lowest cell id).
+    // argmin over the centroid literals, array-based: build the distance
+    // vector once and index it — NOT a when/otherwise fold, which doubles
+    // the expression tree per centroid (2^n nodes) and stalls codegen.
+    // Ties → first (lowest-id) centroid, since array_position finds the
+    // first occurrence and centroids are id-ordered.
+    val cellIds = array(centroids.map(c0 => lit(c0._1)): _*)
     def nearestCell(vec: Column): Column = {
-      val ds = centroids.map { case (id, p) => (id, distTo(vec, p)) }
-      ds.tail.foldLeft(lit(ds.head._1) -> ds.head._2: (Column, Column)) {
-        case ((bid, bd), (id, d)) =>
-          (when(d < bd, lit(id)).otherwise(bid), when(d < bd, d).otherwise(bd))
-      }._1
+      val dists = array(centroids.map(c0 => distTo(vec, c0._2)): _*)
+      element_at(cellIds, array_position(dists, array_min(dists)).cast("int"))
     }
 
     val assigned = c.withColumn("cell", nearestCell(col("cv")))

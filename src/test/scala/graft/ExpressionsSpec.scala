@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, VectorFunctions}
+
+class ExpressionsSpec extends SparkSuite {
+
+  private def vecDf(a: Seq[Double], b: Seq[Double]) = {
+    spark.createDataFrame(Seq((a, b))).toDF("a", "b")
+  }
+
+  test("cosine_sim matches scalar math (double arrays)") {
+    val a = Seq(1.0, 2.0, 3.0); val b = Seq(4.0, 5.0, 6.0)
+    val got = vecDf(a, b).select(VectorFunctions.cosine_sim(col("a"), col("b")))
+      .head().getDouble(0)
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val exp = dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("cosine_sim on float arrays (the embeddings physical type) + codegen path") {
+    val df = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val row = df.select(VectorFunctions.cosine_sim(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-9 && math.abs(row.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("length mismatch → null; zero vector → 0.0") {
+    val df = vecDf(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))
+    assert(df.select(VectorFunctions.cosine_sim(col("a"), col("b"))).head().isNullAt(0))
+    val z = vecDf(Seq(0.0, 0.0), Seq(1.0, 2.0))
+    assert(z.select(VectorFunctions.cosine_sim(col("a"), col("b"))).head().getDouble(0) == 0.0)
+  }
+
+  test("vec_dot and l2_dist agree with scalar math") {
+    val a = Seq(1.0, -2.0, 0.5); val b = Seq(3.0, 0.0, 4.0)
+    val r = vecDf(a, b).select(
+      VectorFunctions.vec_dot(col("a"), col("b")),
+      VectorFunctions.l2_dist(col("a"), col("b"))).head()
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    val exp = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(math.abs(r.getDouble(1) - exp) < 1e-12)
+  }
+
+  test("minhash signature: identical inputs → identical sigs; estimate tracks jaccard") {
+    import scala.jdk.CollectionConverters._
+    val docs = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),       // identical
+      ("a b c d e f g h", "a b c d e f g X")        // 1-token edit
+    )
+    val df = spark.createDataFrame(docs).toDF("t1", "t2")
+    val sigs = df.select(
+      HashFunctions.minhash_signature(split(col("t1"), " "), 128).as("s1"),
+      HashFunctions.minhash_signature(split(col("t2"), " "), 128).as("s2"))
+      .withColumn("est",
+        size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), b => b))
+          .cast("double") / 128)
+      .collect()
+    assert(sigs(0).getDouble(2) == 1.0)
+    val est = sigs(1).getDouble(2)
+    // true jaccard of the token sets = 7/9 ≈ 0.78; 128 hashes → ±~0.1
+    assert(est > 0.55 && est < 0.95, s"estimate $est out of band")
+  }
+
+  test("simhash: identical texts → equal, near texts → small hamming") {
+    val df = spark.createDataFrame(Seq(
+      ("spark streams join table window", "spark streams join table window"),
+      ("spark streams join table window", "spark streams join table windows"))).toDF("t1", "t2")
+    val r = df.select(HashFunctions.hamming64(
+      HashFunctions.simhash64(split(col("t1"), " ")),
+      HashFunctions.simhash64(split(col("t2"), " "))).as("h")).collect()
+    assert(r(0).getInt(0) == 0)
+    assert(r(1).getInt(0) <= 16)
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = spark.createDataFrame(Seq(("ab cd", "cd ab"))).toDF("x", "y")
+    val r = df.select(HashFunctions.doc_fingerprint(col("x")).as("fx"),
+      HashFunctions.doc_fingerprint(col("y")).as("fy"),
+      HashFunctions.doc_fingerprint(lit("ab cd")).as("fx2")).head()
+    assert(r.getLong(0) != r.getLong(1))
+    assert(r.getLong(0) == r.getLong(2))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSuite {
+
+  test("latest-per-key is deterministic and key-unique") {
+    val ev = new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog)
+      .stream(spark, graft.config.TopicConfig("events"))
+    val latest = graft.sources.Tables.latestPerKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+    assert(latest.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // agrees with the window-function formulation
+    val win = graft.sources.Tables.latestPerKeyWindow(ev, Seq("user_id"), Seq("ts", "event_id"))
+    val a = latest.select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    val b = win.select("user_id", "event_id").orderBy("user_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("exact dedup: output key-distinct, representative is min tie-break") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Dedup.exact(docs.select("lang", "source", "doc_id", "n_chars"),
+      Seq("lang", "source"), "doc_id")
+    assert(out.groupBy("lang", "source").count().filter(col("count") > 1).count() == 0)
+    val exp = docs.groupBy("lang", "source").agg(min("doc_id").as("m"))
+    val joined = out.join(exp, Seq("lang", "source"))
+      .filter(col("doc_id") =!= col("m")).count()
+    assert(joined == 0)
+  }
+
+  test("jaccard pairs: symmetric-free (id1<id2), all above threshold") {
+    val pairs = Dedup.jaccardPairs(spark.read.parquet(s"${sf()}/documents.parquet"),
+      "doc_id", "text", 3, 0.8).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.8))
+  }
+
+  test("minhash-LSH finds the high-jaccard pairs (recall vs exact)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.7)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every j≥0.9 pair must be recalled by 32-band LSH at est≥0.7
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+  }
+
+  test("brute-force top-k: ranks are 1..k, scores non-increasing, no self-match") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length == 15)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).toSeq
+      assert(ranks == (1 to 5))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("IVF ANN achieves reasonable recall@10 vs exact on clustered data") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("langId prefers the marked language deterministically") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty"),
+      (4L, ""))).toDF("id", "t")
+    val got = df.select(col("id"), TextAnalysis.langId(col("t")).as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "de", "und", "und"))
+  }
+
+  test("quality metrics: empty text is all-zero, no NaN/null") {
+    val df = spark.createDataFrame(Seq((1L, ""), (2L, "Hello, world! This is fine.")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(col("text")).toMap
+    val rows = df.select(m("n_tokens"), m("avg_token_len"), m("punct_ratio"),
+      m("stopword_ratio")).collect()
+    assert(rows(0).getLong(0) == 0 && rows(0).getDouble(1) == 0.0)
+    assert(!rows.exists(r => (1 to 3).exists(i => r.isNullAt(i) || r.getDouble(i).isNaN)))
+    assert(rows(1).getLong(0) == 5)
+  }
+
+  test("multimodal blob plumbing: payload bytes round-trip, frames sampled") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
+    val media = graft.operators.Multimodal.asBlobTable(docs, "doc_id", "text")
+    val feats = graft.operators.Multimodal.extractFeatures(media)
+    val j = feats.join(docs, feats("media_id") === docs("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text"))).count()
+    assert(j == 0) // ASCII text: bytes == chars
+    val frames = graft.operators.Multimodal.sampleFrames(media, 1000L)
+    assert(frames.count() >= 10)
+  }
+}

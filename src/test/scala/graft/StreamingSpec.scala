@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingTables
+
+class StreamingSpec extends SparkSuite {
+
+  private val ss = spark
+  import ss.implicits._
+
+  test("streaming latest-per-key keeps last-write-wins state across batches (R2)") {
+    val input = MemoryStream[(Long, Long, String)](ss, 2) // (user_id, offset, v)
+    val df = input.toDF().toDF("user_id", "__offset", "v")
+    val latest = StreamingTables.latestPerKey(df, Seq("user_id"), Seq("__offset"))
+    val q = latest.writeStream.format("memory").queryName("latest_t")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "x"))
+      q.processAllAvailable()
+      input.addData((1L, 3L, "c")) // later write wins
+      input.addData((2L, 0L, "stale")) // earlier offset must NOT win
+      q.processAllAvailable()
+      val rows = spark.table("latest_t")
+        .groupBy("user_id").agg(max_by(col("v"), col("__offset")).as("v"))
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "c"), (2L, "x")))
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window counts match batch (X6/R11 streaming form)") {
+    val input = MemoryStream[(Timestamp, String)](ss, 2)
+    val df = input.toDF().toDF("ts", "event_type")
+    val counts = StreamingTables.windowedCounts(df, "ts", "20 minutes", "10 minutes",
+      Seq("event_type"))
+    val q = counts.writeStream.format("memory").queryName("win_t")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(1), "a"), (t(2), "a"), (t(11), "a"), (t(3), "b"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((t(59), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("win_t")
+        .select("window_start", "event_type", "count")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "a", 2L)))
+      assert(rows.contains(("2024-01-01 10:10:00.0", "a", 1L)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming update-mode count per key ≅ KTable count changelog (R11/R14)") {
+    val input = MemoryStream[Long](ss, 2)
+    val df = input.toDF().toDF("user_id")
+    val counts = df.groupBy("user_id").count()
+    val q = counts.writeStream.format("memory").queryName("cnt_t")
+      .outputMode("update").start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q.processAllAvailable()
+      input.addData(1L)
+      q.processAllAvailable()
+      // update mode emits a new row per changed key per batch; the latest
+      // emission per key is the current table state (toStream semantics)
+      val state = spark.table("cnt_t").groupBy("user_id")
+        .agg(max("count").as("count")).orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(state == Seq((1L, 3L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
