@@ -344,6 +344,29 @@ object Queries {
     docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
   }
 
+  /** X5 TF-IDF per (doc, term) — classic tf · ln(N/df). */
+  def x5Tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+
+  /** X3 via the SQL surface: engine expressions registered as SQL functions
+    * (GraftExtensions/GraftFunctions) driving a pure-SQL top-k ANN query.
+    */
+  def x3SqlKnn(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         cosine_sim(q.embedding, c.embedding) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY cosine_sim(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+        |  FROM graft_embeddings q JOIN graft_embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 3)
+        |WHERE rank <= 5""".stripMargin)
+  }
+
   /** X6 tumbling-window aggregation over event time (batch form; the
     * streaming form with watermark is StreamingTables.windowedCounts).
     */
@@ -514,6 +537,27 @@ object Queries {
         |  WHEN fr = greatest(de, en, es, fr, zh) THEN 'fr'
         |  ELSE 'zh' END AS lang_pred
         |FROM scores""".stripMargin,
+    "x5_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+        |         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_doc_tokens
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |       round(tf.tf * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS tf_idf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n""".stripMargin,
+    "x3_sql_knn" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 5""".stripMargin,
     "x6_window_agg" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
@@ -556,6 +600,8 @@ object Queries {
     "x4_multimodal" -> x4Multimodal _,
     "x4_frame_sample" -> x4FrameSample _,
     "x5_text_stats" -> x5TextStats _,
+    "x5_tfidf" -> x5Tfidf _,
+    "x3_sql_knn" -> x3SqlKnn _,
     "x5_lang_id" -> x5LangId _,
     "x5_fingerprint" -> x5Fingerprint _,
     "x6_window_agg" -> x6WindowAgg _,

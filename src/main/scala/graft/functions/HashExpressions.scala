@@ -53,6 +53,89 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct hashed word-shingles in one pass: array<string> tokens →
+  * array<long> of the distinct xxhash64-combined n-token windows (fewer than
+  * n tokens → one hash of the whole list). Shingle identity only — the
+  * shingle string is never built, and there is no higher-order-function
+  * lambda (HOF-nested expressions re-evaluate their argument subtree per
+  * element: measured O(tokens²) per document; this is the O(tokens) form).
+  */
+case class HashedShingles(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "hashed_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private val mix = 0x9E3779B97F4A7C15L
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    val tokH = new Array[Long](sz)
+    var i = 0
+    while (i < sz) {
+      val t = arr.getUTF8String(i)
+      tokH(i) = if (t == null) seed else Sketches.hashToken(t, seed)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (sz < n) {
+      var h = seed
+      var j = 0
+      while (j < sz) { h = h * mix + tokH(j); j += 1 }
+      out.add(h)
+    } else {
+      var s = 0
+      while (s <= sz - n) {
+        var h = seed
+        var j = 0
+        while (j < n) { h = h * mix + tokH(s + j); j += 1 }
+        out.add(h)
+        s += 1
+      }
+    }
+    val res = new Array[Long](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { res(k) = it.next(); k += 1 }
+    new GenericArrayData(res)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature from pre-hashed shingles (array<long>): the j-th hash
+  * function is a splitmix64 remix of the shingle's base hash with seed j —
+  * avalanche-quality independent permutation approximations without
+  * re-hashing the token bytes k times. Composes with [[HashedShingles]] so a
+  * document's full sketch is two O(len) passes.
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_from_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  @inline private def remix(x0: Long, j: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L * (j + 1)
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val sz = arr.numElements()
+    while (i < sz) {
+      val base = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = remix(base, j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 64-bit SimHash over a token array: per-bit vote by token hash, sign of the
   * vote becomes the bit. Near-duplicates have small Hamming distance.
   */
@@ -117,6 +200,10 @@ case class HammingDistance64(left: Expression, right: Expression)
 object HashFunctions {
   def minhash_signature(tokens: Column, numHashes: Int = 128, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))
+  def hashed_shingles(tokens: Column, n: Int, seed: Long = 42L): Column =
+    Bridge.column(HashedShingles(Bridge.expression(tokens), n, seed))
+  def minhash_from_hashes(shingleHashes: Column, numHashes: Int = 128): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(shingleHashes), numHashes))
   def simhash64(tokens: Column, seed: Long = 42L): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), seed))
   def doc_fingerprint(text: Column): Column =

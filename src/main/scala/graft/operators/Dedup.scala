@@ -37,12 +37,19 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(col(textCol), shingleSize)).as("sh"))
+    // Shingle identity is a 64-bit hash composed from per-token hashes —
+    // the shingle string is never materialized, and the posting rows that
+    // cross the exchange are fixed-width (id, n, hash) triples. At corpus
+    // scale the shingle text never leaves the scan task. 64-bit collisions
+    // are ~(|shingles|²/2⁶⁵) — negligible (and why hash(), which is 32-bit
+    // murmur3, is NOT used here: at 10⁹ shingles it WOULD collide).
+    val sh = docs
+      .select(col(idCol).as("id"),
+        HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("h"))
     val a = posts.as("a"); val b = posts.as("b")
-    val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("inter"))
@@ -64,19 +71,27 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.minhash_signature(
-        array_distinct(TextAnalysis.shingles(col(textCol), shingleSize)), numHashes).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("sig"), col("band"),
+      HashFunctions.minhash_from_hashes(
+        HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        numHashes).as("sig"))
+    // Candidate generation shuffles ONLY (id, band, bucket) triples — the
+    // 128-long signature never rides through the self-join exchange. The
+    // signatures come back via two narrow hash joins on the (deduped, tiny)
+    // candidate set. This is the shape that holds at 100 TB: bucket rows are
+    // 20 bytes regardless of document size.
+    val banded = sigs.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"),
         hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    cands
+    val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
+    cands.join(s1, "id1").join(s2, "id2")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
           .cast("double") / numHashes)

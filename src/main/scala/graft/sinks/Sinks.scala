@@ -1,0 +1,94 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{OutputTopic, PipelineSpec}
+import graft.pipeline.Interpreter
+import graft.sources.SourceResolver
+
+/** Sink layer — R15 (topic write) + R18 (topic provisioning/DDL).
+  *
+  * The reference provisions the output Kafka topic via AdminClient with
+  * partitions/replication/retention and `cleanup.policy=compact` when
+  * `retentionMs == -1` (service/TopicProvisioner.java:22-55), then writes with
+  * config-resolved serdes (DynamicTopologyBuilder.java:61-74). Batch-mode
+  * analogue: a table directory with a descriptor file; compaction ≅ the sink
+  * being a latest-per-key table, partitions ≅ output file parallelism.
+  * Kafka-mode streaming uses graft.streaming.KafkaSink (same record shape).
+  */
+trait TopicProvisioner {
+  def provision(topic: OutputTopic): Unit
+}
+
+/** Filesystem provisioner: creates the table dir and writes a descriptor
+  * capturing the reference's topic DDL knobs (tolerates pre-existence, like
+  * TopicProvisioner.java:48-53 tolerates TopicExistsException).
+  */
+class DirProvisioner(baseDir: String) extends TopicProvisioner {
+  override def provision(topic: OutputTopic): Unit = {
+    val dir = Paths.get(baseDir, topic.name)
+    Files.createDirectories(dir)
+    val compacted = topic.retentionMs.contains(-1L)
+    val desc =
+      s"""{"name":"${topic.name}","partitions":${topic.partitions.getOrElse(3)},
+         |"replicationFactor":${topic.replicationFactor.getOrElse(1: Short)},
+         |"retentionMs":${topic.retentionMs.getOrElse(-2L)},"compacted":$compacted}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(dir.resolve("_graft_topic.json"), desc)
+  }
+}
+
+object BatchSink {
+  /** R15: write the pipeline output in Kafka record shape (key string +
+    * JSON value) honoring the declared partition count. Gated on
+    * `outputTopic.enabled` like DynamicTopologyBuilder.java:62.
+    */
+  def write(df: DataFrame, topic: OutputTopic, baseDir: String,
+      provisioner: TopicProvisioner): Boolean = {
+    if (!topic.enabled) return false
+    provisioner.provision(topic)
+    val shaped = Interpreter.toKafkaShape(df)
+    val parts = topic.partitions.getOrElse(3)
+    shaped.repartition(parts)
+      .write.mode("overwrite").parquet(s"$baseDir/${topic.name}/data")
+    true
+  }
+}
+
+/** End-to-end batch pipeline runner: spec → plan → sink (the full
+  * buildAggregationTopology + start lifecycle in batch mode).
+  */
+object PipelineRunner {
+  def runBatch(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
+      outBase: String): Option[String] = {
+    val df = Interpreter.build(spark, spec, sources)
+    spec.outputTopic.filter(_.enabled).map { topic =>
+      BatchSink.write(df, topic, outBase, new DirProvisioner(outBase))
+      s"$outBase/${topic.name}/data"
+    }
+  }
+}
+
+/** R13 peek: the reference logs every record pass-through
+  * (DynamicTopologyBuilder.java:51-55). Row-level logging is an anti-pattern
+  * at any scale; the Spark-native observe() metric channel gives the same
+  * "what flowed through here" signal for free (one aggregate per task, no
+  * per-row cost, no plan change).
+  */
+object Peek {
+  /** Attach a named observation counting rows (and null keys, the reference's
+    * recurring debug concern). Read `obs.get` after an action completes.
+    */
+  def observed(df: DataFrame, name: String): (DataFrame, Observation) = {
+    val obs = new Observation(name)
+    val keyed = df.columns.contains(Interpreter.KeyCol)
+    val metrics =
+      if (keyed) Seq(count(lit(1)).as("rows"),
+        count(when(col(Interpreter.KeyCol).isNull, 1)).as("null_keys"))
+      else Seq(count(lit(1)).as("rows"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}

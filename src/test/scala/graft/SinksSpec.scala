@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.config.PipelineSpec
+import graft.sinks.{PipelineRunner, Peek}
+import graft.sources.ParquetSourceResolver
+
+class SinksSpec extends SparkSuite {
+
+  test("end-to-end batch pipeline: spec → join → kafka-shaped sink with partitions (R15/R18)") {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val spec = PipelineSpec.fromJson(
+      """{"id":"orders-customer-enrichment","processingMode":"JOIN_CHAIN",
+        |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+        |"joinOperations":[{"id":"customer-step","type":"INNER_JOIN",
+        |  "initialSourceIsStream":true,
+        |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+        |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+        |  "outputFieldsMapping":[
+        |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"order_id"},
+        |    {"source":"RIGHT","sourceFieldName":"c_name","outputFieldName":"customer_name"}]}],
+        |"outputTopic":{"enabled":true,"name":"enriched-orders","partitions":2,"retentionMs":-1}}"""
+        .stripMargin)
+    val path = PipelineRunner.runBatch(spark, spec,
+      new ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
+    assert(path.isDefined)
+    val written = spark.read.parquet(path.get)
+    assert(written.columns.toSeq == Seq("key", "value"))
+    val row = written.filter(col("key").isNotNull).limit(1)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL("order_id BIGINT, customer_name STRING"))
+        .as("v")).select("v.order_id", "v.customer_name").head()
+    assert(row.getLong(0) > 0 && row.getString(1).nonEmpty)
+    // provisioner descriptor records the compaction sentinel (retentionMs=-1)
+    val desc = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "enriched-orders", "_graft_topic.json")))
+    assert(desc.contains("\"compacted\":true") && desc.contains("\"partitions\":2"))
+  }
+
+  test("disabled output topic writes nothing (DynamicTopologyBuilder.java:62 gate)") {
+    val out = Files.createTempDirectory("graft-sink2").toString
+    val spec = PipelineSpec.fromJson(
+      """{"id":"p","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":false,"name":"nope"}}""".stripMargin)
+    val path = PipelineRunner.runBatch(spark, spec,
+      new ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
+    assert(path.isEmpty)
+    assert(!Files.exists(java.nio.file.Paths.get(out, "nope")))
+  }
+
+  test("peek/observe reports row and null-key counts without changing data (R13)") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn(graft.pipeline.Interpreter.KeyCol,
+        when(col("event_id") % 10 === 0, lit(null)).otherwise(col("event_id")))
+    val (observed, obs) = Peek.observed(ev, "peek_test")
+    val n = observed.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("null_keys").asInstanceOf[Long] > 0)
+  }
+}
