@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape assertions: the 100 TB posture is a property of the physical
+  * plan, not of small-data results — these tests pin the plan shapes that
+  * matter at scale so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf("sf0.001")).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("global (GlobalKTable) join is a broadcast-hash join, never a shuffle (R3)") {
+    val p = plan("r03_global_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("flagship agg has map-side partial aggregation and scan-level filter pushdown (q1)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum"), "missing partial aggregation")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual"),
+      "filter not pushed to parquet scan")
+  }
+
+  test("latest-per-key table view partial-aggregates before the exchange (R2)") {
+    val p = plan("r02_table_latest")
+    assert(p.contains("partial_max_by"), "latest-per-key must map-side combine")
+    assert(!p.contains("Window"), "must not use the sort-all-rows window form")
+  }
+
+  test("join chain stays hash-joined end to end — no nested-loop fallback (R9)") {
+    val p = plan("r09_join_chain_multi")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
+
+  test("minhash LSH candidate join is an equi hash join; sketches never ride the band shuffle (X2)") {
+    val p = plan("x2_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "LSH candidate join fell back to nested-loop")
+  }
+
+  test("column pruning reaches the scan: 2-column projection reads 2 columns") {
+    val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"scan reads pruned columns: $readSchema")
+  }
+}
