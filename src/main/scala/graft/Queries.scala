@@ -242,6 +242,56 @@ object Queries {
       .limit(10)
   }
 
+  /** TPC-H Q5-shaped multi-join agg: revenue by nation where customer and
+    * supplier share the nation (exercises supplier + all dims in one plan).
+    */
+  def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Exact distinct-count aggregation (the reference's "count, sum, reduce,
+    * etc." generalization applied to distinct cardinality).
+    */
+  def r11CountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** HLL approximate distinct (the at-scale form of r11_count_distinct —
+    * sketch-based, rows-only check since HLL estimates are engine-specific).
+    */
+  def x6ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+  }
+
+  /** X2 embedding-cosine near-dup via hyperplane LSH (rows-only: LSH recall
+    * is probabilistic; the oracle-exact form is x3_cosine_pairs_exact).
+    */
+  def x2EmbedDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    Dedup.embeddingCosinePairs(e, "vec_id", "embedding", dim = 64,
+      nTables = 16, planesPerTable = 4, threshold = 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+  }
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -460,6 +510,19 @@ object Queries {
         |  WHERE c.c_mktsegment = 'BUILDING'
         |  GROUP BY o.o_orderkey, o.o_orderdate)
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name""".stripMargin,
+    "r11_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT arg_min(doc_id, doc_id) AS doc_id, text,
         |       arg_min(n_chars, doc_id) AS n_chars
@@ -589,6 +652,10 @@ object Queries {
     "r17_serde_roundtrip" -> r17SerdeRoundtrip _,
     "q1_agg" -> q1Agg _,
     "q3_top_revenue" -> q3TopRevenue _,
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "r11_count_distinct" -> r11CountDistinct _,
+    "x6_approx_distinct" -> x6ApproxDistinct _,
+    "x2_embed_dup" -> x2EmbedDup _,
     "x1_exact_dedup" -> x1ExactDedup _,
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,

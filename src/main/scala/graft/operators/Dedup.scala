@@ -119,19 +119,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup via random-hyperplane (sign) LSH buckets,
-    * cosine-verified. Hyperplanes are derived deterministically from `seed`.
+  /** Embedding-cosine near-dup via multi-table random-hyperplane (sign) LSH,
+    * cosine-verified. OR-amplification: `nTables` independent tables of
+    * `planesPerTable` hyperplanes each — a pair collides if it shares ANY
+    * table's bucket, so recall at target cosine c is
+    * 1 − (1 − (1 − θ(c)/π)^b)^L instead of the single-table (1 − θ/π)^b.
+    * Candidate rows through the shuffle are (id, table, bucket) — vectors
+    * rejoin only on the deduped candidate set (same discipline as MinHash).
+    * Hyperplanes derive deterministically from `seed`.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      dim: Int, nPlanes: Int = 16, threshold: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val withBucket = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", signBucket(col("v"), planes))
-    val a = withBucket.as("a"); val b = withBucket.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        VectorFunctions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
+      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val tables = (0 until nTables).map { t =>
+      hyperplanes(dim, planesPerTable, seed + t * 7919)
+    }
+    val bucketArr = array(tables.map(p => signBucket(col("v"), p)): _*)
+    val banded = e.select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    cands
+      .join(e.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(e.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

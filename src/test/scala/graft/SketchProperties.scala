@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.functions.{HashedShingles, MinHashFromHashes, SimHash64}
+
+/** Property tests on the sketch expressions, evaluated directly (no Spark
+  * session needed — these are pure Catalyst expression kernels).
+  */
+object SketchProperties extends Properties("sketches") {
+
+  private val word = Gen.oneOf("spark", "join", "table", "stream", "window",
+    "filter", "hash", "sort", "merge", "scan", "row", "key", "data", "batch")
+  private val tokensGen: Gen[List[String]] = Gen.listOfN(40, word)
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private def shingleStrings(tokens: Seq[String], n: Int): Set[String] =
+    if (tokens.size < n) Set(tokens.mkString(" "))
+    else tokens.sliding(n).map(_.mkString(" ")).toSet
+
+  private def hashedSet(tokens: Seq[String], n: Int): Seq[Long] = {
+    val e = HashedShingles(org.apache.spark.sql.catalyst.expressions.Literal("x"), n, 42L)
+    e.nullSafeEval(arr(tokens)).asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  property("hashed shingle count == distinct string shingle count") =
+    Prop.forAll(tokensGen) { toks =>
+      toks.isEmpty || hashedSet(toks, 3).size == shingleStrings(toks, 3).size
+    }
+
+  property("hashed shingles are deterministic and permutation-sensitive") =
+    Prop.forAll(tokensGen) { toks =>
+      toks.size < 4 || {
+        val a = hashedSet(toks, 3).toSet
+        val b = hashedSet(toks, 3).toSet
+        val c = hashedSet(toks.reverse, 3).toSet
+        a == b && (toks == toks.reverse || a != c || shingleStrings(toks, 3) == shingleStrings(toks.reverse, 3))
+      }
+    }
+
+  property("minhash estimate within 0.25 of true jaccard (128 hashes)") =
+    Prop.forAll(tokensGen, tokensGen) { (t1, t2) =>
+      (t1.isEmpty || t2.isEmpty) || {
+        val s1 = hashedSet(t1, 3).toSet
+        val s2 = hashedSet(t2, 3).toSet
+        val trueJ = s1.intersect(s2).size.toDouble / s1.union(s2).size
+        val mh = MinHashFromHashes(org.apache.spark.sql.catalyst.expressions.Literal(1L), 128)
+        val sig1 = mh.nullSafeEval(new GenericArrayData(s1.toArray)).asInstanceOf[ArrayData].toLongArray()
+        val sig2 = mh.nullSafeEval(new GenericArrayData(s2.toArray)).asInstanceOf[ArrayData].toLongArray()
+        val est = sig1.zip(sig2).count { case (x, y) => x == y }.toDouble / 128
+        math.abs(est - trueJ) <= 0.25
+      }
+    }
+
+  property("simhash of identical token lists is identical") =
+    Prop.forAll(tokensGen) { toks =>
+      val e = SimHash64(org.apache.spark.sql.catalyst.expressions.Literal("x"), 42L)
+      e.nullSafeEval(arr(toks)) == e.nullSafeEval(arr(toks))
+    }
+}

@@ -54,6 +54,24 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups within the watermark window (X1 streaming)") {
+    val input = MemoryStream[(Timestamp, Long)](ss, 2)
+    val df = input.toDF().toDF("ts", "k")
+    val deduped = graft.streaming.StreamingTables.dedupWithinWatermark(
+      df, "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((t(1), 1L), (t(2), 1L), (t(3), 2L)) // dup of k=1 in-window
+      q.processAllAvailable()
+      input.addData((t(4), 1L)) // still within watermark → dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup_t").collect().map(_.getLong(1)).sorted.toSeq
+      assert(rows == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming update-mode count per key ≅ KTable count changelog (R11/R14)") {
     val input = MemoryStream[Long](ss, 2)
     val df = input.toDF().toDF("user_id")
