@@ -43,17 +43,17 @@ trait SourceResolver {
 class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceResolver {
   private val tables = TrieMap.empty[String, DataFrame]
 
-  private def path(name: String) = s"$dir/$name.parquet"
+  def path(name: String) = s"$dir/$name.parquet"
 
-  /** Floor-convert raw-nanos long columns (read under
-    * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
-    * see TopicSchema.nanosTimestampColumns.
-    */
   private def fixNanos(df: DataFrame, topicName: String): DataFrame =
-    catalog.nanosColumnsOf(topicName).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
-    }
+    Sources.fixNanos(df, catalog, topicName)
+
+  /** Raw (pre-conversion) schema of a topic's files — what a file-stream
+    * reader must declare (nanos columns appear as LongType under
+    * spark.sql.legacy.parquet.nanosAsLong).
+    */
+  def rawSchema(spark: SparkSession, topic: TopicConfig): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(path(topic.name)).schema
 
   override def stream(spark: SparkSession, topic: TopicConfig): DataFrame =
     fixNanos(spark.read.parquet(path(topic.name)), topic.name)
@@ -65,6 +65,19 @@ class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends Sou
       if (order.isEmpty) df
       else Tables.latestPerKey(df, catalog.keyOf(topic.name), order)
     })
+}
+
+object Sources {
+  /** Floor-convert raw-nanos long columns (read under
+    * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
+    * see TopicSchema.nanosTimestampColumns. Works on batch and streaming
+    * frames alike (pure projection).
+    */
+  def fixNanos(df: DataFrame, catalog: SchemaCatalog, topicName: String): DataFrame =
+    catalog.nanosColumnsOf(topicName).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+      else d
+    }
 }
 
 object Tables {

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.config.{PipelineSpec, ProcessingMode, SchemaCatalog, TopicConfig}
+import graft.pipeline.Interpreter
+import graft.sources.SourceResolver
+
+/** Streaming execution of the SAME PipelineSpec the batch interpreter runs —
+  * the engine's pipelines are resolver-agnostic logical plans, so "run it
+  * streaming" is a different SourceResolver plus a writeStream, not a
+  * different pipeline.
+  *
+  * Mode mapping (the KStream/KTable emission semantics):
+  *  - SIMPLE_STREAM / JOIN_CHAIN (stream-rooted) → append mode: each input
+  *    record emits one enriched record, like KStream.to().
+  *  - AGGREGATION → update mode: each input emits the refreshed per-key
+  *    value, like a KTable changelog (DynamicTopologyBuilder.java:203-221's
+  *    intended count → toStream()).
+  */
+object StreamRunner {
+
+  def outputModeFor(spec: PipelineSpec): OutputMode = spec.processingMode match {
+    case ProcessingMode.Aggregation => OutputMode.Update()
+    case _ => OutputMode.Append()
+  }
+
+  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame =
+    Interpreter.build(spark, spec, sources)
+
+  /** Run a spec to an in-memory sink (tests / debugging). */
+  def startMemory(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
+      queryName: String): StreamingQuery =
+    Interpreter.values(build(spark, spec, sources))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(outputModeFor(spec))
+      .start()
+
+  /** Run a spec to a Kafka topic sink (production path; requires the
+    * spark-sql-kafka connector on the classpath).
+    */
+  def startKafka(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
+      bootstrapServers: String, checkpoint: String): StreamingQuery = {
+    val topic = spec.outputTopic.filter(_.enabled).getOrElse(
+      throw new IllegalArgumentException(s"[${spec.id}] no enabled outputTopic"))
+    Interpreter.toKafkaShape(build(spark, spec, sources))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic.name)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(outputModeFor(spec))
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+  }
+}
+
+/** Streaming source resolver over file streams (parquet directories): the
+  * stream side is `readStream`, while `table`/`globalTable` sides stay batch
+  * snapshots — the stream–table join therefore plans as Spark's
+  * stream–static join, which is exactly Kafka Streams' KStream⋈KTable
+  * enrichment semantics (the table is the current materialized state).
+  */
+class FileStreamSourceResolver(dir: String, val catalog: SchemaCatalog,
+    maxFilesPerTrigger: Int = 1) extends SourceResolver {
+  private val batch = new graft.sources.ParquetSourceResolver(dir, catalog)
+
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {
+    // File streams need an explicit schema — the RAW one (nanos columns are
+    // LongType pre-conversion); the nanos→micros projection layers on top,
+    // identical to the batch path. File streams also require a DIRECTORY;
+    // the testdata topics are single parquet files, so stage a symlink dir.
+    val raw = spark.readStream
+      .schema(batch.rawSchema(spark, topic))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(stagedDir(topic.name))
+    graft.sources.Sources.fixNanos(raw, catalog, topic.name)
+  }
+
+  private def stagedDir(name: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(batch.path(name))
+    if (Files.isDirectory(src)) src.toString
+    else {
+      val d = Files.createTempDirectory(s"graft-stream-$name")
+      Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+      d.toString
+    }
+  }
+
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    batch.table(spark, topic)
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.config.{PipelineSpec, TestdataCatalog}
+import graft.streaming.{FileStreamSourceResolver, StreamRunner}
+import graft.sources.ParquetSourceResolver
+
+/** Streaming ≡ batch equivalence: the same PipelineSpec JSON produces the
+  * same rows whether interpreted over batch parquet or a file stream —
+  * the resolver is the only thing that changes (SURVEY §7 design stance).
+  */
+class StreamRunnerSpec extends SparkSuite {
+
+  private val joinSpec = PipelineSpec.fromJson(
+    """{"id":"orders-customer-enrichment","processingMode":"JOIN_CHAIN",
+      |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+      |"joinOperations":[{"id":"customer-step","type":"INNER_JOIN",
+      |  "initialSourceIsStream":true,
+      |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+      |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+      |  "outputFieldsMapping":[
+      |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"order_id"},
+      |    {"source":"RIGHT","sourceFieldName":"c_name","outputFieldName":"customer_name"}]}],
+      |"outputTopic":{"enabled":true,"name":"enriched-orders"}}""".stripMargin)
+
+  test("JOIN_CHAIN spec over a file stream equals the batch result (stream–static join)") {
+    val q = StreamRunner.startMemory(spark, joinSpec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog), "join_stream_t")
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("join_stream_t")
+        .select("order_id", "customer_name").orderBy("order_id").collect().toSeq
+      val batch = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, joinSpec, new ParquetSourceResolver(sf(), TestdataCatalog)))
+        .select("order_id", "customer_name").orderBy("order_id").collect().toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
+  test("AGGREGATION spec over a file stream converges to the batch counts (update mode)") {
+    val aggSpec = PipelineSpec.fromJson(
+      """{"id":"events-per-user","processingMode":"AGGREGATION",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+        |"groupByKeyType":"java.lang.Long",
+        |"stateStoreName":"events-per-user-store",
+        |"outputTopic":{"enabled":true,"name":"events-per-user"}}""".stripMargin)
+    // keep the key for comparison: build (not values) + rename
+    val df = StreamRunner.build(spark, aggSpec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog))
+      .withColumnRenamed(graft.pipeline.Interpreter.KeyCol, "user_id")
+    val q = df.writeStream.format("memory").queryName("agg_stream_t")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode: last emission per key is the final state
+      val streaming = spark.table("agg_stream_t")
+        .groupBy("user_id").agg(max("count").as("cnt"))
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val batch = spark.read.parquet(s"${sf()}/events.parquet")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(streaming == batch)
+    } finally q.stop()
+  }
+
+  test("nanos timestamp conversion applies on the streaming path too") {
+    val src = new FileStreamSourceResolver(sf(), TestdataCatalog)
+    val ev = src.stream(spark, graft.config.TopicConfig("events"))
+    assert(ev.schema("ts").dataType.typeName == "timestamp")
+    val q = ev.select(min(col("ts")).as("m")).writeStream.format("memory")
+      .queryName("ts_stream_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamMin = spark.table("ts_stream_t").head().getTimestamp(0)
+      val batchMin = new ParquetSourceResolver(sf(), TestdataCatalog)
+        .stream(spark, graft.config.TopicConfig("events"))
+        .agg(min(col("ts"))).head().getTimestamp(0)
+      assert(streamMin == batchMin)
+    } finally q.stop()
+  }
+}
