@@ -61,6 +61,37 @@ object Multimodal {
       .select(col("media_id"), col("mime"), col("f.n_bytes").as("n_bytes"),
         col("f.content_hash").as("content_hash"), col("f.checksum").as("checksum"))
 
+  /** Partition-iterator decode: the shape a REAL codec plugs into. A decoder
+    * holds per-executor state (native contexts, model weights, GPU handles)
+    * that must be initialized once per partition, not per row —
+    * `mapPartitions` is the Scala-side equivalent of the Python
+    * `mapInPandas` batch-UDF pattern for this. The decode kernel here is the
+    * same deterministic STUB as [[decodeStub]]; swap `decodeBytes` for a real
+    * library call and nothing else changes.
+    */
+  def extractFeaturesPartitioned(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("content_hash", StringType)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      // per-partition init happens HERE (e.g., codec context); stub: an MD5
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val mime = r.getStruct(metaIdx).getAs[String]("mime")
+        md.reset()
+        val hash = md.digest(payload).map("%02x".format(_)).mkString
+        Row(r.getLong(idIdx), mime, payload.length.toLong, hash)
+      }
+    }
+  }
+
   /** Frame-sampling shape for video-ish payloads: one output row per sampled
     * frame index at the given stride over the (stubbed) duration. The explode
     * is the real operator; the per-frame decode is the stub.

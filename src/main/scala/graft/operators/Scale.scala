@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: skew-aware joins and bucketed co-located joins — the
+  * knobs a 100 TB deployment reaches for when the default shuffle hash join
+  * hits a hot key or a repeated join key.
+  */
+object Scale {
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a random
+    * salt in [0, saltFactor); the small side is replicated once per salt.
+    * Shuffle partitions for a hot key are split saltFactor ways.
+    *
+    * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+    * default here) covers sort-merge joins automatically; explicit salting
+    * remains the tool when the skew is extreme (one key ≫ one executor) or
+    * the join must be a shuffled hash join.
+    *
+    * Salt is derived from a hash of all left columns, NOT rand(): retries of
+    * a failed task must re-produce the same salt or shuffle retry semantics
+    * break (rand() in a join key is also non-deterministic across stage
+    * retries — a correctness bug at scale, not just a style point).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, leftKey: String,
+      rightKey: String, saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    val salts = small.sparkSession.range(saltFactor).toDF("__salt")
+      .select(col("__salt").cast("int"))
+    val replicated = small.crossJoin(broadcast(salts))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) && salted("__salt") === replicated("__salt"),
+        joinType)
+      .drop("__salt")
+  }
+
+  /** Write both sides bucketed by the join key so the subsequent join is
+    * shuffle-free (co-located, like Kafka Streams' co-partitioned topics).
+    * Requires a session catalog (saveAsTable); numBuckets must match on both
+    * sides — the Kafka analogue of "same partition count on both topics".
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two pre-bucketed tables; with matching bucket specs Catalyst plans
+    * a SortMergeJoin with NO Exchange on either side.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
+}

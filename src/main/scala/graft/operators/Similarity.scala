@@ -23,6 +23,10 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` is expected
     * to be small (it is broadcast); ties break on neighbor id ascending for
     * determinism. Self-matches (same id) are excluded.
+    *
+    * The per-query top-k is a partial-aggregating [[graft.functions.TopK]]
+    * heap, NOT a window sort: the corpus-sized scored relation never crosses
+    * an exchange — each map partition ships at most k rows per query.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -30,11 +34,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
   }
 
   /** IVF (inverted-file) ANN: assign corpus vectors to their nearest coarse
@@ -85,11 +89,11 @@ object Similarity {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
   }
 
   /** All-pairs similarity above a threshold via hyperplane LSH (delegates to

@@ -95,6 +95,17 @@ class OperatorsSpec extends SparkSuite {
     assert(rows(1).getLong(0) == 5)
   }
 
+  test("mapPartitions decode equals the expression decode (X4 partition-iterator shape)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(50)
+    val media = graft.operators.Multimodal.asBlobTable(docs, "doc_id", "text")
+    val a = graft.operators.Multimodal.extractFeatures(media)
+      .select("media_id", "mime", "n_bytes", "content_hash")
+      .orderBy("media_id").collect().toSeq
+    val b = graft.operators.Multimodal.extractFeaturesPartitioned(media)
+      .orderBy("media_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("multimodal blob plumbing: payload bytes round-trip, frames sampled") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
     val media = graft.operators.Multimodal.asBlobTable(docs, "doc_id", "text")
