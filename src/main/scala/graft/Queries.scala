@@ -212,6 +212,35 @@ object Queries {
         col("v.event_type").as("event_type"))
   }
 
+  /** R17/R19 generic-JSON value path: a topic with no declared value class
+    * degrades to a string-keyed map (SerdeFactory.java:49-56 `Map<String,
+    * Object>`) — `from_json` to MapType, field access by key lookup.
+    */
+  def r17GenericMap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.select(col("event_id"),
+      from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+        .as("m"))
+      .select(col("event_id"), col("m").getItem("k").cast("int").as("prop_k"),
+        size(map_keys(col("m"))).as("n_props"))
+  }
+
+  /** X5 quality filter: keep documents passing the standard cheap pretraining
+    * filters (token count, mean token length, stopword floor) — the filter
+    * composition a corpus pipeline runs before dedup.
+    */
+  def x5QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.qualityMetrics(col("text")).toMap
+    // filter on the ROUNDED value — the oracle does too; filtering raw
+    // doubles and emitting rounded ones would diverge at the boundary
+    docs.select(col("doc_id"), m("n_tokens").as("n_tokens"),
+        round(m("avg_token_len"), 6).as("avg_token_len"),
+        round(m("stopword_ratio"), 6).as("stopword_ratio"))
+      .filter(col("n_tokens") >= 10 && col("avg_token_len").between(2.0, 12.0))
+  }
+
   // ---------------------------------------------------------------- headline
 
   /** TPC-H Q1-shaped scan+agg (the flagship pricing-summary query). */
@@ -490,6 +519,22 @@ object Queries {
         |FROM events GROUP BY event_type""".stripMargin,
     "r16_json_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k FROM events""",
+    "r17_generic_map" ->
+      """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k,
+        |       CAST(len(json_keys(props::JSON)) AS INTEGER) AS n_props
+        |FROM events""".stripMargin,
+    "x5_quality_filter" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
+        |FROM documents
+        |WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |  AND round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) BETWEEN 2.0 AND 12.0""".stripMargin,
     "r17_serde_roundtrip" ->
       "SELECT event_id, user_id, event_type FROM events",
     "q1_agg" ->
@@ -650,6 +695,8 @@ object Queries {
     "r11_agg_multi" -> r11AggMulti _,
     "r16_json_parse" -> r16JsonParse _,
     "r17_serde_roundtrip" -> r17SerdeRoundtrip _,
+    "r17_generic_map" -> r17GenericMap _,
+    "x5_quality_filter" -> x5QualityFilter _,
     "q1_agg" -> q1Agg _,
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
