@@ -465,6 +465,21 @@ object Queries {
       .select(col("session_window.start").as("session_start"), col("user_id"), col("cnt"))
   }
 
+  /** X7 as-of (temporal) join: each event enriched with the latest "profile
+    * update" (a sampled event subset acting as a versioned changelog) at or
+    * before its event time — versioned-KTable enrichment semantics. Oracle is
+    * DuckDB's native ASOF LEFT JOIN.
+    */
+  def x7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val updates = ev.filter(col("event_id") % 10 === 0)
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsOfJoin.asOf(
+      ev.select("event_id", "user_id", "ts"), updates,
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      payload = Map("value" -> "profile_value"))
+  }
+
   // ------------------------------------------------------------------ oracle
 
   /** DuckDB-dialect oracle SQL per query (same tables registered by name).
@@ -670,6 +685,12 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "x7_asof_join" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value AS profile_value
+        |           FROM events WHERE event_id % 10 = 0)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, u.profile_value
+        |FROM events e ASOF LEFT JOIN u
+        |  ON e.user_id = u.user_id AND CAST(e.ts AS TIMESTAMP) >= u.uts""".stripMargin,
     "x6_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,
@@ -719,6 +740,7 @@ object Queries {
     "x5_lang_id" -> x5LangId _,
     "x5_fingerprint" -> x5Fingerprint _,
     "x6_window_agg" -> x6WindowAgg _,
-    "x6_session_window" -> x6SessionWindow _
+    "x6_session_window" -> x6SessionWindow _,
+    "x7_asof_join" -> x7AsofJoin _
   )
 }

@@ -72,6 +72,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream–stream join matches within the time bound, drops outside (watermarked)") {
+    val li = MemoryStream[(Timestamp, Long, String)](ss, 2)
+    val ri = MemoryStream[(Timestamp, Long, String)](ss, 2)
+    val l = li.toDF().toDF("lts", "lk", "lv")
+    val r = ri.toDF().toDF("rts", "rk", "rv")
+    val joined = graft.streaming.StreamingTables.streamStreamJoin(
+      l, r, "lk", "rk", "lts", "rts", watermark = "1 hour", maxDelay = "10 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ss_join_t")
+      .outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      li.addData((t(10), 1L, "a"), (t(30), 2L, "b"))
+      ri.addData((t(12), 1L, "x"), (t(55), 2L, "y")) // y is 25min late → no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_t").select("lv", "rv")
+        .collect().map(r0 => (r0.getString(0), r0.getString(1))).toSet
+      assert(rows == Set(("a", "x")))
+    } finally q.stop()
+  }
+
   test("streaming update-mode count per key ≅ KTable count changelog (R11/R14)") {
     val input = MemoryStream[Long](ss, 2)
     val df = input.toDF().toDF("user_id")
