@@ -18,7 +18,11 @@ object GraftSession {
       // (ParquetSourceResolver.fixNanos).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  // Default parallelism matches the driver environment contract (local[32]);
+  // SPARK_GRAFT_CPUS overrides. shuffle.partitions tracks the core count —
+  // 200 default partitions on a 32-thread single node is pure scheduling
+  // overhead at these scales.
+  def get(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -61,6 +61,25 @@ object Multimodal {
       .select(col("media_id"), col("mime"), col("f.n_bytes").as("n_bytes"),
         col("f.content_hash").as("content_hash"), col("f.checksum").as("checksum"))
 
+  /** STUB resize: re-encodes the payload to a target resolution. The real
+    * operator maps binary → binary with updated metadata; the stub transform
+    * is a deterministic truncation-by-ratio so tests can assert the
+    * byte-length and metadata contract without a codec.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    val keepBytes = greatest(lit(1L),
+      least(length(col("payload")).cast("long"),
+        (length(col("payload")).cast("long") * lit(targetW.toLong * targetH) /
+          greatest((w * h).cast("long"), lit(1L)))))
+    media.select(col("media_id"),
+      col("payload").substr(lit(1), keepBytes.cast("int")).as("payload"),
+      struct(col("meta.mime").as("mime"),
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.codec").as("codec")).as("meta"))
+  }
+
   /** Partition-iterator decode: the shape a REAL codec plugs into. A decoder
     * holds per-executor state (native contexts, model weights, GPU handles)
     * that must be initialized once per partition, not per row —

@@ -106,6 +106,17 @@ class OperatorsSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("resize stub scales payload bytes by target/source area and rewrites meta (X4)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("n_chars") > 100).limit(20)
+    val media = graft.operators.Multimodal.asBlobTable(docs, "doc_id", "text")
+      .filter(col("meta.width") > 0 && col("meta.height") > 0)
+    val resized = graft.operators.Multimodal.resizeStub(media, 64, 48)
+    val joined = resized.as("r").join(media.as("m"), col("r.media_id") === col("m.media_id"))
+    assert(joined.filter(col("r.meta.width") =!= 64 || col("r.meta.height") =!= 48).count() == 0)
+    assert(joined.filter(length(col("r.payload")) > length(col("m.payload"))).count() == 0)
+  }
+
   test("multimodal blob plumbing: payload bytes round-trip, frames sampled") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
     val media = graft.operators.Multimodal.asBlobTable(docs, "doc_id", "text")
