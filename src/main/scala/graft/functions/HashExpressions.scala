@@ -61,10 +61,49 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
   * element: measured O(tokens²) per document; this is the O(tokens) form).
   */
 case class HashedShingles(child: Expression, n: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "hashed_shingles"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val mix = 0x9E3779B97F4A7C15L
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sz = ctx.freshName("sz"); val tokH = ctx.freshName("tokH")
+      val i = ctx.freshName("i"); val t = ctx.freshName("t")
+      val set = ctx.freshName("set"); val h = ctx.freshName("h")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val res = ctx.freshName("res"); val it = ctx.freshName("it"); val k = ctx.freshName("k")
+      s"""
+         |int $sz = $arr.numElements();
+         |long[] $tokH = new long[$sz];
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  UTF8String $t = $arr.getUTF8String($i);
+         |  $tokH[$i] = $t == null ? ${seed}L
+         |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |        $t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), ${seed}L);
+         |}
+         |java.util.LinkedHashSet<Long> $set = new java.util.LinkedHashSet<Long>();
+         |if ($sz < $n) {
+         |  long $h = ${seed}L;
+         |  for (int $j = 0; $j < $sz; $j++) { $h = $h * ${mix}L + $tokH[$j]; }
+         |  $set.add($h);
+         |} else {
+         |  for (int $s = 0; $s <= $sz - $n; $s++) {
+         |    long $h = ${seed}L;
+         |    for (int $j = 0; $j < $n; $j++) { $h = $h * ${mix}L + $tokH[$s + $j]; }
+         |    $set.add($h);
+         |  }
+         |}
+         |long[] $res = new long[$set.size()];
+         |int $k = 0;
+         |for (java.util.Iterator<Long> $it = $set.iterator(); $it.hasNext(); ) {
+         |  $res[$k++] = ((Long) $it.next()).longValue();
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+       """.stripMargin
+    })
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val sz = arr.numElements()
@@ -107,9 +146,34 @@ case class HashedShingles(child: Expression, n: Int, seed: Long)
   * document's full sketch is two O(len) passes.
   */
 case class MinHashFromHashes(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def prettyName: String = "minhash_from_hashes"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val z = ctx.freshName("z"); val sz = ctx.freshName("sz")
+      val base = ctx.freshName("base")
+      s"""
+         |int $sz = $arr.numElements();
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $sz; $i++) {
+         |  long $base = $arr.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $z = $base + 0x9E3779B97F4A7C15L * ($j + 1);
+         |    $z ^= ($z >>> 30); $z *= 0xBF58476D1CE4E5B9L;
+         |    $z ^= ($z >>> 27); $z *= 0x94D049BB133111EBL;
+         |    $z ^= ($z >>> 31);
+         |    if ($z < $sig[$j]) $sig[$j] = $z;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
   @inline private def remix(x0: Long, j: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L * (j + 1)
     z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
