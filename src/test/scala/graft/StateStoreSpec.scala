@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** State-store fidelity (R11's `Materialized.as(stateStoreName)` ≅ Structured
+  * Streaming state under a checkpoint): counts survive a query restart, and
+  * the state store can be the RocksDB provider (the reference's actual state
+  * backend) rather than the default HDFS-backed map.
+  */
+class StateStoreSpec extends SparkSuite {
+
+  private val ss = spark
+  import ss.implicits._
+
+  test("aggregation state survives a stop/restart from the checkpoint (R11 state store)") {
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val input = MemoryStream[Long](ss, 2)
+    val counts = input.toDF().toDF("user_id").groupBy("user_id").count()
+
+    def start() = counts.writeStream.format("memory").queryName("ckpt_t")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+
+    val q1 = start()
+    try {
+      input.addData(1L, 1L, 2L)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the same checkpoint; new data ADDS to recovered state
+    val q2 = start()
+    try {
+      input.addData(1L)
+      q2.processAllAvailable()
+      val state = spark.table("ckpt_t").orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(state == Seq((1L, 3L), (2L, 1L)), s"state after restart: $state")
+    } finally q2.stop()
+  }
+
+  test("latest-per-key state runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, String)](ss, 2)
+      val df = input.toDF().toDF("k", "__offset", "v")
+      val latest = graft.streaming.StreamingTables.latestPerKey(df, Seq("k"), Seq("__offset"))
+      val q = latest.writeStream.format("memory").queryName("rocks_t")
+        .outputMode("update").start()
+      try {
+        input.addData((1L, 1L, "a"), (1L, 2L, "b"))
+        q.processAllAvailable()
+        input.addData((1L, 3L, "c"))
+        q.processAllAvailable()
+        val last = spark.table("rocks_t")
+          .groupBy("k").agg(max_by(col("v"), col("__offset")).as("v")).head()
+        assert(last.getString(1) == "c")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
