@@ -465,6 +465,34 @@ object Queries {
       .select(col("session_window.start").as("session_start"), col("user_id"), col("cnt"))
   }
 
+  /** X6 sliding windows (10-minute window, 5-minute slide): each event lands
+    * in two overlapping windows.
+    */
+  def x6SlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+  }
+
+  /** Hierarchical rollup aggregation (subtotals + grand total). */
+  def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
+  /** Pivot: per-user event-type counts as columns (explicit value list →
+    * deterministic schema, the scale-safe pivot form).
+    */
+  def x8Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
   /** X7 as-of (temporal) join: each event enriched with the latest "profile
     * update" (a sampled event subset acting as a versioned changelog) at or
     * before its event time — versioned-KTable enrichment semantics. Oracle is
@@ -685,6 +713,27 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "x6_sliding_window" ->
+      """SELECT ws AS window_start, event_type, count(*) AS cnt FROM (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+        |         unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+        |                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        |                   - INTERVAL '5 minutes']) AS ws
+        |  FROM events)
+        |WHERE t >= ws AND t < ws + INTERVAL '10 minutes'
+        |GROUP BY ws, event_type""".stripMargin,
+    "q6_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "x8_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
     "x7_asof_join" ->
       """WITH u AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value AS profile_value
         |           FROM events WHERE event_id % 10 = 0)
@@ -741,6 +790,9 @@ object Queries {
     "x5_fingerprint" -> x5Fingerprint _,
     "x6_window_agg" -> x6WindowAgg _,
     "x6_session_window" -> x6SessionWindow _,
-    "x7_asof_join" -> x7AsofJoin _
+    "x7_asof_join" -> x7AsofJoin _,
+    "x6_sliding_window" -> x6SlidingWindow _,
+    "q6_rollup" -> q6Rollup _,
+    "x8_pivot" -> x8Pivot _
   )
 }
