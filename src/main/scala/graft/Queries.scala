@@ -345,6 +345,16 @@ object Queries {
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
       "doc_id", "text", shingleSize = 3, threshold = 0.8)
 
+  /** X2 end-to-end dedup: near-dup pairs → connected components → keep the
+    * min-id representative per cluster (the collapse step that makes pair
+    * detection an actual dedup).
+    */
+  def x2DedupCollapse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 3, threshold = 0.8)
+    Dedup.keepRepresentatives(docs.select("doc_id", "n_chars"), "doc_id", pairs)
+  }
+
   /** X2 MinHash-LSH near-dup (scale path; sketch-estimated Jaccard). */
   def x2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(spark.read.parquet(s"$dir/documents.parquet"),
@@ -634,6 +644,30 @@ object Queries {
         |  SELECT p.id1, p.id2, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
         |  FROM pairs p JOIN n n1 ON p.id1 = n1.id JOIN n n2 ON p.id2 = n2.id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "x2_dedup_collapse" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |prs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT p.id1, p.id2, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
+        |    FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+        |          FROM posts a JOIN posts b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) p
+        |    JOIN n n1 ON p.id1 = n1.id JOIN n n2 ON p.id2 = n2.id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM prs UNION ALL SELECT id2, id1 FROM prs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |LEFT JOIN comp c ON d.doc_id = c.id
+        |WHERE c.id IS NULL OR c.comp = d.doc_id""".stripMargin,
     "x3_cosine_pairs_exact" ->
       """SELECT id1, id2, round(cos, 6) AS cos FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -776,6 +810,7 @@ object Queries {
     "x1_exact_dedup" -> x1ExactDedup _,
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,
+    "x2_dedup_collapse" -> x2DedupCollapse _,
     "x2_minhash_lsh" -> x2MinhashLsh _,
     "x2_simhash" -> x2Simhash _,
     "x3_cosine_pairs_exact" -> x3CosinePairsExact _,

@@ -150,6 +150,50 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Collapse near-duplicate PAIRS into clusters and keep one representative
+    * per cluster (the min id) — the "connected-components keep-one" step that
+    * turns pair detection into an actual dedup (SURVEY §2B X2).
+    *
+    * Min-label propagation over the (symmetric) edge list: every node starts
+    * labeled with its own id; each round, a node's label becomes the min of
+    * its own and its neighbors'; converges in O(cluster diameter) rounds.
+    * Each round is two hash joins + one partial-aggregated groupBy — no
+    * driver-side data, only a bounded driver loop with an early-exit
+    * convergence check (dup clusters are shallow: diameter ≤ ~log n in
+    * practice, and `maxIters` caps pathological chains).
+    */
+  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id0")).agg(min(col("comp")).as("ncomp"))
+      val updated = labels.join(neighborMin, labels("id") === col("id0"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .cache()
+      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Drop all but one representative per near-dup cluster: rows whose id is
+    * a cluster's min label survive; rows not in any pair survive untouched.
+    */
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = componentsFromPairs(pairs)
+    val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny). */
   private[operators] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new java.util.Random(seed)

@@ -46,6 +46,17 @@ class OperatorsSpec extends SparkSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("connected-components collapse: chain clusters resolve to one min-id rep") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
+    val pairs = spark.createDataFrame(Seq((2L, 3L), (1L, 2L), (10L, 11L)))
+      .toDF("id1", "id2")
+    val docs = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 5L, 10L, 11L).map(Tuple1(_))).toDF("doc_id")
+    val kept = graft.operators.Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 5L, 10L))
+  }
+
   test("brute-force top-k: ranks are 1..k, scores non-increasing, no self-match") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
