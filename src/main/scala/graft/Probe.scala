@@ -1,14 +1,15 @@
 package graft
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.Dedup
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get("8")
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    val n = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.7).count()
-    println(s"[probe] minhash pairs: $n")
-    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
-    println(s"[probe] jaccard pairs: $j")
+    val spark = GraftSession.get("16")
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for ((l, b) <- Seq((16, 4), (24, 5), (32, 5), (24, 4))) {
+      val t0 = System.nanoTime()
+      val n = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 64, l, b, 0.4).count()
+      println(f"[probe] L=$l b=$b -> $n pairs (exact 59) in ${(System.nanoTime()-t0)/1e9}%.1fs")
+    }
     spark.stop()
   }
 }

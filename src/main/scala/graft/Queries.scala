@@ -317,7 +317,7 @@ object Queries {
   def x2EmbedDup(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     Dedup.embeddingCosinePairs(e, "vec_id", "embedding", dim = 64,
-      nTables = 16, planesPerTable = 4, threshold = 0.4)
+      nTables = 24, planesPerTable = 4, threshold = 0.4)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
@@ -501,6 +501,15 @@ object Queries {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
+  }
+
+  /** X9 deterministic stratified sample: every 5th document per language in
+    * doc_id order — reproducible class-balancing subsample.
+    */
+  def x9StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextAnalysis.stratifiedSample(docs.select("doc_id", "lang", "n_chars"),
+      Seq("lang"), "doc_id", interval = 5)
   }
 
   /** X7 as-of (temporal) join: each event enriched with the latest "profile
@@ -747,6 +756,12 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "x9_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE (rn - 1) % 5 = 0""".stripMargin,
     "x6_sliding_window" ->
       """SELECT ws AS window_start, event_type, count(*) AS cnt FROM (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
@@ -828,6 +843,7 @@ object Queries {
     "x7_asof_join" -> x7AsofJoin _,
     "x6_sliding_window" -> x6SlidingWindow _,
     "q6_rollup" -> q6Rollup _,
-    "x8_pivot" -> x8Pivot _
+    "x8_pivot" -> x8Pivot _,
+    "x9_stratified_sample" -> x9StratifiedSample _
   )
 }

@@ -133,6 +133,22 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tf_idf"))
   }
 
+  /** Deterministic stratified subsample: keep every `interval`-th row per
+    * stratum in a stable id order — the reproducible (seedless, engine-
+    * independent) form of proportional downsampling a training-data pipeline
+    * uses for class balancing. For hash-based sampling at scale prefer
+    * `pmod(xxhash64(id), n) < k` (no window); the window form is exact-count
+    * per stratum, which matters for small strata.
+    */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], idCol: String,
+      interval: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % interval === 0)
+      .drop("__rn")
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
