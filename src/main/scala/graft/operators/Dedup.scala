@@ -61,7 +61,9 @@ object Dedup {
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature-estimated
-    * Jaccard (X2 scale path). `numHashes = bands * rowsPerBand`. Docs sharing
+    * Jaccard (X2 scale path). MinHash resemblance estimation per Broder (1997,
+    * "On the resemblance and containment of documents"); banding scheme per
+    * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3. `numHashes = bands * rowsPerBand`. Docs sharing
     * ≥1 identical band land in one bucket; each doc contributes exactly
     * `bands` shuffle rows regardless of length.
     */
@@ -101,6 +103,9 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit sketch, pigeonhole banding into 4×16-bit chunks
     * (Hamming distance ≤ 3 ⇒ at least one chunk identical), Hamming-verified.
+    * Charikar (2002, "Similarity estimation techniques from rounding
+    * algorithms"); chunk-pigeonhole candidate scheme per Manku et al. (2007,
+    * "Detecting near-duplicates for web crawling").
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
@@ -123,7 +128,9 @@ object Dedup {
     * cosine-verified. OR-amplification: `nTables` independent tables of
     * `planesPerTable` hyperplanes each — a pair collides if it shares ANY
     * table's bucket, so recall at target cosine c is
-    * 1 − (1 − (1 − θ(c)/π)^b)^L instead of the single-table (1 − θ/π)^b.
+    * 1 − (1 − (1 − θ(c)/π)^b)^L instead of the single-table (1 − θ/π)^b
+    * (random-hyperplane collision probability, Charikar 2002; multi-table
+    * OR-amplification per Indyk–Motwani 1998).
     * Candidate rows through the shuffle are (id, table, bucket) — vectors
     * rejoin only on the deduped candidate set (same discipline as MinHash).
     * Hyperplanes derive deterministically from `seed`.

@@ -15,7 +15,9 @@ import graft.functions.VectorFunctions
   *    oracle, and at 100 TB still the right plan when queries ≪ corpus: the
   *    corpus is scanned once, map-side, and only (query, k) heads survive.
   *  - [[ivfTopK]] — IVF-style: partition the corpus into Voronoi cells around
-  *    coarse centroids, probe only the closest `nProbe` cells per query.
+  *    coarse centroids, probe only the closest `nProbe` cells per query
+  *    (inverted-file indexing per Jégou et al. 2011, "Product quantization
+  *    for nearest neighbor search" — coarse quantizer only, no PQ codes).
   *    Trades recall for a ~nProbe/nCells scan fraction.
   */
 object Similarity {
