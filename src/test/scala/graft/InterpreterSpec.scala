@@ -64,6 +64,40 @@ class InterpreterSpec extends SparkSuite {
     assert(got.sameElements(exp))
   }
 
+  test("KEY-source extraction keeps the catalog key (DynamicPojoKeyExtractor KEY branch)") {
+    val spec = graft.config.PipelineSpec(
+      id = "key-branch", processingMode = graft.config.ProcessingMode.JoinChain,
+      sourceTopic = graft.config.TopicConfig("orders", "java.lang.Long"),
+      joinOperations = Seq(graft.config.JoinOp(
+        id = "s1", `type` = graft.config.JoinType.Inner, initialSourceIsStream = true,
+        // KEY source: record key stays the catalog key (o_orderkey), which
+        // matches lineitem's first key column semantics — join on o_orderkey
+        primaryKeyExtraction = Some(graft.config.KeyExtraction("KEY")),
+        enrichmentTopic = graft.config.TopicConfig("orders", "java.lang.Long"),
+        outputFieldsMapping = Seq(
+          graft.config.FieldMapping("LEFT", "o_orderkey", "k"),
+          graft.config.FieldMapping("RIGHT", "o_totalprice", "t")))))
+    val out = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+      spark, spec, new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog)))
+    // self-join on own key: every order matches itself exactly once
+    assert(out.count() == spark.read.parquet(s"${sf()}/orders.parquet").count())
+  }
+
+  test("invalid mapping source is a build-time error") {
+    val spec = graft.config.PipelineSpec(
+      id = "bad-src", processingMode = graft.config.ProcessingMode.JoinChain,
+      sourceTopic = graft.config.TopicConfig("orders"),
+      joinOperations = Seq(graft.config.JoinOp(
+        id = "s1", `type` = graft.config.JoinType.Inner,
+        primaryKeyExtraction = Some(graft.config.KeyExtraction("VALUE", Some("o_custkey"))),
+        enrichmentTopic = graft.config.TopicConfig("customer"),
+        outputFieldsMapping = Seq(graft.config.FieldMapping("MIDDLE", "x", "y")))))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec,
+        new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog))
+    }
+  }
+
   test("unknown processing mode rejected") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson(
