@@ -1,14 +1,18 @@
 package graft
-import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+
+/** Ad-hoc timing probe: `runMain graft.Probe <sfDir> <query...>` times the
+  * named [[Queries]] entries (all of them if none given) with a noop sink —
+  * the inner dev loop for performance work without running the whole Bench.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get("16")
-    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    for ((l, b) <- Seq((16, 4), (24, 5), (32, 5), (24, 4))) {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else Queries.all.keys.toSeq.sorted
+    val spark = GraftSession.get()
+    for (name <- names) {
       val t0 = System.nanoTime()
-      val n = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 64, l, b, 0.4).count()
-      println(f"[probe] L=$l b=$b -> $n pairs (exact 59) in ${(System.nanoTime()-t0)/1e9}%.1fs")
+      Queries.all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

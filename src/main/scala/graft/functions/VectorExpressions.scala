@@ -149,10 +149,97 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
+/** Multi-table sign-LSH bucket assignment in ONE expression node: for each
+  * of the `planes.length / planesPerTable` tables, packs sign(v·p_i) bits
+  * into an int bucket id and returns the per-table bucket array.
+  *
+  * The hyperplane matrix rides along as a codegen reference object, NOT as
+  * literal children — the compositional form (nTables × planesPerTable
+  * `vec_dot`s against array literals) put thousands of literal nodes into
+  * the plan, and Catalyst analysis + janino compilation of that tree cost
+  * multiple seconds per query before a single row moved. One node keeps
+  * the whole LSH sketch inside whole-stage codegen at O(1) plan size.
+  */
+case class SignBuckets(child: Expression, planes: Array[Array[Double]],
+    planesPerTable: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.nonEmpty && planes.length % planesPerTable == 0,
+    "planes must divide evenly into tables")
+  override def prettyName: String = "sign_buckets"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got ${other.sql}")
+    }
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != planes(0).length) return null
+    val nTables = planes.length / planesPerTable
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var b = 0; var j = 0
+      while (j < planesPerTable) {
+        val p = planes(t * planesPerTable + j)
+        var s = 0.0; var i = 0
+        while (i < n) {
+          s += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+          i += 1
+        }
+        if (s >= 0) b |= (1 << j)
+        j += 1
+      }
+      out(t) = b; t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val get = s"get${if (isFloat) "Float" else "Double"}"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val nt = ctx.freshName("nt")
+      val out = ctx.freshName("out"); val t = ctx.freshName("t")
+      val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val p = ctx.freshName("p"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $v.numElements();
+         |if ($n != $mat[0].length) { ${ev.isNull} = true; } else {
+         |  int $nt = $mat.length / $planesPerTable;
+         |  int[] $out = new int[$nt];
+         |  for (int $t = 0; $t < $nt; $t++) {
+         |    int $b = 0;
+         |    for (int $j = 0; $j < $planesPerTable; $j++) {
+         |      double[] $p = $mat[$t * $planesPerTable + $j];
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $s += ((double) $v.$get($i)) * $p[$i];
+         |      }
+         |      if ($s >= 0) $b |= (1 << $j);
+         |    }
+         |    $out[$t] = $b;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
   def vec_dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
+  def sign_buckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
+    c(SignBuckets(e(v), planes, planesPerTable))
 }

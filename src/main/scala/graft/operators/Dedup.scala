@@ -1,7 +1,10 @@
 package graft.operators
 
+import scala.util.Try
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{HashFunctions, VectorFunctions}
 
@@ -43,10 +46,14 @@ object Dedup {
     // scale the shingle text never leaves the scan task. 64-bit collisions
     // are ~(|shingles|²/2⁶⁵) — negligible (and why hash(), which is 32-bit
     // murmur3, is NOT used here: at 10⁹ shingles it WOULD collide).
+    // Cached before the self-join: Spark does not reuse a derived frame's plan
+    // across the two sides of a self-join, so without this the full
+    // tokenize+shingle pass over the corpus runs twice.
     val sh = docs
       .select(col(idCol).as("id"),
         HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("h"))
     val a = posts.as("a"); val b = posts.as("b")
     val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -72,10 +79,14 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // Cached: `sigs` is consumed three times (both self-join sides via
+    // `banded`, plus the two signature rejoins) and the shingle+minhash pass
+    // is the expensive part — compute it exactly once.
     val sigs = docs.select(col(idCol).as("id"),
       HashFunctions.minhash_from_hashes(
         HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
         numHashes).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Candidate generation shuffles ONLY (id, band, bucket) triples — the
     // 128-long signature never rides through the self-join exchange. The
     // signatures come back via two narrow hash joins on the (deduped, tiny)
@@ -86,6 +97,7 @@ object Dedup {
         col("sig"))
       .select(col("id"), col("band"),
         hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -111,10 +123,13 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       HashFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
+    // Cached (id, sim, chunk, bucket) — 28-byte rows; both self-join sides
+    // read the cache instead of re-running tokenize+simhash over the corpus.
     val banded = sh.select(col("id"), col("sim"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("bucket",
         expr("shiftrightunsigned(sim, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -139,11 +154,19 @@ object Dedup {
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val tables = (0 until nTables).map { t =>
+    val planes: Array[Array[Double]] = (0 until nTables).toArray.flatMap { t =>
       hyperplanes(dim, planesPerTable, seed + t * 7919)
     }
-    val bucketArr = array(tables.map(p => signBucket(col("v"), p)): _*)
-    val banded = e.select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+    // Cached: bucket assignment costs nTables × planesPerTable dot products
+    // per vector; without the cache the self-join computes them all twice.
+    // The cached rows are (id, tbl, bucket) — ~20 bytes regardless of dim.
+    // SignBuckets carries the hyperplane matrix as ONE plan node (a codegen
+    // reference object) — the per-plane literal-array form made the plan
+    // thousands of nodes and cost seconds of Catalyst/janino time.
+    val banded = e.select(col("id"),
+        posexplode(VectorFunctions.sign_buckets(col("v"), planes, planesPerTable))
+          .as(Seq("tbl", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -170,26 +193,54 @@ object Dedup {
     * practice, and `maxIters` caps pathological chains).
     */
   def componentsFromPairs(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-    val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("comp", col("id"))
+    // Materialize the candidate pairs ONCE. The incoming frame is typically
+    // the whole sketch → candidate → verify DAG; without truncating its
+    // lineage every propagation round would re-execute that DAG from the
+    // parquet scan up — at corpus scale, O(iterations) full shuffles.
+    // localCheckpoint is eager, executes the DAG exactly once, and replaces
+    // the plan with the materialized RDD.
+    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // Pre-partition the (static) edge list by the join key so each round's
+    // edge ⋈ labels join reads it in place instead of re-shuffling it.
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id0")).agg(min(col("comp")).as("ncomp"))
+      // Carry the previous label alongside the new one so convergence is
+      // decided from THIS round's output — no second join against the old
+      // labels. The eager checkpoint both runs the round exactly once and
+      // keeps the next round's plan O(1) deep.
       val updated = labels.join(neighborMin, labels("id") === col("id0"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .cache()
-      val changed = updated.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = updated
+        .select(labels("id").as("id"), labels("comp").as("__old"),
+          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated.filter(col("comp") =!= col("__old")).limit(1).count()
+      freeCheckpoint(labels)
+      labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       i += 1
     }
     labels
+  }
+
+  /** Best-effort release of a no-longer-needed localCheckpoint's cached
+    * blocks (Dataset.unpersist only covers CacheManager entries, not the
+    * RDD a checkpoint pinned). Safe to fail silently — worst case the
+    * blocks age out of the block manager on their own.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit = Try {
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** Drop all but one representative per near-dup cluster: rows whose id is
@@ -210,12 +261,4 @@ object Dedup {
       v.map(_ / norm)
     }
   }
-
-  /** Pack sign(v·p_i) bits into an int bucket id. */
-  private[operators] def signBucket(vec: Column, planes: Seq[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = VectorFunctions.vec_dot(vec,
-        array(p.map(x => lit(x)).toSeq: _*).cast("array<double>"))
-      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
 }
