@@ -131,6 +131,28 @@ object Queries {
          |    {"source":"RIGHT","sourceFieldName":"n_name","outputFieldName":"nation"}]}],
          |"outputTopic":{"enabled":true,"name":"customer-nation"}}""".stripMargin)
 
+  /** R8 table–table LEFT join (DynamicTopologyBuilder.java:164-167): both
+    * sides latest-per-key table views, left-preserving — customers whose
+    * c_nationkey has no matching r_regionkey (most of them) keep a null
+    * region. Also exercises keyClass typing (R19/serde fidelity): the
+    * enrichment declares java.lang.Long while both key columns are INTEGER,
+    * so the join compares under the declared serde type
+    * (SerdeFactory.java:59-81).
+    */
+  def r08TableTableLeft(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"customer-region-tt-left","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"region-step","type":"LEFT_JOIN",
+         |  "initialSourceIsStream":false,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"c_nationkey"},
+         |  "enrichmentTopic":{"name":"region","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"c_custkey","outputFieldName":"custkey"},
+         |    {"source":"LEFT","sourceFieldName":"c_name","outputFieldName":"name"},
+         |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"maybe_region"}]}],
+         |"outputTopic":{"enabled":true,"name":"customer-region-left"}}""".stripMargin)
+
   /** R9 three-step left-deep chain: orders → customer → nation → region. */
   def r09JoinChainMulti(spark: SparkSession, dir: String): DataFrame =
     runSpec(spark, dir,
@@ -565,6 +587,9 @@ object Queries {
       """SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_acctbal AS acctbal,
         |       n.n_name AS nation
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+    "r08_table_table_left" ->
+      """SELECT c.c_custkey AS custkey, c.c_name AS name, r.r_name AS maybe_region
+        |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
     "r09_join_chain_multi" ->
       """SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
         |       n.n_name AS nation, r.r_name AS region
@@ -809,6 +834,7 @@ object Queries {
     "r05_join_chain_inner" -> r05JoinChainInner _,
     "r06_join_chain_left_null" -> r06JoinChainLeftNull _,
     "r07_table_table_join" -> r07TableTableJoin _,
+    "r08_table_table_left" -> r08TableTableLeft _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,
     "r11_agg_multi" -> r11AggMulti _,

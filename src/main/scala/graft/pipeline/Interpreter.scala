@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType, NullType, StringType}
 
 import graft.config._
 import graft.sources.SourceResolver
@@ -22,6 +22,33 @@ import graft.sources.SourceResolver
 object Interpreter extends Logging {
 
   val KeyCol = "__key"
+
+  /** Declared key-class FQCN → Spark type — the serde dispatch table the
+    * reference keys record (de)serialization on (SerdeFactory.java:59-81:
+    * String/Long/Integer/Double/byte[]/Void). An undeclared class is a spec
+    * error there and here.
+    */
+  private[pipeline] def keyTypeOf(fqcn: String): DataType = fqcn match {
+    case "java.lang.String"           => StringType
+    case "java.lang.Long" | "long"    => LongType
+    case "java.lang.Integer" | "int"  => IntegerType
+    case "java.lang.Double" | "double" => DoubleType
+    case "byte[]" | "[B"              => BinaryType
+    case "java.lang.Void"             => NullType
+    case other => throw new IllegalArgumentException(
+      s"unsupported keyClass $other (reference serde table: SerdeFactory.java:59-81)")
+  }
+
+  /** Cast a key expression to a declared key class. Void keys mean "no key"
+    * (the reference's Serdes.Void()) → a null literal; composite (struct)
+    * keys have no single serde class and pass through unchanged.
+    */
+  private def castKey(key: Column, fqcn: String, composite: Boolean = false): Column =
+    keyTypeOf(fqcn) match {
+      case NullType       => lit(null)
+      case _ if composite => key
+      case t              => key.cast(t)
+    }
 
   /** Entry point ≅ buildAggregationTopology (DynamicTopologyBuilder.java:28-75):
     * dispatch on processing mode, producing the pre-sink DataFrame.
@@ -51,10 +78,14 @@ object Interpreter extends Logging {
     val keyExpr: Column = extraction match {
       case Some(KeyExtraction("VALUE", Some(field))) => fieldOrNull(df, field, topic.name)
       case Some(KeyExtraction("KEY", _)) | None =>
+        // The topic's own Kafka key — typed by the topic's declared keyClass
+        // serde (SerdeFactory.java:59-81). A VALUE extraction keeps the
+        // extracted field's type; its declared type is enforced where it is
+        // consumed (the join's enrichment keyClass / groupByKeyType).
         catalog.keyOf(topic.name) match {
-          case Seq(single) => col(single)
-          case Seq()       => lit(null).cast(StringType)
-          case many        => struct(many.map(col): _*)
+          case Seq(single) => castKey(col(single), topic.keyClass)
+          case Seq()       => castKey(lit(null), topic.keyClass)
+          case many        => castKey(struct(many.map(col): _*), topic.keyClass, composite = true)
         }
       case Some(other) =>
         throw new IllegalArgumentException(s"unknown key extraction source ${other.source}")
@@ -108,8 +139,13 @@ object Interpreter extends Logging {
       val enrichment0 =
         if (op.global) sources.globalTable(spark, op.enrichmentTopic)
         else sources.table(spark, op.enrichmentTopic)
+      // Both join sides are compared under the enrichment topic's declared
+      // keyClass — in Kafka Streams the re-keyed stream is repartitioned
+      // with the table's key serde, so an Integer-keyed table joined from a
+      // Long-extracted field compares as Integer (SerdeFactory.java:59-81).
+      val composite = sources.catalog.keyOf(op.enrichmentTopic.name).lengthCompare(1) > 0
       val rightKey: Column = sources.catalog.keyOf(op.enrichmentTopic.name) match {
-        case Seq(single) => enrichment0(single)
+        case Seq(single) => castKey(enrichment0(single), op.enrichmentTopic.keyClass)
         case many        => struct(many.map(enrichment0(_)): _*)
       }
       // Kafka Streams drops null-keyed records when repartitioning into a
@@ -117,12 +153,13 @@ object Interpreter extends Logging {
       // left joins need the explicit filter only for strict fidelity on the
       // left side, which we match.
       val left = acc.filter(col(KeyCol).isNotNull)
+      val leftKey = castKey(left(KeyCol), op.enrichmentTopic.keyClass, composite)
       val joinType = op.`type` match {
         case JoinType.Inner => "inner"
         case JoinType.Left  => "left_outer"
         case other => throw new IllegalArgumentException(s"[${op.id}] unknown join type $other")
       }
-      val joined = left.join(enrichment0, left(KeyCol) === rightKey, joinType)
+      val joined = left.join(enrichment0, leftKey === rightKey, joinType)
       // Projection ≅ DynamicPojoValueJoiner (joins/DynamicPojoValueJoiner.java:37-66):
       // every declared output field is always present; a missing source field
       // becomes a warned-and-typed null (:58-63). Keep __key — Kafka Streams
@@ -156,8 +193,13 @@ object Interpreter extends Logging {
     */
   private def buildAggregation(spark: SparkSession, spec: PipelineSpec,
       sources: SourceResolver): DataFrame = {
-    val src = withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
+    val src0 = withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
       spec.groupByKeyExtraction, sources.catalog)
+    // The group key is typed by the declared groupByKeyType — the serde the
+    // reference repartitions the grouped stream with (DynamicTopologyBuilder
+    // .java:206-210 Grouped.with(keySerde, ...)).
+    val src = spec.groupByKeyType.fold(src0)(t =>
+      src0.withColumn(KeyCol, castKey(col(KeyCol), t)))
     val aggs = if (spec.aggregations.isEmpty) Seq(AggSpec("count", None)) else spec.aggregations
     val exprs = aggs.map {
       case AggSpec("count", _)            => count(lit(1)).as("count")

@@ -98,6 +98,44 @@ class InterpreterSpec extends SparkSuite {
     }
   }
 
+  test("declared keyClass types the join key (Integer table joined via Long serde)") {
+    // r08 shape: both key columns are INTEGER but the enrichment declares
+    // java.lang.Long — the join must compare under the declared serde type
+    // (SerdeFactory.java:59-81) and still match.
+    val out = Queries.r08TableTableLeft(spark, sf())
+    val c = spark.read.parquet(s"${sf()}/customer.parquet")
+    assert(out.count() == c.count()) // left-preserving
+    val matched = out.filter(col("maybe_region").isNotNull).count()
+    val expected = c.filter(col("c_nationkey").between(0, 4)).count()
+    assert(matched == expected && matched > 0 && matched < c.count())
+  }
+
+  test("unsupported keyClass FQCN is a build-time error (serde dispatch table)") {
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark,
+        PipelineSpec.fromJson(
+          """{"id":"bad-kc","processingMode":"JOIN_CHAIN",
+            |"sourceTopic":{"name":"orders","keyClass":"java.util.UUID"},
+            |"joinOperations":[{"id":"s1","type":"INNER_JOIN",
+            |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+            |  "outputFieldsMapping":[
+            |    {"source":"LEFT","sourceFieldName":"o_orderkey","outputFieldName":"k"}]}]}""".stripMargin),
+        new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog))
+    }
+  }
+
+  test("groupByKeyType casts the aggregation key (long user_id declared as Integer)") {
+    val out = graft.pipeline.Interpreter.build(spark,
+      PipelineSpec.fromJson(
+        """{"id":"events-per-user-int","processingMode":"AGGREGATION",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+          |"groupByKeyType":"java.lang.Integer",
+          |"stateStoreName":"s","outputTopic":{"enabled":true,"name":"o"}}""".stripMargin),
+      new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog))
+    assert(out.schema(graft.pipeline.Interpreter.KeyCol).dataType.typeName == "integer")
+  }
+
   test("unknown processing mode rejected") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson(
