@@ -49,4 +49,47 @@ class TableProperties extends SparkSuite {
       assert(got.keySet == rows.map(_._1).toSet)
     }
   }
+
+  test("streaming latest-per-key: composite keys with separator-ish content never collide") {
+    // ["a b","c"] vs ["a","b c"] (and ';'/':'-laden values) must stay
+    // distinct groups — the round-1 encoding joined parts with a separator
+    // a key value could contain.
+    val rows = Seq(
+      ("a b", "c", 1L, "v1"), ("a", "b c", 2L, "v2"),
+      ("x;1:", "y", 3L, "v3"), ("x", ";1:y", 4L, "v4"),
+      ("a b", "c", 5L, "v5"))
+    val df = spark.createDataFrame(rows).toDF("k1", "k2", "ord", "v")
+    val got = graft.streaming.StreamingTables.latestPerKey(df, Seq("k1", "k2"), Seq("ord"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getString(3))).toMap
+    assert(got.size == 4, s"collided groups: $got")
+    assert(got(("a b", "c")) == "v5" && got(("a", "b c")) == "v2" &&
+      got(("x;1:", "y")) == "v3" && got(("x", ";1:y")) == "v4")
+  }
+
+  test("streaming latest-per-key: null order values lose deterministically (nulls first)") {
+    val rows: Seq[(Long, java.lang.Long, String)] =
+      Seq((1L, null, "null-first"), (1L, 5L, "winner"), (1L, null, "null-late"),
+        (2L, null, "only-null-a"), (2L, null, "only-null-b"))
+    val df = spark.createDataFrame(rows).toDF("k", "ord", "v")
+    val got = graft.streaming.StreamingTables.latestPerKey(df, Seq("k"), Seq("ord"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got(1L) == "winner") // any non-null order beats every null
+    // all-null group: SOME row wins (arrival-order semantics, like a
+    // changelog with no usable order) — the fix is that nulls can no longer
+    // beat a real order value, not that ties become ordered.
+    assert(Set("only-null-a", "only-null-b").contains(got(2L)))
+  }
+
+  test("streaming latest-per-key: null KEY values are distinct from the string \"null\"") {
+    val rows: Seq[(java.lang.Long, Long, String)] =
+      Seq((null, 1L, "null-key"), (4L, 2L, "four"))
+    val df = spark.createDataFrame(rows).toDF("k", "ord", "v")
+      .withColumn("k", org.apache.spark.sql.functions.col("k").cast("string"))
+    val withLiteral = df.union(
+      spark.createDataFrame(Seq(("null", 3L, "literal-null-string"))).toDF("k", "ord", "v"))
+    val got = graft.streaming.StreamingTables.latestPerKey(withLiteral, Seq("k"), Seq("ord"))
+      .collect().map(r => (Option(r.getString(0)), r.getString(2))).toMap
+    assert(got.size == 3)
+    assert(got(None) == "null-key" && got(Some("null")) == "literal-null-string")
+  }
 }
