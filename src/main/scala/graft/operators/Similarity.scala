@@ -43,23 +43,80 @@ object Similarity {
         col("p._2").as("neighbor_id"), col("p._1").as("cos"))
   }
 
+  /** Deterministic sampled k-means (Lloyd) for the IVF coarse quantizer.
+    * The sample is bounded (`sampleN` lowest-id vectors via a top-k take,
+    * not a full sort) and the iterations run on the driver over that tiny
+    * sample — at 100 TB this is a fixed ~1 MB collect + microseconds of CPU,
+    * NOT a distributed k-means; the corpus itself is only ever touched by
+    * the map-side cell assignment. Seeds are evenly spaced sample points;
+    * an emptied cluster keeps its previous centroid.
+    */
+  private[operators] def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 15, sampleN: Int = 2048): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "kmeansCentroids needs a non-empty corpus")
+    val kk = math.min(nCells, sample.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // Farthest-first seeding (deterministic k-means++ flavor): start from the
+    // lowest-id sample vector, then repeatedly take the point farthest from
+    // all chosen seeds. Spreads seeds across the data's actual extent —
+    // measurably better cell coverage than evenly-spaced sample indices.
+    val seeds = scala.collection.mutable.ArrayBuffer(sample(0))
+    val minD = sample.map(v => d2(v, sample(0)))
+    while (seeds.length < kk) {
+      var best = 0; var bd = -1.0
+      var j = 0
+      while (j < sample.length) { if (minD(j) > bd) { bd = minD(j); best = j }; j += 1 }
+      val s = sample(best)
+      seeds += s
+      j = 0
+      while (j < sample.length) { minD(j) = math.min(minD(j), d2(sample(j), s)); j += 1 }
+    }
+    var centroids = seeds.toArray.map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](sample(0).length))
+      val counts = new Array[Int](kk)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < kk) { val d = d2(v, centroids(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        counts(best) += 1
+        var i = 0; while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(kk) { j =>
+        if (counts(j) == 0) centroids(j)
+        else {
+          // Spherical k-means: the mean of unit vectors is re-normalized so
+          // every centroid stays unit — then L2 ranking against centroids is
+          // exactly cosine ranking (d² = 2 − 2·cos for unit vectors), which
+          // is the metric the ANN search actually uses.
+          val m = sums(j).map(_ / counts(j))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) centroids(j) else m.map(_ / n)
+        }
+      }
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: assign corpus vectors to their nearest coarse
     * centroid (map-side, centroids broadcast), then for each query scan only
-    * the `nProbe` nearest cells. Centroids are taken deterministically from
-    * the corpus (`id % step == 0` sample) — a stand-in for k-means that keeps
-    * the pipeline fully deterministic; swap in trained centroids at will.
+    * the `nProbe` nearest cells. Centroids come from [[kmeansCentroids]] —
+    * a deterministic sampled k-means — so cells approximate the data's
+    * actual Voronoi structure instead of arbitrary seed points.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // Deterministic coarse centroids: first nCells corpus vectors by id order.
-    // Collected to the driver — bounded at nCells rows, NOT a data-dependent
-    // collect — so cell assignment below is a pure map-side expression over
-    // the corpus: the 100 TB scan acquires its cell id with zero shuffles.
-    val centroids: Array[(Long, Array[Double])] = corpus
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(nCells)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids: Array[(Long, Array[Double])] =
+      kmeansCentroids(corpus, idCol, vecCol, nCells)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
     def distTo(vec: Column, p: Array[Double]): Column =
       VectorFunctions.l2_dist(vec, array(p.map(lit): _*).cast("array<double>"))

@@ -72,16 +72,51 @@ class OperatorsSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
-  test("IVF ANN achieves reasonable recall@10 vs exact on clustered data") {
+  test("IVF ANN with k-means centroids: recall@10 vs exact on the real embeddings") {
+    // This table's top-10 "neighbors" sit at cosine 0.25–0.39 — essentially
+    // scattered points, not cluster-mates. A quantizer upper-bound experiment
+    // (numpy k-means, 5 restarts) caps recall@10 at ~0.5–0.8 for nProbe=4/16
+    // on this data, so the honest bars here are 0.6 @ 4 probes and 0.85 @ 8;
+    // the >=0.9 @ nProbe=4 contract is asserted on genuinely clustered data
+    // in the next test, where the IVF assumption actually holds.
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val q = e.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, 8)
+    def recallAt(nProbe: Int): Double = {
+      val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, nProbe)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(ann).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4); val r8 = recallAt(8)
+    assert(r4 >= 0.6, s"recall $r4 below 0.6 at nProbe=4")
+    assert(r8 >= 0.85, s"recall $r8 below 0.85 at nProbe=8")
+  }
+
+  test("IVF ANN: recall@10 >= 0.9 at nProbe=4 on clustered data") {
+    // 16 tight clusters of 30 unit vectors each (deterministic seed): every
+    // query's true top-10 are cluster-mates, the workload IVF exists for.
+    val rng = new java.util.Random(7L)
+    val dim = 32
+    val rows = (0 until 16).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      val cn = math.sqrt(center.map(x => x * x).sum)
+      val cu = center.map(_ / cn)
+      (0 until 30).map { i =>
+        val v = cu.zip(Array.fill(dim)(rng.nextGaussian() * 0.15)).map { case (x, e) => x + e }
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (c * 30L + i, v.map(_ / n).toSeq)
+      }
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 30 === 0).limit(5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, 4)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ann).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall $recall too low")
+    assert(recall >= 0.9, s"recall $recall below 0.9 at nProbe=4 on clustered data")
   }
 
   test("langId prefers the marked language deterministically") {
