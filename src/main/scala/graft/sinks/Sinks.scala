@@ -41,6 +41,76 @@ class DirProvisioner(baseDir: String) extends TopicProvisioner {
   }
 }
 
+/** Minimal admin SPI the Kafka provisioner drives. Separating "what to
+  * provision" (KafkaTopicProvisioner, unit-testable) from "how to reach a
+  * broker" (this trait) lets the provisioning logic be tested without
+  * kafka-clients on the classpath — absent in this environment — while
+  * [[TopicAdmin.reflective]] binds to the real AdminClient when a deployment
+  * has the connector jars.
+  */
+trait TopicAdmin extends AutoCloseable {
+  /** Create the topic; implementations MUST tolerate an already-existing
+    * topic (the reference swallows TopicExistsException,
+    * TopicProvisioner.java:48-53).
+    */
+  def createTopic(name: String, partitions: Int, replicationFactor: Short,
+      configs: Map[String, String]): Unit
+}
+
+object TopicAdmin {
+  /** Reflective binding to org.apache.kafka.clients.admin.AdminClient, so the
+    * engine itself carries no kafka-clients dependency. Only callable in a
+    * deployment with the Kafka client jars on the runtime classpath.
+    */
+  def reflective(bootstrapServers: String): TopicAdmin = new TopicAdmin {
+    private val adminClass = Class.forName("org.apache.kafka.clients.admin.AdminClient")
+    private val newTopicClass = Class.forName("org.apache.kafka.clients.admin.NewTopic")
+    private val client = {
+      val props = new java.util.Properties()
+      props.put("bootstrap.servers", bootstrapServers)
+      adminClass.getMethod("create", classOf[java.util.Properties]).invoke(null, props)
+    }
+    override def createTopic(name: String, partitions: Int, replicationFactor: Short,
+        configs: Map[String, String]): Unit = {
+      val nt = newTopicClass
+        .getConstructor(classOf[String], java.lang.Integer.TYPE, java.lang.Short.TYPE)
+        .newInstance(name, Int.box(partitions), Short.box(replicationFactor))
+      newTopicClass.getMethod("configs", classOf[java.util.Map[_, _]])
+        .invoke(nt, scala.jdk.CollectionConverters.MapHasAsJava(configs).asJava)
+      val result = adminClass.getMethod("createTopics", classOf[java.util.Collection[_]])
+        .invoke(client, java.util.List.of(nt))
+      try {
+        val fut = result.getClass.getMethod("all").invoke(result)
+        fut.getClass.getMethod("get").invoke(fut)
+      } catch {
+        // reflective invocation wraps the KafkaFuture's ExecutionException;
+        // walk the cause chain for the tolerated already-exists case
+        case e: Throwable
+            if Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+              .exists(_.getClass.getName.endsWith("TopicExistsException")) => ()
+      }
+    }
+    override def close(): Unit = adminClass.getMethod("close").invoke(client)
+  }
+}
+
+/** Kafka topic provisioner ≅ service/TopicProvisioner.java:22-55: partitions
+  * and replication from the output-topic config (reference defaults 3 / 1),
+  * `retention.ms` from retentionMs, and retentionMs == -1 → a compacted
+  * topic (`cleanup.policy=compact`) instead of a retention setting.
+  */
+class KafkaTopicProvisioner(admin: () => TopicAdmin) extends TopicProvisioner {
+  override def provision(topic: OutputTopic): Unit = {
+    val configs =
+      if (topic.retentionMs.contains(-1L)) Map("cleanup.policy" -> "compact")
+      else topic.retentionMs.map(ms => "retention.ms" -> ms.toString).toMap
+    val a = admin()
+    try a.createTopic(topic.name, topic.partitions.getOrElse(3),
+      topic.replicationFactor.getOrElse(1: Short), configs)
+    finally a.close()
+  }
+}
+
 object BatchSink {
   /** R15: write the pipeline output in Kafka record shape (key string +
     * JSON value) honoring the declared partition count. Gated on

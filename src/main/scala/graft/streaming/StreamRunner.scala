@@ -38,12 +38,18 @@ object StreamRunner {
       .start()
 
   /** Run a spec to a Kafka topic sink (production path; requires the
-    * spark-sql-kafka connector on the classpath).
+    * spark-sql-kafka connector on the classpath). Provisions the output
+    * topic first, like the reference's TopicProvisioner-before-start
+    * lifecycle (TopicProvisioner.java:22-55); pass a custom provisioner to
+    * override the default AdminClient binding.
     */
   def startKafka(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
-      bootstrapServers: String, checkpoint: String): StreamingQuery = {
+      bootstrapServers: String, checkpoint: String,
+      provisioner: Option[graft.sinks.TopicProvisioner] = None): StreamingQuery = {
     val topic = spec.outputTopic.filter(_.enabled).getOrElse(
       throw new IllegalArgumentException(s"[${spec.id}] no enabled outputTopic"))
+    provisioner.getOrElse(new graft.sinks.KafkaTopicProvisioner(
+      () => graft.sinks.TopicAdmin.reflective(bootstrapServers))).provision(topic)
     Interpreter.toKafkaShape(build(spark, spec, sources))
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)

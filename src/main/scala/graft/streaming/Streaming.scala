@@ -22,16 +22,33 @@ import graft.sources.SourceResolver
 class KafkaSourceResolver(bootstrapServers: String, val catalog: SchemaCatalog,
     schemas: Map[String, StructType]) extends SourceResolver {
 
-  /** KStream analogue (R1): topic → append stream. JSON value decoded through
-    * `from_json` — the reference's lenient Jackson posture
-    * (SerdeFactory.java:30: unknown fields dropped, missing → null).
+  /** Raw Kafka record frame (key/value binary + timestamp/offset), streaming.
+    * Overridable so the join topology is testable without broker/connector
+    * jars — a test subclass swaps the transport, never the topology.
     */
-  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {
-    val raw = spark.readStream.format("kafka")
+  protected def rawStream(spark: SparkSession, topic: TopicConfig): DataFrame =
+    spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic.name)
       .option("startingOffsets", "earliest")
       .load()
+
+  /** Raw record frame as a bounded batch read (earliest..latest at plan
+    * execution time) — the table-side snapshot source.
+    */
+  protected def rawBatch(spark: SparkSession, topic: TopicConfig): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic.name)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load()
+
+  /** Kafka record → typed columns. JSON value decoded through `from_json` —
+    * the reference's lenient Jackson posture (SerdeFactory.java:30: unknown
+    * fields dropped, missing → null).
+    */
+  private def decode(raw: DataFrame, topic: TopicConfig): DataFrame = {
     val schema = schemas.getOrElse(topic.name,
       throw new IllegalArgumentException(s"no schema registered for topic ${topic.name}"))
     raw.select(col("key").cast("string").as("__kafka_key"),
@@ -41,15 +58,25 @@ class KafkaSourceResolver(bootstrapServers: String, val catalog: SchemaCatalog,
         schema.fieldNames.toSeq.map(f => col(s"v.$f")): _*)
   }
 
-  /** KTable analogue (R2): latest-per-key changelog state. In streaming this
-    * is the stateful latest-row view (see [[StreamingTables.latestPerKey]]);
-    * the returned frame is in update mode semantics.
+  /** KStream analogue (R1): topic → append stream. */
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame =
+    decode(rawStream(spark, topic), topic)
+
+  /** KTable analogue (R2): latest-per-key view as a bounded batch SNAPSHOT,
+    * so a stream ⋈ table chain plans as Spark's stream–static join — the
+    * KStream⋈KTable enrichment shape. Structured Streaming re-executes the
+    * static side every micro-batch, so the view refreshes with at most one
+    * trigger of staleness (the KTable's eventual-consistency contract).
+    *
+    * Deliberately NOT the mapGroupsWithState formulation
+    * ([[StreamingTables.latestPerKey]], still available for update-mode
+    * standalone views): Spark forbids stateful operators downstream of
+    * mapGroupsWithState and JOIN_CHAIN runs in Append mode, so that shape
+    * threw AnalysisException the moment a join chain started on it.
     */
-  override def table(spark: SparkSession, topic: TopicConfig): DataFrame = {
-    val s = stream(spark, topic)
-    StreamingTables.latestPerKey(s, catalog.keyOf(topic.name),
-      Seq("__offset"))
-  }
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    graft.sources.Tables.latestPerKey(decode(rawBatch(spark, topic), topic),
+      catalog.keyOf(topic.name), Seq("__offset"))
 }
 
 object StreamingTables {

@@ -5,10 +5,37 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.config.PipelineSpec
-import graft.sinks.{PipelineRunner, Peek}
+import graft.sinks.{KafkaTopicProvisioner, Peek, PipelineRunner, TopicAdmin}
 import graft.sources.ParquetSourceResolver
 
 class SinksSpec extends SparkSuite {
+
+  test("Kafka provisioner maps topic DDL knobs like the reference (R18)") {
+    // stub admin records what the provisioner asked for
+    val calls = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, Short, Map[String, String])]
+    var closed = 0
+    def stub() = new TopicAdmin {
+      override def createTopic(name: String, partitions: Int, rf: Short,
+          configs: Map[String, String]): Unit = calls += ((name, partitions, rf, configs))
+      override def close(): Unit = closed += 1
+    }
+    val p = new KafkaTopicProvisioner(() => stub())
+
+    // defaults: 3 partitions / RF 1, no configs (TopicProvisioner.java:27-35)
+    p.provision(graft.config.OutputTopic(name = "t-default"))
+    // explicit retention → retention.ms
+    p.provision(graft.config.OutputTopic(name = "t-ret",
+      retentionMs = Some(86400000L), partitions = Some(6), replicationFactor = Some(2: Short)))
+    // retentionMs == -1 → compacted (TopicProvisioner.java:37-43)
+    p.provision(graft.config.OutputTopic(name = "t-compact", retentionMs = Some(-1L)))
+
+    assert(calls.toSeq == Seq(
+      ("t-default", 3, 1: Short, Map.empty[String, String]),
+      ("t-ret", 6, 2: Short, Map("retention.ms" -> "86400000")),
+      ("t-compact", 3, 1: Short, Map("cleanup.policy" -> "compact"))))
+    assert(closed == 3) // admin closed per provision even on success
+  }
 
   test("end-to-end batch pipeline: spec → join → kafka-shaped sink with partitions (R15/R18)") {
     val out = Files.createTempDirectory("graft-sink").toString
