@@ -24,18 +24,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  /** Arity gate: a call like `minhash_signature(toks, 64)` must either honor
+    * the 64 or fail loudly — silently applying the hard-coded default was a
+    * wrong-results trap. Optional trailing arguments must be integer
+    * literals (they parameterize the expression itself, not per-row data).
+    */
+  private def checkArity(name: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.length < min || es.length > max) {
+      val want = if (min == max) s"$min" else s"$min to $max"
+      throw new IllegalArgumentException(
+        s"$name expects $want argument(s), got ${es.length}")
+    }
+
+  private def litLong(name: String, e: Expression): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal integer parameter, got ${other.sql}")
+  }
+
+  private def optInt(name: String, es: Seq[Expression], i: Int, default: Int): Int =
+    if (es.length > i) litLong(name, es(i)).toInt else default
+  private def optLong(name: String, es: Seq[Expression], i: Int, default: Long): Long =
+    if (es.length > i) litLong(name, es(i)) else default
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "vec_dot" -> (es => DotProduct(es(0), es(1))),
-    "l2_dist" -> (es => L2Distance(es(0), es(1))),
-    "minhash_signature" -> (es => MinHashSignature(es.head, 128, 42L)),
-    "hashed_shingles" -> (es => HashedShingles(es.head, 3, 42L)),
-    "minhash_from_hashes" -> (es => MinHashFromHashes(es.head, 128)),
-    "simhash64" -> (es => SimHash64(es.head, 42L)),
-    "hamming64" -> (es => HammingDistance64(es(0), es(1))),
-    "doc_fingerprint" -> (es => RollingFingerprint(es.head))
+    "cosine_sim" -> (es => { checkArity("cosine_sim", es, 2, 2)
+      CosineSimilarity(es(0), es(1)) }),
+    "vec_dot" -> (es => { checkArity("vec_dot", es, 2, 2)
+      DotProduct(es(0), es(1)) }),
+    "l2_dist" -> (es => { checkArity("l2_dist", es, 2, 2)
+      L2Distance(es(0), es(1)) }),
+    "minhash_signature" -> (es => { checkArity("minhash_signature", es, 1, 3)
+      MinHashSignature(es.head, optInt("minhash_signature", es, 1, 128),
+        optLong("minhash_signature", es, 2, 42L)) }),
+    "hashed_shingles" -> (es => { checkArity("hashed_shingles", es, 1, 3)
+      HashedShingles(es.head, optInt("hashed_shingles", es, 1, 3),
+        optLong("hashed_shingles", es, 2, 42L)) }),
+    "minhash_from_hashes" -> (es => { checkArity("minhash_from_hashes", es, 1, 2)
+      MinHashFromHashes(es.head, optInt("minhash_from_hashes", es, 1, 128)) }),
+    "simhash64" -> (es => { checkArity("simhash64", es, 1, 2)
+      SimHash64(es.head, optLong("simhash64", es, 1, 42L)) }),
+    "hamming64" -> (es => { checkArity("hamming64", es, 2, 2)
+      HammingDistance64(es(0), es(1)) }),
+    "doc_fingerprint" -> (es => { checkArity("doc_fingerprint", es, 1, 1)
+      RollingFingerprint(es.head) })
   )
 
   /** Register all engine functions on an existing session (idempotent). */

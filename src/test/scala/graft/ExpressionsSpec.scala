@@ -82,4 +82,24 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.getLong(0) != r.getLong(1))
     assert(r.getLong(0) == r.getLong(2))
   }
+
+  test("SQL functions honor literal parameters and reject bad arity") {
+    GraftFunctions.register(spark)
+    // optional parameter is honored, not silently ignored
+    val sig = spark.sql(
+      "SELECT size(minhash_signature(array('a','b','c','d'), 64)) AS n").head().getInt(0)
+    assert(sig == 64)
+    val sigDefault = spark.sql(
+      "SELECT size(minhash_signature(array('a','b','c','d'))) AS n").head().getInt(0)
+    assert(sigDefault == 128)
+    // arity violations fail at analysis, not silently
+    val tooMany = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0), array(1.0), array(1.0))").collect()
+    }
+    assert(tooMany.getMessage.contains("cosine_sim"))
+    val nonLiteral = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), length('xx'))").collect()
+    }
+    assert(nonLiteral.getMessage.contains("literal"))
+  }
 }

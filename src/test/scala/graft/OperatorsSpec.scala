@@ -6,6 +6,22 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSuite {
 
+  test("approx_count_distinct is within 5% of exact per group (x6_approx_distinct bound)") {
+    // HLL estimates are engine-specific (hence rows-only in CORRECTNESS);
+    // this pins the accuracy contract instead: per-group relative error vs
+    // the exact distinct count. Deterministic — same data, same sketch.
+    val ev = spark.read.parquet(s"${sf("sf0.01")}/events.parquet")
+    val both = ev.groupBy("event_type").agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    for ((g, exact, approx) <- both) {
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.05, s"group $g: approx $approx vs exact $exact (err $err)")
+    }
+  }
+
   test("latest-per-key is deterministic and key-unique") {
     val ev = new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog)
       .stream(spark, graft.config.TopicConfig("events"))
