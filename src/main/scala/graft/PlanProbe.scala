@@ -1,10 +1,17 @@
 package graft
+
+/** Ad-hoc plan dump: `runMain graft.PlanProbe <sfDir> <query...>` prints the
+  * formatted plan of the named [[Queries]] entries — the inner dev loop for
+  * plan-shape work (PLANS.md evidence, PlanSpec pins).
+  */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get("8")
-    val dir = "/root/testdata/sf0.01"
-    for (n <- Seq("r03_global_join", "q1_agg", "r09_join_chain_multi", "x2_minhash_lsh",
-        "r02_table_latest", "x3_knn_exact")) {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("r03_global_join", "q1_agg", "r09_join_chain_multi", "x2_minhash_lsh",
+        "r02_table_latest", "x3_knn_exact")
+    for (n <- names) {
       println(s"========== $n ==========")
       println(Queries.all(n)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -90,19 +90,20 @@ object TextAnalysis {
     * language, plus a Han-script character count routed to "zh"; argmax with
     * deterministic alphabetical tie-break, "und" (undetermined) when no
     * marker hits at all.
+    *
+    * Scoring is ONE native pass over the text
+    * ([[graft.functions.LangScores]]): the compositional form re-tokenized
+    * the text once per language plus a regex replace for the Han count —
+    * 5× the map cost, which is the whole cost of this operator at corpus
+    * scale. Argmax stays array-based — NOT a when/otherwise fold, which
+    * duplicates every score subtree per step (2^n expression blowup; the
+    * same pathology as the IVF argmin, measured 3s+ on 5k docs).
     */
   def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val hanCount = length(text) - length(regexp_replace(text, "[\\u4e00-\\u9fa5]", ""))
-    // Alphabetical order; argmax ties go to the first (array_position finds
-    // the first maximum). Array-based — NOT a when/otherwise fold, which
-    // duplicates every score subtree per step (2^n expression blowup; the
-    // same pathology as the IVF argmin, measured 3s+ on 5k docs).
-    val ordered: Seq[(String, Column)] =
-      (langMarkers.map { case (lang, ws) => lang -> size(filter(toks, t => t.isin(ws: _*))) } :+
-        ("zh" -> hanCount)).sortBy(_._1)
-    val scores = array(ordered.map(_._2.cast("int")): _*)
-    val names = array(ordered.map(p => lit(p._1)): _*)
+    val ordered = langMarkers.sortBy(_._1) // alphabetical; "zh" sorts last
+    val scores = graft.functions.TextFunctions.lang_scores(text,
+      ordered.map(_._2.toArray).toArray)
+    val names = array((ordered.map(_._1) :+ "zh").map(lit): _*)
     val m = array_max(scores)
     when(m <= 0, lit("und"))
       .otherwise(element_at(names, array_position(scores, m).cast("int")))
