@@ -39,6 +39,34 @@ class PlanSpec extends SparkSuite {
       "LSH candidate join fell back to nested-loop")
   }
 
+  test("LSH self-joins read the sketch stage from cache on BOTH sides (X2)") {
+    // Spark does not reuse a derived frame's plan across self-join sides;
+    // the round-1 plans computed every sketch twice. The banded frames are
+    // persisted now — both join inputs must be InMemoryRelation scans.
+    for (q <- Seq("x2_minhash_lsh", "x2_simhash", "x2_embed_dup")) {
+      val p = plan(q)
+      val hits = "InMemoryTableScan".r.findAllIn(p).size
+      assert(hits >= 2, s"$q: expected both self-join sides cached, found $hits cache scans")
+      spark.catalog.clearCache() // don't leak the 43-query suite's caches
+    }
+  }
+
+  test("CC collapse rounds run over materialized edges, not the pairs DAG (X2)") {
+    // componentsFromPairs localCheckpoints pairs/edges/labels: the returned
+    // label frame's lineage must bottom out in materialized RDD scans with
+    // no parquet re-scan — the round-1 shape re-executed the whole Jaccard
+    // self-join every propagation round (35s of a 72s bench).
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val comps = graft.operators.Dedup.componentsFromPairs(pairs)
+    val p = comps.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"labels not checkpoint-backed:\n${p.take(400)}")
+    assert(!p.contains("Scan parquet"),
+      "CC labels still re-execute the pair-generation DAG from the scan")
+    spark.catalog.clearCache()
+  }
+
   test("column pruning reaches the scan: 2-column projection reads 2 columns") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
