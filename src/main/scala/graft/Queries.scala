@@ -377,6 +377,20 @@ object Queries {
     Dedup.keepRepresentatives(docs.select("doc_id", "n_chars"), "doc_id", pairs)
   }
 
+  /** X2 end-to-end dedup via the SCALE path: MinHash-LSH candidate pairs →
+    * connected components → keep the min-id representative. Rows-only by
+    * design (LSH estimates Jaccard from signatures); the oracle-exact
+    * variant of the same composition is x2_dedup_collapse. This is the
+    * shape a 100 TB corpus dedup actually runs: banded candidates, never
+    * an all-pairs or posting-list self-join.
+    */
+  def x2DedupCollapseLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, bands = 32, threshold = 0.7)
+    Dedup.keepRepresentatives(docs.select("doc_id", "n_chars"), "doc_id", pairs)
+  }
+
   /** X2 MinHash-LSH near-dup (scale path; sketch-estimated Jaccard). */
   def x2MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(spark.read.parquet(s"$dir/documents.parquet"),
@@ -852,6 +866,7 @@ object Queries {
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,
     "x2_dedup_collapse" -> x2DedupCollapse _,
+    "x2_dedup_collapse_lsh" -> x2DedupCollapseLsh _,
     "x2_minhash_lsh" -> x2MinhashLsh _,
     "x2_simhash" -> x2Simhash _,
     "x3_cosine_pairs_exact" -> x3CosinePairsExact _,

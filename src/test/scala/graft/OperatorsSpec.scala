@@ -73,6 +73,20 @@ class OperatorsSpec extends SparkSuite {
     assert(kept == Seq(1L, 5L, 10L))
   }
 
+  test("LSH end-to-end collapse closely agrees with the exact-Jaccard collapse") {
+    val exact = Queries.x2DedupCollapse(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Queries.x2DedupCollapseLsh(spark, sf())
+      .collect().map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    // both dedup something, and the scale path finds (at least) the clusters
+    // the exact path does: est-jaccard 0.7 over-approximates exact 0.8, so
+    // LSH keeps a subset-or-equal representative set, never misses a merge
+    assert(exact.size < docs && lsh.size < docs)
+    assert(lsh.subsetOf(exact), s"LSH kept non-representatives: ${lsh.diff(exact)}")
+    assert(lsh.size >= exact.size - 5, s"LSH over-merged: ${exact.size} vs ${lsh.size}")
+  }
+
   test("brute-force top-k: ranks are 1..k, scores non-increasing, no self-match") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
