@@ -192,23 +192,31 @@ object Dedup {
     * convergence check (dup clusters are shallow: diameter ≤ ~log n in
     * practice, and `maxIters` caps pathological chains).
     */
-  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  /** @param reliable use reliable (HDFS) checkpoints instead of
+    *   localCheckpoint — required fault tolerance on a real cluster, where
+    *   an executor loss would otherwise kill the job mid-loop (local
+    *   checkpoint blocks are not recomputable). Caller must have set
+    *   `spark.sparkContext.setCheckpointDir`. Local mode / tests keep the
+    *   zero-IO local form.
+    */
+  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 15,
+      reliable: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // Materialize the candidate pairs ONCE. The incoming frame is typically
     // the whole sketch → candidate → verify DAG; without truncating its
     // lineage every propagation round would re-execute that DAG from the
     // parquet scan up — at corpus scale, O(iterations) full shuffles.
-    // localCheckpoint is eager, executes the DAG exactly once, and replaces
+    // Checkpointing is eager, executes the DAG exactly once, and replaces
     // the plan with the materialized RDD.
-    val p = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val p = materialize(pairs.select(col("id1"), col("id2")))
     // Pre-partition the (static) edge list by the join key so each round's
     // edge ⋈ labels join reads it in place instead of re-shuffling it.
-    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = materialize(p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
-      .repartition(col("dst"))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .repartition(col("dst")))
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -218,10 +226,10 @@ object Dedup {
       // decided from THIS round's output — no second join against the old
       // labels. The eager checkpoint both runs the round exactly once and
       // keeps the next round's plan O(1) deep.
-      val updated = labels.join(neighborMin, labels("id") === col("id0"), "left_outer")
-        .select(labels("id").as("id"), labels("comp").as("__old"),
-          least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp"))
-        .localCheckpoint()
+      val updated = materialize(
+        labels.join(neighborMin, labels("id") === col("id0"), "left_outer")
+          .select(labels("id").as("id"), labels("comp").as("__old"),
+            least(labels("comp"), coalesce(col("ncomp"), labels("comp"))).as("comp")))
       val changed = updated.filter(col("comp") =!= col("__old")).limit(1).count()
       freeCheckpoint(labels)
       labels = updated.select(col("id"), col("comp"))

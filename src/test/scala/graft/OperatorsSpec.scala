@@ -73,6 +73,16 @@ class OperatorsSpec extends SparkSuite {
     assert(kept == Seq(1L, 5L, 10L))
   }
 
+  test("connected components with reliable checkpoints (cluster fault-tolerance mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = spark.createDataFrame(Seq((2L, 3L), (1L, 2L), (10L, 11L)))
+      .toDF("id1", "id2")
+    val comps = graft.operators.Dedup.componentsFromPairs(pairs, reliable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("LSH end-to-end collapse closely agrees with the exact-Jaccard collapse") {
     val exact = Queries.x2DedupCollapse(spark, sf())
       .collect().map(_.getLong(0)).toSet
