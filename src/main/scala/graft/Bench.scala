@@ -27,6 +27,9 @@ object Bench {
           true
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      // release this query's persisted sketch frames (cache population is
+      // part of the timed work; accumulation across 40+ queries isn't)
+      spark.catalog.clearCache()
       (name, if (failed) -secs else secs, failed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

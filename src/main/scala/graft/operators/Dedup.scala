@@ -253,9 +253,12 @@ object Dedup {
 
   /** Drop all but one representative per near-dup cluster: rows whose id is
     * a cluster's min label survive; rows not in any pair survive untouched.
+    * `reliable` selects durable checkpoints for the CC loop (see
+    * [[componentsFromPairs]]).
     */
-  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = componentsFromPairs(pairs)
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val comps = componentsFromPairs(pairs, reliable = reliable)
     val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
