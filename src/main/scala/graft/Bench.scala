@@ -17,8 +17,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val spark = GraftSession.get()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // warm failures surface in the timed run
+      // skip warmup when benching the warm SF itself — identical plans would
+      // let the timed run read the warm run's persisted frames from cache
+      if (sfDir != warmDir)
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warm failures surface in the timed run
       val t0 = System.nanoTime()
       val failed =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }

@@ -47,7 +47,14 @@ object GraftFunctions {
   }
 
   private def optInt(name: String, es: Seq[Expression], i: Int, default: Int): Int =
-    if (es.length > i) litLong(name, es(i)).toInt else default
+    if (es.length > i) {
+      val v = litLong(name, es(i))
+      // bounds-checked: 4294967296 silently truncating to 0 hashes would be
+      // exactly the silent-wrong-parameter trap arity validation closes
+      if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+        s"$name parameter ${i + 1} must be in [1, ${Int.MaxValue}], got $v")
+      v.toInt
+    } else default
   private def optLong(name: String, es: Seq[Expression], i: Int, default: Long): Long =
     if (es.length > i) litLong(name, es(i)) else default
 

@@ -14,14 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowercase-token hit counts, then a Han-script (U+4E00–U+9FA5) character
   * count in the last slot. Token semantics match `split(trim(lower(text)),
   * "\\s+")` + set membership (the oracle's regexp_split formulation):
-  * ASCII-whitespace-delimited tokens, compared lowercased.
+  * ASCII-whitespace-delimited tokens, compared lowercased. Lowercasing
+  * mirrors `lower()` exactly — ASCII fast path char-wise, otherwise the
+  * full-string case mapping (UTF8String.toLowerCase does the same), so
+  * one-to-many mappings like U+0130 behave identically to the
+  * compositional form this replaces.
   *
   * The compositional form cost 4 full tokenizations + a regex replace per
   * row (one per marker-set `filter` plus the Han `regexp_replace`) — the
   * dominant map cost of x5_lang_id. One scan of the string does all five
   * counts; the marker sets ride along as a codegen reference object.
   */
-case class LangScores(child: Expression, markers: Array[Array[String]])
+case class LangScores(child: Expression, markers: Seq[Seq[String]])
   extends UnaryExpression {
   override def prettyName: String = "lang_scores"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -33,7 +37,8 @@ case class LangScores(child: Expression, markers: Array[Array[String]])
     }
 
   // token → marker-set index; sets are disjoint by construction
-  // (TextAnalysis.langMarkers), so one map suffices.
+  // (TextAnalysis.langMarkers), so one map suffices. markers is Seq (not
+  // Array) for structural case-class equality → semanticEquals/cache reuse.
   @transient private lazy val lookup: java.util.HashMap[String, Integer] = {
     val m = new java.util.HashMap[String, Integer]()
     markers.zipWithIndex.foreach { case (ws, i) => ws.foreach(w => m.put(w, i)) }
@@ -41,12 +46,17 @@ case class LangScores(child: Expression, markers: Array[Array[String]])
   }
 
   /** Single scan: ASCII-whitespace token boundaries (the Java-regex \s set:
-    * space, \t, \n, \u000B, \f, \r), per-char lowercasing into the token
-    * buffer, marker lookup on each boundary, Han chars counted in the same
-    * pass.
+    * space, \t, \n, \u000B, \f, \r), marker lookup on each boundary, Han
+    * chars counted in the same pass.
     */
   def score(s: UTF8String): GenericArrayData = {
-    val str = s.toString
+    val raw = s.toString
+    // lower() parity: char-wise only when all-ASCII; otherwise the
+    // full-string mapping handles one-to-many lowercasing correctly
+    var ascii = true
+    var k = 0
+    while (ascii && k < raw.length) { if (raw.charAt(k) >= 0x80) ascii = false; k += 1 }
+    val str = if (ascii) raw else raw.toLowerCase()
     val counts = new Array[Int](markers.length + 1)
     val buf = new java.lang.StringBuilder(16)
     var i = 0
@@ -62,7 +72,7 @@ case class LangScores(child: Expression, markers: Array[Array[String]])
         }
       } else {
         if (c >= '\u4e00' && c <= '\u9fa5') counts(markers.length) += 1
-        buf.append(Character.toLowerCase(c))
+        buf.append(if (ascii && c >= 'A' && c <= 'Z') (c + 32).toChar else c)
       }
       i += 1
     }
@@ -80,6 +90,6 @@ case class LangScores(child: Expression, markers: Array[Array[String]])
 }
 
 object TextFunctions {
-  def lang_scores(text: Column, markers: Array[Array[String]]): Column =
+  def lang_scores(text: Column, markers: Seq[Seq[String]]): Column =
     Bridge.column(LangScores(Bridge.expression(text), markers))
 }

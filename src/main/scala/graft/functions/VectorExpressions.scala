@@ -16,6 +16,12 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // all vector expressions return null on a dimension mismatch regardless of
+  // child nullability — without this override a non-nullable input column
+  // makes the planner decode the bogus "non-null" slot and crash
+  // (EXPRESSION_DECODING_FAILED), and codegen's `isNull = true` writes to a
+  // constant
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -160,13 +166,16 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   * multiple seconds per query before a single row moved. One node keeps
   * the whole LSH sketch inside whole-stage codegen at O(1) plan size.
   */
-case class SignBuckets(child: Expression, planes: Array[Array[Double]],
+case class SignBuckets(child: Expression, planes: Seq[Seq[Double]],
     planesPerTable: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes.nonEmpty && planes.length % planesPerTable == 0,
     "planes must divide evenly into tables")
   override def prettyName: String = "sign_buckets"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // dimension mismatch → null regardless of child nullability (see
+  // VectorBinaryExpression.nullable)
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType | DoubleType, _) =>
@@ -176,17 +185,23 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]],
     }
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // planes is Seq (not Array) so case-class equality is structural — two
+  // identically-parameterized SignBuckets are semanticEquals, keeping
+  // CacheManager/ReuseExchange/CSE matching intact. The hot loop uses this
+  // array view.
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    if (n != planes(0).length) return null
-    val nTables = planes.length / planesPerTable
+    if (n != mat(0).length) return null
+    val nTables = mat.length / planesPerTable
     val out = new Array[Int](nTables)
     var t = 0
     while (t < nTables) {
       var b = 0; var j = 0
       while (j < planesPerTable) {
-        val p = planes(t * planesPerTable + j)
+        val p = mat(t * planesPerTable + j)
         var s = 0.0; var i = 0
         while (i < n) {
           s += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
@@ -201,7 +216,7 @@ case class SignBuckets(child: Expression, planes: Array[Array[Double]],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mat = ctx.addReferenceObj("planes", planes, "double[][]")
+    val mat = ctx.addReferenceObj("planes", this.mat, "double[][]")
     val get = s"get${if (isFloat) "Float" else "Double"}"
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val nt = ctx.freshName("nt")
@@ -240,6 +255,6 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def cosine_sim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
-  def sign_buckets(v: Column, planes: Array[Array[Double]], planesPerTable: Int): Column =
+  def sign_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     c(SignBuckets(e(v), planes, planesPerTable))
 }

@@ -154,8 +154,10 @@ object Dedup {
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val planes: Array[Array[Double]] = (0 until nTables).toArray.flatMap { t =>
-      hyperplanes(dim, planesPerTable, seed + t * 7919)
+    // Seq-of-Seq (structural equality) so two identically-seeded calls build
+    // semanticEquals expressions — cache/exchange reuse across queries works.
+    val planes: Seq[Seq[Double]] = (0 until nTables).flatMap { t =>
+      hyperplanes(dim, planesPerTable, seed + t * 7919).map(_.toSeq)
     }
     // Cached: bucket assignment costs nTables × planesPerTable dot products
     // per vector; without the cache the self-join computes them all twice.
@@ -215,6 +217,7 @@ object Dedup {
     val edges = materialize(p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .repartition(col("dst")))
+    freeCheckpoint(p) // consumed only by the edges materialization
     var labels = materialize(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
     var converged = false
@@ -236,17 +239,30 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    freeCheckpoint(edges)
+    // the final labels checkpoint stays live — it backs the returned frame;
+    // at (id, comp) width it is the smallest artifact of the whole job
     labels
   }
 
-  /** Best-effort release of a no-longer-needed localCheckpoint's cached
+  /** Best-effort release of a no-longer-needed checkpoint: unpin the cached
     * blocks (Dataset.unpersist only covers CacheManager entries, not the
-    * RDD a checkpoint pinned). Safe to fail silently — worst case the
-    * blocks age out of the block manager on their own.
+    * RDD a checkpoint pinned) and delete reliable-checkpoint files — the
+    * ContextCleaner does not remove those by default
+    * (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
+    * long-running cluster app would otherwise leak one edge-list-sized
+    * dataset per round. Safe to fail silently — worst case blocks age out /
+    * files persist until application exit.
     */
   private def freeCheckpoint(df: DataFrame): Unit = Try {
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        lr.rdd.getCheckpointFile.foreach { f =>
+          val path = new org.apache.hadoop.fs.Path(f)
+          Try(path.getFileSystem(hadoopConf).delete(path, true))
+        }
       case _ => ()
     }
   }

@@ -53,11 +53,21 @@ object Similarity {
     */
   private[operators] def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 15, sampleN: Int = 2048): Array[Array[Double]] = {
-    val sample: Array[Array[Double]] = corpus
+    // Deterministic UNBIASED sample: top-N by id *hash*, not by id — ids are
+    // usually assigned in ingest/time order, and the N lowest-id vectors
+    // would model only the earliest slice of the corpus. Hash order is a
+    // pseudo-random but reproducible permutation; the take is still a
+    // bounded top-k heap, never a full sort.
+    val sampled: Array[Array[Double]] = corpus
       .select(col(idCol), col(vecCol).cast("array<double>"))
-      .orderBy(col(idCol)).limit(sampleN)
-      .collect().map(_.getSeq[Double](1).toArray)
-    require(sample.nonEmpty, "kmeansCentroids needs a non-empty corpus")
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
+      .collect()
+      .sortBy(r => String.valueOf(r.get(0))) // order-stable seeding start
+      .map(_.getSeq[Double](1).toArray)
+    require(sampled.nonEmpty, "kmeansCentroids needs a non-empty corpus")
+    // guard against ragged input: k-means is only defined on one dimension
+    val dim0 = sampled(0).length
+    val sample = sampled.filter(_.length == dim0)
     val kk = math.min(nCells, sample.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -101,8 +101,7 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val ordered = langMarkers.sortBy(_._1) // alphabetical; "zh" sorts last
-    val scores = graft.functions.TextFunctions.lang_scores(text,
-      ordered.map(_._2.toArray).toArray)
+    val scores = graft.functions.TextFunctions.lang_scores(text, ordered.map(_._2))
     val names = array((ordered.map(_._1) :+ "zh").map(lit): _*)
     val m = array_max(scores)
     when(m <= 0, lit("und"))

@@ -83,6 +83,22 @@ class ExpressionsSpec extends SparkSuite {
     assert(r.getLong(0) == r.getLong(2))
   }
 
+  test("sign_buckets declares nullable: dimension mismatch on a non-nullable column → null row, not a crash") {
+    // regression: without `override def nullable = true` a non-nullable
+    // input (array(lit...)) made the planner decode the bogus non-null slot
+    // and throw EXPRESSION_DECODING_FAILED on any dimension mismatch
+    val df = spark.range(1).select(array(lit(1.0), lit(2.0)).as("v"))
+    val planes = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0)) // dim 3 vs input dim 2
+    val out = df.select(
+      graft.functions.VectorFunctions.sign_buckets(col("v"), planes, 2).as("b"))
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+    // matching dims still bucket
+    val ok = df.select(graft.functions.VectorFunctions.sign_buckets(col("v"),
+      Seq(Seq(1.0, 0.0), Seq(0.0, -1.0)), 2).as("b")).head()
+    assert(!ok.isNullAt(0) && ok.getSeq[Int](0).length == 1)
+  }
+
   test("SQL functions honor literal parameters and reject bad arity") {
     GraftFunctions.register(spark)
     // optional parameter is honored, not silently ignored
