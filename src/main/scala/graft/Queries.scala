@@ -314,6 +314,50 @@ object Queries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q18-shaped "large orders": aggregate lineitems per order, keep
+    * orders above a quantity threshold (HAVING), join customer detail back.
+    * Exercises agg→filter-on-agg→join — the shape where a naive engine
+    * re-scans; here the HAVING is a post-aggregation filter on one pass.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 4).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey").as("orderkey"),
+        col("o_totalprice").as("totalprice"), col("total_qty"))
+  }
+
+  /** TPC-H Q22-flavored anti join: above-average-balance customers with NO
+    * orders. Exercises the scalar aggregate subquery (broadcast one-row
+    * cross) + left-anti join — at scale the anti join is a hash join with
+    * only keys shuffled, never a NOT IN nested loop.
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val avgBal = c.agg(avg(col("c_acctbal")).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+  }
+
+  /** Set operations over keyed extracts: purchasers who also hit errors
+    * (INTERSECT) minus signups (EXCEPT). Spark plans both as aggregated
+    * semi/anti joins — no distinct-then-join-twice double shuffle.
+    */
+  def x10SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").intersect(users("error")).except(users("signup"))
+  }
+
   /** Exact distinct-count aggregation (the reference's "count, sum, reduce,
     * etc." generalization applied to distinct cardinality).
     */
@@ -669,6 +713,25 @@ object Queries {
     "r11_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c.c_name, o.o_orderkey AS orderkey, o.o_totalprice AS totalprice,
+        |       b.total_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 4) > 250) b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q22_no_orders" ->
+      """SELECT c_custkey AS custkey, c_name AS name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "x10_set_ops" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT arg_min(doc_id, doc_id) AS doc_id, text,
         |       arg_min(n_chars, doc_id) AS n_chars
@@ -860,6 +923,9 @@ object Queries {
     "q3_top_revenue" -> q3TopRevenue _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "r11_count_distinct" -> r11CountDistinct _,
+    "q18_large_orders" -> q18LargeOrders _,
+    "q22_no_orders" -> q22NoOrders _,
+    "x10_set_ops" -> x10SetOps _,
     "x6_approx_distinct" -> x6ApproxDistinct _,
     "x2_embed_dup" -> x2EmbedDup _,
     "x1_exact_dedup" -> x1ExactDedup _,
