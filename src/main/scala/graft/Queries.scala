@@ -482,6 +482,17 @@ object Queries {
       .select("media_id", "mime", "n_bytes", "content_hash")
   }
 
+  /** X4 resize contract: payload-size/metadata transform of the stub resize
+    * kernel is oracle-checkable even though the codec is stubbed — the
+    * byte-budget arithmetic and metadata rewrite are the real operator.
+    */
+  def x4Resize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Multimodal.resizeStub(Multimodal.asBlobTable(docs, "doc_id", "text"), 160, 120)
+      .select(col("media_id"), octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+  }
+
   /** X4 frame-sampling shape over stub durations (one row per sampled frame). */
   def x4FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -803,6 +814,13 @@ object Queries {
       """SELECT doc_id AS media_id,
         |       unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
         |FROM documents""".stripMargin,
+    "x4_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(greatest(1, least(length(text),
+        |    length(text) * 19200 // greatest((length(text) % 640) * (length(text) % 480), 1)))
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(160 AS INTEGER) AS width, CAST(120 AS INTEGER) AS height
+        |FROM documents""".stripMargin,
     "x5_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -940,6 +958,7 @@ object Queries {
     "x3_ann_ivf" -> x3AnnIvf _,
     "x4_multimodal" -> x4Multimodal _,
     "x4_frame_sample" -> x4FrameSample _,
+    "x4_resize" -> x4Resize _,
     "x5_text_stats" -> x5TextStats _,
     "x5_tfidf" -> x5Tfidf _,
     "x3_sql_knn" -> x3SqlKnn _,

@@ -61,4 +61,40 @@ object SketchProperties extends Properties("sketches") {
       val e = SimHash64(org.apache.spark.sql.catalyst.expressions.Literal("x"), 42L)
       e.nullSafeEval(arr(toks)) == e.nullSafeEval(arr(toks))
     }
+
+  // ---- LangScores parity with the compositional form it replaced ----
+
+  private val markers: Seq[Seq[String]] = graft.operators.TextAnalysis.langMarkers
+    .sortBy(_._1).map(_._2)
+
+  /** Reference semantics: split(trim(lower(text)), "\\s+") token hits per
+    * marker set, plus a Han char count — the exact formulation langId used
+    * before the one-pass scorer (and the DuckDB oracle's shape).
+    */
+  private def referenceScores(text: String): Seq[Int] = {
+    val lowered = text.toLowerCase()
+    val toks = lowered.trim match {
+      case "" => Array.empty[String]
+      case t  => t.split("\\s+")
+    }
+    val sets = markers.map(_.toSet)
+    val hits = sets.map(s => toks.count(s.contains))
+    val han = text.count(c => c >= '\u4e00' && c <= '\u9fa5')
+    hits :+ han
+  }
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 60)
+    parts <- Gen.listOfN(n, Gen.oneOf(
+      word, Gen.oneOf("the", "der", "el", "le", "les", "und", "THE", "Der"),
+      Gen.oneOf(" ", "\t", "\n", "  "), Gen.oneOf("中文", "漢字", "¡hola!", "Straße")))
+  } yield parts.mkString(" ")
+
+  property("one-pass lang scorer matches the compositional tokenization semantics") =
+    Prop.forAll(textGen) { text =>
+      val e = graft.functions.LangScores(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), markers)
+      val got = e.score(UTF8String.fromString(text)).toIntArray().toSeq
+      got == referenceScores(text)
+    }
 }
