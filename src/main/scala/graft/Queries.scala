@@ -368,6 +368,29 @@ object Queries {
         count(lit(1)).as("cnt"))
   }
 
+  /** Exact interpolated percentiles per group (`percentile` ≡ SQL-standard
+    * continuous quantile). The exact form is the oracle; at 100 TB swap to
+    * `approx_percentile` (t-digest sketch, engine-specific like HLL).
+    */
+  def x6Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"))
+  }
+
+  /** Running per-customer revenue in order-date order — the cumulative
+    * window-analytics shape (frame: unbounded preceding → current row,
+    * deterministic via the unique orderkey tie-break).
+    */
+  def x11RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+      round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+  }
+
   /** HLL approximate distinct (the at-scale form of r11_count_distinct —
     * sketch-based, rows-only check since HLL estimates are engine-specific).
     */
@@ -743,6 +766,15 @@ object Queries {
         |SELECT user_id FROM events WHERE event_type = 'error'
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+    "x6_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
+    "x11_running_total" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey), 4) AS running_total
+        |FROM orders""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT arg_min(doc_id, doc_id) AS doc_id, text,
         |       arg_min(n_chars, doc_id) AS n_chars
@@ -944,6 +976,8 @@ object Queries {
     "q18_large_orders" -> q18LargeOrders _,
     "q22_no_orders" -> q22NoOrders _,
     "x10_set_ops" -> x10SetOps _,
+    "x6_percentiles" -> x6Percentiles _,
+    "x11_running_total" -> x11RunningTotal _,
     "x6_approx_distinct" -> x6ApproxDistinct _,
     "x2_embed_dup" -> x2EmbedDup _,
     "x1_exact_dedup" -> x1ExactDedup _,

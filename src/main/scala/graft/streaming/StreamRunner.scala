@@ -26,8 +26,25 @@ object StreamRunner {
     case _ => OutputMode.Append()
   }
 
-  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame =
-    Interpreter.build(spark, spec, sources)
+  /** Build the spec's plan; on a streaming frame also attach the R13 peek
+    * channel as named observed metrics (`<spec.id>_peek`: row count +
+    * null-key count per micro-batch, surfaced in every
+    * StreamingQueryProgress). The reference peeks by logging each record
+    * (DynamicTopologyBuilder.java:51-55) — per-row logging is an
+    * anti-pattern at scale; observed metrics give the same signal for one
+    * aggregate per task. Batch queries use sinks.Peek (Observation API)
+    * instead: the Observation class does not support streaming Datasets.
+    */
+  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
+    val df = Interpreter.build(spark, spec, sources)
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    if (df.isStreaming && df.columns.contains(Interpreter.KeyCol))
+      df.observe(s"${spec.id}_peek", count(lit(1)).as("rows"),
+        count(when(col(Interpreter.KeyCol).isNull, 1)).as("null_keys"))
+    else if (df.isStreaming)
+      df.observe(s"${spec.id}_peek", count(lit(1)).as("rows"))
+    else df
+  }
 
   /** Run a spec to an in-memory sink (tests / debugging). */
   def startMemory(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,

@@ -65,6 +65,20 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming queries expose the R13 peek channel as observed metrics") {
+    val q = StreamRunner.startMemory(spark, joinSpec,
+      new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog), "peek_t")
+    try {
+      q.processAllAvailable()
+      val progress = q.recentProgress.reverse.find(_.observedMetrics.containsKey(
+        "orders-customer-enrichment_peek"))
+      assert(progress.isDefined, "no progress carried the peek metrics")
+      val m = progress.get.observedMetrics.get("orders-customer-enrichment_peek")
+      assert(m.getAs[Long]("rows") > 0)
+      assert(m.getAs[Long]("null_keys") == 0)
+    } finally q.stop()
+  }
+
   test("nanos timestamp conversion applies on the streaming path too") {
     val src = new FileStreamSourceResolver(sf(), TestdataCatalog)
     val ev = src.stream(spark, graft.config.TopicConfig("events"))
