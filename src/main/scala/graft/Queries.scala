@@ -626,6 +626,21 @@ object Queries {
       Seq("lang"), "doc_id", interval = 5)
   }
 
+  /** Skew-salted equi-join must be result-identical to the plain join —
+    * salting splits a hot key's shuffle partition `saltFactor` ways without
+    * changing semantics, so the plain join IS the oracle (the one case
+    * where an at-scale rewrite is exactly SQL-checkable).
+    */
+  def x13SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    graft.operators.Scale.saltedJoin(l, o, "l_orderkey", "o_orderkey", saltFactor = 8)
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"),
+        col("l_quantity").as("qty"), col("o_totalprice").as("totalprice"))
+  }
+
   /** X7 as-of (temporal) join: each event enriched with the latest "profile
     * update" (a sampled event subset acting as a versioned changelog) at or
     * before its event time — versioned-KTable enrichment semantics. Oracle is
@@ -775,6 +790,10 @@ object Queries {
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |         ORDER BY o_orderdate, o_orderkey), 4) AS running_total
         |FROM orders""".stripMargin,
+    "x13_salted_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |       l.l_quantity AS qty, o.o_totalprice AS totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
     "x1_exact_dedup" ->
       """SELECT arg_min(doc_id, doc_id) AS doc_id, text,
         |       arg_min(n_chars, doc_id) AS n_chars
@@ -978,6 +997,7 @@ object Queries {
     "x10_set_ops" -> x10SetOps _,
     "x6_percentiles" -> x6Percentiles _,
     "x11_running_total" -> x11RunningTotal _,
+    "x13_salted_join" -> x13SaltedJoin _,
     "x6_approx_distinct" -> x6ApproxDistinct _,
     "x2_embed_dup" -> x2EmbedDup _,
     "x1_exact_dedup" -> x1ExactDedup _,

@@ -47,14 +47,6 @@ object TextAnalysis {
       .otherwise(transform(sequence(lit(1), size(toks) - n + 1),
         i => xxhash64(slice(tokH, i, lit(n)))))
 
-  /** Distinct character n-grams of the raw text (for near-dup shingling that
-    * is robust to word-boundary edits).
-    */
-  def charNgrams(text: Column, n: Int): Column =
-    when(length(text) < n, array(text)).otherwise(
-      array_distinct(transform(sequence(lit(1), length(text) - n + 1),
-        i => text.substr(i, lit(n)))))
-
   private val stopwordsEn = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 
   /** Quality metrics over a text column — length, token stats, punctuation and
