@@ -332,10 +332,14 @@ object Queries {
         col("o_totalprice").as("totalprice"), col("total_qty"))
   }
 
-  /** TPC-H Q22-flavored anti join: above-average-balance customers with NO
-    * orders. Exercises the scalar aggregate subquery (broadcast one-row
-    * cross) + left-anti join — at scale the anti join is a hash join with
-    * only keys shuffled, never a NOT IN nested loop.
+  /** TPC-H Q22-flavored anti join: above-average-balance customers with no
+    * BIG order (totalprice > 400k). Exercises the scalar aggregate subquery
+    * (broadcast one-row cross) + left-anti join — at scale the anti join is
+    * a hash join with only keys shuffled, never a NOT IN nested loop. The
+    * totalprice predicate keeps the result non-vacuous on this fixture
+    * (every customer HAS some order: the plain no-orders form compared
+    * empty-vs-empty and pinned nothing; with it: 7 rows at sf0.001, 99 at
+    * sf0.01).
     */
   def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
     val c = spark.read.parquet(s"$dir/customer.parquet")
@@ -343,19 +347,26 @@ object Queries {
     val avgBal = c.agg(avg(col("c_acctbal")).as("avg_bal"))
     c.crossJoin(broadcast(avgBal))
       .filter(col("c_acctbal") > col("avg_bal"))
-      .join(o.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(o.filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
         round(col("c_acctbal"), 2).as("acctbal"))
   }
 
-  /** Set operations over keyed extracts: purchasers who also hit errors
-    * (INTERSECT) minus signups (EXCEPT). Spark plans both as aggregated
-    * semi/anti joins — no distinct-then-join-twice double shuffle.
+  /** Set operations over keyed extracts: high-value purchasers who also hit
+    * high-value errors (INTERSECT) minus very-high-value signups (EXCEPT).
+    * Spark plans both as aggregated semi/anti joins — no
+    * distinct-then-join-twice double shuffle. The value thresholds make the
+    * extracts PROPER subsets of the user population (verified non-vacuous
+    * at sf0.001 and sf0.01: 12/15 and 112/150 users) — bare event-type
+    * extracts were full sets on this fixture, so the oracle compared empty
+    * against empty and pinned nothing.
     */
   def x10SetOps(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
-    users("purchase").intersect(users("error")).except(users("signup"))
+    def users(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue).select(col("user_id"))
+    users("purchase", 20).intersect(users("error", 20)).except(users("signup", 200))
   }
 
   /** Exact distinct-count aggregation (the reference's "count, sum, reduce,
@@ -772,15 +783,17 @@ object Queries {
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q22_no_orders" ->
       """SELECT c_custkey AS custkey, c_name AS name, round(c_acctbal, 2) AS acctbal
-        |FROM customer
+        |FROM customer c
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)""".stripMargin,
     "x10_set_ops" ->
-      """SELECT user_id FROM events WHERE event_type = 'purchase'
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 20
         |INTERSECT
-        |SELECT user_id FROM events WHERE event_type = 'error'
+        |SELECT user_id FROM events WHERE event_type = 'error' AND value > 20
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'signup'""".stripMargin,
+        |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 200""".stripMargin,
     "x6_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.95), 6) AS p95
@@ -865,10 +878,16 @@ object Queries {
       """SELECT doc_id AS media_id,
         |       unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000)) AS frame_ts_ms
         |FROM documents""".stripMargin,
+    // Mirrors resizeStub exactly: the byte budget runs on the UTF-8 payload
+    // byte length (octet_length of the blob) while the stub width/height
+    // derive from the CHARACTER length (asBlobTable meta), and the final
+    // substr can only keep what exists (outer least; an empty payload stays
+    // 0 bytes despite the greatest(1, …) floor in the budget).
     "x4_resize" ->
       """SELECT doc_id AS media_id,
-        |  CAST(greatest(1, least(length(text),
-        |    length(text) * 19200 // greatest((length(text) % 640) * (length(text) % 480), 1)))
+        |  CAST(least(octet_length(encode(text)), greatest(1,
+        |    octet_length(encode(text)) * 19200
+        |      // greatest((length(text) % 640) * (length(text) % 480), 1)))
         |    AS BIGINT) AS n_bytes,
         |  CAST(160 AS INTEGER) AS width, CAST(120 AS INTEGER) AS height
         |FROM documents""".stripMargin,

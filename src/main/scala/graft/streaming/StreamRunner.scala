@@ -38,12 +38,14 @@ object StreamRunner {
   def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
     val df = Interpreter.build(spark, spec, sources)
     import org.apache.spark.sql.functions.{col, count, lit, when}
-    if (df.isStreaming && df.columns.contains(Interpreter.KeyCol))
-      df.observe(s"${spec.id}_peek", count(lit(1)).as("rows"),
-        count(when(col(Interpreter.KeyCol).isNull, 1)).as("null_keys"))
-    else if (df.isStreaming)
-      df.observe(s"${spec.id}_peek", count(lit(1)).as("rows"))
-    else df
+    if (!df.isStreaming) df
+    else {
+      val metrics = count(lit(1)).as("rows") +:
+        (if (df.columns.contains(Interpreter.KeyCol))
+          Seq(count(when(col(Interpreter.KeyCol).isNull, 1)).as("null_keys"))
+        else Nil)
+      df.observe(s"${spec.id}_peek", metrics.head, metrics.tail: _*)
+    }
   }
 
   /** Run a spec to an in-memory sink (tests / debugging). */
