@@ -116,8 +116,12 @@ object TextAnalysis {
     val terms = docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_doc_tokens"),
         explode(col("toks")).as("term"))
+    // cached: tf feeds both the df aggregation and the final join — without
+    // it the tokenize+explode+groupBy pipeline runs twice (same
+    // derived-frame-reuse rule as the LSH self-joins)
     val tf = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("n_doc_tokens")).as("n_doc_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     tf.join(broadcast(df), "term").crossJoin(broadcast(n))
