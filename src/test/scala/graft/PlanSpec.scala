@@ -67,6 +67,26 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("anti join plans as a hash anti join, never NOT-IN nested loop (q22)") {
+    // the 1-row scalar-aggregate broadcast cross IS a BNLJ by design; the
+    // pin is that the ANTI join itself stays a hash/merge equi join
+    val p = plan("q22_no_orders")
+    val antiIsHash = Seq("BroadcastHashJoin LeftAnti", "ShuffledHashJoin LeftAnti",
+      "SortMergeJoin LeftAnti").exists(p.contains)
+    assert(antiIsHash, s"anti join not a hash/merge join:\n${p.take(500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin LeftAnti"),
+      "anti join fell back to nested loop")
+  }
+
+  test("salted join's key join stays an equi hash/merge join (x13)") {
+    // the 8-row salt replication cross is a BNLJ by design; the pin is the
+    // (key, salt) join itself
+    val p = plan("x13_salted_join")
+    val mainIsEqui = Seq("BroadcastHashJoin Inner", "ShuffledHashJoin Inner",
+      "SortMergeJoin Inner").exists(p.contains)
+    assert(mainIsEqui, s"salted key join not an equi join:\n${p.take(500)}")
+  }
+
   test("column pruning reaches the scan: 2-column projection reads 2 columns") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
