@@ -213,6 +213,25 @@ object Queries {
       .withColumn("sum_value", round(col("sum_value"), 4))
       .withColumn("avg_value", round(col("avg_value"), 6))
 
+  /** R11+X6 windowed AGGREGATION through the config path: the eventTime
+    * extension adds a tumbling window (+ watermark when streaming) to the
+    * spec-driven group-by — the scale-correct form of the reference's
+    * unbounded per-key state store.
+    */
+  def r11WindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-per-type-windowed","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"event_type"},
+         |"groupByKeyType":"java.lang.String",
+         |"aggregations":[{"function":"count"},{"function":"sum","fieldName":"value"}],
+         |"eventTime":{"column":"ts","window":"10 minutes","watermark":"15 minutes"},
+         |"stateStoreName":"events-windowed-store",
+         |"outputTopic":{"enabled":true,"name":"events-windowed"}}""".stripMargin,
+      keyName = "event_type").withColumnRenamed("count", "cnt")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .select("window_start", "event_type", "cnt", "sum_value")
+
   /** R16 JSON-string → object parse (JsonStringToObjectMapper ≅ from_json):
     * lenient mode — malformed/missing fields → null (SerdeFactory.java:30).
     */
@@ -722,6 +741,10 @@ object Queries {
         |       round(avg(value), 6) AS avg_value, min(value) AS min_value,
         |       max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "r11_windowed_agg" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "r16_json_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k FROM events""",
     "r17_generic_map" ->
@@ -1003,6 +1026,7 @@ object Queries {
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,
     "r11_agg_multi" -> r11AggMulti _,
+    "r11_windowed_agg" -> r11WindowedAgg _,
     "r16_json_parse" -> r16JsonParse _,
     "r17_serde_roundtrip" -> r17SerdeRoundtrip _,
     "r17_generic_map" -> r17GenericMap _,

@@ -71,6 +71,16 @@ case class OutputTopic(
   */
 case class AggSpec(function: String = "count", fieldName: Option[String] = None)
 
+/** Event-time windowing for AGGREGATION mode — the extension that makes the
+  * reference's unbounded per-key state store scale-correct on a stream:
+  * with a window + watermark, streaming state is evicted past the watermark
+  * instead of growing per key forever. Batch runs the same tumbling-window
+  * grouping (oracle-checkable). No reference analogue (it has no windowed
+  * operations at all — SURVEY §2A declared-absent list).
+  */
+case class EventTimeSpec(column: String, window: String,
+    watermark: Option[String] = None)
+
 /** Mirror of AggregationDefinition (config/AggregationDefinition.java:7-130). */
 case class PipelineSpec(
     id: String,
@@ -81,6 +91,7 @@ case class PipelineSpec(
     groupByKeyExtraction: Option[KeyExtraction] = None,
     groupByKeyType: Option[String] = None,
     aggregations: Seq[AggSpec] = Nil,
+    eventTime: Option[EventTimeSpec] = None,
     stateStoreName: Option[String] = None,
     outputTopic: Option[OutputTopic] = None) {
 

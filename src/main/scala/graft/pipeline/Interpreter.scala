@@ -198,8 +198,18 @@ object Interpreter extends Logging {
     // The group key is typed by the declared groupByKeyType — the serde the
     // reference repartitions the grouped stream with (DynamicTopologyBuilder
     // .java:206-210 Grouped.with(keySerde, ...)).
-    val src = spec.groupByKeyType.fold(src0)(t =>
+    val src1 = spec.groupByKeyType.fold(src0)(t =>
       src0.withColumn(KeyCol, castKey(col(KeyCol), t)))
+    // Event-time windowing (EventTimeSpec): tumbling window added to the
+    // group key; on a streaming frame the watermark bounds the state —
+    // the scale-correct form of the reference's unbounded per-key store.
+    val src = spec.eventTime.flatMap(_.watermark) match {
+      case Some(wm) if src1.isStreaming =>
+        src1.withWatermark(spec.eventTime.get.column, wm)
+      case _ => src1
+    }
+    val groupCols = spec.eventTime.map(et =>
+      window(col(et.column), et.window)).toSeq :+ col(KeyCol)
     val aggs = if (spec.aggregations.isEmpty) Seq(AggSpec("count", None)) else spec.aggregations
     val exprs = aggs.map {
       case AggSpec("count", _)            => count(lit(1)).as("count")
@@ -210,7 +220,11 @@ object Interpreter extends Logging {
       case AggSpec(fn, f) =>
         throw new IllegalArgumentException(s"[${spec.id}] unsupported aggregation $fn($f)")
     }
-    src.groupBy(col(KeyCol)).agg(exprs.head, exprs.tail: _*)
+    val agged = src.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
+    // flatten the window struct for relational output/sinks
+    if (spec.eventTime.isDefined)
+      agged.withColumn("window_start", col("window.start")).drop("window")
+    else agged
   }
 
   /** Sink projection (R15, DynamicTopologyBuilder.java:61-74): the record key

@@ -65,6 +65,37 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed AGGREGATION spec (eventTime + watermark) converges to the batch result") {
+    val spec = PipelineSpec.fromJson(
+      """{"id":"events-windowed-stream","processingMode":"AGGREGATION",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"groupByKeyExtraction":{"source":"VALUE","fieldName":"event_type"},
+        |"groupByKeyType":"java.lang.String",
+        |"eventTime":{"column":"ts","window":"10 minutes","watermark":"15 minutes"},
+        |"stateStoreName":"s","outputTopic":{"enabled":true,"name":"o"}}""".stripMargin)
+    val df = StreamRunner.build(spark, spec,
+      new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
+      .withColumnRenamed(graft.pipeline.Interpreter.KeyCol, "event_type")
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("wagg_t")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode: last emission per (window, key) is the final state
+      val streaming = spark.table("wagg_t")
+        .groupBy("window_start", "event_type").agg(max("count").as("cnt"))
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+      val batch = graft.pipeline.Interpreter.build(spark, spec,
+        new ParquetSourceResolver(sf(), TestdataCatalog))
+        .withColumnRenamed(graft.pipeline.Interpreter.KeyCol, "event_type")
+        .orderBy("window_start", "event_type")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[String]("event_type"), r.getAs[Long]("count"))).toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("streaming queries expose the R13 peek channel as observed metrics") {
     val q = StreamRunner.startMemory(spark, joinSpec,
       new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog), "peek_t")
