@@ -153,6 +153,26 @@ object Queries {
          |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"maybe_region"}]}],
          |"outputTopic":{"enabled":true,"name":"customer-region-left"}}""".stripMargin)
 
+  /** R10 extended field mappings (the reference's own named future work,
+    * AggregationDefinition.java:96): `defaultValue` fills left-join misses
+    * with a typed constant instead of null, and `expression` computes an
+    * output field from SQL over the joined row.
+    */
+  def r10FieldMapping(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"customer-region-defaults","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"region-step","type":"LEFT_JOIN",
+         |  "initialSourceIsStream":false,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"c_nationkey"},
+         |  "enrichmentTopic":{"name":"region","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"c_custkey","outputFieldName":"custkey"},
+         |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"region",
+         |     "defaultValue":"UNKNOWN"},
+         |    {"outputFieldName":"double_bal","expression":"round(c_acctbal * 2.0, 2)"}]}],
+         |"outputTopic":{"enabled":true,"name":"customer-region-defaults"}}""".stripMargin)
+
   /** R9 three-step left-deep chain: orders → customer → nation → region. */
   def r09JoinChainMulti(spark: SparkSession, dir: String): DataFrame =
     runSpec(spark, dir,
@@ -727,6 +747,10 @@ object Queries {
     "r08_table_table_left" ->
       """SELECT c.c_custkey AS custkey, c.c_name AS name, r.r_name AS maybe_region
         |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
+    "r10_field_mapping" ->
+      """SELECT c.c_custkey AS custkey, coalesce(r.r_name, 'UNKNOWN') AS region,
+        |       round(c.c_acctbal * 2.0, 2) AS double_bal
+        |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
     "r09_join_chain_multi" ->
       """SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
         |       n.n_name AS nation, r.r_name AS region
@@ -1023,6 +1047,7 @@ object Queries {
     "r06_join_chain_left_null" -> r06JoinChainLeftNull _,
     "r07_table_table_join" -> r07TableTableJoin _,
     "r08_table_table_left" -> r08TableTableLeft _,
+    "r10_field_mapping" -> r10FieldMapping _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,
     "r11_agg_multi" -> r11AggMulti _,

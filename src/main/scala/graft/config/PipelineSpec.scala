@@ -37,11 +37,21 @@ case class TopicConfig(
   */
 case class KeyExtraction(source: String, fieldName: Option[String] = None)
 
-/** Mirror of JoinFieldMapping (AggregationDefinition.java:89-97).
-  * source: "LEFT" | "RIGHT"; a missing source field yields a typed null output
-  * column (DynamicPojoValueJoiner.java:58-63 warn-and-null semantics).
+/** Mirror of JoinFieldMapping (AggregationDefinition.java:89-97), plus the
+  * extensions the reference itself names as future work
+  * (AggregationDefinition.java:96): `defaultValue` substitutes for a null or
+  * missing source value, and `expression` computes the output field from a
+  * SQL expression over the joined row (overrides source/sourceFieldName).
+  * A missing source field otherwise yields a typed null output column
+  * (DynamicPojoValueJoiner.java:58-63 warn-and-null semantics).
   */
-case class FieldMapping(source: String, sourceFieldName: String, outputFieldName: String)
+case class FieldMapping(source: String = "LEFT", sourceFieldName: String = "",
+    outputFieldName: String, defaultValue: Option[String] = None,
+    expression: Option[String] = None) {
+  def validate(where: String): Unit =
+    require(expression.isDefined || sourceFieldName.nonEmpty,
+      s"[$where] field mapping '$outputFieldName' needs sourceFieldName or expression")
+}
 
 /** Mirror of JoinOperationConfig (AggregationDefinition.java:57-83).
   * `global = true` marks the enrichment table as a GlobalKTable analogue
@@ -104,6 +114,7 @@ case class PipelineSpec(
       require(sourceTopic.name.nonEmpty, s"[$id] sourceTopic required")
       joinOperations.foreach { op =>
         require(op.outputFieldsMapping.nonEmpty, s"[$id/${op.id}] outputFieldsMapping required")
+        op.outputFieldsMapping.foreach(_.validate(s"$id/${op.id}"))
       }
     case ProcessingMode.Aggregation =>
       require(groupByKeyExtraction.isDefined && groupByKeyType.isDefined,

@@ -165,18 +165,34 @@ object Interpreter extends Logging {
       // becomes a warned-and-typed null (:58-63). Keep __key — Kafka Streams
       // joins never change the record key.
       val outCols = op.outputFieldsMapping.map { m =>
-        val side = m.source match {
-          case "LEFT"  => left
-          case "RIGHT" => enrichment0
-          case other   => throw new IllegalArgumentException(s"[${op.id}] unknown mapping source $other")
+        m.expression match {
+          // expression mapping (reference-named future work): computed over
+          // the joined row; resolves either side's columns by name
+          case Some(sql) => expr(sql).as(m.outputFieldName)
+          case None =>
+            val side = m.source match {
+              case "LEFT"  => left
+              case "RIGHT" => enrichment0
+              case other   => throw new IllegalArgumentException(s"[${op.id}] unknown mapping source $other")
+            }
+            val sideName = if (m.source == "LEFT") "left input" else op.enrichmentTopic.name
+            val exists = side.columns.contains(m.sourceFieldName)
+            val base =
+              if (exists) side(m.sourceFieldName)
+              else {
+                logWarning(s"[${spec.id}/${op.id}] field '${m.sourceFieldName}' not found in " +
+                  s"$sideName; emitting null (reference warn-and-null semantics)")
+                lit(null).cast(StringType)
+              }
+            (m.defaultValue match {
+              // default substitutes for null/missing values, typed to the
+              // source column so coalesce can't silently widen to string
+              case Some(d) =>
+                val dt = if (exists) side.schema(m.sourceFieldName).dataType else StringType
+                coalesce(base, lit(d).cast(dt))
+              case None => base
+            }).as(m.outputFieldName)
         }
-        val sideName = if (m.source == "LEFT") "left input" else op.enrichmentTopic.name
-        (if (side.columns.contains(m.sourceFieldName)) side(m.sourceFieldName)
-         else {
-           logWarning(s"[${spec.id}/${op.id}] field '${m.sourceFieldName}' not found in " +
-             s"$sideName; emitting null (reference warn-and-null semantics)")
-           lit(null).cast(StringType)
-         }).as(m.outputFieldName)
       }
       joined.select(left(KeyCol) +: outCols: _*)
     }

@@ -136,6 +136,25 @@ class InterpreterSpec extends SparkSuite {
     assert(out.schema(graft.pipeline.Interpreter.KeyCol).dataType.typeName == "integer")
   }
 
+  test("field mapping without sourceFieldName or expression is a build-time error") {
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"id":"bad-fm","processingMode":"JOIN_CHAIN",
+          |"sourceTopic":{"name":"customer"},
+          |"joinOperations":[{"id":"s1","type":"LEFT_JOIN",
+          |  "enrichmentTopic":{"name":"region"},
+          |  "outputFieldsMapping":[{"outputFieldName":"dangling"}]}]}""".stripMargin)
+    }
+  }
+
+  test("defaultValue keeps the source column type (no silent string widening)") {
+    val out = Queries.r10FieldMapping(spark, sf())
+    assert(out.schema("double_bal").dataType.typeName == "double")
+    assert(out.schema("region").dataType.typeName == "string")
+    assert(out.filter(col("region") === "UNKNOWN").count() > 0)
+    assert(out.filter(col("region").isNull).count() == 0)
+  }
+
   test("unknown processing mode rejected") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson(
