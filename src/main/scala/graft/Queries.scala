@@ -204,6 +204,50 @@ object Queries {
          |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"region"}]}],
          |"outputTopic":{"enabled":true,"name":"orders-3hop-out"}}""".stripMargin)
 
+  /** Full OUTER join — the type the reference's enum names as future work
+    * ("add OUTER if needed", AggregationDefinition.java:42-46). Region keys
+    * 0–4 against customer keys 1..N: region 0 survives left-only, custkeys
+    * above 4 survive right-only, 1–4 match — all three outer-join row
+    * classes are exercised.
+    */
+  def r08OuterJoin(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"region-customer-outer","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"region","keyClass":"java.lang.Integer"},
+         |"joinOperations":[{"id":"outer-step","type":"OUTER_JOIN",
+         |  "initialSourceIsStream":false,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"r_regionkey"},
+         |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"r_name","outputFieldName":"region_name"},
+         |    {"source":"RIGHT","sourceFieldName":"c_custkey","outputFieldName":"custkey"},
+         |    {"source":"RIGHT","sourceFieldName":"c_name","outputFieldName":"customer_name"}]}],
+         |"outputTopic":{"enabled":true,"name":"region-customer-outer"}}""".stripMargin)
+
+  /** Spec-level pre-sink filter on a SIMPLE_STREAM (the reference has no
+    * filter/predicate operator anywhere — SURVEY §2A declared-absent).
+    */
+  def r21Filter(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"events-filtered","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"filter":"value > 100 AND event_type = 'purchase'",
+         |"outputTopic":{"enabled":true,"name":"events-filtered"}}""".stripMargin)
+
+  /** Spec filter after AGGREGATION = HAVING semantics through the config
+    * path (the predicate sees the aggregate output columns).
+    */
+  def r11Having(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-per-user-having","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |"groupByKeyType":"java.lang.Long",
+         |"filter":"count > 70",
+         |"stateStoreName":"events-per-user-having-store",
+         |"outputTopic":{"enabled":true,"name":"events-per-user-having"}}""".stripMargin,
+      keyName = "user_id").withColumnRenamed("count", "cnt")
+
   /** R11/R12 AGGREGATION count by extracted key (FIXTURES.md B5). */
   def r11CountAgg(spark: SparkSession, dir: String): DataFrame =
     runSpecKeyed(spark, dir,
@@ -751,6 +795,15 @@ object Queries {
       """SELECT c.c_custkey AS custkey, coalesce(r.r_name, 'UNKNOWN') AS region,
         |       round(c.c_acctbal * 2.0, 2) AS double_bal
         |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
+    "r08_outer_join" ->
+      """SELECT r.r_name AS region_name, c.c_custkey AS custkey, c.c_name AS customer_name
+        |FROM region r FULL JOIN customer c ON r.r_regionkey = c.c_custkey""".stripMargin,
+    "r21_filter" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events WHERE value > 100 AND event_type = 'purchase'""".stripMargin,
+    "r11_having" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id HAVING count(*) > 70""".stripMargin,
     "r09_join_chain_multi" ->
       """SELECT o.o_orderkey AS order_id, o.o_totalprice AS total,
         |       n.n_name AS nation, r.r_name AS region
@@ -1048,6 +1101,9 @@ object Queries {
     "r07_table_table_join" -> r07TableTableJoin _,
     "r08_table_table_left" -> r08TableTableLeft _,
     "r10_field_mapping" -> r10FieldMapping _,
+    "r08_outer_join" -> r08OuterJoin _,
+    "r21_filter" -> r21Filter _,
+    "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,
     "r11_agg_multi" -> r11AggMulti _,

@@ -17,9 +17,11 @@ object ProcessingMode {
 }
 
 object JoinType {
-  // AggregationDefinition.java:42-46 — reference enum has only these two.
+  // AggregationDefinition.java:42-46 — the reference enum has INNER/LEFT
+  // with an "add OUTER if needed" comment; OUTER_JOIN implements that.
   val Inner = "INNER_JOIN"
   val Left  = "LEFT_JOIN"
+  val Outer = "OUTER_JOIN"
 }
 
 /** Mirror of TopicConfig (AggregationDefinition.java:49-53).
@@ -103,6 +105,10 @@ case class PipelineSpec(
     aggregations: Seq[AggSpec] = Nil,
     eventTime: Option[EventTimeSpec] = None,
     stateStoreName: Option[String] = None,
+    // Pre-sink SQL predicate over the pipeline output (the reference has no
+    // filter operator at all — SURVEY §2A declared-absent list; for an
+    // AGGREGATION spec this is HAVING semantics).
+    filter: Option[String] = None,
     outputTopic: Option[OutputTopic] = None) {
 
   /** Build-time validation — the reference throws IllegalArgumentException for

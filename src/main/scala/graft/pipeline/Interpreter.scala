@@ -55,7 +55,7 @@ object Interpreter extends Logging {
     */
   def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
     spec.validate()
-    spec.processingMode match {
+    val built = spec.processingMode match {
       case ProcessingMode.JoinChain    => buildChainedJoin(spark, spec, sources)
       case ProcessingMode.Aggregation  => buildAggregation(spark, spec, sources)
       case ProcessingMode.SimpleStream =>
@@ -65,6 +65,9 @@ object Interpreter extends Logging {
         withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
           spec.sourceKeyExtraction, sources.catalog)
     }
+    // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
+    // Catalyst pushes it down through the plan wherever legal
+    spec.filter.fold(built)(f => built.filter(expr(f)))
   }
 
   /** Attach the record key column: either the catalog's key for the topic
@@ -157,6 +160,7 @@ object Interpreter extends Logging {
       val joinType = op.`type` match {
         case JoinType.Inner => "inner"
         case JoinType.Left  => "left_outer"
+        case JoinType.Outer => "full_outer"
         case other => throw new IllegalArgumentException(s"[${op.id}] unknown join type $other")
       }
       val joined = left.join(enrichment0, leftKey === rightKey, joinType)
