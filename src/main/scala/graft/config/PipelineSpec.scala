@@ -78,6 +78,14 @@ case class OutputTopic(
     partitions: Option[Int] = None,
     replicationFactor: Option[Short] = None)
 
+/** Predicate-routed output branch — the KStream.split()/branch() analogue
+  * (the reference has no branch operator: SURVEY §2A declared-absent list).
+  * Each branch filters the pipeline output with a SQL predicate and writes
+  * to its own topic; branches are independent (a record can match several,
+  * or none).
+  */
+case class BranchSpec(predicate: String, outputTopic: OutputTopic)
+
 /** Aggregation beyond the reference's stubbed count
   * (DynamicTopologyBuilder.java:188-223 names "count, sum, reduce, etc.").
   */
@@ -109,7 +117,8 @@ case class PipelineSpec(
     // filter operator at all — SURVEY §2A declared-absent list; for an
     // AGGREGATION spec this is HAVING semantics).
     filter: Option[String] = None,
-    outputTopic: Option[OutputTopic] = None) {
+    outputTopic: Option[OutputTopic] = None,
+    branches: Seq[BranchSpec] = Nil) {
 
   /** Build-time validation — the reference throws IllegalArgumentException for
     * the same conditions (DynamicTopologyBuilder.java:41-43, 96-101, 144-146).

@@ -129,16 +129,26 @@ object BatchSink {
 }
 
 /** End-to-end batch pipeline runner: spec → plan → sink (the full
-  * buildAggregationTopology + start lifecycle in batch mode).
+  * buildAggregationTopology + start lifecycle in batch mode). `branches`
+  * fan the output out to predicate-routed topics (KStream.split analogue);
+  * the main outputTopic and every branch write from ONE built plan — the
+  * pipeline computes once, each sink adds only its filter.
   */
 object PipelineRunner {
   def runBatch(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
-      outBase: String): Option[String] = {
+      outBase: String): Seq[String] = {
     val df = Interpreter.build(spark, spec, sources)
-    spec.outputTopic.filter(_.enabled).map { topic =>
-      BatchSink.write(df, topic, outBase, new DirProvisioner(outBase))
+    val provisioner = new DirProvisioner(outBase)
+    val main = spec.outputTopic.filter(_.enabled).map { topic =>
+      BatchSink.write(df, topic, outBase, provisioner)
       s"$outBase/${topic.name}/data"
     }
+    val branched = spec.branches.filter(_.outputTopic.enabled).map { b =>
+      BatchSink.write(df.filter(org.apache.spark.sql.functions.expr(b.predicate)),
+        b.outputTopic, outBase, provisioner)
+      s"$outBase/${b.outputTopic.name}/data"
+    }
+    main.toSeq ++ branched
   }
 }
 

@@ -53,8 +53,8 @@ class SinksSpec extends SparkSuite {
         .stripMargin)
     val path = PipelineRunner.runBatch(spark, spec,
       new ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
-    assert(path.isDefined)
-    val written = spark.read.parquet(path.get)
+    assert(path.nonEmpty)
+    val written = spark.read.parquet(path.head)
     assert(written.columns.toSeq == Seq("key", "value"))
     val row = written.filter(col("key").isNotNull).limit(1)
       .select(from_json(col("value"),
@@ -77,6 +77,29 @@ class SinksSpec extends SparkSuite {
       new ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
     assert(path.isEmpty)
     assert(!Files.exists(java.nio.file.Paths.get(out, "nope")))
+  }
+
+  test("branches route the one built output to predicate-filtered topics (split)") {
+    val out = Files.createTempDirectory("graft-sink3").toString
+    val spec = PipelineSpec.fromJson(
+      """{"id":"events-split","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"events-all"},
+        |"branches":[
+        |  {"predicate":"event_type = 'error'",
+        |   "outputTopic":{"enabled":true,"name":"events-errors"}},
+        |  {"predicate":"value > 100",
+        |   "outputTopic":{"enabled":true,"name":"events-big"}}]}""".stripMargin)
+    val paths = PipelineRunner.runBatch(spark, spec,
+      new ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
+    assert(paths.size == 3)
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val all = spark.read.parquet(paths(0)).count()
+    val errors = spark.read.parquet(paths(1)).count()
+    val big = spark.read.parquet(paths(2)).count()
+    assert(all == ev.count())
+    assert(errors == ev.filter(col("event_type") === "error").count() && errors > 0)
+    assert(big == ev.filter(col("value") > 100).count() && big > 0)
   }
 
   test("peek/observe reports row and null-key counts without changing data (R13)") {
