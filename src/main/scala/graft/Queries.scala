@@ -821,7 +821,7 @@ object Queries {
     "r11_windowed_agg" ->
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "r16_json_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k FROM events""",
     "r17_generic_map" ->

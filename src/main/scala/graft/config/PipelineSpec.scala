@@ -123,19 +123,26 @@ case class PipelineSpec(
   /** Build-time validation — the reference throws IllegalArgumentException for
     * the same conditions (DynamicTopologyBuilder.java:41-43, 96-101, 144-146).
     */
-  def validate(): Unit = processingMode match {
-    case ProcessingMode.JoinChain =>
-      require(joinOperations.nonEmpty, s"[$id] JOIN_CHAIN requires joinOperations")
-      require(sourceTopic.name.nonEmpty, s"[$id] sourceTopic required")
-      joinOperations.foreach { op =>
-        require(op.outputFieldsMapping.nonEmpty, s"[$id/${op.id}] outputFieldsMapping required")
-        op.outputFieldsMapping.foreach(_.validate(s"$id/${op.id}"))
-      }
-    case ProcessingMode.Aggregation =>
-      require(groupByKeyExtraction.isDefined && groupByKeyType.isDefined,
-        s"[$id] AGGREGATION requires groupByKeyExtraction and groupByKeyType")
-    case ProcessingMode.SimpleStream => ()
-    case other => throw new IllegalArgumentException(s"[$id] unknown processingMode $other")
+  def validate(): Unit = {
+    processingMode match {
+      case ProcessingMode.JoinChain =>
+        require(joinOperations.nonEmpty, s"[$id] JOIN_CHAIN requires joinOperations")
+        require(sourceTopic.name.nonEmpty, s"[$id] sourceTopic required")
+        joinOperations.foreach { op =>
+          require(op.outputFieldsMapping.nonEmpty, s"[$id/${op.id}] outputFieldsMapping required")
+          op.outputFieldsMapping.foreach(_.validate(s"$id/${op.id}"))
+        }
+      case ProcessingMode.Aggregation =>
+        require(groupByKeyExtraction.isDefined && groupByKeyType.isDefined,
+          s"[$id] AGGREGATION requires groupByKeyExtraction and groupByKeyType")
+      case ProcessingMode.SimpleStream => ()
+      case other => throw new IllegalArgumentException(s"[$id] unknown processingMode $other")
+    }
+    // eventTime is consumed only by the aggregation builder — declaring it
+    // elsewhere would be silently ignored, the opposite of what a user
+    // bounding state intends, so reject it at build time.
+    require(eventTime.isEmpty || processingMode == ProcessingMode.Aggregation,
+      s"[$id] eventTime is only valid in AGGREGATION mode")
   }
 }
 

@@ -164,6 +164,13 @@ object Interpreter extends Logging {
         case other => throw new IllegalArgumentException(s"[${op.id}] unknown join type $other")
       }
       val joined = left.join(enrichment0, leftKey === rightKey, joinType)
+      // A full-outer step's record key is the JOIN key from whichever side
+      // exists — right-only rows would otherwise carry a null __key and be
+      // silently dropped by the next step's null-key filter (degrading
+      // OUTER to LEFT mid-chain) or written as null Kafka keys.
+      val carriedKey =
+        if (joinType == "full_outer") coalesce(leftKey, rightKey).as(KeyCol)
+        else left(KeyCol)
       // Projection ≅ DynamicPojoValueJoiner (joins/DynamicPojoValueJoiner.java:37-66):
       // every declared output field is always present; a missing source field
       // becomes a warned-and-typed null (:58-63). Keep __key — Kafka Streams
@@ -198,7 +205,7 @@ object Interpreter extends Logging {
             }).as(m.outputFieldName)
         }
       }
-      joined.select(left(KeyCol) +: outCols: _*)
+      joined.select(carriedKey +: outCols: _*)
     }
     // Table-rooted chains end in toStream() (DynamicTopologyBuilder.java:179-185)
     // — identity in batch (R14): the latest-per-key view IS the changelog head.
@@ -223,10 +230,14 @@ object Interpreter extends Logging {
     // Event-time windowing (EventTimeSpec): tumbling window added to the
     // group key; on a streaming frame the watermark bounds the state —
     // the scale-correct form of the reference's unbounded per-key store.
+    // Windowing has no null bucket: rows with a null event time are dropped
+    // EXPLICITLY here (Spark's window() rewrite silently drops them anyway;
+    // the filter makes the posture deliberate and oracle-mirrored).
+    val src2 = spec.eventTime.fold(src1)(et => src1.filter(col(et.column).isNotNull))
     val src = spec.eventTime.flatMap(_.watermark) match {
-      case Some(wm) if src1.isStreaming =>
-        src1.withWatermark(spec.eventTime.get.column, wm)
-      case _ => src1
+      case Some(wm) if src2.isStreaming =>
+        src2.withWatermark(spec.eventTime.get.column, wm)
+      case _ => src2
     }
     val groupCols = spec.eventTime.map(et =>
       window(col(et.column), et.window)).toSeq :+ col(KeyCol)

@@ -137,18 +137,27 @@ object BatchSink {
 object PipelineRunner {
   def runBatch(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
       outBase: String): Seq[String] = {
-    val df = Interpreter.build(spark, spec, sources)
-    val provisioner = new DirProvisioner(outBase)
-    val main = spec.outputTopic.filter(_.enabled).map { topic =>
-      BatchSink.write(df, topic, outBase, provisioner)
-      s"$outBase/${topic.name}/data"
-    }
-    val branched = spec.branches.filter(_.outputTopic.enabled).map { b =>
-      BatchSink.write(df.filter(org.apache.spark.sql.functions.expr(b.predicate)),
-        b.outputTopic, outBase, provisioner)
-      s"$outBase/${b.outputTopic.name}/data"
-    }
-    main.toSeq ++ branched
+    val df0 = Interpreter.build(spark, spec, sources)
+    val enabledBranches = spec.branches.filter(_.outputTopic.enabled)
+    // more than one sink consumes the same built frame → persist for the
+    // fan-out (a derived frame recomputes per consuming action otherwise)
+    val fanOut = enabledBranches.nonEmpty && spec.outputTopic.exists(_.enabled)
+    val df = if (fanOut || enabledBranches.size > 1)
+      df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df0
+    try {
+      val provisioner = new DirProvisioner(outBase)
+      val main = spec.outputTopic.filter(_.enabled).map { topic =>
+        BatchSink.write(df, topic, outBase, provisioner)
+        s"$outBase/${topic.name}/data"
+      }
+      val branched = enabledBranches.map { b =>
+        BatchSink.write(df.filter(org.apache.spark.sql.functions.expr(b.predicate)),
+          b.outputTopic, outBase, provisioner)
+        s"$outBase/${b.outputTopic.name}/data"
+      }
+      main.toSeq ++ branched
+    } finally if (df ne df0) { df.unpersist(); () }
   }
 }
 

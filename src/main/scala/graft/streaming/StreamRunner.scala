@@ -48,13 +48,40 @@ object StreamRunner {
     }
   }
 
+  /** `branches` fan out to one streaming query per branch; the single-query
+    * entry points below reject them rather than silently writing only the
+    * main topic (behavioral parity with batch PipelineRunner.runBatch).
+    */
+  private def requireNoBranches(spec: PipelineSpec, entry: String): Unit =
+    require(spec.branches.isEmpty,
+      s"[${spec.id}] branches need one query per sink — use ${entry}Branches")
+
   /** Run a spec to an in-memory sink (tests / debugging). */
   def startMemory(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
-      queryName: String): StreamingQuery =
+      queryName: String): StreamingQuery = {
+    requireNoBranches(spec, "startMemory")
     Interpreter.values(build(spark, spec, sources))
       .writeStream.format("memory").queryName(queryName)
       .outputMode(outputModeFor(spec))
       .start()
+  }
+
+  /** Branch fan-out to memory sinks: the main output under `queryName`, each
+    * branch under `queryName_<topic>` (KStream.split semantics — a record
+    * lands in every branch whose predicate it satisfies). One built plan,
+    * one streaming query per sink (Structured Streaming's unit of sink).
+    */
+  def startMemoryBranches(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver, queryName: String): Seq[StreamingQuery] = {
+    val df = build(spark, spec, sources)
+    import org.apache.spark.sql.functions.expr
+    def start(frame: org.apache.spark.sql.DataFrame, name: String) =
+      Interpreter.values(frame).writeStream.format("memory").queryName(name)
+        .outputMode(outputModeFor(spec)).start()
+    val main = spec.outputTopic.filter(_.enabled).map(_ => start(df, queryName)).toSeq
+    main ++ spec.branches.filter(_.outputTopic.enabled).map(b =>
+      start(df.filter(expr(b.predicate)), s"${queryName}_${b.outputTopic.name}"))
+  }
 
   /** Run a spec to a Kafka topic sink (production path; requires the
     * spark-sql-kafka connector on the classpath). Provisions the output
@@ -65,11 +92,36 @@ object StreamRunner {
   def startKafka(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
       bootstrapServers: String, checkpoint: String,
       provisioner: Option[graft.sinks.TopicProvisioner] = None): StreamingQuery = {
+    requireNoBranches(spec, "startKafka")
     val topic = spec.outputTopic.filter(_.enabled).getOrElse(
       throw new IllegalArgumentException(s"[${spec.id}] no enabled outputTopic"))
+    startKafkaSink(spark, spec, build(spark, spec, sources), topic,
+      bootstrapServers, s"$checkpoint/${topic.name}", provisioner)
+  }
+
+  /** Branch fan-out to Kafka topics: main output plus one query per branch,
+    * each with its own checkpoint subdirectory and provisioned topic.
+    */
+  def startKafkaBranches(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
+      bootstrapServers: String, checkpoint: String,
+      provisioner: Option[graft.sinks.TopicProvisioner] = None): Seq[StreamingQuery] = {
+    val df = build(spark, spec, sources)
+    import org.apache.spark.sql.functions.expr
+    val main = spec.outputTopic.filter(_.enabled).map(t =>
+      startKafkaSink(spark, spec, df, t, bootstrapServers,
+        s"$checkpoint/${t.name}", provisioner)).toSeq
+    main ++ spec.branches.filter(_.outputTopic.enabled).map(b =>
+      startKafkaSink(spark, spec, df.filter(expr(b.predicate)), b.outputTopic,
+        bootstrapServers, s"$checkpoint/${b.outputTopic.name}", provisioner))
+  }
+
+  private def startKafkaSink(spark: SparkSession, spec: PipelineSpec,
+      df: org.apache.spark.sql.DataFrame, topic: graft.config.OutputTopic,
+      bootstrapServers: String, checkpoint: String,
+      provisioner: Option[graft.sinks.TopicProvisioner]): StreamingQuery = {
     provisioner.getOrElse(new graft.sinks.KafkaTopicProvisioner(
       () => graft.sinks.TopicAdmin.reflective(bootstrapServers))).provision(topic)
-    Interpreter.toKafkaShape(build(spark, spec, sources))
+    Interpreter.toKafkaShape(df)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic.name)

@@ -155,6 +155,36 @@ class InterpreterSpec extends SparkSuite {
     assert(out.filter(col("region").isNull).count() == 0)
   }
 
+  test("full-outer step carries the join key from whichever side exists") {
+    // right-only rows must keep a usable record key (the join key), not a
+    // null __key that the next chain step or the Kafka sink would drop
+    val out = graft.pipeline.Interpreter.build(spark,
+      PipelineSpec.fromJson(
+        """{"id":"outer-key","processingMode":"JOIN_CHAIN",
+          |"sourceTopic":{"name":"region","keyClass":"java.lang.Integer"},
+          |"joinOperations":[{"id":"s1","type":"OUTER_JOIN",
+          |  "initialSourceIsStream":false,
+          |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"r_regionkey"},
+          |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+          |  "outputFieldsMapping":[
+          |    {"source":"RIGHT","sourceFieldName":"c_custkey","outputFieldName":"custkey"}]}]}""".stripMargin),
+      new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog))
+    assert(out.filter(col(graft.pipeline.Interpreter.KeyCol).isNull).count() == 0)
+    // a right-only row (custkey > 4) carries its own key
+    val rightOnly = out.filter(col("custkey") > 4).limit(1).head()
+    assert(rightOnly.getLong(out.columns.indexOf(graft.pipeline.Interpreter.KeyCol))
+      == rightOnly.getLong(out.columns.indexOf("custkey")))
+  }
+
+  test("eventTime outside AGGREGATION mode is rejected at build time") {
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"id":"bad-et","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events"},
+          |"eventTime":{"column":"ts","window":"10 minutes"}}""".stripMargin)
+    }
+  }
+
   test("unknown processing mode rejected") {
     intercept[IllegalArgumentException] {
       PipelineSpec.fromJson(

@@ -110,6 +110,30 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming branches: one query per sink, predicate-routed (split)") {
+    val spec = PipelineSpec.fromJson(
+      """{"id":"events-split-stream","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"all"},
+        |"branches":[{"predicate":"event_type = 'error'",
+        |             "outputTopic":{"enabled":true,"name":"errs"}}]}""".stripMargin)
+    // single-query entry points refuse rather than silently dropping branches
+    intercept[IllegalArgumentException] {
+      StreamRunner.startMemory(spark, spec,
+        new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog), "nope_t")
+    }
+    val qs = StreamRunner.startMemoryBranches(spark, spec,
+      new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog), "split_t")
+    try {
+      qs.foreach(_.processAllAvailable())
+      val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      assert(spark.table("split_t").count() == ev.count())
+      assert(spark.table("split_t_errs").count() ==
+        ev.filter(col("event_type") === "error").count())
+      assert(spark.table("split_t_errs").count() > 0)
+    } finally qs.foreach(_.stop())
+  }
+
   test("nanos timestamp conversion applies on the streaming path too") {
     val src = new FileStreamSourceResolver(sf(), TestdataCatalog)
     val ev = src.stream(spark, graft.config.TopicConfig("events"))
