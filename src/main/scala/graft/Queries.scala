@@ -296,6 +296,24 @@ object Queries {
       .withColumn("sum_value", round(col("sum_value"), 4))
       .select("window_start", "event_type", "cnt", "sum_value")
 
+  /** R11+X6 session-windowed AGGREGATION through the config path
+    * (`windowType: session`, window = inactivity gap): sessions merge while
+    * events keep arriving within the gap — per-key sessionization as
+    * declarative spec config.
+    */
+  def r11SessionAgg(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-user-sessions","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |"groupByKeyType":"java.lang.Long",
+         |"eventTime":{"column":"ts","window":"5 minutes","watermark":"15 minutes",
+         |  "windowType":"session"},
+         |"stateStoreName":"events-session-store",
+         |"outputTopic":{"enabled":true,"name":"events-user-sessions"}}""".stripMargin,
+      keyName = "user_id").withColumnRenamed("count", "cnt")
+      .select(col("window_start").as("session_start"), col("user_id"), col("cnt"))
+
   /** R16 JSON-string → object parse (JsonStringToObjectMapper ≅ from_json):
     * lenient mode — malformed/missing fields → null (SerdeFactory.java:30).
     */
@@ -822,6 +840,17 @@ object Queries {
       """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
         |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
         |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "r11_session_agg" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w >= INTERVAL '5 minutes' THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "r16_json_parse" ->
       """SELECT event_id, CAST(props::JSON->>'k' AS INTEGER) AS prop_k FROM events""",
     "r17_generic_map" ->
@@ -1108,6 +1137,7 @@ object Queries {
     "r11_count_agg" -> r11CountAgg _,
     "r11_agg_multi" -> r11AggMulti _,
     "r11_windowed_agg" -> r11WindowedAgg _,
+    "r11_session_agg" -> r11SessionAgg _,
     "r16_json_parse" -> r16JsonParse _,
     "r17_serde_roundtrip" -> r17SerdeRoundtrip _,
     "r17_generic_map" -> r17GenericMap _,

@@ -94,12 +94,16 @@ case class AggSpec(function: String = "count", fieldName: Option[String] = None)
 /** Event-time windowing for AGGREGATION mode — the extension that makes the
   * reference's unbounded per-key state store scale-correct on a stream:
   * with a window + watermark, streaming state is evicted past the watermark
-  * instead of growing per key forever. Batch runs the same tumbling-window
-  * grouping (oracle-checkable). No reference analogue (it has no windowed
-  * operations at all — SURVEY §2A declared-absent list).
+  * instead of growing per key forever. Batch runs the same window grouping
+  * (oracle-checkable). No reference analogue (it has no windowed operations
+  * at all — SURVEY §2A declared-absent list).
+  *
+  * `windowType`: "tumbling" (default; `window` = width) or "session"
+  * (`window` = inactivity gap, windows merge while events keep arriving
+  * within the gap).
   */
 case class EventTimeSpec(column: String, window: String,
-    watermark: Option[String] = None)
+    watermark: Option[String] = None, windowType: String = "tumbling")
 
 /** Mirror of AggregationDefinition (config/AggregationDefinition.java:7-130). */
 case class PipelineSpec(

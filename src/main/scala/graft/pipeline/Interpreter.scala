@@ -239,8 +239,12 @@ object Interpreter extends Logging {
         src2.withWatermark(spec.eventTime.get.column, wm)
       case _ => src2
     }
-    val groupCols = spec.eventTime.map(et =>
-      window(col(et.column), et.window)).toSeq :+ col(KeyCol)
+    val groupCols = spec.eventTime.map {
+      case et if et.windowType == "session" => session_window(col(et.column), et.window)
+      case et if et.windowType == "tumbling" => window(col(et.column), et.window)
+      case et => throw new IllegalArgumentException(
+        s"[${spec.id}] unknown windowType ${et.windowType}")
+    }.toSeq :+ col(KeyCol)
     val aggs = if (spec.aggregations.isEmpty) Seq(AggSpec("count", None)) else spec.aggregations
     val exprs = aggs.map {
       case AggSpec("count", _)            => count(lit(1)).as("count")
@@ -253,9 +257,10 @@ object Interpreter extends Logging {
     }
     val agged = src.groupBy(groupCols: _*).agg(exprs.head, exprs.tail: _*)
     // flatten the window struct for relational output/sinks
-    if (spec.eventTime.isDefined)
-      agged.withColumn("window_start", col("window.start")).drop("window")
-    else agged
+    spec.eventTime.fold(agged) { et =>
+      val wcol = if (et.windowType == "session") "session_window" else "window"
+      agged.withColumn("window_start", col(s"$wcol.start")).drop(wcol)
+    }
   }
 
   /** Sink projection (R15, DynamicTopologyBuilder.java:61-74): the record key
