@@ -74,9 +74,15 @@ object Dedup {
     * ≥1 identical band land in one bucket; each doc contributes exactly
     * `bands` shuffle rows regardless of length.
     */
+  /** @param reliable use reliable (HDFS) checkpoints for the materialized
+    *   candidate set instead of localCheckpoint — required fault tolerance on
+    *   a real cluster (local checkpoint blocks are not recomputable after an
+    *   executor loss). Caller must have set `setCheckpointDir`. Local mode /
+    *   tests keep the zero-IO local form.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, reliable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // NOT cached: the 128-long signature arrays are ~1 KB/row — persisting
     // them costs more than the three map-side recomputes it saves (measured
@@ -88,8 +94,9 @@ object Dedup {
     // the banded cache), then frees the cache — the operator leaves no
     // persisted frames behind for the caller to clean up. The residual
     // artifact is the materialized candidate-pair RDD (16-byte rows, the
-    // smallest frame in the job), released via [[release]] if needed.
-    val cands = lazyCands.localCheckpoint()
+    // smallest frame in the job), released via [[releaseCheckpoint]] if the
+    // caller needs the blocks back before application exit.
+    val cands = if (reliable) lazyCands.checkpoint() else lazyCands.localCheckpoint()
     banded.unpersist(false)
     val s1 = sigs.select(col("id").as("id1"), col("sig").as("sig1"))
     val s2 = sigs.select(col("id").as("id2"), col("sig").as("sig2"))
@@ -99,6 +106,47 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("est_jaccard"))
+  }
+
+  /** MinHash signature frame `(id, sig)` — `sig` is an Array[Long] of
+    * `numHashes` minima over the doc's hashed word shingles, computed in one
+    * native-expression pass (no shingle explosion). Deliberately NOT
+    * persisted: callers decide the caching policy (see [[minhashLshPairs]]).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      HashFunctions.minhash_from_hashes(
+        HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        numHashes).as("sig"))
+
+  /** LSH banding over a `(id, sig)` signature frame. Returns
+    * `(banded, candidatePairs)`:
+    *  - `banded` — the persisted narrow `(id, band, bucket)` frame (20-byte
+    *    rows regardless of document size; the ONLY thing that rides the
+    *    candidate-generation exchange). Caller must `unpersist()` it after
+    *    forcing `candidatePairs`.
+    *  - `candidatePairs` — LAZY `(id1, id2)` pairs, `id1 < id2`, deduped on
+    *    (id1, id2) so pairs colliding in several bands emit once. Both
+    *    self-join sides read the banded cache, so forcing it executes the
+    *    signature pass exactly once.
+    */
+  def minhashCandidates(sigs: DataFrame, numHashes: Int, bands: Int):
+      (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val banded = sigs.select(col("id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("id"), col("band"),
+        hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    (banded, cands)
   }
 
   /** SimHash near-dup: 64-bit sketch, pigeonhole banding into 4×16-bit chunks
@@ -233,15 +281,19 @@ object Dedup {
     labels
   }
 
-  /** Best-effort release of a no-longer-needed checkpoint: unpin the cached
-    * blocks (Dataset.unpersist only covers CacheManager entries, not the
-    * RDD a checkpoint pinned) and delete reliable-checkpoint files — the
-    * ContextCleaner does not remove those by default
-    * (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
+  /** Best-effort release of a no-longer-needed checkpoint-backed frame:
+    * unpin the cached blocks (Dataset.unpersist only covers CacheManager
+    * entries, not the RDD a checkpoint pinned) and delete
+    * reliable-checkpoint files — the ContextCleaner does not remove those by
+    * default (spark.cleaner.referenceTracking.cleanCheckpoints=false), so a
     * long-running cluster app would otherwise leak one edge-list-sized
-    * dataset per round. Safe to fail silently — worst case blocks age out /
-    * files persist until application exit.
+    * dataset per round. Public so callers of [[minhashLshPairs]] /
+    * [[componentsFromPairs]] can reclaim the returned frame's blocks once
+    * consumed. Safe to fail silently — worst case blocks age out / files
+    * persist until application exit.
     */
+  def releaseCheckpoint(df: DataFrame): Unit = freeCheckpoint(df)
+
   private def freeCheckpoint(df: DataFrame): Unit = Try {
     val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     df.queryExecution.analyzed.collectLeaves().foreach {

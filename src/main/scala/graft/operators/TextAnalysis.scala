@@ -116,12 +116,13 @@ object TextAnalysis {
     val terms = docs.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_doc_tokens"),
         explode(col("toks")).as("term"))
-    // cached: tf feeds both the df aggregation and the final join — without
-    // it the tokenize+explode+groupBy pipeline runs twice (same
-    // derived-frame-reuse rule as the LSH self-joins)
+    // NOT cached: tf feeds both the df aggregation and the final join, but
+    // the wide (doc_id, term) frame is the largest in the job — persisting it
+    // costs more to write than the map-only tokenize recompute it saves
+    // (measured 0.95s without vs 4.35s with, sf0.1). Same rule as the
+    // Jaccard/MinHash wide frames: cache only narrow derived frames.
     val tf = terms.groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"), first(col("n_doc_tokens")).as("n_doc_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     tf.join(broadcast(df), "term").crossJoin(broadcast(n))

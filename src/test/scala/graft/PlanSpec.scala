@@ -43,12 +43,32 @@ class PlanSpec extends SparkSuite {
     // Spark does not reuse a derived frame's plan across self-join sides;
     // the round-1 plans computed every sketch twice. The banded frames are
     // persisted now — both join inputs must be InMemoryRelation scans.
-    for (q <- Seq("x2_minhash_lsh", "x2_simhash", "x2_embed_dup")) {
+    for (q <- Seq("x2_simhash", "x2_embed_dup")) {
       val p = plan(q)
       val hits = "InMemoryTableScan".r.findAllIn(p).size
       assert(hits >= 2, s"$q: expected both self-join sides cached, found $hits cache scans")
       spark.catalog.clearCache() // don't leak the 43-query suite's caches
     }
+  }
+
+  test("minhash LSH: banded self-join cached both sides; final plan rejoins a materialized candidate set (X2)") {
+    // minhashLshPairs eagerly checkpoints the candidate pairs and releases
+    // the banded cache before returning — so the cache pin is asserted on
+    // the LAZY candidate plan (both self-join sides InMemoryTableScan), and
+    // the final plan is pinned to rejoin signatures against the materialized
+    // RDD, never re-running the band shuffle.
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 128)
+    val (banded, lazyCands) = graft.operators.Dedup.minhashCandidates(sigs, 128, 32)
+    val candPlan = lazyCands.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val hits = "InMemoryTableScan".r.findAllIn(candPlan).size
+    assert(hits >= 2, s"expected both band self-join sides cached, found $hits")
+    banded.unpersist(true)
+    val p = plan("x2_minhash_lsh")
+    assert(p.contains("Scan ExistingRDD"),
+      s"candidate set not checkpoint-backed in final plan:\n${p.take(400)}")
+    spark.catalog.clearCache()
   }
 
   test("CC collapse rounds run over materialized edges, not the pairs DAG (X2)") {
