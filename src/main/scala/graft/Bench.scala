@@ -4,9 +4,16 @@ package graft
   * declared query end-to-end (noop sink — full plan runs, nothing written)
   * on SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   *
-  * Each query is warmed once at sf0.001 before timing so the measured
-  * number is data work at the target SF, not first-call Catalyst/codegen
-  * compilation (~0.3–2s of pure JVM noise that masked real regressions).
+  * Methodology (round-3 advisor fixes baked in):
+  *  - each query is warmed once at sf0.001 so the measured number is data
+  *    work at the target SF, not first-call Catalyst/codegen compilation
+  *    (~0.3–2s of pure JVM noise that masked real regressions);
+  *  - `clearCache()` runs between EVERY phase — warm→timed and run→run —
+  *    so a timed run never reads a previous run's resident caches;
+  *  - each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
+  *    the MEDIAN is reported — single-run noise (±0.5s on sketch queries)
+  *    twice masqueraded as round-over-round regression.
+  *
   * A failed query reports its elapsed time NEGATED and is listed under
   * "failed" — unambiguous in the artifact, instead of blending into the
   * fast passers.
@@ -15,25 +22,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = GraftSession.get()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // skip warmup when benching the warm SF itself — identical plans would
       // let the timed run read the warm run's persisted frames from cache
-      if (sfDir != warmDir)
+      if (sfDir != warmDir) {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // warm failures surface in the timed run
-      val t0 = System.nanoTime()
-      val failed =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          true
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // release this query's persisted sketch frames (cache population is
-      // part of the timed work; accumulation across 40+ queries isn't)
-      spark.catalog.clearCache()
-      (name, if (failed) -secs else secs, failed)
+        spark.catalog.clearCache()
+      }
+      val timings = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val failed =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            true
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        // cache population is part of each timed run; carryover isn't
+        spark.catalog.clearCache()
+        (secs, failed)
+      }
+      val failed = timings.exists(_._2)
+      val sorted = timings.map(_._1).sorted
+      val median = sorted(sorted.size / 2)
+      (name, if (failed) -median else median, failed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -173,6 +173,29 @@ object Queries {
          |    {"outputFieldName":"double_bal","expression":"round(c_acctbal * 2.0, 2)"}]}],
          |"outputTopic":{"enabled":true,"name":"customer-region-defaults"}}""".stripMargin)
 
+  /** R10 `transformationFunction` mapping (the last of the reference's three
+    * named mapping extensions, AggregationDefinition.java:96): a whitelisted
+    * named function applied to the mapped value — after defaultValue, so
+    * defaults transform too.
+    */
+  def r10Transform(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"customer-region-transforms","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"region-step","type":"LEFT_JOIN",
+         |  "initialSourceIsStream":false,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"c_nationkey"},
+         |  "enrichmentTopic":{"name":"region","keyClass":"java.lang.Integer"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"c_custkey","outputFieldName":"custkey"},
+         |    {"source":"LEFT","sourceFieldName":"c_name","outputFieldName":"name_upper",
+         |     "transformationFunction":"upper"},
+         |    {"source":"RIGHT","sourceFieldName":"r_name","outputFieldName":"region_lower",
+         |     "defaultValue":"UNKNOWN","transformationFunction":"lower"},
+         |    {"source":"LEFT","sourceFieldName":"c_mktsegment","outputFieldName":"segment_len",
+         |     "transformationFunction":"length"}]}],
+         |"outputTopic":{"enabled":true,"name":"customer-region-transforms"}}""".stripMargin)
+
   /** R9 three-step left-deep chain: orders → customer → nation → region. */
   def r09JoinChainMulti(spark: SparkSession, dir: String): DataFrame =
     runSpec(spark, dir,
@@ -313,6 +336,26 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-user-sessions"}}""".stripMargin,
       keyName = "user_id").withColumnRenamed("count", "cnt")
       .select(col("window_start").as("session_start"), col("user_id"), col("cnt"))
+
+  /** R11+X6 sliding-windowed AGGREGATION through the config path
+    * (`windowType: sliding`, `window` = width, `slide` = hop): each event
+    * lands in window/slide overlapping windows — Spark's window(col, w, s)
+    * with epoch-aligned starts.
+    */
+  def r11SlidingAgg(spark: SparkSession, dir: String): DataFrame =
+    runSpecKeyed(spark, dir,
+      """{"id":"events-per-type-sliding","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"event_type"},
+         |"groupByKeyType":"java.lang.String",
+         |"aggregations":[{"function":"count"},{"function":"sum","fieldName":"value"}],
+         |"eventTime":{"column":"ts","window":"10 minutes","watermark":"15 minutes",
+         |  "windowType":"sliding","slide":"5 minutes"},
+         |"stateStoreName":"events-sliding-store",
+         |"outputTopic":{"enabled":true,"name":"events-sliding"}}""".stripMargin,
+      keyName = "event_type").withColumnRenamed("count", "cnt")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .select("window_start", "event_type", "cnt", "sum_value")
 
   /** R16 JSON-string → object parse (JsonStringToObjectMapper ≅ from_json):
     * lenient mode — malformed/missing fields → null (SerdeFactory.java:30).
@@ -607,7 +650,7 @@ object Queries {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nCells = 16, nProbe = 4)
+      k = 10, nCells = 16, nProbe = 4, nAssign = 2)
   }
 
   /** X4 multimodal: blob table → stubbed decode → per-media features. */
@@ -813,6 +856,20 @@ object Queries {
       """SELECT c.c_custkey AS custkey, coalesce(r.r_name, 'UNKNOWN') AS region,
         |       round(c.c_acctbal * 2.0, 2) AS double_bal
         |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
+    "r10_transform" ->
+      """SELECT c.c_custkey AS custkey, upper(c.c_name) AS name_upper,
+        |       lower(coalesce(r.r_name, 'UNKNOWN')) AS region_lower,
+        |       length(c.c_mktsegment) AS segment_len
+        |FROM customer c LEFT JOIN region r ON c.c_nationkey = r.r_regionkey""".stripMargin,
+    "r11_sliding_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS tb
+        |           FROM events WHERE ts IS NOT NULL),
+        |w AS (SELECT event_type, value, tb - i * INTERVAL '5 minutes' AS window_start
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) s)
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |       round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "r08_outer_join" ->
       """SELECT r.r_name AS region_name, c.c_custkey AS custkey, c.c_name AS customer_name
         |FROM region r FULL JOIN customer c ON r.r_regionkey = c.c_custkey""".stripMargin,
@@ -1130,6 +1187,8 @@ object Queries {
     "r07_table_table_join" -> r07TableTableJoin _,
     "r08_table_table_left" -> r08TableTableLeft _,
     "r10_field_mapping" -> r10FieldMapping _,
+    "r10_transform" -> r10Transform _,
+    "r11_sliding_agg" -> r11SlidingAgg _,
     "r08_outer_join" -> r08OuterJoin _,
     "r21_filter" -> r21Filter _,
     "r11_having" -> r11Having _,

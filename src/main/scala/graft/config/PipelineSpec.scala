@@ -42,17 +42,45 @@ case class KeyExtraction(source: String, fieldName: Option[String] = None)
 /** Mirror of JoinFieldMapping (AggregationDefinition.java:89-97), plus the
   * extensions the reference itself names as future work
   * (AggregationDefinition.java:96): `defaultValue` substitutes for a null or
-  * missing source value, and `expression` computes the output field from a
-  * SQL expression over the joined row (overrides source/sourceFieldName).
+  * missing source value, `expression` computes the output field from a
+  * SQL expression over the joined row (overrides source/sourceFieldName),
+  * and `transformationFunction` applies one whitelisted named function to
+  * the mapped value (the reference names the field; the whitelist is ours —
+  * an open SQL string here would be `expression` by another name).
   * A missing source field otherwise yields a typed null output column
   * (DynamicPojoValueJoiner.java:58-63 warn-and-null semantics).
   */
 case class FieldMapping(source: String = "LEFT", sourceFieldName: String = "",
     outputFieldName: String, defaultValue: Option[String] = None,
-    expression: Option[String] = None) {
-  def validate(where: String): Unit =
+    expression: Option[String] = None,
+    transformationFunction: Option[String] = None) {
+  def validate(where: String): Unit = {
     require(expression.isDefined || sourceFieldName.nonEmpty,
       s"[$where] field mapping '$outputFieldName' needs sourceFieldName or expression")
+    transformationFunction.foreach(f => require(
+      FieldMapping.transformations.contains(f),
+      s"[$where] unknown transformationFunction '$f' (supported: " +
+        s"${FieldMapping.transformations.keys.toSeq.sorted.mkString(", ")})"))
+  }
+}
+
+object FieldMapping {
+  import org.apache.spark.sql.{functions => F, Column}
+  /** Named single-column transforms a spec may reference. All are
+    * codegen'd builtins — a transform never forces a UDF into the join
+    * projection.
+    */
+  val transformations: Map[String, Column => Column] = Map(
+    "upper"  -> F.upper _,
+    "lower"  -> F.lower _,
+    "trim"   -> F.trim _,
+    "ltrim"  -> ((c: Column) => F.ltrim(c)),
+    "rtrim"  -> ((c: Column) => F.rtrim(c)),
+    "length" -> ((c: Column) => F.length(c).cast("long")),
+    "abs"    -> F.abs _,
+    "round"  -> ((c: Column) => F.round(c, 0)),
+    "floor"  -> ((c: Column) => F.floor(c)),
+    "ceil"   -> ((c: Column) => F.ceil(c)))
 }
 
 /** Mirror of JoinOperationConfig (AggregationDefinition.java:57-83).
@@ -98,12 +126,14 @@ case class AggSpec(function: String = "count", fieldName: Option[String] = None)
   * (oracle-checkable). No reference analogue (it has no windowed operations
   * at all — SURVEY §2A declared-absent list).
   *
-  * `windowType`: "tumbling" (default; `window` = width) or "session"
+  * `windowType`: "tumbling" (default; `window` = width), "session"
   * (`window` = inactivity gap, windows merge while events keep arriving
-  * within the gap).
+  * within the gap), or "sliding" (`window` = width, `slide` = hop; each
+  * event lands in `window / slide` overlapping windows).
   */
 case class EventTimeSpec(column: String, window: String,
-    watermark: Option[String] = None, windowType: String = "tumbling")
+    watermark: Option[String] = None, windowType: String = "tumbling",
+    slide: Option[String] = None)
 
 /** Mirror of AggregationDefinition (config/AggregationDefinition.java:7-130). */
 case class PipelineSpec(
@@ -147,6 +177,26 @@ case class PipelineSpec(
     // bounding state intends, so reject it at build time.
     require(eventTime.isEmpty || processingMode == ProcessingMode.Aggregation,
       s"[$id] eventTime is only valid in AGGREGATION mode")
+    eventTime.foreach { et =>
+      require(Set("tumbling", "session", "sliding").contains(et.windowType),
+        s"[$id] unknown windowType ${et.windowType}")
+      require(et.windowType != "sliding" || et.slide.isDefined,
+        s"[$id] windowType 'sliding' requires a slide interval")
+      require(et.slide.isEmpty || et.windowType == "sliding",
+        s"[$id] slide is only valid with windowType 'sliding'")
+      // A windowed streaming aggregation without a watermark never evicts
+      // state (and session windows refuse to start at all in Append mode) —
+      // the spec is a latent streaming failure, so reject it up front.
+      // Batch runs ignore the watermark; requiring it costs nothing there.
+      require(et.watermark.isDefined,
+        s"[$id] eventTime windowing requires a watermark (bounds streaming state)")
+    }
+    // Every sink topic (main + branches) derives its streaming query name
+    // and checkpoint directory from the topic name — duplicates would share
+    // a checkpoint and corrupt each other's offsets.
+    val sinkNames = outputTopic.map(_.name).toSeq ++ branches.map(_.outputTopic.name)
+    require(sinkNames.distinct.size == sinkNames.size,
+      s"[$id] duplicate output topic names: ${sinkNames.mkString(", ")}")
   }
 }
 

@@ -115,14 +115,22 @@ object Similarity {
     centroids
   }
 
-  /** IVF (inverted-file) ANN: assign corpus vectors to their nearest coarse
-    * centroid (map-side, centroids broadcast), then for each query scan only
-    * the `nProbe` nearest cells. Centroids come from [[kmeansCentroids]] —
-    * a deterministic sampled k-means — so cells approximate the data's
-    * actual Voronoi structure instead of arbitrary seed points.
+  /** IVF (inverted-file) ANN: assign corpus vectors to their `nAssign`
+    * nearest coarse centroids (map-side, centroids broadcast), then for each
+    * query scan only the `nProbe` nearest cells. Centroids come from
+    * [[kmeansCentroids]] — a deterministic sampled k-means — so cells
+    * approximate the data's actual Voronoi structure instead of arbitrary
+    * seed points.
+    *
+    * `nAssign > 1` is multiple assignment (Jégou et al. 2011 §V: index
+    * boundary points in several cells): the inverted index grows ×nAssign
+    * but recall on weakly-clustered data rises sharply, because a true
+    * neighbor near a Voronoi boundary no longer hides in an unprobed cell.
+    * The probe-side scan cost stays ~nProbe/nCells of the (larger) index.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4, nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1 && nAssign <= nCells, "nAssign must be in [1, nCells]")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val centroids: Array[(Long, Array[Double])] =
       kmeansCentroids(corpus, idCol, vecCol, nCells)
@@ -141,8 +149,19 @@ object Similarity {
       val dists = array(centroids.map(c0 => distTo(vec, c0._2)): _*)
       element_at(cellIds, array_position(dists, array_min(dists)).cast("int"))
     }
+    // n nearest cells: sort the (dist, cell) struct array once per row and
+    // slice — the lambda touches only its own variable, so nothing big
+    // re-evaluates per element (the HOF O(n²) trap). Ties break on cell id
+    // ascending via the struct's field order, matching nearestCell.
+    def nearestCells(vec: Column, n: Int): Column = {
+      val dists = array(centroids.map(c0 => distTo(vec, c0._2)): _*)
+      transform(slice(array_sort(arrays_zip(dists.as("d"), cellIds.as("cell"))), 1, n),
+        s => s.getField("cell"))
+    }
 
-    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+    val assigned =
+      if (nAssign == 1) c.withColumn("cell", nearestCell(col("cv")))
+      else c.withColumn("cell", explode(nearestCells(col("cv"), nAssign)))
 
     // Query-side probing: queries are small; explode query × centroid and
     // rank to the nProbe closest cells.
@@ -155,8 +174,13 @@ object Similarity {
     val probed = probedScored.withColumn("cr", row_number().over(wp))
       .filter(col("cr") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
 
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+    val scored0 = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
+    // multi-assignment can surface one (query, neighbor) via several probed
+    // cells — dedupe before the top-k heap or a strong neighbor would claim
+    // two ranks. nAssign=1 keeps the exchange-free single-pass shape.
+    val scored = (if (nAssign == 1) scored0
+      else scored0.dropDuplicates("query_id", "neighbor_id"))
       .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("top"))

@@ -176,10 +176,10 @@ object Interpreter extends Logging {
       // becomes a warned-and-typed null (:58-63). Keep __key — Kafka Streams
       // joins never change the record key.
       val outCols = op.outputFieldsMapping.map { m =>
-        m.expression match {
+        val mapped = m.expression match {
           // expression mapping (reference-named future work): computed over
           // the joined row; resolves either side's columns by name
-          case Some(sql) => expr(sql).as(m.outputFieldName)
+          case Some(sql) => expr(sql)
           case None =>
             val side = m.source match {
               case "LEFT"  => left
@@ -195,15 +195,21 @@ object Interpreter extends Logging {
                   s"$sideName; emitting null (reference warn-and-null semantics)")
                 lit(null).cast(StringType)
               }
-            (m.defaultValue match {
+            m.defaultValue match {
               // default substitutes for null/missing values, typed to the
               // source column so coalesce can't silently widen to string
               case Some(d) =>
                 val dt = if (exists) side.schema(m.sourceFieldName).dataType else StringType
                 coalesce(base, lit(d).cast(dt))
               case None => base
-            }).as(m.outputFieldName)
+            }
         }
+        // transformationFunction (AggregationDefinition.java:96) wraps the
+        // mapped value last — after defaultValue, so the default transforms
+        // too (a user mapping upper(region) expects 'UNKNOWN', not 'unknown')
+        m.transformationFunction
+          .fold(mapped)(f => graft.config.FieldMapping.transformations(f)(mapped))
+          .as(m.outputFieldName)
       }
       joined.select(carriedKey +: outCols: _*)
     }
@@ -242,6 +248,8 @@ object Interpreter extends Logging {
     val groupCols = spec.eventTime.map {
       case et if et.windowType == "session" => session_window(col(et.column), et.window)
       case et if et.windowType == "tumbling" => window(col(et.column), et.window)
+      case et if et.windowType == "sliding" =>
+        window(col(et.column), et.window, et.slide.get)
       case et => throw new IllegalArgumentException(
         s"[${spec.id}] unknown windowType ${et.windowType}")
     }.toSeq :+ col(KeyCol)

@@ -22,6 +22,12 @@ import graft.sources.SourceResolver
 object StreamRunner {
 
   def outputModeFor(spec: PipelineSpec): OutputMode = spec.processingMode match {
+    // Session-window streaming aggregation is rejected by Spark in Update
+    // mode (merging sessions can't be expressed as per-key upserts) — it
+    // must run Append, emitting each session once finalized past the
+    // watermark. PipelineSpec.validate guarantees the watermark exists.
+    case ProcessingMode.Aggregation
+        if spec.eventTime.exists(_.windowType == "session") => OutputMode.Append()
     case ProcessingMode.Aggregation => OutputMode.Update()
     case _ => OutputMode.Append()
   }

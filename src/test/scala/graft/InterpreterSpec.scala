@@ -191,4 +191,37 @@ class InterpreterSpec extends SparkSuite {
         """{"id":"bad","processingMode":"NOPE","sourceTopic":{"name":"events"}}""")
     }
   }
+
+  test("spec validation: transformationFunction, sliding slide, watermark, sink-name collisions") {
+    def agg(extra: String) = PipelineSpec.fromJson(
+      s"""{"id":"v","processingMode":"AGGREGATION",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |"groupByKeyType":"java.lang.Long"$extra}""".stripMargin)
+    // unknown transformationFunction name → build-time error, not a UDF hole
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"id":"v","processingMode":"JOIN_CHAIN",
+          |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+          |"joinOperations":[{"id":"s","type":"LEFT_JOIN",
+          |  "enrichmentTopic":{"name":"region"},
+          |  "outputFieldsMapping":[{"source":"LEFT","sourceFieldName":"c_name",
+          |    "outputFieldName":"o","transformationFunction":"exec"}]}]}""".stripMargin)
+    }
+    assert(e1.getMessage.contains("transformationFunction"))
+    // sliding requires slide; slide requires sliding; windowing requires watermark
+    intercept[IllegalArgumentException](agg(
+      ""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes","windowType":"sliding"}"""))
+    intercept[IllegalArgumentException](agg(
+      ""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes","slide":"5 minutes"}"""))
+    intercept[IllegalArgumentException](agg(
+      ""","eventTime":{"column":"ts","window":"10 minutes"}"""))
+    // duplicate sink topic names (main vs branch) would share a checkpoint
+    intercept[IllegalArgumentException](agg(
+      ""","outputTopic":{"enabled":true,"name":"t"},
+         |"branches":[{"predicate":"1=1","outputTopic":{"enabled":true,"name":"t"}}]""".stripMargin))
+    // the happy sliding path parses
+    agg(""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes",
+         |  "windowType":"sliding","slide":"5 minutes"}""".stripMargin)
+  }
 }

@@ -115,23 +115,36 @@ class OperatorsSpec extends SparkSuite {
   test("IVF ANN with k-means centroids: recall@10 vs exact on the real embeddings") {
     // This table's top-10 "neighbors" sit at cosine 0.25–0.39 — essentially
     // scattered points, not cluster-mates. A quantizer upper-bound experiment
-    // (numpy k-means, 5 restarts) caps recall@10 at ~0.5–0.8 for nProbe=4/16
-    // on this data, so the honest bars here are 0.6 @ 4 probes and 0.85 @ 8;
-    // the >=0.9 @ nProbe=4 contract is asserted on genuinely clustered data
-    // in the next test, where the IVF assumption actually holds.
+    // (numpy k-means, 5 restarts) caps SINGLE-assignment recall@10 at
+    // ~0.5–0.8 for nProbe=4/16 here; nAssign=2 multiple assignment (each
+    // vector indexed in its 2 nearest cells) breaks that cap — measured
+    // 0.65→0.875 @ nProbe=4 and 0.86→0.96 @ nProbe=8 (8-query probe) — so
+    // the bars are 0.8 @ 4 probes and 0.9 @ 8. The >=0.9 @ nProbe=4
+    // single-assignment contract is asserted on genuinely clustered data in
+    // the next test, where the IVF assumption actually holds.
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val q = e.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallAt(nProbe: Int): Double = {
-      val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, nProbe)
+      val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", 10, 16, nProbe, nAssign = 2)
         .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       exact.intersect(ann).size.toDouble / exact.size
     }
     val r4 = recallAt(4); val r8 = recallAt(8)
-    assert(r4 >= 0.6, s"recall $r4 below 0.6 at nProbe=4")
-    assert(r8 >= 0.85, s"recall $r8 below 0.85 at nProbe=8")
+    assert(r4 >= 0.8, s"recall $r4 below 0.8 at nProbe=4 with nAssign=2")
+    assert(r8 >= 0.9, s"recall $r8 below 0.9 at nProbe=8 with nAssign=2")
+  }
+
+  test("IVF multi-assignment emits each (query, neighbor) at most once per rank list") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val out = Similarity.ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      10, 16, 8, nAssign = 3)
+    val dups = out.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "a neighbor claimed two ranks after multi-assignment")
   }
 
   test("IVF ANN: recall@10 >= 0.9 at nProbe=4 on clustered data") {

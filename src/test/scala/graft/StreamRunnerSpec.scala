@@ -96,6 +96,91 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session-windowed AGGREGATION runs streaming in Append mode and emits closed sessions") {
+    // Spark 4 rejects session-window streaming aggregation in Update mode —
+    // outputModeFor must pick Append for session specs (and validate()
+    // guarantees the watermark Append needs). Closed sessions (past the
+    // watermark) must match the batch interpreter over the same rows.
+    val spec = PipelineSpec.fromJson(
+      """{"id":"mem-sessions","processingMode":"AGGREGATION",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+        |"groupByKeyType":"java.lang.Long",
+        |"eventTime":{"column":"ts","window":"5 minutes","watermark":"10 minutes",
+        |  "windowType":"session"},
+        |"stateStoreName":"s","outputTopic":{"enabled":true,"name":"o"}}""".stripMargin)
+    assert(StreamRunner.outputModeFor(spec) == org.apache.spark.sql.streaming.OutputMode.Append())
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val input = MemoryStream[(Timestamp, Long)](ss, 2)
+    val mem = new graft.sources.SourceResolver {
+      val catalog = TestdataCatalog
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        input.toDF().toDF("ts", "user_id")
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        fail("no table side in this spec")
+    }
+    val q = StreamRunner.build(spark, spec, mem)
+      .withColumnRenamed(graft.pipeline.Interpreter.KeyCol, "user_id")
+      .writeStream.format("memory").queryName("sess_append_t")
+      .outputMode(StreamRunner.outputModeFor(spec))
+      .start()
+    try {
+      // user 1: two events 2min apart (one session), then one 20min later
+      // (second session); user 2: one event
+      val batch1 = Seq((t(0), 1L), (t(2), 1L), (t(22), 1L), (t(1), 2L))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData((t(59), 9L)) // advance watermark past every session above
+      q.processAllAvailable()
+      val streaming = spark.table("sess_append_t")
+        .select("window_start", "user_id", "count")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streaming == Set((t(0), 1L, 2L), (t(22), 1L, 1L), (t(1), 2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("table-rooted emission: update-mode changelog head equals the batch table per input batch (R2/R14)") {
+    // SURVEY §7 contract: batch is authoritative, streaming is a best-effort
+    // update-mode changelog of the same view. After EVERY input batch the
+    // changelog head (latest emission per key) must equal Tables.latestPerKey
+    // over all rows ingested so far.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, String)](ss, 2) // (k, __offset, v)
+    val changelog = graft.streaming.StreamingTables.latestPerKey(
+      input.toDF().toDF("k", "__offset", "v"), Seq("k"), Seq("__offset"))
+    val q = changelog.writeStream.format("memory").queryName("head_t")
+      .outputMode("update").start()
+    val ingested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def checkHead(): Unit = {
+      // head = per key, the row from the LAST batch that touched it
+      val head = spark.table("head_t")
+        .groupBy("k").agg(max_by(struct(col("__offset"), col("v")), col("__offset")).as("h"))
+        .select(col("k"), col("h.v").as("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val batch = graft.sources.Tables.latestPerKey(
+        ingested.toSeq.toDF("k", "__offset", "v"), Seq("k"), Seq("__offset"))
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(head == batch, s"changelog head $head != batch $batch")
+    }
+    try {
+      for (batch <- Seq(
+          Seq((1L, 1L, "a"), (2L, 1L, "x")),
+          Seq((1L, 2L, "b"), (3L, 1L, "m")),
+          Seq((2L, 0L, "stale"), (3L, 2L, "n")))) {
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        ingested ++= batch
+        checkHead()
+      }
+    } finally q.stop()
+  }
+
   test("streaming queries expose the R13 peek channel as observed metrics") {
     val q = StreamRunner.startMemory(spark, joinSpec,
       new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog), "peek_t")
