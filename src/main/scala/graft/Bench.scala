@@ -22,7 +22,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.get()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // skip warmup when benching the warm SF itself — identical plans would
@@ -32,7 +32,12 @@ object Bench {
         catch { case _: Throwable => () } // warm failures surface in the timed run
         spark.catalog.clearCache()
       }
-      val timings = (1 to runs).map { _ =>
+      // stop timing on first failure — the outcome is already the negated
+      // failed marker, and re-running a broken query `runs` times only
+      // stretches the bench wall clock
+      val timings = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
+      var i = 0
+      while (i < runs && !timings.lastOption.exists(_._2)) {
         val t0 = System.nanoTime()
         val failed =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
@@ -43,7 +48,8 @@ object Bench {
         val secs = (System.nanoTime() - t0) / 1e9
         // cache population is part of each timed run; carryover isn't
         spark.catalog.clearCache()
-        (secs, failed)
+        timings += ((secs, failed))
+        i += 1
       }
       val failed = timings.exists(_._2)
       val sorted = timings.map(_._1).sorted

@@ -191,10 +191,12 @@ case class PipelineSpec(
       require(et.watermark.isDefined,
         s"[$id] eventTime windowing requires a watermark (bounds streaming state)")
     }
-    // Every sink topic (main + branches) derives its streaming query name
-    // and checkpoint directory from the topic name — duplicates would share
-    // a checkpoint and corrupt each other's offsets.
-    val sinkNames = outputTopic.map(_.name).toSeq ++ branches.map(_.outputTopic.name)
+    // Every ENABLED sink topic (main + branches) derives its streaming query
+    // name and checkpoint directory from the topic name — duplicates would
+    // share a checkpoint and corrupt each other's offsets. Disabled topics
+    // never start a sink, so they can't collide.
+    val sinkNames = outputTopic.filter(_.enabled).map(_.name).toSeq ++
+      branches.filter(_.outputTopic.enabled).map(_.outputTopic.name)
     require(sinkNames.distinct.size == sinkNames.size,
       s"[$id] duplicate output topic names: ${sinkNames.mkString(", ")}")
   }

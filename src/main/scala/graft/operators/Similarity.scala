@@ -174,16 +174,17 @@ object Similarity {
     val probed = probedScored.withColumn("cr", row_number().over(wp))
       .filter(col("cr") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
 
-    val scored0 = assigned.join(broadcast(probed), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
     // multi-assignment can surface one (query, neighbor) via several probed
-    // cells — dedupe before the top-k heap or a strong neighbor would claim
-    // two ranks. nAssign=1 keeps the exchange-free single-pass shape.
-    val scored = (if (nAssign == 1) scored0
-      else scored0.dropDuplicates("query_id", "neighbor_id"))
+    // cells with a bit-identical score — the distinct-pairs TopK collapses
+    // those INSIDE the partial aggregate, so no dropDuplicates exchange over
+    // the corpus-sized scored relation; the plan stays single-pass.
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+    val top = if (nAssign == 1) graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k)
+      else graft.functions.TopK.topkDistinct(col("cos"), col("neighbor_id"), k)
     scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("top"))
+      .agg(top.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
       .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
         col("p._2").as("neighbor_id"), col("p._1").as("cos"))
