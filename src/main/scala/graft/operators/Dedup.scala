@@ -34,12 +34,24 @@ object Dedup {
   /** All pairs (id1 < id2) with exact Jaccard similarity ≥ threshold over
     * word shingles, via an inverted-index join: explode *distinct* shingles,
     * self-join the postings, count common shingles per pair, then
-    * |∩| / (|a|+|b|-|∩|). No LSH approximation — this is the oracle-exact
-    * variant; at extreme scale prefer [[minhashLshPairs]], which bounds the
-    * explode to `bands` rows per doc instead of one per shingle.
+    * |∩| / (|a|+|b|-|∩|). With the default `maxShinglePostings = 0` this is
+    * exact — the oracle variant; at extreme scale prefer [[minhashLshPairs]],
+    * which bounds the explode to `bands` rows per doc instead of one per
+    * shingle, or set the posting cap below.
+    *
+    * @param maxShinglePostings when > 0, shingles appearing in more than
+    *   this many documents are dropped from the index before the self-join
+    *   (stop-shingle removal). A shingle shared by d documents contributes
+    *   d·(d−1)/2 join rows — one boilerplate phrase shared by 10⁶ docs is a
+    *   5·10¹¹-row quadratic skew bomb in ONE task. Dropping it bounds every
+    *   posting list at the cost of a documented approximation: Jaccard is
+    *   then computed over the filtered shingle universe (both |∩| and the
+    *   doc sizes exclude dropped shingles — the estimate stays internally
+    *   consistent), and pairs whose only overlap is ultra-common boilerplate
+    *   are missed, which is the point.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, threshold: Double): DataFrame = {
+      shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {
     // Shingle identity is a 64-bit hash composed from per-token hashes —
     // the shingle string is never materialized, and the posting rows that
     // cross the exchange are fixed-width (id, n, hash) triples. At corpus
@@ -54,17 +66,44 @@ object Dedup {
       .select(col(idCol).as("id"),
         HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
-    val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("h"))
-    val a = posts.as("a"); val b = posts.as("b")
-    val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .agg(count(lit(1)).as("inter"))
-    common
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    if (maxShinglePostings <= 0) {
+      val posts = sh.select(col("id"), col("n"), explode(col("sh")).as("h"))
+      val a = posts.as("a"); val b = posts.as("b")
+      val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+          col("a.n").as("n1"), col("b.n").as("n2"))
+        .agg(count(lit(1)).as("inter"))
+      common
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      val posts0 = sh.select(col("id"), explode(col("sh")).as("h"))
+      // hot set: partial-aggregated count per shingle hash, filtered to the
+      // over-cap tail. |hot| ≤ |postings| / cap by construction; no forced
+      // broadcast hint — AQE picks the broadcast anti join whenever the tail
+      // actually is small (the normal case) and degrades to a hash join
+      // instead of an OOM when a pathological corpus makes it large.
+      val hot = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShinglePostings).select(col("h"))
+      val posts = posts0.join(hot, Seq("h"), "left_anti")
+      // filtered doc sizes (same universe as the intersection counts);
+      // rejoined onto the candidate PAIRS, not the postings — the big
+      // posting exchange carries (id, h) only
+      val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val a = posts.as("a"); val b = posts.as("b")
+      val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+        .agg(count(lit(1)).as("inter"))
+      common
+        .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature-estimated
@@ -82,14 +121,15 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.5, reliable: Boolean = false): DataFrame = {
+      threshold: Double = 0.5, reliable: Boolean = false,
+      maxBucketSize: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     // NOT cached: the 128-long signature arrays are ~1 KB/row — persisting
     // them costs more than the three map-side recomputes it saves (measured
     // 1.35s without vs 2.32s with, sf0.1). Only the narrow banded frame is
     // cached (inside minhashCandidates), and it is released before return.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
-    val (banded, lazyCands) = minhashCandidates(sigs, numHashes, bands)
+    val (banded, lazyCands) = minhashCandidates(sigs, numHashes, bands, maxBucketSize)
     // Eager: executes the candidate self-join exactly once (both sides read
     // the banded cache), then frees the cache — the operator leaves no
     // persisted frames behind for the caller to clean up. The residual
@@ -130,9 +170,11 @@ object Dedup {
     *    (id1, id2) so pairs colliding in several bands emit once. Both
     *    self-join sides read the banded cache, so forcing it executes the
     *    signature pass exactly once.
+    *
+    * `maxBucketSize > 0` applies [[capBuckets]] before the self-join.
     */
-  def minhashCandidates(sigs: DataFrame, numHashes: Int, bands: Int):
-      (DataFrame, DataFrame) = {
+  def minhashCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = 0): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val banded = sigs.select(col("id"),
@@ -141,13 +183,33 @@ object Dedup {
       .select(col("id"), col("band"),
         hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val a = banded.as("a"); val b = banded.as("b")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.as("a"); val b = capped.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
     (banded, cands)
   }
+
+  /** Drop LSH buckets holding more than `cap` members before a candidate
+    * self-join (no-op when `cap <= 0`). A bucket of size s emits s·(s−1)/2
+    * pairs into ONE join task — a degenerate bucket (the all-identical-
+    * boilerplate cluster, an all-zeros embedding region) is the quadratic
+    * skew bomb of every LSH scheme, and production near-dup pipelines cap
+    * it (documented recall trade: members of an over-cap bucket can still
+    * pair through their OTHER bands/tables). The per-bucket count is one
+    * partial-aggregated pass over the narrow banded frame; the over-cap set
+    * is long-tail-small, and AQE picks the broadcast anti join when it is.
+    */
+  def capBuckets(banded: DataFrame, bucketCols: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val hot = banded.groupBy(bucketCols.map(col): _*)
+        .agg(count(lit(1)).as("sz")).filter(col("sz") > cap)
+        .select(bucketCols.map(col): _*)
+      banded.join(hot, bucketCols, "left_anti")
+    }
 
   /** SimHash near-dup: 64-bit sketch, pigeonhole banding into 4×16-bit chunks
     * (Hamming distance ≤ 3 ⇒ at least one chunk identical), Hamming-verified.
@@ -156,16 +218,17 @@ object Dedup {
     * "Detecting near-duplicates for web crawling").
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 0): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       HashFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sim"))
     // Cached (id, sim, chunk, bucket) — 28-byte rows; both self-join sides
     // read the cache instead of re-running tokenize+simhash over the corpus.
-    val banded = sh.select(col("id"), col("sim"),
+    val banded0 = sh.select(col("id"), col("sim"),
       explode(sequence(lit(0), lit(3))).as("chunk"))
       .withColumn("bucket",
         expr("shiftrightunsigned(sim, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(banded0, Seq("chunk", "bucket"), maxBucketSize)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -188,7 +251,8 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
-      threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, seed: Long = 42L,
+      maxBucketSize: Int = 0): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // Seq-of-Seq (structural equality) so two identically-seeded calls build
     // semanticEquals expressions — cache/exchange reuse across queries works.
@@ -201,10 +265,11 @@ object Dedup {
     // SignBuckets carries the hyperplane matrix as ONE plan node (a codegen
     // reference object) — the per-plane literal-array form made the plan
     // thousands of nodes and cost seconds of Catalyst/janino time.
-    val banded = e.select(col("id"),
+    val banded0 = e.select(col("id"),
         posexplode(VectorFunctions.sign_buckets(col("v"), planes, planesPerTable))
           .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

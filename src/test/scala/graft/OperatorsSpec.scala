@@ -52,6 +52,54 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs.forall(r => r.getDouble(2) >= 0.8))
   }
 
+  test("jaccard stop-shingle cap: boilerplate-only pairs drop, genuine near-dups survive") {
+    val boiler = "all rights reserved copyright notice applies to this document"
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta eta iota $boiler"),
+      (3L, s"completely different words one $boiler"),
+      (4L, s"some other entirely unrelated text two $boiler"),
+      (5L, s"nothing in common here at all three $boiler"),
+      (6L, s"yet another unrelated document four $boiler"))).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.15))
+    // boilerplate-internal shingles appear in all 6 docs → df=6 > cap=5
+    val capped = pairsOf(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.15,
+      maxShinglePostings = 5))
+    assert(uncapped.contains((3L, 4L)), "uncapped should pair boilerplate-only docs")
+    assert(capped.contains((1L, 2L)), "genuine near-dup lost to the stop-shingle cap")
+    assert(!capped.contains((3L, 4L)), "boilerplate-only pair survived the cap")
+    // a cap no shingle reaches must reproduce the exact result, values included
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.15)
+      .orderBy("id1", "id2").collect().toSeq
+    val highCap = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.15,
+      maxShinglePostings = 100).orderBy("id1", "id2").collect().toSeq
+    assert(exact == highCap)
+  }
+
+  test("LSH bucket cap: a degenerate identical-doc bucket is skipped, small buckets survive") {
+    // 20 byte-identical docs → every band's bucket holds all 20 (a
+    // quadratic bucket); plus one genuine near-dup pair in its own buckets.
+    val mega = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val pair = Seq(
+      (100L, "completely separate content about distributed query engines at scale"),
+      (101L, "completely separate content about distributed query engines at large scale"))
+    val docs = spark.createDataFrame(mega ++ pair).toDF("doc_id", "text")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsOf(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5))
+    val capped = pairsOf(Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 128, 32, 0.5,
+      maxBucketSize = 10))
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((100L, 101L)))
+    assert(capped.contains((100L, 101L)), "small-bucket pair lost to the cap")
+    assert(!capped.exists(p => p._1 <= 20L && p._2 <= 20L),
+      "over-cap bucket still emitted candidate pairs")
+    // simhash takes the same knob
+    val simCapped = pairsOf(Dedup.simhashPairs(docs, "doc_id", "text", 3, maxBucketSize = 10))
+    assert(!simCapped.exists(p => p._1 <= 20L && p._2 <= 20L))
+  }
+
   test("minhash-LSH finds the high-jaccard pairs (recall vs exact)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.9)
