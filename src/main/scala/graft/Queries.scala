@@ -589,6 +589,17 @@ object Queries {
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
       "doc_id", "text", shingleSize = 3, threshold = 0.8)
 
+  /** X2 stop-shingle-capped Jaccard (the 100 TB skew path of
+    * [[x2JaccardPairs]]): drops shingles whose posting list exceeds the cap
+    * before the self-join. No testdata shingle reaches df 50 (measured max 9
+    * at sf0.001, 7 at sf0.01), so the capped branch must reproduce the exact
+    * result bit-for-bit — the SAME DuckDB oracle pins the whole alternate
+    * code path (filtered sizes rejoined on pairs) non-vacuously.
+    */
+  def x2JaccardCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", shingleSize = 3, threshold = 0.8, maxShinglePostings = 50)
+
   /** X2 end-to-end dedup: near-dup pairs → connected components → keep the
     * min-id representative per cluster (the collapse step that makes pair
     * detection an actual dedup).
@@ -819,7 +830,7 @@ object Queries {
     * on both sides. `CAST(ts AS TIMESTAMP)` floors TIMESTAMP_NS → micros,
     * matching the engine's nanos handling (Sources.fixNanos).
     */
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "r01_simple_stream" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events""".stripMargin,
@@ -1177,6 +1188,12 @@ object Queries {
         |FROM s GROUP BY user_id, sid""".stripMargin
   )
 
+  // the capped branch must reproduce the exact result on this data (no
+  // shingle reaches the cap: measured max df 9) — same oracle, alternate
+  // code path pinned non-vacuously
+  val oracles: Map[String, String] =
+    oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs"))
+
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_simple_stream" -> r01SimpleStream _,
@@ -1216,6 +1233,7 @@ object Queries {
     "x1_exact_dedup" -> x1ExactDedup _,
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,
+    "x2_jaccard_capped" -> x2JaccardCapped _,
     "x2_dedup_collapse" -> x2DedupCollapse _,
     "x2_dedup_collapse_lsh" -> x2DedupCollapseLsh _,
     "x2_minhash_lsh" -> x2MinhashLsh _,
