@@ -97,4 +97,30 @@ object SketchProperties extends Properties("sketches") {
       val got = e.score(UTF8String.fromString(text)).toIntArray().toSeq
       got == referenceScores(text)
     }
+
+  // ---- TopK distinct-pairs mode (IVF multi-assignment dedup) ----
+
+  private val pairGen: Gen[List[(Double, Long)]] = for {
+    n <- Gen.chooseNum(0, 40)
+    base <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0L, 15L)))
+    dups <- Gen.someOf(base) // re-emit a random subset, like extra LSH bands
+    splits <- Gen.chooseNum(1, 4)
+  } yield new scala.util.Random(splits.toLong).shuffle(base ++ dups ++ dups)
+
+  /** Run an aggregator the way Spark would: partition the input, reduce each
+    * partition from zero, then merge partials pairwise, then finish.
+    */
+  private def run(agg: graft.functions.TopKAggregator,
+      input: List[(Double, Long)], parts: Int): Seq[(Double, Long)] = {
+    val partials = input.grouped(math.max(1, (input.size + parts - 1) / parts))
+      .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+  }
+
+  property("topkDistinct over duplicated input == plain topk over deduped input") =
+    Prop.forAll(pairGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 4)) { (pairs, k, parts) =>
+      val distinctAgg = new graft.functions.TopKAggregator(k, distinctPairs = true)
+      val plainAgg = new graft.functions.TopKAggregator(k)
+      run(distinctAgg, pairs, parts) == run(plainAgg, pairs.distinct, parts)
+    }
 }
