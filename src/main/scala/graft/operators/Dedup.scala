@@ -87,7 +87,12 @@ object Dedup {
       // instead of an OOM when a pathological corpus makes it large.
       val hot = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShinglePostings).select(col("h"))
+      // Cached: the filtered posting list feeds BOTH self-join sides and the
+      // size aggregation — without the cache each consumer re-runs the
+      // explode AND the hot-set build (5 passes total). (id, h) rows are 16
+      // bytes — the narrow-derived-frame rule, same as the LSH banded frames.
       val posts = posts0.join(hot, Seq("h"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // filtered doc sizes (same universe as the intersection counts);
       // rejoined onto the candidate PAIRS, not the postings — the big
       // posting exchange carries (id, h) only
@@ -112,12 +117,14 @@ object Dedup {
     * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3. `numHashes = bands * rowsPerBand`. Docs sharing
     * ≥1 identical band land in one bucket; each doc contributes exactly
     * `bands` shuffle rows regardless of length.
-    */
-  /** @param reliable use reliable (HDFS) checkpoints for the materialized
+    *
+    * @param reliable use reliable (HDFS) checkpoints for the materialized
     *   candidate set instead of localCheckpoint — required fault tolerance on
     *   a real cluster (local checkpoint blocks are not recomputable after an
     *   executor loss). Caller must have set `setCheckpointDir`. Local mode /
     *   tests keep the zero-IO local form.
+    * @param maxBucketSize when > 0, skip LSH buckets larger than this before
+    *   the candidate self-join (see [[capBuckets]]).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
