@@ -565,6 +565,23 @@ object Queries {
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Grouped top-k selection (keep the k best documents per group — the
+    * training-data curation primitive) via the partial-aggregating
+    * [[graft.functions.TopK]] heap: each map partition ships at most k rows
+    * per group through the exchange, vs the window form shuffling and
+    * sorting EVERY row. Oracle is the window form — same result, different
+    * (scale-correct) plan.
+    */
+  def x12GroupTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.groupBy(col("lang"))
+      .agg(graft.functions.TopK.topk(
+        col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("lang"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("doc_id"), col("p._1").cast("long").as("n_chars"))
+  }
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -1057,6 +1074,12 @@ object Queries {
         |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cos >= 0.4""".stripMargin,
+    "x12_group_topk" ->
+      """SELECT lang, rank, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |  FROM documents) WHERE rank <= 3""".stripMargin,
     "x3_knn_exact" ->
       """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1234,6 +1257,7 @@ object Queries {
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,
     "x2_jaccard_capped" -> x2JaccardCapped _,
+    "x12_group_topk" -> x12GroupTopk _,
     "x2_dedup_collapse" -> x2DedupCollapse _,
     "x2_dedup_collapse_lsh" -> x2DedupCollapseLsh _,
     "x2_minhash_lsh" -> x2MinhashLsh _,

@@ -87,6 +87,13 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("grouped top-k partial-aggregates the heap; never the sort-all-rows window form (x12)") {
+    val p = plan("x12_group_topk")
+    assert(p.contains("partial_topkaggregator"),
+      "top-k heap must map-side combine before the exchange")
+    assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
+  }
+
   test("anti join plans as a hash anti join, never NOT-IN nested loop (q22)") {
     // the 1-row scalar-aggregate broadcast cross IS a BNLJ by design; the
     // pin is that the ANTI join itself stays a hash/merge equi join
