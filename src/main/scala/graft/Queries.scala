@@ -582,6 +582,15 @@ object Queries {
         col("p._2").as("doc_id"), col("p._1").cast("long").as("n_chars"))
   }
 
+  /** X5 document chunking: fixed-size token windows with stride — the prep
+    * step before embedding/training long documents (map-side only, no
+    * shuffle; see [[graft.operators.TextAnalysis.chunk]]).
+    */
+  def x5Chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.chunk(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      size = 40, stride = 30)
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -1074,6 +1083,16 @@ object Queries {
         |         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
         |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         |WHERE cos >= 0.4""".stripMargin,
+    "x5_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |i AS (SELECT doc_id, toks,
+        |        unnest(range(0, ((len(toks) - 1) // 30) + 1)) AS chunk_id FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |       array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk,
+        |       len(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS n_chunk_tokens
+        |FROM i""".stripMargin,
     "x12_group_topk" ->
       """SELECT lang, rank, doc_id, n_chars FROM (
         |  SELECT lang, doc_id, n_chars,
@@ -1258,6 +1277,7 @@ object Queries {
     "x2_jaccard_pairs" -> x2JaccardPairs _,
     "x2_jaccard_capped" -> x2JaccardCapped _,
     "x12_group_topk" -> x12GroupTopk _,
+    "x5_chunks" -> x5Chunks _,
     "x2_dedup_collapse" -> x2DedupCollapse _,
     "x2_dedup_collapse_lsh" -> x2DedupCollapseLsh _,
     "x2_minhash_lsh" -> x2MinhashLsh _,

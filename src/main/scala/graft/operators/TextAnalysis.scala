@@ -130,6 +130,36 @@ object TextAnalysis {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tf_idf"))
   }
 
+  /** Split documents into fixed-size token windows with stride (the chunking
+    * step an embedding/training pipeline runs before vectorizing long docs).
+    * Chunk i covers tokens [i·stride + 1, i·stride + size]; starts walk while
+    * they stay inside the doc, so every token lands in ≥1 chunk and the last
+    * chunk may be short. Empty docs yield no chunks.
+    *
+    * Shape: the token array is materialized ONCE per row in a projection
+    * BELOW the Generate (explode) node — an attribute crossing the generator
+    * boundary can't be inlined back into the per-chunk expressions, so the
+    * tokenize never re-runs per chunk (the HOF-lambda re-eval trap). Chunk
+    * rows are map-side only: no shuffle at all.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need size >= stride >= 1 (stride > size would drop tokens)")
+    val t = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
+      .filter(col("__n") > 0)
+    t.select(col(idCol),
+        explode(sequence(lit(0), floor((col("__n") - 1) / stride).cast("int"))).as("chunk_id"),
+        col("__toks"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(size)), " ")
+          .as("chunk"),
+        org.apache.spark.sql.functions.size(
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(size))).as("n_chunk_tokens"))
+  }
+
   /** Deterministic stratified subsample: keep every `interval`-th row per
     * stratum in a stable id order — the reproducible (seedless, engine-
     * independent) form of proportional downsampling a training-data pipeline

@@ -220,6 +220,20 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9 at nProbe=4 on clustered data")
   }
 
+  test("chunking: stride windows cover every token, last chunk short, empty docs skipped") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 → starts 0,2,4,6
+      (2L, "x y"),           // single short chunk
+      (3L, "   "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3), (1L, 3, "g", 1),
+      (2L, 0, "x y", 2)))
+    intercept[IllegalArgumentException](TextAnalysis.chunk(docs, "doc_id", "text", 2, 3))
+  }
+
   test("langId prefers the marked language deterministically") {
     val df = spark.createDataFrame(Seq(
       (1L, "the cat and the dog is here"),
