@@ -1088,10 +1088,11 @@ object Queries {
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         |  FROM documents WHERE len(trim(text)) > 0),
         |i AS (SELECT doc_id, toks,
-        |        unnest(range(0, ((len(toks) - 1) // 30) + 1)) AS chunk_id FROM t)
+        |        unnest(range(0, greatest(0, (len(toks) - 40 + 29) // 30) + 1)) AS chunk_id
+        |      FROM t)
         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
         |       array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk,
-        |       len(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40]) AS n_chunk_tokens
+        |       least(40, len(toks) - chunk_id * 30) AS n_chunk_tokens
         |FROM i""".stripMargin,
     "x12_group_topk" ->
       """SELECT lang, rank, doc_id, n_chars FROM (

@@ -48,7 +48,10 @@ object Dedup {
     *   then computed over the filtered shingle universe (both |∩| and the
     *   doc sizes exclude dropped shingles — the estimate stays internally
     *   consistent), and pairs whose only overlap is ultra-common boilerplate
-    *   are missed, which is the point.
+    *   are missed, which is the point. Like [[simhashPairs]], the capped
+    *   branch returns lazily over a persisted narrow frame (the filtered
+    *   posting list) — release with `spark.catalog.clearCache()` or
+    *   `unpersist` once the result is consumed.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {

@@ -132,9 +132,12 @@ object TextAnalysis {
 
   /** Split documents into fixed-size token windows with stride (the chunking
     * step an embedding/training pipeline runs before vectorizing long docs).
-    * Chunk i covers tokens [i·stride + 1, i·stride + size]; starts walk while
-    * they stay inside the doc, so every token lands in ≥1 chunk and the last
-    * chunk may be short. Empty docs yield no chunks.
+    * Chunk i covers tokens [i·stride + 1, i·stride + size]; the start walk
+    * STOPS at the first window that reaches the document end, so every token
+    * lands in ≥1 chunk, the last chunk may be short, and no chunk is a pure
+    * suffix of its predecessor (a start within size−stride of the end would
+    * re-emit already-covered tokens — duplication a training-prep chunker
+    * exists to avoid). Empty docs yield no chunks.
     *
     * Shape: the token array is materialized ONCE per row in a projection
     * BELOW the Generate (explode) node — an attribute crossing the generator
@@ -150,14 +153,19 @@ object TextAnalysis {
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
       .filter(col("__n") > 0)
+    // last start = ceil((n - size) / stride), floored at 0: the first i with
+    // i*stride + size >= n
+    val lastStart = greatest(lit(0),
+      floor((col("__n") - size + stride - 1) / stride)).cast("int")
     t.select(col(idCol),
-        explode(sequence(lit(0), floor((col("__n") - 1) / stride).cast("int"))).as("chunk_id"),
-        col("__toks"))
+        explode(sequence(lit(0), lastStart)).as("chunk_id"),
+        col("__toks"), col("__n"))
       .select(col(idCol), col("chunk_id"),
         array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(size)), " ")
           .as("chunk"),
-        org.apache.spark.sql.functions.size(
-          slice(col("__toks"), col("chunk_id") * stride + 1, lit(size))).as("n_chunk_tokens"))
+        // arithmetic, not a second slice: the window is full-size except the
+        // last, which holds the n − i·stride remaining tokens
+        least(lit(size), col("__n") - col("chunk_id") * stride).as("n_chunk_tokens"))
   }
 
   /** Deterministic stratified subsample: keep every `interval`-th row per

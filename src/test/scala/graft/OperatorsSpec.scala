@@ -76,6 +76,7 @@ class OperatorsSpec extends SparkSuite {
     val highCap = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.15,
       maxShinglePostings = 100).orderBy("id1", "id2").collect().toSeq
     assert(exact == highCap)
+    spark.catalog.clearCache() // release the capped branch's posting caches
   }
 
   test("LSH bucket cap: a degenerate identical-doc bucket is skipped, small buckets survive") {
@@ -220,17 +221,19 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9 at nProbe=4 on clustered data")
   }
 
-  test("chunking: stride windows cover every token, last chunk short, empty docs skipped") {
+  test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
     val docs = spark.createDataFrame(Seq(
-      (1L, "a b c d e f g"), // 7 tokens, size 3 stride 2 → starts 0,2,4,6
-      (2L, "x y"),           // single short chunk
-      (3L, "   "))).toDF("doc_id", "text")
+      (1L, "a b c d e f g"),   // 7 tokens, size 3 stride 2 → starts 0,2,4 (4+3 ≥ 7 stops)
+      (2L, "x y"),             // single short chunk
+      (3L, "   "),             // empty → no chunks
+      (4L, "p q r s"))).toDF("doc_id", "text") // 4 tokens → starts 0,1·2 (2+3 ≥ 4? no: stop at 1)
     val out = TextAnalysis.chunk(docs, "doc_id", "text", size = 3, stride = 2)
       .orderBy("doc_id", "chunk_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSeq
     assert(out == Seq(
-      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3), (1L, 3, "g", 1),
-      (2L, 0, "x y", 2)))
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (2L, 0, "x y", 2),
+      (4L, 0, "p q r", 3), (4L, 1, "r s", 2)))
     intercept[IllegalArgumentException](TextAnalysis.chunk(docs, "doc_id", "text", 2, 3))
   }
 

@@ -87,6 +87,16 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("capped jaccard reads the filtered posting list from cache on all three consumers (X2)") {
+    // the filtered (id, h) posting frame feeds both self-join sides AND the
+    // size aggregation — uncached each consumer re-runs the explode and the
+    // hot-set anti join (5 passes); the persist is load-bearing
+    val p = plan("x2_jaccard_capped")
+    val hits = "InMemoryTableScan".r.findAllIn(p).size
+    assert(hits >= 3, s"expected posting cache on all 3 consumers, found $hits cache scans")
+    spark.catalog.clearCache()
+  }
+
   test("grouped top-k partial-aggregates the heap; never the sort-all-rows window form (x12)") {
     val p = plan("x12_group_topk")
     assert(p.contains("partial_topkaggregator"),

@@ -104,8 +104,8 @@ object SketchProperties extends Properties("sketches") {
     n <- Gen.chooseNum(0, 40)
     base <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0L, 15L)))
     dups <- Gen.someOf(base) // re-emit a random subset, like extra LSH bands
-    splits <- Gen.chooseNum(1, 4)
-  } yield new scala.util.Random(splits.toLong).shuffle(base ++ dups ++ dups)
+    seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue) // wide: vary orderings
+  } yield new scala.util.Random(seed).shuffle(base ++ dups ++ dups)
 
   /** Run an aggregator the way Spark would: partition the input, reduce each
     * partition from zero, then merge partials pairwise, then finish.
