@@ -137,16 +137,16 @@ object Similarity {
         .zipWithIndex.map { case (v, i) => (i.toLong, v) }
 
     def distTo(vec: Column, p: Array[Double]): Column =
-      VectorFunctions.l2_dist(vec, array(p.map(lit): _*).cast("array<double>"))
+      VectorFunctions.l2_dist(vec, array(p.toSeq.map(lit): _*).cast("array<double>"))
 
     // argmin over the centroid literals, array-based: build the distance
     // vector once and index it — NOT a when/otherwise fold, which doubles
     // the expression tree per centroid (2^n nodes) and stalls codegen.
     // Ties → first (lowest-id) centroid, since array_position finds the
     // first occurrence and centroids are id-ordered.
-    val cellIds = array(centroids.map(c0 => lit(c0._1)): _*)
+    val cellIds = array(centroids.toSeq.map(c0 => lit(c0._1)): _*)
     def nearestCell(vec: Column): Column = {
-      val dists = array(centroids.map(c0 => distTo(vec, c0._2)): _*)
+      val dists = array(centroids.toSeq.map(c0 => distTo(vec, c0._2)): _*)
       element_at(cellIds, array_position(dists, array_min(dists)).cast("int"))
     }
     // n nearest cells: sort the (dist, cell) struct array once per row and
@@ -154,7 +154,7 @@ object Similarity {
     // re-evaluates per element (the HOF O(n²) trap). Ties break on cell id
     // ascending via the struct's field order, matching nearestCell.
     def nearestCells(vec: Column, n: Int): Column = {
-      val dists = array(centroids.map(c0 => distTo(vec, c0._2)): _*)
+      val dists = array(centroids.toSeq.map(c0 => distTo(vec, c0._2)): _*)
       transform(slice(array_sort(arrays_zip(dists.as("d"), cellIds.as("cell"))), 1, n),
         s => s.getField("cell"))
     }
