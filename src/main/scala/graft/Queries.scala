@@ -591,6 +591,28 @@ object Queries {
       spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
       size = 40, stride = 30)
 
+  /** End-to-end training-data pipeline (the composition this engine exists
+    * for): quality filter → exact-Jaccard near-dup collapse (keep min-id
+    * representative) → stride chunking. Every stage is individually
+    * oracle-verified (x5_quality_filter, x2_dedup_collapse, x5_chunks); this
+    * query pins that they COMPOSE — filters push below the dedup, the CC
+    * loop runs over the filtered corpus only, chunking is map-side on the
+    * survivors.
+    */
+  def x14TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.qualityMetrics(col("text")).toMap
+    // filter on the ROUNDED value — the oracle does too (x5_quality_filter)
+    val filtered = docs
+      .filter(m("n_tokens") >= 10 &&
+        round(m("avg_token_len"), 6).between(2.0, 12.0))
+      .select("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(filtered, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+    val kept = Dedup.keepRepresentatives(filtered, "doc_id", pairs)
+    TextAnalysis.chunk(kept, "doc_id", "text", size = 40, stride = 30)
+  }
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -1077,6 +1099,45 @@ object Queries {
         |SELECT d.doc_id, d.n_chars FROM documents d
         |LEFT JOIN comp c ON d.doc_id = c.id
         |WHERE c.id IS NULL OR c.comp = d.doc_id""".stripMargin,
+    "x14_training_pipeline" ->
+      """WITH RECURSIVE filtered AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |    AND round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 6) BETWEEN 2.0 AND 12.0),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM filtered)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |prs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT p.id1, p.id2, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
+        |    FROM (SELECT a.id AS id1, b.id AS id2, count(*) AS inter
+        |          FROM posts a JOIN posts b ON a.tok = b.tok AND a.id < b.id GROUP BY 1, 2) p
+        |    JOIN n n1 ON p.id1 = n1.id JOIN n n2 ON p.id2 = n2.id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM prs UNION ALL SELECT id2, id1 FROM prs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+        |kept AS (
+        |  SELECT d.doc_id, d.text FROM filtered d
+        |  LEFT JOIN comp c ON d.doc_id = c.id
+        |  WHERE c.id IS NULL OR c.comp = d.doc_id),
+        |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |      FROM kept WHERE len(trim(text)) > 0),
+        |i AS (SELECT doc_id, toks,
+        |        unnest(range(0, greatest(0, (len(toks) - 40 + 29) // 30) + 1)) AS chunk_id
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |       array_to_string(toks[chunk_id * 30 + 1 : chunk_id * 30 + 40], ' ') AS chunk,
+        |       least(40, len(toks) - chunk_id * 30) AS n_chunk_tokens
+        |FROM i""".stripMargin,
     "x3_cosine_pairs_exact" ->
       """SELECT id1, id2, round(cos, 6) AS cos FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1279,6 +1340,7 @@ object Queries {
     "x2_jaccard_capped" -> x2JaccardCapped _,
     "x12_group_topk" -> x12GroupTopk _,
     "x5_chunks" -> x5Chunks _,
+    "x14_training_pipeline" -> x14TrainingPipeline _,
     "x2_dedup_collapse" -> x2DedupCollapse _,
     "x2_dedup_collapse_lsh" -> x2DedupCollapseLsh _,
     "x2_minhash_lsh" -> x2MinhashLsh _,
