@@ -396,15 +396,24 @@ object Queries {
     * filters (token count, mean token length, stopword floor) — the filter
     * composition a corpus pipeline runs before dedup.
     */
+  /** The shared quality predicate (x5_quality_filter AND the x14 pipeline's
+    * first stage — one definition so the two can't drift apart). Thresholds
+    * chosen non-vacuous on the testdata: `n_tokens >= 12` removes ~2% of
+    * docs at every SF (min is exactly 10), so the oracle actually pins the
+    * filter dropping rows, per the non-vacuity discipline. Filter on the
+    * ROUNDED avg — the oracles do too; filtering raw doubles and emitting
+    * rounded ones would diverge at the boundary.
+    */
+  private def qualityPass(m: Map[String, org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    m("n_tokens") >= 12 && round(m("avg_token_len"), 6).between(2.0, 12.0)
+
   def x5QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = TextAnalysis.qualityMetrics(col("text")).toMap
-    // filter on the ROUNDED value — the oracle does too; filtering raw
-    // doubles and emitting rounded ones would diverge at the boundary
-    docs.select(col("doc_id"), m("n_tokens").as("n_tokens"),
+    docs.filter(qualityPass(m))
+      .select(col("doc_id"), m("n_tokens").as("n_tokens"),
         round(m("avg_token_len"), 6).as("avg_token_len"),
         round(m("stopword_ratio"), 6).as("stopword_ratio"))
-      .filter(col("n_tokens") >= 10 && col("avg_token_len").between(2.0, 12.0))
   }
 
   // ---------------------------------------------------------------- headline
@@ -602,11 +611,7 @@ object Queries {
   def x14TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = TextAnalysis.qualityMetrics(col("text")).toMap
-    // filter on the ROUNDED value — the oracle does too (x5_quality_filter)
-    val filtered = docs
-      .filter(m("n_tokens") >= 10 &&
-        round(m("avg_token_len"), 6).between(2.0, 12.0))
-      .select("doc_id", "text")
+    val filtered = docs.filter(qualityPass(m)).select("doc_id", "text")
     val pairs = Dedup.jaccardPairs(filtered, "doc_id", "text",
       shingleSize = 3, threshold = 0.8)
     val kept = Dedup.keepRepresentatives(filtered, "doc_id", pairs)
@@ -982,7 +987,7 @@ object Queries {
         |    t -> t IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE
         |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio
         |FROM documents
-        |WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 12
         |  AND round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
         |    / len(regexp_split_to_array(trim(text), '\s+')), 6) BETWEEN 2.0 AND 12.0""".stripMargin,
     "r17_serde_roundtrip" ->
@@ -1102,7 +1107,7 @@ object Queries {
     "x14_training_pipeline" ->
       """WITH RECURSIVE filtered AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 10
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 12
         |    AND round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
         |      / len(regexp_split_to_array(trim(text), '\s+')), 6) BETWEEN 2.0 AND 12.0),
         |sh AS (

@@ -351,6 +351,14 @@ object Dedup {
       i += 1
     }
     freeCheckpoint(edges)
+    // Non-convergence is data (a dup chain deeper than maxIters), not a
+    // crash — but silent partial labels would quietly keep extra
+    // "representatives" downstream, so SAY so. Oracle-gated callers compare
+    // against an exact transitive closure and would fail the gate here.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsFromPairs did not converge in $maxIters rounds — " +
+          "labels are partial (cluster diameter exceeds maxIters); raise maxIters")
     // the final labels checkpoint stays live — it backs the returned frame;
     // at (id, comp) width it is the smallest artifact of the whole job
     labels
