@@ -607,6 +607,13 @@ object Queries {
     * query pins that they COMPOSE — filters push below the dedup, the CC
     * loop runs over the filtered corpus only, chunking is map-side on the
     * survivors.
+    *
+    * Deliberately uncached: the filtered frame is consumed three times
+    * (both posting self-join sides, then the keep/chunk branch), each
+    * re-running the map-only filter+tokenize — same measured trade as
+    * [[Dedup.jaccardPairs]]'s no-cache rule (the wide text frame costs more
+    * to materialize than the recompute; the regex filter adds ~0.3s/pass at
+    * sf0.1, still below the cache write).
     */
   def x14TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -219,6 +219,24 @@ class StreamRunnerSpec extends SparkSuite {
     } finally qs.foreach(_.stop())
   }
 
+  test("chunking runs unchanged on a streaming frame (map-only, no state)") {
+    val src = new FileStreamSourceResolver(sf(), TestdataCatalog)
+    val docs = src.stream(spark, graft.config.TopicConfig("documents"))
+    val chunked = graft.operators.TextAnalysis.chunk(docs, "doc_id", "text", 40, 30)
+    assert(chunked.isStreaming)
+    val q = chunked.writeStream.format("memory").queryName("chunk_stream_t")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("chunk_stream_t")
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val batch = graft.operators.TextAnalysis.chunk(
+        spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", "text", 40, 30)
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("nanos timestamp conversion applies on the streaming path too") {
     val src = new FileStreamSourceResolver(sf(), TestdataCatalog)
     val ev = src.stream(spark, graft.config.TopicConfig("events"))
