@@ -832,6 +832,15 @@ object Queries {
       .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
   }
 
+  /** Cube: all grouping-set combinations over (returnflag, linestatus) —
+    * completes the grouping-sets surface next to [[q6Rollup]]'s hierarchy.
+    */
+  def q6Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+  }
+
   /** Pivot: per-user event-type counts as columns (explicit value list →
     * deterministic schema, the scale-safe pivot form).
     */
@@ -1278,6 +1287,10 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q6_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "x8_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,
@@ -1373,6 +1386,7 @@ object Queries {
     "x7_asof_join" -> x7AsofJoin _,
     "x6_sliding_window" -> x6SlidingWindow _,
     "q6_rollup" -> q6Rollup _,
+    "q6_cube" -> q6Cube _,
     "x8_pivot" -> x8Pivot _,
     "x9_stratified_sample" -> x9StratifiedSample _
   )
