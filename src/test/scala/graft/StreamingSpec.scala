@@ -54,6 +54,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("grouped top-k (custom Aggregator) runs streaming in update mode, converges to batch") {
+    val input = MemoryStream[(String, Double, Long)](ss, 2) // (grp, score, id)
+    val df = input.toDF().toDF("grp", "score", "id")
+    val topped = df.groupBy(col("grp"))
+      .agg(graft.functions.TopK.topk(col("score"), col("id"), 2).as("top"))
+    val q = topped.writeStream.format("memory").queryName("topk_stream_t")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 0.9, 1L), ("a", 0.5, 2L), ("b", 0.7, 3L))
+      q.processAllAvailable()
+      input.addData(("a", 0.8, 4L), ("a", 0.1, 5L)) // 4 displaces 2; 5 never ranks
+      q.processAllAvailable()
+      // update mode: the last emission per group is the current top-k state
+      val last = spark.table("topk_stream_t")
+        .withColumn("__batch", monotonically_increasing_id())
+        .groupBy("grp").agg(max_by(col("top"), col("__batch")).as("top"))
+        .collect().map(r => (r.getString(0),
+          r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1))))).toMap
+      assert(last("a") == Seq((0.9, 1L), (0.8, 4L)))
+      assert(last("b") == Seq((0.7, 3L)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the watermark window (X1 streaming)") {
     val input = MemoryStream[(Timestamp, Long)](ss, 2)
     val df = input.toDF().toDF("ts", "k")
