@@ -67,6 +67,51 @@ class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends Sou
     })
 }
 
+/** Batch resolver over JSONL topic dumps (`<dir>/<topic>.jsonl`) — the
+  * migration-path source: the reference's records ARE JSON on Kafka, so a
+  * topic dump replayed through this resolver runs every existing spec
+  * unchanged against files. Schema must be declared per topic (JSON carries
+  * no types; schema-on-read inference would silently widen longs/doubles and
+  * break serde fidelity) — pass the same `StructType`s the Kafka resolver
+  * uses. Table views apply the identical latest-per-key convention as the
+  * parquet resolver.
+  */
+class JsonSourceResolver(dir: String, val catalog: SchemaCatalog,
+    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  def path(name: String) = s"$dir/$name.jsonl"
+
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {
+    val schema = schemas.getOrElse(topic.name,
+      throw new IllegalArgumentException(s"no schema declared for JSON topic ${topic.name}"))
+    // lenient Jackson posture (SerdeFactory.java:30): unknown fields dropped
+    // by the schema projection, missing/malformed fields → null (PERMISSIVE)
+    spark.read.schema(schema)
+      // Spark's default JSON timestamp format is millisecond-precision —
+      // a dump written with it silently truncates micros. Dumps must be
+      // written with the same microsecond format (JsonSourceResolver
+      // .TimestampFormat) or serde fidelity is lost.
+      .option("timestampFormat", JsonSourceResolver.TimestampFormat)
+      .json(path(topic.name))
+  }
+
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    tables.getOrElseUpdate(topic.name, {
+      val df = stream(spark, topic)
+      val order = catalog.orderOf(topic.name)
+      if (order.isEmpty) df
+      else Tables.latestPerKey(df, catalog.keyOf(topic.name), order)
+    })
+}
+
+object JsonSourceResolver {
+  /** Microsecond-precision timestamp format for JSONL dumps — use on BOTH
+    * the write (`df.write.option("timestampFormat", ...)`) and read side.
+    */
+  val TimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+}
+
 object Sources {
   /** Floor-convert raw-nanos long columns (read under
     * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
