@@ -52,9 +52,13 @@ object Bench {
         i += 1
       }
       val failed = timings.exists(_._2)
-      val sorted = timings.map(_._1).sorted
-      val median = sorted(sorted.size / 2)
-      (name, if (failed) -median else median, failed)
+      // failed → report the FAILING run's elapsed time negated (the loop
+      // stops on it, so it is the last entry) — a median over mixed
+      // passed/failed runs would negate a successful run's duration
+      val reported =
+        if (failed) timings.last._1
+        else { val sorted = timings.map(_._1).sorted; sorted(sorted.size / 2) }
+      (name, if (failed) -reported else reported, failed)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

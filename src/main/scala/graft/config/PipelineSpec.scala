@@ -190,6 +190,25 @@ case class PipelineSpec(
       // Batch runs ignore the watermark; requiring it costs nothing there.
       require(et.watermark.isDefined,
         s"[$id] eventTime windowing requires a watermark (bounds streaming state)")
+      // Parse every declared interval NOW — an unparseable string (or a
+      // slide exceeding the window, which silently drops events between
+      // hops) should fail with the [id]-prefixed build-time message every
+      // other misconfiguration gets, not deep inside Spark analysis.
+      def micros(what: String, s: String): Long = {
+        val iv = try
+          org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"[$id] unparseable $what interval '$s'", e) }
+        require(iv.months == 0, s"[$id] $what interval '$s' must not use months")
+        iv.days * 86_400_000_000L + iv.microseconds
+      }
+      val w = micros("window", et.window)
+      et.watermark.foreach(micros("watermark", _))
+      et.slide.foreach { s =>
+        require(micros("slide", s) <= w,
+          s"[$id] slide ${et.slide.get} must not exceed window ${et.window}")
+      }
     }
     // Every ENABLED sink topic (main + branches) derives its streaming query
     // name and checkpoint directory from the topic name — duplicates would

@@ -49,9 +49,10 @@ object Dedup {
     *   doc sizes exclude dropped shingles — the estimate stays internally
     *   consistent), and pairs whose only overlap is ultra-common boilerplate
     *   are missed, which is the point. Like [[simhashPairs]], the capped
-    *   branch returns lazily over a persisted narrow frame (the filtered
-    *   posting list) — release with `spark.catalog.clearCache()` or
-    *   `unpersist` once the result is consumed.
+    *   branch returns lazily over an internally persisted narrow frame (the
+    *   filtered posting list); callers hold no reference to it, so release
+    *   is `spark.catalog.clearCache()` once the result is consumed (what
+    *   Verify/Bench do per query) — `unpersist` on the RESULT cannot reach it.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {
@@ -181,7 +182,10 @@ object Dedup {
     *    self-join sides read the banded cache, so forcing it executes the
     *    signature pass exactly once.
     *
-    * `maxBucketSize > 0` applies [[capBuckets]] before the self-join.
+    * `maxBucketSize > 0` applies [[capBuckets]] before the self-join; the
+    * returned (and cached) frame is then the CAPPED one — the pre-cap cache
+    * is eagerly materialized into it and released here, so exactly one
+    * narrow frame stays resident either way.
     */
   def minhashCandidates(sigs: DataFrame, numHashes: Int, bands: Int,
       maxBucketSize: Int = 0): (DataFrame, DataFrame) = {
@@ -193,13 +197,28 @@ object Dedup {
       .select(col("id"), col("band"),
         hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    // When capping, persist the CAPPED frame too — otherwise the hot-set
+    // count + anti-join subtree re-executes on each self-join side. The
+    // caller's unpersist of the returned frame must release whichever
+    // frame(s) the self-join reads, so return the capped one; the pre-cap
+    // cache is released here the moment the capped cache materializes.
+    val capped =
+      if (maxBucketSize <= 0) banded
+      else capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val a = capped.as("a"); val b = capped.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    (banded, cands)
+    if (maxBucketSize > 0) {
+      // force the capped cache (reads the banded cache twice: count + anti
+      // probe), then drop the pre-cap cache — only one narrow frame stays
+      // resident for the self-join
+      capped.count()
+      banded.unpersist(false)
+    }
+    (capped, cands)
   }
 
   /** Drop LSH buckets holding more than `cap` members before a candidate
@@ -238,7 +257,13 @@ object Dedup {
       .withColumn("bucket",
         expr("shiftrightunsigned(sim, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(banded0, Seq("chunk", "bucket"), maxBucketSize)
+    // capped frame cached too when capping — the hot-set count + anti-join
+    // subtree must not re-execute per self-join side (both narrow caches
+    // stay resident until the caller's clearCache, the documented posture)
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else capBuckets(banded0, Seq("chunk", "bucket"), maxBucketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -279,7 +304,11 @@ object Dedup {
         posexplode(VectorFunctions.sign_buckets(col("v"), planes, planesPerTable))
           .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val banded = capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+    // capped frame cached too when capping (see simhashPairs)
+    val banded =
+      if (maxBucketSize <= 0) banded0
+      else capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

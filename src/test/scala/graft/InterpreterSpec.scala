@@ -220,6 +220,14 @@ class InterpreterSpec extends SparkSuite {
     intercept[IllegalArgumentException](agg(
       ""","outputTopic":{"enabled":true,"name":"t"},
          |"branches":[{"predicate":"1=1","outputTopic":{"enabled":true,"name":"t"}}]""".stripMargin))
+    // slide must not exceed the window (events between hops would be lost)
+    intercept[IllegalArgumentException](agg(
+      ""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes",
+         |  "windowType":"sliding","slide":"15 minutes"}""".stripMargin))
+    // interval strings parse at build time with the [id]-prefixed message
+    val e2 = intercept[IllegalArgumentException](agg(
+      ""","eventTime":{"column":"ts","window":"five minutes","watermark":"5 minutes"}"""))
+    assert(e2.getMessage.contains("unparseable"))
     // the happy sliding path parses
     agg(""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes",
          |  "windowType":"sliding","slide":"5 minutes"}""".stripMargin)
