@@ -22,7 +22,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 3
+      case Some(s) => scala.util.Try(s.trim.toInt).toOption match {
+        case Some(n) => math.max(1, n)
+        case None => sys.error(
+          s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$s'")
+      }
+    }
     val spark = GraftSession.get()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // skip warmup when benching the warm SF itself — identical plans would
@@ -46,8 +53,11 @@ object Bench {
             true
           }
         val secs = (System.nanoTime() - t0) / 1e9
-        // cache population is part of each timed run; carryover isn't
+        // cache population is part of each timed run; carryover isn't.
+        // Draining the dedup registry too keeps the 57-query × runs loop
+        // from accumulating references to dead query plans.
         spark.catalog.clearCache()
+        graft.operators.Dedup.releaseInternalCaches()
         timings += ((secs, failed))
         i += 1
       }

@@ -20,6 +20,7 @@ object Verify {
       // queries persist their sketch stages (LSH self-join reuse); release
       // between queries so 40+ runs in one JVM don't stack caches
       spark.catalog.clearCache()
+      graft.operators.Dedup.releaseInternalCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

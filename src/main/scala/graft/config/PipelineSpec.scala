@@ -195,18 +195,32 @@ case class PipelineSpec(
       // hops) should fail with the [id]-prefixed build-time message every
       // other misconfiguration gets, not deep inside Spark analysis.
       def micros(what: String, s: String): Long = {
+        // stringToInterval returns null (rather than throwing) for some
+        // non-interval inputs — and a spec that omits the field entirely
+        // deserializes it as a null String; both must fail with the same
+        // [id]-prefixed message as a parse exception, not an NPE.
         val iv = try
           org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
             org.apache.spark.unsafe.types.UTF8String.fromString(s))
         catch { case e: Exception => throw new IllegalArgumentException(
           s"[$id] unparseable $what interval '$s'", e) }
+        require(iv != null, s"[$id] unparseable $what interval '$s'")
         require(iv.months == 0, s"[$id] $what interval '$s' must not use months")
         iv.days * 86_400_000_000L + iv.microseconds
       }
       val w = micros("window", et.window)
-      et.watermark.foreach(micros("watermark", _))
+      // '0 seconds' parses fine and then fails (or degenerates) deep inside
+      // Spark — reject it here. A zero WATERMARK is legal (process-time-exact
+      // streams use it), so only window and slide must be strictly positive.
+      require(w > 0, s"[$id] window ${et.window} must be a positive interval")
+      et.watermark.foreach { wm =>
+        require(micros("watermark", wm) >= 0,
+          s"[$id] watermark $wm must not be negative")
+      }
       et.slide.foreach { s =>
-        require(micros("slide", s) <= w,
+        val sm = micros("slide", s)
+        require(sm > 0, s"[$id] slide $s must be a positive interval")
+        require(sm <= w,
           s"[$id] slide ${et.slide.get} must not exceed window ${et.window}")
       }
     }

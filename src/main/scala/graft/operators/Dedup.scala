@@ -50,9 +50,11 @@ object Dedup {
     *   consistent), and pairs whose only overlap is ultra-common boilerplate
     *   are missed, which is the point. Like [[simhashPairs]], the capped
     *   branch returns lazily over an internally persisted narrow frame (the
-    *   filtered posting list); callers hold no reference to it, so release
-    *   is `spark.catalog.clearCache()` once the result is consumed (what
-    *   Verify/Bench do per query) — `unpersist` on the RESULT cannot reach it.
+    *   filtered posting list); callers hold no reference to it, so it is
+    *   registered for [[releaseInternalCaches]] — call that once the result
+    *   is consumed (a global `spark.catalog.clearCache()` also works, and is
+    *   what Verify/Bench do per query) — `unpersist` on the RESULT cannot
+    *   reach it.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {
@@ -95,8 +97,8 @@ object Dedup {
       // size aggregation — without the cache each consumer re-runs the
       // explode AND the hot-set build (5 passes total). (id, h) rows are 16
       // bytes — the narrow-derived-frame rule, same as the LSH banded frames.
-      val posts = posts0.join(hot, Seq("h"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val posts = registerCache(posts0.join(hot, Seq("h"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // filtered doc sizes (same universe as the intersection counts);
       // rejoined onto the candidate PAIRS, not the postings — the big
       // posting exchange carries (id, h) only
@@ -257,13 +259,21 @@ object Dedup {
       .withColumn("bucket",
         expr("shiftrightunsigned(sim, chunk * 16)").bitwiseAND(lit(0xFFFFL)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // capped frame cached too when capping — the hot-set count + anti-join
-    // subtree must not re-execute per self-join side (both narrow caches
-    // stay resident until the caller's clearCache, the documented posture)
+    // When capping, persist the CAPPED frame, eagerly materialize it, and
+    // drop the pre-cap cache — same sequencing as [[minhashCandidates]], so
+    // exactly ONE narrow frame stays resident either way. The survivor is
+    // registered for [[releaseInternalCaches]] (the caller holds no
+    // reference to it).
     val banded =
-      if (maxBucketSize <= 0) banded0
-      else capBuckets(banded0, Seq("chunk", "bucket"), maxBucketSize)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (maxBucketSize <= 0) registerCache(banded0)
+      else {
+        val capped = registerCache(
+          capBuckets(banded0, Seq("chunk", "bucket"), maxBucketSize)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        capped.count()
+        banded0.unpersist(false)
+        capped
+      }
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -304,11 +314,17 @@ object Dedup {
         posexplode(VectorFunctions.sign_buckets(col("v"), planes, planesPerTable))
           .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // capped frame cached too when capping (see simhashPairs)
+    // capped → eager swap, one resident narrow frame (see simhashPairs)
     val banded =
-      if (maxBucketSize <= 0) banded0
-      else capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (maxBucketSize <= 0) registerCache(banded0)
+      else {
+        val capped = registerCache(
+          capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        capped.count()
+        banded0.unpersist(false)
+        capped
+      }
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -391,6 +407,29 @@ object Dedup {
     // the final labels checkpoint stays live — it backs the returned frame;
     // at (id, comp) width it is the smallest artifact of the whole job
     labels
+  }
+
+  /** Frames persisted INTERNALLY by operators in this object whose callers
+    * hold no reference to them (the capped jaccard posting list, the
+    * simhash/embedding banded frames). A long-lived application embedding
+    * these operators calls [[releaseInternalCaches]] once a result is
+    * consumed, instead of the scorched-earth `spark.catalog.clearCache()`
+    * (which would also evict the application's own caches). Frames returned
+    * TO the caller — [[minhashCandidates]]' banded frame — are the caller's
+    * to unpersist and are not registered here.
+    */
+  private val internalCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def registerCache(df: DataFrame): DataFrame = { internalCaches.add(df); df }
+
+  /** Unpersist every internally-persisted frame registered since the last
+    * call (or application start). Safe while results are still lazy — an
+    * unpersisted frame recomputes instead of failing — but intended to run
+    * after the operator's output has been consumed. Idempotent.
+    */
+  def releaseInternalCaches(): Unit = {
+    var df = internalCaches.poll()
+    while (df != null) { Try(df.unpersist(false)); df = internalCaches.poll() }
   }
 
   /** Best-effort release of a no-longer-needed checkpoint-backed frame:
