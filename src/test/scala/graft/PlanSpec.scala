@@ -97,6 +97,19 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("exact jaccard indexes only prefix shingles and verifies candidates with array_intersect (X2)") {
+    // Prefix filtering is the uncapped branch's scale lever: the posting
+    // explode must slice the sorted shingle array (never explode the whole
+    // set), the candidate self-join must stay an equi hash join, and the
+    // final similarity must come from array_intersect verification — not a
+    // full posting-count groupBy over all shared shingles.
+    val p = plan("x2_jaccard_pairs")
+    assert(p.contains("slice(sh"), "posting explode is not prefix-sliced")
+    assert(p.contains("array_intersect"), "candidate verification missing")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "jaccard join fell back to nested-loop")
+  }
+
   test("grouped top-k partial-aggregates the heap; never the sort-all-rows window form (x12)") {
     val p = plan("x12_group_topk")
     assert(p.contains("partial_topkaggregator"),
