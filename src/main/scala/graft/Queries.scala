@@ -608,17 +608,21 @@ object Queries {
     * loop runs over the filtered corpus only, chunking is map-side on the
     * survivors.
     *
-    * Deliberately uncached: the filtered frame is consumed three times
-    * (both posting self-join sides, then the keep/chunk branch), each
-    * re-running the map-only filter+tokenize — same measured trade as
-    * [[Dedup.jaccardPairs]]'s no-cache rule (the wide text frame costs more
-    * to materialize than the recompute; the regex filter adds ~0.3s/pass at
-    * sf0.1, still below the cache write).
+    * The filtered (doc_id, text) frame is PERSISTED: since the round-5
+    * prefix-filter rewrite, [[Dedup.jaccardPairs]] consumes it four times
+    * (prefix postings ×2 + verification ×2) on top of the keep/chunk
+    * branch — at five consumers the regex quality pass dominates recompute
+    * and the cache wins (3.1s → 2.1s, sf0.1; the round-4 no-cache rule was
+    * measured at three consumers). MEMORY_AND_DISK (corpus-sized at scale —
+    * spills, never OOMs), registered for
+    * [[Dedup.releaseInternalCaches]].
     */
   def x14TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val m = TextAnalysis.qualityMetrics(col("text")).toMap
-    val filtered = docs.filter(qualityPass(m)).select("doc_id", "text")
+    val filtered = Dedup.registerCache(
+      docs.filter(qualityPass(m)).select("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = Dedup.jaccardPairs(filtered, "doc_id", "text",
       shingleSize = 3, threshold = 0.8)
     val kept = Dedup.keepRepresentatives(filtered, "doc_id", pairs)

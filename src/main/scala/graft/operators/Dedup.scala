@@ -89,7 +89,14 @@ object Dedup {
       // ever SHORTENING a prefix or tightening the length filter (which
       // would drop true pairs); lengthening by one element is only a
       // few extra candidates.
-      val sorted = sh.withColumn("sh", array_sort(col("sh")))
+      // Persisted: the sorted-array frame feeds FOUR consumers (both prefix
+      // posting sides + both verification joins) — under the old 2-consumer
+      // shape recompute beat the cache write (the round-2 measurement); at
+      // four consumers the cache wins (1.45s → 1.2s, sf0.1). Corpus-sized,
+      // so MEMORY_AND_DISK (spills, never OOMs) and registered for
+      // [[releaseInternalCaches]].
+      val sorted = registerCache(sh.withColumn("sh", array_sort(col("sh")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
       val prefixLen = // n - ceil(t*n) + 1, rounded in the safe direction
         (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
       val pre = sorted.select(col("id"), col("n"),
@@ -447,7 +454,7 @@ object Dedup {
     */
   private val internalCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
-  private def registerCache(df: DataFrame): DataFrame = { internalCaches.add(df); df }
+  private[graft] def registerCache(df: DataFrame): DataFrame = { internalCaches.add(df); df }
 
   /** Unpersist every internally-persisted frame registered since the last
     * call (or application start). Safe while results are still lazy — an
