@@ -728,6 +728,17 @@ object Queries {
       k = 10, nCells = 16, nProbe = 4, nAssign = 2)
   }
 
+  /** X3 LSH-bucketed ANN (approximate — rows-only check; recall measured in
+    * tests). The training-free alternative to [[x3AnnIvf]]: same query set
+    * and k, hyperplane buckets instead of k-means cells.
+    */
+  def x3AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 10, dim = 64, nTables = 16, planesPerTable = 4)
+  }
+
   /** X4 multimodal: blob table → stubbed decode → per-media features. */
   def x4Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1377,6 +1388,7 @@ object Queries {
     "x3_cosine_pairs_exact" -> x3CosinePairsExact _,
     "x3_knn_exact" -> x3KnnExact _,
     "x3_ann_ivf" -> x3AnnIvf _,
+    "x3_ann_lsh" -> x3AnnLsh _,
     "x4_multimodal" -> x4Multimodal _,
     "x4_frame_sample" -> x4FrameSample _,
     "x4_resize" -> x4Resize _,

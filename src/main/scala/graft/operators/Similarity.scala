@@ -190,6 +190,53 @@ object Similarity {
         col("p._2").as("neighbor_id"), col("p._1").as("cos"))
   }
 
+  /** LSH-bucketed ANN top-k (the third X3 path, alongside brute-force and
+    * IVF): multi-table random-hyperplane sign buckets (Charikar 2002;
+    * OR-amplified across `nTables` tables per Indyk–Motwani 1998 — the same
+    * scheme, seeds, and one-plan-node `SignBuckets` expression as
+    * [[Dedup.embeddingCosinePairs]], so a pair collides if it shares ANY
+    * table's bucket). Candidates are exact-cosine re-ranked through the
+    * distinct-pairs [[graft.functions.TopK]] heap, which collapses a pair
+    * colliding in several tables INSIDE the partial aggregate.
+    *
+    * vs IVF: no training pass (hyperplanes are data-independent — nothing to
+    * sample, collect, or iterate), at the cost of data-oblivious buckets.
+    * 100 TB shape: the corpus side is bucketed map-side and joined against
+    * the BROADCAST bucketed query set — the corpus never crosses an
+    * exchange; only the per-partition k-row heap heads do. A query sharing
+    * no bucket with ≥k corpus vectors returns fewer than k rows (the
+    * documented LSH recall trade; raise nTables or lower planesPerTable to
+    * widen buckets).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val planes: Seq[Seq[Double]] = (0 until nTables).flatMap { t =>
+      Dedup.hyperplanes(dim, planesPerTable, seed + t * 7919).map(_.toSeq)
+    }
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+        posexplode(VectorFunctions.sign_buckets(col(vec), planes, planesPerTable))
+          .as(Seq("tbl", "bucket")))
+    val cb = bucketed(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      "neighbor_id", "cv")
+    val qb = bucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    // corpus×nTables rows stay in their map task (broadcast join, no
+    // exchange) — carrying cv through the explode is free, and saves the
+    // candidate-rejoin second corpus scan the pair operators need
+    val scored = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topkDistinct(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
+  }
+
   /** All-pairs similarity above a threshold via hyperplane LSH (delegates to
     * Dedup.embeddingCosinePairs — same machinery, different intent).
     */

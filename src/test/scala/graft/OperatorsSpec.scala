@@ -221,6 +221,67 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9 at nProbe=4 on clustered data")
   }
 
+  test("LSH ANN: recall@10 vs exact on the real embeddings; wider buckets raise recall") {
+    // Deterministic (seeded hyperplanes, fixed parquet): defaults
+    // (16 tables × 4 planes) measure exactly 0.900 here; dropping to 3
+    // planes per table (wider buckets, ~2× candidates) measures 1.000.
+    // Bars sit below the measurements to absorb future testdata regen.
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nTables: Int, planes: Int): Double = {
+      val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", 10, 64, nTables, planes)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(ann).size.toDouble / exact.size
+    }
+    val r16x4 = recallAt(16, 4); val r16x3 = recallAt(16, 3)
+    assert(r16x4 >= 0.85, s"recall $r16x4 below 0.85 at 16 tables × 4 planes")
+    assert(r16x3 >= 0.95, s"recall $r16x3 below 0.95 at 16 tables × 3 planes")
+    assert(r16x3 >= r16x4, "widening buckets must not lower recall on this data")
+  }
+
+  test("LSH ANN emits each (query, neighbor) at most once and at most k rows per query") {
+    // a pair can collide in several tables — the distinct-pairs heap must
+    // collapse it inside the partial aggregate
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val out = Similarity.lshTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+      10, 64, 16, 4)
+    val dups = out.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "a neighbor claimed two ranks via multiple table collisions")
+    val overK = out.groupBy("query_id").count().filter(col("count") > 10).count()
+    assert(overK == 0, "a query emitted more than k rows")
+  }
+
+  test("LSH ANN: recall@10 >= 0.95 on clustered data") {
+    // same 16-cluster generator as the IVF clustered test: cluster-mates sit
+    // at cosine ≈0.95+, where hyperplane collision probability per table is
+    // (1 − θ/π)^4 ≈ 0.66 and 16-table OR-amplification ≈ 1.0
+    val rng = new java.util.Random(7L)
+    val dim = 32
+    val rows = (0 until 16).flatMap { c =>
+      val center = Array.fill(dim)(rng.nextGaussian())
+      val cn = math.sqrt(center.map(x => x * x).sum)
+      val cu = center.map(_ / cn)
+      (0 until 30).map { i =>
+        val v = cu.zip(Array.fill(dim)(rng.nextGaussian() * 0.15)).map { case (x, e) => x + e }
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (c * 30L + i, v.map(_ / n).toSeq)
+      }
+    }
+    val e = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") % 30 === 0).limit(5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", 10, dim, 16, 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall $recall below 0.95 on clustered data")
+  }
+
   test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a b c d e f g"),   // 7 tokens, size 3 stride 2 → starts 0,2,4 (4+3 ≥ 7 stops)
