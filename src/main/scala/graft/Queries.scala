@@ -446,6 +446,23 @@ object Queries {
       .limit(10)
   }
 
+  /** TPC-H Q4-shaped EXISTS semi-join: count orders per priority in a date
+    * range that have at least one returned lineitem. Exercises LeftSemi —
+    * the one join type no other query covers: the orders side emits at most
+    * once per match regardless of lineitem multiplicity, and the lineitem
+    * side needs no aggregation/distinct before the join.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .join(l.filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** TPC-H Q5-shaped multi-join agg: revenue by nation where customer and
     * supplier share the nation (exercises supplier + all dims in one plan).
     */
@@ -865,6 +882,40 @@ object Queries {
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
       .na.fill(0L)
+  }
+
+  /** Unpivot (melt): the four lineitem measures to long form — the inverse
+    * of [[x8Pivot]] and the normalize step feature pipelines run before
+    * per-metric aggregation. Spark's native `unpivot` (map-only Expand, no
+    * shuffle); keyed to a small order subset so the oracle compare stays
+    * bounded.
+    */
+  def x8Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") < 1000)
+    li.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+      "measure", "value")
+  }
+
+  /** X15 bucketed range join: events matched to the 10-minute windows opened
+    * by every 50th event of the same user. The direct BETWEEN theta-join is
+    * a nested-loop at scale; [[graft.operators.RangeJoin.pointInInterval]]
+    * turns it into an equi hash join on (time-bucket, user) plus an exact
+    * refinement — the oracle IS the BETWEEN join, so the rewrite is pinned
+    * result-identical (same discipline as x13_salted_join).
+    */
+  def x15RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val iv = ev.filter(col("event_id") % 50 === 0)
+      .select(col("user_id"), col("event_id").as("iv_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev.select("event_id", "user_id", "ts"), iv,
+      ts = "ts", start = "w_start", end = "w_end",
+      bucketWidthSec = 600, keys = Seq("user_id"))
+      .select(col("event_id"), col("iv_id"), col("user_id"))
   }
 
   /** X9 deterministic stratified sample: every 5th document per language in
@@ -1314,6 +1365,35 @@ object Queries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "x8_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+    "x15_range_join" ->
+      """WITH iv AS (SELECT user_id, event_id AS iv_id,
+        |                   CAST(ts AS TIMESTAMP) AS w_start,
+        |                   CAST(ts AS TIMESTAMP) + INTERVAL '10 minutes' AS w_end
+        |            FROM events WHERE event_id % 50 = 0)
+        |SELECT e.event_id, iv.iv_id, e.user_id
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        |  AND CAST(e.ts AS TIMESTAMP) >= iv.w_start
+        |  AND CAST(e.ts AS TIMESTAMP) <= iv.w_end""".stripMargin,
     "x7_asof_join" ->
       """WITH u AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, value AS profile_value
         |           FROM events WHERE event_id % 10 = 0)
@@ -1399,6 +1479,9 @@ object Queries {
     "x5_fingerprint" -> x5Fingerprint _,
     "x6_window_agg" -> x6WindowAgg _,
     "x6_session_window" -> x6SessionWindow _,
+    "q4_order_priority" -> q4OrderPriority _,
+    "x8_unpivot" -> x8Unpivot _,
+    "x15_range_join" -> x15RangeJoin _,
     "x7_asof_join" -> x7AsofJoin _,
     "x6_sliding_window" -> x6SlidingWindow _,
     "q6_rollup" -> q6Rollup _,

@@ -282,6 +282,48 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.95, s"recall $recall below 0.95 on clustered data")
   }
 
+  test("range join: multi-bucket intervals, closed bounds, degenerate intervals, key scoping") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val points = spark.createDataFrame(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),  // == start of ivA (closed)
+      (2L, "a", ts("2024-01-01 00:25:00")),  // inside ivA, 2 buckets from start
+      (3L, "a", ts("2024-01-01 00:30:00")),  // == end of ivA (closed)
+      (4L, "a", ts("2024-01-01 00:30:01")),  // 1s past end → no match
+      (5L, "b", ts("2024-01-01 00:10:00")),  // ivA's range but key b → ivB only
+      (6L, "a", ts("2024-01-01 02:00:00"))   // matches nothing
+    )).toDF("pid", "k", "ts")
+    val intervals = spark.createDataFrame(Seq(
+      ("A", "a", ts("2024-01-01 00:00:00"), ts("2024-01-01 00:30:00")), // spans 4 10-min buckets
+      ("B", "b", ts("2024-01-01 00:05:00"), ts("2024-01-01 00:15:00")),
+      ("C", "a", ts("2024-01-01 01:00:00"), ts("2024-01-01 00:50:00"))  // end < start → empty
+    )).toDF("iv", "k", "w_start", "w_end")
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "ts", "w_start", "w_end", bucketWidthSec = 600, keys = Seq("k"))
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "A"), (3L, "A"), (5L, "B")))
+    // exactly-once: a multi-bucket interval must not double-emit a match
+    val cnt = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "ts", "w_start", "w_end", bucketWidthSec = 600, keys = Seq("k"))
+      .groupBy("pid", "iv").count().filter(col("count") > 1).count()
+    assert(cnt == 0, "a (point, interval) match emitted more than once")
+  }
+
+  test("range join agrees with the direct BETWEEN theta-join on real events") {
+    val ev = new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog)
+      .stream(spark, graft.config.TopicConfig("events"))
+    val iv = ev.filter(col("event_id") % 50 === 0)
+      .select(col("user_id").as("u2"), col("event_id").as("iv_id"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val direct = ev.select("event_id", "user_id", "ts")
+      .join(iv, col("user_id") === col("u2") &&
+        col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("event_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Queries.all("x15_range_join")(spark, sf())
+      .select("event_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed == direct)
+  }
+
   test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a b c d e f g"),   // 7 tokens, size 3 stride 2 → starts 0,2,4 (4+3 ≥ 7 stops)

@@ -117,6 +117,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
   }
 
+  test("bucketed range join plans as an equi hash join, never the BETWEEN nested loop (x15)") {
+    // the whole point of the bucketization: the containment predicate rides
+    // an equi join on (bucket, key) as a post-join filter
+    val p = plan("x15_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to nested-loop:\n${p.take(500)}")
+  }
+
+  test("semi join stays a hash semi join (q4)") {
+    val p = plan("q4_order_priority")
+    val semiIsHash = Seq("BroadcastHashJoin LeftSemi", "ShuffledHashJoin LeftSemi",
+      "SortMergeJoin LeftSemi").exists(p.contains)
+    assert(semiIsHash, s"semi join not a hash/merge join:\n${p.take(500)}")
+  }
+
   test("anti join plans as a hash anti join, never NOT-IN nested loop (q22)") {
     // the 1-row scalar-aggregate broadcast cross IS a BNLJ by design; the
     // pin is that the ANTI join itself stays a hash/merge equi join
