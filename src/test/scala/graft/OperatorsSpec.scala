@@ -282,6 +282,48 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.95, s"recall $recall below 0.95 on clustered data")
   }
 
+  test("prefix-filtered jaccard equals first-principles exact jaccard on random corpora") {
+    // The prefix filter is a pruning THEOREM, not a heuristic — so fuzz it:
+    // high-overlap random docs (tiny vocabulary), duplicates, empties, and
+    // short docs where the prefix length clamps to 1, across thresholds
+    // including 1.0. Expected values computed from first principles on the
+    // driver (string shingle sets — collision-free ground truth).
+    val rng = new scala.util.Random(1234L)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val texts = (0L until 60L).map { i =>
+      if (i % 17 == 0) (i, "")                       // empty docs drop out
+      else if (i % 5 == 0 && i > 4) (i, null)        // null text drops out
+      else (i, Seq.fill(rng.nextInt(28) + 2)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    } ++ Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma delta")) // exact dup
+    val docs = spark.createDataFrame(texts).toDF("doc_id", "text")
+    // engine semantics: null text → no shingles (dropped); FEWER than n
+    // tokens — including zero — → ONE shingle of the whole token list, so
+    // two empty docs are jaccard-1.0 duplicates (identical content)
+    def shingles(t: String): Set[String] = {
+      if (t == null) return Set.empty
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = texts.map { case (id, t) => (id, shingles(t)) }.filter(_._2.nonEmpty)
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val expected = (for {
+        (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+        inter = s1.intersect(s2).size if inter > 0
+        j = inter.toDouble / (s1.size + s2.size - inter) if j >= t
+      } yield ((i1, i2), j)).toMap
+      val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got.keySet == expected.keySet,
+        s"threshold $t: pair sets differ — missing ${expected.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- expected.keySet}")
+      expected.foreach { case (k, j) =>
+        assert(math.abs(got(k) - j) < 1e-6, s"threshold $t pair $k: ${got(k)} vs $j")
+      }
+      spark.catalog.clearCache(); Dedup.releaseInternalCaches()
+    }
+  }
+
   test("range join: multi-bucket intervals, closed bounds, degenerate intervals, key scoping") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
