@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection (X2's streaming path): MinHash-LSH
+  * candidate pairs across micro-batches, with the LSH bucket index held in
+  * Structured Streaming keyed state.
+  *
+  * Shape: each incoming doc is sketched map-side (the same
+  * `minhash_signature` native expression as the batch path) and exploded to
+  * its `bands` (band, bucket) keys; `flatMapGroupsWithState` keyed by
+  * (band, bucket) keeps the signatures previously seen in that bucket and
+  * emits an estimated-Jaccard-verified pair for every new⇆prior collision at
+  * or above `threshold`. A doc arriving in a later batch is therefore
+  * checked against the WHOLE streamed history (bounded by TTL/cap), not
+  * just its own micro-batch — the semantics a corpus-ingest dedup needs.
+  *
+  * 100 TB posture and its knobs:
+  *  - state size ∝ occupied buckets × min(occupants, `maxBucketDocs`) ×
+  *    (8 + 8·numHashes) bytes, sharded by Spark's state store across
+  *    executors (RocksDB provider for large state — see DEPLOY.md);
+  *  - `maxBucketDocs` is the streaming form of [[Dedup.capBuckets]]: a
+  *    degenerate bucket stops absorbing new signatures at the cap (first
+  *    `cap` docs by arrival win; later members still pair through their
+  *    OTHER bands — the same documented recall trade as the batch cap);
+  *  - `stateTtl` expires buckets idle longer than the TTL (processing-time),
+  *    bounding state for unbounded streams; 0 keeps state forever (backstop:
+  *    the cap still bounds each bucket).
+  *
+  * Output notes: a pair colliding in several bands emits once per colliding
+  * band (same as the batch candidate stream before its dropDuplicates — an
+  * exchange Spark forbids downstream of arbitrary stateful ops in the same
+  * query anyway); sinks needing exactly-once pairs dedup in their own query
+  * or batch step. Pairs are normalized (id1 < id2). Within a batch, bucket
+  * members are processed in ascending id order, so same-batch pairs and
+  * cap admission are deterministic.
+  */
+object StreamingDedup {
+
+  /** One doc's membership in one LSH bucket. */
+  private[streaming] case class BandRow(band: Int, bucket: Long, id: Long, sig: Array[Long])
+
+  /** A signature remembered in bucket state. */
+  private[streaming] case class SeenDoc(id: Long, sig: Array[Long])
+
+  /** A verified candidate pair (est. Jaccard from signature agreement). */
+  case class NearDupPair(id1: Long, id2: Long, estJaccard: Double)
+
+  /** @param docs       streaming (or batch) frame with `idCol` (long) and `textCol`
+    * @param threshold  minimum signature-estimated Jaccard to emit
+    * @param maxBucketDocs cap on signatures remembered per bucket (skew guard)
+    * @param stateTtl   e.g. "2 hours": drop buckets idle that long; null/empty = keep forever
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucketDocs: Int = 64,
+      stateTtl: String = null): Dataset[NearDupPair] = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    require(maxBucketDocs > 0, "maxBucketDocs must be positive")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val r = numHashes / bands
+    // identical sketch + banding arithmetic to Dedup.minhashCandidates —
+    // a batch backfill and the streaming ingest land in the SAME buckets
+    val banded = Dedup.minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("band").cast("int").as("band"),
+        hash(col("band"), expr(s"slice(sig, band * $r + 1, $r)")).cast("long").as("bucket"),
+        col("id"), col("sig"))
+      .as[BandRow]
+    val ttl = Option(stateTtl).map(_.trim).filter(_.nonEmpty)
+    // NoTimeout unless a TTL is actually requested: declaring
+    // ProcessingTimeTimeout makes the engine schedule continuous no-data
+    // batches to evaluate timers — a busy-loop (thousands of empty commits
+    // per minute) when nothing ever times out
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(b => (b.band, b.bucket))
+      .flatMapGroupsWithState[Seq[SeenDoc], NearDupPair](
+        OutputMode.Append, timeoutConf) {
+        case (_, rows, state: GroupState[Seq[SeenDoc]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var seen = state.getOption.getOrElse(Seq.empty)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            // ascending id: same-batch pair emission and cap admission are
+            // order-independent of Spark's group iteration
+            rows.toSeq.sortBy(_.id).foreach { row =>
+              seen.foreach { prior =>
+                if (prior.id != row.id && prior.sig.length == row.sig.length) {
+                  var agree = 0; var i = 0
+                  while (i < row.sig.length) {
+                    if (row.sig(i) == prior.sig(i)) agree += 1
+                    i += 1
+                  }
+                  val est = agree.toDouble / numHashes
+                  if (est >= threshold)
+                    out += NearDupPair(math.min(prior.id, row.id),
+                      math.max(prior.id, row.id), est)
+                }
+              }
+              if (seen.size < maxBucketDocs) seen = seen :+ SeenDoc(row.id, row.sig)
+            }
+            state.update(seen)
+            ttl.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+}

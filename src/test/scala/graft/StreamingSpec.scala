@@ -95,6 +95,71 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup flags cross-batch and same-batch LSH collisions (X2 streaming)") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away " +
+      "into the deep dark forest to hide from the loud hunting party all night long"
+    val nearDup = base.replace("dark", "cold") // one token differs → J ≈ 0.9
+    val unrelated = "completely different content about spark sql streaming state " +
+      "stores and watermarks with no overlap at all in any shingle of this text " +
+      "because every single word sequence here is distinct from the fox story"
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("neardup_t")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, base), (3L, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("neardup_t").isEmpty, "no pairs expected in batch 1")
+      // batch 2: a near-copy of a batch-1 doc (cross-batch, via state) and a
+      // same-batch copy of the unrelated doc
+      input.addData((2L, nearDup), (4L, unrelated))
+      q.processAllAvailable()
+      val got = spark.table("neardup_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pairsSeen = got.map { case (a, b, _) => (a, b) }
+      assert(pairsSeen == Set((1L, 2L), (3L, 4L)), s"got $pairsSeen")
+      assert(got.filter(p => p._1 == 1L && p._2 == 2L).forall(_._3 >= 0.5))
+      assert(got.filter(p => p._1 == 3L && p._2 == 4L).forall(_._3 == 1.0),
+        "identical docs must estimate jaccard 1.0")
+      // batch 3: the same near-dup text again — pairs with BOTH prior copies
+      input.addData((5L, nearDup))
+      q.processAllAvailable()
+      val p3 = spark.table("neardup_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p3.contains((1L, 5L)) && p3.contains((2L, 5L)), s"got $p3")
+    } finally q.stop()
+  }
+
+  test("streaming near-dup bucket cap bounds state; over-cap docs stop matching (skew guard)") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four"
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, maxBucketDocs = 2)
+    val q = pairs.writeStream.format("memory").queryName("neardup_cap_t")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, text), (2L, text))
+      q.processAllAvailable()
+      // ids 1 and 2 fill every bucket to the cap; 3 can still MATCH against
+      // them but must not be remembered...
+      input.addData((3L, text))
+      q.processAllAvailable()
+      val afterThree = spark.table("neardup_cap_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterThree == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"got $afterThree")
+      // ...so 4 pairs with the two REMEMBERED docs only, never with 3
+      input.addData((4L, text))
+      q.processAllAvailable()
+      val afterFour = spark.table("neardup_cap_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(afterFour == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)),
+        s"got $afterFour")
+    } finally q.stop()
+  }
+
   test("stream–stream join matches within the time bound, drops outside (watermarked)") {
     val li = MemoryStream[(Timestamp, Long, String)](ss, 2)
     val ri = MemoryStream[(Timestamp, Long, String)](ss, 2)
