@@ -625,13 +625,15 @@ object Queries {
     * loop runs over the filtered corpus only, chunking is map-side on the
     * survivors.
     *
-    * The filtered (doc_id, text) frame is PERSISTED: since the round-5
-    * prefix-filter rewrite, [[Dedup.jaccardPairs]] consumes it four times
-    * (prefix postings ×2 + verification ×2) on top of the keep/chunk
-    * branch — at five consumers the regex quality pass dominates recompute
-    * and the cache wins (3.1s → 2.1s, sf0.1; the round-4 no-cache rule was
-    * measured at three consumers). MEMORY_AND_DISK (corpus-sized at scale —
-    * spills, never OOMs), registered for
+    * The filtered (doc_id, text) frame is PERSISTED. Its consumers after
+    * the round-5 jaccard rewrite: the single scan that populates
+    * [[Dedup.jaccardPairs]]' internal sorted-shingle cache, and the
+    * keep/chunk branch — each re-running the regex quality pass when
+    * uncached. Measured at sf0.1 WITH the jaccard-internal cache in place:
+    * 2.6–2.9s uncached vs 2.1–2.2s persisted, so the cache wins (the
+    * round-4 no-cache measurement predates the internal cache and is no
+    * longer the relevant comparison). MEMORY_AND_DISK (corpus-sized at
+    * scale — spills, never OOMs), registered for
     * [[Dedup.releaseInternalCaches]].
     */
   def x14TrainingPipeline(spark: SparkSession, dir: String): DataFrame = {

@@ -109,7 +109,12 @@ object Dedup {
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
         .dropDuplicates("id1", "id2")
       // exact verification on the deduped candidate set only (arrays are
-      // distinct by construction, so |array_intersect| IS |∩|)
+      // distinct by construction, so |array_intersect| IS |∩|). Catalyst
+      // pushes the threshold filter into the join condition and then
+      // re-evaluates array_intersect in the project for SURVIVING pairs —
+      // accepted: the recompute is O(survivors), dwarfed by the per-
+      // candidate evaluation the filter must do anyway, and any barrier
+      // that forced single evaluation would cost a materialization.
       val s1 = sorted.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
       val s2 = sorted.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
       cands.join(s1, "id1").join(s2, "id2")

@@ -65,8 +65,13 @@ object StreamingDedup {
     import ss.implicits._
     val r = numHashes / bands
     // identical sketch + banding arithmetic to Dedup.minhashCandidates —
-    // a batch backfill and the streaming ingest land in the SAME buckets
+    // a batch backfill and the streaming ingest land in the SAME buckets.
+    // Null-text docs yield a NULL sig; unlike the batch path (where
+    // explode(null) drops them) the banded select here explodes a constant
+    // sequence, so they would ride through as sig=null rows, poison bucket
+    // state, and NPE on the next comparison — filter them out up front.
     val banded = Dedup.minhashSignatures(docs, idCol, textCol, shingleSize, numHashes)
+      .filter(col("sig").isNotNull)
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col("band").cast("int").as("band"),
@@ -92,20 +97,26 @@ object StreamingDedup {
             // ascending id: same-batch pair emission and cap admission are
             // order-independent of Spark's group iteration
             rows.toSeq.sortBy(_.id).foreach { row =>
-              seen.foreach { prior =>
-                if (prior.id != row.id && prior.sig.length == row.sig.length) {
-                  var agree = 0; var i = 0
-                  while (i < row.sig.length) {
-                    if (row.sig(i) == prior.sig(i)) agree += 1
-                    i += 1
+              // a redelivered id (at-least-once replay, same-batch dup) must
+              // neither re-pair against history nor burn a second cap slot —
+              // its signature is identical on replay, so skipping is safe
+              val replay = seen.exists(_.id == row.id)
+              if (!replay) {
+                seen.foreach { prior =>
+                  if (prior.sig.length == row.sig.length) {
+                    var agree = 0; var i = 0
+                    while (i < row.sig.length) {
+                      if (row.sig(i) == prior.sig(i)) agree += 1
+                      i += 1
+                    }
+                    val est = agree.toDouble / numHashes
+                    if (est >= threshold)
+                      out += NearDupPair(math.min(prior.id, row.id),
+                        math.max(prior.id, row.id), est)
                   }
-                  val est = agree.toDouble / numHashes
-                  if (est >= threshold)
-                    out += NearDupPair(math.min(prior.id, row.id),
-                      math.max(prior.id, row.id), est)
                 }
+                if (seen.size < maxBucketDocs) seen = seen :+ SeenDoc(row.id, row.sig)
               }
-              if (seen.size < maxBucketDocs) seen = seen :+ SeenDoc(row.id, row.sig)
             }
             state.update(seen)
             ttl.foreach(state.setTimeoutDuration)

@@ -131,6 +131,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup survives null texts and redelivered ids") {
+    val text = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty more"
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+    val q = pairs.writeStream.format("memory").queryName("neardup_null_t")
+      .outputMode("append").start()
+    try {
+      // two null-text docs across batches: must neither pair nor crash
+      // (null sigs would otherwise enter bucket state and NPE on compare)
+      input.addData((1L, text), (2L, null))
+      q.processAllAvailable()
+      input.addData((3L, null), (4L, text)) // 4 pairs with 1; nulls ignored
+      q.processAllAvailable()
+      val got = spark.table("neardup_null_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 4L)), s"got $got")
+      val before = spark.table("neardup_null_t").count() // once per colliding band
+      // doc 1 redelivered (at-least-once source): no self-pair and no
+      // re-emission of (1,4) — the id is already remembered in its buckets
+      input.addData((1L, text))
+      q.processAllAvailable()
+      val after = spark.table("neardup_null_t").count()
+      assert(after == before, s"redelivery re-emitted pairs: $before -> $after")
+    } finally q.stop()
+  }
+
   test("streaming near-dup bucket cap bounds state; over-cap docs stop matching (skew guard)") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
       "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four"
