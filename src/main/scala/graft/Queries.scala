@@ -920,6 +920,30 @@ object Queries {
       .select(col("event_id"), col("iv_id"), col("user_id"))
   }
 
+  /** X16 column profile: per-column non-null/distinct counts over documents
+    * in one Expand pass — the data-quality summary run around every pipeline
+    * stage.
+    */
+  def x16Profile(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnStats(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** X5 sequence packing: stride chunks greedily packed into 256-token bins
+    * (per-partition first-fit — zero shuffle). Rows-only: pack ASSIGNMENT is
+    * engine-specific (partition-local bins); the packing INVARIANTS (every
+    * chunk exactly once, no bin over budget, slots contiguous) are pinned in
+    * OperatorsSpec.
+    */
+  def x5Pack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis.chunk(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+      size = 40, stride = 30)
+    graft.operators.Packing.pack(chunks, "n_chunk_tokens", budget = 256,
+      orderCols = Seq("doc_id", "chunk_id"))
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_slot")
+  }
+
   /** X9 deterministic stratified sample: every 5th document per language in
     * doc_id order — reproducible class-balancing subsample.
     */
@@ -1367,6 +1391,14 @@ object Queries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "x16_profile" ->
+      """SELECT 'doc_id' AS col_name, count(doc_id) AS n_non_null,
+        |       count(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL SELECT 'text', count(text), count(DISTINCT text) FROM documents
+        |UNION ALL SELECT 'lang', count(lang), count(DISTINCT lang) FROM documents
+        |UNION ALL SELECT 'source', count(source), count(DISTINCT source) FROM documents
+        |UNION ALL SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars)
+        |FROM documents""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -1482,6 +1514,8 @@ object Queries {
     "x6_window_agg" -> x6WindowAgg _,
     "x6_session_window" -> x6SessionWindow _,
     "q4_order_priority" -> q4OrderPriority _,
+    "x16_profile" -> x16Profile _,
+    "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,
     "x7_asof_join" -> x7AsofJoin _,

@@ -366,6 +366,37 @@ class OperatorsSpec extends SparkSuite {
     assert(bucketed == direct)
   }
 
+  test("sequence packing: every chunk packed once, no pack over budget, slots contiguous") {
+    val chunks = TextAnalysis.chunk(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", "text",
+      size = 40, stride = 30)
+    val budget = 256L
+    val packed = graft.operators.Packing.pack(chunks, "n_chunk_tokens", budget,
+      Seq("doc_id", "chunk_id"))
+    // exactly-once: same multiset of (doc_id, chunk_id)
+    assert(packed.count() == chunks.count())
+    assert(packed.select("doc_id", "chunk_id").distinct().count() == chunks.count())
+    val perPack = packed.groupBy("pack_id").agg(
+        sum(col("n_chunk_tokens")).as("toks"), count(lit(1)).as("n"),
+        min(col("pack_slot")).as("lo"), max(col("pack_slot")).as("hi"))
+      .collect()
+    perPack.foreach { r =>
+      val (toks, n, lo, hi) = (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      // over-budget only as a single oversized chunk in its own pack
+      assert(toks <= budget || n == 1, s"pack ${r.getLong(0)}: $toks tokens in $n chunks")
+      assert(lo == 0 && hi == n - 1, s"pack ${r.getLong(0)}: slots not contiguous")
+    }
+    // multi-chunk packs must exist, else the test is vacuous (chunks are
+    // ≤40 tokens against a 256 budget)
+    assert(perPack.exists(_.getLong(2) > 1), "packing never combined chunks")
+    // oversized rows get a bin of their own
+    val tiny = spark.createDataFrame(Seq((1L, 10), (2L, 300), (3L, 10)))
+      .toDF("id", "n")
+    val t = graft.operators.Packing.pack(tiny.coalesce(1), "n", 256L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
+    assert(t.map(_._2).distinct.length == 3, s"oversized row shared a pack: ${t.toSeq}")
+  }
+
   test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a b c d e f g"),   // 7 tokens, size 3 stride 2 → starts 0,2,4 (4+3 ≥ 7 stops)
