@@ -397,7 +397,7 @@ object Dedup {
     *   zero-IO local form.
     */
   def componentsFromPairs(pairs: DataFrame, maxIters: Int = 15,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, localCcMaxPairs: Long = 2000000L): DataFrame = {
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // Materialize the candidate pairs ONCE. The incoming frame is typically
@@ -407,6 +407,43 @@ object Dedup {
     // Checkpointing is eager, executes the DAG exactly once, and replaces
     // the plan with the materialized RDD.
     val p = materialize(pairs.select(col("id1"), col("id2")))
+    // HYBRID: near-dup pair sets at sensible thresholds are tiny relative
+    // to the corpus (pairs, not rows — x2 finds tens of pairs per 10⁴
+    // docs). When the materialized count is under `localCcMaxPairs`
+    // (bounded: 2M pairs ≈ 32 MB, the same bounded-driver-work class as
+    // the IVF centroid sample), skip the iterative join loop entirely and
+    // run union-find on the driver — exact same labels (min id per
+    // component), none of the per-round shuffle/checkpoint jobs. Above the
+    // cap — a genuinely pair-dense corpus — the distributed loop below is
+    // the path that scales. 0 disables the local path.
+    val nPairs = p.count()
+    val longIds = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (localCcMaxPairs > 0 && nPairs <= localCcMaxPairs && longIds) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min — the label contract
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      // snapshot keys STRICTLY before mapping: find() path-compresses (map
+      // writes), and a lazy keysIterator traversed during those writes
+      // silently drops keys (observed: 47 keys → 28 labels)
+      val labels = parent.keys.toArray.map(id => (id, find(id))).toSeq
+      freeCheckpoint(p)
+      val out = p.sparkSession.createDataFrame(labels).toDF("id", "comp")
+      return out
+    }
     // Pre-partition the (static) edge list by the join key so each round's
     // edge ⋈ labels join reads it in place instead of re-shuffling it.
     val edges = materialize(p.select(col("id1").as("src"), col("id2").as("dst"))
@@ -503,8 +540,9 @@ object Dedup {
     * [[componentsFromPairs]]).
     */
   def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
-      reliable: Boolean = false): DataFrame = {
-    val comps = componentsFromPairs(pairs, reliable = reliable)
+      reliable: Boolean = false, localCcMaxPairs: Long = 2000000L): DataFrame = {
+    val comps = componentsFromPairs(pairs, reliable = reliable,
+      localCcMaxPairs = localCcMaxPairs)
     val losers = comps.filter(col("id") =!= col("comp")).select(col("id").as("__loser"))
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }

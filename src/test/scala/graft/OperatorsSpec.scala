@@ -122,6 +122,35 @@ class OperatorsSpec extends SparkSuite {
     assert(kept == Seq(1L, 5L, 10L))
   }
 
+  test("hybrid CC: driver union-find and distributed loop produce identical labels") {
+    // random pair sets with chains, stars, and merges — both paths must
+    // yield the same (id -> min id of component) map. Multiple seeds and
+    // densities: the first version of the driver path silently DROPPED
+    // labels via a lazy keysIterator traversed during path-compression
+    // writes, and only certain hash-table layouts exposed it — sparse
+    // 2-element-component-heavy graphs (seed 7, n=500) reproduce that;
+    // dense graphs (seed 99) did not.
+    for ((seed, ids, n) <- Seq((99L, 60, 120), (7L, 500, 60), (1234L, 1000, 300))) {
+      val rng = new scala.util.Random(seed)
+      val pairSet = (0 until n).map { _ =>
+        val a = rng.nextInt(ids).toLong; val b = rng.nextInt(ids).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = spark.createDataFrame(pairSet).toDF("id1", "id2")
+      val local = graft.operators.Dedup.componentsFromPairs(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val dist = graft.operators.Dedup.componentsFromPairs(pairs, localCcMaxPairs = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(local == dist, s"seed $seed: paths disagree: ${dist.toSet.diff(local.toSet)}")
+      // every id appearing in any pair must carry a label
+      val allIds = pairSet.flatMap(p => Seq(p._1, p._2)).toSet
+      assert(local.keySet == allIds, s"seed $seed: labels missing ids " +
+        s"${allIds.diff(local.keySet)}")
+      // labels are component minima (every label maps to itself)
+      local.values.foreach(c => assert(local(c) == c, s"seed $seed: label $c not a root"))
+    }
+  }
+
   test("connected components with reliable checkpoints (cluster fault-tolerance mode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
     spark.sparkContext.setCheckpointDir(dir)

@@ -78,7 +78,9 @@ class PlanSpec extends SparkSuite {
     // self-join every propagation round (35s of a 72s bench).
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
-    val comps = graft.operators.Dedup.componentsFromPairs(pairs)
+    // localCcMaxPairs = 0 forces the DISTRIBUTED loop — this test pins that
+    // path's plan shape (the hybrid driver path has no plan to pin)
+    val comps = graft.operators.Dedup.componentsFromPairs(pairs, localCcMaxPairs = 0)
     val p = comps.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
       s"labels not checkpoint-backed:\n${p.take(400)}")
