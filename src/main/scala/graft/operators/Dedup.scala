@@ -50,13 +50,14 @@ object Dedup {
     *   then computed over the filtered shingle universe (both |∩| and the
     *   doc sizes exclude dropped shingles — the estimate stays internally
     *   consistent), and pairs whose only overlap is ultra-common boilerplate
-    *   are missed, which is the point. Like [[simhashPairs]], the capped
-    *   branch returns lazily over an internally persisted narrow frame (the
-    *   filtered posting list); callers hold no reference to it, so it is
-    *   registered for [[releaseInternalCaches]] — call that once the result
-    *   is consumed (a global `spark.catalog.clearCache()` also works, and is
-    *   what Verify/Bench do per query) — `unpersist` on the RESULT cannot
-    *   reach it.
+    *   are missed, which is the point. Both branches run the same
+    *   prefix-filtered join over an internally persisted sorted-array frame
+    *   (the capped branch rebuilds it from the filtered postings — one
+    *   extra partial-aggregated exchange); callers hold no reference to the
+    *   cache, so it is registered for [[releaseInternalCaches]] — call that
+    *   once the result is consumed (a global `spark.catalog.clearCache()`
+    *   also works, and is what Verify/Bench do per query) — `unpersist` on
+    *   the RESULT cannot reach it.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {
@@ -76,19 +77,6 @@ object Dedup {
         HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     if (maxShinglePostings <= 0) {
-      // Prefix filtering (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All Pairs
-      // Similarity Search"; the PPJoin family): under ANY global token order
-      // — here ascending hash value — two sets with J ≥ t must share a
-      // token among each one's FIRST n − ⌈t·n⌉ + 1 tokens, because J ≥ t
-      // forces |∩| ≥ ⌈t·max(n1,n2)⌉ and a set missing its whole prefix has
-      // at most n − (n − ⌈t·n⌉ + 1) < ⌈t·n⌉ matches left. So only prefix
-      // tokens are indexed: at t=0.8 the posting list shrinks ~5× and the
-      // quadratic self-join ~25× vs the full inverted index, with ZERO
-      // false negatives — candidates are re-verified exactly against the
-      // full sorted shingle arrays. The ε guards keep double rounding from
-      // ever SHORTENING a prefix or tightening the length filter (which
-      // would drop true pairs); lengthening by one element is only a
-      // few extra candidates.
       // Persisted: the sorted-array frame feeds FOUR consumers (both prefix
       // posting sides + both verification joins) — under the old 2-consumer
       // shape recompute beat the cache write (the round-2 measurement); at
@@ -97,32 +85,7 @@ object Dedup {
       // [[releaseInternalCaches]].
       val sorted = registerCache(sh.withColumn("sh", array_sort(col("sh")))
         .persist(StorageLevel.MEMORY_AND_DISK))
-      val prefixLen = // n - ceil(t*n) + 1, rounded in the safe direction
-        (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
-      val pre = sorted.select(col("id"), col("n"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
-      val a = pre.as("a"); val b = pre.as("b")
-      // length filter: J ≥ t also forces t·max(n1,n2) ≤ min(n1,n2)
-      val cands = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          greatest(col("a.n"), col("b.n")) * threshold <=
-            least(col("a.n"), col("b.n")) + lit(1e-9))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"))
-        .dropDuplicates("id1", "id2")
-      // exact verification on the deduped candidate set only (arrays are
-      // distinct by construction, so |array_intersect| IS |∩|). Catalyst
-      // pushes the threshold filter into the join condition and then
-      // re-evaluates array_intersect in the project for SURVIVING pairs —
-      // accepted: the recompute is O(survivors), dwarfed by the per-
-      // candidate evaluation the filter must do anyway, and any barrier
-      // that forced single evaluation would cost a materialization.
-      val s1 = sorted.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
-      val s2 = sorted.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
-      cands.join(s1, "id1").join(s2, "id2")
-        .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      prefixFilteredPairs(sorted, threshold)
     } else {
       val posts0 = sh.select(col("id"), explode(col("sh")).as("h"))
       // hot set: partial-aggregated count per shingle hash, filtered to the
@@ -132,28 +95,67 @@ object Dedup {
       // instead of an OOM when a pathological corpus makes it large.
       val hot = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShinglePostings).select(col("h"))
-      // Cached: the filtered posting list feeds BOTH self-join sides and the
-      // size aggregation — without the cache each consumer re-runs the
-      // explode AND the hot-set build (5 passes total). (id, h) rows are 16
-      // bytes — the narrow-derived-frame rule, same as the LSH banded frames.
-      val posts = registerCache(posts0.join(hot, Seq("h"), "left_anti")
+      // Rebuild per-doc sorted arrays over the FILTERED shingle universe
+      // (one partial-aggregated shuffle of 16-byte posting rows), then run
+      // the same prefix-filtered join as the exact branch — the capped
+      // branch pays one extra exchange to keep the quadratic self-join
+      // prefix-pruned. Jaccard semantics are unchanged: sizes and
+      // intersections both exclude dropped shingles (array length IS the
+      // filtered size). A doc whose every shingle is hot vanishes — same
+      // as the pure-posting formulation. The rebuilt frame is the one
+      // resident cache (4 consumers, same as the exact branch).
+      val sorted = registerCache(posts0.join(hot, Seq("h"), "left_anti")
+        .groupBy(col("id")).agg(sort_array(collect_list(col("h"))).as("sh"))
+        .withColumn("n", size(col("sh")))
         .persist(StorageLevel.MEMORY_AND_DISK))
-      // filtered doc sizes (same universe as the intersection counts);
-      // rejoined onto the candidate PAIRS, not the postings — the big
-      // posting exchange carries (id, h) only
-      val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("n"))
-      val a = posts.as("a"); val b = posts.as("b")
-      val common = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-        .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-      common
-        .join(sizes.select(col("id").as("id1"), col("n").as("n1")), "id1")
-        .join(sizes.select(col("id").as("id2"), col("n").as("n2")), "id2")
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+      prefixFilteredPairs(sorted, threshold)
     }
+  }
+
+  /** Prefix-filtered all-pairs Jaccard join over a `(id, sh, n)` frame of
+    * SORTED distinct shingle-hash arrays (the caller persists it — four
+    * subtrees below read it).
+    *
+    * Prefix filtering (Bayardo/Ma/Srikant, WWW'07 "Scaling Up All Pairs
+    * Similarity Search"; the PPJoin family): under ANY global token order —
+    * here ascending hash value — two sets with J ≥ t must share a token
+    * among each one's FIRST n − ⌈t·n⌉ + 1 tokens, because J ≥ t forces
+    * |∩| ≥ ⌈t·max(n1,n2)⌉ and a set missing its whole prefix has at most
+    * n − (n − ⌈t·n⌉ + 1) < ⌈t·n⌉ matches left. So only prefix tokens are
+    * indexed: at t=0.8 the posting list shrinks ~5× and the quadratic
+    * self-join ~25× vs the full inverted index, with ZERO false negatives —
+    * candidates are re-verified exactly against the full sorted arrays.
+    * The ε guards keep double rounding from ever SHORTENING a prefix or
+    * tightening the length filter (which would drop true pairs);
+    * lengthening by one element is only a few extra candidates.
+    */
+  private def prefixFilteredPairs(sorted: DataFrame, threshold: Double): DataFrame = {
+    val prefixLen = // n - ceil(t*n) + 1, rounded in the safe direction
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
+    val pre = sorted.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val a = pre.as("a"); val b = pre.as("b")
+    // length filter: J ≥ t also forces t·max(n1,n2) ≤ min(n1,n2)
+    val cands = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        greatest(col("a.n"), col("b.n")) * threshold <=
+          least(col("a.n"), col("b.n")) + lit(1e-9))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    // exact verification on the deduped candidate set only (arrays are
+    // distinct by construction, so |array_intersect| IS |∩|). Catalyst
+    // pushes the threshold filter into the join condition and then
+    // re-evaluates array_intersect in the project for SURVIVING pairs —
+    // accepted: the recompute is O(survivors), dwarfed by the per-
+    // candidate evaluation the filter must do anyway, and any barrier
+    // that forced single evaluation would cost a materialization.
+    val s1 = sorted.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
+    val s2 = sorted.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash + LSH banding near-dup candidates, verified by signature-estimated

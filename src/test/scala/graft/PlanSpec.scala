@@ -89,13 +89,16 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("capped jaccard reads the filtered posting list from cache on all three consumers (X2)") {
-    // the filtered (id, h) posting frame feeds both self-join sides AND the
-    // size aggregation — uncached each consumer re-runs the explode and the
-    // hot-set anti join (5 passes); the persist is load-bearing
+  test("capped jaccard reads the rebuilt sorted-array frame from cache on all consumers (X2)") {
+    // the filtered-universe (id, sh, n) frame feeds both prefix-posting
+    // sides AND both verification joins — uncached each consumer re-runs
+    // the explode, hot-set anti join, and collect_list rebuild; the persist
+    // is load-bearing
     val p = plan("x2_jaccard_capped")
     val hits = "InMemoryTableScan".r.findAllIn(p).size
-    assert(hits >= 3, s"expected posting cache on all 3 consumers, found $hits cache scans")
+    assert(hits >= 3, s"expected the rebuilt-array cache on the prefix and " +
+      s"verify consumers, found $hits cache scans")
+    assert(p.contains("slice(sh"), "capped branch lost the prefix filter")
     spark.catalog.clearCache()
   }
 
