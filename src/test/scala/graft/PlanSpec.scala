@@ -157,6 +157,37 @@ class PlanSpec extends SparkSuite {
     assert(mainIsEqui, s"salted key join not an equi join:\n${p.take(500)}")
   }
 
+  test("plan sweep: NO query plans a nested-loop or cartesian join except the documented crosses") {
+    // The global 100 TB guard: an accidental BroadcastNestedLoopJoin is the
+    // classic silent scale-killer (a refactor drops an equi-key and the
+    // query still passes at sf0.001). Every BNLJ below is a deliberate,
+    // bounded cross:
+    //   q22_no_orders         1-row scalar-aggregate broadcast cross
+    //   x5_tfidf              1-row corpus-count (idf denominator) cross
+    //   x13_salted_join       k-row salt-replication cross
+    //   x3_ann_ivf            query × centroid-table broadcast cross
+    //   x3_knn_exact          corpus × broadcast-query-set scan (exact path)
+    //   x3_sql_knn            same, via the SQL surface
+    //   x3_cosine_pairs_exact intentional all-pairs oracle twin
+    val allowedBnlj = Set("q22_no_orders", "x5_tfidf", "x13_salted_join",
+      "x3_ann_ivf", "x3_knn_exact", "x3_sql_knn", "x3_cosine_pairs_exact")
+    val offenders = Queries.all.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      spark.catalog.clearCache()
+      graft.operators.Dedup.releaseInternalCaches()
+      val bad =
+        (p.contains("BroadcastNestedLoopJoin") && !allowedBnlj.contains(name)) ||
+          p.contains("CartesianProduct")
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian joins in: $offenders")
+    // the whitelist must not rot: entries that no longer plan a BNLJ should
+    // be removed so the guard stays tight
+    val stale = allowedBnlj.filter(n => !plan(n).contains("BroadcastNestedLoopJoin"))
+    assert(stale.isEmpty, s"whitelisted queries no longer plan a BNLJ: $stale")
+  }
+
   test("column pruning reaches the scan: 2-column projection reads 2 columns") {
     val df = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
