@@ -677,7 +677,8 @@ object Queries {
     * before the self-join. No testdata shingle reaches df 50 (measured max 9
     * at sf0.001, 7 at sf0.01), so the capped branch must reproduce the exact
     * result bit-for-bit — the SAME DuckDB oracle pins the whole alternate
-    * code path (filtered sizes rejoined on pairs) non-vacuously.
+    * code path (the sorted-array frame rebuilt from the filtered postings,
+    * then the shared prefix-filtered join) non-vacuously.
     */
   def x2JaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),

@@ -411,17 +411,18 @@ object Dedup {
     val p = materialize(pairs.select(col("id1"), col("id2")))
     // HYBRID: near-dup pair sets at sensible thresholds are tiny relative
     // to the corpus (pairs, not rows — x2 finds tens of pairs per 10⁴
-    // docs). When the materialized count is under `localCcMaxPairs`
-    // (bounded: 2M pairs ≈ 32 MB, the same bounded-driver-work class as
-    // the IVF centroid sample), skip the iterative join loop entirely and
-    // run union-find on the driver — exact same labels (min id per
-    // component), none of the per-round shuffle/checkpoint jobs. Above the
-    // cap — a genuinely pair-dense corpus — the distributed loop below is
-    // the path that scales. 0 disables the local path.
-    val nPairs = p.count()
+    // docs). When the materialized count is under `localCcMaxPairs`, skip
+    // the iterative join loop entirely and run union-find on the driver —
+    // exact same labels (min id per component), none of the per-round
+    // shuffle/checkpoint jobs. Driver footprint at the default 2M cap is
+    // ~0.5 GB transient (collected Row objects + a boxed HashMap — NOT the
+    // 16-byte raw-pair arithmetic), bounded and sized in DEPLOY.md. Above
+    // the cap — a genuinely pair-dense corpus — the distributed loop below
+    // is the path that scales. 0 disables the local path (and skips the
+    // count job entirely: the && short-circuits before it).
     val longIds = p.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (localCcMaxPairs > 0 && nPairs <= localCcMaxPairs && longIds) {
+    if (localCcMaxPairs > 0 && longIds && p.count() <= localCcMaxPairs) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

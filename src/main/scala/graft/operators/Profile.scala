@@ -24,6 +24,8 @@ object Profile {
   def columnStats(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnStats needs at least one column")
+    require(cols.distinct == cols,
+      s"columnStats column list has duplicates: ${cols.diff(cols.distinct).distinct}")
     val aggs = cols.flatMap { c =>
       val nd = if (approxDistinct) approx_count_distinct(col(c))
         else countDistinct(col(c))

@@ -156,7 +156,10 @@ class OperatorsSpec extends SparkSuite {
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = spark.createDataFrame(Seq((2L, 3L), (1L, 2L), (10L, 11L)))
       .toDF("id1", "id2")
-    val comps = graft.operators.Dedup.componentsFromPairs(pairs, reliable = true)
+    // localCcMaxPairs = 0 forces the DISTRIBUTED loop — this test pins the
+    // reliable-checkpoint machinery, which the driver path would bypass
+    val comps = graft.operators.Dedup.componentsFromPairs(pairs, reliable = true,
+        localCcMaxPairs = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }

@@ -171,20 +171,24 @@ class PlanSpec extends SparkSuite {
     //   x3_cosine_pairs_exact intentional all-pairs oracle twin
     val allowedBnlj = Set("q22_no_orders", "x5_tfidf", "x13_salted_join",
       "x3_ann_ivf", "x3_knn_exact", "x3_sql_knn", "x3_cosine_pairs_exact")
-    val offenders = Queries.all.keys.toSeq.sorted.flatMap { name =>
+    // one planning pass per query: record who plans a BNLJ, then derive
+    // both the offender list and the whitelist-staleness check from it
+    // (re-planning the whitelisted queries would re-run their eager work
+    // and leak their registered caches)
+    val bnljByQuery = Queries.all.keys.toSeq.sorted.map { name =>
       val p = plan(name)
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseInternalCaches()
-      val bad =
-        (p.contains("BroadcastNestedLoopJoin") && !allowedBnlj.contains(name)) ||
-          p.contains("CartesianProduct")
-      if (bad) Some(name) else None
+      (name, p.contains("BroadcastNestedLoopJoin"), p.contains("CartesianProduct"))
+    }
+    val offenders = bnljByQuery.collect {
+      case (name, bnlj, cart) if (bnlj && !allowedBnlj.contains(name)) || cart => name
     }
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian joins in: $offenders")
     // the whitelist must not rot: entries that no longer plan a BNLJ should
     // be removed so the guard stays tight
-    val stale = allowedBnlj.filter(n => !plan(n).contains("BroadcastNestedLoopJoin"))
+    val stale = allowedBnlj -- bnljByQuery.collect { case (n, true, _) => n }.toSet
     assert(stale.isEmpty, s"whitelisted queries no longer plan a BNLJ: $stale")
   }
 
