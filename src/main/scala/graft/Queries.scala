@@ -684,6 +684,26 @@ object Queries {
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
       "doc_id", "text", shingleSize = 3, threshold = 0.8, maxShinglePostings = 50)
 
+  /** X2 character-n-gram Jaccard near-dup (8-char shingles over normalized
+    * text) — the near-dup form that works on whitespace-poor scripts, via
+    * the same prefix-filtered join with [[TextAnalysis.chars]] plugged in.
+    * Docs shorter than one full window are excluded on both sides (the
+    * whole-list-hash edge is not SQL-expressible).
+    *
+    * Char grams NEED the stop-shingle cap: common 8-char sequences ("n the
+    * ", "ing and") appear in hundreds of documents, and the uncapped
+    * posting join is quadratic in that df (measured 24s+ at sf0.1 vs ~2s
+    * capped) — at corpus scale it is THE difference between feasible and
+    * not. The ORACLE applies the identical df cap, so the filtered-universe
+    * jaccard is pinned exactly, not just rows-counted.
+    */
+  def x2JaccardChar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) >= 8)
+    Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 8, threshold = 0.75,
+      maxShinglePostings = 30, tokenize = TextAnalysis.chars)
+  }
+
   /** X2 end-to-end dedup: near-dup pairs → connected components → keep the
     * min-id representative per cluster (the collapse step that makes pair
     * detection an actual dedup).
@@ -1392,6 +1412,26 @@ object Queries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY user_id""".stripMargin,
+    "x2_jaccard_char" ->
+      """WITH norm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |              FROM documents),
+        |ln AS (SELECT * FROM norm WHERE length(t) >= 8),
+        |grams0 AS (SELECT DISTINCT doc_id, substring(t, i, 8) AS g
+        |           FROM (SELECT doc_id, t,
+        |                        unnest(generate_series(1, length(t) - 7)) AS i
+        |                 FROM ln)),
+        |keep AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 30),
+        |grams AS (SELECT grams0.doc_id, grams0.g FROM grams0 JOIN keep USING (g)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+        |          FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2,
+        |       round(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |JOIN sizes s2 ON s2.doc_id = id2
+        |WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.75""".stripMargin,
     "x16_profile" ->
       """SELECT 'doc_id' AS col_name, count(doc_id) AS n_non_null,
         |       count(DISTINCT doc_id) AS n_distinct FROM documents
@@ -1492,6 +1532,7 @@ object Queries {
     "x1_exact_dedup" -> x1ExactDedup _,
     "x1_group_rep" -> x1GroupRep _,
     "x2_jaccard_pairs" -> x2JaccardPairs _,
+    "x2_jaccard_char" -> x2JaccardChar _,
     "x2_jaccard_capped" -> x2JaccardCapped _,
     "x12_group_topk" -> x12GroupTopk _,
     "x5_chunks" -> x5Chunks _,

@@ -59,8 +59,14 @@ object Dedup {
     *   also works, and is what Verify/Bench do per query) — `unpersist` on
     *   the RESULT cannot reach it.
     */
+  /** @param tokenize text column → array of shingle units. Default: word
+    *   tokens ([[TextAnalysis.tokens]]); pass [[TextAnalysis.chars]] for
+    *   character n-grams (the classic near-dup form for whitespace-poor
+    *   scripts — CJK, URLs, code).
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0): DataFrame = {
+      shingleSize: Int, threshold: Double, maxShinglePostings: Int = 0,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     // Shingle identity is a 64-bit hash composed from per-token hashes —
     // the shingle string is never materialized, and the posting rows that
@@ -74,7 +80,7 @@ object Dedup {
     // 2.6s without cache vs 5.0s with, sf0.1).
     val sh = docs
       .select(col(idCol).as("id"),
-        HashFunctions.hashed_shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
+        HashFunctions.hashed_shingles(tokenize(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
     if (maxShinglePostings <= 0) {
       // Persisted: the sorted-array frame feeds FOUR consumers (both prefix

@@ -18,6 +18,17 @@ object TextAnalysis {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Characters of normalized text (lowercased, whitespace collapsed to one
+    * space, trimmed) — feed to `hashed_shingles` for character n-gram
+    * Jaccard, the near-dup form that works on whitespace-poor scripts.
+    * Empty text → empty array (split("", "") would yield [""]).
+    */
+  def chars(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, ""))
+  }
+
   /** BPE-ish lexical tokens: letter runs, digit runs, or single non-space
     * symbols — the standard pre-tokenization shape (GPT-2-style) without a
     * vocab. RE2/Java-regex-portable pattern.
