@@ -463,6 +463,22 @@ object Queries {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** TPC-H Q17-shaped correlated scalar subquery, run through the SQL
+    * surface: revenue of line items whose quantity is below 20% of their
+    * part's average. Exercises Catalyst's correlated-subquery decorrelation
+    * (it rewrites to an aggregate + join — no per-row re-execution) — the
+    * one query-construction path (correlated scalar subquery via
+    * `spark.sql`) nothing else covers.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/lineitem.parquet").createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM graft_lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM graft_lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+  }
+
   /** TPC-H Q5-shaped multi-join agg: revenue by nation where customer and
     * supplier share the nation (exercises supplier + all dims in one plan).
     */
@@ -1440,6 +1456,11 @@ object Queries {
         |UNION ALL SELECT 'source', count(source), count(DISTINCT source) FROM documents
         |UNION ALL SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars)
         |FROM documents""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
@@ -1556,6 +1577,7 @@ object Queries {
     "x6_window_agg" -> x6WindowAgg _,
     "x6_session_window" -> x6SessionWindow _,
     "q4_order_priority" -> q4OrderPriority _,
+    "q17_small_qty" -> q17SmallQty _,
     "x16_profile" -> x16Profile _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,

@@ -40,6 +40,48 @@ class StateStoreSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dup bucket state survives a stop/restart from the checkpoint (X2)") {
+    // the LSH bucket index lives in flatMapGroupsWithState keyed state — a
+    // doc ingested BEFORE a restart must still pair against one arriving
+    // AFTER, from recovered state, and the remembered-id replay guard must
+    // also recover (no duplicate emissions after restart)
+    val base = "state recovery keeps every previously indexed signature " +
+      "available for matching long after the original micro batch finished " +
+      "processing its documents through the streaming near dup operator"
+    val nearDup = base.replace("finished", "completed")
+    val ckpt = Files.createTempDirectory("graft-ckpt-neardup").toString
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+
+    // append-mode memory sink cannot recover from a checkpoint; foreachBatch
+    // can, and collects into a driver buffer
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    def start() = pairs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          graft.streaming.StreamingDedup.NearDupPair], _: Long) =>
+        batch.collect().foreach(p => seen.add((p.id1, p.id2)))
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = start()
+    try {
+      input.addData((1L, base))
+      q1.processAllAvailable()
+      assert(seen.isEmpty)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData((2L, nearDup))
+      q2.processAllAvailable()
+      val got = scala.jdk.CollectionConverters.ListHasAsScala(seen).asScala.toSet
+      assert(got == Set((1L, 2L)),
+        s"cross-restart near-dup not detected from recovered state: $got")
+    } finally q2.stop()
+  }
+
   test("latest-per-key state runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
