@@ -714,8 +714,12 @@ object Queries {
     * jaccard is pinned exactly, not just rows-counted.
     */
   def x2JaccardChar(spark: SparkSession, dir: String): DataFrame = {
+    // the filter derives from the SAME tokenizer the join uses, so "at
+    // least one full window" can't drift from the tokenizer's
+    // normalization (the oracle filters on length of its normalized text,
+    // which equals the chars-array size by construction)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(length(regexp_replace(lower(trim(col("text"))), "\\s+", " ")) >= 8)
+      .filter(size(TextAnalysis.chars(col("text"))) >= 8)
     Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 8, threshold = 0.75,
       maxShinglePostings = 30, tokenize = TextAnalysis.chars)
   }
