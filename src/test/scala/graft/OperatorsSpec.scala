@@ -383,6 +383,37 @@ class OperatorsSpec extends SparkSuite {
     assert(cnt == 0, "a (point, interval) match emitted more than once")
   }
 
+  test("range join fuzz: random intervals agree with the theta-join across bucket widths") {
+    // random points and intervals (including degenerate and multi-bucket
+    // spans), joined at three very different bucket widths — the bucket
+    // width must be a pure performance knob, never a semantics knob
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(4242L)
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def ts(offsetSec: Long) = new Timestamp(base + offsetSec * 1000L)
+    val points = spark.createDataFrame(
+      (1L to 120L).map(i => (i, s"k${rng.nextInt(4)}", ts(rng.nextInt(7200))))
+    ).toDF("pid", "k", "ts")
+    val intervals = spark.createDataFrame(
+      (1L to 40L).map { i =>
+        val s = rng.nextInt(7200)
+        // ~1/8 degenerate (end < start), rest spanning 0..1800s
+        val e = if (i % 8 == 0) s - 60 else s + rng.nextInt(1800)
+        (i, s"k${rng.nextInt(4)}", ts(s), ts(e))
+      }
+    ).toDF("iv", "k", "w_start", "w_end")
+    val expected = points.join(intervals.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ts") >= col("w_start") && col("ts") <= col("w_end"))
+      .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty, "fuzz generated no matches — vacuous")
+    for (width <- Seq(7L, 600L, 86400L)) {
+      val got = graft.operators.RangeJoin.pointInInterval(
+          points, intervals, "ts", "w_start", "w_end", width, keys = Seq("k"))
+        .select("pid", "iv").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"width $width: missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
+
   test("range join agrees with the direct BETWEEN theta-join on real events") {
     val ev = new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog)
       .stream(spark, graft.config.TopicConfig("events"))
@@ -427,6 +458,15 @@ class OperatorsSpec extends SparkSuite {
     val t = graft.operators.Packing.pack(tiny.coalesce(1), "n", 256L, Seq("id"))
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1)
     assert(t.map(_._2).distinct.length == 3, s"oversized row shared a pack: ${t.toSeq}")
+    // deterministic: identical input partitioning → identical assignment
+    val again = graft.operators.Packing.pack(chunks, "n_chunk_tokens", budget,
+        Seq("doc_id", "chunk_id"))
+      .select("doc_id", "chunk_id", "pack_id", "pack_slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    val first = packed
+      .select("doc_id", "chunk_id", "pack_id", "pack_slot").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(again == first, "pack assignment not reproducible across runs")
   }
 
   test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
