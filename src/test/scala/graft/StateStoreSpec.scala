@@ -82,6 +82,38 @@ class StateStoreSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming near-dup bucket index runs on the RocksDB state store provider (X2)") {
+    // the near-dup state (buckets × signatures) is the engine's heaviest
+    // state user — DEPLOY.md sizes it for RocksDB; pin that it actually
+    // runs there, cross-batch matching included
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val text = "rocksdb backed bucket state must hold signatures across " +
+        "micro batches exactly like the default provider does for this test"
+      val input = MemoryStream[(Long, String)](ss, 2)
+      val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+      val q = pairs.writeStream.format("memory").queryName("neardup_rocks_t")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, text))
+        q.processAllAvailable()
+        input.addData((2L, text))
+        q.processAllAvailable()
+        val got = spark.table("neardup_rocks_t").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((1L, 2L)), s"got $got")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("latest-per-key state runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
