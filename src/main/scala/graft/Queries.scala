@@ -588,6 +588,21 @@ object Queries {
       round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
   }
 
+  /** Lag/lead deltas: each order's price change vs the customer's previous
+    * order and the gap to the next — the offset-window functions no other
+    * query exercises (x11 covers running frames, this covers lag/lead).
+    */
+  def x11LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+      round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 4)
+        .as("delta_prev"),
+      round(lead(col("o_totalprice"), 1).over(w) - col("o_totalprice"), 4)
+        .as("delta_next"))
+  }
+
   /** HLL approximate distinct (the at-scale form of r11_count_distinct —
     * sketch-based, rows-only check since HLL estimates are engine-specific).
     */
@@ -898,6 +913,20 @@ object Queries {
     ev.groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+  }
+
+  /** Explicit GROUPING SETS with grouping_id disambiguation: per-flag and
+    * per-status marginals plus the grand total in one pass — arbitrary set
+    * lists (not the rollup/cube hierarchies) and the grouping-id function,
+    * which is how a consumer tells a real NULL group from a subtotal row.
+    */
+  def q6GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"))
   }
 
   /** Hierarchical rollup aggregation (subtotals + grand total). */
@@ -1416,6 +1445,18 @@ object Queries {
         |  FROM events)
         |WHERE t >= ws AND t < ws + INTERVAL '10 minutes'
         |GROUP BY ws, event_type""".stripMargin,
+    "q6_gsets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag, l_linestatus) AS gid,
+        |       count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "x11_lag_delta" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |       round(o_totalprice - lag(o_totalprice, 1) OVER w, 4) AS delta_prev,
+        |       round(lead(o_totalprice, 1) OVER w - o_totalprice, 4) AS delta_next
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q6_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |       round(sum(l_quantity), 4) AS sum_qty
@@ -1589,6 +1630,8 @@ object Queries {
     "x7_asof_join" -> x7AsofJoin _,
     "x6_sliding_window" -> x6SlidingWindow _,
     "q6_rollup" -> q6Rollup _,
+    "q6_gsets" -> q6GroupingSets _,
+    "x11_lag_delta" -> x11LagDelta _,
     "q6_cube" -> q6Cube _,
     "x8_pivot" -> x8Pivot _,
     "x9_stratified_sample" -> x9StratifiedSample _
