@@ -603,6 +603,21 @@ object Queries {
         .as("delta_next"))
   }
 
+  /** Ranking-function coverage: order-value deciles (ntile) and percentile
+    * position (percent_rank) per market segment — the binning a training
+    * pipeline uses for difficulty/quality stratification.
+    */
+  def x11Deciles(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("orderkey"), col("c_mktsegment").as("segment"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
   /** HLL approximate distinct (the at-scale form of r11_count_distinct —
     * sketch-based, rows-only check since HLL estimates are engine-specific).
     */
@@ -1451,6 +1466,13 @@ object Queries {
         |       count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "x11_deciles" ->
+      """SELECT o_orderkey AS orderkey, c_mktsegment AS segment,
+        |       ntile(10) OVER w AS decile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "x11_lag_delta" ->
       """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
         |       round(o_totalprice - lag(o_totalprice, 1) OVER w, 4) AS delta_prev,
@@ -1632,6 +1654,7 @@ object Queries {
     "q6_rollup" -> q6Rollup _,
     "q6_gsets" -> q6GroupingSets _,
     "x11_lag_delta" -> x11LagDelta _,
+    "x11_deciles" -> x11Deciles _,
     "q6_cube" -> q6Cube _,
     "x8_pivot" -> x8Pivot _,
     "x9_stratified_sample" -> x9StratifiedSample _
