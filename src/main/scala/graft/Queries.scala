@@ -944,6 +944,22 @@ object Queries {
         round(sum(col("l_quantity")), 4).as("sum_qty"))
   }
 
+  /** TPC-H Q14-shaped conditional-aggregation ratio: promo revenue share in
+    * a month — `sum(CASE ...)/sum(...)` in one aggregate pass (no second
+    * scan, no join back), the standard shape for rate/share metrics.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0))) /
+        sum(rev), 4).as("promo_revenue_pct"))
+  }
+
   /** Hierarchical rollup aggregation (subtotals + grand total). */
   def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -1460,6 +1476,14 @@ object Queries {
         |  FROM events)
         |WHERE t >= ws AND t < ws + INTERVAL '10 minutes'
         |GROUP BY ws, event_type""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |         sum(CASE WHEN p_type LIKE 'PROMO%'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |         sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q6_gsets" ->
       """SELECT l_returnflag, l_linestatus,
         |       GROUPING(l_returnflag, l_linestatus) AS gid,
@@ -1653,6 +1677,7 @@ object Queries {
     "x6_sliding_window" -> x6SlidingWindow _,
     "q6_rollup" -> q6Rollup _,
     "q6_gsets" -> q6GroupingSets _,
+    "q14_promo_share" -> q14PromoShare _,
     "x11_lag_delta" -> x11LagDelta _,
     "x11_deciles" -> x11Deciles _,
     "q6_cube" -> q6Cube _,
