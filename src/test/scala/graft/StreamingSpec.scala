@@ -188,6 +188,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup TTL expires idle bucket state (processing-time timeout)") {
+    val text = "ttl expiry removes remembered signatures so an identical doc " +
+      "arriving after the idle window no longer reports a near duplicate pair"
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val pairs = graft.streaming.StreamingDedup.nearDupPairs(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, stateTtl = "2 seconds")
+    // a PACED trigger is required with a TTL (DEPLOY.md): under the default
+    // as-fast-as-possible trigger the timer-driven no-data batches run
+    // back-to-back and processAllAvailable never observes an idle query
+    val q = pairs.writeStream.format("memory").queryName("neardup_ttl_t")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+      .outputMode("append").start()
+    // processAllAvailable is unreliable while processing-time timers drive
+    // no-data batches — poll the sink with a deadline instead, using the
+    // (2,3) pair as the positive signal that later batches really ran
+    def pairsNow() = spark.table("neardup_ttl_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def awaitPair(p: (Long, Long), deadlineMs: Long = 60000): Unit = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!pairsNow().contains(p) && System.currentTimeMillis() < end)
+        Thread.sleep(250)
+      assert(pairsNow().contains(p), s"pair $p never emitted; have ${pairsNow()}")
+    }
+    try {
+      input.addData((1L, text))
+      // let doc 1's bucket state expire (TTL 2s; timers fire on the paced
+      // triggers) — generous margin, then ingest an identical doc
+      Thread.sleep(8000)
+      input.addData((2L, text)) // identical, but doc 1's state has expired
+      input.addData((3L, text)) // pairs with the freshly remembered doc 2
+      awaitPair((2L, 3L))
+      val got = pairsNow()
+      assert(!got.contains((1L, 2L)) && !got.contains((1L, 3L)),
+        s"pair emitted against state that should have expired: $got")
+    } finally q.stop()
+  }
+
   test("stream–stream join matches within the time bound, drops outside (watermarked)") {
     val li = MemoryStream[(Timestamp, Long, String)](ss, 2)
     val ri = MemoryStream[(Timestamp, Long, String)](ss, 2)
