@@ -960,6 +960,26 @@ object Queries {
         sum(rev), 4).as("promo_revenue_pct"))
   }
 
+  /** TPC-H Q19-shaped disjunctive-predicate join: revenue from three OR'd
+    * (brand, size-range, quantity-range) branches — Catalyst must keep the
+    * equi-key (partkey) join hash-based and evaluate the OR as a post-join
+    * filter, not fall into a nested loop (covered by the PlanSpec sweep).
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val branch1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 25) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
   /** Hierarchical rollup aggregation (subtotals + grand total). */
   def q6Rollup(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -1476,6 +1496,15 @@ object Queries {
         |  FROM events)
         |WHERE t >= ws AND t < ws + INTERVAL '10 minutes'
         |GROUP BY ws, event_type""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q14_promo_share" ->
       """SELECT round(100.0 *
         |         sum(CASE WHEN p_type LIKE 'PROMO%'
@@ -1678,6 +1707,7 @@ object Queries {
     "q6_rollup" -> q6Rollup _,
     "q6_gsets" -> q6GroupingSets _,
     "q14_promo_share" -> q14PromoShare _,
+    "q19_disjunctive" -> q19DisjunctiveRevenue _,
     "x11_lag_delta" -> x11LagDelta _,
     "x11_deciles" -> x11Deciles _,
     "q6_cube" -> q6Cube _,
