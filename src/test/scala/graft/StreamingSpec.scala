@@ -214,6 +214,13 @@ class StreamingSpec extends SparkSuite {
     }
     try {
       input.addData((1L, text))
+      // the TTL clock arms when the batch PROCESSING doc 1 commits, not at
+      // addData — wait for that commit first (slow first-batch codegen on a
+      // loaded host would otherwise leave doc 1 alive past the fixed sleep)
+      val armed = System.currentTimeMillis() + 60000
+      while (!q.recentProgress.exists(_.numInputRows > 0) &&
+        System.currentTimeMillis() < armed) Thread.sleep(250)
+      assert(q.recentProgress.exists(_.numInputRows > 0), "doc 1 batch never committed")
       // let doc 1's bucket state expire (TTL 2s; timers fire on the paced
       // triggers) — generous margin, then ingest an identical doc
       Thread.sleep(8000)
