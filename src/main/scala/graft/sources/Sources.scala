@@ -112,6 +112,40 @@ object JsonSourceResolver {
   val TimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 }
 
+/** Run pipeline specs over headered CSV topic dumps (`<dir>/<name>.csv`) —
+  * the third batch interchange format next to parquet and JSONL, for
+  * reference users whose topic archives are spreadsheet-era exports. Same
+  * declared-schema posture as [[JsonSourceResolver]]: the catalog schema is
+  * authoritative (no inference — inference flips empty/all-null columns to
+  * string and reorders nothing deterministically), PERMISSIVE parsing maps
+  * malformed fields to null (the reference's lenient-Jackson analogue), and
+  * timestamps round-trip at microsecond precision via the shared format.
+  */
+class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
+    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  def path(name: String) = s"$dir/$name.csv"
+
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {
+    val schema = schemas.getOrElse(topic.name,
+      throw new IllegalArgumentException(s"no schema declared for CSV topic ${topic.name}"))
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("timestampFormat", JsonSourceResolver.TimestampFormat)
+      .option("mode", "PERMISSIVE")
+      .csv(path(topic.name))
+  }
+
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    tables.getOrElseUpdate(topic.name, {
+      val df = stream(spark, topic)
+      val order = catalog.orderOf(topic.name)
+      if (order.isEmpty) df
+      else Tables.latestPerKey(df, catalog.keyOf(topic.name), order)
+    })
+}
+
 object Sources {
   /** Floor-convert raw-nanos long columns (read under
     * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
