@@ -93,7 +93,13 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
       prefixFilteredPairs(sorted, threshold)
     } else {
-      val posts0 = sh.select(col("id"), explode(col("sh")).as("h"))
+      // Cached: the raw posting list feeds BOTH the hot-set count and the
+      // anti-join left side — uncached each re-runs the tokenize+shingle
+      // explode over the corpus (for char shingles that is the single most
+      // expensive pass in the operator). 16-byte rows; released with the
+      // rebuilt frame via the registry.
+      val posts0 = registerCache(sh.select(col("id"), explode(col("sh")).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
       // hot set: partial-aggregated count per shingle hash, filtered to the
       // over-cap tail. |hot| ≤ |postings| / cap by construction; no forced
       // broadcast hint — AQE picks the broadcast anti join whenever the tail
