@@ -469,6 +469,39 @@ class OperatorsSpec extends SparkSuite {
     assert(again == first, "pack assignment not reproducible across runs")
   }
 
+  test("sequence packing fuzz: invariants hold under random sizes, oversized rows, many partitions") {
+    val rng = new scala.util.Random(31337L)
+    val rows = (1L to 500L).map { i =>
+      // mixed regime: mostly small, ~10% oversized (> budget), some exactly
+      // at the budget boundary
+      val n = if (i % 10 == 0) 256 + rng.nextInt(200)
+        else if (i % 17 == 0) 256
+        else 1 + rng.nextInt(120)
+      (i, n)
+    }
+    val budget = 256L
+    val df = spark.createDataFrame(rows).toDF("id", "n").repartition(7)
+    val packed = graft.operators.Packing.pack(df, "n", budget, Seq("id"))
+    assert(packed.count() == 500)
+    assert(packed.select("id").distinct().count() == 500)
+    val perPack = packed.groupBy("pack_id").agg(
+        sum(col("n")).as("toks"), count(lit(1)).as("cnt"),
+        min(col("pack_slot")).as("lo"), max(col("pack_slot")).as("hi"))
+      .collect()
+    perPack.foreach { r =>
+      val (toks, cnt, lo, hi) = (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(toks <= budget || cnt == 1, s"pack ${r.getLong(0)}: $toks in $cnt rows")
+      assert(lo == 0 && hi == cnt - 1, s"pack ${r.getLong(0)}: slots not contiguous")
+    }
+    // oversized rows are always alone (an exactly-at-budget row fills its
+    // pack, so it is alone too, but that is already covered by toks<=budget)
+    val packCounts = packed.groupBy("pack_id").count()
+    val oversizedShared = packed.filter(col("n") > budget)
+      .join(packCounts, "pack_id")
+      .filter(col("count") > 1).count()
+    assert(oversizedShared == 0, "an oversized row shared a pack")
+  }
+
   test("chunking: windows cover every token, no redundant suffix chunk, empty docs skipped") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a b c d e f g"),   // 7 tokens, size 3 stride 2 → starts 0,2,4 (4+3 ≥ 7 stops)
