@@ -99,6 +99,19 @@ class ExpressionsSpec extends SparkSuite {
     assert(!ok.isNullAt(0) && ok.getSeq[Int](0).length == 1)
   }
 
+  test("GraftExtensions injects every builder into SparkSessionExtensions without error") {
+    // the spark.sql.extensions path a CLUSTER user configures — a bad
+    // ExpressionInfo or FunctionIdentifier construction would throw at
+    // session bootstrap, which nothing else exercises (tests use
+    // GraftFunctions.register on the live session; the builders themselves
+    // are shared, so injection wiring is the only untested delta)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+    assert(GraftFunctions.builders.nonEmpty)
+    assert(GraftFunctions.builders.map(_._1).distinct.size ==
+      GraftFunctions.builders.size, "duplicate SQL function names")
+  }
+
   test("SQL functions honor literal parameters and reject bad arity") {
     GraftFunctions.register(spark)
     // optional parameter is honored, not silently ignored
