@@ -30,8 +30,21 @@ object Bench {
           s"SPARK_GRAFT_BENCH_RUNS must be an integer, got '$s'")
       }
     }
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1_agg,x2_jaccard_capped times just
+    // those queries (unknown names fail loudly — a typo must not silently
+    // bench nothing). The driver never sets it, so round artifacts always
+    // cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+        unknown.toSeq.sorted.mkString(", "))
+    }
     val spark = GraftSession.get()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // skip warmup when benching the warm SF itself — identical plans would
       // let the timed run read the warm run's persisted frames from cache
       if (sfDir != warmDir) {

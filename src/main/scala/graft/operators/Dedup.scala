@@ -21,6 +21,12 @@ import graft.functions.{HashFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Largest hot-shingle tail [[jaccardPairs]] ships as a single collected
+    * broadcast row (4M hashes ≈ 32 MB); above it the capped rebuild falls
+    * back to the anti-join exchange. Package-visible for tests.
+    */
+  private[graft] val MaxBroadcastHotSet = 4 * 1024 * 1024
+
   /** Exact dedup keeping a deterministic representative per duplicate group:
     * min tie-break column wins (X1). One shuffle, map-side combined.
     */
@@ -51,9 +57,12 @@ object Dedup {
     *   doc sizes exclude dropped shingles — the estimate stays internally
     *   consistent), and pairs whose only overlap is ultra-common boilerplate
     *   are missed, which is the point. Both branches run the same
-    *   prefix-filtered join over an internally persisted sorted-array frame
-    *   (the capped branch rebuilds it from the filtered postings — one
-    *   extra partial-aggregated exchange); callers hold no reference to the
+    *   prefix-filtered join over an internally persisted sorted-array frame.
+    *   The capped branch measures the hot tail first (a bounded driver
+    *   count) and then rebuilds adaptively: no-op when the cap removed
+    *   nothing, a broadcast `array_except` map pass when the tail fits
+    *   [[MaxBroadcastHotSet]], and an anti-join posting exchange only for
+    *   pathological corpora; callers hold no reference to the
     *   cache, so it is registered for [[releaseInternalCaches]] — call that
     *   once the result is consumed (a global `spark.catalog.clearCache()`
     *   also works, and is what Verify/Bench do per query) — `unpersist` on
@@ -93,33 +102,62 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK))
       prefixFilteredPairs(sorted, threshold)
     } else {
-      // Cached: the raw posting list feeds BOTH the hot-set count and the
-      // anti-join left side — uncached each re-runs the tokenize+shingle
-      // explode over the corpus (for char shingles that is the single most
-      // expensive pass in the operator). 16-byte rows; released with the
-      // rebuilt frame via the registry.
-      val posts0 = registerCache(sh.select(col("id"), explode(col("sh")).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
-      // hot set: partial-aggregated count per shingle hash, filtered to the
-      // over-cap tail. |hot| ≤ |postings| / cap by construction; no forced
-      // broadcast hint — AQE picks the broadcast anti join whenever the tail
-      // actually is small (the normal case) and degrades to a hash join
-      // instead of an OOM when a pathological corpus makes it large.
-      val hot = posts0.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // Same persisted sorted-array frame as the exact branch; the capped
+      // rebuild reads it (never re-runs tokenize+shingle) and it is swapped
+      // for the filtered frame the moment that materializes. One array row
+      // per doc in cache — far smaller than the exploded posting list the
+      // previous formulation cached.
+      val base = sh.withColumn("sh", array_sort(col("sh")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // hot set: partial-aggregated df per shingle hash, filtered to the
+      // over-cap tail. |hot| < |postings| / cap by construction (sum of
+      // over-cap dfs cannot exceed the posting total). Persisted because it
+      // is consumed twice: the size probe and whichever rebuild runs.
+      val hot = base.select(explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShinglePostings).select(col("h"))
-      // Rebuild per-doc sorted arrays over the FILTERED shingle universe
-      // (one partial-aggregated shuffle of 16-byte posting rows), then run
-      // the same prefix-filtered join as the exact branch — the capped
-      // branch pays one extra exchange to keep the quadratic self-join
-      // prefix-pruned. Jaccard semantics are unchanged: sizes and
-      // intersections both exclude dropped shingles (array length IS the
-      // filtered size). A doc whose every shingle is hot vanishes — same
-      // as the pure-posting formulation. The rebuilt frame is the one
-      // resident cache (4 consumers, same as the exact branch).
-      val sorted = registerCache(posts0.join(hot, Seq("h"), "left_anti")
-        .groupBy(col("id")).agg(sort_array(collect_list(col("h"))).as("sh"))
-        .withColumn("n", size(col("sh")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // Bounded driver scalar (≤ postings/cap rows exist at all; count()
+      // moves one long) that picks the rebuild strategy — the same
+      // measure-then-choose pattern as the hybrid CC collapse.
+      val nHot = hot.count()
+      // Rebuild per-doc arrays over the FILTERED shingle universe, then run
+      // the same prefix-filtered join as the exact branch. Jaccard
+      // semantics are unchanged: sizes and intersections both exclude
+      // dropped shingles (array length IS the filtered size). A doc whose
+      // every shingle is hot emits no pairs — same as the posting
+      // formulation that dropped it outright.
+      val sorted = if (nHot == 0) {
+        // Cap removed nothing (word shingles under a generous cap): the
+        // exact branch's frame IS the filtered frame — no rebuild pass.
+        hot.unpersist(false)
+        registerCache(base)
+      } else {
+        val rebuilt = if (nHot <= MaxBroadcastHotSet) {
+          // Common case: the hot tail is a few boilerplate shingles. Ship
+          // it to every task as ONE collected row (8 bytes per hash —
+          // ≤32 MB at the guard) and drop hot shingles with a map-only
+          // array_except; no posting explode, no rebuild exchange.
+          // array_except preserves the left array's sorted distinct order.
+          val hotRow = hot.agg(collect_set(col("h")).as("hotset"))
+          base.crossJoin(broadcast(hotRow))
+            .select(col("id"), array_except(col("sh"), col("hotset")).as("sh"))
+            .withColumn("n", size(col("sh")))
+        } else {
+          // Pathological corpus (hot tail too large to broadcast): robust
+          // explode + anti-join + partial-aggregated collect_list rebuild —
+          // one extra exchange of 16-byte posting rows, never an OOM.
+          base.select(col("id"), explode(col("sh")).as("h"))
+            .join(hot, Seq("h"), "left_anti")
+            .groupBy(col("id")).agg(sort_array(collect_list(col("h"))).as("sh"))
+            .withColumn("n", size(col("sh")))
+        }
+        val capped = registerCache(rebuilt.persist(StorageLevel.MEMORY_AND_DISK))
+        capped.count() // materialize before releasing the pre-cap frames
+        base.unpersist(false)
+        hot.unpersist(false)
+        capped
+      }
       prefixFilteredPairs(sorted, threshold)
     }
   }

@@ -169,8 +169,12 @@ class PlanSpec extends SparkSuite {
     //   x3_knn_exact          corpus × broadcast-query-set scan (exact path)
     //   x3_sql_knn            same, via the SQL surface
     //   x3_cosine_pairs_exact intentional all-pairs oracle twin
+    //   x2_jaccard_char       1-row broadcast hot-shingle-set cross
+    //                         (array_except rebuild; guarded by
+    //                         Dedup.MaxBroadcastHotSet)
     val allowedBnlj = Set("q22_no_orders", "x5_tfidf", "x13_salted_join",
-      "x3_ann_ivf", "x3_knn_exact", "x3_sql_knn", "x3_cosine_pairs_exact")
+      "x3_ann_ivf", "x3_knn_exact", "x3_sql_knn", "x3_cosine_pairs_exact",
+      "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it
     // (re-planning the whitelisted queries would re-run their eager work
