@@ -539,6 +539,173 @@ object Queries {
         round(col("c_acctbal"), 2).as("acctbal"))
   }
 
+  /** TPC-H Q7-shaped bilateral volume: revenue between two named nations by
+    * ship year, in both directions. Exercises TWO instances of the same
+    * dimension in one plan (supplier's nation and customer's nation are
+    * separate aliases of `nation`) — the self-alias join no other query
+    * covers — plus a disjunctive cross-dimension pair filter. The nation
+    * filter is applied to each alias BEFORE its join, so only matching-
+    * nation suppliers/customers reach the fact joins; both aliases
+    * broadcast.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = n.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = n.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    s.join(n1, col("s_nationkey") === col("s_nk"))
+      .join(l, col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("c_custkey") === col("o_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q8-shaped market share: one nation's fraction of a region's
+    * part-type revenue per order year. Exercises a per-group conditional
+    * ratio (sum(CASE)/sum — q14 does it globally, this per group) over the
+    * widest join in the suite (7 tables, two nation aliases). All dims
+    * broadcast; the only exchange is the final year aggregation.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val r = spark.read.parquet(s"$dir/region.parquet")
+    val custNation = n.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val suppNation = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    p.filter(col("p_type") === "ECONOMY")
+      .join(l, col("p_partkey") === col("l_partkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("c_nationkey") === col("c_nk"))
+      .join(r.filter(col("r_name") === "ASIA"), col("c_rk") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) / sum(vol),
+        6).as("mkt_share"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: per-customer revenue lost to
+    * returns in a quarter, top 20. The group-by keys include three carried
+    * dimension attributes (name, nation) — the "wide group key" shape where
+    * a naive engine double-shuffles; here they ride the custkey aggregation.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    c.join(o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(l.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("n_name").as("nation"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q12-shaped late-shipment tally by order priority: lineitems
+    * shipped more than 60 days after their order date. Exercises
+    * timestamp + interval arithmetic inside a join predicate's CASE — the
+    * date-math shape nothing else covers. `count(CASE)`/`count(*)` (not
+    * sum) keeps both engines in BIGINT.
+    */
+  def q12LateLines(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          lit(1))).as("late_count"),
+        count(lit(1)).as("total_count"))
+  }
+
+  /** TPC-H Q13-shaped order-count distribution: how many customers placed
+    * exactly k (non-urgent) orders, including k = 0. Exercises the outer
+    * join with a filter in the ON clause (push it to WHERE and the
+    * zero-order customers vanish — a classic semantics trap) followed by a
+    * second aggregation over the first's result.
+    */
+  def q13OrderDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    c.join(o, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with maximum quarterly
+    * revenue. The revenue view is consumed twice (max probe + detail join),
+    * so it is persisted — per-supplier aggregate rows, tiny — and the max
+    * rides a one-row broadcast EQUALITY join (equi hash, not a nested
+    * loop). Ties all surface, as in the spec's view formulation.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+      .persist()
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"),
+        col("total_revenue"))
+  }
+
+  /** TPC-H Q2-shaped cheapest-supplier-per-part (the fixture has no
+    * partsupp, so unit cost is derived: min observed
+    * extendedprice/quantity per (part, supplier)). The per-part minimum
+    * rides an unordered agg WINDOW over the already-aggregated cost frame —
+    * one extra exchange on partkey, no self-join, no second lineitem scan —
+    * then ties join back to part/supplier detail. Exact double equality
+    * against the window min is safe: both values come from the same
+    * in-engine aggregation.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val cost = l.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    cost.withColumn("min_cost", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("min_cost"))
+      .join(p.filter(col("p_size") <= 3), col("p_partkey") === col("l_partkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .select(col("p_partkey").as("partkey"), col("s_name").as("supplier"),
+        round(col("unit_cost"), 4).as("unit_cost"))
+  }
+
   /** Set operations over keyed extracts: high-value purchasers who also hit
     * high-value errors (INTERSECT) minus very-high-value signups (EXCEPT).
     * Spark plans both as aggregated semi/anti joins — no
@@ -1625,7 +1792,86 @@ object Queries {
         |s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
         |        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT min(ts) AS session_start, user_id, count(*) AS cnt
-        |FROM s GROUP BY user_id, sid""".stripMargin
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+        |             l.l_extendedprice * (1 - l.l_discount) AS volume
+        |      FROM supplier s
+        |      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, yr""".stripMargin,
+    "q8_market_share" ->
+      """SELECT yr, round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+        |                 / sum(volume), 6) AS mkt_share
+        |FROM (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+        |             l.l_extendedprice * (1 - l.l_discount) AS volume,
+        |             n2.n_name AS nation
+        |      FROM part p
+        |      JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      JOIN customer c ON o.o_custkey = c.c_custkey
+        |      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |      JOIN region r ON n1.n_regionkey = r.r_regionkey
+        |      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+        |GROUP BY yr""".stripMargin,
+    "q10_returns" ->
+      """SELECT custkey, name, nation, revenue FROM (
+        |  SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+        |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |    AND l.l_returnflag = 'R'
+        |  GROUP BY 1, 2, 3)
+        |ORDER BY revenue DESC, custkey ASC LIMIT 20""".stripMargin,
+    "q12_late_lines" ->
+      """SELECT o.o_orderpriority AS priority,
+        |       count(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |                  THEN 1 END) AS late_count,
+        |       count(*) AS total_count
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |               AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+        |             GROUP BY l_suppkey)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS name, r.total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+        |                     min(l_extendedprice / l_quantity) AS unit_cost
+        |              FROM lineitem GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1)
+        |SELECT p.p_partkey AS partkey, s.s_name AS supplier,
+        |       round(c.unit_cost, 4) AS unit_cost
+        |FROM cost c
+        |JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
+        |JOIN part p ON p.p_partkey = c.l_partkey
+        |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |WHERE p.p_size <= 3""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -1712,6 +1958,13 @@ object Queries {
     "x11_deciles" -> x11Deciles _,
     "q6_cube" -> q6Cube _,
     "x8_pivot" -> x8Pivot _,
-    "x9_stratified_sample" -> x9StratifiedSample _
+    "x9_stratified_sample" -> x9StratifiedSample _,
+    "q7_nation_volume" -> q7NationVolume _,
+    "q8_market_share" -> q8MarketShare _,
+    "q10_returns" -> q10Returns _,
+    "q12_late_lines" -> q12LateLines _,
+    "q13_order_dist" -> q13OrderDist _,
+    "q15_top_supplier" -> q15TopSupplier _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _
   )
 }

@@ -5,10 +5,24 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // dev loop: an optional third arg "q1_agg,x2_simhash" dumps only those
+    // queries (unknown names fail loudly). The driver passes two args, so
+    // round artifacts always cover the full set.
+    val (sfDir, outDir, only) = args match {
+      case Array(sf, out) => (sf, out, None)
+      case Array(sf, out, names) =>
+        val set = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = set.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty,
+          s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        (sf, out, Some(set))
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [query,query,...]")
+    }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
