@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{PipelineSpec, TestdataCatalog}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Scale, Similarity, TextAnalysis}
 import graft.pipeline.Interpreter
 import graft.sources.ParquetSourceResolver
 
@@ -704,6 +704,23 @@ object Queries {
       .join(s, col("s_suppkey") === col("l_suppkey"))
       .select(col("p_partkey").as("partkey"), col("s_name").as("supplier"),
         round(col("unit_cost"), 4).as("unit_cost"))
+  }
+
+  /** Bloom-filter pre-shuffle join pruning (X18): lineitem is filtered by a
+    * bloom sketch of the selective orders subset BEFORE any exchange, then
+    * joined for real — result bit-identical to the plain join (the oracle),
+    * false positives die in the join. The manual form of Spark's runtime
+    * row-level filter, for when the optimizer's thresholds decline or the
+    * build side is a pre-computed frame.
+    */
+  def x18BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_totalprice") > 450000)
+    Scale.bloomPrunedJoin(l, o, "l_orderkey", "o_orderkey",
+        expectedItems = 1000 * 1000)
+      .select(col("l_orderkey").as("orderkey"), col("l_linenumber").as("linenumber"),
+        col("l_quantity").as("qty"), col("o_totalprice").as("totalprice"))
   }
 
   /** Set operations over keyed extracts: high-value purchasers who also hit
@@ -1871,7 +1888,12 @@ object Queries {
         |JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
         |JOIN part p ON p.p_partkey = c.l_partkey
         |JOIN supplier s ON s.s_suppkey = c.l_suppkey
-        |WHERE p.p_size <= 3""".stripMargin
+        |WHERE p.p_size <= 3""".stripMargin,
+    "x18_bloom_join" ->
+      """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+        |       l.l_quantity AS qty, o.o_totalprice AS totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -1965,6 +1987,7 @@ object Queries {
     "q12_late_lines" -> q12LateLines _,
     "q13_order_dist" -> q13OrderDist _,
     "q15_top_supplier" -> q15TopSupplier _,
-    "q2_min_cost_supplier" -> q2MinCostSupplier _
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "x18_bloom_join" -> x18BloomJoin _
   )
 }

@@ -36,6 +36,42 @@ object Scale {
       .drop("__salt")
   }
 
+  /** Bloom-filter pre-shuffle join pruning (the manual form of Spark's
+    * runtime row-level filtering): build a bloom filter over the build
+    * side's join keys, hand it to every probe task as a scalar subquery,
+    * and filter the probe side BEFORE its exchange — at 100 TB the win is fact rows that never enter
+    * the shuffle (when the build side is selective, most of them). False
+    * positives pass the bloom and are dropped by the real join, so the
+    * result is bit-identical to the plain join; the filter's one-sided
+    * error only ever lets extra rows THROUGH to the join, never removes a
+    * matching row.
+    *
+    * Restricted to inner/left_semi: under a left-outer join pruning the
+    * probe side would delete rows the join must preserve with nulls.
+    * The build side is evaluated twice (bloom aggregation + the join
+    * itself) — the pattern's standing cost, paid only when the probe-side
+    * exchange dominates, which is exactly when to reach for it. Spark's
+    * own InjectRuntimeFilter does this automatically within one query when
+    * thresholds allow; the explicit operator covers the cases it declines
+    * (pre-computed frames, thresholds, or a filter reused across queries).
+    */
+  def bloomPrunedJoin(large: DataFrame, small: DataFrame, leftKey: String,
+      rightKey: String, expectedItems: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left_semi").contains(joinType),
+      s"bloom pruning drops probe-side rows; '$joinType' join would lose them " +
+        "(only inner and left_semi are sound)")
+    // might_contain requires its bloom input to be a constant or scalar
+    // subquery (it is bound once per task, not per row) — Dataset.scalar()
+    // is the supported way to hand it one
+    val bloom = small.agg(
+      graft.functions.BloomFunctions.bloom_agg(col(rightKey), expectedItems)
+        .as("__bloom")).scalar()
+    val pruned = large.filter(
+      graft.functions.BloomFunctions.might_contain(bloom, col(leftKey)))
+    pruned.join(small, pruned(leftKey) === small(rightKey), joinType)
+  }
+
   /** Write both sides bucketed by the join key so the subsequent join is
     * shuffle-free (co-located, like Kafka Streams' co-partitioned topics).
     * Requires a session catalog (saveAsTable); numBuckets must match on both

@@ -54,4 +54,54 @@ class ScaleSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("bloom-pruned join is bit-identical to the plain join (false positives die in the join)") {
+    val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val o = spark.read.parquet(s"${sf()}/orders.parquet").filter(col("o_totalprice") > 400000)
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(l("l_orderkey"), l("l_linenumber"), o("o_totalprice"))
+    val bloomed = Scale.bloomPrunedJoin(l, o, "l_orderkey", "o_orderkey", 100000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+    assert(plain.count() > 0, "vacuous fixture: no rows survive the filter")
+    assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty,
+      "bloom-pruned join diverged from the plain join")
+  }
+
+  test("bloom-pruned semi join equals plain left_semi; outer joins are rejected as unsound") {
+    val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val o = spark.read.parquet(s"${sf()}/orders.parquet").filter(col("o_totalprice") > 400000)
+    val semi = Scale.bloomPrunedJoin(l, o, "l_orderkey", "o_orderkey", 100000, "left_semi")
+    val plainSemi = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_semi")
+    assert(semi.count() == plainSemi.count())
+    // pruning the probe side under an outer join would delete rows the
+    // join must null-preserve — the operator must refuse, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      Scale.bloomPrunedJoin(l, o, "l_orderkey", "o_orderkey", 100000, "left_outer")
+    }
+    assert(e.getMessage.contains("left_outer"))
+  }
+
+  test("bloom pruning filters the probe side BELOW its exchange (pre-shuffle, the scale point)") {
+    val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val o = spark.read.parquet(s"${sf()}/orders.parquet").filter(col("o_totalprice") > 400000)
+    // disable broadcast: at real scale both sides are fact-sized and the
+    // join shuffles — exactly the case the bloom prune serves
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bloomPrunedJoin(l, o, "l_orderkey", "o_orderkey", 100000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"bloom filter missing:\n${plan.take(800)}")
+      // the might_contain filter must sit UNDER the probe side's Exchange.
+      // Plans print top-down (parent before child), and the probe side
+      // prints first, so the first hashpartitioning exchange must precede
+      // the filter in the text; a filter applied above the join (wrong)
+      // would print before any exchange
+      val exch = plan.indexOf("Exchange hashpartitioning")
+      val mc = plan.indexOf("might_contain")
+      assert(exch >= 0 && mc > exch,
+        s"might_contain is not below the probe shuffle (exchange@$exch, filter@$mc):\n" +
+          plan.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
