@@ -994,6 +994,20 @@ object Queries {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
+  /** X3 int8-quantized top-k with exact re-rank. Oracle-EXACT (same SQL as
+    * x3_knn_exact): the sketch only proposes k·refine candidates, the true
+    * cosine picks the final k, and the spec pins that the widened
+    * candidate set never loses a true top-10 neighbor on this fixture —
+    * so unlike IVF/LSH this approximate path still hash-matches DuckDB.
+    */
+  def x3KnnQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    Similarity.quantizedTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, refine = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** X3 IVF-style ANN (approximate — rows-only check; recall measured in tests). */
   def x3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -1898,9 +1912,12 @@ object Queries {
 
   // the capped branch must reproduce the exact result on this data (no
   // shingle reaches the cap: measured max df 9) — same oracle, alternate
-  // code path pinned non-vacuously
+  // code path pinned non-vacuously. The quantized knn re-ranks its widened
+  // candidate set with the exact cosine, so it too must reproduce the
+  // exact top-k (recall of the candidate stage is pinned in OperatorsSpec).
   val oracles: Map[String, String] =
-    oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs"))
+    oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs")) +
+      ("x3_knn_quantized" -> oracles0("x3_knn_exact"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1988,6 +2005,7 @@ object Queries {
     "q13_order_dist" -> q13OrderDist _,
     "q15_top_supplier" -> q15TopSupplier _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
-    "x18_bloom_join" -> x18BloomJoin _
+    "x18_bloom_join" -> x18BloomJoin _,
+    "x3_knn_quantized" -> x3KnnQuantized _
   )
 }

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -249,6 +250,118 @@ case class SignBuckets(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Symmetric per-vector int8 scalar quantization: float/double vector →
+  * struct(scale FLOAT, norm FLOAT, q BINARY), one byte per dimension —
+  * 4× smaller than float32 in storage, cache, and shuffle. `scale` is
+  * max|v|/127 (so q_i = round(v_i/scale) ∈ [-127,127]); `norm` is the
+  * EXACT L2 norm, kept so [[QuantizedCosine]] divides by true magnitudes
+  * and its only error source is the int8 rounding of the dot product.
+  */
+case class QuantizeVec(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "quantize_vec"
+  override def dataType: DataType = QuantizeVec.quantizedType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got ${other.sql}")
+    }
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // shared by eval and generated code via addReferenceObj — one body, no
+  // duplicated quantization arithmetic to drift
+  def quantize(v: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0; var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      sumSq += x * x
+      i += 1
+    }
+    val scale = if (maxAbs == 0.0) 0.0 else maxAbs / 127.0
+    val q = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        q(i) = math.max(-127, math.min(127, math.round(x / scale))).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale.toFloat, math.sqrt(sumSq).toFloat, q))
+  }
+
+  override def nullSafeEval(input: Any): Any = quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantizer", this, classOf[QuantizeVec].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.quantize($v);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object QuantizeVec {
+  val quantizedType: StructType = StructType(Seq(
+    StructField("scale", FloatType, nullable = false),
+    StructField("norm", FloatType, nullable = false),
+    StructField("q", BinaryType, nullable = false)))
+}
+
+/** Approximate cosine over two [[QuantizeVec]] structs: the int8 dot
+  * product accumulates in a long (no overflow below 2^46 dims), then
+  * rescales by both quantization scales and divides by the EXACT stored
+  * norms. Per-element error is bounded by the two rounding half-steps —
+  * ≲1.6e-2 absolute on unit vectors — which is why callers re-rank a
+  * widened candidate set with the exact cosine. Zero-norm or
+  * dimension-mismatched inputs → null.
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def prettyName: String = "quantized_cos"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt == QuantizeVec.quantizedType
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two quantize_vec structs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  def score(a: InternalRow, b: InternalRow): Any = {
+    val na = a.getFloat(1); val nb = b.getFloat(1)
+    val qa = a.getBinary(2); val qb = b.getBinary(2)
+    if (na == 0f || nb == 0f || qa.length != qb.length) return null
+    var acc = 0L; var i = 0
+    while (i < qa.length) { acc += qa(i) * qb(i); i += 1 }
+    (a.getFloat(0).toDouble * b.getFloat(0).toDouble * acc) /
+      (na.toDouble * nb.toDouble)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    score(l.asInstanceOf[InternalRow], r.asInstanceOf[InternalRow])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qcos", this, classOf[QuantizedCosine].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |Object r = $self.score($a, $b);
+       |if (r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((Double) r).doubleValue(); }
+     """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -257,4 +370,6 @@ object VectorFunctions {
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def sign_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     c(SignBuckets(e(v), planes, planesPerTable))
+  def quantize_vec(v: Column): Column = c(QuantizeVec(e(v)))
+  def quantized_cos(a: Column, b: Column): Column = c(QuantizedCosine(e(a), e(b)))
 }

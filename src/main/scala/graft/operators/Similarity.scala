@@ -237,6 +237,50 @@ object Similarity {
         col("p._2").as("neighbor_id"), col("p._1").as("cos"))
   }
 
+  /** Int8-quantized brute-force top-k with exact re-rank (X3 quantized
+    * path). The corpus is scored against the broadcast query set on the
+    * int8 [[graft.functions.QuantizedCosine]] sketch — 4× less memory
+    * traffic per vector than float32, the lever that matters when the
+    * corpus scan IS the cost — keeping `k * refine` candidates per query
+    * in the partial-aggregating heap; candidates then rejoin their full
+    * vectors and the EXACT cosine picks the final k, so the int8 rounding
+    * error (≲1.6e-2 per score) only costs recall if a true neighbor falls
+    * below rank k·refine on the sketch, which the spec pins against on the
+    * fixture. At 100 TB the quantized column is what you STORE
+    * (`quantized` below, one-time map pass); the exact re-rank join
+    * touches only `|queries| · k · refine` rows.
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int = 4): DataFrame = {
+    val cq = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.quantize_vec(col(vecCol)).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFunctions.quantize_vec(col(vecCol)).as("qq"))
+    val cands = cq.join(broadcast(q.select(col("query_id"), col("qq"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos", VectorFunctions.quantized_cos(col("qq"), col("cq")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("acos"), col("neighbor_id"), k * refine).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p._2").as("neighbor_id"))
+    cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .join(broadcast(q.select(col("query_id"), col("qv"))), "query_id")
+      .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
+  }
+
+  /** The storage-side half of the quantized path: the input frame with its
+    * vector column replaced by the int8 sketch struct — write THIS at
+    * ingest and the ANN sweep reads a quarter of the bytes.
+    */
+  def quantized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn(vecCol, VectorFunctions.quantize_vec(col(vecCol)))
+
   /** All-pairs similarity above a threshold via hyperplane LSH (delegates to
     * Dedup.embeddingCosinePairs — same machinery, different intent).
     */

@@ -218,6 +218,62 @@ class OperatorsSpec extends SparkSuite {
     assert(r8 >= 0.9, s"recall $r8 below 0.9 at nProbe=8 with nAssign=2")
   }
 
+  test("int8 quantized cosine tracks the exact cosine within the rounding bound") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      graft.functions.VectorFunctions.quantize_vec(col("embedding")).as("qa"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      graft.functions.VectorFunctions.quantize_vec(col("embedding")).as("qb"))
+    val err = a.join(b, col("ida") < col("idb") && col("idb") < 50)
+      .select(abs(
+        graft.functions.VectorFunctions.quantized_cos(col("qa"), col("qb")) -
+          graft.functions.VectorFunctions.cosine_sim(col("va"), col("vb"))).as("e"))
+      .agg(max(col("e"))).head.getDouble(0)
+    // per-element rounding is a half-step of 1/127 on each side; on these
+    // unit vectors the observed max is well under 2e-2
+    assert(err <= 0.02, s"quantized cosine error $err above the int8 bound")
+    // self-similarity must survive quantization exactly enough to rank first
+    val self = a.select(
+      graft.functions.VectorFunctions.quantized_cos(col("qa"), col("qa")).as("s"))
+      .agg(min(col("s"))).head.getDouble(0)
+    assert(self >= 0.98, s"quantized self-cosine $self drifted")
+  }
+
+  test("quantized top-k with exact re-rank reproduces the exact top-k (the oracle contract)") {
+    // the x3_knn_quantized oracle reuses x3_knn_exact's SQL, so the widened
+    // candidate stage must never lose a true top-10 neighbor on this
+    // fixture; assert it directly over a wider query set than the query uses
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val quant = Similarity.quantizedTopK(e, q, "vec_id", "embedding", 10, refine = 4)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(quant == exact,
+      s"quantized+rerank diverged from exact: missing ${exact.diff(quant).take(5)}, " +
+        s"extra ${quant.diff(exact).take(5)}")
+  }
+
+  test("quantize_vec handles zero vectors and dimension mismatches as null scores") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 2.0, -3.0)),
+      (3L, Seq(1.0, 2.0)))).toDF("id", "v")
+      .withColumn("q", graft.functions.VectorFunctions.quantize_vec(col("v")))
+    val a = df.as("a"); val b = df.as("b")
+    val scores = a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        graft.functions.VectorFunctions.quantized_cos(col("a.q"), col("b.q")).as("s"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.isNullAt(2))).toMap
+    assert(scores((1L, 2L)), "zero-norm side must yield null, not NaN")
+    assert(scores((2L, 3L)), "dimension mismatch must yield null")
+    assert(scores((1L, 3L)), "zero norm beats dim check — still null")
+  }
+
   test("IVF multi-assignment emits each (query, neighbor) at most once per rank list") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

@@ -167,14 +167,15 @@ class PlanSpec extends SparkSuite {
     //   x13_salted_join       k-row salt-replication cross
     //   x3_ann_ivf            query × centroid-table broadcast cross
     //   x3_knn_exact          corpus × broadcast-query-set scan (exact path)
+    //   x3_knn_quantized      same scan on the int8 sketch (exact re-rank)
     //   x3_sql_knn            same, via the SQL surface
     //   x3_cosine_pairs_exact intentional all-pairs oracle twin
     //   x2_jaccard_char       1-row broadcast hot-shingle-set cross
     //                         (array_except rebuild; guarded by
     //                         Dedup.MaxBroadcastHotSet)
     val allowedBnlj = Set("q22_no_orders", "x5_tfidf", "x13_salted_join",
-      "x3_ann_ivf", "x3_knn_exact", "x3_sql_knn", "x3_cosine_pairs_exact",
-      "x2_jaccard_char")
+      "x3_ann_ivf", "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
+      "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it
     // (re-planning the whitelisted queries would re-run their eager work
