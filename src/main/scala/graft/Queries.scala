@@ -706,6 +706,64 @@ object Queries {
         round(col("unit_cost"), 4).as("unit_cost"))
   }
 
+  /** TPC-H Q9-shaped product profit by nation and order year (the fixture
+    * has no partsupp, so supply cost is proxied as 60% of the part's retail
+    * price). Exercises an arithmetic measure combining columns from THREE
+    * join inputs (lineitem price, part cost, order year) — every other agg
+    * derives its measure from one table.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    p.filter(col("p_type") === "PROMO")
+      .join(l, col("p_partkey") === col("l_partkey"))
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .join(o, col("o_orderkey") === col("l_orderkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+  }
+
+  /** TPC-H Q16-shaped supplier diversity: distinct suppliers per part
+    * (brand, type, size) bucket, one brand excluded, sizes from an IN list
+    * (lineitem stands in for partsupp). Exercises count(DISTINCT) keyed by
+    * attributes of the JOINED dim, with the dim filters pushed to its scan.
+    */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    p.filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 4, 7))
+      .join(l, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("p_type").as("type"),
+        col("p_size").as("size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20-shaped dominant suppliers: suppliers shipping more than 15%
+    * of a promo part's total volume. The per-part total rides a window sum
+    * over the per-(supplier, part) aggregate — one exchange, no second
+    * lineitem scan, no self-join — then a semi join keeps matching
+    * suppliers once each.
+    */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val p = spark.read.parquet(s"$dir/part.parquet")
+    val shipped = l.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val dominant = shipped.withColumn("total_qty", sum(col("qty")).over(w))
+      .join(p.filter(col("p_type") === "PROMO"), col("p_partkey") === col("l_partkey"))
+      .filter(col("qty") > lit(0.15) * col("total_qty"))
+      .select(col("l_suppkey"))
+    s.join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"))
+  }
+
   /** Bloom-filter pre-shuffle join pruning (X18): lineitem is filtered by a
     * bloom sketch of the selective orders subset BEFORE any exchange, then
     * joined for real — result bit-identical to the plain join (the oracle),
@@ -1907,7 +1965,37 @@ object Queries {
       """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
         |       l.l_quantity AS qty, o.o_totalprice AS totalprice
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_totalprice > 450000""".stripMargin
+        |WHERE o.o_totalprice > 450000""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+        |FROM (SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+        |             l.l_extendedprice * (1 - l.l_discount)
+        |               - 0.6 * p.p_retailprice * l.l_quantity AS amount
+        |      FROM part p
+        |      JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |      WHERE p.p_type = 'PROMO')
+        |GROUP BY nation, yr""".stripMargin,
+    "q16_supplier_diversity" ->
+      """SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+        |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+        |GROUP BY p.p_brand, p.p_type, p.p_size""".stripMargin,
+    "q20_dominant_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT sh.l_suppkey FROM shipped sh
+        |  JOIN tot t ON sh.l_partkey = t.l_partkey
+        |  JOIN part p ON p.p_partkey = sh.l_partkey
+        |  WHERE p.p_type = 'PROMO' AND sh.qty > 0.15 * t.total_qty)""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -2006,6 +2094,9 @@ object Queries {
     "q15_top_supplier" -> q15TopSupplier _,
     "q2_min_cost_supplier" -> q2MinCostSupplier _,
     "x18_bloom_join" -> x18BloomJoin _,
-    "x3_knn_quantized" -> x3KnnQuantized _
+    "x3_knn_quantized" -> x3KnnQuantized _,
+    "q9_product_profit" -> q9ProductProfit _,
+    "q16_supplier_diversity" -> q16SupplierDiversity _,
+    "q20_dominant_suppliers" -> q20DominantSuppliers _
   )
 }
