@@ -78,7 +78,11 @@ object GraftFunctions {
     "hamming64" -> (es => { checkArity("hamming64", es, 2, 2)
       HammingDistance64(es(0), es(1)) }),
     "doc_fingerprint" -> (es => { checkArity("doc_fingerprint", es, 1, 1)
-      RollingFingerprint(es.head) })
+      RollingFingerprint(es.head) }),
+    "quantize_vec" -> (es => { checkArity("quantize_vec", es, 1, 1)
+      QuantizeVec(es.head) }),
+    "quantized_cos" -> (es => { checkArity("quantized_cos", es, 2, 2)
+      QuantizedCosine(es(0), es(1)) })
   )
 
   /** Register all engine functions on an existing session (idempotent). */

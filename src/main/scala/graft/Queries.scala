@@ -936,6 +936,18 @@ object Queries {
     TextAnalysis.chunk(kept, "doc_id", "text", size = 40, stride = 30)
   }
 
+  /** X19 benchmark-contamination screen: distinct-shingle overlap of every
+    * corpus doc (doc_id ≥ 20) against the "eval set" (doc_id < 20). The
+    * fixture's planted near-dups surface as contamination 1.0 — the leak
+    * the screen exists to catch.
+    */
+  def x19Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextAnalysis.contamination(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", shingleSize = 3)
+  }
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -1995,7 +2007,20 @@ object Queries {
         |  SELECT sh.l_suppkey FROM shipped sh
         |  JOIN tot t ON sh.l_partkey = t.l_partkey
         |  JOIN part p ON p.p_partkey = sh.l_partkey
-        |  WHERE p.p_type = 'PROMO' AND sh.qty > 0.15 * t.total_qty)""".stripMargin
+        |  WHERE p.p_type = 'PROMO' AND sh.qty > 0.15 * t.total_qty)""".stripMargin,
+    "x19_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(s) AS tok FROM sh WHERE doc_id < 20),
+        |docs AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |posts AS (SELECT doc_id, unnest(s) AS tok FROM docs),
+        |m AS (SELECT p.doc_id, count(*) AS matched FROM posts p
+        |      JOIN bench b ON p.tok = b.tok GROUP BY p.doc_id)
+        |SELECT d.doc_id, len(d.s) AS n_shingles, coalesce(m.matched, 0) AS matched,
+        |       round(coalesce(m.matched, 0)::DOUBLE / len(d.s), 6) AS contamination
+        |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -2097,6 +2122,7 @@ object Queries {
     "x3_knn_quantized" -> x3KnnQuantized _,
     "q9_product_profit" -> q9ProductProfit _,
     "q16_supplier_diversity" -> q16SupplierDiversity _,
-    "q20_dominant_suppliers" -> q20DominantSuppliers _
+    "q20_dominant_suppliers" -> q20DominantSuppliers _,
+    "x19_contamination" -> x19Contamination _
   )
 }

@@ -195,6 +195,42 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Benchmark-contamination check: for every corpus document, the fraction
+    * of its distinct word shingles that also occur anywhere in the
+    * benchmark set — the standard eval-leakage screen run before training.
+    * Shape at 100 TB: the benchmark is eval-set-sized, so its distinct
+    * shingle hashes BROADCAST; the corpus explodes to fixed-width
+    * (id, n, hash) posting rows, the semi join against the broadcast set is
+    * map-side, and the only exchange is the per-doc match count — corpus
+    * text never crosses the wire. Shingle identity is the same 64-bit
+    * composed hash the near-dup operators use (collision odds
+    * |shingles|²/2⁶⁵ — negligible).
+    *
+    * Returns (idCol, n_shingles, matched, contamination) for EVERY corpus
+    * doc, zero-matched included — thresholding is the caller's policy (a
+    * `filter(col("contamination") > t)`), not baked in.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int): DataFrame = {
+    val dSh = docs.select(col(idCol),
+      HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("n_shingles", size(col("sh")))
+    val bSh = bench.select(
+        explode(HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize)).as("h"))
+      .distinct()
+    val matched = dSh.select(col(idCol), explode(col("sh")).as("h"))
+      .join(broadcast(bSh), Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("matched"))
+    // shingle arrays are distinct by construction, so the semi-joined
+    // posting count IS the distinct-overlap count; n_shingles >= 1 always
+    // (short docs collapse to one whole-text shingle), so the ratio is safe
+    dSh.select(col(idCol), col("n_shingles"))
+      .join(matched, Seq(idCol), "left_outer")
+      .withColumn("matched", coalesce(col("matched"), lit(0L)))
+      .withColumn("contamination",
+        round(col("matched").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -274,6 +274,25 @@ class OperatorsSpec extends SparkSuite {
     assert(scores((1L, 3L)), "zero norm beats dim check — still null")
   }
 
+  test("contamination screen: identical doc scores 1.0, disjoint doc 0.0, every corpus doc reported") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),    // bench
+      (10L, "the quick brown fox jumps over the lazy dog"),   // exact dup -> 1.0
+      (11L, "completely different words entirely here now"),  // disjoint -> 0.0
+      (12L, "the quick brown fox sat still today fine"),      // partial overlap
+      (13L, "ab"))                                            // short doc: one whole-text shingle
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.contamination(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L), "zero-matched docs must still be reported")
+    assert(out(10L) == 1.0, s"exact dup scored ${out(10L)}")
+    assert(out(11L) == 0.0, s"disjoint doc scored ${out(11L)}")
+    assert(out(12L) > 0.0 && out(12L) < 1.0, s"partial overlap scored ${out(12L)}")
+    assert(out(13L) == 0.0)
+  }
+
   test("IVF multi-assignment emits each (query, neighbor) at most once per rank list") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
