@@ -936,6 +936,19 @@ object Queries {
     TextAnalysis.chunk(kept, "doc_id", "text", size = 40, stride = 30)
   }
 
+  /** X9 weighted source-mix resampling: full weight for src0, half src1,
+    * quarter src2, a 10% floor for the rest — the mixture-reweighting pass
+    * a training pipeline runs after dedup. Deterministic (no seed), so the
+    * oracle replays the identical floor arithmetic.
+    */
+  def x9WeightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    TextAnalysis.weightedMix(docs.select("doc_id", "source", "lang", "n_chars"),
+      "source", "doc_id",
+      weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultWeight = 0.1)
+  }
+
   /** X19 benchmark-contamination screen: distinct-shingle overlap of every
     * corpus doc (doc_id ≥ 20) against the "eval set" (doc_id < 20). The
     * fixture's planted near-dups surface as contamination 1.0 — the leak
@@ -2020,7 +2033,15 @@ object Queries {
         |      JOIN bench b ON p.tok = b.tok GROUP BY p.doc_id)
         |SELECT d.doc_id, len(d.s) AS n_shingles, coalesce(m.matched, 0) AS matched,
         |       round(coalesce(m.matched, 0)::DOUBLE / len(d.s), 6) AS contamination
-        |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+        |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
+    "x9_weighted_mix" ->
+      """SELECT doc_id, source, lang, n_chars FROM (
+        |  SELECT doc_id, source, lang, n_chars,
+        |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS DOUBLE) AS rn,
+        |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS f
+        |  FROM documents)
+        |WHERE floor(rn * f) > floor((rn - 1) * f)""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -2123,6 +2144,7 @@ object Queries {
     "q9_product_profit" -> q9ProductProfit _,
     "q16_supplier_diversity" -> q16SupplierDiversity _,
     "q20_dominant_suppliers" -> q20DominantSuppliers _,
-    "x19_contamination" -> x19Contamination _
+    "x19_contamination" -> x19Contamination _,
+    "x9_weighted_mix" -> x9WeightedMix _
   )
 }

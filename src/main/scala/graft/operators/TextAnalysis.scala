@@ -195,6 +195,34 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Deterministic weighted source-mix sampling: keep fraction w_s of each
+    * stratum (training-mixture reweighting — "2 parts web, 1 part news,
+    * 0.1 part everything else"). Row r of a stratum survives iff
+    * floor(r·w) > floor((r−1)·w) in stable id order, which keeps exactly
+    * ⌊n·w⌋±1 rows per stratum, evenly spread, with no seed and no RNG —
+    * rerunnable and engine-independent (the DuckDB oracle replays the same
+    * arithmetic). Weights outside [0,1] are rejected; unlisted strata get
+    * `defaultWeight`. Same scale note as [[stratifiedSample]]: the
+    * row_number window is one exchange partitioned by stratum — exact
+    * counts for modest strata; for billions-per-stratum prefer the
+    * hash-threshold form (`pmod(xxhash64(id), 10000) < w*10000`, no
+    * window) and accept binomial jitter.
+    */
+  def weightedMix(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 1),
+      "mix weights must be fractions in [0, 1]")
+    val mapArgs = weights.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val frac = coalesce(element_at(map(mapArgs: _*), col(stratumCol)),
+      lit(defaultWeight))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w).cast("double"))
+      .filter(floor(col("__rn") * frac) > floor((col("__rn") - 1) * frac))
+      .drop("__rn")
+  }
+
   /** Benchmark-contamination check: for every corpus document, the fraction
     * of its distinct word shingles that also occur anywhere in the
     * benchmark set — the standard eval-leakage screen run before training.

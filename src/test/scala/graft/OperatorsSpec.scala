@@ -293,6 +293,30 @@ class OperatorsSpec extends SparkSuite {
     assert(out(13L) == 0.0)
   }
 
+  test("weighted mix keeps floor(n*w) rows per stratum, evenly spread, deterministically") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source")
+    val perStratum = docs.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val out = graft.operators.TextAnalysis.weightedMix(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultWeight = 0.1)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept("src0") == perStratum("src0"), "weight 1.0 must keep everything")
+    assert(kept("src1") == perStratum("src1") / 2)
+    assert(kept("src2") == perStratum("src2") / 4)
+    assert(kept("src3") == (perStratum("src3") * 0.1).floor.toLong,
+      s"default weight misapplied: ${kept("src3")} of ${perStratum("src3")}")
+    // determinism: a second run selects the identical ids
+    val out2 = graft.operators.TextAnalysis.weightedMix(docs, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultWeight = 0.1)
+    assert(out.exceptAll(out2).isEmpty && out2.exceptAll(out).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.weightedMix(docs, "source", "doc_id", Map("src0" -> 1.5))
+    }
+    assert(e.getMessage.contains("[0, 1]"))
+  }
+
   test("IVF multi-assignment emits each (query, neighbor) at most once per rank list") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
