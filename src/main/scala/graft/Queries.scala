@@ -2031,7 +2031,7 @@ object Queries {
         |posts AS (SELECT doc_id, unnest(s) AS tok FROM docs),
         |m AS (SELECT p.doc_id, count(*) AS matched FROM posts p
         |      JOIN bench b ON p.tok = b.tok GROUP BY p.doc_id)
-        |SELECT d.doc_id, len(d.s) AS n_shingles, coalesce(m.matched, 0) AS matched,
+        |SELECT d.doc_id, CAST(len(d.s) AS INTEGER) AS n_shingles, coalesce(m.matched, 0) AS matched,
         |       round(coalesce(m.matched, 0)::DOUBLE / len(d.s), 6) AS contamination
         |FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin,
     "x9_weighted_mix" ->

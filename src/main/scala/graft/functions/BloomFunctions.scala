@@ -16,9 +16,14 @@ import org.apache.spark.sql.graftbridge.Bridge
 object BloomFunctions {
 
   /** Aggregate the (hashed) key column into one serialized bloom filter.
-    * `expectedItems` sizes the filter (bits follow Spark's default
-    * 8×items heuristic, capped by spark.sql.optimizer.runtime.bloomFilter
-    * limits only when the optimizer builds it — here the caller owns it).
+    * `expectedItems` sizes the filter (bits follow Spark's 8×items
+    * heuristic). NOTE: `BloomFilterAggregate` clamps the request to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` / `maxNumBits`
+    * (defaults 4M items / 64M bits) INSIDE the expression, regardless of
+    * who builds it — asking for 100M items silently yields a 4M-item
+    * filter whose false-positive rate saturates and the prune stops
+    * pruning (results stay correct; the win evaporates). Raise those two
+    * confs alongside `expectedItems` when the build side is that large.
     */
   def bloom_agg(key: Column, expectedItems: Long): Column =
     Bridge.column(new BloomFilterAggregate(

@@ -329,7 +329,16 @@ case class QuantizedCosine(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt == QuantizeVec.quantizedType
+    // structural match, nullability ignored: parquet read-back forces struct
+    // fields nullable (file sources apply asNullable), and the documented
+    // store-then-score flow (`Similarity.quantized` at ingest, scoring
+    // later) must accept its own round-tripped column
+    def ok(dt: DataType) = dt match {
+      case s: StructType =>
+        s.fields.map(f => (f.name, f.dataType)).toSeq ==
+          QuantizeVec.quantizedType.fields.map(f => (f.name, f.dataType)).toSeq
+      case _ => false
+    }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -352,10 +361,14 @@ case class QuantizedCosine(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("qcos", this, classOf[QuantizedCosine].getName)
+    // freshName: two quantized_cos calls over non-nullable inputs can land
+    // in ONE generated scope (nullSafeExec only braces nullable children) —
+    // a fixed local name would fail janino and drop to interpreted eval
+    val r = ctx.freshName("qcosRes")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-       |Object r = $self.score($a, $b);
-       |if (r == null) { ${ev.isNull} = true; }
-       |else { ${ev.value} = ((Double) r).doubleValue(); }
+       |Object $r = $self.score($a, $b);
+       |if ($r == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = ((Double) $r).doubleValue(); }
      """.stripMargin)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

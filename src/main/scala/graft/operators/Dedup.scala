@@ -22,10 +22,16 @@ import graft.functions.{HashFunctions, VectorFunctions}
 object Dedup {
 
   /** Largest hot-shingle tail [[jaccardPairs]] ships as a single collected
-    * broadcast row (4M hashes ≈ 32 MB); above it the capped rebuild falls
-    * back to the anti-join exchange. Package-visible for tests.
+    * broadcast row; above it the capped rebuild falls back to the anti-join
+    * exchange. Sized by the PER-ROW cost, not broadcast memory: Spark's
+    * `array_except` rebuilds its lookup set from the hot array for every
+    * document row (it cannot know the column is constant), so the map pass
+    * costs O(|docs| · |hot|) — at 64k the per-row rebuild stays ~100 µs,
+    * the regime where it still beats re-exchanging the posting list; a
+    * multi-million-entry tail must take the anti-join path even though it
+    * would broadcast fine. Package-visible for tests.
     */
-  private[graft] val MaxBroadcastHotSet = 4 * 1024 * 1024
+  private[graft] val MaxBroadcastHotSet = 64 * 1024
 
   /** Exact dedup keeping a deterministic representative per duplicate group:
     * min tie-break column wins (X1). One shuffle, map-side combined.
@@ -135,9 +141,11 @@ object Dedup {
       } else {
         val rebuilt = if (nHot <= MaxBroadcastHotSet) {
           // Common case: the hot tail is a few boilerplate shingles. Ship
-          // it to every task as ONE collected row (8 bytes per hash —
-          // ≤32 MB at the guard) and drop hot shingles with a map-only
-          // array_except; no posting explode, no rebuild exchange.
+          // it to every task as ONE collected row (8 bytes per hash) and
+          // drop hot shingles with a map-only array_except; no posting
+          // explode, no rebuild exchange. The guard bounds the PER-ROW
+          // array_except set rebuild, not just the broadcast (see
+          // MaxBroadcastHotSet).
           // array_except preserves the left array's sorted distinct order.
           val hotRow = hot.agg(collect_set(col("h")).as("hotset"))
           base.crossJoin(broadcast(hotRow))

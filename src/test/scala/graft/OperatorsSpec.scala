@@ -258,6 +258,29 @@ class OperatorsSpec extends SparkSuite {
         s"extra ${quant.diff(exact).take(5)}")
   }
 
+  test("quantized struct survives a parquet round trip (store-then-score flow)") {
+    // file sources force read schemas nullable; quantized_cos must accept
+    // its own round-tripped column or Similarity.quantized is write-only
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .limit(20)
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    try {
+      graft.operators.Similarity.quantized(e, "embedding")
+        .write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir)
+      val n = back.as("a").join(back.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(graft.functions.VectorFunctions.quantized_cos(
+          col("a.embedding"), col("b.embedding")).as("s"))
+        .filter(col("s").isNotNull).count()
+      assert(n == 20L * 19 / 2, s"round-tripped scoring lost rows: $n")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("quantize_vec handles zero vectors and dimension mismatches as null scores") {
     val df = spark.createDataFrame(Seq(
       (1L, Seq(0.0, 0.0, 0.0)),
