@@ -961,6 +961,19 @@ object Queries {
       "doc_id", "text", shingleSize = 3)
   }
 
+  /** X19 projection-form contamination: identical scores to
+    * [[x19Contamination]] with ZERO shuffles — the benchmark's hashes ride
+    * into every task as one sorted array (`set_overlap_count`). Streaming-
+    * legal (stateless projection); same oracle as the join form.
+    */
+  def x19ContaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hashes = TextAnalysis.benchShingleHashes(
+      docs.filter(col("doc_id") < 20), "text", shingleSize = 3)
+    TextAnalysis.contaminationStream(docs.filter(col("doc_id") >= 20), hashes,
+      "doc_id", "text", shingleSize = 3)
+  }
+
   // -------------------------------------------------------------- extensions
 
   /** X1 exact dedup on full text content: one representative (min doc_id). */
@@ -2051,7 +2064,10 @@ object Queries {
   // exact top-k (recall of the candidate stage is pinned in OperatorsSpec).
   val oracles: Map[String, String] =
     oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs")) +
-      ("x3_knn_quantized" -> oracles0("x3_knn_exact"))
+      ("x3_knn_quantized" -> oracles0("x3_knn_exact")) +
+      // the zero-shuffle projection form must score identically to the
+      // join form — same oracle, alternate execution shape pinned
+      ("x19_contamination_stream" -> oracles0("x19_contamination"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2145,6 +2161,7 @@ object Queries {
     "q16_supplier_diversity" -> q16SupplierDiversity _,
     "q20_dominant_suppliers" -> q20DominantSuppliers _,
     "x19_contamination" -> x19Contamination _,
+    "x19_contamination_stream" -> x19ContaminationStream _,
     "x9_weighted_mix" -> x9WeightedMix _
   )
 }

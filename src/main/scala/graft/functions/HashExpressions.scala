@@ -250,6 +250,59 @@ case class RollingFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of a hash array's elements present in a fixed reference set —
+  * the map-only membership probe behind the streaming contamination screen
+  * (and any "how many of this row's hashes are in that set" question). The
+  * reference set rides along as ONE sorted array via a codegen reference
+  * object — built once per executor, binary-searched per element — never
+  * as a per-row literal (a 100k-hash set as `lit(array)` would rebuild a
+  * lookup structure per ROW, the array_except trap `Dedup.MaxBroadcastHotSet`
+  * guards against) and never via a join (joins are stateful in streaming;
+  * this is a pure projection, legal in any output mode).
+  *
+  * `set` is a Seq so case-class equality is structural (semanticEquals /
+  * cache reuse — same reasoning as SignBuckets' planes).
+  */
+case class SetOverlapCount(child: Expression, set: Seq[Long])
+    extends UnaryExpression {
+  override def prettyName: String = "set_overlap_count"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint> (hash array), got ${other.sql}")
+    }
+
+  @transient private lazy val sorted: Array[Long] = {
+    val a = set.toArray; java.util.Arrays.sort(a); a
+  }
+
+  def count(v: ArrayData): Int = {
+    val n = v.numElements()
+    var c = 0; var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) &&
+        java.util.Arrays.binarySearch(sorted, v.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = count(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("overlap", this, classOf[SetOverlapCount].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.count($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two 64-bit hashes (companion to SimHash64). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
@@ -274,4 +327,6 @@ object HashFunctions {
     Bridge.column(RollingFingerprint(Bridge.expression(text)))
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
+  def set_overlap_count(hashes: Column, set: Seq[Long]): Column =
+    Bridge.column(SetOverlapCount(Bridge.expression(hashes), set))
 }

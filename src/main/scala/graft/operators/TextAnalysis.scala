@@ -259,6 +259,39 @@ object TextAnalysis {
         round(col("matched").cast("double") / col("n_shingles"), 6))
   }
 
+  /** The benchmark set compiled to its distinct shingle hashes — the
+    * driver-side half of [[contaminationStream]]. A bounded collect by
+    * construction: benchmarks are eval-set-sized (thousands of docs, ≲1M
+    * shingles = 8 MB), never corpus-sized; the corpus side stays fully
+    * distributed.
+    */
+  def benchShingleHashes(bench: DataFrame, textCol: String,
+      shingleSize: Int): Array[Long] =
+    bench.select(explode(
+        HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize)).as("h"))
+      .distinct().collect().map(_.getLong(0))
+
+  /** Streaming-capable contamination screen: identical scores to
+    * [[contamination]], computed as a PURE PROJECTION — the benchmark's
+    * hashes ride into every task as one sorted reference array
+    * (`set_overlap_count`, binary search per shingle), so there is no join
+    * and no aggregation. That makes it legal in any streaming output mode
+    * and watermark-free (stateless), and in batch it trades
+    * [[contamination]]'s count exchange for zero shuffles — preferable
+    * whenever the benchmark is small enough to collect, which eval sets
+    * are by definition.
+    */
+  def contaminationStream(docs: DataFrame, benchHashes: Array[Long],
+      idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    docs.select(col(idCol),
+        HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize).as("__sh"))
+      .withColumn("n_shingles", size(col("__sh")))
+      .withColumn("matched",
+        HashFunctions.set_overlap_count(col("__sh"), benchHashes.toSeq).cast("long"))
+      .withColumn("contamination",
+        round(col("matched").cast("double") / col("n_shingles"), 6))
+      .drop("__sh")
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

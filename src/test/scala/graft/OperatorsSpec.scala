@@ -340,6 +340,20 @@ class OperatorsSpec extends SparkSuite {
     assert(e.getMessage.contains("[0, 1]"))
   }
 
+  test("projection-form contamination scores identically to the join form") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    val joined = graft.operators.TextAnalysis.contamination(
+      corpus, bench, "doc_id", "text", shingleSize = 3)
+    val hashes = graft.operators.TextAnalysis.benchShingleHashes(bench, "text", 3)
+    val projected = graft.operators.TextAnalysis.contaminationStream(
+      corpus, hashes, "doc_id", "text", shingleSize = 3)
+      .select("doc_id", "n_shingles", "matched", "contamination")
+    assert(projected.exceptAll(joined).isEmpty && joined.exceptAll(projected).isEmpty,
+      "projection form diverged from the join form")
+  }
+
   test("IVF multi-assignment emits each (query, neighbor) at most once per rank list") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))

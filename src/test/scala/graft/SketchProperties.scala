@@ -123,4 +123,61 @@ object SketchProperties extends Properties("sketches") {
       val plainAgg = new graft.functions.TopKAggregator(k)
       run(distinctAgg, pairs, parts) == run(plainAgg, pairs.distinct, parts)
     }
+
+  // ------------------------------------------------------------ quantization
+
+  private val vecGen: Gen[List[Double]] = for {
+    n <- Gen.chooseNum(1, 96)
+    v <- Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0))
+  } yield v
+
+  private def quantize(v: Seq[Double]): org.apache.spark.sql.catalyst.InternalRow = {
+    val e = graft.functions.QuantizeVec(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        v.toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    e.nullSafeEval(new GenericArrayData(v.toArray[Any]))
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+  }
+
+  private def qcos(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val e = graft.functions.QuantizedCosine(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    Option(e.score(quantize(a), quantize(b))).map(_.asInstanceOf[Double])
+  }
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  property("quantized cosine within the int8 rounding bound of exact, any magnitude") =
+    Prop.forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.size, b0.size)
+      val (a, b) = (a0.take(n), b0.take(n))
+      val zeroA = a.forall(_ == 0.0); val zeroB = b.forall(_ == 0.0)
+      qcos(a, b) match {
+        case None => zeroA || zeroB // only zero-norm inputs may yield null
+        case Some(q) =>
+          // per-element error ≤ half-step 1/254 each side; cosine error is
+          // bounded well under 0.03 for dims ≤ 96 (loose analytic bound)
+          !zeroA && !zeroB && math.abs(q - cos(a, b)) <= 0.03
+      }
+    }
+
+  property("quantization is scale-invariant up to boundary rounding (cosine ignores magnitude)") =
+    Prop.forAll(vecGen, Gen.chooseNum(0.01, 1000.0)) { (v, s) =>
+      v.forall(_ == 0.0) || {
+        // x·s / (maxAbs·s/127) is not bit-identical to x / (maxAbs/127), so
+        // an element sitting within an ulp of a rounding boundary may move
+        // one bucket — the self-cosine then shifts by at most ~2/127 per
+        // flipped element; 0.02 is the honest invariance bound, not 0
+        val scaled = v.map(_ * s)
+        (qcos(v, v), qcos(scaled, scaled)) match {
+          case (Some(x), Some(y)) => math.abs(x - y) <= 0.02
+          case _ => false
+        }
+      }
+    }
 }

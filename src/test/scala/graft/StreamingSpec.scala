@@ -272,4 +272,26 @@ class StreamingSpec extends SparkSuite {
       assert(state == Seq((1L, 3L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("contamination screen runs on a stream: stateless projection, append mode, exact scores") {
+    val bench = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"))).toDF("doc_id", "text")
+    val hashes = graft.operators.TextAnalysis.benchShingleHashes(bench, "text", 3)
+    val input = MemoryStream[(Long, String)](ss, 2)
+    val scored = graft.operators.TextAnalysis.contaminationStream(
+      input.toDF().toDF("doc_id", "text"), hashes, "doc_id", "text", shingleSize = 3)
+    val q = scored.writeStream.format("memory").queryName("contam_t")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "completely different words entirely here now"))
+      q.processAllAvailable()
+      input.addData((12L, "the quick brown fox sat still today fine"))
+      q.processAllAvailable()
+      val rows = spark.table("contam_t")
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+      assert(rows(10L) == 1.0 && rows(11L) == 0.0)
+      assert(rows(12L) > 0.0 && rows(12L) < 1.0)
+    } finally q.stop()
+  }
 }
