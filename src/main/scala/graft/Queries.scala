@@ -1398,6 +1398,18 @@ object Queries {
       payload = Map("value" -> "profile_value"))
   }
 
+  /** X20 time-series resampling: every user's value forward-filled onto a
+    * 30-minute grid (gap filling). Observations are pre-reduced to one row
+    * per (user, ts) so the carried value is deterministic; the leading grid
+    * point of a user precedes their first observation → null (ASOF LEFT
+    * semantics, mirrored by the oracle).
+    */
+  def x20Resample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val obs = ev.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.operators.AsOfJoin.resample(obs, "user_id", "ts", Seq("value"), "30 minutes")
+  }
+
   // ------------------------------------------------------------------ oracle
 
   /** DuckDB-dialect oracle SQL per query (same tables registered by name).
@@ -2054,7 +2066,16 @@ object Queries {
         |         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS f
         |  FROM documents)
-        |WHERE floor(rn * f) > floor((rn - 1) * f)""".stripMargin
+        |WHERE floor(rn * f) > floor((rn - 1) * f)""".stripMargin,
+    "x20_resample" ->
+      """WITH obs AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS value
+        |             FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |b AS (SELECT user_id, time_bucket(INTERVAL '30 minutes', min(t)) AS t0, max(t) AS t1
+        |      FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '30 minutes')) AS grid_ts
+        |         FROM b)
+        |SELECT g.user_id, g.grid_ts, o.value
+        |FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.t""".stripMargin
   )
 
   // the capped branch must reproduce the exact result on this data (no
@@ -2162,6 +2183,7 @@ object Queries {
     "q20_dominant_suppliers" -> q20DominantSuppliers _,
     "x19_contamination" -> x19Contamination _,
     "x19_contamination_stream" -> x19ContaminationStream _,
-    "x9_weighted_mix" -> x9WeightedMix _
+    "x9_weighted_mix" -> x9WeightedMix _,
+    "x20_resample" -> x20Resample _
   )
 }

@@ -51,4 +51,40 @@ object AsOfJoin {
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
   }
+
+  /** Fixed-interval resampling with forward fill (time-series gap filling):
+    * for each key, a grid of `interval`-spaced timestamps spans
+    * [epoch-aligned bucket of its first observation, its last observation],
+    * and each grid point carries the latest observation at-or-before it —
+    * null until the key's first observation lands (the leading grid point
+    * sits at its bucket's START). Grid generation is one per-key aggregate
+    * plus a map-side `sequence` explode — the grid never exceeds
+    * span/interval rows per key — and the fill reuses [[asOf]]'s
+    * single-shuffle union-window merge, so the whole operator is two
+    * exchanges regardless of scale. Epoch-aligned buckets match DuckDB/
+    * TimescaleDB `time_bucket` for month-free intervals.
+    *
+    * Ties: multiple observations sharing (key, ts) make "the" carried
+    * value ambiguous — pre-reduce to one row per (key, ts) first if inputs
+    * can collide (the x20 query does).
+    */
+  def resample(df: DataFrame, key: String, tsCol: String,
+      valueCols: Seq[String], interval: String): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(interval))
+    require(iv != null && iv.months == 0,
+      s"unparseable or month-based resample interval '$interval'")
+    val micros = iv.days * 86_400_000_000L + iv.microseconds
+    require(micros > 0, s"resample interval '$interval' must be positive")
+    val secs = micros / 1_000_000L
+    require(secs * 1_000_000L == micros,
+      s"resample interval '$interval' must be whole seconds")
+    val grid = df.groupBy(col(key))
+      .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+      .select(col(key), explode(expr(
+        s"sequence(timestamp_seconds(floor(unix_timestamp(__min) / $secs) * $secs), " +
+          s"__max, interval $secs seconds)")).as("grid_ts"))
+    asOf(grid, df, key, "grid_ts", tsCol,
+      valueCols.map(c => c -> c).toMap)
+  }
 }

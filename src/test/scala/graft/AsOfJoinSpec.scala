@@ -44,4 +44,27 @@ class AsOfJoinSpec extends SparkSuite {
       .linesIterator.count(_.trim.startsWith("+- Exchange"))
     assert(exchanges <= 2, s"as-of join shuffles too much ($exchanges exchanges)")
   }
+
+  test("resample: epoch-aligned grid, forward fill, leading null, per-key span") {
+    val obs = spark.createDataFrame(Seq(
+      (1L, t(7), 10.0), (1L, t(22), 20.0), (1L, t(48), 30.0),
+      (2L, t(31), 99.0)))
+      .toDF("k", "ts", "value")
+    val out = AsOfJoin.resample(obs, "k", "ts", Seq("value"), "15 minutes")
+      .collect().map(r => ((r.getLong(0), r.getTimestamp(1)), Option(r.get(2)))).toMap
+    // key 1: bucket(10:07) = 10:00; grid 10:00, 10:15, 10:30, 10:45 (≤ 10:48)
+    // key 2: the single point 10:30 — 5 grid rows total
+    assert(out.size == 5, s"grid rows: ${out.keys.toSeq.sorted.mkString(", ")}")
+    assert(out((1L, t(0))) == None, "grid point before first observation must be null")
+    assert(out((1L, t(15))) == Some(10.0), "10:15 carries the 10:07 observation")
+    assert(out((1L, t(30))) == Some(20.0), "10:30 carries the 10:22 observation")
+    assert(out((1L, t(45))) == Some(20.0), "10:45 still carries 10:22 (10:48 is later)")
+    // key 2: bucket(10:31) = 10:30 only (span < one interval)
+    assert(out((2L, t(30))) == None, "10:30 precedes the 10:31 observation")
+    assert(out.keys.count(_._1 == 2L) == 1, "key 2's grid must not extend past its span")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.resample(obs, "k", "ts", Seq("value"), "0 seconds")
+    }
+    assert(e.getMessage.contains("positive"))
+  }
 }
