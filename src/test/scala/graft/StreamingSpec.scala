@@ -294,4 +294,26 @@ class StreamingSpec extends SparkSuite {
       assert(rows(12L) > 0.0 && rows(12L) < 1.0)
     } finally q.stop()
   }
+
+  test("grouped top-k heap aggregates across streaming batches (update mode)") {
+    // the TypedImperativeAggregate heap must merge streamed partials with
+    // prior state exactly like batch partials — late high scores evict,
+    // late low scores are ignored
+    val input = MemoryStream[(Long, Double, Long)](ss, 2)
+    val df = input.toDF().toDF("k", "score", "id")
+    val top = df.groupBy("k")
+      .agg(graft.functions.TopK.topk(col("score"), col("id"), 2).as("top"))
+    val q = top.writeStream.format("memory").queryName("topk_t")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.1, 12L))
+      q.processAllAvailable()
+      input.addData((1L, 0.7, 13L), (1L, 0.01, 14L)) // 0.7 evicts 0.5; 0.01 ignored
+      q.processAllAvailable()
+      val last = spark.table("topk_t").collect().last.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      assert(last == Seq((0.9, 11L), (0.7, 13L)),
+        s"streamed top-2 state wrong: $last")
+    } finally q.stop()
+  }
 }
