@@ -764,6 +764,29 @@ object Queries {
       .select(col("s_suppkey").as("suppkey"), col("s_name").as("name"))
   }
 
+  /** TPC-H Q21-shaped sole-blame suppliers: per supplier, the multi-supplier
+    * orders where it was the ONLY one with a returned lineitem. Exercises a
+    * group-derived predicate (per-order distinct-supplier tallies computed
+    * once, then joined back to the fact as a filter) and a conditional
+    * count(DISTINCT) — the decorrelated form of Q21's EXISTS/NOT-EXISTS
+    * pair. The per-order aggregate is corpus-keyed (one partial-aggregated
+    * shuffle on orderkey, reused by the join on the same key — no second
+    * shuffle under AQE's exchange reuse).
+    */
+  def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val o = l.groupBy(col("l_orderkey").as("__ok"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nret"))
+    l.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("__ok"))
+      .filter(col("nsupp") >= 2 && col("nret") === 1)
+      .join(s, col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_suppkey").as("suppkey"), col("s_name").as("name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+  }
+
   /** Bloom-filter pre-shuffle join pruning (X18): lineitem is filtered by a
     * bloom sketch of the selective orders subset BEFORE any exchange, then
     * joined for real — result bit-identical to the plain join (the oracle),
@@ -2046,6 +2069,18 @@ object Queries {
         |  JOIN tot t ON sh.l_partkey = t.l_partkey
         |  JOIN part p ON p.p_partkey = sh.l_partkey
         |  WHERE p.p_type = 'PROMO' AND sh.qty > 0.15 * t.total_qty)""".stripMargin,
+    "q21_sole_blame" ->
+      """WITH o AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+        |         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nret
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+        |       count(DISTINCT l.l_orderkey) AS numwait
+        |FROM supplier s
+        |JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        |JOIN o ON l.l_orderkey = o.l_orderkey
+        |WHERE l.l_returnflag = 'R' AND o.nsupp >= 2 AND o.nret = 1
+        |GROUP BY s.s_suppkey, s.s_name""".stripMargin,
     "x19_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -2181,6 +2216,7 @@ object Queries {
     "q9_product_profit" -> q9ProductProfit _,
     "q16_supplier_diversity" -> q16SupplierDiversity _,
     "q20_dominant_suppliers" -> q20DominantSuppliers _,
+    "q21_sole_blame" -> q21SoleBlame _,
     "x19_contamination" -> x19Contamination _,
     "x19_contamination_stream" -> x19ContaminationStream _,
     "x9_weighted_mix" -> x9WeightedMix _,
