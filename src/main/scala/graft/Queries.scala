@@ -787,6 +787,31 @@ object Queries {
       .agg(countDistinct(col("l_orderkey")).as("numwait"))
   }
 
+  /** TPC-H Q11-shaped important stock: per-part shipped value from ONE
+    * nation's suppliers, kept only where it exceeds a multiple of the
+    * corpus-wide average (the fixture has no partsupp, so "stock value" is
+    * shipped `extendedprice * quantity`). Exercises the group-vs-global
+    * scalar HAVING shape: the per-part aggregate crosses a 1-row broadcast
+    * average — no second lineitem scan rides the cross (the scalar side
+    * reuses the grouped exchange under AQE), and the threshold is
+    * average-relative, so the query is scale-invariant (an absolute
+    * fraction of the total goes to zero rows as the corpus grows).
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s = spark.read.parquet(s"$dir/supplier.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val natSupp = s.join(broadcast(n.filter(col("n_name") === "NATION_8")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = l.join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value"))
+    v.crossJoin(broadcast(v.agg(avg(col("value")).as("avg_value"))))
+      .filter(col("value") > lit(2.0) * col("avg_value"))
+      .select(col("l_partkey").as("partkey"), round(col("value"), 2).as("value"))
+  }
+
   /** Bloom-filter pre-shuffle join pruning (X18): lineitem is filtered by a
     * bloom sketch of the selective orders subset BEFORE any exchange, then
     * joined for real — result bit-identical to the plain join (the oracle),
@@ -2081,6 +2106,17 @@ object Queries {
         |JOIN o ON l.l_orderkey = o.l_orderkey
         |WHERE l.l_returnflag = 'R' AND o.nsupp >= 2 AND o.nret = 1
         |GROUP BY s.s_suppkey, s.s_name""".stripMargin,
+    "q11_important_stock" ->
+      """WITH v AS (
+        |  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+        |  FROM lineitem l
+        |  WHERE l.l_suppkey IN (
+        |    SELECT s.s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_8')
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey AS partkey, round(value, 2) AS value
+        |FROM v WHERE value > 2.0 * (SELECT avg(value) FROM v)""".stripMargin,
     "x19_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -2217,6 +2253,7 @@ object Queries {
     "q16_supplier_diversity" -> q16SupplierDiversity _,
     "q20_dominant_suppliers" -> q20DominantSuppliers _,
     "q21_sole_blame" -> q21SoleBlame _,
+    "q11_important_stock" -> q11ImportantStock _,
     "x19_contamination" -> x19Contamination _,
     "x19_contamination_stream" -> x19ContaminationStream _,
     "x9_weighted_mix" -> x9WeightedMix _,

@@ -163,6 +163,7 @@ class PlanSpec extends SparkSuite {
     // query still passes at sf0.001). Every BNLJ below is a deliberate,
     // bounded cross:
     //   q22_no_orders         1-row scalar-aggregate broadcast cross
+    //   q11_important_stock   1-row corpus-average broadcast cross
     //   x5_tfidf              1-row corpus-count (idf denominator) cross
     //   x13_salted_join       k-row salt-replication cross
     //   x3_ann_ivf            query × centroid-table broadcast cross
@@ -173,7 +174,8 @@ class PlanSpec extends SparkSuite {
     //   x2_jaccard_char       1-row broadcast hot-shingle-set cross
     //                         (array_except rebuild; guarded by
     //                         Dedup.MaxBroadcastHotSet)
-    val allowedBnlj = Set("q22_no_orders", "x5_tfidf", "x13_salted_join",
+    val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
+      "x13_salted_join",
       "x3_ann_ivf", "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
