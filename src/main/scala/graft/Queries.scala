@@ -776,15 +776,23 @@ object Queries {
   def q21SoleBlame(spark: SparkSession, dir: String): DataFrame = {
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
     val s = spark.read.parquet(s"$dir/supplier.parquet")
-    val o = l.groupBy(col("l_orderkey").as("__ok"))
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("nret"))
-    l.filter(col("l_returnflag") === "R")
+    // Distinct-free formulation: ONE (orderkey, suppkey) pre-aggregation
+    // replaces all three countDistincts of the naive form (each distinct
+    // agg is an Expand ×2 + a wider exchange; measured 5.2s → this shape).
+    // Every later count is a plain count over the already key-distinct
+    // frame: per-order supplier tallies roll up from its grouping-key
+    // prefix, and the final per-supplier numwait counts rows of the deduped
+    // frame itself — the raw lineitem table is scanned exactly once.
+    val os = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val o = os.groupBy(col("l_orderkey").as("__ok"))
+      .agg(count(lit(1)).as("nsupp"), sum(col("ret")).as("nret"))
+    os.filter(col("ret") === 1)
       .join(o, col("l_orderkey") === col("__ok"))
       .filter(col("nsupp") >= 2 && col("nret") === 1)
       .join(s, col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_suppkey").as("suppkey"), col("s_name").as("name"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
   }
 
   /** TPC-H Q11-shaped important stock: per-part shipped value from ONE
@@ -1392,6 +1400,22 @@ object Queries {
       spark.read.parquet(s"$dir/documents.parquet"),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** X21 exact heavy hitters: tokens appearing in ≥0.5% of the corpus's
+    * token stream, with exact counts. Misra–Gries candidate sketch (bounded
+    * map-side state, ≤k-row exchange) + exact broadcast recount — the
+    * result is oracle-identical to the naive groupBy+HAVING, which is what
+    * the DuckDB oracle runs.
+    */
+  def x21HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // array form: the sketch ingests one token ARRAY per document (the
+    // per-row udaf cost amortizes over the document length); result is
+    // identical to the exploded-stream form, which OperatorsSpec pins
+    graft.operators.Profile.heavyHittersFromArrays(
+      docs.select(TextAnalysis.tokens(col("text")).as("toks")), "toks",
+      minFraction = 0.005)
+  }
+
   /** X5 sequence packing: stride chunks greedily packed into 256-token bins
     * (per-partition first-fit — zero shuffle). Rows-only: pack ASSIGNMENT is
     * engine-specific (partition-local bins); the packing INVARIANTS (every
@@ -1930,6 +1954,15 @@ object Queries {
         |UNION ALL SELECT 'source', count(source), count(DISTINCT source) FROM documents
         |UNION ALL SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars)
         |FROM documents""".stripMargin,
+    "x21_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT tok AS item, count(*) AS cnt
+        |FROM toks, tot
+        |GROUP BY tok, n
+        |HAVING count(*) >= ceil(0.005 * n)""".stripMargin,
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
         |FROM lineitem l1
@@ -2226,6 +2259,7 @@ object Queries {
     "q4_order_priority" -> q4OrderPriority _,
     "q17_small_qty" -> q17SmallQty _,
     "x16_profile" -> x16Profile _,
+    "x21_heavy_hitters" -> x21HeavyHitters _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

@@ -708,4 +708,44 @@ class OperatorsSpec extends SparkSuite {
     val frames = graft.operators.Multimodal.sampleFrames(media, 1000L)
     assert(frames.count() >= 10)
   }
+
+  test("heavy hitters: sketch+recount equals naive groupBy+HAVING, any partitioning (X21)") {
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    def naive(df: org.apache.spark.sql.DataFrame, f: Double) = {
+      val n = df.count()
+      df.groupBy(col("tok")).count()
+        .filter(col("count") >= math.ceil(f * n))
+        .select(col("tok").as("item"), col("count").as("cnt"))
+    }
+    for (parts <- Seq(1, 7)) {
+      val in = toks.repartition(parts)
+      val got = graft.operators.Profile.heavyHitters(in, "tok", 0.005)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val want = naive(in, 0.005)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"parts=$parts")
+      assert(got.nonEmpty) // non-vacuous: the fixture has stopword-like hitters
+    }
+    // array form (one token array per document) must equal the exploded form
+    val arrays = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+    val viaArrays = graft.operators.Profile.heavyHittersFromArrays(arrays, "toks", 0.005)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val viaScalar = naive(toks, 0.005)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(viaArrays == viaScalar)
+  }
+
+  test("heavy hitters: nulls ignored, empty input yields empty result (X21)") {
+    val withNulls = spark.createDataFrame(Seq(
+      Tuple1(Option("a")), Tuple1(Option("a")), Tuple1(Option("a")), Tuple1(Option.empty[String]),
+      Tuple1(Option("b")), Tuple1(Option.empty[String]))).toDF("tok")
+    val hh = graft.operators.Profile.heavyHitters(withNulls, "tok", 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // n counts non-null items only (4): threshold ceil(0.5*4)=2 → only "a"
+    assert(hh == Seq(("a", 3L)))
+    val empty = spark.createDataFrame(Seq.empty[Tuple1[String]]).toDF("tok")
+    assert(graft.operators.Profile.heavyHitters(empty, "tok", 0.1).count() == 0)
+  }
 }

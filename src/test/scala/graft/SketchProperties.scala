@@ -180,4 +180,48 @@ object SketchProperties extends Properties("sketches") {
         }
       }
     }
+
+  // --- Misra–Gries frequent-items sketch (FreqSketchAggregator) ---
+  // skewed stream: a few hot items over a long uniform tail — the regime
+  // the sketch exists for
+  private val mgItem = Gen.frequency(
+    (8, Gen.oneOf("hot1", "hot2", "hot3")),
+    (5, Gen.chooseNum(0, 500).map(i => s"tail$i")))
+  private val mgStream = Gen.listOfN(400, mgItem)
+  private val mgK = Gen.chooseNum(2, 25)
+  private val mgParts = Gen.chooseNum(1, 5)
+
+  private def mgRun(items: List[String], k: Int, nParts: Int): Seq[(String, Long)] = {
+    val agg = new graft.functions.FreqSketchAggregator(k)
+    val partials = items.grouped(math.max(1, items.size / nParts)).toList
+      .map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+  }
+
+  property("MG summary keeps every item with count > n/(k+1), any partitioning") =
+    Prop.forAll(mgStream, mgK, mgParts) { (items, k, nParts) =>
+      val out = mgRun(items, k, nParts).map(_._1).toSet
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = truth.filter(_._2 > items.size.toDouble / (k + 1)).keySet
+      mustKeep.subsetOf(out)
+    }
+
+  property("MG summary is bounded by k with underestimating residual counts") =
+    Prop.forAll(mgStream, mgK, mgParts) { (items, k, nParts) =>
+      val out = mgRun(items, k, nParts)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.size <= k && out.forall { case (i, c) =>
+        c >= 1 && c <= truth.getOrElse(i, 0L) &&
+          truth(i) - c <= items.size.toDouble / (k + 1)
+      }
+    }
+
+  property("MG summary is partitioning-invariant for the guaranteed hitters") =
+    Prop.forAll(mgStream, mgK) { (items, k) =>
+      val one = mgRun(items, k, 1).map(_._1).toSet
+      val four = mgRun(items, k, 4).map(_._1).toSet
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = truth.filter(_._2 > items.size.toDouble / (k + 1)).keySet
+      mustKeep.subsetOf(one) && mustKeep.subsetOf(four)
+    }
 }
