@@ -1416,6 +1416,36 @@ object Queries {
       minFraction = 0.005)
   }
 
+  /** X22 PII redaction: contact-shaped text synthesized deterministically
+    * from customer columns (the fixture corpus contains no PII, so the
+    * query manufactures emails/phones/IPs the same way in both engines),
+    * scrubbed by the chained-regexp redactor. Map-only — the oracle runs
+    * the identical construction + replacement chain in DuckDB, pinning
+    * cross-engine regex parity of the portable patterns.
+    */
+  def x22PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val msg = concat(
+      lit("Contact "), col("c_name"),
+      lit(" <"), lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com>"),
+      lit(" or +1-555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" from 192.168."), (col("c_custkey") % 256).cast("string"),
+      lit("."), col("c_nationkey").cast("string"),
+      lit(" segment "), col("c_mktsegment"))
+    c.select(col("c_custkey").as("custkey"),
+      TextAnalysis.redactPii(msg).as("redacted"))
+  }
+
+  /** X23 within-document repetition metrics (Gopher-style quality
+    * signals): duplicate-word fraction and top word/bigram fractions,
+    * computed ZERO-shuffle per row (sorted-array max-run fold) — the
+    * oracle computes the same numbers the flat way (explode + groupBy +
+    * max), pinning that the per-row fold equals the relational form.
+    */
+  def x23Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+
   /** X5 sequence packing: stride chunks greedily packed into 256-token bins
     * (per-partition first-fit — zero shuffle). Rows-only: pack ASSIGNMENT is
     * engine-specific (partition-local bins); the packing INVARIANTS (every
@@ -1954,6 +1984,47 @@ object Queries {
         |UNION ALL SELECT 'source', count(source), count(DISTINCT source) FROM documents
         |UNION ALL SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars)
         |FROM documents""".stripMargin,
+    "x22_pii_redact" ->
+      """WITH m AS (
+        |  SELECT c_custkey AS custkey,
+        |         'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+        |         '@example.com> or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |         ' from 192.168.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |         CAST(c_nationkey AS VARCHAR) || ' segment ' || c_mktsegment AS msg
+        |  FROM customer)
+        |SELECT custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(msg,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS redacted
+        |FROM m""".stripMargin,
+    "x23_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+        |         len(t) - len(list_distinct(t)) AS dupn,
+        |         [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS b
+        |  FROM toks),
+        |wc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+        |topw AS (SELECT doc_id, max(c) AS mx FROM wc GROUP BY 1),
+        |bc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(b) AS w FROM base) GROUP BY 1, 2),
+        |topb AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY 1)
+        |SELECT base.doc_id, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE round(dupn::DOUBLE / n_words, 6) END AS dup_word_frac,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE round(coalesce(topw.mx, 0)::DOUBLE / n_words, 6) END AS top_word_frac,
+        |  CASE WHEN len(b) = 0 THEN 0.0
+        |       ELSE round(coalesce(topb.mx, 0)::DOUBLE / len(b), 6) END AS top_bigram_frac
+        |FROM base
+        |LEFT JOIN topw ON base.doc_id = topw.doc_id
+        |LEFT JOIN topb ON base.doc_id = topb.doc_id""".stripMargin,
     "x21_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -2260,6 +2331,8 @@ object Queries {
     "q17_small_qty" -> q17SmallQty _,
     "x16_profile" -> x16Profile _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
+    "x22_pii_redact" -> x22PiiRedact _,
+    "x23_repetition" -> x23Repetition _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

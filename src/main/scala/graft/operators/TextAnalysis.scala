@@ -292,6 +292,70 @@ object TextAnalysis {
         round(col("matched").cast("double") / col("n_shingles"), 6))
       .drop("__sh")
 
+  /** PII redaction rules, applied in order: email first (an address's local
+    * part would otherwise partially match the digit-run patterns), then
+    * phone (requires a leading `+` so bare ids/names are never eaten), then
+    * IPv4, then SSN-shaped digit groups. Patterns stay in the portable
+    * regex subset (no lookaround) so the same strings run under Java regex
+    * and RE2-family engines — which is also what makes the DuckDB oracle
+    * able to mirror the transform exactly.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "\\+[0-9][0-9 ().-]{6,}[0-9]" -> "[PHONE]",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "[IP]",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "[SSN]")
+
+  /** Redact PII-shaped spans in a text column (X22). Pure chained
+    * `regexp_replace` — map-only, codegen'd, zero shuffle at any corpus
+    * size; the scrub a pretraining pipeline runs on every document.
+    */
+  def redactPii(text: Column, rules: Seq[(String, String)] = PiiRules): Column =
+    rules.foldLeft(text) { case (c, (pat, token)) => regexp_replace(c, pat, token) }
+
+  /** Within-document repetition metrics (X23) — the Gopher-style quality
+    * signals for machine-generated/boilerplate text: duplicate-word
+    * fraction (1 − distinct/total) and the fraction of the doc taken by
+    * its single most frequent word and bigram. ZERO shuffle: the stats
+    * are per-document, so they are computed per row — the most-frequent
+    * counts come from a sort + max-run-length fold over the doc's own
+    * token/bigram arrays (`aggregate` HOF), never an explode + groupBy
+    * exchange over the corpus. Empty docs score 0 everywhere.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // max run length over a SORTED array == max element frequency
+    def maxRun(sorted: Column): Column = {
+      val folded = aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        })
+      folded.getField("best")
+    }
+    def frac(num: Column, den: Column): Column =
+      when(den === 0, lit(0.0)).otherwise(round(num.cast("double") / den, 6))
+    docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__bi",
+        when(size(col("__toks")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => concat_ws(" ", a, b))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_words"),
+        frac(size(col("__toks")) - size(array_distinct(col("__toks"))),
+          size(col("__toks"))).as("dup_word_frac"),
+        frac(when(size(col("__toks")) === 0, 0L)
+            .otherwise(maxRun(array_sort(col("__toks")))),
+          size(col("__toks"))).as("top_word_frac"),
+        frac(when(size(col("__bi")) === 0, 0L)
+            .otherwise(maxRun(array_sort(col("__bi")))),
+          size(col("__bi"))).as("top_bigram_frac"))
+  }
+
   /** Full text-analysis projection over a documents table. */
   def analyze(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

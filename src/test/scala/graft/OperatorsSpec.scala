@@ -748,4 +748,42 @@ class OperatorsSpec extends SparkSuite {
     val empty = spark.createDataFrame(Seq.empty[Tuple1[String]]).toDF("tok")
     assert(graft.operators.Profile.heavyHitters(empty, "tok", 0.1).count() == 0)
   }
+
+  test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {
+    val cases = Seq(
+      ("write to bob.smith+x@corp.example.org today", "write to [EMAIL] today"),
+      ("call +44 (0) 20-7946 0958 now", "call [PHONE] now"),
+      ("host 10.0.255.7 down", "host [IP] down"),
+      ("ssn 123-45-6789 on file", "ssn [SSN] on file"),
+      // email local part has digit runs — must become [EMAIL], not [PHONE]/[IP]
+      ("id a.000111222@mail.example.com end", "id [EMAIL] end"),
+      ("no pii here 12 34", "no pii here 12 34"))
+    val df = spark.createDataFrame(cases).toDF("text", "want")
+      .withColumn("got", TextAnalysis.redactPii(col("text")))
+      .withColumn("got2", TextAnalysis.redactPii(col("got")))
+    val bad = df.filter(col("got") =!= col("want") || col("got2") =!= col("got"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("repetition metrics: hand-computed fractions, zero-shuffle plan (X23)") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a a b"),        // dup 2/4, top word 3/4, top bigram "a a" 2/3
+      (2L, "x y z"),          // no repetition
+      (3L, "w"),              // single token: no bigrams
+      (4L, "")               // empty
+    )).toDF("doc_id", "text")
+    val m = graft.operators.TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m(1L) == ((4L, 0.5, 0.75, round6(2.0 / 3))))
+    assert(m(2L) == ((3L, 0.0, round6(1.0 / 3), 0.5)))
+    assert(m(3L) == ((1L, 0.0, 1.0, 0.0)))
+    assert(m(4L) == ((0L, 0.0, 0.0, 0.0)))
+    // per-row computation: no exchange anywhere in the plan
+    val plan = graft.operators.TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
 }
