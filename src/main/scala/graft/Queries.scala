@@ -620,8 +620,12 @@ object Queries {
       .join(n, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey").as("custkey"), col("c_name").as("name"),
         col("n_name").as("nation"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      // decimal-cast BEFORE the sum: the per-row double product is
+      // deterministic, and the decimal sum is exact and order-independent —
+      // round(sum(double), 2) sat on a half-cent boundary here (378060.515)
+      // and rounded differently than the oracle depending on reduction order
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("custkey").asc)
       .limit(20)
   }
@@ -1053,6 +1057,32 @@ object Queries {
   def x2JaccardPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
       "doc_id", "text", shingleSize = 3, threshold = 0.8)
+
+  /** X2 incremental cross-snapshot dedup: the newest 20% of documents
+    * screened against the older 80% — exact cross-set Jaccard pairs, the
+    * existing corpus never self-joined. The 80% cut is a bounded driver
+    * scalar (one max() aggregate), mirrored by a scalar subquery in the
+    * oracle with identical integer arithmetic.
+    */
+  def x2Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    Dedup.jaccardPairsBetween(
+      docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
+      "doc_id", "text", shingleSize = 3, threshold = 0.8)
+  }
+
+  /** Novelty-filter composition of [[x2Incremental]]: the new docs that
+    * survive cross-snapshot screening (anti join on the matched set).
+    */
+  def x2IncrementalNovel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    Dedup.incrementalNovel(
+      docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
+      "doc_id", "text", shingleSize = 3, threshold = 0.8)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
 
   /** X2 stop-shingle-capped Jaccard (the 100 TB skew path of
     * [[x2JaccardPairs]]): drops shingles whose posting list exceeds the cap
@@ -1717,6 +1747,44 @@ object Queries {
         |  SELECT p.id1, p.id2, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
         |  FROM pairs p JOIN n n1 ON p.id1 = n1.id JOIN n n2 ON p.id2 = n2.id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "x2_incremental" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |pairs AS (
+        |  SELECT a.id AS new_id, b.id AS old_id, count(*) AS inter
+        |  FROM posts a JOIN posts b ON a.tok = b.tok
+        |  WHERE a.id >= (SELECT c FROM cut) AND b.id < (SELECT c FROM cut)
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT p.new_id, p.old_id, p.inter::DOUBLE / (n1.n + n2.n - p.inter) AS jaccard
+        |  FROM pairs p JOIN n n1 ON p.new_id = n1.id JOIN n n2 ON p.old_id = n2.id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "x2_incremental_novel" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |dup AS (
+        |  SELECT DISTINCT p.new_id FROM (
+        |    SELECT a.id AS new_id, b.id AS old_id, count(*) AS inter
+        |    FROM posts a JOIN posts b ON a.tok = b.tok
+        |    WHERE a.id >= (SELECT c FROM cut) AND b.id < (SELECT c FROM cut)
+        |    GROUP BY 1, 2) p
+        |  JOIN n n1 ON p.new_id = n1.id JOIN n n2 ON p.old_id = n2.id
+        |  WHERE p.inter::DOUBLE / (n1.n + n2.n - p.inter) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id >= (SELECT c FROM cut)
+        |  AND doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
     "x2_dedup_collapse" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id,
@@ -2117,7 +2185,7 @@ object Queries {
     "q10_returns" ->
       """SELECT custkey, name, nation, revenue FROM (
         |  SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
-        |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |         round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
         |  FROM customer c
         |  JOIN orders o ON c.c_custkey = o.o_custkey
         |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2333,6 +2401,8 @@ object Queries {
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,
+    "x2_incremental" -> x2Incremental _,
+    "x2_incremental_novel" -> x2IncrementalNovel _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

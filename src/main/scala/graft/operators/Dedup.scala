@@ -170,6 +170,61 @@ object Dedup {
     }
   }
 
+  /** Cross-snapshot near-dup pairs (incremental ingestion): exact Jaccard
+    * between a NEW batch and an EXISTING corpus — only cross-set pairs, so
+    * the existing corpus is never self-joined (the whole point: daily
+    * ingestion re-screens the delta, not the history). Same prefix-filter
+    * bound as [[jaccardPairs]] — it is pair-wise and blind to which set a
+    * doc came from — so the posting join carries only each side's prefix
+    * tokens and candidates re-verify exactly. Ids must be disjoint across
+    * the two frames. Returns (new_id, old_id, jaccard ≥ threshold).
+    */
+  def jaccardPairsBetween(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int, threshold: Double,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // per-side sorted distinct shingle-hash frames, each persisted (two
+    // consumers: its posting explode and its verification join) and
+    // registered for releaseInternalCaches
+    def sortedFrame(docs: DataFrame): DataFrame = registerCache(docs
+      .select(col(idCol).as("id"),
+        HashFunctions.hashed_shingles(tokenize(col(textCol)), shingleSize).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("sh", array_sort(col("sh")))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val fresh = sortedFrame(newDocs)
+    val hist = sortedFrame(oldDocs)
+    val prefixLen =
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
+    def pre(f: DataFrame) = f.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val cands = pre(fresh).as("a").join(pre(hist).as("b"),
+        col("a.h") === col("b.h") &&
+          greatest(col("a.n"), col("b.n")) * threshold <=
+            least(col("a.n"), col("b.n")) + lit(1e-9))
+      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    cands
+      .join(fresh.select(col("id").as("new_id"), col("sh").as("sh1"), col("n").as("n1")), "new_id")
+      .join(hist.select(col("id").as("old_id"), col("sh").as("sh2"), col("n").as("n2")), "old_id")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental-ingestion novelty filter: the NEW docs with no near-dup in
+    * the existing corpus (anti join on [[jaccardPairsBetween]] matches).
+    */
+  def incrementalNovel(newDocs: DataFrame, oldDocs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val dup = jaccardPairsBetween(newDocs, oldDocs, idCol, textCol,
+      shingleSize, threshold, tokenize).select(col("new_id"))
+    newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
+  }
+
   /** Prefix-filtered all-pairs Jaccard join over a `(id, sh, n)` frame of
     * SORTED distinct shingle-hash arrays (the caller persists it — four
     * subtrees below read it).

@@ -749,6 +749,28 @@ class OperatorsSpec extends SparkSuite {
     assert(graft.operators.Profile.heavyHitters(empty, "tok", 0.1).count() == 0)
   }
 
+  test("incremental cross-snapshot pairs equal the cross slice of the full pair set (X2)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .filter(col("id1") < cut && col("id2") >= cut)
+      .select(col("id2").as("new_id"), col("id1").as("old_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    spark.catalog.clearCache(); Dedup.releaseInternalCaches()
+    val newDocs = docs.filter(col("doc_id") >= cut)
+    val oldDocs = docs.filter(col("doc_id") < cut)
+    val inc = Dedup.jaccardPairsBetween(newDocs, oldDocs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(inc == full)
+    assert(inc.nonEmpty) // non-vacuous at sf0.001: 9 cross pairs
+    // novelty filter = new docs minus the matched new ids
+    val novel = Dedup.incrementalNovel(newDocs, oldDocs, "doc_id", "text", 3, 0.8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val matched = inc.map(_._1).toSet
+    val allNew = newDocs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(novel == allNew.diff(matched))
+  }
+
   test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {
     val cases = Seq(
       ("write to bob.smith+x@corp.example.org today", "write to [EMAIL] today"),
