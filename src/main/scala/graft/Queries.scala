@@ -441,7 +441,7 @@ object Queries {
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -496,7 +496,7 @@ object Queries {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -567,7 +567,7 @@ object Queries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
         .as("revenue"))
   }
 
@@ -676,7 +676,7 @@ object Queries {
     val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
         .as("total_revenue"))
       .persist()
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
@@ -728,8 +728,9 @@ object Queries {
       .join(o, col("o_orderkey") === col("l_orderkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")), 2).as("sum_profit"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")), 2)
+        .cast("double").as("sum_profit"))
   }
 
   /** TPC-H Q16-shaped supplier diversity: distinct suppliers per part
@@ -1356,7 +1357,7 @@ object Queries {
       col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
     l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
         .as("revenue"))
   }
 
@@ -1670,7 +1671,7 @@ object Queries {
     "q3_top_revenue" ->
       """SELECT o_orderkey, o_orderdate, revenue FROM (
         |  SELECT o.o_orderkey, o.o_orderdate,
-        |         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |         round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
         |  FROM customer c
         |  JOIN orders o ON c.c_custkey = o.o_custkey
         |  JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1678,7 +1679,7 @@ object Queries {
         |  GROUP BY o.o_orderkey, o.o_orderdate)
         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
-      """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      """SELECT n.n_name, round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
         |       count(*) AS n_items
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1973,7 +1974,7 @@ object Queries {
         |WHERE t >= ws AND t < ws + INTERVAL '10 minutes'
         |GROUP BY ws, event_type""".stripMargin,
     "q19_disjunctive" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 1 AND 11)
@@ -2153,7 +2154,7 @@ object Queries {
         |SELECT min(ts) AS session_start, user_id, count(*) AS cnt
         |FROM s GROUP BY user_id, sid""".stripMargin,
     "q7_nation_volume" ->
-      """SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+      """SELECT supp_nation, cust_nation, yr, round(sum(CAST(volume AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |             CAST(year(l.l_shipdate) AS INTEGER) AS yr,
         |             l.l_extendedprice * (1 - l.l_discount) AS volume
@@ -2211,7 +2212,7 @@ object Queries {
         |GROUP BY c_count""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
-        |                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |                    round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS total_revenue
         |             FROM lineitem
         |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |               AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
@@ -2237,7 +2238,7 @@ object Queries {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_totalprice > 450000""".stripMargin,
     "q9_product_profit" ->
-      """SELECT nation, yr, round(sum(amount), 2) AS sum_profit
+      """SELECT nation, yr, round(sum(CAST(amount AS DECIMAL(18,6))), 2)::DOUBLE AS sum_profit
         |FROM (SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS yr,
         |             l.l_extendedprice * (1 - l.l_discount)
         |               - 0.6 * p.p_retailprice * l.l_quantity AS amount
