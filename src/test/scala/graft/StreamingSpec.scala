@@ -316,4 +316,26 @@ class StreamingSpec extends SparkSuite {
         s"streamed top-2 state wrong: $last")
     } finally q.stop()
   }
+
+  test("Misra-Gries sketch accumulates across micro-batches in update mode (X21)") {
+    val input = MemoryStream[String](ss, 2)
+    val sk = input.toDF().toDF("item")
+      .agg(graft.functions.FreqSketch.mgCandidates(col("item"), 4).as("cands"))
+    val q = sk.writeStream.format("memory").queryName("mg_t")
+      .outputMode("update").start()
+    try {
+      input.addData("a", "a", "b", "c")
+      q.processAllAvailable()
+      input.addData("a", "a", "b", "d", "e") // 'a' now dominant across batches
+      q.processAllAvailable()
+      val last = spark.table("mg_t").collect().last.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      // 9 items, k=4: anything with count > 9/5 must be present; 'a' (4)
+      // must lead and its residual count can only underestimate
+      assert(last.nonEmpty && last.head._1 == "a" && last.head._2 <= 4L &&
+        last.size <= 4, s"streamed MG summary wrong: $last")
+      val asMap = last.toMap
+      assert(asMap.contains("b"), s"count-2 item missing from $last") // 2 > 9/5
+    } finally q.stop()
+  }
 }
