@@ -82,7 +82,13 @@ object GraftFunctions {
     "quantize_vec" -> (es => { checkArity("quantize_vec", es, 1, 1)
       QuantizeVec(es.head) }),
     "quantized_cos" -> (es => { checkArity("quantized_cos", es, 2, 2)
-      QuantizedCosine(es(0), es(1)) })
+      QuantizedCosine(es(0), es(1)) }),
+    // expands to the same chained RegExpReplace the Column API builds, so
+    // SQL pipelines scrub identically to graft.operators.TextAnalysis.redactPii
+    "redact_pii" -> (es => { checkArity("redact_pii", es, 1, 1)
+      graft.operators.TextAnalysis.PiiRules.foldLeft(es.head) { case (e, (pat, tok)) =>
+        org.apache.spark.sql.catalyst.expressions.RegExpReplace(e, Literal(pat), Literal(tok))
+      } })
   )
 
   /** Register all engine functions on an existing session (idempotent). */

@@ -131,4 +131,12 @@ class ExpressionsSpec extends SparkSuite {
     }
     assert(nonLiteral.getMessage.contains("literal"))
   }
+
+  test("redact_pii SQL function matches the Column-API redactor") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT redact_pii('mail a@b.io or +1-555-123-4567 at 10.0.0.1, ssn 123-45-6789') AS r")
+      .head().getString(0)
+    assert(got == "mail [EMAIL] or [PHONE] at [IP], ssn [SSN]", got)
+  }
 }
