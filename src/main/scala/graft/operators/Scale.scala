@@ -94,4 +94,20 @@ object Scale {
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  /** Hive-style partitioned layout: one directory per partition-column value,
+    * so a filter on the partition column prunes whole directories at plan
+    * time (PartitionFilters — zero data files of other partitions are even
+    * LISTED) and a join against a filtered dim prunes them at RUNTIME via
+    * dynamic partition pruning. At 100 TB this is the single biggest scan
+    * lever a layout choice buys: a date-partitioned fact read with a
+    * one-week filter scans a week, not the corpus. Partition columns should
+    * be low-cardinality (date, source, lang) — per-value directories of a
+    * high-cardinality key produce a small-files catastrophe instead.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
 }

@@ -104,4 +104,48 @@ class ScaleSpec extends SparkSuite {
           plan.take(1200))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("partitioned layout: a partition-column filter prunes directories, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    graft.operators.Scale.writePartitioned(ev, dir, Seq("event_type"))
+    val all = spark.read.parquet(dir)
+    val one = all.filter(col("event_type") === "purchase")
+    // the filter rides the scan's PartitionFilters (directory pruning at
+    // file-listing time), never a row-level Filter over the full corpus
+    val scan = one.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("event_type")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    // and the scan actually selects ONE directory's files
+    assert(scan.inputRDDs().nonEmpty)
+    val selected = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+    assert(selected.size == 1,
+      s"expected 1 surviving partition dir, got ${selected.size}")
+    // and the data survives the round trip (partition col restored from path)
+    val want = ev.filter(col("event_type") === "purchase").count()
+    assert(one.count() == want)
+  }
+
+  test("dynamic partition pruning fires on a join against a filtered dim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    graft.operators.Scale.writePartitioned(ev, dir, Seq("event_type"))
+    val fact = spark.read.parquet(dir)
+    // dim filtered on the AGGREGATE value: a literal filter on the join key
+    // itself (et = 'x') is inferred through the join constraint and pruned
+    // STATICALLY — only a runtime-valued selection exercises DPP proper.
+    val dim = ev.groupBy(col("event_type").as("et")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    // broadcast the dim: DPP's default reuseBroadcastOnly mode prunes by
+    // reusing a broadcast exchange — a sort-merge dim would decline
+    val joined = fact.join(broadcast(dim), col("event_type") === col("et"))
+    val expect = ev.groupBy(col("event_type")).count()
+      .filter(col("count") >= 2).agg(sum(col("count"))).head.getLong(0)
+    assert(joined.count() == expect)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in plan:\n${plan.take(1500)}")
+  }
 }
