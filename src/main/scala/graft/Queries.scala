@@ -930,6 +930,21 @@ object Queries {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
   }
 
+  /** X6 mergeable-sketch rollup (rows-only: HLL estimates are
+    * engine-specific; OperatorsSpec pins ±5% of exact): the per-type
+    * sketch table answers the GLOBAL distinct-user question by unioning
+    * stored sketches — the raw table is scanned once, the rollup reads
+    * |cells| sketch rows. The 100 TB pattern for "distinct X by any slice".
+    */
+  def x6SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val sk = graft.operators.Profile.distinctSketches(
+      spark.read.parquet(s"$dir/events.parquet"), Seq("event_type"), "user_id")
+    val per = graft.operators.Profile.rollupDistinct(sk, Seq("event_type"))
+    val global = graft.operators.Profile.rollupDistinct(sk, Nil)
+      .select(lit("__all__").as("event_type"), col("n_distinct"), col("n_rows"))
+    per.unionByName(global)
+  }
+
   /** X2 embedding-cosine near-dup via hyperplane LSH (rows-only: LSH recall
     * is probabilistic; the oracle-exact form is x3_cosine_pairs_exact).
     */
@@ -2404,6 +2419,7 @@ object Queries {
     "x23_repetition" -> x23Repetition _,
     "x2_incremental" -> x2Incremental _,
     "x2_incremental_novel" -> x2IncrementalNovel _,
+    "x6_sketch_rollup" -> x6SketchRollup _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

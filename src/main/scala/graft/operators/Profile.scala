@@ -88,6 +88,35 @@ object Profile {
     recount(df.select(explode(col(arrayCol)).as("__item")), sk, minFraction)
   }
 
+  /** Pre-aggregated distinct-count sketch table (the OLAP cube pattern for
+    * 100 TB): ONE pass over the raw data builds a DataSketches HLL sketch
+    * per dimension cell; every later "distinct items across slice X" query
+    * unions the stored sketches ([[rollupDistinct]]) instead of rescanning
+    * raw data — sketches are mergeable, so any dimension subset rolls up
+    * correctly. Store the result (e.g. partitioned by a date dim) and the
+    * raw scan never repeats.
+    */
+  def distinctSketches(df: DataFrame, dims: Seq[String], itemCol: String): DataFrame = {
+    require(dims.nonEmpty, "distinctSketches needs at least one dimension")
+    df.groupBy(dims.map(col): _*)
+      .agg(hll_sketch_agg(col(itemCol)).as("sketch"),
+        count(col(itemCol)).as("n_rows"))
+  }
+
+  /** Roll a sketch table up to a dimension subset (empty = global): unions
+    * the per-cell sketches and estimates — never touches raw data. Error is
+    * the HLL bound (~1.6% at the default lgConfigK=12), pinned ±5% in tests.
+    */
+  def rollupDistinct(sketches: DataFrame, keepDims: Seq[String]): DataFrame =
+    if (keepDims.isEmpty)
+      sketches.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+    else
+      sketches.groupBy(keepDims.map(col): _*)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"),
+          sum(col("n_rows")).as("n_rows"))
+
   private def sketchSize(minFraction: Double, slack: Int): Int = {
     require(minFraction > 0 && minFraction <= 1,
       s"minFraction must be in (0, 1], got $minFraction")

@@ -771,6 +771,26 @@ class OperatorsSpec extends SparkSuite {
     assert(novel == allNew.diff(matched))
   }
 
+  test("sketch-table rollup: merged HLL estimates within 5% of exact at every level (X6)") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val sk = graft.operators.Profile.distinctSketches(ev, Seq("event_type"), "user_id")
+    val per = graft.operators.Profile.rollupDistinct(sk, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exactPer = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(per.keySet == exactPer.keySet)
+    per.foreach { case (t, est) =>
+      assert(math.abs(est - exactPer(t)).toDouble / exactPer(t) <= 0.05,
+        s"type $t: estimate $est vs exact ${exactPer(t)}")
+    }
+    // the GLOBAL answer comes from unioning the stored per-type sketches —
+    // raw data is not rescanned — and must still be within the bound
+    val global = graft.operators.Profile.rollupDistinct(sk, Nil).head.getLong(0)
+    val exactGlobal = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(global - exactGlobal).toDouble / exactGlobal <= 0.05,
+      s"global estimate $global vs exact $exactGlobal")
+  }
+
   test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {
     val cases = Seq(
       ("write to bob.smith+x@corp.example.org today", "write to [EMAIL] today"),
