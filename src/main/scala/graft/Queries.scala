@@ -1546,6 +1546,24 @@ object Queries {
       payload = Map("value" -> "profile_value"))
   }
 
+  /** X7 forward as-of join (funnel conversion shape): each signup event
+    * picks up the user's FIRST purchase at-or-after it — "next event after"
+    * semantics, the mirror of the versioned-enrichment asOf. Purchases are
+    * pre-reduced to one row per (user, ts) so the carried payload is
+    * deterministic. Oracle: DuckDB ASOF LEFT JOIN with the inequality
+    * reversed.
+    */
+  def x7AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(min(col("value")).as("value"))
+    graft.operators.AsOfJoin.asOfForward(s, p,
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      payload = Map("value" -> "next_value"))
+  }
+
   /** X20 time-series resampling: every user's value forward-filled onto a
     * 30-minute grid (gap filling). Observations are pre-reduced to one row
     * per (user, ts) so the carried value is deterministic; the leading grid
@@ -2158,6 +2176,13 @@ object Queries {
         |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, u.profile_value
         |FROM events e ASOF LEFT JOIN u
         |  ON e.user_id = u.user_id AND CAST(e.ts AS TIMESTAMP) >= u.uts""".stripMargin,
+    "x7_asof_forward" ->
+      """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id AS pu, CAST(ts AS TIMESTAMP) AS pts, min(value) AS next_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT s.event_id, s.user_id, s.ts, p.next_value
+        |FROM s ASOF LEFT JOIN p ON s.user_id = p.pu AND s.ts <= p.pts""".stripMargin,
     "x6_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,
@@ -2420,6 +2445,7 @@ object Queries {
     "x2_incremental" -> x2Incremental _,
     "x2_incremental_novel" -> x2IncrementalNovel _,
     "x6_sketch_rollup" -> x6SketchRollup _,
+    "x7_asof_forward" -> x7AsofForward _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

@@ -52,6 +52,43 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
   }
 
+  /** Forward as-of join: each left record picks up the EARLIEST right record
+    * with `rightTs >= leftTs` for the same key — the "next event after"
+    * lookup (funnel conversion, next price tick, SLA response matching).
+    * Same union-merge shape as [[asOf]] with the walk reversed: the window
+    * descends through time carrying the nearest FUTURE right payload back
+    * onto each left row; right still sorts before left on ts ties, so a
+    * same-timestamp right row matches (>= semantics). One shuffle+sort.
+    *
+    * Determinism note: if the right side can hold several rows at the same
+    * (key, ts), pre-aggregate them first — ordering among exact duplicates
+    * inside the window is not defined.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, payload: Map[String, String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
+        leftCols.map(col) ++ payload.values.toSeq.map(o => lit(null).as(s"__p_$o")): _*)
+    val taggedRight = right
+      .withColumn("__side", lit(0))
+      .withColumn("__ts", col(rightTs))
+      .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map { case (src, out) => col(src).as(s"__p_$out") }.toSeq: _*)
+    val unioned = taggedLeft.unionByName(taggedRight)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.values.toSeq.foldLeft(unioned) { (df, out) =>
+      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
+  }
+
   /** Fixed-interval resampling with forward fill (time-series gap filling):
     * for each key, a grid of `interval`-spaced timestamps spans
     * [epoch-aligned bucket of its first observation, its last observation],

@@ -35,6 +35,45 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.head().getString(3) == "v")
   }
 
+  test("forward as-of: earliest version at-or-after; null after last version") {
+    val events = spark.createDataFrame(Seq(
+      (1L, 1L, t(5)), (2L, 1L, t(15)), (3L, 1L, t(25)), (4L, 2L, t(40))))
+      .toDF("event_id", "k", "ts")
+    val versions = spark.createDataFrame(Seq(
+      (1L, t(10), "v1"), (1L, t(20), "v2"), (2L, t(30), "w1")))
+      .toDF("k", "vts", "payload")
+    val out = AsOfJoin.asOfForward(events, versions, "k", "ts", "vts",
+      Map("payload" -> "version"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(out == Seq(
+      (1L, Some("v1")),   // next version after 5 is v1 at 10
+      (2L, Some("v2")),   // next after 15 is v2 at 20
+      (3L, None),         // no version after 25 for key 1
+      (4L, None)))        // key 2's version is earlier (30 < 40)
+    // same-timestamp right row matches (>= semantics)
+    val tie = AsOfJoin.asOfForward(
+      spark.createDataFrame(Seq((1L, 1L, t(10)))).toDF("event_id", "k", "ts"),
+      spark.createDataFrame(Seq((1L, t(10), "v"))).toDF("k", "vts", "payload"),
+      "k", "ts", "vts", Map("payload" -> "version"))
+    assert(tie.head().getString(3) == "v")
+  }
+
+  test("forward as-of agrees with the theta-join argmin on real events") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val s = ev.filter(col("event_type") === "signup").select("event_id", "user_id", "ts")
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("pu"), col("ts").as("pts")).agg(min(col("value")).as("pv"))
+    val got = AsOfJoin.asOfForward(s, p.select(col("pu").as("user_id"), col("pts").as("ts"), col("pv")),
+        "user_id", "ts", "ts", Map("pv" -> "next_value"))
+      .collect().map(r => (r.getLong(0), Option(r.get(3)))).toMap
+    val want = s.join(p, col("user_id") === col("pu") && col("pts") >= col("ts"), "left")
+      .groupBy(col("event_id")).agg(min_by(col("pv"), col("pts")).as("nv"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty))
+  }
+
   test("one shuffle: plan has a single exchange for the union-window form") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet").select("event_id", "user_id", "ts")
     val up = spark.read.parquet(s"${sf()}/events.parquet")
