@@ -49,6 +49,20 @@ object Queries {
       .select("user_id", "event_id", "ts", "event_type", "value")
   }
 
+  /** R2 changelog HISTORY view (SCD2 validity intervals): every version of
+    * every user's event state with effective_from/effective_to — the
+    * temporal-table complement of [[r02TableLatest]] ("value at time T",
+    * not just "value now"). Events are pre-reduced to one row per
+    * (user, ts) so interval boundaries are deterministic.
+    */
+  def r02TableHistory(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val perTs = graft.sources.Tables.latestPerKey(ev, Seq("user_id", "ts"), Seq("event_id"))
+    graft.sources.Tables.historyPerKey(perTs, Seq("user_id"), "ts")
+      .select("user_id", "event_id", "ts", "event_type", "value",
+        "effective_from", "effective_to")
+  }
+
   /** R3 GlobalKTable: lineitem stream ⋈ broadcast part dim (global=true →
     * broadcast-hash join, the GlobalKTable analogue).
     */
@@ -1593,6 +1607,18 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1""".stripMargin,
+    "r02_table_history" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |             ORDER BY event_id DESC) AS rn
+        |    FROM events)
+        |  WHERE rn = 1)
+        |SELECT user_id, event_id, ts, event_type, value,
+        |       ts AS effective_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to
+        |FROM d""".stripMargin,
     "r03_global_join" ->
       """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber, l.l_quantity AS qty,
         |       p.p_brand AS brand, p.p_retailprice AS retail
@@ -2446,6 +2472,7 @@ object Queries {
     "x2_incremental_novel" -> x2IncrementalNovel _,
     "x6_sketch_rollup" -> x6SketchRollup _,
     "x7_asof_forward" -> x7AsofForward _,
+    "r02_table_history" -> r02TableHistory _,
     "x5_pack" -> x5Pack _,
     "x8_unpivot" -> x8Unpivot _,
     "x15_range_join" -> x15RangeJoin _,

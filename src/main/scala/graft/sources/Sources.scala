@@ -187,4 +187,21 @@ object Tables {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(c => col(c).desc): _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Changelog HISTORY view (SCD2 validity intervals): every version of
+    * every key, with `effective_from` = its own ordering value and
+    * `effective_to` = the NEXT version's (null for the current version).
+    * [[latestPerKey]] answers "what is the value now"; this answers "what
+    * was the value at time T" (join `T >= from AND (to IS NULL OR T < to)`)
+    * — the temporal-table side of KTable semantics. One window over the
+    * same (key, order) partitioning as the latest view; rows that share the
+    * full ordering value are exact duplicates in changelog terms, so they
+    * get a zero-width interval rather than being dropped (auditability).
+    */
+  def historyPerKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    require(keys.nonEmpty, "historyPerKey requires key columns")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("effective_from", col(orderCol))
+      .withColumn("effective_to", lead(col(orderCol), 1).over(w))
+  }
 }

@@ -92,4 +92,27 @@ class TableProperties extends SparkSuite {
     assert(got.size == 3)
     assert(got(None) == "null-key" && got(Some("null")) == "literal-null-string")
   }
+
+  test("history view: contiguous validity intervals per key, open-ended current version") {
+    val rows = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 5L, "x"))
+    val df = spark.createDataFrame(rows).toDF("k", "ord", "v")
+    val h = Tables.historyPerKey(df, Seq("k"), "ord")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(h == Seq(
+      (1L, 10L, "a", 10L, Some(20L)),
+      (1L, 20L, "b", 20L, Some(30L)),
+      (1L, 30L, "c", 30L, None),
+      (2L, 5L, "x", 5L, None)))
+    // every version survives (auditability) and the point-in-time lookup at
+    // T=25 for key 1 resolves through the interval predicate to "b"
+    assert(h.size == rows.size)
+    val at25 = h.filter(r => r._1 == 1L && r._4 <= 25L && r._5.forall(_ > 25L))
+    assert(at25.map(_._3) == Seq("b"))
+    // and the latest view equals the open-ended history rows
+    val latest = Tables.latestPerKey(df, Seq("k"), Seq("ord"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(latest == h.filter(_._5.isEmpty).map(r => (r._1, r._3)).toSet)
+  }
 }
