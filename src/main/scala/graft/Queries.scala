@@ -18,6 +18,16 @@ import graft.sources.ParquetSourceResolver
   */
 object Queries {
 
+  /** Order-independent 2-decimal money sum: the per-row double product is
+    * deterministic and the decimal(18,6) sum is exact, so the rounded
+    * result cannot flip on a half-cent boundary when partitioning or plan
+    * shape changes (q10 hit exactly that at sf0.01). Every oracle twin
+    * carries the same CAST(... AS DECIMAL(18,6)) inside its sum.
+    */
+  private def moneySum(expr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(expr.cast("decimal(18,6)")), 2).cast("double")
+
+
   private def resolver(dir: String) = new ParquetSourceResolver(dir, TestdataCatalog)
 
   private def runSpec(spark: SparkSession, dir: String, json: String): DataFrame =
@@ -455,7 +465,7 @@ object Queries {
       .join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
   }
@@ -510,7 +520,7 @@ object Queries {
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -581,7 +591,7 @@ object Queries {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("yr"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
   }
 
@@ -638,8 +648,7 @@ object Queries {
       // deterministic, and the decimal sum is exact and order-independent —
       // round(sum(double), 2) sat on a half-cent boundary here (378060.515)
       // and rounded differently than the oracle depending on reduction order
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("custkey").asc)
       .limit(20)
   }
@@ -690,7 +699,7 @@ object Queries {
     val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("total_revenue"))
       .persist()
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
@@ -742,9 +751,8 @@ object Queries {
       .join(o, col("o_orderkey") === col("l_orderkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("yr"))
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        lit(0.6) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")), 2)
-        .cast("double").as("sum_profit"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")).as("sum_profit"))
   }
 
   /** TPC-H Q16-shaped supplier diversity: distinct suppliers per part
@@ -951,8 +959,13 @@ object Queries {
     * |cells| sketch rows. The 100 TB pattern for "distinct X by any slice".
     */
   def x6SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: BOTH rollups read the sketch table from cache — without it
+    // the per-type and global branches would each rebuild every sketch from
+    // raw data, the exact double scan the stored-sketch pattern exists to
+    // avoid (in production the sketch table is a written artifact)
     val sk = graft.operators.Profile.distinctSketches(
       spark.read.parquet(s"$dir/events.parquet"), Seq("event_type"), "user_id")
+      .persist()
     val per = graft.operators.Profile.rollupDistinct(sk, Seq("event_type"))
     val global = graft.operators.Profile.rollupDistinct(sk, Nil)
       .select(lit("__all__").as("event_type"), col("n_distinct"), col("n_rows"))
@@ -1386,7 +1399,7 @@ object Queries {
       col("p_size").between(1, 35) && col("l_quantity").between(20, 30)
     l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(branch1 || branch2 || branch3)
-      .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)")), 2).cast("double")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("revenue"))
   }
 

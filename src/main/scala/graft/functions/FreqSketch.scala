@@ -44,10 +44,13 @@ object MisraGries {
     }
   }
 
-  /** In-place append of one item; compacts when the buffer passes 8k. */
+  /** In-place append of one item; compacts when the buffer passes 8k.
+    * Long arithmetic: `8 * k` overflows Int for k > Int.MaxValue/8, which
+    * would make the trigger always-true and compact on EVERY append.
+    */
   def append(buf: ArrayBuffer[(String, Long)], item: String, k: Int): ArrayBuffer[(String, Long)] = {
     buf += ((item, 1L))
-    if (buf.size >= 8 * k) { val c = compact(buf.toSeq, k); buf.clear(); buf ++= c }
+    if (buf.size.toLong >= 8L * k) { val c = compact(buf.toSeq, k); buf.clear(); buf ++= c }
     buf
   }
 

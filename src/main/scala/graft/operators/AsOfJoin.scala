@@ -28,28 +28,47 @@ object AsOfJoin {
     * @param payload   right columns to carry onto left rows (renamed as given)
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-      rightTs: String, payload: Map[String, String]): DataFrame = {
+      rightTs: String, payload: Map[String, String]): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, payload, forward = false)
+
+  /** Shared union-merge core for both directions. The carried value is a
+    * STRUCT of the right row's payload fields, non-null for every right row
+    * even when the payload fields themselves are null — `last(ignoreNulls)`
+    * over bare payload columns would skip a matched right row with a null
+    * payload and surface a farther row's value instead (diverging from ASOF
+    * semantics and the DuckDB oracle, which return the nearest row's null).
+    */
+  private def asOfImpl(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, payload: Map[String, String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadStruct = struct(
+      payload.map { case (src, out) => col(src).as(out) }.toSeq: _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payload.map { case (src, out) =>
+        org.apache.spark.sql.types.StructField(out, right.schema(src).dataType)
+      }.toSeq))
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .withColumn("__ts", col(leftTs))
       .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
-        leftCols.map(col) ++ payload.values.toSeq.map(o => lit(null).as(s"__p_$o")): _*)
+        leftCols.map(col) :+ nullStruct.as("__p"): _*)
     val taggedRight = right
       .withColumn("__side", lit(0))
       .withColumn("__ts", col(rightTs))
       .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map { case (src, out) => col(src).as(s"__p_$out") }.toSeq: _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
     val unioned = taggedLeft.unionByName(taggedRight)
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.values.toSeq.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.values.toSeq.map(o => col(s"__m.$o").as(o)): _*)
   }
 
   /** Forward as-of join: each left record picks up the EARLIEST right record
@@ -65,29 +84,8 @@ object AsOfJoin {
     * inside the window is not defined.
     */
   def asOfForward(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-      rightTs: String, payload: Map[String, String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    val taggedLeft = left
-      .withColumn("__side", lit(1))
-      .withColumn("__ts", col(leftTs))
-      .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
-        leftCols.map(col) ++ payload.values.toSeq.map(o => lit(null).as(s"__p_$o")): _*)
-    val taggedRight = right
-      .withColumn("__side", lit(0))
-      .withColumn("__ts", col(rightTs))
-      .select(Seq(col("__side"), col("__ts"), col(key).as("__key")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map { case (src, out) => col(src).as(s"__p_$out") }.toSeq: _*)
-    val unioned = taggedLeft.unionByName(taggedRight)
-    val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").desc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.values.toSeq.foldLeft(unioned) { (df, out) =>
-      df.withColumn(out, last(col(s"__p_$out"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.values.toSeq.map(col): _*)
-  }
+      rightTs: String, payload: Map[String, String]): DataFrame =
+    asOfImpl(left, right, key, leftTs, rightTs, payload, forward = true)
 
   /** Fixed-interval resampling with forward fill (time-series gap filling):
     * for each key, a grid of `interval`-spaced timestamps spans

@@ -194,24 +194,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK))
     val fresh = sortedFrame(newDocs)
     val hist = sortedFrame(oldDocs)
-    val prefixLen =
-      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
-    def pre(f: DataFrame) = f.select(col("id"), col("n"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
-    val cands = pre(fresh).as("a").join(pre(hist).as("b"),
-        col("a.h") === col("b.h") &&
-          greatest(col("a.n"), col("b.n")) * threshold <=
-            least(col("a.n"), col("b.n")) + lit(1e-9))
-      .select(col("a.id").as("new_id"), col("b.id").as("old_id"))
-      .dropDuplicates("new_id", "old_id")
-    cands
-      .join(fresh.select(col("id").as("new_id"), col("sh").as("sh1"), col("n").as("n1")), "new_id")
-      .join(hist.select(col("id").as("old_id"), col("sh").as("sh2"), col("n").as("n2")), "old_id")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("old_id"), round(col("jaccard"), 6).as("jaccard"))
+    prefixVerifiedPairs(fresh, hist, threshold, symmetric = false)
+      .select(col("id1").as("new_id"), col("id2").as("old_id"), col("jaccard"))
   }
 
   /** Incremental-ingestion novelty filter: the NEW docs with no near-dup in
@@ -242,27 +226,34 @@ object Dedup {
     * tightening the length filter (which would drop true pairs);
     * lengthening by one element is only a few extra candidates.
     */
-  private def prefixFilteredPairs(sorted: DataFrame, threshold: Double): DataFrame = {
+  private def prefixFilteredPairs(sorted: DataFrame, threshold: Double): DataFrame =
+    prefixVerifiedPairs(sorted, sorted, threshold, symmetric = true)
+
+  /** Two-frame prefix-filter + exact-verify core shared by the all-pairs
+    * (symmetric: one frame on both sides, `id1 < id2` halves the space) and
+    * cross-set (two disjoint frames, every cross pair considered) paths —
+    * the ε-guarded prefix bound and the array_intersect verification live
+    * in exactly one place. Both inputs are `(id, sh, n)` frames of SORTED
+    * distinct shingle-hash arrays, persisted by the caller.
+    */
+  private def prefixVerifiedPairs(left: DataFrame, right: DataFrame,
+      threshold: Double, symmetric: Boolean): DataFrame = {
     val prefixLen = // n - ceil(t*n) + 1, rounded in the safe direction
       (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int") + lit(1))
-    val pre = sorted.select(col("id"), col("n"),
+    def pre(f: DataFrame) = f.select(col("id"), col("n"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
-    val a = pre.as("a"); val b = pre.as("b")
+    val idPred = if (symmetric) col("a.id") < col("b.id") else lit(true)
     // length filter: J ≥ t also forces t·max(n1,n2) ≤ min(n1,n2)
-    val cands = a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-        greatest(col("a.n"), col("b.n")) * threshold <=
-          least(col("a.n"), col("b.n")) + lit(1e-9))
+    val cands = pre(left).as("a").join(pre(right).as("b"),
+        col("a.h") === col("b.h") && idPred &&
+          greatest(col("a.n"), col("b.n")) * threshold <=
+            least(col("a.n"), col("b.n")) + lit(1e-9))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .dropDuplicates("id1", "id2")
     // exact verification on the deduped candidate set only (arrays are
-    // distinct by construction, so |array_intersect| IS |∩|). Catalyst
-    // pushes the threshold filter into the join condition and then
-    // re-evaluates array_intersect in the project for SURVIVING pairs —
-    // accepted: the recompute is O(survivors), dwarfed by the per-
-    // candidate evaluation the filter must do anyway, and any barrier
-    // that forced single evaluation would cost a materialization.
-    val s1 = sorted.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
-    val s2 = sorted.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
+    // distinct by construction, so |array_intersect| IS |∩|)
+    val s1 = left.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
+    val s2 = right.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
     cands.join(s1, "id1").join(s2, "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard", col("inter").cast("double") /

@@ -121,7 +121,13 @@ object Profile {
     require(minFraction > 0 && minFraction <= 1,
       s"minFraction must be in (0, 1], got $minFraction")
     require(slack >= 2, s"slack must be >= 2 for the superset guarantee, got $slack")
-    math.max(1, math.ceil(slack / minFraction).toInt)
+    val k = math.ceil(slack / minFraction)
+    // a useful sketch is thousands of counters; tens of millions means the
+    // fraction is so small a plain groupBy would be cheaper — reject rather
+    // than materialize a buffer that defeats the bounded-state premise
+    require(k <= 16 * 1024 * 1024,
+      s"minFraction $minFraction needs $k counters — too small for a sketch; use groupBy")
+    math.max(1, k.toInt)
   }
 
   /** Exact phase 2: broadcast the ≤ k candidates against the item stream,

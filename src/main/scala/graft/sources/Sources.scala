@@ -198,9 +198,15 @@ object Tables {
     * full ordering value are exact duplicates in changelog terms, so they
     * get a zero-width interval rather than being dropped (auditability).
     */
-  def historyPerKey(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+  def historyPerKey(df: DataFrame, keys: Seq[String], orderCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(keys.nonEmpty, "historyPerKey requires key columns")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).asc)
+    // ties on (key, orderCol) make WHICH duplicate becomes the open-ended
+    // current version nondeterministic (lead() orders them arbitrarily) —
+    // callers must either pre-reduce to one row per (key, orderCol) (the
+    // r02 query does) or supply tieBreak columns that make the sort total
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc +: tieBreak.map(col(_).asc): _*)
     df.withColumn("effective_from", col(orderCol))
       .withColumn("effective_to", lead(col(orderCol), 1).over(w))
   }

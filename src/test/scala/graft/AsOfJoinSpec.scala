@@ -74,6 +74,24 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got.values.exists(_.nonEmpty) && got.values.exists(_.isEmpty))
   }
 
+  test("a matched right row with a NULL payload wins over a farther row's value (both directions)") {
+    // last(ignoreNulls) over bare payload columns would skip the nearest
+    // row's null and surface the farther value — ASOF semantics (and the
+    // DuckDB oracle) return the NEAREST row's null. The struct-tagged carry
+    // must preserve it.
+    val rows: Seq[(Long, java.sql.Timestamp, java.lang.Double)] =
+      Seq((1L, t(10), 5.0), (1L, t(20), null), (1L, t(30), 7.0))
+    val versions = spark.createDataFrame(rows).toDF("k", "vts", "payload")
+    val back = AsOfJoin.asOf(
+      spark.createDataFrame(Seq((1L, 1L, t(25)))).toDF("event_id", "k", "ts"),
+      versions, "k", "ts", "vts", Map("payload" -> "v"))
+    assert(back.head().isNullAt(3), "backward: nearest (t=20, null) must win over t=10's 5.0")
+    val fwd = AsOfJoin.asOfForward(
+      spark.createDataFrame(Seq((1L, 1L, t(15)))).toDF("event_id", "k", "ts"),
+      versions, "k", "ts", "vts", Map("payload" -> "v"))
+    assert(fwd.head().isNullAt(3), "forward: nearest (t=20, null) must win over t=30's 7.0")
+  }
+
   test("one shuffle: plan has a single exchange for the union-window form") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet").select("event_id", "user_id", "ts")
     val up = spark.read.parquet(s"${sf()}/events.parquet")
