@@ -126,6 +126,40 @@ object BatchSink {
       .write.mode("overwrite").parquet(s"$baseDir/${topic.name}/data")
     true
   }
+
+  /** KTable write side: apply a changelog batch to a stored parquet
+    * snapshot — union existing + changes, keep latest-per-key, swap the
+    * result in. Spark cannot overwrite a path it is reading, so the merge
+    * writes to a staging directory and renames: the old snapshot stays
+    * readable until the atomic-within-a-filesystem swap. First call (no
+    * snapshot yet) just materializes the changes' latest view. Returns the
+    * resulting snapshot row count. Snapshot cost is one latest-per-key
+    * shuffle over |snapshot| + |changes| — at recurring cadence on 100 TB
+    * prefer PARTITIONING the snapshot (e.g. by key range or date) and
+    * merging only partitions the delta touches.
+    */
+  def upsertSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], orderCols: Seq[String]): Long = {
+    import java.nio.file.{Files, Paths}
+    val cur = Paths.get(path)
+    val merged =
+      if (Files.exists(cur))
+        graft.sources.Tables.latestPerKey(
+          spark.read.parquet(path).unionByName(changes), keys, orderCols)
+      else
+        graft.sources.Tables.latestPerKey(changes, keys, orderCols)
+    val staging = path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    // swap: delete old, move staging in place (directory rename)
+    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    rm(cur)
+    Files.move(Paths.get(staging), cur)
+    n
+  }
 }
 
 /** End-to-end batch pipeline runner: spec → plan → sink (the full

@@ -112,4 +112,22 @@ class SinksSpec extends SparkSuite {
     assert(m("rows") == n)
     assert(m("null_keys").asInstanceOf[Long] > 0)
   }
+
+  test("upsertSnapshot applies changelog batches last-write-wins; stale updates lose (R2 write side)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/snap"
+    def batch(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows).toDF("k", "ver", "v")
+    // first batch materializes the latest view
+    val n1 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 1L, "a1"), (1L, 2L, "a2"), (2L, 1L, "b1"))), Seq("k"), Seq("ver"))
+    assert(n1 == 2)
+    // second batch: newer version for k=1, STALE version for k=2, new k=3
+    val n2 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 3L, "a3"), (2L, 0L, "stale"), (3L, 1L, "c1"))), Seq("k"), Seq("ver"))
+    assert(n2 == 3)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map(1L -> "a3", 2L -> "b1", 3L -> "c1"),
+      s"stale change must not clobber the newer snapshot row: $got")
+  }
 }
