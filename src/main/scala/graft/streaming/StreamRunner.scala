@@ -72,6 +72,31 @@ object StreamRunner {
       .start()
   }
 
+  /** Stream a spec into a continuously-updated parquet SNAPSHOT: every
+    * micro-batch upserts into the stored latest-per-key view via
+    * [[graft.sinks.BatchSink.upsertSnapshot]] (foreachBatch — the
+    * changelog-to-queryable-table loop: KTable semantics with a parquet
+    * table any engine can read). `keys`/`orderCols` define last-write-wins;
+    * a batch's STALE versions lose to the stored snapshot, so redelivery
+    * and out-of-order batches are safe. Output mode is Append (foreachBatch
+    * receives each batch's rows; the merge itself implements the update
+    * semantics), and exactly-once reduces to upsert idempotence: replaying
+    * a batch after a crash re-merges the same versions to the same result.
+    */
+  def startSnapshotSink(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver, path: String, keys: Seq[String],
+      orderCols: Seq[String], checkpoint: String): StreamingQuery = {
+    requireNoBranches(spec, "startSnapshotSink")
+    build(spark, spec, sources).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sinks.BatchSink.upsertSnapshot(spark, path, batch, keys, orderCols)
+        ()
+      }
+      .start()
+  }
+
   /** Branch fan-out to memory sinks: the main output under `queryName`, each
     * branch under `queryName_<topic>` (KStream.split semantics — a record
     * lands in every branch whose predicate it satisfies). One built plan,

@@ -789,6 +789,13 @@ class OperatorsSpec extends SparkSuite {
     val exactGlobal = ev.agg(countDistinct(col("user_id"))).head.getLong(0)
     assert(math.abs(global - exactGlobal).toDouble / exactGlobal <= 0.05,
       s"global estimate $global vs exact $exactGlobal")
+    // the "stored artifact" claim is real: the sketch binary survives a
+    // parquet write/read and the re-read table rolls up to the same answer
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    sk.write.mode("overwrite").parquet(dir)
+    val reread = graft.operators.Profile.rollupDistinct(
+      spark.read.parquet(dir), Nil).head.getLong(0)
+    assert(reread == global, s"parquet round trip changed the estimate: $reread vs $global")
   }
 
   test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {

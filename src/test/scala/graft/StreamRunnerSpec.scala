@@ -252,4 +252,35 @@ class StreamRunnerSpec extends SparkSuite {
       assert(streamMin == batchMin)
     } finally q.stop()
   }
+
+  test("snapshot sink: streamed changelog continuously upserts a queryable parquet table") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, String)](ss, 2) // (k, ver, v)
+    val mem = new graft.sources.SourceResolver {
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        input.toDF().toDF("event_id", "ver", "v")
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        graft.streaming.StreamingTables.latestPerKey(stream(s, topic), Seq("event_id"), Seq("ver"))
+      override def catalog = TestdataCatalog
+    }
+    val spec = graft.config.PipelineSpec.fromJson(
+      """{"id":"snap","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"snap-out"}}""".stripMargin)
+    val base = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val q = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("event_id"), Seq("ver"), s"$base/ckpt")
+    try {
+      input.addData((1L, 1L, "a1"), (2L, 1L, "b1"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2"), (2L, 0L, "stale"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/table").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("v"))).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b1", 3L -> "c1"),
+        s"snapshot after two batches wrong: $got")
+    } finally q.stop()
+  }
 }
