@@ -186,15 +186,33 @@ object Dedup {
     // per-side sorted distinct shingle-hash frames, each persisted (two
     // consumers: its posting explode and its verification join) and
     // registered for releaseInternalCaches
-    def sortedFrame(docs: DataFrame): DataFrame = registerCache(docs
-      .select(col(idCol).as("id"),
+    def cached(docs: DataFrame): DataFrame = registerCache(
+      shingleFrame(docs, idCol, textCol, shingleSize, tokenize)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    jaccardPairsBetweenPrepared(cached(newDocs), cached(oldDocs), threshold)
+  }
+
+  /** The storable (id, sh, n) sorted-shingle frame [[jaccardPairsBetween]]
+    * builds internally: WRITE this once for the history corpus (parquet —
+    * the columns are plain long/array<long>) and feed it back through
+    * [[jaccardPairsBetweenPrepared]] each ingest cycle, so 100 TB of
+    * history is tokenized once, not once per run (see DEPLOY.md).
+    */
+  def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, tokenize: Column => Column = TextAnalysis.tokens): DataFrame =
+    docs.select(col(idCol).as("id"),
         HashFunctions.hashed_shingles(tokenize(col(textCol)), shingleSize).as("sh"))
       .withColumn("n", size(col("sh")))
       .withColumn("sh", array_sort(col("sh")))
-      .persist(StorageLevel.MEMORY_AND_DISK))
-    val fresh = sortedFrame(newDocs)
-    val hist = sortedFrame(oldDocs)
-    prefixVerifiedPairs(fresh, hist, threshold, symmetric = false)
+
+  /** Cross-set pairs over PREPARED frames (both sides [[shingleFrame]]-shaped,
+    * e.g. the history side read back from storage). Both sides should be
+    * persisted or storage-backed — each is consumed twice.
+    */
+  def jaccardPairsBetweenPrepared(newFrame: DataFrame, oldFrame: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    prefixVerifiedPairs(newFrame, oldFrame, threshold, symmetric = false)
       .select(col("id1").as("new_id"), col("id2").as("old_id"), col("jaccard"))
   }
 

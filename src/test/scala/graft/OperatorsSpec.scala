@@ -769,6 +769,16 @@ class OperatorsSpec extends SparkSuite {
     val matched = inc.map(_._1).toSet
     val allNew = newDocs.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(novel == allNew.diff(matched))
+    // the storable-history path: shingle frame written to parquet and read
+    // back must produce the identical pair set (the recurring-ingest flow)
+    spark.catalog.clearCache(); Dedup.releaseInternalCaches()
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    Dedup.shingleFrame(oldDocs, "doc_id", "text", 3).write.mode("overwrite").parquet(dir)
+    val prepared = Dedup.jaccardPairsBetweenPrepared(
+      Dedup.shingleFrame(newDocs, "doc_id", "text", 3).persist(),
+      spark.read.parquet(dir), 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(prepared == inc)
   }
 
   test("sketch-table rollup: merged HLL estimates within 5% of exact at every level (X6)") {
