@@ -12,7 +12,11 @@ package graft
   *    so a timed run never reads a previous run's resident caches;
   *  - each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) and
   *    the MEDIAN is reported — single-run noise (±0.5s on sketch queries)
-  *    twice masqueraded as round-over-round regression.
+  *    twice masqueraded as round-over-round regression;
+  *  - a per-query "spread" (max−min across the timed runs) rides along in
+  *    the JSON: a spread rivaling the median flags ambient machine load —
+  *    re-run that query focused (SPARK_GRAFT_BENCH_ONLY) before reading its
+  *    number as a regression.
   *
   * A failed query reports its elapsed time NEGATED and is listed under
   * "failed" — unambiguous in the artifact, instead of blending into the
@@ -81,15 +85,24 @@ object Bench {
       val reported =
         if (failed) timings.last._1
         else { val sorted = timings.map(_._1).sorted; sorted(sorted.size / 2) }
-      (name, if (failed) -reported else reported, failed)
+      // max-min across the timed runs: ambient machine load has repeatedly
+      // masqueraded as a per-query regression (a query at 0.8s showing 4.5s
+      // in ONE full-sweep run) — a spread rivaling the median says "re-run
+      // focused before believing this number"
+      val spread =
+        if (failed || timings.isEmpty) 0.0
+        else timings.map(_._1).max - timings.map(_._1).min
+      (name, if (failed) -reported else reported, failed, spread)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true) => "\"" + k + "\"" }
+    val spreads = results.map { case (k, _, _, s) =>
+      "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false) => v }.sum
+    val total = results.collect { case (_, v, false, _) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":$failedList,"sf":"$sfDir"}""")
+      s""""spread":$spreads,"failed":$failedList,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
