@@ -97,7 +97,10 @@ object Bench {
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, _, _, s) =>
-      "\"" + k + "\":" + f"$s%.3f" }.mkString("{", ",", "}")
+      // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+      // comma-decimal locale would emit unparseable JSON
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(s)) }.mkString("{", ",", "}")
     val failedList = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false, _) => v }.sum

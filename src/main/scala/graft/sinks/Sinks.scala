@@ -140,24 +140,39 @@ object BatchSink {
     */
   def upsertSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
       changes: DataFrame, keys: Seq[String], orderCols: Seq[String]): Long = {
-    import java.nio.file.{Files, Paths}
-    val cur = Paths.get(path)
+    import org.apache.hadoop.fs.{Path => HPath}
+    // Hadoop FileSystem API, not java.nio: the snapshot lives wherever
+    // Spark writes (hdfs://, s3a://, file:) — local-only path ops would
+    // silently treat a remote snapshot as absent and clobber it
+    val cur = new HPath(path)
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new HPath(path + ".old")
+    val staging = new HPath(path + ".staging")
+    // crash recovery BEFORE reading: a previous swap may have moved the
+    // snapshot aside without installing its replacement (crash between the
+    // two renames) — restore it; an aside left AFTER a completed install is
+    // just the prior version, dropped
+    if (!fs.exists(cur) && fs.exists(aside))
+      require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
+    if (fs.exists(aside)) fs.delete(aside, true)
     val merged =
-      if (Files.exists(cur))
+      if (fs.exists(cur))
         graft.sources.Tables.latestPerKey(
           spark.read.parquet(path).unionByName(changes), keys, orderCols)
       else
         graft.sources.Tables.latestPerKey(changes, keys, orderCols)
-    val staging = path + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    val n = spark.read.parquet(staging).count()
-    // swap: delete old, move staging in place (directory rename)
-    def rm(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-    rm(cur)
-    Files.move(Paths.get(staging), cur)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    // swap via two renames (atomic per rename on HDFS-like filesystems;
+    // object stores want a manifest-based table format instead): the old
+    // snapshot is moved ASIDE, never deleted before its replacement exists,
+    // so every crash point leaves either cur or aside recoverable above.
+    // Replaying the same batch after any crash re-merges the same versions
+    // to the same result (last-write-wins idempotence).
+    if (fs.exists(cur))
+      require(fs.rename(cur, aside), s"cannot move $cur aside")
+    require(fs.rename(staging, cur), s"cannot install $staging as $cur")
+    fs.delete(aside, true)
     n
   }
 }

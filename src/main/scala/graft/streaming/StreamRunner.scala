@@ -78,17 +78,20 @@ object StreamRunner {
     * changelog-to-queryable-table loop: KTable semantics with a parquet
     * table any engine can read). `keys`/`orderCols` define last-write-wins;
     * a batch's STALE versions lose to the stored snapshot, so redelivery
-    * and out-of-order batches are safe. Output mode is Append (foreachBatch
-    * receives each batch's rows; the merge itself implements the update
-    * semantics), and exactly-once reduces to upsert idempotence: replaying
-    * a batch after a crash re-merges the same versions to the same result.
+    * and out-of-order batches are safe. Output mode follows the spec like
+    * every other entry point — AGGREGATION specs stream their changelog in
+    * Update mode and the upsert folds each emission (Append would reject
+    * unwatermarked aggregations outright and delay watermarked ones until
+    * finalization, defeating "continuously updated") — and exactly-once
+    * reduces to upsert idempotence: replaying a batch after a crash
+    * re-merges the same versions to the same result.
     */
   def startSnapshotSink(spark: SparkSession, spec: PipelineSpec,
       sources: SourceResolver, path: String, keys: Seq[String],
       orderCols: Seq[String], checkpoint: String): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
     build(spark, spec, sources).writeStream
-      .outputMode(OutputMode.Append())
+      .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.sinks.BatchSink.upsertSnapshot(spark, path, batch, keys, orderCols)

@@ -129,5 +129,20 @@ class SinksSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(2))).toMap
     assert(got == Map(1L -> "a3", 2L -> "b1", 3L -> "c1"),
       s"stale change must not clobber the newer snapshot row: $got")
+    // crash-window recovery: simulate a crash between the two swap renames
+    // (snapshot moved aside, replacement never installed) — the next upsert
+    // must restore the aside copy and merge against it, not start fresh
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old")))
+    val n3 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((4L, 1L, "d1"))), Seq("k"), Seq("ver"))
+    assert(n3 == 4, s"recovery lost the aside snapshot: $n3 rows")
+    val recovered = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(recovered == Map(1L -> "a3", 2L -> "b1", 3L -> "c1", 4L -> "d1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".staging")))
   }
 }

@@ -283,4 +283,39 @@ class StreamRunnerSpec extends SparkSuite {
         s"snapshot after two batches wrong: $got")
     } finally q.stop()
   }
+
+  test("snapshot sink streams an AGGREGATION spec: counts upsert continuously (update mode)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](ss, 2) // (event_id, user_id)
+    val mem = new graft.sources.SourceResolver {
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        input.toDF().toDF("event_id", "user_id")
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        graft.streaming.StreamingTables.latestPerKey(stream(s, topic), Seq("event_id"), Seq("user_id"))
+      override def catalog = TestdataCatalog
+    }
+    val spec = PipelineSpec.fromJson(
+      """{"id":"snap-agg","processingMode":"AGGREGATION",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+        |"groupByKeyType":"java.lang.Long",
+        |"stateStoreName":"s","outputTopic":{"enabled":true,"name":"snap-agg-out"}}""".stripMargin)
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
+    // per-key counts only grow, so the count IS a valid last-write-wins
+    // version column for the upsert
+    val q = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq(graft.pipeline.Interpreter.KeyCol), Seq("count"), s"$base/ckpt")
+    try {
+      input.addData((1L, 10L), (2L, 10L), (3L, 20L))
+      q.processAllAvailable()
+      input.addData((4L, 10L), (5L, 30L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/table").collect()
+        .map(r => (r.getAs[Long](graft.pipeline.Interpreter.KeyCol), r.getAs[Long]("count"))).toMap
+      assert(got == Map(10L -> 3L, 20L -> 1L, 30L -> 1L),
+        s"aggregated snapshot wrong: $got")
+    } finally q.stop()
+  }
 }
