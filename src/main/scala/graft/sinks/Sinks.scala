@@ -135,8 +135,17 @@ object BatchSink {
     * snapshot yet) just materializes the changes' latest view. Returns the
     * resulting snapshot row count. Snapshot cost is one latest-per-key
     * shuffle over |snapshot| + |changes| — at recurring cadence on 100 TB
-    * prefer PARTITIONING the snapshot (e.g. by key range or date) and
-    * merging only partitions the delta touches.
+    * pass `partitionCols` (see the partitioned overload below) so each
+    * batch merges only the partitions its delta touches.
+    *
+    * CONCURRENCY CONTRACT (both modes): single writer — the swap protocol
+    * has no guard against two concurrent upserts racing the renames; it is
+    * designed for the one-at-a-time foreachBatch loop
+    * (StreamRunner.startSnapshotSink). Readers: the swap leaves a transient
+    * window where `path` (or, partitioned, an individual partition dir)
+    * does not exist — an external reader hitting that window should retry;
+    * deployments needing always-consistent concurrent readers want a
+    * manifest-based table format as the sink instead.
     */
   def upsertSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
       changes: DataFrame, keys: Seq[String], orderCols: Seq[String]): Long = {
@@ -174,6 +183,138 @@ object BatchSink {
     require(fs.rename(staging, cur), s"cannot install $staging as $cur")
     fs.delete(aside, true)
     n
+  }
+
+  /** Partition-pruned snapshot upsert — the 100 TB shape of the method
+    * above. The snapshot is stored hive-partitioned on `partitionCols`;
+    * each changelog batch
+    *
+    *  1. collects the partition tuples it touches
+    *     (`changes.select(partitionCols).distinct()` — bounded by the batch,
+    *     guarded at [[MaxTouchedPartitions]]),
+    *  2. reads ONLY those partitions of the stored snapshot (the predicate
+    *     references partition columns only, so the file index prunes
+    *     directories — untouched terabytes are never opened),
+    *  3. merges latest-per-key over |touched snapshot slice| + |changes|,
+    *  4. swaps ONLY the touched partition directories, each under the same
+    *     rename-aside crash protocol as the unpartitioned path (a crash
+    *     between a partition's two renames is restored from its aside copy
+    *     on the next call; replaying the batch re-merges to the same result).
+    *
+    * Untouched partitions' files are NOT rewritten — a daily delta against
+    * a 100 TB snapshot costs |delta's partitions|, not a full-table rewrite.
+    *
+    * REQUIREMENT: `partitionCols` must be functionally determined by `keys`
+    * (e.g. `pmod(hash(key), n)` buckets, a key-range band, or a date that is
+    * part of the key) — otherwise a key's new version can land in a
+    * different partition than its stored one and latest-per-key cannot be
+    * resolved within a partition. A derived bucket column must be computed
+    * by the WRITER (this method sees only the columns `changes` carries).
+    *
+    * Returns the post-merge row count of the TOUCHED partitions (a full
+    * snapshot count would rescan the very data this method exists to skip).
+    * Single-writer + reader-retry contract as documented on the
+    * unpartitioned overload; here the transient gap is per partition dir,
+    * so concurrent readers see mixed old/new partitions mid-swap.
+    */
+  def upsertSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      partitionCols: Seq[String]): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (partitionCols.isEmpty)
+      return upsertSnapshot(spark, path, changes, keys, orderCols)
+    require(partitionCols.forall(changes.columns.contains),
+      s"changes frame is missing partition columns: " +
+        partitionCols.filterNot(changes.columns.contains).mkString(", "))
+    val cur = new HPath(path)
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new HPath(path + ".old")
+    val staging = new HPath(path + ".staging")
+    // crash recovery BEFORE reading: restore any partition whose swap was
+    // interrupted between its two renames (moved aside, replacement never
+    // installed); asides next to an installed replacement are just the
+    // prior version, dropped with the aside root
+    leafPartitionDirs(fs, aside, partitionCols.size).foreach { rel =>
+      val target = new HPath(cur, rel)
+      if (!fs.exists(target)) {
+        fs.mkdirs(target.getParent)
+        require(fs.rename(new HPath(aside, rel), target),
+          s"cannot restore $aside/$rel to $target")
+      }
+    }
+    if (fs.exists(aside)) fs.delete(aside, true)
+    if (fs.exists(staging)) fs.delete(staging, true)
+
+    val touched = changes.select(partitionCols.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return 0L // empty micro-batch: snapshot unchanged
+    require(touched.length <= MaxTouchedPartitions,
+      s"changelog batch touches ${touched.length} partitions (> " +
+        s"$MaxTouchedPartitions) — the partitioning is finer than the delta; " +
+        "coarsen partitionCols or fall back to the unpartitioned upsert")
+
+    val merged =
+      if (!fs.exists(cur)) graft.sources.Tables.latestPerKey(changes, keys, orderCols)
+      else {
+        // compare on the string rendering of both sides: directory-derived
+        // partition values re-infer their type on read (a LongType bucket
+        // comes back IntegerType), and `<=>` on the string forms matches
+        // regardless while still referencing only partition columns — so
+        // the file index prunes to the touched directories
+        val pred = touched.map { row =>
+          partitionCols.zipWithIndex.map { case (c, i) =>
+            col(c).cast("string") <=> lit(row.get(i)).cast("string")
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        // align the re-inferred partition column types back to the
+        // changelog's schema before the union
+        val slice = partitionCols.foldLeft(spark.read.parquet(path).filter(pred)) {
+          (d, c) => d.withColumn(c, col(c).cast(changes.schema(c).dataType))
+        }
+        graft.sources.Tables.latestPerKey(
+          slice.unionByName(changes), keys, orderCols)
+      }
+    merged.write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+
+    if (!fs.exists(cur)) {
+      require(fs.rename(staging, cur), s"cannot install $staging as $cur")
+    } else {
+      leafPartitionDirs(fs, staging, partitionCols.size).foreach { rel =>
+        val target = new HPath(cur, rel)
+        val asideDir = new HPath(aside, rel)
+        if (fs.exists(target)) {
+          fs.mkdirs(asideDir.getParent)
+          require(fs.rename(target, asideDir), s"cannot move $target aside")
+        }
+        fs.mkdirs(target.getParent)
+        require(fs.rename(new HPath(staging, rel), target),
+          s"cannot install $staging/$rel as $target")
+      }
+      fs.delete(aside, true)
+      fs.delete(staging, true) // leftover _SUCCESS marker and empty dirs
+    }
+    n
+  }
+
+  /** A changelog batch touching this many partitions signals a layout finer
+    * than the delta — the touched-tuple collect and the per-partition rename
+    * loop are driver-side and must stay bounded.
+    */
+  val MaxTouchedPartitions = 100000
+
+  /** Relative paths (`a=1/b=x`) of the hive-partition leaf directories
+    * exactly `depth` levels under `root`; Nil when `root` is absent.
+    */
+  private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, depth: Int): Seq[String] = {
+    def recurse(p: org.apache.hadoop.fs.Path, d: Int, prefix: String): Seq[String] =
+      if (d == 0) Seq(prefix)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => recurse(s.getPath, d - 1,
+          if (prefix.isEmpty) s.getPath.getName else s"$prefix/${s.getPath.getName}"))
+    if (!fs.exists(root)) Nil else recurse(root, depth, "")
   }
 }
 

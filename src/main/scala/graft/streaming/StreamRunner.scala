@@ -85,16 +85,23 @@ object StreamRunner {
     * finalization, defeating "continuously updated") — and exactly-once
     * reduces to upsert idempotence: replaying a batch after a crash
     * re-merges the same versions to the same result.
+    *
+    * `partitionCols` (optional) stores the snapshot hive-partitioned and
+    * merges each micro-batch into ONLY the partitions it touches — the
+    * 100 TB posture; see BatchSink.upsertSnapshot's partitioned overload
+    * for the key-determinism requirement on the partition columns.
     */
   def startSnapshotSink(spark: SparkSession, spec: PipelineSpec,
       sources: SourceResolver, path: String, keys: Seq[String],
-      orderCols: Seq[String], checkpoint: String): StreamingQuery = {
+      orderCols: Seq[String], checkpoint: String,
+      partitionCols: Seq[String] = Nil): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
     build(spark, spec, sources).writeStream
       .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.sinks.BatchSink.upsertSnapshot(spark, path, batch, keys, orderCols)
+        graft.sinks.BatchSink.upsertSnapshot(
+          spark, path, batch, keys, orderCols, partitionCols)
         ()
       }
       .start()
@@ -188,15 +195,22 @@ class FileStreamSourceResolver(dir: String, val catalog: SchemaCatalog,
     graft.sources.Sources.fixNanos(raw, catalog, topic.name)
   }
 
+  // one staged symlink dir per topic, reused across stream() calls and
+  // cleaned at JVM exit — creating a fresh temp dir per call leaked a
+  // tmpdir per stream start in a long-lived app (round-6 advisor finding)
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def stagedDir(name: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(batch.path(name))
     if (Files.isDirectory(src)) src.toString
-    else {
+    else staged.getOrElseUpdate(name, {
       val d = Files.createTempDirectory(s"graft-stream-$name")
       Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+      d.toFile.deleteOnExit()
+      d.resolve(s"$name.parquet").toFile.deleteOnExit()
       d.toString
-    }
+    })
   }
 
   override def table(spark: SparkSession, topic: TopicConfig): DataFrame =

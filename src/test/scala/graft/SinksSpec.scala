@@ -145,4 +145,53 @@ class SinksSpec extends SparkSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".staging")))
   }
+
+  test("partitioned upsertSnapshot merges only touched partitions; untouched files untouched") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString + "/snap"
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // bucket is key-determined (k % 2) — the partitioned contract
+    def batch(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 2, ver, v) })
+        .toDF("k", "bucket", "ver", "v")
+    // first batch: keys in both buckets
+    val n1 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (4L, 1L, "d1"))),
+      Seq("k"), Seq("ver"), Seq("bucket"))
+    assert(n1 == 3)
+    assert(fs.exists(new HPath(dir + "/bucket=0")) && fs.exists(new HPath(dir + "/bucket=1")))
+    // fingerprint bucket=0's files (names + mtimes): the next batch touches
+    // only bucket=1, so these files must not be rewritten
+    def files(p: String) = fs.listStatus(new HPath(p)).toSeq
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime)).sorted
+    val before0 = files(dir + "/bucket=0")
+    assert(before0.nonEmpty)
+    // second batch: newer version for k=1 plus new k=5 — both bucket=1, so
+    // only bucket=1 is merged (k=1 updated + k=5 inserted → 2 rows live there)
+    val n2 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 2L, "a2"), (5L, 1L, "e1"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    assert(n2 == 2, s"touched-partition (bucket=1) row count after merge: $n2")
+    assert(files(dir + "/bucket=0") == before0,
+      "untouched partition bucket=0 was rewritten by a bucket=1-only delta")
+    // stale update for k=1 must lose against the stored ver=2
+    val n3 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 0L, "stale"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    assert(n3 == 2)
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(got == Map(1L -> "a2", 2L -> "b1", 4L -> "d1", 5L -> "e1"), s"$got")
+    // per-partition crash recovery: simulate a crash between bucket=1's two
+    // swap renames (moved aside, replacement never installed)
+    fs.mkdirs(new HPath(dir + ".old"))
+    assert(fs.rename(new HPath(dir + "/bucket=1"), new HPath(dir + ".old/bucket=1")))
+    val n4 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((2L, 2L, "b2"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    assert(n4 == 2, s"bucket=0 merge after recovery: $n4") // k=2,k=4 live in bucket=0
+    val recovered = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(recovered == Map(1L -> "a2", 2L -> "b2", 4L -> "d1", 5L -> "e1"),
+      s"recovery lost the aside partition: $recovered")
+    assert(!fs.exists(new HPath(dir + ".old")))
+    assert(!fs.exists(new HPath(dir + ".staging")))
+  }
 }

@@ -318,4 +318,57 @@ class StreamRunnerSpec extends SparkSuite {
         s"aggregated snapshot wrong: $got")
     } finally q.stop()
   }
+
+  test("KTable loop end-to-end: snapshot sink feeds a stream-static enrichment join") {
+    // The versioned-dimension streaming story (DynamicTopologyBuilder.java:159's
+    // KStream⋈KTable): one query maintains the dimension SNAPSHOT from its
+    // changelog (partition-pruned upsert — the 100 TB write side), a second
+    // query enriches an event stream against it. The static side must be
+    // re-read per micro-batch (foreachBatch + a fresh read): a captured
+    // DataFrame pins its file listing, and the upsert swaps files in — so
+    // events joined after a dimension update see the NEW version, events
+    // already emitted keep the version that was current at their time.
+    val ss = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import ss.implicits._
+    val dimIn = MemoryStream[(Long, Long, String, Long)](ss, 2) // cust_id (keyed as event_id per catalog), ver, name, bucket
+    val mem = new graft.sources.SourceResolver {
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        dimIn.toDF().toDF("event_id", "ver", "name", "bucket") // event_id doubles as the customer key — the spec keys on the catalog's events key field
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        fail("no table side in this spec")
+      override def catalog = TestdataCatalog
+    }
+    val spec = PipelineSpec.fromJson(
+      """{"id":"dim-snap","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"dim-out"}}""".stripMargin)
+    val base = java.nio.file.Files.createTempDirectory("graft_ktable_loop").toString
+    val dimQ = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/dim", Seq("event_id"), Seq("ver"), s"$base/ckpt_dim", Seq("bucket"))
+    val evIn = MemoryStream[(Long, Long)](ss, 2) // ev_id, customer key
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val evQ = evIn.toDF().toDF("ev_id", "event_id").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.join(spark.read.parquet(s"$base/dim"), "event_id")
+          .select("ev_id", "name").collect()
+          .foreach(r => results.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt_ev")
+      .start()
+    try {
+      dimIn.addData((1L, 1L, "alice-v1", 1L), (2L, 1L, "bob-v1", 0L))
+      dimQ.processAllAvailable()
+      evIn.addData((100L, 1L))
+      evQ.processAllAvailable()
+      dimIn.addData((1L, 2L, "alice-v2", 1L)) // dimension update: only bucket=1 merges
+      dimQ.processAllAvailable()
+      evIn.addData((101L, 1L), (102L, 2L))
+      evQ.processAllAvailable()
+      val got = results.toArray(Array.empty[(Long, String)]).toSet
+      assert(got == Set((100L, "alice-v1"), (101L, "alice-v2"), (102L, "bob-v1")),
+        s"enrichment must track the live snapshot per micro-batch: $got")
+    } finally { dimQ.stop(); evQ.stop() }
+  }
 }
