@@ -281,6 +281,37 @@ object Queries {
          |"filter":"value > 100 AND event_type = 'purchase'",
          |"outputTopic":{"enabled":true,"name":"events-filtered"}}""".stripMargin)
 
+  /** Spec-level TRANSFORM stage (round-7): the x14 pipeline's quality-filter
+    * stage plus exact dedup, driven entirely from JSON config — the
+    * reference's config-first essence (AggregationDefinition.java:7-130)
+    * extended to the corpus X-operators. Thresholds are x14's exactly, so
+    * this pins config path ≡ code path.
+    */
+  def r22SpecTransforms(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"docs-quality-dedup","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[
+         |  {"op":"quality_filter","column":"text","minTokens":12,
+         |   "minAvgTokenLen":2.0,"maxAvgTokenLen":12.0},
+         |  {"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id"}],
+         |"outputTopic":{"enabled":true,"name":"docs-clean"}}""".stripMargin)
+      .select("doc_id", "lang", "source")
+
+  /** Spec-level PII redaction (x22's scrub through JSON config): the contact
+    * string is synthesized by the op's `expression` (the fixture corpus has
+    * no real PII), then scrubbed by the chained-regexp redactor — identical
+    * construction + replacement chain in the DuckDB oracle.
+    */
+  def r22SpecRedact(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"customer-redact","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"customer","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"redact_pii","outputField":"redacted",
+         |  "expression":"concat('Contact ', c_name, ' <', lower(replace(c_name, '#', '.')), '@example.com> or +1-555-', lpad(cast(c_custkey % 10000 as string), 4, '0'), ' from 192.168.', cast(c_custkey % 256 as string), '.', cast(c_nationkey as string), ' segment ', c_mktsegment)"}],
+         |"outputTopic":{"enabled":true,"name":"customer-redacted"}}""".stripMargin)
+      .select(col("c_custkey").as("custkey"), col("redacted"))
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -1680,6 +1711,30 @@ object Queries {
     "r21_filter" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
         |FROM events WHERE value > 100 AND event_type = 'purchase'""".stripMargin,
+    "r22_spec_transforms" ->
+      """WITH q AS (
+        |  SELECT * FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 12
+        |    AND round(length(regexp_replace(trim(text), '\s+', '', 'g'))::DOUBLE
+        |      / len(regexp_split_to_array(trim(text), '\s+')), 6) BETWEEN 2.0 AND 12.0)
+        |SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+        |       arg_min(source, doc_id) AS source
+        |FROM q GROUP BY text""".stripMargin,
+    "r22_spec_redact" ->
+      """WITH m AS (
+        |  SELECT c_custkey AS custkey,
+        |         'Contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+        |         '@example.com> or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        |         ' from 192.168.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+        |         CAST(c_nationkey AS VARCHAR) || ' segment ' || c_mktsegment AS msg
+        |  FROM customer)
+        |SELECT custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(msg,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9][0-9 ().-]{6,}[0-9]', '[PHONE]', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g') AS redacted
+        |FROM m""".stripMargin,
     "r11_having" ->
       """SELECT user_id, count(*) AS cnt FROM events
         |GROUP BY user_id HAVING count(*) > 70""".stripMargin,
@@ -2427,6 +2482,8 @@ object Queries {
     "r11_sliding_agg" -> r11SlidingAgg _,
     "r08_outer_join" -> r08OuterJoin _,
     "r21_filter" -> r21Filter _,
+    "r22_spec_transforms" -> r22SpecTransforms _,
+    "r22_spec_redact" -> r22SpecRedact _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

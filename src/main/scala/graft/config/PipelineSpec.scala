@@ -1,6 +1,7 @@
 package graft.config
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 
 /** Declarative pipeline model — the Spark-native equivalent of the reference's
@@ -106,6 +107,60 @@ case class OutputTopic(
     partitions: Option[Int] = None,
     replicationFactor: Option[Short] = None)
 
+/** Spec-level transform stage — the corpus X-operators through the config
+  * path. The reference's essence is config-driven pipelines
+  * (AggregationDefinition.java:7-130 is the whole API), but the
+  * training-data operators (dedup, quality filtering, PII redaction) were
+  * code-only; this stage makes the most-composed ones declarable. Ops apply
+  * in declaration order between the mode build and the pre-sink `filter`.
+  *
+  *  - `dedup_exact` (X1): one representative row per `dupColumns` group —
+  *    deterministic min-`tieBreak` winner. One map-side-combined shuffle.
+  *  - `quality_filter` (X5): keep rows whose `column` passes the cheap
+  *    pretraining text-quality thresholds — token-count floor and/or a band
+  *    on the ROUNDED (6 dp) mean token length; rounding first keeps the
+  *    boundary decision order-independent and oracle-mirrorable. At least
+  *    one threshold is required: an unconstrained quality filter is a
+  *    misconfiguration, not a pass-through. Zero shuffles.
+  *  - `redact_pii` (X22): scrub emails/phones/IPs/SSNs from `column` (or a
+  *    computed SQL `expression`) into `outputField` (defaults to `column`,
+  *    in place). Zero shuffles, codegen'd regexp chain.
+  */
+case class TransformOp(
+    op: String,
+    dupColumns: Seq[String] = Nil,
+    tieBreak: Option[String] = None,
+    column: Option[String] = None,
+    expression: Option[String] = None,
+    // contentAs: Jackson erases Option's type parameter and would box a JSON
+    // integer as java.lang.Integer inside Option[Long]/Option[Double],
+    // blowing up at first unbox (same reason retentionMs never crashed:
+    // it is only ever compared, never unboxed)
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    minTokens: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Double])
+    minAvgTokenLen: Option[Double] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Double])
+    maxAvgTokenLen: Option[Double] = None,
+    outputField: Option[String] = None) {
+  def validate(where: String): Unit = op match {
+    case "dedup_exact" =>
+      require(dupColumns.nonEmpty && tieBreak.isDefined,
+        s"[$where] dedup_exact requires dupColumns and tieBreak")
+    case "quality_filter" =>
+      require(column.isDefined, s"[$where] quality_filter requires column")
+      require(minTokens.isDefined || minAvgTokenLen.isDefined || maxAvgTokenLen.isDefined,
+        s"[$where] quality_filter requires at least one threshold " +
+          "(minTokens / minAvgTokenLen / maxAvgTokenLen)")
+    case "redact_pii" =>
+      require(column.isDefined || (expression.isDefined && outputField.isDefined),
+        s"[$where] redact_pii requires column, or expression with outputField")
+    case other => throw new IllegalArgumentException(
+      s"[$where] unknown transform op '$other' " +
+        "(supported: dedup_exact, quality_filter, redact_pii)")
+  }
+}
+
 /** Predicate-routed output branch — the KStream.split()/branch() analogue
   * (the reference has no branch operator: SURVEY §2A declared-absent list).
   * Each branch filters the pipeline output with a SQL predicate and writes
@@ -147,6 +202,9 @@ case class PipelineSpec(
     aggregations: Seq[AggSpec] = Nil,
     eventTime: Option[EventTimeSpec] = None,
     stateStoreName: Option[String] = None,
+    // Spec-level transform stage (X-surface: dedup/quality/redaction),
+    // applied in order between the mode build and `filter` — see TransformOp.
+    transform: Seq[TransformOp] = Nil,
     // Pre-sink SQL predicate over the pipeline output (the reference has no
     // filter operator at all — SURVEY §2A declared-absent list; for an
     // AGGREGATION spec this is HAVING semantics).
@@ -224,6 +282,7 @@ case class PipelineSpec(
           s"[$id] slide ${et.slide.get} must not exceed window ${et.window}")
       }
     }
+    transform.foreach(_.validate(id))
     // Every ENABLED sink topic (main + branches) derives its streaming query
     // name and checkpoint directory from the topic name — duplicates would
     // share a checkpoint and corrupt each other's offsets. Disabled topics

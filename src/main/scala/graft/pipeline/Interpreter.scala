@@ -65,9 +65,35 @@ object Interpreter extends Logging {
         withKey(sources.stream(spark, spec.sourceTopic), spec.sourceTopic,
           spec.sourceKeyExtraction, sources.catalog)
     }
+    // spec-level transform stage (X-surface through the config path),
+    // in declaration order; validated by spec.validate() above
+    val transformed = spec.transform.foldLeft(built)(applyTransform)
     // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
     // Catalyst pushes it down through the plan wherever legal
-    spec.filter.fold(built)(f => built.filter(expr(f)))
+    spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
+  }
+
+  /** One declared transform op → the corresponding X-operator. The quality
+    * filter compares the ROUNDED (6 dp) mean token length so the boundary
+    * decision is order-independent (same discipline as the x5/x14 queries
+    * and their oracles); redaction accepts either a source column or a
+    * computed SQL expression.
+    */
+  private def applyTransform(df: DataFrame, t: TransformOp): DataFrame = t.op match {
+    case "dedup_exact" =>
+      graft.operators.Dedup.exact(df, t.dupColumns, t.tieBreak.get)
+    case "quality_filter" =>
+      val m = graft.operators.TextAnalysis.qualityMetrics(col(t.column.get)).toMap
+      val conds =
+        t.minTokens.map(n => m("n_tokens") >= n).toSeq ++
+        t.minAvgTokenLen.map(v => round(m("avg_token_len"), 6) >= v) ++
+        t.maxAvgTokenLen.map(v => round(m("avg_token_len"), 6) <= v)
+      df.filter(conds.reduce(_ && _))
+    case "redact_pii" =>
+      val src = t.expression.map(expr).getOrElse(col(t.column.get))
+      df.withColumn(t.outputField.orElse(t.column).get,
+        graft.operators.TextAnalysis.redactPii(src))
+    case other => throw new IllegalArgumentException(s"unknown transform op $other")
   }
 
   /** Attach the record key column: either the catalog's key for the topic

@@ -232,4 +232,40 @@ class InterpreterSpec extends SparkSuite {
     agg(""","eventTime":{"column":"ts","window":"10 minutes","watermark":"5 minutes",
          |  "windowType":"sliding","slide":"5 minutes"}""".stripMargin)
   }
+
+  test("spec transform stage: config path equals the direct operator composition") {
+    // quality_filter + dedup_exact declared in JSON must produce exactly the
+    // rows the code path produces (x14's filter stage + X1)
+    val specDf = Queries.r22SpecTransforms(spark, sf())
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val m = graft.operators.TextAnalysis.qualityMetrics(
+      org.apache.spark.sql.functions.col("text")).toMap
+    val direct = graft.operators.Dedup.exact(
+      docs.filter(m("n_tokens") >= 12 &&
+        org.apache.spark.sql.functions.round(m("avg_token_len"), 6).between(2.0, 12.0)),
+      Seq("text"), "doc_id").select("doc_id", "lang", "source")
+    val got = specDf.orderBy("doc_id").collect().toSeq
+    assert(got.nonEmpty && got == direct.orderBy("doc_id").collect().toSeq)
+    // the filter is non-vacuous (drops rows) and dedup keeps min doc_id reps
+    assert(got.size < docs.count())
+  }
+
+  test("spec transform stage validation: unknown op, missing thresholds, missing redact target") {
+    def spec(transform: String) = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":$transform}""".stripMargin)
+    val e1 = intercept[IllegalArgumentException](spec("""[{"op":"drop_table"}]"""))
+    assert(e1.getMessage.contains("unknown transform op"))
+    // dedup without tieBreak would be nondeterministic — rejected
+    intercept[IllegalArgumentException](spec("""[{"op":"dedup_exact","dupColumns":["text"]}]"""))
+    // a quality filter with no thresholds is a misconfigured pass-through
+    intercept[IllegalArgumentException](spec("""[{"op":"quality_filter","column":"text"}]"""))
+    // expression-based redaction must name its output column
+    intercept[IllegalArgumentException](spec("""[{"op":"redact_pii","expression":"'x'"}]"""))
+    // happy paths parse
+    spec("""[{"op":"quality_filter","column":"text","minTokens":5},
+           |{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id"},
+           |{"op":"redact_pii","column":"text"}]""".stripMargin)
+  }
 }
