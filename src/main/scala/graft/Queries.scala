@@ -727,12 +727,16 @@ object Queries {
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
     val s = spark.read.parquet(s"$dir/supplier.parquet")
-    val rev = l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
-      .groupBy(col("l_suppkey"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .as("total_revenue"))
-      .persist()
+    // registered like the dedup-internal caches so an embedding application
+    // (which never calls clearCache) can release it via
+    // Dedup.releaseInternalCaches once the result is consumed
+    val rev = Dedup.registerCache(
+      l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+        .persist())
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev.join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
       .join(s, col("s_suppkey") === col("l_suppkey"))
@@ -870,12 +874,20 @@ object Queries {
     val natSupp = s.join(broadcast(n.filter(col("n_name") === "NATION_8")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // exact decimal sums + a division-free threshold: `value > 2·avg` is
+    // compared as `value·nparts > 2·total`, all in decimal arithmetic, so
+    // the inclusion decision cannot flip with partitioning/plan shape or
+    // between Spark and DuckDB (the q10 half-cent class of bug — a raw
+    // double sum against a strict `>` threshold is order-dependent)
     val v = l.join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice") * col("l_quantity")).as("value"))
-    v.crossJoin(broadcast(v.agg(avg(col("value")).as("avg_value"))))
-      .filter(col("value") > lit(2.0) * col("avg_value"))
-      .select(col("l_partkey").as("partkey"), round(col("value"), 2).as("value"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity")).cast("decimal(18,6)"))
+        .as("value"))
+    v.crossJoin(broadcast(
+        v.agg(sum(col("value")).as("tot"), count(lit(1)).as("nparts"))))
+      .filter(col("value") * col("nparts") > lit(2) * col("tot"))
+      .select(col("l_partkey").as("partkey"),
+        round(col("value"), 2).cast("double").as("value"))
   }
 
   /** Bloom-filter pre-shuffle join pruning (X18): lineitem is filtered by a
@@ -994,9 +1006,11 @@ object Queries {
     // the per-type and global branches would each rebuild every sketch from
     // raw data, the exact double scan the stored-sketch pattern exists to
     // avoid (in production the sketch table is a written artifact)
-    val sk = graft.operators.Profile.distinctSketches(
+    // registered for Dedup.releaseInternalCaches like every other
+    // query-internal persist — embedding applications don't clearCache
+    val sk = Dedup.registerCache(graft.operators.Profile.distinctSketches(
       spark.read.parquet(s"$dir/events.parquet"), Seq("event_type"), "user_id")
-      .persist()
+      .persist())
     val per = graft.operators.Profile.rollupDistinct(sk, Seq("event_type"))
     val global = graft.operators.Profile.rollupDistinct(sk, Nil)
       .select(lit("__all__").as("event_type"), col("n_distinct"), col("n_rows"))
@@ -1169,6 +1183,28 @@ object Queries {
   def x2JaccardCapped(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(spark.read.parquet(s"$dir/documents.parquet"),
       "doc_id", "text", shingleSize = 3, threshold = 0.8, maxShinglePostings = 50)
+
+  /** X2 capped-bucket candidate semantics, oracle-pinned EXACTLY: the
+    * production cap ([[Dedup.capBuckets]], the LSH quadratic-skew defuser)
+    * runs on hash buckets a SQL oracle cannot reproduce, so its oracle
+    * queries exercise it only at cap=0/no-op. Here the SAME operator runs
+    * over a deterministic, SQL-expressible bucketing with built-in skew —
+    * bucket = ⌊log2(doc_id+1)⌋, so bucket b holds 2^b docs — and cap=16
+    * DEMONSTRABLY drops every bucket of 32+ docs while keeping the small
+    * ones (non-vacuous both ways at sf0.01+). The log2 is computed
+    * integer-exactly via length(bin(x))-1 in BOTH engines: floor(log(2,x))
+    * on doubles can land on 2.9999… for exact powers of two and flip the
+    * bucket cross-engine.
+    */
+  def x2CappedBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val banded = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("id"),
+        (length(bin(col("doc_id") + 1)) - 1).cast("long").as("bucket"))
+    val capped = Dedup.capBuckets(banded, Seq("bucket"), cap = 16)
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("a.bucket").as("bucket"))
+  }
 
   /** X2 character-n-gram Jaccard near-dup (8-char shingles over normalized
     * text) — the near-dup form that works on whitespace-poor scripts, via
@@ -1720,6 +1756,14 @@ object Queries {
         |SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
         |       arg_min(source, doc_id) AS source
         |FROM q GROUP BY text""".stripMargin,
+    "x2_capped_buckets" ->
+      """WITH banded AS (
+        |  SELECT doc_id AS id, length(bin(doc_id + 1)) - 1 AS bucket FROM documents),
+        |sizes AS (SELECT bucket, count(*) AS sz FROM banded GROUP BY bucket),
+        |capped AS (SELECT b.id, b.bucket FROM banded b
+        |           JOIN sizes s ON b.bucket = s.bucket WHERE s.sz <= 16)
+        |SELECT a.id AS id1, b.id AS id2, a.bucket AS bucket
+        |FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.id < b.id""".stripMargin,
     "r22_spec_redact" ->
       """WITH m AS (
         |  SELECT c_custkey AS custkey,
@@ -2415,15 +2459,16 @@ object Queries {
         |GROUP BY s.s_suppkey, s.s_name""".stripMargin,
     "q11_important_stock" ->
       """WITH v AS (
-        |  SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+        |  SELECT l.l_partkey, sum(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(18,6))) AS value
         |  FROM lineitem l
         |  WHERE l.l_suppkey IN (
         |    SELECT s.s_suppkey FROM supplier s
         |    JOIN nation n ON s.s_nationkey = n.n_nationkey
         |    WHERE n.n_name = 'NATION_8')
-        |  GROUP BY l.l_partkey)
-        |SELECT l_partkey AS partkey, round(value, 2) AS value
-        |FROM v WHERE value > 2.0 * (SELECT avg(value) FROM v)""".stripMargin,
+        |  GROUP BY l.l_partkey),
+        |t AS (SELECT sum(value) AS tot, count(*) AS nparts FROM v)
+        |SELECT l_partkey AS partkey, CAST(round(value, 2) AS DOUBLE) AS value
+        |FROM v, t WHERE value * nparts > 2 * tot""".stripMargin,
     "x19_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -2511,6 +2556,7 @@ object Queries {
     "x2_jaccard_pairs" -> x2JaccardPairs _,
     "x2_jaccard_char" -> x2JaccardChar _,
     "x2_jaccard_capped" -> x2JaccardCapped _,
+    "x2_capped_buckets" -> x2CappedBuckets _,
     "x12_group_topk" -> x12GroupTopk _,
     "x5_chunks" -> x5Chunks _,
     "x14_training_pipeline" -> x14TrainingPipeline _,

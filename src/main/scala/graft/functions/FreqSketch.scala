@@ -13,19 +13,24 @@ import org.apache.spark.sql.functions.udaf
   * `groupBy(item).count()` over a HIGH-cardinality column shuffles one row
   * per distinct item because map-side partial aggregation cannot compress a
   * mostly-unique key space — the sketch caps map-side state AND exchange
-  * volume at k counters per partition regardless of cardinality. Use it to
+  * volume at <2k counters per partition regardless of cardinality. Use it to
   * find candidates, then recount exactly ([[graft.operators.Profile.heavyHitters]]):
   * candidates ⊇ true hitters makes the two-pass result exact, never a guess.
   *
   * Buffer mechanics: reduce mutates ONE ArrayBuffer in place (the object
   * aggregate keeps the deserialized buffer per partition, so in-place
   * append is legal and avoids a per-row immutable-Vector copy — measured
-  * 4× on an exploded 270k-token stream), compacted at 8k entries by a
+  * 4× on an exploded 270k-token stream), compacted at 2k entries by a
   * HashMap group-sum; if more than k distinct items remain, the (k+1)-th
   * largest count is subtracted from every counter and non-positive ones
-  * drop — the batched form of MG's decrement. Summed-then-decremented
-  * summaries compose: the merge error bound stays ≤ n/(k+1) total
-  * (Agarwal et al., "Mergeable Summaries", PODS 2012), so partial
+  * drop — the batched form of MG's decrement. The 2k trigger is what
+  * bounds the EXCHANGE: a map-side partial is serialized for shuffle
+  * as-is, so the trigger (minus one) — not k — is the true per-partition
+  * wire bound; at 2k the amortized cost per item is unchanged (each
+  * compaction halves a buffer that took k appends to refill) while the
+  * shuffled summary stays within 2× of the k-counter ideal. Summed-then-
+  * decremented summaries compose: the merge error bound stays ≤ n/(k+1)
+  * total (Agarwal et al., "Mergeable Summaries", PODS 2012), so partial
   * aggregates from any partitioning merge soundly.
   */
 object MisraGries {
@@ -44,13 +49,14 @@ object MisraGries {
     }
   }
 
-  /** In-place append of one item; compacts when the buffer passes 8k.
-    * Long arithmetic: `8 * k` overflows Int for k > Int.MaxValue/8, which
-    * would make the trigger always-true and compact on EVERY append.
+  /** In-place append of one item; compacts when the buffer passes 2k (the
+    * shuffle-volume bound — see the class doc). Long arithmetic: `2 * k`
+    * overflows Int for k > Int.MaxValue/2, which would make the trigger
+    * always-true and compact on EVERY append.
     */
   def append(buf: ArrayBuffer[(String, Long)], item: String, k: Int): ArrayBuffer[(String, Long)] = {
     buf += ((item, 1L))
-    if (buf.size.toLong >= 8L * k) { val c = compact(buf.toSeq, k); buf.clear(); buf ++= c }
+    if (buf.size.toLong >= 2L * k) { val c = compact(buf.toSeq, k); buf.clear(); buf ++= c }
     buf
   }
 

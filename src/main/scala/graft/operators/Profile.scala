@@ -47,9 +47,10 @@ object Profile {
     *
     *  1. ONE global Misra–Gries aggregate ([[graft.functions.FreqSketch]],
     *     k = ceil(slack/minFraction) counters) + the row count in the same
-    *     agg — map-side state and shuffle are ≤ k rows per partition, vs
-    *     the plain groupBy's one-row-per-DISTINCT-item exchange (a mostly
-    *     unique key space compresses 0% map-side at 100 TB).
+    *     agg — map-side state and shuffle are < 2k rows per partition (the
+    *     sketch's compaction trigger — see FreqSketch), vs the plain
+    *     groupBy's one-row-per-DISTINCT-item exchange (a mostly unique key
+    *     space compresses 0% map-side at 100 TB).
     *  2. Exact recount of the ≤ k candidates only: broadcast hash join
     *     (candidate list is tiny by construction) + partial-aggregated
     *     count, threshold filter on `ceil(minFraction · n)`.

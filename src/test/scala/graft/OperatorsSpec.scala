@@ -200,7 +200,9 @@ class OperatorsSpec extends SparkSuite {
     // ~0.5–0.8 for nProbe=4/16 here; nAssign=2 multiple assignment (each
     // vector indexed in its 2 nearest cells) breaks that cap — measured
     // 0.65→0.875 @ nProbe=4 and 0.86→0.96 @ nProbe=8 (8-query probe) — so
-    // the bars are 0.8 @ 4 probes and 0.9 @ 8. The >=0.9 @ nProbe=4
+    // the bars sit just under the measured levels: 0.85 @ 4 probes and
+    // 0.9 @ 8 (the old 0.8 bar left room for a regression from the
+    // measured 0.875 to hide under it). The >=0.9 @ nProbe=4
     // single-assignment contract is asserted on genuinely clustered data in
     // the next test, where the IVF assumption actually holds.
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
@@ -214,7 +216,7 @@ class OperatorsSpec extends SparkSuite {
       exact.intersect(ann).size.toDouble / exact.size
     }
     val r4 = recallAt(4); val r8 = recallAt(8)
-    assert(r4 >= 0.8, s"recall $r4 below 0.8 at nProbe=4 with nAssign=2")
+    assert(r4 >= 0.85, s"recall $r4 below 0.85 at nProbe=4 with nAssign=2")
     assert(r8 >= 0.9, s"recall $r8 below 0.9 at nProbe=8 with nAssign=2")
   }
 
