@@ -298,6 +298,26 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"docs-clean"}}""".stripMargin)
       .select("doc_id", "lang", "source")
 
+  /** The FULL x14 training pipeline from pure JSON config: quality filter →
+    * near-dup collapse (exact-Jaccard prefix-filtered pairs + CC
+    * representatives) → overlapping chunking — the reference's config-first
+    * essence carried all the way to the corpus pipeline. Same thresholds as
+    * [[x14TrainingPipeline]], same DuckDB oracle (aliased), so config path ≡
+    * code path is pinned at the hash level.
+    */
+  def r22SpecTraining(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"training-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[
+         |  {"op":"quality_filter","column":"text","minTokens":12,
+         |   "minAvgTokenLen":2.0,"maxAvgTokenLen":12.0},
+         |  {"op":"dedup_near","column":"text","idColumn":"doc_id",
+         |   "shingleSize":3,"threshold":0.8},
+         |  {"op":"chunk","column":"text","idColumn":"doc_id",
+         |   "size":40,"stride":30}],
+         |"outputTopic":{"enabled":true,"name":"training-chunks"}}""".stripMargin)
+
   /** Spec-level PII redaction (x22's scrub through JSON config): the contact
     * string is synthesized by the op's `expression` (the fixture corpus has
     * no real PII), then scrubbed by the chained-regexp redactor — identical
@@ -2508,6 +2528,8 @@ object Queries {
   // exact top-k (recall of the candidate stage is pinned in OperatorsSpec).
   val oracles: Map[String, String] =
     oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs")) +
+      // the spec-driven training pipeline must hash-match the code-path x14
+      ("r22_spec_training" -> oracles0("x14_training_pipeline")) +
       ("x3_knn_quantized" -> oracles0("x3_knn_exact")) +
       // the zero-shuffle projection form must score identically to the
       // join form — same oracle, alternate execution shape pinned
@@ -2529,6 +2551,7 @@ object Queries {
     "r21_filter" -> r21Filter _,
     "r22_spec_transforms" -> r22SpecTransforms _,
     "r22_spec_redact" -> r22SpecRedact _,
+    "r22_spec_training" -> r22SpecTraining _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -125,6 +125,17 @@ case class OutputTopic(
   *  - `redact_pii` (X22): scrub emails/phones/IPs/SSNs from `column` (or a
   *    computed SQL `expression`) into `outputField` (defaults to `column`,
   *    in place). Zero shuffles, codegen'd regexp chain.
+  *  - `dedup_near` (X2): collapse near-duplicate clusters to one
+  *    representative row — exact-Jaccard pairs over `shingleSize`-word
+  *    shingles of `column` at `threshold` (prefix-filtered posting join),
+  *    connected components, min-`idColumn` representative survives.
+  *    Batch-only (self-join + iterative CC are not streaming-legal).
+  *  - `chunk` (X5): split `column` into `size`-token windows every `stride`
+  *    tokens (REPLACES the row set: output is `idColumn`, chunk_id, chunk,
+  *    n_chunk_tokens). Map-side only.
+  *
+  * With these five, the whole x14 training pipeline (filter → near-dedup →
+  * chunk) is expressible as pure JSON — see the r22_spec_training query.
   */
 case class TransformOp(
     op: String,
@@ -142,7 +153,16 @@ case class TransformOp(
     minAvgTokenLen: Option[Double] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Double])
     maxAvgTokenLen: Option[Double] = None,
-    outputField: Option[String] = None) {
+    outputField: Option[String] = None,
+    idColumn: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    shingleSize: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Double])
+    threshold: Option[Double] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    size: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    stride: Option[Int] = None) {
   def validate(where: String): Unit = op match {
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
@@ -155,9 +175,23 @@ case class TransformOp(
     case "redact_pii" =>
       require(column.isDefined || (expression.isDefined && outputField.isDefined),
         s"[$where] redact_pii requires column, or expression with outputField")
+    case "dedup_near" =>
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] dedup_near requires column and idColumn")
+      require(shingleSize.exists(_ >= 1),
+        s"[$where] dedup_near requires shingleSize >= 1")
+      require(threshold.exists(t => t > 0.0 && t <= 1.0),
+        s"[$where] dedup_near requires threshold in (0, 1]")
+    case "chunk" =>
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] chunk requires column and idColumn")
+      require(size.exists(_ >= 1) && stride.exists(_ >= 1) &&
+          stride.get <= size.get,
+        s"[$where] chunk requires size >= stride >= 1 " +
+          "(stride > size would drop tokens)")
     case other => throw new IllegalArgumentException(
       s"[$where] unknown transform op '$other' " +
-        "(supported: dedup_exact, quality_filter, redact_pii)")
+        "(supported: dedup_exact, quality_filter, redact_pii, dedup_near, chunk)")
   }
 }
 

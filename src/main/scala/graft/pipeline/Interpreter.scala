@@ -93,6 +93,19 @@ object Interpreter extends Logging {
       val src = t.expression.map(expr).getOrElse(col(t.column.get))
       df.withColumn(t.outputField.orElse(t.column).get,
         graft.operators.TextAnalysis.redactPii(src))
+    case "dedup_near" =>
+      // the frame feeds pair generation AND the representative anti-join —
+      // persist it for the double consumption (the x14 measured win) and
+      // register for the shared release hook
+      val persisted = graft.operators.Dedup.registerCache(
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val pairs = graft.operators.Dedup.jaccardPairs(persisted,
+        t.idColumn.get, t.column.get,
+        shingleSize = t.shingleSize.get, threshold = t.threshold.get)
+      graft.operators.Dedup.keepRepresentatives(persisted, t.idColumn.get, pairs)
+    case "chunk" =>
+      graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
+        t.size.get, t.stride.get)
     case other => throw new IllegalArgumentException(s"unknown transform op $other")
   }
 

@@ -263,9 +263,17 @@ class InterpreterSpec extends SparkSuite {
     intercept[IllegalArgumentException](spec("""[{"op":"quality_filter","column":"text"}]"""))
     // expression-based redaction must name its output column
     intercept[IllegalArgumentException](spec("""[{"op":"redact_pii","expression":"'x'"}]"""))
+    // near-dedup threshold must be a similarity in (0, 1]
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,"threshold":1.5}]"""))
+    // chunk stride > size would silently drop tokens between windows
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"chunk","column":"text","idColumn":"doc_id","size":10,"stride":20}]"""))
     // happy paths parse
     spec("""[{"op":"quality_filter","column":"text","minTokens":5},
            |{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id"},
+           |{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,"threshold":0.8},
+           |{"op":"chunk","column":"text","idColumn":"doc_id","size":40,"stride":30},
            |{"op":"redact_pii","column":"text"}]""".stripMargin)
   }
 }

@@ -319,6 +319,30 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stateless spec transforms (quality_filter + redact_pii) run unchanged on a stream") {
+    // the map-only transform ops are streaming-legal; the same spec JSON
+    // must produce the same rows over a file stream as over batch parquet
+    val json =
+      """{"id":"docs-stream-clean","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+        |"transform":[
+        |  {"op":"quality_filter","column":"text","minTokens":12},
+        |  {"op":"redact_pii","column":"text"}],
+        |"outputTopic":{"enabled":true,"name":"docs-clean-stream"}}""".stripMargin
+    val spec = PipelineSpec.fromJson(json)
+    val q = StreamRunner.startMemory(spark, spec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog), "transform_stream_t")
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("transform_stream_t")
+        .select("doc_id", "text").orderBy("doc_id").collect().toSeq
+      val batch = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, spec, new ParquetSourceResolver(sf(), TestdataCatalog)))
+        .select("doc_id", "text").orderBy("doc_id").collect().toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("KTable loop end-to-end: snapshot sink feeds a stream-static enrichment join") {
     // The versioned-dimension streaming story (DynamicTopologyBuilder.java:159's
     // KStream⋈KTable): one query maintains the dimension SNAPSHOT from its
