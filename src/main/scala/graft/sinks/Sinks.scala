@@ -303,6 +303,18 @@ object BatchSink {
     */
   val MaxTouchedPartitions = 100000
 
+  /** Key-determined bucket column for the partitioned snapshot: a writer
+    * computes `changes.withColumn("bucket", keyBucket(n, col(key)))` and
+    * passes `partitionCols = Seq("bucket")`. Murmur3 `hash` is the stable
+    * hash Spark's own HashPartitioning uses, so a key maps to the same
+    * bucket on every batch — the functional-determinism requirement of the
+    * partitioned upsert. Size n so a bucket is a few GB (DEPLOY.md).
+    */
+  def keyBucket(n: Int, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    pmod(hash(keys: _*), lit(n))
+  }
+
   /** Relative paths (`a=1/b=x`) of the hive-partition leaf directories
     * exactly `depth` levels under `root`; Nil when `root` is absent.
     */

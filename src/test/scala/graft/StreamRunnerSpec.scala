@@ -355,10 +355,14 @@ class StreamRunnerSpec extends SparkSuite {
     val ss = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import ss.implicits._
-    val dimIn = MemoryStream[(Long, Long, String, Long)](ss, 2) // cust_id (keyed as event_id per catalog), ver, name, bucket
+    val dimIn = MemoryStream[(Long, Long, String)](ss, 2) // cust_id (keyed as event_id per catalog), ver, name
     val mem = new graft.sources.SourceResolver {
+      // event_id doubles as the customer key (the spec keys on the catalog's
+      // events key field); the bucket column is the writer-computed
+      // key-determined partition the contract requires
       override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
-        dimIn.toDF().toDF("event_id", "ver", "name", "bucket") // event_id doubles as the customer key — the spec keys on the catalog's events key field
+        dimIn.toDF().toDF("event_id", "ver", "name")
+          .withColumn("bucket", graft.sinks.BatchSink.keyBucket(2, col("event_id")))
       override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
         fail("no table side in this spec")
       override def catalog = TestdataCatalog
@@ -382,11 +386,11 @@ class StreamRunnerSpec extends SparkSuite {
       .option("checkpointLocation", s"$base/ckpt_ev")
       .start()
     try {
-      dimIn.addData((1L, 1L, "alice-v1", 1L), (2L, 1L, "bob-v1", 0L))
+      dimIn.addData((1L, 1L, "alice-v1"), (2L, 1L, "bob-v1"))
       dimQ.processAllAvailable()
       evIn.addData((100L, 1L))
       evQ.processAllAvailable()
-      dimIn.addData((1L, 2L, "alice-v2", 1L)) // dimension update: only bucket=1 merges
+      dimIn.addData((1L, 2L, "alice-v2")) // dimension update: only key 1's bucket merges
       dimQ.processAllAvailable()
       evIn.addData((101L, 1L), (102L, 2L))
       evQ.processAllAvailable()
