@@ -94,6 +94,12 @@ object Interpreter extends Logging {
       df.withColumn(t.outputField.orElse(t.column).get,
         graft.operators.TextAnalysis.redactPii(src))
     case "dedup_near" =>
+      // fail with intent, not with Spark's cryptic unsupported-operation
+      // chain: the pair self-join + iterative CC cannot run on a stream
+      // (use StreamingDedup.nearDupPairs for the stateful streaming form)
+      require(!df.isStreaming,
+        "dedup_near is batch-only (self-join + connected components); " +
+          "use graft.streaming.StreamingDedup for streaming near-dup")
       // the frame feeds pair generation AND the representative anti-join —
       // persist it for the double consumption (the x14 measured win) and
       // register for the shared release hook

@@ -245,6 +245,15 @@ object BatchSink {
     if (fs.exists(aside)) fs.delete(aside, true)
     if (fs.exists(staging)) fs.delete(staging, true)
 
+    // layout guard: installing partition directories next to a flat
+    // snapshot's part-files would corrupt the table (double reads, undefined
+    // pruning) — a path must stay in one layout for its lifetime
+    require(!fs.exists(cur) ||
+        leafPartitionDirs(fs, cur, partitionCols.size).nonEmpty,
+      s"$path holds an unpartitioned snapshot; the partitioned upsert cannot " +
+        "convert it in place — rewrite it once with partitionBy, or keep " +
+        "calling the unpartitioned overload")
+
     val touched = changes.select(partitionCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0L // empty micro-batch: snapshot unchanged
     require(touched.length <= MaxTouchedPartitions,

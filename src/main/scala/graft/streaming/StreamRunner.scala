@@ -29,6 +29,10 @@ object StreamRunner {
     case ProcessingMode.Aggregation
         if spec.eventTime.exists(_.windowType == "session") => OutputMode.Append()
     case ProcessingMode.Aggregation => OutputMode.Update()
+    // a dedup_exact transform is a streaming aggregation (min_by per dup
+    // group) regardless of mode — its emission is a per-group changelog,
+    // and Append would reject the unwatermarked aggregate outright
+    case _ if spec.transform.exists(_.op == "dedup_exact") => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 

@@ -193,5 +193,15 @@ class SinksSpec extends SparkSuite {
       s"recovery lost the aside partition: $recovered")
     assert(!fs.exists(new HPath(dir + ".old")))
     assert(!fs.exists(new HPath(dir + ".staging")))
+    // layout guard: a partitioned upsert must refuse a flat snapshot rather
+    // than install partition dirs next to its part-files
+    val flat = java.nio.file.Files.createTempDirectory("graft_upsert_flat").toString + "/snap"
+    graft.sinks.BatchSink.upsertSnapshot(spark, flat,
+      batch(Seq((1L, 1L, "a1"))), Seq("k"), Seq("ver"))
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.BatchSink.upsertSnapshot(spark, flat,
+        batch(Seq((2L, 1L, "b1"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    }
+    assert(e.getMessage.contains("unpartitioned snapshot"))
   }
 }

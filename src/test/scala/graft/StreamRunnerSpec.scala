@@ -343,6 +343,34 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedup_exact transform streams in update mode and converges to the batch dedup") {
+    // a dedup transform on a stream is a per-group changelog — outputModeFor
+    // must pick Update (Append rejects the unwatermarked aggregate), and the
+    // converged head (last emission per dup group) must equal batch dedup
+    val json =
+      """{"id":"docs-stream-dedup","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id"}],
+        |"outputTopic":{"enabled":true,"name":"docs-dedup-stream"}}""".stripMargin
+    val spec = PipelineSpec.fromJson(json)
+    assert(StreamRunner.outputModeFor(spec) ==
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val q = StreamRunner.startMemory(spark, spec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog), "dedup_stream_t")
+    try {
+      q.processAllAvailable()
+      // update mode: the last emission per text group is the final state
+      val streaming = spark.table("dedup_stream_t")
+        .groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val batch = graft.operators.Dedup.exact(
+        spark.read.parquet(s"${sf()}/documents.parquet"), Seq("text"), "doc_id")
+        .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("KTable loop end-to-end: snapshot sink feeds a stream-static enrichment join") {
     // The versioned-dimension streaming story (DynamicTopologyBuilder.java:159's
     // KStream⋈KTable): one query maintains the dimension SNAPSHOT from its
