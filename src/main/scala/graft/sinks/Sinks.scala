@@ -164,10 +164,18 @@ object BatchSink {
     if (!fs.exists(cur) && fs.exists(aside))
       require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
     if (fs.exists(aside)) fs.delete(aside, true)
+    // allowMissingColumns: lenient schema evolution, matching the
+    // reference's schema-on-read posture (SerdeFactory.java:30 — unknown
+    // fields ignored, missing fields null). A changelog gaining a column
+    // widens the snapshot (history rows carry null); a column the changelog
+    // stopped sending survives as null on the new versions. Key and order
+    // columns must exist on both sides — latestPerKey resolves them by name
+    // and fails loudly if absent.
     val merged =
       if (fs.exists(cur))
         graft.sources.Tables.latestPerKey(
-          spark.read.parquet(path).unionByName(changes), keys, orderCols)
+          spark.read.parquet(path).unionByName(changes, allowMissingColumns = true),
+          keys, orderCols)
       else
         graft.sources.Tables.latestPerKey(changes, keys, orderCols)
     merged.write.mode("overwrite").parquet(staging.toString)
@@ -247,9 +255,11 @@ object BatchSink {
 
     // layout guard: installing partition directories next to a flat
     // snapshot's part-files would corrupt the table (double reads, undefined
-    // pruning) — a path must stay in one layout for its lifetime
-    require(!fs.exists(cur) ||
-        leafPartitionDirs(fs, cur, partitionCols.size).nonEmpty,
+    // pruning) — a path must stay in one layout for its lifetime. ONE
+    // top-level listing, not a tree walk: this runs on every upsert and the
+    // snapshot may hold tens of thousands of partition directories.
+    require(!fs.exists(cur) || fs.listStatus(cur).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
       s"$path holds an unpartitioned snapshot; the partitioned upsert cannot " +
         "convert it in place — rewrite it once with partitionBy, or keep " +
         "calling the unpartitioned overload")
@@ -279,8 +289,14 @@ object BatchSink {
         val slice = partitionCols.foldLeft(spark.read.parquet(path).filter(pred)) {
           (d, c) => d.withColumn(c, col(c).cast(changes.schema(c).dataType))
         }
+        // lenient schema evolution as in the unpartitioned overload — but
+        // note only TOUCHED partitions widen on this batch; untouched
+        // partitions widen (with nulls) whenever a later delta touches them,
+        // and readers of the whole snapshot see the union schema via
+        // parquet's per-file schema resolution (enable mergeSchema when
+        // reading mid-evolution snapshots with changed column sets)
         graft.sources.Tables.latestPerKey(
-          slice.unionByName(changes), keys, orderCols)
+          slice.unionByName(changes, allowMissingColumns = true), keys, orderCols)
       }
     merged.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(staging.toString)

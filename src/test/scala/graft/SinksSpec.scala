@@ -144,6 +144,18 @@ class SinksSpec extends SparkSuite {
     assert(recovered == Map(1L -> "a3", 2L -> "b1", 3L -> "c1", 4L -> "d1"))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".staging")))
+    // schema evolution: a changelog gaining a column widens the snapshot,
+    // history rows carry null (the reference's lenient schema-on-read
+    // posture, SerdeFactory.java:30)
+    val n5 = graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      spark.createDataFrame(Seq((5L, 1L, "e1", "extra"))).toDF("k", "ver", "v", "w"),
+      Seq("k"), Seq("ver"))
+    assert(n5 == 5)
+    val widened = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("w")))).toMap
+    assert(widened(5L).contains("extra") && widened(1L).isEmpty,
+      s"schema evolution must widen with nulls: $widened")
+
   }
 
   test("partitioned upsertSnapshot merges only touched partitions; untouched files untouched") {
