@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.{OutputTopic, PipelineSpec}
@@ -150,6 +150,7 @@ object BatchSink {
   def upsertSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
       changes: DataFrame, keys: Seq[String], orderCols: Seq[String]): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
+    requireMergeColumns(changes, keys, orderCols)
     // Hadoop FileSystem API, not java.nio: the snapshot lives wherever
     // Spark writes (hdfs://, s3a://, file:) — local-only path ops would
     // silently treat a remote snapshot as absent and clobber it
@@ -164,13 +165,23 @@ object BatchSink {
     if (!fs.exists(cur) && fs.exists(aside))
       require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
     if (fs.exists(aside)) fs.delete(aside, true)
+    // reverse layout guard (the partitioned overload has the mirror): a
+    // partitioned snapshot fed through this flat path would be rewritten in
+    // full AND converted to a flat layout — the silent 100 TB rewrite the
+    // partitioned mode exists to avoid, usually a restart that lost the
+    // partitionCols argument
+    require(!fs.exists(cur) || !fs.listStatus(cur).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$path holds a PARTITIONED snapshot; pass its partitionCols instead " +
+        "of the flat upsert (a flat merge would rewrite and de-partition it)")
     // allowMissingColumns: lenient schema evolution, matching the
     // reference's schema-on-read posture (SerdeFactory.java:30 — unknown
     // fields ignored, missing fields null). A changelog gaining a column
     // widens the snapshot (history rows carry null); a column the changelog
     // stopped sending survives as null on the new versions. Key and order
-    // columns must exist on both sides — latestPerKey resolves them by name
-    // and fails loudly if absent.
+    // columns are guarded above — silently nulling THEM would corrupt the
+    // merge (a null key collapses the batch into one group; a null order
+    // column loses every new version).
     val merged =
       if (fs.exists(cur))
         graft.sources.Tables.latestPerKey(
@@ -234,11 +245,19 @@ object BatchSink {
     require(partitionCols.forall(changes.columns.contains),
       s"changes frame is missing partition columns: " +
         partitionCols.filterNot(changes.columns.contains).mkString(", "))
+    requireMergeColumns(changes, keys, orderCols)
     val cur = new HPath(path)
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
     val aside = new HPath(path + ".old")
     val staging = new HPath(path + ".staging")
-    // crash recovery BEFORE reading: restore any partition whose swap was
+    // crash recovery BEFORE reading. A FLAT aside with cur absent is the
+    // crash window of the UNPARTITIONED overload (its whole-snapshot swap) —
+    // restore it wholesale rather than deleting the only surviving copy; the
+    // layout guard below then rejects the flat snapshot with instructions.
+    if (!fs.exists(cur) && fs.exists(aside) &&
+        leafPartitionDirs(fs, aside, partitionCols.size).isEmpty)
+      require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
+    // Partitioned crash recovery: restore any partition whose swap was
     // interrupted between its two renames (moved aside, replacement never
     // installed); asides next to an installed replacement are just the
     // prior version, dropped with the aside root
@@ -278,23 +297,33 @@ object BatchSink {
         // partition values re-infer their type on read (a LongType bucket
         // comes back IntegerType), and `<=>` on the string forms matches
         // regardless while still referencing only partition columns — so
-        // the file index prunes to the touched directories
-        val pred = touched.map { row =>
+        // the file index prunes to the touched directories. The disjunction
+        // is reduced as a BALANCED tree: a left-deep Or chain over thousands
+        // of legitimately-touched partitions blows Catalyst's recursive
+        // transforms (StackOverflow) long before MaxTouchedPartitions trips.
+        def balancedOr(ps: Seq[Column]): Column =
+          if (ps.size == 1) ps.head
+          else balancedOr(ps.grouped(2).map(_.reduce(_ || _)).toSeq)
+        val pred = balancedOr(touched.toSeq.map { row =>
           partitionCols.zipWithIndex.map { case (c, i) =>
             col(c).cast("string") <=> lit(row.get(i)).cast("string")
           }.reduce(_ && _)
-        }.reduce(_ || _)
-        // align the re-inferred partition column types back to the
-        // changelog's schema before the union
-        val slice = partitionCols.foldLeft(spark.read.parquet(path).filter(pred)) {
+        })
+        // mergeSchema: schema evolution makes per-partition file schemas
+        // heterogeneous (only touched partitions widen); without it, schema
+        // inference can sample an old-schema file and a rewrite would
+        // silently DROP an evolved column's data from the touched partition.
+        // Cost is a parallel footer read, paid only on the pruned merge path.
+        // Then align the re-inferred partition column types back to the
+        // changelog's schema before the union.
+        val slice = partitionCols.foldLeft(
+          spark.read.option("mergeSchema", "true").parquet(path).filter(pred)) {
           (d, c) => d.withColumn(c, col(c).cast(changes.schema(c).dataType))
         }
-        // lenient schema evolution as in the unpartitioned overload — but
-        // note only TOUCHED partitions widen on this batch; untouched
-        // partitions widen (with nulls) whenever a later delta touches them,
-        // and readers of the whole snapshot see the union schema via
-        // parquet's per-file schema resolution (enable mergeSchema when
-        // reading mid-evolution snapshots with changed column sets)
+        // lenient schema evolution as in the unpartitioned overload — only
+        // TOUCHED partitions widen on this batch; untouched partitions widen
+        // (with nulls) whenever a later delta touches them, and readers of a
+        // mid-evolution snapshot should read with mergeSchema too
         graft.sources.Tables.latestPerKey(
           slice.unionByName(changes, allowMissingColumns = true), keys, orderCols)
       }
@@ -338,6 +367,20 @@ object BatchSink {
   def keyBucket(n: Int, keys: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     require(n >= 1, s"bucket count must be >= 1, got $n")
     pmod(hash(keys: _*), lit(n))
+  }
+
+  /** The lenient union (allowMissingColumns) must never be allowed to null
+    * out the MERGE columns themselves: a changelog batch missing a key
+    * column would collapse into one null-key group, and one missing an
+    * order column would lose every new version to the stored rows — both
+    * silently. Schema evolution is for payload columns only.
+    */
+  private def requireMergeColumns(changes: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): Unit = {
+    val missing = (keys ++ orderCols).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"changes frame is missing key/order columns: ${missing.mkString(", ")} " +
+        "(schema evolution applies to payload columns only)")
   }
 
   /** Relative paths (`a=1/b=x`) of the hive-partition leaf directories

@@ -30,8 +30,11 @@ object StreamRunner {
         if spec.eventTime.exists(_.windowType == "session") => OutputMode.Append()
     case ProcessingMode.Aggregation => OutputMode.Update()
     // a dedup_exact transform is a streaming aggregation (min_by per dup
-    // group) regardless of mode — its emission is a per-group changelog,
-    // and Append would reject the unwatermarked aggregate outright
+    // group) — its emission is a per-group changelog, and Append would
+    // reject the unwatermarked aggregate outright. Reached only for the
+    // non-AGGREGATION modes (the arms above win otherwise); stacking
+    // dedup_exact on a streaming AGGREGATION spec is a chained stateful
+    // aggregation, which Spark rejects at start in any mode.
     case _ if spec.transform.exists(_.op == "dedup_exact") => OutputMode.Update()
     case _ => OutputMode.Append()
   }

@@ -215,5 +215,63 @@ class SinksSpec extends SparkSuite {
         batch(Seq((2L, 1L, "b1"))), Seq("k"), Seq("ver"), Seq("bucket"))
     }
     assert(e.getMessage.contains("unpartitioned snapshot"))
+    // merge-column guard: lenient schema evolution must never null out a
+    // key or order column — a batch missing one is a misconfigured writer
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sinks.BatchSink.upsertSnapshot(spark, flat,
+        spark.createDataFrame(Seq((2L, "b1"))).toDF("k", "v"), Seq("k"), Seq("ver"))
+    }
+    assert(e2.getMessage.contains("key/order columns"))
+  }
+
+  test("partitioned upsert: schema evolution survives re-touching; flat-crash aside is restored not deleted") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_evo").toString + "/snap"
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def b3(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 2, ver, v) })
+        .toDF("k", "bucket", "ver", "v")
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      b3(Seq((1L, 1L, "a1"), (2L, 1L, "b1"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    // batch 2 widens bucket=1 with column w
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      spark.createDataFrame(Seq((3L, 1L, 1L, "c1", "wide")))
+        .toDF("k", "bucket", "ver", "v", "w"),
+      Seq("k"), Seq("ver"), Seq("bucket"))
+    // batch 3 re-touches bucket=1 WITHOUT w: the slice read must merge the
+    // heterogeneous file schemas, or w's data would be silently dropped in
+    // the rewrite
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      b3(Seq((5L, 1L, "e1"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    val w = spark.read.option("mergeSchema", "true").parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("w")))).toMap
+    assert(w(3L).contains("wide"),
+      s"evolved column lost when its partition was re-touched: $w")
+    assert(w(5L).isEmpty && w(1L).isEmpty)
+    // cross-overload crash: a FLAT aside (the unpartitioned overload's crash
+    // window) with cur absent must be restored, never deleted — then the
+    // layout guard rejects the flat snapshot with instructions
+    val flat2 = java.nio.file.Files.createTempDirectory("graft_upsert_x").toString + "/snap"
+    graft.sinks.BatchSink.upsertSnapshot(spark, flat2,
+      spark.createDataFrame(Seq((1L, 1L, "a1"))).toDF("k", "ver", "v"), Seq("k"), Seq("ver"))
+    assert(fs.rename(new HPath(flat2), new HPath(flat2 + ".old")))
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.BatchSink.upsertSnapshot(spark, flat2,
+        spark.createDataFrame(Seq((2L, 0L, 1L, "b1"))).toDF("k", "bucket", "ver", "v"),
+        Seq("k"), Seq("ver"), Seq("bucket"))
+    }
+    assert(e.getMessage.contains("unpartitioned snapshot"))
+    // the only copy survived, restored to cur
+    val restored = spark.read.parquet(flat2).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+    assert(restored == Map(1L -> "a1"), s"flat aside was not restored: $restored")
+    // reverse layout guard: the flat overload must refuse a partitioned
+    // snapshot (a restart that lost the partitionCols argument) rather than
+    // silently rewrite and de-partition it
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+        b3(Seq((7L, 1L, "g1"))), Seq("k"), Seq("ver"))
+    }
+    assert(e3.getMessage.contains("PARTITIONED snapshot"))
   }
 }
