@@ -224,6 +224,41 @@ class SinksSpec extends SparkSuite {
     assert(e2.getMessage.contains("key/order columns"))
   }
 
+  test("partitioned upsert over random batches equals one-shot latestPerKey; replay idempotent") {
+    // the KTable-sink equivalence law: any sequence of changelog batches
+    // (with stale versions and immediate replays mixed in) must converge to
+    // latestPerKey over the concatenation of everything ingested — the
+    // same law the reference's RocksDB-backed KTable provides
+    val rng = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_prop").toString + "/snap"
+    val ingested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    var version = 0L
+    for (b <- 1 to 6) {
+      val rows = Seq.fill(1 + rng.nextInt(20)) {
+        val k = rng.nextInt(12).toLong
+        version += 1
+        // ~20% stale versions; the value is a pure function of (k, ver) so
+        // an accidental (k, ver) tie cannot make "latest" ambiguous
+        val v = if (rng.nextInt(5) == 0) math.max(1, version - 10) else version
+        (k, k % 3, v, s"$k-$v")
+      }
+      ingested ++= rows
+      val df = spark.createDataFrame(rows).toDF("k", "bucket", "ver", "v")
+      graft.sinks.BatchSink.upsertSnapshot(spark, dir, df,
+        Seq("k"), Seq("ver"), Seq("bucket"))
+      if (b % 2 == 0) // redelivery: replaying the same batch must be a no-op
+        graft.sinks.BatchSink.upsertSnapshot(spark, dir, df,
+          Seq("k"), Seq("ver"), Seq("bucket"))
+      val got = spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+      val want = graft.sources.Tables.latestPerKey(
+        spark.createDataFrame(ingested.toSeq).toDF("k", "bucket", "ver", "v"),
+        Seq("k"), Seq("ver")).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+      assert(got == want, s"batch $b diverged: got $got want $want")
+    }
+  }
+
   test("partitioned upsert: schema evolution survives re-touching; flat-crash aside is restored not deleted") {
     import org.apache.hadoop.fs.{Path => HPath}
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert_evo").toString + "/snap"
