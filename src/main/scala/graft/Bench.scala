@@ -24,10 +24,31 @@ package graft
   *    re-run (up to 2 extra timed runs) and the reported number is the
   *    median of the LOWEST `runs` timings — contention only ever inflates a
   *    measurement, so the low cluster is the truth;
+  *  - FLOOR DEFENSE against SUSTAINED contention (round 7: q5 shipped
+  *    2.83 s at spread 0.23 — all runs equally slowed — vs 1.10 s focused;
+  *    the spread defense cannot see uniform slowdown): per-query best-known
+  *    times persist across rounds in `bench_out/floor-<sf>.json` (min over
+  *    every run at that SF), and a query whose trimmed median still exceeds
+  *    3× its floor (and the floor by ≥ 0.5 s absolute — sub-second queries
+  *    jitter past 3× on pure JVM noise) buys up to 2 more runs exactly like
+  *    the spread defense. The floor file is updated after every sweep, so
+  *    it tracks the code: a genuine optimization lowers it next run, and a
+  *    genuine regression reports slow on EVERY run — which no noise defense
+  *    can (or should) hide. Floors are per-SF: a dev sweep at sf0.01 must
+  *    not make every sf0.1 number look contended;
   *  - the COMPLETE report JSON is also written to `bench_out/last.json`:
   *    the driver captures only the tail of stdout, and round 6's very long
   *    single line lost the q-series and all spread data — the file copy can
-  *    never truncate.
+  *    never truncate. After the long line, ONE SHORT self-describing
+  *    summary line (total + pointer to the file) is printed so a
+  *    tail-truncated capture of the long line can never be misread as
+  *    per-query data (both the r6 and r7 artifacts were, in opposite
+  *    directions);
+  *  - alongside the trimmed "spread", the artifact carries "spread_all"
+  *    (max−min over ALL passing runs including discarded high samples) and
+  *    "extra_runs" — so a persistent slow mode that the trimming hides
+  *    (a real intermittent spill/GC regression) stays visible (round-7
+  *    advisor).
   *
   * A failed query reports its elapsed time NEGATED and is listed under
   * "failed" — unambiguous in the artifact, instead of blending into the
@@ -56,6 +77,18 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
         unknown.toSeq.sorted.mkString(", "))
     }
+    val outDir = java.nio.file.Paths.get("bench_out")
+    java.nio.file.Files.createDirectories(outDir)
+    // per-SF floor file: {"query":secs,...} — parsed with a regex instead
+    // of a JSON lib (none on the engine classpath) which is safe because
+    // this process is the only writer and writes exactly that flat shape
+    val floorPath = outDir.resolve(
+      s"floor-${java.nio.file.Paths.get(sfDir).getFileName}.json")
+    val floors: Map[String, Double] =
+      if (!java.nio.file.Files.exists(floorPath)) Map.empty
+      else "\"([^\"]+)\":([0-9.eE+-]+)".r
+        .findAllMatchIn(java.nio.file.Files.readString(floorPath))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val spark = GraftSession.get()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -124,6 +157,25 @@ object Bench {
         if (fail) extraFailed = true else timings += ((secs, false))
         extras += 1
       }
+      // floor defense: SUSTAINED contention slows every run equally, so the
+      // spread looks clean while the median is 2-3× truth. If the trimmed
+      // median exceeds 3× the best this query has EVER run at this SF (and
+      // by >= 0.5 s absolute — sub-second queries jitter past 3× on JVM
+      // noise alone), buy up to 2 more runs. A real regression stays slow
+      // on every extra run and reports slow; only noise gets shaken off.
+      var floorExtras = 0
+      while (!failed && !extraFailed && runs > 1 && floorExtras < 2 &&
+          floors.get(name).exists { f =>
+            val m = windowMedian(bestWindow)
+            m > 3 * f && m - f > 0.5
+          }) {
+        System.err.println(f"[bench] $name median ${windowMedian(bestWindow)}%.2f " +
+          f"exceeds 3x floor ${floors(name)}%.2f — extra run ${floorExtras + 1}/2 " +
+          "to rule out sustained ambient load")
+        val (secs, fail) = timeOnce()
+        if (fail) extraFailed = true else timings += ((secs, false))
+        floorExtras += 1
+      }
       // failed → report the FAILING run's elapsed time negated (the loop
       // stops on it, so it is the last entry) — a median over mixed
       // passed/failed runs would negate a successful run's duration
@@ -136,20 +188,32 @@ object Bench {
       // in ONE full-sweep run) — a spread rivaling the median says "re-run
       // focused before believing this number"
       val spread = if (failed) 0.0 else windowSpread(window)
-      (name, if (failed) -reported else reported, failed, spread)
+      // untrimmed spread over ALL passing runs: the trimming that defends
+      // against contention would also hide a REAL intermittent slow mode
+      // (bimodal spill/GC); spread_all >> spread in the artifact is that
+      // signal surviving (round-7 advisor)
+      val allPassed = timings.collect { case (t, false) => t }.toSeq
+      val spreadAll = if (failed) 0.0 else windowSpread(allPassed)
+      (name, if (failed) -reported else reported, failed, spread, spreadAll,
+        extras + floorExtras)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // Locale.ROOT: the f-interpolator is locale-sensitive, and a
+    // comma-decimal locale would emit unparseable JSON
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, _, s) =>
-      // Locale.ROOT: the f-interpolator is locale-sensitive, and a
-      // comma-decimal locale would emit unparseable JSON
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(s)) }.mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true, _) => "\"" + k + "\"" }
+    val spreads = results.map { case (k, _, _, s, _, _) =>
+      "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
+    val spreadsAll = results.map { case (k, _, _, _, sa, _) =>
+      "\"" + k + "\":" + fmt(sa) }.mkString("{", ",", "}")
+    val extraRuns = results.collect { case (k, _, _, _, _, e) if e > 0 =>
+      "\"" + k + "\":" + e }.mkString("{", ",", "}")
+    val failedList = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false, _) => v }.sum
+    val total = results.collect { case (_, v, false, _, _, _) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spreads,"failed":$failedList,"sf":"$sfDir"}"""
+      s""""spread":$spreads,"spread_all":$spreadsAll,"extra_runs":$extraRuns,""" +
+      s""""failed":$failedList,"sf":"$sfDir"}"""
     println(json)
     // durable copy: the driver captures only the TAIL of stdout, and round
     // 6's single long line lost the q-series + spread evidence exactly when
@@ -157,10 +221,26 @@ object Bench {
     // Files.write THROWS on I/O errors — PrintWriter would swallow a
     // disk-full mid-write into its internal error flag and exit success
     // with a truncated file, the very failure mode this copy exists to kill
-    val outDir = java.nio.file.Paths.get("bench_out")
-    java.nio.file.Files.createDirectories(outDir)
     java.nio.file.Files.write(outDir.resolve("last.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // roll the per-SF floor file forward: min(known floor, this sweep) per
+    // passing query — the floor a FUTURE sweep's medians are judged against.
+    // MERGED over the existing floors, not replaced: a focused
+    // SPARK_GRAFT_BENCH_ONLY run must refine its queries' floors without
+    // dropping everyone else's
+    val newFloors = floors ++ results.collect { case (k, v, false, _, _, _) =>
+      k -> floors.get(k).fold(v)(math.min(_, v)) }
+    java.nio.file.Files.write(floorPath,
+      newFloors.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // tail-safe summary: the driver keeps only the END of stdout, and a
+    // truncated slice of the long line above has twice been misread as
+    // per-query data. This short final line is what a tail capture ends
+    // with — self-describing, with the pointer to the complete report.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"failed_count":${results.count(_._3)},""" +
+      s""""full_report":"bench_out/last.json"}""")
     spark.stop()
   }
 }

@@ -210,7 +210,8 @@ object BatchSink {
     *
     *  1. collects the partition tuples it touches
     *     (`changes.select(partitionCols).distinct()` — bounded by the batch,
-    *     guarded at [[MaxTouchedPartitions]]),
+    *     guarded at [[DefaultMaxTouchedPartitions]] /
+    *     `graft.sink.maxTouchedPartitions`),
     *  2. reads ONLY those partitions of the stored snapshot (the predicate
     *     references partition columns only, so the file index prunes
     *     directories — untouched terabytes are never opened),
@@ -285,30 +286,17 @@ object BatchSink {
 
     val touched = changes.select(partitionCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0L // empty micro-batch: snapshot unchanged
-    require(touched.length <= MaxTouchedPartitions,
+    val maxTouched = maxTouchedPartitions(spark)
+    require(touched.length <= maxTouched,
       s"changelog batch touches ${touched.length} partitions (> " +
-        s"$MaxTouchedPartitions) — the partitioning is finer than the delta; " +
-        "coarsen partitionCols or fall back to the unpartitioned upsert")
+        s"$maxTouched) — the partitioning is finer than the delta; " +
+        "coarsen partitionCols, raise graft.sink.maxTouchedPartitions, or " +
+        "fall back to the unpartitioned upsert")
 
     val merged =
       if (!fs.exists(cur)) graft.sources.Tables.latestPerKey(changes, keys, orderCols)
       else {
-        // compare on the string rendering of both sides: directory-derived
-        // partition values re-infer their type on read (a LongType bucket
-        // comes back IntegerType), and `<=>` on the string forms matches
-        // regardless while still referencing only partition columns — so
-        // the file index prunes to the touched directories. The disjunction
-        // is reduced as a BALANCED tree: a left-deep Or chain over thousands
-        // of legitimately-touched partitions blows Catalyst's recursive
-        // transforms (StackOverflow) long before MaxTouchedPartitions trips.
-        def balancedOr(ps: Seq[Column]): Column =
-          if (ps.size == 1) ps.head
-          else balancedOr(ps.grouped(2).map(_.reduce(_ || _)).toSeq)
-        val pred = balancedOr(touched.toSeq.map { row =>
-          partitionCols.zipWithIndex.map { case (c, i) =>
-            col(c).cast("string") <=> lit(row.get(i)).cast("string")
-          }.reduce(_ && _)
-        })
+        val pred = touchedPartitionPredicate(touched.toSeq, partitionCols)
         // mergeSchema: schema evolution makes per-partition file schemas
         // heterogeneous (only touched partitions widen); without it, schema
         // inference can sample an old-schema file and a rewrite would
@@ -351,11 +339,49 @@ object BatchSink {
     n
   }
 
-  /** A changelog batch touching this many partitions signals a layout finer
-    * than the delta — the touched-tuple collect and the per-partition rename
-    * loop are driver-side and must stay bounded.
+  /** Pruning predicate for the touched snapshot slice. Compares the STRING
+    * rendering of both sides: directory-derived partition values re-infer
+    * their type on read (a LongType bucket comes back IntegerType), and
+    * `<=>` on the string forms matches regardless while still referencing
+    * only partition columns — so the file index prunes to the touched
+    * directories (pinned by SinksSpec's files-read test: replacing this
+    * with a non-prunable form fails that test, not just slows down). The
+    * disjunction is reduced as a BALANCED tree: a left-deep Or chain over
+    * thousands of legitimately-touched partitions blows Catalyst's
+    * recursive transforms (StackOverflow) long before the touched-partition
+    * cap trips. Package-visible so the cap's planning cost is measurable
+    * in a test at exactly the shape the merge builds.
     */
-  val MaxTouchedPartitions = 100000
+  private[graft] def touchedPartitionPredicate(
+      touched: Seq[org.apache.spark.sql.Row], partitionCols: Seq[String]): Column = {
+    def balancedOr(ps: Seq[Column]): Column =
+      if (ps.size == 1) ps.head
+      else balancedOr(ps.grouped(2).map(_.reduce(_ || _)).toSeq)
+    balancedOr(touched.map { row =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("string") <=> lit(row.get(i)).cast("string")
+      }.reduce(_ && _)
+    })
+  }
+
+  /** Guard on how many partitions one changelog batch may touch — the
+    * touched-tuple collect, the pruning disjunction (~2 Catalyst nodes per
+    * tuple per partition column), and the post-merge swap are all
+    * O(touched) DRIVER-side work, and the swap is O(touched) SEQUENTIAL
+    * filesystem renames (two per partition; slower still on object stores
+    * where "rename" is copy+delete). At the 4096 default that is ~8k
+    * renames worst case — seconds on HDFS — and the predicate
+    * analyzes+optimizes in ~2 s cold (measured in SinksSpec).
+    * A batch touching more partitions than this signals a layout finer
+    * than the delta cadence: coarsen the bucketing (DEPLOY.md sizing) —
+    * or raise `graft.sink.maxTouchedPartitions` in the session conf after
+    * accepting the rename latency, which grows linearly.
+    */
+  val DefaultMaxTouchedPartitions = 4096
+
+  private def maxTouchedPartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.sink.maxTouchedPartitions")
+      .map(_.toInt).getOrElse(DefaultMaxTouchedPartitions)
 
   /** Key-determined bucket column for the partitioned snapshot: a writer
     * computes `changes.withColumn("bucket", keyBucket(n, col(key)))` and

@@ -11,7 +11,7 @@ import graft.sources.{CsvSourceResolver, JsonSourceResolver, ParquetSourceResolv
 class CsvSourceSpec extends SparkSuite {
 
   private def dumpTopics(topics: Seq[String]): (String, Map[String, org.apache.spark.sql.types.StructType]) = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val tmp = tempDir("graft-csv")
     val pq = new ParquetSourceResolver(sf(), TestdataCatalog)
     val schemas = topics.map { t =>
       val df = pq.stream(spark, TopicConfig(t))
@@ -63,7 +63,7 @@ class CsvSourceSpec extends SparkSuite {
   }
 
   test("lenient read: malformed CSV fields become typed nulls (PERMISSIVE)") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-lenient")
+    val tmp = tempDirPath("graft-csv-lenient")
     java.nio.file.Files.write(tmp.resolve("t.csv"),
       """id,v
         |1,7

@@ -12,7 +12,7 @@ import graft.sources.{JsonSourceResolver, ParquetSourceResolver}
 class JsonSourceSpec extends SparkSuite {
 
   private def dumpTopics(topics: Seq[String]): (String, Map[String, org.apache.spark.sql.types.StructType]) = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val tmp = tempDir("graft-jsonl")
     val pq = new ParquetSourceResolver(sf(), TestdataCatalog)
     val schemas = topics.map { t =>
       val df = pq.stream(spark, TopicConfig(t))
@@ -58,7 +58,7 @@ class JsonSourceSpec extends SparkSuite {
   }
 
   test("lenient read: missing fields in a JSONL record become typed nulls") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-lenient")
+    val tmp = tempDirPath("graft-jsonl-lenient")
     java.nio.file.Files.write(tmp.resolve("t.jsonl"),
       """{"id": 1, "v": "a"}
         |{"id": 2}""".stripMargin.getBytes)

@@ -152,7 +152,7 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("connected components with reliable checkpoints (cluster fault-tolerance mode)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cc").toString
+    val dir = tempDir("graft-ckpt-cc")
     spark.sparkContext.setCheckpointDir(dir)
     val pairs = spark.createDataFrame(Seq((2L, 3L), (1L, 2L), (10L, 11L)))
       .toDF("id1", "id2")
@@ -266,7 +266,7 @@ class OperatorsSpec extends SparkSuite {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .limit(20)
-    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    val dir = tempDir("graft-quant")
     try {
       graft.operators.Similarity.quantized(e, "embedding")
         .write.mode("overwrite").parquet(dir)
@@ -774,7 +774,7 @@ class OperatorsSpec extends SparkSuite {
     // the storable-history path: shingle frame written to parquet and read
     // back must produce the identical pair set (the recurring-ingest flow)
     spark.catalog.clearCache(); Dedup.releaseInternalCaches()
-    val dir = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val dir = tempDir("graft_hist")
     Dedup.shingleFrame(oldDocs, "doc_id", "text", 3).write.mode("overwrite").parquet(dir)
     val prepared = Dedup.jaccardPairsBetweenPrepared(
       Dedup.shingleFrame(newDocs, "doc_id", "text", 3).persist(),
@@ -803,7 +803,7 @@ class OperatorsSpec extends SparkSuite {
       s"global estimate $global vs exact $exactGlobal")
     // the "stored artifact" claim is real: the sketch binary survives a
     // parquet write/read and the re-read table rolls up to the same answer
-    val dir = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    val dir = tempDir("graft_sk")
     sk.write.mode("overwrite").parquet(dir)
     val reread = graft.operators.Profile.rollupDistinct(
       spark.read.parquet(dir), Nil).head.getLong(0)

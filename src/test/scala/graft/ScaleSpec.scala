@@ -106,7 +106,7 @@ class ScaleSpec extends SparkSuite {
   }
 
   test("partitioned layout: a partition-column filter prunes directories, not rows") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dir = tempDir("graft_part")
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
     graft.operators.Scale.writePartitioned(ev, dir, Seq("event_type"))
     val all = spark.read.parquet(dir)
@@ -129,7 +129,7 @@ class ScaleSpec extends SparkSuite {
   }
 
   test("dynamic partition pruning fires on a join against a filtered dim") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val dir = tempDir("graft_dpp")
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
     graft.operators.Scale.writePartitioned(ev, dir, Seq("event_type"))
     val fact = spark.read.parquet(dir)

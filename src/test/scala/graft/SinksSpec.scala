@@ -38,7 +38,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("end-to-end batch pipeline: spec → join → kafka-shaped sink with partitions (R15/R18)") {
-    val out = Files.createTempDirectory("graft-sink").toString
+    val out = tempDir("graft-sink")
     val spec = PipelineSpec.fromJson(
       """{"id":"orders-customer-enrichment","processingMode":"JOIN_CHAIN",
         |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
@@ -68,7 +68,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("disabled output topic writes nothing (DynamicTopologyBuilder.java:62 gate)") {
-    val out = Files.createTempDirectory("graft-sink2").toString
+    val out = tempDir("graft-sink2")
     val spec = PipelineSpec.fromJson(
       """{"id":"p","processingMode":"SIMPLE_STREAM",
         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
@@ -80,7 +80,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("branches route the one built output to predicate-filtered topics (split)") {
-    val out = Files.createTempDirectory("graft-sink3").toString
+    val out = tempDir("graft-sink3")
     val spec = PipelineSpec.fromJson(
       """{"id":"events-split","processingMode":"SIMPLE_STREAM",
         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
@@ -114,7 +114,7 @@ class SinksSpec extends SparkSuite {
   }
 
   test("upsertSnapshot applies changelog batches last-write-wins; stale updates lose (R2 write side)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/snap"
+    val dir = tempDir("graft_upsert") + "/snap"
     def batch(rows: Seq[(Long, Long, String)]) =
       spark.createDataFrame(rows).toDF("k", "ver", "v")
     // first batch materializes the latest view
@@ -160,7 +160,7 @@ class SinksSpec extends SparkSuite {
 
   test("partitioned upsertSnapshot merges only touched partitions; untouched files untouched") {
     import org.apache.hadoop.fs.{Path => HPath}
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_part").toString + "/snap"
+    val dir = tempDir("graft_upsert_part") + "/snap"
     val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     // bucket is key-determined (k % 2) — the partitioned contract
     def batch(rows: Seq[(Long, Long, String)]) =
@@ -207,7 +207,7 @@ class SinksSpec extends SparkSuite {
     assert(!fs.exists(new HPath(dir + ".staging")))
     // layout guard: a partitioned upsert must refuse a flat snapshot rather
     // than install partition dirs next to its part-files
-    val flat = java.nio.file.Files.createTempDirectory("graft_upsert_flat").toString + "/snap"
+    val flat = tempDir("graft_upsert_flat") + "/snap"
     graft.sinks.BatchSink.upsertSnapshot(spark, flat,
       batch(Seq((1L, 1L, "a1"))), Seq("k"), Seq("ver"))
     val e = intercept[IllegalArgumentException] {
@@ -224,13 +224,102 @@ class SinksSpec extends SparkSuite {
     assert(e2.getMessage.contains("key/order columns"))
   }
 
+  test("partitioned upsert READS only the touched partitions (pruning pinned on the executed plan)") {
+    // The 100 TB claim of the partitioned sink is on the READ side: a
+    // micro-batch merge must scan |touched partitions|, not |snapshot|.
+    // SinksSpec already pins that untouched partitions aren't REWRITTEN;
+    // this pins they aren't READ — the executed merge plan's snapshot scan
+    // must carry non-empty partitionFilters and open only the touched
+    // directory's files. If a Spark upgrade stops recognizing the
+    // `cast(col as string) <=> lit` predicate form as a partition filter
+    // (Sinks.touchedPartitionPredicate), this fails instead of silently
+    // degrading every merge to a full-snapshot scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val dir = tempDir("graft_upsert_prune") + "/snap"
+    def batch(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 4, ver, v) })
+        .toDF("k", "bucket", "ver", "v")
+    // seed all four buckets
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((0L, 1L, "a"), (1L, 1L, "b"), (2L, 1L, "c"), (3L, 1L, "d"))),
+      Seq("k"), Seq("ver"), Seq("bucket"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dataFiles(p: String): Int = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val touchedBucketFiles = dataFiles(dir + "/bucket=1")
+    // capture the merge's snapshot scan from the EXECUTED plan (AQE wraps
+    // the tree in adaptive/stage nodes that hide children from collect)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec        => scans(q.plan)
+      case f: FileSourceScanExec    => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[FileSourceScanExec]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        scans(qe.executedPlan)
+          .filter(_.relation.location.rootPaths.exists(_.toString.endsWith("/snap")))
+          .foreach(captured.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // delta touches ONLY bucket=1 (k=1 update, k=5 insert; both k%4==1)
+      graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+        batch(Seq((1L, 2L, "b2"), (5L, 1L, "e1"))), Seq("k"), Seq("ver"), Seq("bucket"))
+      // the execution listener bus is asynchronous — wait for the capture
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val scan = {
+        assert(!captured.isEmpty, "merge produced no snapshot FileSourceScanExec")
+        captured.peek()
+      }
+      assert(scan.partitionFilters.nonEmpty,
+        "snapshot slice scan lost its partition filters — the merge predicate " +
+          "no longer qualifies for directory pruning (full-snapshot scan at 100 TB)")
+      assert(scan.metrics("numPartitions").value == 1,
+        s"merge read ${scan.metrics("numPartitions").value} partition dirs for a " +
+          "one-bucket delta — untouched directories were opened")
+      assert(scan.metrics("numFiles").value == touchedBucketFiles,
+        s"merge read ${scan.metrics("numFiles").value} files; bucket=1 holds " +
+          s"$touchedBucketFiles — untouched partitions' files were read")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("touched-partition predicate at the default cap plans in bounded time") {
+    // DefaultMaxTouchedPartitions bounds driver-side work: the pruning
+    // disjunction at the cap (~4 Catalyst nodes per tuple) must stay cheap
+    // to analyze + optimize — this measures exactly the predicate shape the
+    // merge builds, at the full cap, and bounds it. (Measured ~2 s at
+    // 4096 tuples on local[4] cold; the 30 s assert absorbs CI noise while
+    // still failing on the quadratic blowup this guards against.)
+    import org.apache.spark.sql.functions.col
+    val n = graft.sinks.BatchSink.DefaultMaxTouchedPartitions
+    val touched = (0 until n).map(i => org.apache.spark.sql.Row(i.toLong))
+    val pred = graft.sinks.BatchSink.touchedPartitionPredicate(touched, Seq("bucket"))
+    val df = spark.range(16).withColumn("bucket", col("id") % 8)
+    val t0 = System.nanoTime()
+    val optimized = df.filter(pred).queryExecution.optimizedPlan
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"predicate over $n touched partitions planned in $secs%.2f s")
+    assert(optimized != null)
+    assert(secs < 30.0,
+      f"predicate over $n touched partitions took $secs%.1f s to plan — " +
+        "lower the cap or chunk the merge into waves")
+  }
+
   test("partitioned upsert over random batches equals one-shot latestPerKey; replay idempotent") {
     // the KTable-sink equivalence law: any sequence of changelog batches
     // (with stale versions and immediate replays mixed in) must converge to
     // latestPerKey over the concatenation of everything ingested — the
     // same law the reference's RocksDB-backed KTable provides
     val rng = new scala.util.Random(7)
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_prop").toString + "/snap"
+    val dir = tempDir("graft_upsert_prop") + "/snap"
     val ingested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
     var version = 0L
     for (b <- 1 to 6) {
@@ -261,7 +350,7 @@ class SinksSpec extends SparkSuite {
 
   test("partitioned upsert: schema evolution survives re-touching; flat-crash aside is restored not deleted") {
     import org.apache.hadoop.fs.{Path => HPath}
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_evo").toString + "/snap"
+    val dir = tempDir("graft_upsert_evo") + "/snap"
     val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
     def b3(rows: Seq[(Long, Long, String)]) =
       spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 2, ver, v) })
@@ -286,7 +375,7 @@ class SinksSpec extends SparkSuite {
     // cross-overload crash: a FLAT aside (the unpartitioned overload's crash
     // window) with cur absent must be restored, never deleted — then the
     // layout guard rejects the flat snapshot with instructions
-    val flat2 = java.nio.file.Files.createTempDirectory("graft_upsert_x").toString + "/snap"
+    val flat2 = tempDir("graft_upsert_x") + "/snap"
     graft.sinks.BatchSink.upsertSnapshot(spark, flat2,
       spark.createDataFrame(Seq((1L, 1L, "a1"))).toDF("k", "ver", "v"), Seq("k"), Seq("ver"))
     assert(fs.rename(new HPath(flat2), new HPath(flat2 + ".old")))

@@ -16,7 +16,7 @@ class StateStoreSpec extends SparkSuite {
   import ss.implicits._
 
   test("aggregation state survives a stop/restart from the checkpoint (R11 state store)") {
-    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = tempDir("graft-ckpt")
     val input = MemoryStream[Long](ss, 2)
     val counts = input.toDF().toDF("user_id").groupBy("user_id").count()
 
@@ -49,7 +49,7 @@ class StateStoreSpec extends SparkSuite {
       "available for matching long after the original micro batch finished " +
       "processing its documents through the streaming near dup operator"
     val nearDup = base.replace("finished", "completed")
-    val ckpt = Files.createTempDirectory("graft-ckpt-neardup").toString
+    val ckpt = tempDir("graft-ckpt-neardup")
     val input = MemoryStream[(Long, String)](ss, 2)
     val pairs = graft.streaming.StreamingDedup.nearDupPairs(
       input.toDF().toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)

@@ -269,7 +269,7 @@ class StreamRunnerSpec extends SparkSuite {
       """{"id":"snap","processingMode":"SIMPLE_STREAM",
         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
         |"outputTopic":{"enabled":true,"name":"snap-out"}}""".stripMargin)
-    val base = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val base = tempDir("graft_snap")
     val q = StreamRunner.startSnapshotSink(spark, spec, mem,
       s"$base/table", Seq("event_id"), Seq("ver"), s"$base/ckpt")
     try {
@@ -302,7 +302,7 @@ class StreamRunnerSpec extends SparkSuite {
         |"groupByKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
         |"groupByKeyType":"java.lang.Long",
         |"stateStoreName":"s","outputTopic":{"enabled":true,"name":"snap-agg-out"}}""".stripMargin)
-    val base = java.nio.file.Files.createTempDirectory("graft_snap_agg").toString
+    val base = tempDir("graft_snap_agg")
     // per-key counts only grow, so the count IS a valid last-write-wins
     // version column for the upsert
     val q = StreamRunner.startSnapshotSink(spark, spec, mem,
@@ -371,6 +371,70 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("partitioned snapshot sink: bucketed merge through foreachBatch survives a checkpoint restart") {
+    // startSnapshotSink(partitionCols=...) end-to-end: a multi-batch
+    // changelog into a bucketed snapshot, killed and restarted across its
+    // checkpoint. The restarted query must resume (not replay committed
+    // batches), a post-restart delta must merge only its bucket (an
+    // untouched bucket's files carry over unrewritten — mtimes pinned),
+    // and the converged snapshot must equal latestPerKey over everything
+    // ingested (the equivalence law, now across a query lifetime boundary).
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, String)](ss, 2) // (k, ver, v)
+    val mem = new graft.sources.SourceResolver {
+      // bucket is key-determined (k % 3) — the partitioned-upsert contract
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        input.toDF().toDF("event_id", "ver", "v")
+          .withColumn("bucket", col("event_id") % 3)
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        fail("no table side in this spec")
+      override def catalog = TestdataCatalog
+    }
+    val spec = PipelineSpec.fromJson(
+      """{"id":"snap-part","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"snap-part-out"}}""".stripMargin)
+    val base = tempDir("graft_snap_part")
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("event_id"), Seq("ver"), s"$base/ckpt", Seq("bucket"))
+    val ingested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    def ingest(q: org.apache.spark.sql.streaming.StreamingQuery,
+        rows: (Long, Long, String)*): Unit = {
+      input.addData(rows: _*); ingested ++= rows
+      q.processAllAvailable()
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime)).sorted
+    def snapshot() = spark.read.parquet(s"$base/table").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("v"))).toMap
+    def want() = graft.sources.Tables.latestPerKey(
+      ingested.toSeq.toDF("event_id", "ver", "v"), Seq("event_id"), Seq("ver"))
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("v"))).toMap
+
+    val q1 = start()
+    try {
+      ingest(q1, (1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1")) // buckets 1,2,0
+      ingest(q1, (2L, 2L, "b2"), (1L, 0L, "stale"))              // buckets 2,1
+      assert(snapshot() == want(), "pre-restart snapshot diverged")
+    } finally q1.stop() // kill across the checkpoint
+    val bucket0Before = files(s"$base/table/bucket=0")
+    assert(bucket0Before.nonEmpty)
+    val q2 = start() // resume from the same checkpoint
+    try {
+      // post-restart delta touches ONLY bucket=1 (1%3, 7%3)
+      ingest(q2, (1L, 2L, "a2"), (7L, 1L, "g1"))
+      assert(snapshot() == want(),
+        "snapshot diverged from latestPerKey across the restart boundary")
+      assert(files(s"$base/table/bucket=0") == bucket0Before,
+        "untouched bucket=0 was rewritten after the restart — the partitioned " +
+          "merge degraded to a full rewrite when resumed from a checkpoint")
+    } finally q2.stop()
+  }
+
   test("KTable loop end-to-end: snapshot sink feeds a stream-static enrichment join") {
     // The versioned-dimension streaming story (DynamicTopologyBuilder.java:159's
     // KStream⋈KTable): one query maintains the dimension SNAPSHOT from its
@@ -399,7 +463,7 @@ class StreamRunnerSpec extends SparkSuite {
       """{"id":"dim-snap","processingMode":"SIMPLE_STREAM",
         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
         |"outputTopic":{"enabled":true,"name":"dim-out"}}""".stripMargin)
-    val base = java.nio.file.Files.createTempDirectory("graft_ktable_loop").toString
+    val base = tempDir("graft_ktable_loop")
     val dimQ = StreamRunner.startSnapshotSink(spark, spec, mem,
       s"$base/dim", Seq("event_id"), Seq("ver"), s"$base/ckpt_dim", Seq("bucket"))
     val evIn = MemoryStream[(Long, Long)](ss, 2) // ev_id, customer key
