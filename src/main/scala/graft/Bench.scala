@@ -105,7 +105,7 @@ object Bench {
       // cache to drain, GC policy) would make them non-comparable, the
       // exact methodology skew this bench fights. Cache population is part
       // of each timed run; carryover is not — draining the dedup registry
-      // too keeps the 107-query × runs loop from accumulating references
+      // too keeps the full query × runs loop from accumulating references
       // to dead query plans.
       def timeOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()

@@ -332,6 +332,24 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"customer-redacted"}}""".stripMargin)
       .select(col("c_custkey").as("custkey"), col("redacted"))
 
+  /** Spec-level contamination screen (x19's zero-shuffle projection form
+    * through JSON config): the benchmark is declared as a parquet path +
+    * filter, compiled to broadcast shingle hashes at build time; the spec's
+    * `filter` then carves the corpus side — per-row scores are unchanged by
+    * scoring the bench docs too, and the post-transform filter keeps the
+    * op's row-replacing output aligned with the x19 oracle. Hash-matches
+    * the x19_contamination oracle (config path ≡ code path).
+    */
+  def r23SpecContamination(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      s"""{"id":"contamination-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"contamination_screen","column":"text",
+         |  "idColumn":"doc_id","shingleSize":3,
+         |  "benchPath":"$dir/documents.parquet","benchFilter":"doc_id < 20"}],
+         |"filter":"doc_id >= 20",
+         |"outputTopic":{"enabled":true,"name":"docs-contamination"}}""".stripMargin)
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2533,7 +2551,9 @@ object Queries {
       ("x3_knn_quantized" -> oracles0("x3_knn_exact")) +
       // the zero-shuffle projection form must score identically to the
       // join form — same oracle, alternate execution shape pinned
-      ("x19_contamination_stream" -> oracles0("x19_contamination"))
+      ("x19_contamination_stream" -> oracles0("x19_contamination")) +
+      // the config-declared screen must hash-match the code-path x19 too
+      ("r23_spec_contamination" -> oracles0("x19_contamination"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2552,6 +2572,7 @@ object Queries {
     "r22_spec_transforms" -> r22SpecTransforms _,
     "r22_spec_redact" -> r22SpecRedact _,
     "r22_spec_training" -> r22SpecTraining _,
+    "r23_spec_contamination" -> r23SpecContamination _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -132,10 +132,32 @@ case class OutputTopic(
   *    Batch-only (self-join + iterative CC are not streaming-legal).
   *  - `chunk` (X5): split `column` into `size`-token windows every `stride`
   *    tokens (REPLACES the row set: output is `idColumn`, chunk_id, chunk,
-  *    n_chunk_tokens). Map-side only.
+  *    n_chunk_tokens, with the record key re-attached from `idColumn`).
+  *    Map-side only.
+  *  - `contamination_screen` (X19): score every row's `column` by the
+  *    fraction of its distinct `shingleSize`-word shingles that occur in
+  *    the benchmark at `benchPath` (a parquet path, optionally narrowed by
+  *    the SQL predicate `benchFilter`) — the eval-leakage screen a corpus
+  *    runs before training. The zero-shuffle PROJECTION form: the
+  *    benchmark's distinct shingle hashes are collected once at build time
+  *    (bounded — eval sets are small by definition) and ride into every
+  *    task as one sorted array, so the op is streaming-legal in any output
+  *    mode and adds no exchange in batch. REPLACES the row set with
+  *    (`idColumn`, n_shingles, matched, contamination; key re-attached
+  *    from `idColumn`); thresholding is the spec's `filter`, not baked in.
   *
-  * With these five, the whole x14 training pipeline (filter → near-dedup →
-  * chunk) is expressible as pure JSON — see the r22_spec_training query.
+  * Streaming note: all ops here are map-only on a stream EXCEPT
+  * `dedup_exact`, which becomes an UNWATERMARKED stateful aggregation in
+  * Update mode — state holds one entry per distinct `dupColumns` group
+  * FOREVER. That is the operator's semantics (a late duplicate must still
+  * dedup against the whole history), but on a long-running high-cardinality
+  * stream it is an unbounded-state commitment: budget state for |distinct
+  * groups| (see graft.streaming.StreamRunner.outputModeFor), or bound the
+  * dup domain upstream (e.g. dedup within a windowed aggregation instead).
+  *
+  * With these, the whole x14 training pipeline (filter → near-dedup →
+  * chunk) is expressible as pure JSON — see the r22_spec_training query —
+  * and the x19 screen via r23_spec_contamination.
   */
 case class TransformOp(
     op: String,
@@ -162,7 +184,9 @@ case class TransformOp(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     size: Option[Int] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
-    stride: Option[Int] = None) {
+    stride: Option[Int] = None,
+    benchPath: Option[String] = None,
+    benchFilter: Option[String] = None) {
   def validate(where: String): Unit = op match {
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
@@ -189,9 +213,14 @@ case class TransformOp(
           stride.get <= size.get,
         s"[$where] chunk requires size >= stride >= 1 " +
           "(stride > size would drop tokens)")
+    case "contamination_screen" =>
+      require(column.isDefined && idColumn.isDefined && benchPath.isDefined,
+        s"[$where] contamination_screen requires column, idColumn and benchPath")
+      require(shingleSize.exists(_ >= 1),
+        s"[$where] contamination_screen requires shingleSize >= 1")
     case other => throw new IllegalArgumentException(
-      s"[$where] unknown transform op '$other' " +
-        "(supported: dedup_exact, quality_filter, redact_pii, dedup_near, chunk)")
+      s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
+        "quality_filter, redact_pii, dedup_near, chunk, contamination_screen)")
   }
 }
 

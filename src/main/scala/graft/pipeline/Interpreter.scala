@@ -110,10 +110,37 @@ object Interpreter extends Logging {
         shingleSize = t.shingleSize.get, threshold = t.threshold.get)
       graft.operators.Dedup.keepRepresentatives(persisted, t.idColumn.get, pairs)
     case "chunk" =>
-      graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
-        t.size.get, t.stride.get)
+      rekeyed(df, t.idColumn.get,
+        graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
+          t.size.get, t.stride.get))
+    case "contamination_screen" =>
+      // the benchmark side is a BATCH parquet read even under a streaming
+      // spec (an eval set is a fixed artifact, not a stream), compiled once
+      // at build time to its distinct shingle hashes — bounded by
+      // construction (eval sets are small; the corpus side never collects).
+      // The projection form keeps the op stateless → streaming-legal in
+      // any output mode, and shuffle-free in batch.
+      val bench0 = df.sparkSession.read.parquet(t.benchPath.get)
+      val bench = t.benchFilter.fold(bench0)(f => bench0.filter(expr(f)))
+      val hashes = graft.operators.TextAnalysis.benchShingleHashes(
+        bench, t.column.get, t.shingleSize.get)
+      rekeyed(df, t.idColumn.get,
+        graft.operators.TextAnalysis.contaminationStream(df, hashes,
+          t.idColumn.get, t.column.get, t.shingleSize.get))
     case other => throw new IllegalArgumentException(s"unknown transform op $other")
   }
+
+  /** Row-set-replacing transforms (chunk, contamination_screen) project to
+    * their own output schema and would drop the threaded `__key` — but the
+    * sink projection selects it unconditionally (toKafkaShape), so a spec
+    * combining such a transform with an enabled topic sink used to fail at
+    * start with an unresolved-column error. Re-attach the record key from
+    * the transform's id column: the id is the natural record key of the
+    * derived rows (every Kafka Streams flatMap keeps the incoming key the
+    * same way).
+    */
+  private def rekeyed(in: DataFrame, idColumn: String, out: DataFrame): DataFrame =
+    if (in.columns.contains(KeyCol)) out.withColumn(KeyCol, col(idColumn)) else out
 
   /** Attach the record key column: either the catalog's key for the topic
     * (the "already keyed" Kafka case) or an extraction from the value

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -19,7 +20,7 @@ import graft.sources.SourceResolver
   *    value, like a KTable changelog (DynamicTopologyBuilder.java:203-221's
   *    intended count → toStream()).
   */
-object StreamRunner {
+object StreamRunner extends Logging {
 
   def outputModeFor(spec: PipelineSpec): OutputMode = spec.processingMode match {
     // Session-window streaming aggregation is rejected by Spark in Update
@@ -35,6 +36,14 @@ object StreamRunner {
     // non-AGGREGATION modes (the arms above win otherwise); stacking
     // dedup_exact on a streaming AGGREGATION spec is a chained stateful
     // aggregation, which Spark rejects at start in any mode.
+    // UNBOUNDED STATE: the aggregation is unwatermarked BY DESIGN — a late
+    // duplicate must still dedup against the whole history, so state keeps
+    // one entry per distinct dupColumns group forever. On a long-running
+    // high-cardinality stream that is a real memory commitment: budget the
+    // state store for |distinct groups| (DEPLOY.md), or bound the domain
+    // upstream (window the spec) if history-wide dedup isn't actually the
+    // requirement. build() logs this once per start so the commitment is
+    // explicit, not discovered from a state-store OOM.
     case _ if spec.transform.exists(_.op == "dedup_exact") => OutputMode.Update()
     case _ => OutputMode.Append()
   }
@@ -51,6 +60,10 @@ object StreamRunner {
   def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
     val df = Interpreter.build(spark, spec, sources)
     import org.apache.spark.sql.functions.{col, count, lit, when}
+    if (df.isStreaming && spec.transform.exists(_.op == "dedup_exact"))
+      logWarning(s"[${spec.id}] streaming dedup_exact keeps state per distinct " +
+        "dup group with NO eviction (history-wide dedup semantics) — size the " +
+        "state store for the group cardinality, see outputModeFor")
     if (!df.isStreaming) df
     else {
       val metrics = count(lit(1)).as("rows") +:

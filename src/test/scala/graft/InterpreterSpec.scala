@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.config.PipelineSpec
+import graft.config.{PipelineSpec, TestdataCatalog}
+import graft.sources.ParquetSourceResolver
 
 class InterpreterSpec extends SparkSuite {
 
@@ -269,11 +270,54 @@ class InterpreterSpec extends SparkSuite {
     // chunk stride > size would silently drop tokens between windows
     intercept[IllegalArgumentException](spec(
       """[{"op":"chunk","column":"text","idColumn":"doc_id","size":10,"stride":20}]"""))
+    // a contamination screen without its benchmark is unanswerable
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"contamination_screen","column":"text","idColumn":"doc_id","shingleSize":3}]"""))
     // happy paths parse
     spec("""[{"op":"quality_filter","column":"text","minTokens":5},
            |{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id"},
            |{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,"threshold":0.8},
            |{"op":"chunk","column":"text","idColumn":"doc_id","size":40,"stride":30},
+           |{"op":"contamination_screen","column":"text","idColumn":"doc_id",
+           |  "shingleSize":3,"benchPath":"/x/bench.parquet"},
            |{"op":"redact_pii","column":"text"}]""".stripMargin)
+  }
+
+  test("config contamination screen equals the code-path x19 scores") {
+    val specDf = Queries.r23SpecContamination(spark, sf())
+      .orderBy("doc_id").collect().toSeq
+    val direct = Queries.x19ContaminationStream(spark, sf())
+      .orderBy("doc_id").collect().toSeq
+    assert(specDf.nonEmpty && specDf == direct)
+  }
+
+  test("row-set-replacing transforms keep the record key routable to a topic sink") {
+    // a chunk (or contamination) transform projects to its own schema; the
+    // record key must be re-attached from idColumn so a spec that chains it
+    // into an enabled topic sink writes keyed records instead of failing on
+    // the sink's unresolved __key (round-7 advisor)
+    val out = tempDir("graft-chunk-sink")
+    val spec = PipelineSpec.fromJson(
+      """{"id":"docs-chunked","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"chunk","column":"text","idColumn":"doc_id",
+        |  "size":40,"stride":30}],
+        |"outputTopic":{"enabled":true,"name":"doc-chunks"}}""".stripMargin)
+    val paths = graft.sinks.PipelineRunner.runBatch(spark, spec,
+      new ParquetSourceResolver(sf(), TestdataCatalog), out)
+    val written = spark.read.parquet(paths.head)
+    assert(written.columns.toSeq == Seq("key", "value"))
+    // keys are the chunk's document ids, not nulls
+    val keyed = written.filter(org.apache.spark.sql.functions.col("key").isNotNull)
+    assert(keyed.count() == written.count() && written.count() > 0)
+    val v = written.limit(1).select(
+      org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, chunk_id INT, chunk STRING, n_chunk_tokens INT")).as("v"),
+      org.apache.spark.sql.functions.col("key"))
+      .select("v.doc_id", "key").head()
+    assert(v.getLong(0).toString == v.getString(1),
+      "record key must carry the chunk's doc_id")
   }
 }

@@ -343,6 +343,34 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("contamination_screen transform is streaming-legal (stateless projection, append mode)") {
+    // the config-declared eval-leakage screen must run on a stream in plain
+    // Append mode — its benchmark side is compiled to broadcast hashes at
+    // build time, so the op is a pure projection with no state/watermark
+    val json =
+      s"""{"id":"docs-contam-stream","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"contamination_screen","column":"text",
+         |  "idColumn":"doc_id","shingleSize":3,
+         |  "benchPath":"${sf()}/documents.parquet","benchFilter":"doc_id < 20"}],
+         |"filter":"doc_id >= 20",
+         |"outputTopic":{"enabled":true,"name":"docs-contam-stream"}}""".stripMargin
+    val spec = PipelineSpec.fromJson(json)
+    assert(StreamRunner.outputModeFor(spec) ==
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val q = StreamRunner.startMemory(spark, spec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog), "contam_stream_t")
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("contam_stream_t")
+        .orderBy("doc_id").collect().toSeq
+      val batch = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, spec, new ParquetSourceResolver(sf(), TestdataCatalog)))
+        .orderBy("doc_id").collect().toSeq
+      assert(streaming.nonEmpty && streaming == batch)
+    } finally q.stop()
+  }
+
   test("dedup_exact transform streams in update mode and converges to the batch dedup") {
     // a dedup transform on a stream is a per-group changelog — outputModeFor
     // must pick Update (Append rejects the unwatermarked aggregate), and the
