@@ -350,6 +350,29 @@ object Queries {
          |"filter":"doc_id >= 20",
          |"outputTopic":{"enabled":true,"name":"docs-contamination"}}""".stripMargin)
 
+  /** Spec-level language ID (x5's marker-token heuristic through JSON
+    * config) — hash-matches the x5_lang_id oracle.
+    */
+  def r24SpecLangId(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"langid-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"lang_id","column":"text","outputField":"lang_pred"}],
+         |"outputTopic":{"enabled":true,"name":"docs-langid"}}""".stripMargin)
+      .select("doc_id", "lang_pred")
+
+  /** Spec-level text statistics (x5's quality metrics through JSON config)
+    * — hash-matches the x5_text_stats oracle.
+    */
+  def r24SpecTextStats(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"textstats-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"text_stats","column":"text"}],
+         |"outputTopic":{"enabled":true,"name":"docs-textstats"}}""".stripMargin)
+      .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "n_lex_tokens")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2553,7 +2576,10 @@ object Queries {
       // join form — same oracle, alternate execution shape pinned
       ("x19_contamination_stream" -> oracles0("x19_contamination")) +
       // the config-declared screen must hash-match the code-path x19 too
-      ("r23_spec_contamination" -> oracles0("x19_contamination"))
+      ("r23_spec_contamination" -> oracles0("x19_contamination")) +
+      // config-declared text ops must hash-match their code-path queries
+      ("r24_spec_langid" -> oracles0("x5_lang_id")) +
+      ("r24_spec_textstats" -> oracles0("x5_text_stats"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2573,6 +2599,8 @@ object Queries {
     "r22_spec_redact" -> r22SpecRedact _,
     "r22_spec_training" -> r22SpecTraining _,
     "r23_spec_contamination" -> r23SpecContamination _,
+    "r24_spec_langid" -> r24SpecLangId _,
+    "r24_spec_textstats" -> r24SpecTextStats _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

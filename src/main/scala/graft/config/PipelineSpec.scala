@@ -134,6 +134,14 @@ case class OutputTopic(
   *    tokens (REPLACES the row set: output is `idColumn`, chunk_id, chunk,
   *    n_chunk_tokens, with the record key re-attached from `idColumn`).
   *    Map-side only.
+  *  - `lang_id` (X5): append the n-gram-marker language prediction of
+  *    `column` as `outputField` (default `lang_pred`). Zero shuffles.
+  *  - `text_stats` (X5): append the pretraining quality metrics of
+  *    `column` — n_chars, n_tokens, avg_token_len, punct_ratio,
+  *    stopword_ratio (ratios rounded 6 dp, order-independent), and
+  *    n_lex_tokens. Same-named existing columns are OVERWRITTEN (the op's
+  *    contract is "computed from the text", not "trust the metadata").
+  *    Zero shuffles.
   *  - `contamination_screen` (X19): score every row's `column` by the
   *    fraction of its distinct `shingleSize`-word shingles that occur in
   *    the benchmark at `benchPath` (a parquet path, optionally narrowed by
@@ -218,9 +226,14 @@ case class TransformOp(
         s"[$where] contamination_screen requires column, idColumn and benchPath")
       require(shingleSize.exists(_ >= 1),
         s"[$where] contamination_screen requires shingleSize >= 1")
+    case "lang_id" =>
+      require(column.isDefined, s"[$where] lang_id requires column")
+    case "text_stats" =>
+      require(column.isDefined, s"[$where] text_stats requires column")
     case other => throw new IllegalArgumentException(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
-        "quality_filter, redact_pii, dedup_near, chunk, contamination_screen)")
+        "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
+        "lang_id, text_stats)")
   }
 }
 

@@ -113,6 +113,23 @@ object Interpreter extends Logging {
       rekeyed(df, t.idColumn.get,
         graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
           t.size.get, t.stride.get))
+    case "lang_id" =>
+      df.withColumn(t.outputField.getOrElse("lang_pred"),
+        graft.operators.TextAnalysis.langId(col(t.column.get)))
+    case "text_stats" =>
+      // the same rounded-6dp metric set as the x5_text_stats query —
+      // rounding makes the boundary values order-independent and the
+      // columns oracle-mirrorable; same-named columns are overwritten
+      // (documented contract: computed from the text beats metadata)
+      val m = graft.operators.TextAnalysis.qualityMetrics(col(t.column.get)).toMap
+      df.withColumns(Map(
+        "n_chars" -> m("n_chars"),
+        "n_tokens" -> m("n_tokens"),
+        "avg_token_len" -> round(m("avg_token_len"), 6),
+        "punct_ratio" -> round(m("punct_ratio"), 6),
+        "stopword_ratio" -> round(m("stopword_ratio"), 6),
+        "n_lex_tokens" ->
+          size(graft.operators.TextAnalysis.lexTokens(col(t.column.get))).cast("long")))
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming
       // spec (an eval set is a fixed artifact, not a stream), compiled once

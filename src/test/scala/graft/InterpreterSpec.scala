@@ -280,7 +280,19 @@ class InterpreterSpec extends SparkSuite {
            |{"op":"chunk","column":"text","idColumn":"doc_id","size":40,"stride":30},
            |{"op":"contamination_screen","column":"text","idColumn":"doc_id",
            |  "shingleSize":3,"benchPath":"/x/bench.parquet"},
+           |{"op":"lang_id","column":"text"},
+           |{"op":"text_stats","column":"text"},
            |{"op":"redact_pii","column":"text"}]""".stripMargin)
+    // projection ops still need their input column
+    intercept[IllegalArgumentException](spec("""[{"op":"lang_id"}]"""))
+    intercept[IllegalArgumentException](spec("""[{"op":"text_stats"}]"""))
+  }
+
+  test("config lang_id and text_stats equal their code-path x5 queries") {
+    assert(Queries.r24SpecLangId(spark, sf()).orderBy("doc_id").collect().toSeq ==
+      Queries.x5LangId(spark, sf()).orderBy("doc_id").collect().toSeq)
+    assert(Queries.r24SpecTextStats(spark, sf()).orderBy("doc_id").collect().toSeq ==
+      Queries.x5TextStats(spark, sf()).orderBy("doc_id").collect().toSeq)
   }
 
   test("config contamination screen equals the code-path x19 scores") {
