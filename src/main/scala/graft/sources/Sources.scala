@@ -146,6 +146,32 @@ class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
     })
 }
 
+/** Run pipeline specs over ORC topic dumps (`<dir>/<name>.orc`) — the
+  * columnar interchange sibling of the parquet resolver, for reference
+  * users whose archives live in ORC warehouses (Hive-era lakes). ORC is
+  * self-describing, so unlike CSV/JSONL no declared schema is required:
+  * file schema is authoritative, and predicate pushdown + column pruning
+  * work exactly as for parquet (orc-core ships inside spark-sql). ORC's
+  * TIMESTAMP is microsecond-safe on both sides of the write, so the
+  * parquet nanos workaround does not apply here.
+  */
+class OrcSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceResolver {
+  private val tables = TrieMap.empty[String, DataFrame]
+
+  def path(name: String) = s"$dir/$name.orc"
+
+  override def stream(spark: SparkSession, topic: TopicConfig): DataFrame =
+    spark.read.orc(path(topic.name))
+
+  override def table(spark: SparkSession, topic: TopicConfig): DataFrame =
+    tables.getOrElseUpdate(topic.name, {
+      val df = stream(spark, topic)
+      val order = catalog.orderOf(topic.name)
+      if (order.isEmpty) df
+      else Tables.latestPerKey(df, catalog.keyOf(topic.name), order)
+    })
+}
+
 object Sources {
   /** Floor-convert raw-nanos long columns (read under
     * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
