@@ -233,7 +233,11 @@ class SinksSpec extends SparkSuite {
     // directory's files. If a Spark upgrade stops recognizing the
     // `cast(col as string) <=> lit` predicate form as a partition filter
     // (Sinks.touchedPartitionPredicate), this fails instead of silently
-    // degrading every merge to a full-snapshot scan.
+    // degrading every merge to a full-snapshot scan. Mutation-verified:
+    // with the slice predicate made pruning-ineligible (a data-column
+    // disjunct), partitionFilters came back empty and numPartitions read
+    // all 4 — this test failed on exactly that. Prunability = the
+    // predicate stays DETERMINISTIC and references PARTITION COLUMNS only.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val dir = tempDir("graft_upsert_prune") + "/snap"
