@@ -85,7 +85,15 @@ object Bench {
     val floorPath = outDir.resolve(
       s"floor-${java.nio.file.Paths.get(sfDir).getFileName}.json")
     val floors: Map[String, Double] =
-      if (!java.nio.file.Files.exists(floorPath)) Map.empty
+      if (!java.nio.file.Files.exists(floorPath)) {
+        // bench_out/ resolves against the CWD (the repo root under the
+        // driver's sbt invocation) — say so loudly, because an unexpected
+        // CWD would otherwise just silently disable the floor defense
+        System.err.println(s"[bench] no floor file at ${floorPath.toAbsolutePath} " +
+          "— sustained-contention defense inactive this sweep (first run at " +
+          "this SF, or unexpected working directory)")
+        Map.empty
+      }
       else "\"([^\"]+)\":([0-9.eE+-]+)".r
         .findAllMatchIn(java.nio.file.Files.readString(floorPath))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -194,23 +202,28 @@ object Bench {
       // signal surviving (round-7 advisor)
       val allPassed = timings.collect { case (t, false) => t }.toSeq
       val spreadAll = if (failed) 0.0 else windowSpread(allPassed)
+      // the FLOOR candidate is the minimum run, not the reported median —
+      // a median-fed floor inflates by the run-to-run spread and the 3×
+      // trigger then misses exactly the 2-3× sustained slowdowns it exists
+      // to catch
+      val minRun = if (failed) 0.0 else allPassed.min
       (name, if (failed) -reported else reported, failed, spread, spreadAll,
-        extras + floorExtras)
+        extras + floorExtras, minRun)
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a
     // comma-decimal locale would emit unparseable JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, _, s, _, _) =>
+    val spreads = results.map { case (k, _, _, s, _, _, _) =>
       "\"" + k + "\":" + fmt(s) }.mkString("{", ",", "}")
-    val spreadsAll = results.map { case (k, _, _, _, sa, _) =>
+    val spreadsAll = results.map { case (k, _, _, _, sa, _, _) =>
       "\"" + k + "\":" + fmt(sa) }.mkString("{", ",", "}")
-    val extraRuns = results.collect { case (k, _, _, _, _, e) if e > 0 =>
+    val extraRuns = results.collect { case (k, _, _, _, _, e, _) if e > 0 =>
       "\"" + k + "\":" + e }.mkString("{", ",", "}")
-    val failedList = results.collect { case (k, _, true, _, _, _) => "\"" + k + "\"" }
+    val failedList = results.collect { case (k, _, true, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, false, _, _, _) => v }.sum
+    val total = results.collect { case (_, v, false, _, _, _, _) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""spread":$spreads,"spread_all":$spreadsAll,"extra_runs":$extraRuns,""" +
       s""""failed":$failedList,"sf":"$sfDir"}"""
@@ -228,8 +241,8 @@ object Bench {
     // MERGED over the existing floors, not replaced: a focused
     // SPARK_GRAFT_BENCH_ONLY run must refine its queries' floors without
     // dropping everyone else's
-    val newFloors = floors ++ results.collect { case (k, v, false, _, _, _) =>
-      k -> floors.get(k).fold(v)(math.min(_, v)) }
+    val newFloors = floors ++ results.collect { case (k, _, false, _, _, _, m) =>
+      k -> floors.get(k).fold(m)(math.min(_, m)) }
     java.nio.file.Files.write(floorPath,
       newFloors.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}\n")

@@ -132,7 +132,8 @@ case class OutputTopic(
   *    Batch-only (self-join + iterative CC are not streaming-legal).
   *  - `chunk` (X5): split `column` into `size`-token windows every `stride`
   *    tokens (REPLACES the row set: output is `idColumn`, chunk_id, chunk,
-  *    n_chunk_tokens, with the record key re-attached from `idColumn`).
+  *    n_chunk_tokens, with the incoming record key carried through — each
+  *    chunk derives from one input row, Kafka Streams flatMap semantics).
   *    Map-side only.
   *  - `lang_id` (X5): append the n-gram-marker language prediction of
   *    `column` as `outputField` (default `lang_pred`). Zero shuffles.
@@ -151,8 +152,9 @@ case class OutputTopic(
   *    (bounded — eval sets are small by definition) and ride into every
   *    task as one sorted array, so the op is streaming-legal in any output
   *    mode and adds no exchange in batch. REPLACES the row set with
-  *    (`idColumn`, n_shingles, matched, contamination; key re-attached
-  *    from `idColumn`); thresholding is the spec's `filter`, not baked in.
+  *    (`idColumn`, n_shingles, matched, contamination; the incoming record
+  *    key carried through); thresholding is the spec's `filter`, not baked
+  *    in.
   *
   * Streaming note: all ops here are map-only on a stream EXCEPT
   * `dedup_exact`, which becomes an UNWATERMARKED stateful aggregation in

@@ -157,26 +157,30 @@ object TextAnalysis {
     * rows are map-side only: no shuffle at all.
     */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
-      size: Int, stride: Int): DataFrame = {
+      size: Int, stride: Int, carryCols: Seq[String] = Nil): DataFrame = {
     require(size >= 1 && stride >= 1 && stride <= size,
       "need size >= stride >= 1 (stride > size would drop tokens)")
+    // carryCols ride along unchanged (each chunk derives from exactly one
+    // input row) — how the interpreter keeps the record key through the
+    // row-replacing projection without changing its value or type
+    val carry = carryCols.map(col)
     val t = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: carry :+ tokens(col(textCol)).as("__toks"): _*)
       .withColumn("__n", org.apache.spark.sql.functions.size(col("__toks")))
       .filter(col("__n") > 0)
     // last start = ceil((n - size) / stride), floored at 0: the first i with
     // i*stride + size >= n
     val lastStart = greatest(lit(0),
       floor((col("__n") - size + stride - 1) / stride)).cast("int")
-    t.select(col(idCol),
+    t.select(col(idCol) +: carry ++: Seq(
         explode(sequence(lit(0), lastStart)).as("chunk_id"),
-        col("__toks"), col("__n"))
-      .select(col(idCol), col("chunk_id"),
+        col("__toks"), col("__n")): _*)
+      .select(col(idCol) +: carry ++: Seq(col("chunk_id"),
         array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(size)), " ")
           .as("chunk"),
         // arithmetic, not a second slice: the window is full-size except the
         // last, which holds the n − i·stride remaining tokens
-        least(lit(size), col("__n") - col("chunk_id") * stride).as("n_chunk_tokens"))
+        least(lit(size), col("__n") - col("chunk_id") * stride).as("n_chunk_tokens")): _*)
   }
 
   /** Deterministic stratified subsample: keep every `interval`-th row per
@@ -282,9 +286,10 @@ object TextAnalysis {
     * are by definition.
     */
   def contaminationStream(docs: DataFrame, benchHashes: Array[Long],
-      idCol: String, textCol: String, shingleSize: Int): DataFrame =
-    docs.select(col(idCol),
-        HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize).as("__sh"))
+      idCol: String, textCol: String, shingleSize: Int,
+      carryCols: Seq[String] = Nil): DataFrame =
+    docs.select(col(idCol) +: carryCols.map(col) :+
+        HashFunctions.hashed_shingles(tokens(col(textCol)), shingleSize).as("__sh"): _*)
       .withColumn("n_shingles", size(col("__sh")))
       .withColumn("matched",
         HashFunctions.set_overlap_count(col("__sh"), benchHashes.toSeq).cast("long"))

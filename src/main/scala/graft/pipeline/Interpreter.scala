@@ -110,9 +110,8 @@ object Interpreter extends Logging {
         shingleSize = t.shingleSize.get, threshold = t.threshold.get)
       graft.operators.Dedup.keepRepresentatives(persisted, t.idColumn.get, pairs)
     case "chunk" =>
-      rekeyed(df, t.idColumn.get,
-        graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
-          t.size.get, t.stride.get))
+      graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
+        t.size.get, t.stride.get, carryCols = keyCarry(df))
     case "lang_id" =>
       df.withColumn(t.outputField.getOrElse("lang_pred"),
         graft.operators.TextAnalysis.langId(col(t.column.get)))
@@ -122,14 +121,18 @@ object Interpreter extends Logging {
       // columns oracle-mirrorable; same-named columns are overwritten
       // (documented contract: computed from the text beats metadata)
       val m = graft.operators.TextAnalysis.qualityMetrics(col(t.column.get)).toMap
-      df.withColumns(Map(
+      // foldLeft, not withColumns(Map(...)): a Map's iteration order would
+      // make the appended column order (and thus sink JSON field order)
+      // hash-dependent instead of the documented n_chars..n_lex_tokens
+      Seq(
         "n_chars" -> m("n_chars"),
         "n_tokens" -> m("n_tokens"),
         "avg_token_len" -> round(m("avg_token_len"), 6),
         "punct_ratio" -> round(m("punct_ratio"), 6),
         "stopword_ratio" -> round(m("stopword_ratio"), 6),
         "n_lex_tokens" ->
-          size(graft.operators.TextAnalysis.lexTokens(col(t.column.get))).cast("long")))
+          size(graft.operators.TextAnalysis.lexTokens(col(t.column.get))).cast("long")
+      ).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming
       // spec (an eval set is a fixed artifact, not a stream), compiled once
@@ -141,9 +144,8 @@ object Interpreter extends Logging {
       val bench = t.benchFilter.fold(bench0)(f => bench0.filter(expr(f)))
       val hashes = graft.operators.TextAnalysis.benchShingleHashes(
         bench, t.column.get, t.shingleSize.get)
-      rekeyed(df, t.idColumn.get,
-        graft.operators.TextAnalysis.contaminationStream(df, hashes,
-          t.idColumn.get, t.column.get, t.shingleSize.get))
+      graft.operators.TextAnalysis.contaminationStream(df, hashes,
+        t.idColumn.get, t.column.get, t.shingleSize.get, carryCols = keyCarry(df))
     case other => throw new IllegalArgumentException(s"unknown transform op $other")
   }
 
@@ -151,13 +153,14 @@ object Interpreter extends Logging {
     * their own output schema and would drop the threaded `__key` — but the
     * sink projection selects it unconditionally (toKafkaShape), so a spec
     * combining such a transform with an enabled topic sink used to fail at
-    * start with an unresolved-column error. Re-attach the record key from
-    * the transform's id column: the id is the natural record key of the
-    * derived rows (every Kafka Streams flatMap keeps the incoming key the
-    * same way).
+    * start with an unresolved-column error. Every derived row comes from
+    * exactly one input row, so the operators CARRY the key column through
+    * their projection — the incoming record key is preserved with its
+    * declared type (Kafka Streams flatMap semantics: derived records keep
+    * the incoming key), never substituted by the id column.
     */
-  private def rekeyed(in: DataFrame, idColumn: String, out: DataFrame): DataFrame =
-    if (in.columns.contains(KeyCol)) out.withColumn(KeyCol, col(idColumn)) else out
+  private def keyCarry(df: DataFrame): Seq[String] =
+    if (df.columns.contains(KeyCol)) Seq(KeyCol) else Nil
 
   /** Attach the record key column: either the catalog's key for the topic
     * (the "already keyed" Kafka case) or an extraction from the value

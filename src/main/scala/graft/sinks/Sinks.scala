@@ -380,8 +380,13 @@ object BatchSink {
   val DefaultMaxTouchedPartitions = 4096
 
   private def maxTouchedPartitions(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.getOption("graft.sink.maxTouchedPartitions")
-      .map(_.toInt).getOrElse(DefaultMaxTouchedPartitions)
+    spark.conf.getOption("graft.sink.maxTouchedPartitions").map { s =>
+      val n = scala.util.Try(s.trim.toInt).getOrElse(throw new IllegalArgumentException(
+        s"graft.sink.maxTouchedPartitions must be a positive integer, got '$s'"))
+      require(n >= 1,
+        s"graft.sink.maxTouchedPartitions must be a positive integer, got '$s'")
+      n
+    }.getOrElse(DefaultMaxTouchedPartitions)
 
   /** Key-determined bucket column for the partitioned snapshot: a writer
     * computes `changes.withColumn("bucket", keyBucket(n, col(key)))` and

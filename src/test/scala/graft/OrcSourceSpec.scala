@@ -39,7 +39,8 @@ class OrcSourceSpec extends SparkSuite {
     def run(r: graft.sources.SourceResolver) =
       Interpreter.build(spark, spec, r)
         .orderBy("orderkey").collect().toSeq
-    assert(run(or).nonEmpty && run(or) == run(pq))
+    val viaOrc = run(or)
+    assert(viaOrc.nonEmpty && viaOrc == run(pq))
   }
 
   test("ORC table view applies the same latest-per-key convention (timestamps round-trip)") {

@@ -32,9 +32,10 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
       val dirs = synchronized(tempDirs.toSeq)
       dirs.foreach { d =>
         if (java.nio.file.Files.exists(d))
-          java.nio.file.Files.walk(d)
-            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          scala.util.Using.resource(java.nio.file.Files.walk(d)) { walk =>
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          }
       }
     } finally super.afterAll()
   }
