@@ -111,7 +111,7 @@ class KafkaTopicProvisioner(admin: () => TopicAdmin) extends TopicProvisioner {
   }
 }
 
-object BatchSink {
+object BatchSink extends org.apache.spark.internal.Logging {
   /** R15: write the pipeline output in Kafka record shape (key string +
     * JSON value) honoring the declared partition count. Gated on
     * `outputTopic.enabled` like DynamicTopologyBuilder.java:62.
@@ -287,11 +287,40 @@ object BatchSink {
     val touched = changes.select(partitionCols.map(col): _*).distinct().collect()
     if (touched.isEmpty) return 0L // empty micro-batch: snapshot unchanged
     val maxTouched = maxTouchedPartitions(spark)
-    require(touched.length <= maxTouched,
-      s"changelog batch touches ${touched.length} partitions (> " +
-        s"$maxTouched) — the partitioning is finer than the delta; " +
-        "coarsen partitionCols, raise graft.sink.maxTouchedPartitions, or " +
-        "fall back to the unpartitioned upsert")
+    if (touched.length > maxTouched) {
+      // On the recurring changelog cadence this almost always means the
+      // layout is finer than the delta — fail with instructions. The
+      // sanctioned exception is a BULK BACKFILL (initial load, historical
+      // re-ingest) that legitimately touches most of the table: with
+      // graft.sink.mergeWaves=true it proceeds in sequential waves of
+      // maxTouched partitions, so per-write planning (the pruning
+      // disjunction) and the rename batch stay bounded while TOTAL swap
+      // cost remains O(touched) — inherent to touching that many
+      // partitions, not a property of the waves. Each wave recurses into
+      // this method over the cached delta slice, so it inherits the full
+      // crash-recovery + layout-guard + swap protocol; a crash mid-wave
+      // recovers that wave's partitions on the next call and replaying the
+      // batch re-merges idempotently (waves already applied are
+      // last-write-wins no-ops).
+      require(mergeWavesEnabled(spark),
+        s"changelog batch touches ${touched.length} partitions (> " +
+          s"$maxTouched) — usually the partitioning is finer than the " +
+          "delta: coarsen partitionCols or raise " +
+          "graft.sink.maxTouchedPartitions. For a legitimate bulk backfill " +
+          "set graft.sink.mergeWaves=true to merge in bounded sequential " +
+          "waves instead")
+      logWarning(s"[$path] ${touched.length} touched partitions exceed the " +
+        s"$maxTouched cap — merging in ${(touched.length + maxTouched - 1) / maxTouched} " +
+        "sequential waves (graft.sink.mergeWaves=true)")
+      val persisted = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        return touched.grouped(maxTouched).foldLeft(0L) { (acc, wave) =>
+          acc + upsertSnapshot(spark, path,
+            persisted.filter(touchedPartitionPredicate(wave.toSeq, partitionCols)),
+            keys, orderCols, partitionCols)
+        }
+      } finally { persisted.unpersist(); () }
+    }
 
     val merged =
       if (!fs.exists(cur)) graft.sources.Tables.latestPerKey(changes, keys, orderCols)
@@ -378,6 +407,13 @@ object BatchSink {
     * accepting the rename latency, which grows linearly.
     */
   val DefaultMaxTouchedPartitions = 4096
+
+  /** Opt-in wave merge for deltas touching more than the cap — see the
+    * touched-guard comment in the partitioned upsert. Off by default so the
+    * cap keeps catching mis-sized layouts on the recurring cadence.
+    */
+  private def mergeWavesEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("graft.sink.mergeWaves").exists(_.trim.toBoolean)
 
   private def maxTouchedPartitions(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.getOption("graft.sink.maxTouchedPartitions").map { s =>

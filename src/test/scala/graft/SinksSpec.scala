@@ -317,6 +317,56 @@ class SinksSpec extends SparkSuite {
         "lower the cap or chunk the merge into waves")
   }
 
+  test("wave merge: over-cap backfill proceeds in bounded waves when opted in, fails fast otherwise") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = tempDir("graft_upsert_wave") + "/snap"
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def batch(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 4, ver, v) })
+        .toDF("k", "bucket", "ver", "v")
+    // seed all four buckets under the default cap
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((0L, 1L, "a1"), (1L, 1L, "b1"), (2L, 1L, "c1"), (3L, 1L, "d1"))),
+      Seq("k"), Seq("ver"), Seq("bucket"))
+    def files(p: String) = fs.listStatus(new HPath(p)).toSeq
+      .filter(_.isFile).map(s => (s.getPath.getName, s.getModificationTime)).sorted
+    val untouched = files(dir + "/bucket=0")
+    // a "backfill" touching 3 buckets under a cap of 2: without the opt-in
+    // it must fail fast with instructions, leaving the snapshot unchanged
+    spark.conf.set("graft.sink.maxTouchedPartitions", "2")
+    try {
+      val backfill = batch(Seq((1L, 2L, "b2"), (2L, 0L, "stale"), (3L, 2L, "d2"),
+        (5L, 1L, "f1"), (7L, 1L, "h1")))
+      val e = intercept[IllegalArgumentException] {
+        graft.sinks.BatchSink.upsertSnapshot(spark, dir, backfill,
+          Seq("k"), Seq("ver"), Seq("bucket"))
+      }
+      assert(e.getMessage.contains("mergeWaves"))
+      // opted in: two sequential waves, same converged result as one merge
+      spark.conf.set("graft.sink.mergeWaves", "true")
+      val n = graft.sinks.BatchSink.upsertSnapshot(spark, dir, backfill,
+        Seq("k"), Seq("ver"), Seq("bucket"))
+      assert(n == 5, s"waved merge row count over touched partitions: $n")
+      val got = spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+      assert(got == Map(0L -> "a1", 1L -> "b2", 2L -> "c1", 3L -> "d2",
+        5L -> "f1", 7L -> "h1"), s"$got")
+      // bucket=0 was in no wave — its files must carry over unrewritten
+      assert(files(dir + "/bucket=0") == untouched,
+        "wave merge rewrote a partition no wave touched")
+      assert(!fs.exists(new HPath(dir + ".old")) && !fs.exists(new HPath(dir + ".staging")))
+      // replaying the whole backfill is a no-op (idempotence across waves)
+      val n2 = graft.sinks.BatchSink.upsertSnapshot(spark, dir, backfill,
+        Seq("k"), Seq("ver"), Seq("bucket"))
+      assert(n2 == 5)
+      assert(spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap == got)
+    } finally {
+      spark.conf.unset("graft.sink.maxTouchedPartitions")
+      spark.conf.unset("graft.sink.mergeWaves")
+    }
+  }
+
   test("partitioned upsert over random batches equals one-shot latestPerKey; replay idempotent") {
     // the KTable-sink equivalence law: any sequence of changelog batches
     // (with stale versions and immediate replays mixed in) must converge to
