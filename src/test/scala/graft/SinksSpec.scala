@@ -402,6 +402,46 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("wave merge preserves the equivalence law under randomized batches (cap=1: every merge waved)") {
+    // the strongest wave pin: with the cap forced to 1, EVERY multi-bucket
+    // batch splits into one wave per partition — the snapshot must still
+    // converge to one-shot latestPerKey over everything ingested, with
+    // stale versions and replays mixed in, exactly like the unwaved law
+    val rng = new scala.util.Random(13)
+    val dir = tempDir("graft_upsert_wave_prop") + "/snap"
+    spark.conf.set("graft.sink.maxTouchedPartitions", "1")
+    spark.conf.set("graft.sink.mergeWaves", "true")
+    try {
+      val ingested = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+      var version = 0L
+      for (b <- 1 to 4) {
+        val rows = Seq.fill(1 + rng.nextInt(16)) {
+          val k = rng.nextInt(10).toLong
+          version += 1
+          val v = if (rng.nextInt(5) == 0) math.max(1, version - 8) else version
+          (k, k % 3, v, s"$k-$v")
+        }
+        ingested ++= rows
+        val df = spark.createDataFrame(rows).toDF("k", "bucket", "ver", "v")
+        graft.sinks.BatchSink.upsertSnapshot(spark, dir, df,
+          Seq("k"), Seq("ver"), Seq("bucket"))
+        if (b % 2 == 0)
+          graft.sinks.BatchSink.upsertSnapshot(spark, dir, df,
+            Seq("k"), Seq("ver"), Seq("bucket"))
+        val got = spark.read.parquet(dir).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+        val want = graft.sources.Tables.latestPerKey(
+          spark.createDataFrame(ingested.toSeq).toDF("k", "bucket", "ver", "v"),
+          Seq("k"), Seq("ver")).collect()
+          .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toMap
+        assert(got == want, s"waved batch $b diverged: got $got want $want")
+      }
+    } finally {
+      spark.conf.unset("graft.sink.maxTouchedPartitions")
+      spark.conf.unset("graft.sink.mergeWaves")
+    }
+  }
+
   test("partitioned upsert: schema evolution survives re-touching; flat-crash aside is restored not deleted") {
     import org.apache.hadoop.fs.{Path => HPath}
     val dir = tempDir("graft_upsert_evo") + "/snap"
