@@ -109,7 +109,10 @@ object StreamRunner extends Logging {
     * `partitionCols` (optional) stores the snapshot hive-partitioned and
     * merges each micro-batch into ONLY the partitions it touches — the
     * 100 TB posture; see BatchSink.upsertSnapshot's partitioned overload
-    * for the key-determinism requirement on the partition columns.
+    * for the key-determinism requirement on the partition columns, and the
+    * session confs `graft.sink.maxTouchedPartitions` (bounds per-batch
+    * driver work) / `graft.sink.mergeWaves` (opt-in waved bulk backfills)
+    * which apply to every micro-batch merge of this sink (DEPLOY.md).
     */
   def startSnapshotSink(spark: SparkSession, spec: PipelineSpec,
       sources: SourceResolver, path: String, keys: Seq[String],
