@@ -373,6 +373,30 @@ object Queries {
       .select("doc_id", "n_chars", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", "n_lex_tokens")
 
+  /** Spec-level stratified sampling (x9's deterministic class balancing
+    * through JSON config) — hash-matches the x9_stratified_sample oracle.
+    */
+  def r25SpecSample(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"sample-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"stratified_sample","stratumColumns":["lang"],
+         |  "idColumn":"doc_id","interval":5}],
+         |"outputTopic":{"enabled":true,"name":"docs-sampled"}}""".stripMargin)
+      .select("doc_id", "lang", "n_chars")
+
+  /** Spec-level weighted source mix (x9's training-mixture reweighting
+    * through JSON config) — hash-matches the x9_weighted_mix oracle.
+    */
+  def r25SpecMix(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"mix-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"weighted_mix","column":"source","idColumn":"doc_id",
+         |  "weights":{"src0":1.0,"src1":0.5,"src2":0.25},"defaultWeight":0.1}],
+         |"outputTopic":{"enabled":true,"name":"docs-mixed"}}""".stripMargin)
+      .select("doc_id", "source", "lang", "n_chars")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2579,7 +2603,9 @@ object Queries {
       ("r23_spec_contamination" -> oracles0("x19_contamination")) +
       // config-declared text ops must hash-match their code-path queries
       ("r24_spec_langid" -> oracles0("x5_lang_id")) +
-      ("r24_spec_textstats" -> oracles0("x5_text_stats"))
+      ("r24_spec_textstats" -> oracles0("x5_text_stats")) +
+      ("r25_spec_sample" -> oracles0("x9_stratified_sample")) +
+      ("r25_spec_mix" -> oracles0("x9_weighted_mix"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2601,6 +2627,8 @@ object Queries {
     "r23_spec_contamination" -> r23SpecContamination _,
     "r24_spec_langid" -> r24SpecLangId _,
     "r24_spec_textstats" -> r24SpecTextStats _,
+    "r25_spec_sample" -> r25SpecSample _,
+    "r25_spec_mix" -> r25SpecMix _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -156,6 +156,18 @@ case class OutputTopic(
   *    key carried through); thresholding is the spec's `filter`, not baked
   *    in.
   *
+  *  - `stratified_sample` (X9): keep every `interval`-th row per
+  *    `stratumColumns` group in stable `idColumn` order — deterministic
+  *    seedless class-balancing. One row_number window exchange; batch-only
+  *    (window over a stream is not streaming-legal — for the streaming /
+  *    billions-per-stratum shape use the hash-threshold form instead,
+  *    see TextAnalysis.stratifiedSample).
+  *  - `weighted_mix` (X9): keep fraction `weights[stratum]` (unlisted
+  *    strata: `defaultWeight`, default 0.0) of each `column` stratum in
+  *    stable `idColumn` order — deterministic training-mixture
+  *    reweighting, exactly ⌊n·w⌋±1 evenly-spread rows per stratum, no RNG.
+  *    Same window exchange + batch-only note as stratified_sample.
+  *
   * Streaming note: all ops here are map-only on a stream EXCEPT
   * `dedup_exact`, which becomes an UNWATERMARKED stateful aggregation in
   * Update mode — state holds one entry per distinct `dupColumns` group
@@ -196,7 +208,32 @@ case class TransformOp(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     stride: Option[Int] = None,
     benchPath: Option[String] = None,
-    benchFilter: Option[String] = None) {
+    benchFilter: Option[String] = None,
+    stratumColumns: Seq[String] = Nil,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    interval: Option[Int] = None,
+    // values arrive boxed by Jackson (Integer for whole-number JSON like
+    // "1") — read them through numericWeights/numericDefaultWeight, never
+    // by unboxing the Scala Double directly
+    weights: Option[Map[String, Double]] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Double])
+    defaultWeight: Option[Double] = None) {
+
+  /** Weight maps cross Jackson with their values boxed by JSON token type
+    * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
+    * normalize through Number so a whole-number weight doesn't blow up at
+    * first unbox.
+    */
+  def numericWeights: Map[String, Double] =
+    // widen to Any BEFORE destructuring: a `case (k, v)` with v typed
+    // Double specializes to an eager unbox that throws on the
+    // Integer-boxed values — the very trap this accessor exists to absorb
+    weights.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
+
+  // defaultWeight is coerced to java.lang.Double by its @JsonDeserialize
+  // contentAs (same pattern as minAvgTokenLen), so plain access is safe
+  def numericDefaultWeight: Double = defaultWeight.getOrElse(0.0)
   def validate(where: String): Unit = op match {
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
@@ -232,10 +269,23 @@ case class TransformOp(
       require(column.isDefined, s"[$where] lang_id requires column")
     case "text_stats" =>
       require(column.isDefined, s"[$where] text_stats requires column")
+    case "stratified_sample" =>
+      require(stratumColumns.nonEmpty && idColumn.isDefined,
+        s"[$where] stratified_sample requires stratumColumns and idColumn")
+      require(interval.exists(_ >= 1),
+        s"[$where] stratified_sample requires interval >= 1")
+    case "weighted_mix" =>
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] weighted_mix requires column (the stratum) and idColumn")
+      require(weights.exists(_.nonEmpty),
+        s"[$where] weighted_mix requires a non-empty weights map")
+      require((numericWeights.values ++ Seq(numericDefaultWeight))
+          .forall(w => w >= 0 && w <= 1),
+        s"[$where] weighted_mix weights must be fractions in [0, 1]")
     case other => throw new IllegalArgumentException(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
-        "lang_id, text_stats)")
+        "lang_id, text_stats, stratified_sample, weighted_mix)")
   }
 }
 

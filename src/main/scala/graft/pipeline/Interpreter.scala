@@ -133,6 +133,18 @@ object Interpreter extends Logging {
         "n_lex_tokens" ->
           size(graft.operators.TextAnalysis.lexTokens(col(t.column.get))).cast("long")
       ).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    case "stratified_sample" =>
+      require(!df.isStreaming,
+        "stratified_sample is batch-only (row_number window); use the " +
+          "hash-threshold form for streams — see TextAnalysis.stratifiedSample")
+      graft.operators.TextAnalysis.stratifiedSample(df, t.stratumColumns,
+        t.idColumn.get, t.interval.get)
+    case "weighted_mix" =>
+      require(!df.isStreaming,
+        "weighted_mix is batch-only (row_number window); use the " +
+          "hash-threshold form for streams — see TextAnalysis.weightedMix")
+      graft.operators.TextAnalysis.weightedMix(df, t.column.get,
+        t.idColumn.get, t.numericWeights, t.numericDefaultWeight)
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming
       // spec (an eval set is a fixed artifact, not a stream), compiled once

@@ -286,6 +286,24 @@ class InterpreterSpec extends SparkSuite {
     // projection ops still need their input column
     intercept[IllegalArgumentException](spec("""[{"op":"lang_id"}]"""))
     intercept[IllegalArgumentException](spec("""[{"op":"text_stats"}]"""))
+    // sampling ops: missing interval / empty weights / out-of-range weight
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"stratified_sample","stratumColumns":["lang"],"idColumn":"doc_id"}]"""))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"weighted_mix","column":"source","idColumn":"doc_id"}]"""))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"weighted_mix","column":"source","idColumn":"doc_id",
+         |  "weights":{"src0":1.5}}]""".stripMargin))
+    // whole-number JSON weights must parse (Jackson boxes them as Integer)
+    spec("""[{"op":"weighted_mix","column":"source","idColumn":"doc_id",
+           |  "weights":{"src0":1,"src1":0.5}}]""".stripMargin)
+  }
+
+  test("config sampling ops equal their code-path x9 queries") {
+    assert(Queries.r25SpecSample(spark, sf()).orderBy("doc_id").collect().toSeq ==
+      Queries.x9StratifiedSample(spark, sf()).orderBy("doc_id").collect().toSeq)
+    assert(Queries.r25SpecMix(spark, sf()).orderBy("doc_id").collect().toSeq ==
+      Queries.x9WeightedMix(spark, sf()).orderBy("doc_id").collect().toSeq)
   }
 
   test("config lang_id and text_stats equal their code-path x5 queries") {
