@@ -397,6 +397,29 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"docs-mixed"}}""".stripMargin)
       .select("doc_id", "source", "lang", "n_chars")
 
+  /** Declarative temporal enrichment (JoinOp.asOf — the versioned-KTable
+    * stream join from pure JSON): every event picks up the profile version
+    * valid AT its event time, from a filtered re-keyed changelog. Same
+    * semantics, merge and DuckDB ASOF oracle as the code-path
+    * [[x7AsofJoin]].
+    */
+  def r26SpecAsOf(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"profile-asof","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"profile-step","type":"LEFT_JOIN",
+         |  "initialSourceIsStream":true,
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |  "enrichmentTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |  "asOf":{"leftTimeColumn":"ts","rightTimeColumn":"ts",
+         |    "enrichmentKeyField":"user_id","enrichmentFilter":"event_id % 10 = 0"},
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"event_id","outputFieldName":"event_id"},
+         |    {"source":"LEFT","sourceFieldName":"user_id","outputFieldName":"user_id"},
+         |    {"source":"LEFT","sourceFieldName":"ts","outputFieldName":"ts"},
+         |    {"source":"RIGHT","sourceFieldName":"value","outputFieldName":"profile_value"}]}],
+         |"outputTopic":{"enabled":true,"name":"profile-enriched"}}""".stripMargin)
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2605,7 +2628,9 @@ object Queries {
       ("r24_spec_langid" -> oracles0("x5_lang_id")) +
       ("r24_spec_textstats" -> oracles0("x5_text_stats")) +
       ("r25_spec_sample" -> oracles0("x9_stratified_sample")) +
-      ("r25_spec_mix" -> oracles0("x9_weighted_mix"))
+      ("r25_spec_mix" -> oracles0("x9_weighted_mix")) +
+      // the declarative temporal step must match the code-path ASOF oracle
+      ("r26_spec_asof" -> oracles0("x7_asof_join"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2629,6 +2654,7 @@ object Queries {
     "r24_spec_textstats" -> r24SpecTextStats _,
     "r25_spec_sample" -> r25SpecSample _,
     "r25_spec_mix" -> r25SpecMix _,
+    "r26_spec_asof" -> r26SpecAsOf _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -84,9 +84,43 @@ object FieldMapping {
     "ceil"   -> ((c: Column) => F.ceil(c)))
 }
 
+/** Temporal (as-of) enrichment config for a join step — the declarative
+  * form of the versioned-KTable stream join (Kafka Streams' versioned
+  * stores: the join looks up the dimension version valid AT the stream
+  * record's time, not the current head). No reference analogue (its joins
+  * are head-only KTable lookups); the semantics are X7's
+  * [[graft.operators.AsOfJoin]], which the step delegates to.
+  *
+  *  - `leftTimeColumn` / `rightTimeColumn`: event time on the stream side,
+  *    version time on the changelog side.
+  *  - `direction`: "backward" (default — latest version at-or-before the
+  *    event, the enrichment shape) or "forward" (earliest at-or-after —
+  *    funnel/next-event matching).
+  *  - `enrichmentKeyField`: VALUE-field re-key of the changelog (a
+  *    versioned store re-keyed to the join key); defaults to the topic's
+  *    catalog key.
+  *  - `enrichmentFilter`: SQL predicate carving the version rows out of
+  *    the changelog (changelog topics often multiplex record kinds).
+  *
+  * An as-of step consumes the enrichment topic's FULL changelog history
+  * (`stream`, never the latest-per-key `table` view — a versioned join
+  * against only the head would be the plain join by a slower route), and
+  * its join type must be LEFT_JOIN: every stream record survives, with
+  * null payload before the first version (ASOF LEFT semantics; filter
+  * afterwards for inner). The record key after the step is the join key
+  * under the enrichment's declared keyClass.
+  */
+case class AsOfSpec(
+    leftTimeColumn: String,
+    rightTimeColumn: String,
+    direction: String = "backward",
+    enrichmentKeyField: Option[String] = None,
+    enrichmentFilter: Option[String] = None)
+
 /** Mirror of JoinOperationConfig (AggregationDefinition.java:57-83).
   * `global = true` marks the enrichment table as a GlobalKTable analogue
   * (KTableRegistry.java:52-57) → broadcast join hint in Spark.
+  * `asOf` switches the step to temporal enrichment — see [[AsOfSpec]].
   */
 case class JoinOp(
     id: String,
@@ -95,7 +129,8 @@ case class JoinOp(
     primaryKeyExtraction: Option[KeyExtraction] = None,
     enrichmentTopic: TopicConfig,
     outputFieldsMapping: Seq[FieldMapping] = Nil,
-    global: Boolean = false)
+    global: Boolean = false,
+    asOf: Option[AsOfSpec] = None)
 
 /** Mirror of OutputTopicConfig (AggregationDefinition.java:112-130).
   * retentionMs == -1 → compacted topic (TopicProvisioner.java:37-43).
@@ -351,6 +386,27 @@ case class PipelineSpec(
         joinOperations.foreach { op =>
           require(op.outputFieldsMapping.nonEmpty, s"[$id/${op.id}] outputFieldsMapping required")
           op.outputFieldsMapping.foreach(_.validate(s"$id/${op.id}"))
+          op.asOf.foreach { a =>
+            val where = s"$id/${op.id}"
+            require(op.`type` == JoinType.Left,
+              s"[$where] an asOf step must be LEFT_JOIN (ASOF LEFT semantics: " +
+                "every stream record survives; filter afterwards for inner)")
+            require(!op.global,
+              s"[$where] asOf steps do not support global (the temporal merge " +
+                "is a per-key union-window, not a broadcast lookup)")
+            require(a.leftTimeColumn.nonEmpty && a.rightTimeColumn.nonEmpty,
+              s"[$where] asOf requires leftTimeColumn and rightTimeColumn")
+            require(Set("backward", "forward").contains(a.direction),
+              s"[$where] asOf direction must be 'backward' or 'forward', " +
+                s"got '${a.direction}'")
+            require(op.outputFieldsMapping.forall(_.expression.isEmpty),
+              s"[$where] expression mappings are not supported in asOf steps " +
+                "(right columns exist only through the carried payload)")
+            val rightSrcs = op.outputFieldsMapping
+              .filter(_.source == "RIGHT").map(_.sourceFieldName)
+            require(rightSrcs.distinct.size == rightSrcs.size,
+              s"[$where] asOf RIGHT mappings must not repeat a sourceFieldName")
+          }
         }
       case ProcessingMode.Aggregation =>
         require(groupByKeyExtraction.isDefined && groupByKeyType.isDefined,

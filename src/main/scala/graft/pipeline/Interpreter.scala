@@ -243,6 +243,11 @@ object Interpreter extends Logging {
           acc0.withColumn(KeyCol, fieldOrNull(acc0, field, s"step-$i output"))
         case _ => acc0
       }
+      if (op.asOf.isDefined) {
+        // temporal step: delegates to the X7 as-of merge, then falls back
+        // into the fold so later steps chain off its projected output
+        buildAsOfStep(spark, spec, sources, acc, op)
+      } else {
       val enrichment0 =
         if (op.global) sources.globalTable(spark, op.enrichmentTopic)
         else sources.table(spark, op.enrichmentTopic)
@@ -316,9 +321,97 @@ object Interpreter extends Logging {
           .as(m.outputFieldName)
       }
       joined.select(carriedKey +: outCols: _*)
+      }
     }
     // Table-rooted chains end in toStream() (DynamicTopologyBuilder.java:179-185)
     // — identity in batch (R14): the latest-per-key view IS the changelog head.
+  }
+
+  /** One temporal join step (JoinOp.asOf — the declarative versioned-KTable
+    * enrichment). Consumes the enrichment topic's FULL changelog history
+    * via `stream` (a versioned join against the latest-per-key `table`
+    * head would just be the plain join), optionally filtered and re-keyed
+    * per the AsOfSpec, and delegates the merge to
+    * [[graft.operators.AsOfJoin]] — one shuffle+sort per-key union-window,
+    * never a time-range theta join. The record key after the step is the
+    * join key under the enrichment's declared keyClass (the same typing
+    * the regular chain compares under); RIGHT mappings travel as the
+    * carried payload struct, LEFT mappings and warn-and-null/defaultValue/
+    * transformationFunction behave exactly as in the regular step.
+    */
+  private def buildAsOfStep(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver, acc: DataFrame, op: JoinOp): DataFrame = {
+    val a = op.asOf.get
+    val changelog0 = sources.stream(spark, op.enrichmentTopic)
+    val changelog = a.enrichmentFilter.fold(changelog0)(f => changelog0.filter(expr(f)))
+    val composite = a.enrichmentKeyField.isEmpty &&
+      sources.catalog.keyOf(op.enrichmentTopic.name).lengthCompare(1) > 0
+    val rightKeyBase: Column = a.enrichmentKeyField match {
+      case Some(f) => fieldOrNull(changelog, f, op.enrichmentTopic.name)
+      case None => sources.catalog.keyOf(op.enrichmentTopic.name) match {
+        case Seq(single) => changelog(single)
+        case many        => struct(many.map(changelog(_)): _*)
+      }
+    }
+    // AsOfJoin owns the __key/__ts/__side/__p names internally — thread the
+    // join key under a reserved name and drop the interpreter's key column
+    // for the duration of the merge (the step's output key IS the join key)
+    val left = acc.filter(col(KeyCol).isNotNull)
+      .withColumn("__asof_k",
+        castKey(col(KeyCol), op.enrichmentTopic.keyClass, composite))
+      .drop(KeyCol)
+    val right = changelog
+      .withColumn("__asof_k",
+        castKey(rightKeyBase, op.enrichmentTopic.keyClass, composite))
+      .filter(col("__asof_k").isNotNull)
+    val rightMappings = op.outputFieldsMapping.filter(_.source == "RIGHT")
+    // warn-and-null: a RIGHT field absent from the changelog becomes a
+    // typed-null output column (it cannot ride the payload struct)
+    val (present, absent) = rightMappings.partition(m =>
+      right.columns.contains(m.sourceFieldName))
+    absent.foreach(m => logWarning(s"[${spec.id}/${op.id}] field " +
+      s"'${m.sourceFieldName}' not found in ${op.enrichmentTopic.name}; " +
+      "emitting null (reference warn-and-null semantics)"))
+    val payload = present.map(m => m.sourceFieldName -> m.outputFieldName).toMap
+    val joined0 =
+      if (a.direction == "forward")
+        graft.operators.AsOfJoin.asOfForward(left, right, "__asof_k",
+          a.leftTimeColumn, a.rightTimeColumn, payload)
+      else
+        graft.operators.AsOfJoin.asOf(left, right, "__asof_k",
+          a.leftTimeColumn, a.rightTimeColumn, payload)
+    val joined = joined0.withColumn(KeyCol, col("__asof_k"))
+    val outCols = op.outputFieldsMapping.map { m =>
+      val exists = m.source match {
+        case "LEFT"  => left.columns.contains(m.sourceFieldName)
+        case "RIGHT" => present.exists(_.sourceFieldName == m.sourceFieldName)
+        case other   => throw new IllegalArgumentException(
+          s"[${op.id}] unknown mapping source $other")
+      }
+      val base = m.source match {
+        case "LEFT" if exists  => joined(m.sourceFieldName)
+        case "RIGHT" if exists => joined(m.outputFieldName)
+        case "LEFT" =>
+          logWarning(s"[${spec.id}/${op.id}] field '${m.sourceFieldName}' not " +
+            "found in left input; emitting null (reference warn-and-null semantics)")
+          lit(null).cast(StringType)
+        case "RIGHT" => lit(null).cast(StringType)
+      }
+      val withDefault = m.defaultValue match {
+        case Some(d) =>
+          val dt = m.source match {
+            case "LEFT" if exists  => left.schema(m.sourceFieldName).dataType
+            case "RIGHT" if exists => right.schema(m.sourceFieldName).dataType
+            case _                 => StringType
+          }
+          coalesce(base, lit(d).cast(dt))
+        case None => base
+      }
+      m.transformationFunction
+        .fold(withDefault)(f => graft.config.FieldMapping.transformations(f)(withDefault))
+        .as(m.outputFieldName)
+    }
+    joined.select(col(KeyCol) +: outCols: _*)
   }
 
   /** ≅ Flow B (DynamicTopologyBuilder.java:37-50 + the stubbed-but-intended

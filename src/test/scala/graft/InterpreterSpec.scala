@@ -299,6 +299,40 @@ class InterpreterSpec extends SparkSuite {
            |  "weights":{"src0":1,"src1":0.5}}]""".stripMargin)
   }
 
+  test("declarative asOf step equals the code-path X7 temporal join") {
+    val viaSpec = Queries.r26SpecAsOf(spark, sf())
+      .orderBy("event_id").collect().toSeq
+    val direct = Queries.x7AsofJoin(spark, sf())
+      .orderBy("event_id").collect().toSeq
+    assert(viaSpec.nonEmpty && viaSpec == direct)
+    // the enrichment is genuinely temporal: some events predate their key's
+    // first profile version (null payload), some carry one
+    assert(viaSpec.exists(_.isNullAt(3)) && viaSpec.exists(!_.isNullAt(3)))
+  }
+
+  test("asOf step validation: LEFT-only, no global/expression mappings, direction checked") {
+    def spec(asOfJson: String, joinType: String = "LEFT_JOIN",
+        extra: String = "") = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"s","type":"$joinType",
+         |  "enrichmentTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |  "asOf":$asOfJson,$extra
+         |  "outputFieldsMapping":[
+         |    {"source":"LEFT","sourceFieldName":"event_id","outputFieldName":"e"}]}]}"""
+        .stripMargin)
+    val ok = """{"leftTimeColumn":"ts","rightTimeColumn":"ts"}"""
+    spec(ok) // happy path parses
+    val e1 = intercept[IllegalArgumentException](spec(ok, joinType = "INNER_JOIN"))
+    assert(e1.getMessage.contains("LEFT_JOIN"))
+    val e2 = intercept[IllegalArgumentException](spec(ok, extra = """"global":true,"""))
+    assert(e2.getMessage.contains("global"))
+    intercept[IllegalArgumentException](spec(
+      """{"leftTimeColumn":"ts","rightTimeColumn":"ts","direction":"sideways"}"""))
+    intercept[IllegalArgumentException](spec(
+      """{"leftTimeColumn":"","rightTimeColumn":"ts"}"""))
+  }
+
   test("config sampling ops equal their code-path x9 queries") {
     assert(Queries.r25SpecSample(spark, sf()).orderBy("doc_id").collect().toSeq ==
       Queries.x9StratifiedSample(spark, sf()).orderBy("doc_id").collect().toSeq)
