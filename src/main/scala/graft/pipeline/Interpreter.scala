@@ -343,6 +343,15 @@ object Interpreter extends Logging {
       sources: SourceResolver, acc: DataFrame, op: JoinOp): DataFrame = {
     val a = op.asOf.get
     val changelog0 = sources.stream(spark, op.enrichmentTopic)
+    // fail with intent, not Spark's unsupported-window chain: the temporal
+    // merge is a per-key window over the union of both FULL histories —
+    // not expressible on an unbounded stream. The streaming shape of
+    // versioned enrichment is the snapshot loop (startSnapshotSink +
+    // per-micro-batch stream-static join, StreamRunnerSpec's KTable loop).
+    require(!acc.isStreaming && !changelog0.isStreaming,
+      s"[${spec.id}/${op.id}] asOf steps are batch-only (the temporal merge " +
+        "windows over full histories); for streaming, maintain the dimension " +
+        "with startSnapshotSink and join stream-static per micro-batch")
     val changelog = a.enrichmentFilter.fold(changelog0)(f => changelog0.filter(expr(f)))
     val composite = a.enrichmentKeyField.isEmpty &&
       sources.catalog.keyOf(op.enrichmentTopic.name).lengthCompare(1) > 0

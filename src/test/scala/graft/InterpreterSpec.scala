@@ -331,6 +331,13 @@ class InterpreterSpec extends SparkSuite {
       """{"leftTimeColumn":"ts","rightTimeColumn":"ts","direction":"sideways"}"""))
     intercept[IllegalArgumentException](spec(
       """{"leftTimeColumn":"","rightTimeColumn":"ts"}"""))
+    // streaming resolver → intentional batch-only rejection pointing at the
+    // snapshot-loop alternative, not Spark's unsupported-window error
+    val e3 = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(ok),
+        new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
+    }
+    assert(e3.getMessage.contains("batch-only"))
   }
 
   test("config sampling ops equal their code-path x9 queries") {
