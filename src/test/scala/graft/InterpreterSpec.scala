@@ -310,6 +310,38 @@ class InterpreterSpec extends SparkSuite {
     assert(viaSpec.exists(_.isNullAt(3)) && viaSpec.exists(!_.isNullAt(3)))
   }
 
+  test("declarative asOf forward direction equals the code-path asOfForward") {
+    // same changelog slice as r26 (collision-free on (user_id, ts), which
+    // is what makes the carried payload deterministic) with the inequality
+    // reversed: each event picks up the NEXT profile version at-or-after it
+    val viaSpec = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+      spark, PipelineSpec.fromJson(
+      """{"id":"profile-asof-fwd","processingMode":"JOIN_CHAIN",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"joinOperations":[{"id":"fwd-step","type":"LEFT_JOIN",
+        |  "initialSourceIsStream":true,
+        |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+        |  "enrichmentTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |  "asOf":{"leftTimeColumn":"ts","rightTimeColumn":"ts","direction":"forward",
+        |    "enrichmentKeyField":"user_id","enrichmentFilter":"event_id % 10 = 0"},
+        |  "outputFieldsMapping":[
+        |    {"source":"LEFT","sourceFieldName":"event_id","outputFieldName":"event_id"},
+        |    {"source":"RIGHT","sourceFieldName":"value","outputFieldName":"next_value"}]}],
+        |"outputTopic":{"enabled":true,"name":"fwd-out"}}""".stripMargin),
+      new ParquetSourceResolver(sf(), TestdataCatalog)))
+      .orderBy("event_id").collect().toSeq
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val direct = graft.operators.AsOfJoin.asOfForward(
+      ev.filter(col("user_id").isNotNull).select("event_id", "user_id", "ts"),
+      ev.filter(col("event_id") % 10 === 0).select("user_id", "ts", "value"),
+      key = "user_id", leftTs = "ts", rightTs = "ts",
+      payload = Map("value" -> "next_value"))
+      .select("event_id", "next_value")
+      .orderBy("event_id").collect().toSeq
+    assert(viaSpec.nonEmpty && viaSpec == direct)
+  }
+
   test("asOf step validation: LEFT-only, no global/expression mappings, direction checked") {
     def spec(asOfJson: String, joinType: String = "LEFT_JOIN",
         extra: String = "") = PipelineSpec.fromJson(
