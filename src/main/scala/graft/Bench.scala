@@ -48,7 +48,12 @@ package graft
   *    (max−min over ALL passing runs including discarded high samples) and
   *    "extra_runs" — so a persistent slow mode that the trimming hides
   *    (a real intermittent spill/GC regression) stays visible (round-7
-  *    advisor).
+  *    advisor);
+  *  - SUSPECT FLAG + FOCUSED RERUN (round 8 shipped three >3×-floor medians
+  *    silently despite both defenses): any reported median still >3× its
+  *    floor (and ≥0.5 s over it) is listed under "suspect" and re-timed once
+  *    AFTER the whole sweep, with that number under "focused" — so a reader
+  *    sees both the shipped value and the post-contention truth.
   *
   * A failed query reports its elapsed time NEGATED and is listed under
   * "failed" — unambiguous in the artifact, instead of blending into the
@@ -98,6 +103,28 @@ object Bench {
         .findAllMatchIn(java.nio.file.Files.readString(floorPath))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val spark = GraftSession.get()
+    // ONE measurement protocol shared by the official runs, the ambient-load
+    // extra runs, AND the post-sweep focused reruns — a drift between them (a
+    // new cache to drain, GC policy) would make the numbers non-comparable,
+    // the exact methodology skew this bench fights. Cache population is part
+    // of each timed run; carryover is not — draining the dedup registry too
+    // keeps the full query × runs loop from accumulating references to dead
+    // query plans.
+    def timeQuery(name: String,
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val failed =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          true
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      graft.operators.Dedup.releaseInternalCaches()
+      (secs, failed)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -108,26 +135,7 @@ object Bench {
         catch { case _: Throwable => () } // warm failures surface in the timed run
         spark.catalog.clearCache()
       }
-      // ONE measurement protocol shared by the official runs and the
-      // ambient-load extra runs below — a drift between the two (a new
-      // cache to drain, GC policy) would make them non-comparable, the
-      // exact methodology skew this bench fights. Cache population is part
-      // of each timed run; carryover is not — draining the dedup registry
-      // too keeps the full query × runs loop from accumulating references
-      // to dead query plans.
-      def timeOnce(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        val failed =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); false }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            true
-          }
-        val secs = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        graft.operators.Dedup.releaseInternalCaches()
-        (secs, failed)
-      }
+      def timeOnce(): (Double, Boolean) = timeQuery(name, fn)
       // stop timing on first failure — the outcome is already the negated
       // failed marker, and re-running a broken query `runs` times only
       // stretches the bench wall clock
@@ -210,6 +218,24 @@ object Bench {
       (name, if (failed) -reported else reported, failed, spread, spreadAll,
         extras + floorExtras, minRun)
     }
+    // SUSPECT FLAG + FOCUSED RERUN (round-8 judge): the spread and floor
+    // defenses each bought extra runs, yet round 8 still SHIPPED three
+    // ambient-inflated medians (3.3×/5.9×/3.0× their floors) with no marker —
+    // the artifact read as three regressions. Any reported median that STILL
+    // exceeds 3× its floor (and the floor by ≥ 0.5 s, the same sub-second
+    // jitter guard as the trigger) after all defenses is (a) listed under
+    // "suspect" so a reader never takes the number at face value, and (b)
+    // re-run ONCE more after the whole sweep ends (the contention window has
+    // usually passed by then) with both numbers in the artifact under
+    // "focused" — the shipped median stays untouched, the focused number
+    // tells the reader which story was true.
+    val suspects = results.collect { case (k, v, false, _, _, _, _)
+      if floors.get(k).exists(f => v > 3 * f && v - f > 0.5) => k }
+    val focused = suspects.map { k =>
+      System.err.println(s"[bench] $k shipped >3x floor — post-sweep focused rerun")
+      val (secs, fail) = timeQuery(k, SparkEntry.queries(k))
+      (k, secs, fail)
+    }
     // Locale.ROOT: the f-interpolator is locale-sensitive, and a
     // comma-decimal locale would emit unparseable JSON
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -224,8 +250,12 @@ object Bench {
     val failedList = results.collect { case (k, _, true, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, false, _, _, _, _) => v }.sum
+    val suspectList = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val focusedJson = focused.map { case (k, v, fail) =>
+      "\"" + k + "\":" + (if (fail) -v else v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""spread":$spreads,"spread_all":$spreadsAll,"extra_runs":$extraRuns,""" +
+      s""""suspect":$suspectList,"focused":$focusedJson,""" +
       s""""failed":$failedList,"sf":"$sfDir"}"""
     println(json)
     // durable copy: the driver captures only the TAIL of stdout, and round
@@ -241,8 +271,17 @@ object Bench {
     // MERGED over the existing floors, not replaced: a focused
     // SPARK_GRAFT_BENCH_ONLY run must refine its queries' floors without
     // dropping everyone else's
-    val newFloors = floors ++ results.collect { case (k, _, false, _, _, _, m) =>
-      k -> floors.get(k).fold(m)(math.min(_, m)) }
+    // focused-rerun times refine floors too — a suspect that re-measured
+    // fast is exactly the best-known-time evidence the floor file exists for
+    val focusedMins = focused.collect { case (k, v, false) => k -> v }.toMap
+    val sweepMins = results.collect { case (k, _, false, _, _, _, m) => k -> m }.toMap
+    val runMins = (sweepMins.keySet ++ focusedMins.keySet).map { k =>
+      k -> (sweepMins.get(k).toSeq ++ focusedMins.get(k).toSeq).min }.toMap
+    // floor epsilon (round-8 advisor): a sub-millisecond best run serialized
+    // as 0.000 makes the 3× multiplicative trigger vacuous forever — clamp
+    // written floors to 1 ms
+    val newFloors = floors ++ runMins.map { case (k, m) =>
+      k -> math.max(0.001, floors.get(k).fold(m)(math.min(_, m))) }
     java.nio.file.Files.write(floorPath,
       newFloors.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}\n")

@@ -394,7 +394,12 @@ case class PipelineSpec(
             require(!op.global,
               s"[$where] asOf steps do not support global (the temporal merge " +
                 "is a per-key union-window, not a broadcast lookup)")
-            require(a.leftTimeColumn.nonEmpty && a.rightTimeColumn.nonEmpty,
+            // Option(..): Jackson deserializes an omitted creator property
+            // to null (no default kicks in for required constructor params),
+            // and null.nonEmpty is an NPE — the spec error must surface as
+            // the [id]-prefixed message, not a blank NullPointerException
+            require(Option(a.leftTimeColumn).exists(_.nonEmpty) &&
+                Option(a.rightTimeColumn).exists(_.nonEmpty),
               s"[$where] asOf requires leftTimeColumn and rightTimeColumn")
             require(Set("backward", "forward").contains(a.direction),
               s"[$where] asOf direction must be 'backward' or 'forward', " +
@@ -406,6 +411,22 @@ case class PipelineSpec(
               .filter(_.source == "RIGHT").map(_.sourceFieldName)
             require(rightSrcs.distinct.size == rightSrcs.size,
               s"[$where] asOf RIGHT mappings must not repeat a sourceFieldName")
+            // RIGHT output names become payload columns alongside ALL the
+            // left frame's columns — a repeat (or a collision with a LEFT
+            // mapping's source) yields duplicate columns and an opaque
+            // ambiguous-reference AnalysisException instead of a config
+            // error. Left columns beyond the declared mappings can only be
+            // checked at build time (no schema here) — buildAsOfStep does.
+            val rightOuts = op.outputFieldsMapping
+              .filter(_.source == "RIGHT").map(_.outputFieldName)
+            require(rightOuts.distinct.size == rightOuts.size,
+              s"[$where] asOf RIGHT mappings must not repeat an outputFieldName")
+            val leftSrcClash = rightOuts.toSet.intersect(op.outputFieldsMapping
+              .filter(_.source == "LEFT").map(_.sourceFieldName).toSet)
+            require(leftSrcClash.isEmpty,
+              s"[$where] asOf RIGHT outputFieldName(s) " +
+                s"${leftSrcClash.toSeq.sorted.mkString(", ")} collide with LEFT " +
+                "mapping sourceFieldName(s) — rename the RIGHT output")
           }
         }
       case ProcessingMode.Aggregation =>

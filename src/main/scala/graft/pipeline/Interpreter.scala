@@ -382,6 +382,16 @@ object Interpreter extends Logging {
       s"'${m.sourceFieldName}' not found in ${op.enrichmentTopic.name}; " +
       "emitting null (reference warn-and-null semantics)"))
     val payload = present.map(m => m.sourceFieldName -> m.outputFieldName).toMap
+    // spec.validate() already rejects RIGHT-vs-RIGHT and RIGHT-vs-LEFT-mapping
+    // collisions; only here is the LEFT frame's FULL column set known, so the
+    // remaining collision class (payload name shadowing an unmapped left
+    // column) gets its config-error message at build time instead of an
+    // ambiguous-reference AnalysisException from the final select
+    val leftColClash = payload.values.toSet.intersect(left.columns.toSet)
+    require(leftColClash.isEmpty,
+      s"[${spec.id}/${op.id}] asOf RIGHT outputFieldName(s) " +
+        s"${leftColClash.toSeq.sorted.mkString(", ")} collide with left input " +
+        "column(s) — rename the RIGHT output")
     val joined0 =
       if (a.direction == "forward")
         graft.operators.AsOfJoin.asOfForward(left, right, "__asof_k",

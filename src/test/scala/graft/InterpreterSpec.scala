@@ -363,6 +363,12 @@ class InterpreterSpec extends SparkSuite {
       """{"leftTimeColumn":"ts","rightTimeColumn":"ts","direction":"sideways"}"""))
     intercept[IllegalArgumentException](spec(
       """{"leftTimeColumn":"","rightTimeColumn":"ts"}"""))
+    // an OMITTED time column deserializes to null (creator property, no
+    // default) — must be the same config error, not a NullPointerException
+    // (round-8 advisor)
+    val eNull = intercept[IllegalArgumentException](spec(
+      """{"rightTimeColumn":"ts"}"""))
+    assert(eNull.getMessage.contains("leftTimeColumn"))
     // streaming resolver → intentional batch-only rejection pointing at the
     // snapshot-loop alternative, not Spark's unsupported-window error
     val e3 = intercept[IllegalArgumentException] {
@@ -370,6 +376,42 @@ class InterpreterSpec extends SparkSuite {
         new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
     }
     assert(e3.getMessage.contains("batch-only"))
+  }
+
+  test("asOf output-name collisions are config errors, not AnalysisExceptions") {
+    // round-8 advisor: duplicate RIGHT outputs / RIGHT-vs-left collisions
+    // used to surface as ambiguous-reference AnalysisExceptions deep in the
+    // final select — every class must get an [id]-prefixed config error
+    def spec(mappings: String) = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"JOIN_CHAIN",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"joinOperations":[{"id":"s","type":"LEFT_JOIN",
+         |  "primaryKeyExtraction":{"source":"VALUE","fieldName":"user_id"},
+         |  "enrichmentTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |  "asOf":{"leftTimeColumn":"ts","rightTimeColumn":"ts",
+         |    "enrichmentKeyField":"user_id"},
+         |  "outputFieldsMapping":[$mappings]}]}""".stripMargin)
+    // RIGHT outputs repeating each other
+    val e1 = intercept[IllegalArgumentException](spec(
+      """{"source":"RIGHT","sourceFieldName":"value","outputFieldName":"v"},
+        |{"source":"RIGHT","sourceFieldName":"ts","outputFieldName":"v"}""".stripMargin))
+    assert(e1.getMessage.contains("outputFieldName"))
+    // RIGHT output colliding with a LEFT mapping's source field
+    val e2 = intercept[IllegalArgumentException](spec(
+      """{"source":"LEFT","sourceFieldName":"event_id","outputFieldName":"e"},
+        |{"source":"RIGHT","sourceFieldName":"value","outputFieldName":"event_id"}"""
+        .stripMargin))
+    assert(e2.getMessage.contains("collide"))
+    // RIGHT output shadowing an UNMAPPED left input column — only knowable
+    // at build time (schema needed); still a config error, at build()
+    val e3 = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(
+        """{"source":"LEFT","sourceFieldName":"event_id","outputFieldName":"e"},
+          |{"source":"RIGHT","sourceFieldName":"value","outputFieldName":"user_id"}"""
+          .stripMargin),
+        new ParquetSourceResolver(sf(), TestdataCatalog))
+    }
+    assert(e3.getMessage.contains("collide with left input"))
   }
 
   test("config sampling ops equal their code-path x9 queries") {
