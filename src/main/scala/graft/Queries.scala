@@ -420,6 +420,30 @@ object Queries {
          |    {"source":"RIGHT","sourceFieldName":"value","outputFieldName":"profile_value"}]}],
          |"outputTopic":{"enabled":true,"name":"profile-enriched"}}""".stripMargin)
 
+  /** Spec-level grouped top-k (x12's partial-aggregating heap through JSON
+    * config) — hash-matches the x12_group_topk oracle.
+    */
+  def r27SpecTopk(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"topk-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"top_k","k":3,"byColumn":"n_chars",
+         |  "idColumn":"doc_id","groupColumns":["lang"]}],
+         |"outputTopic":{"enabled":true,"name":"docs-topk"}}""".stripMargin)
+      .select("lang", "rank", "doc_id", "n_chars")
+
+  /** Spec-level exact heavy hitters (x21's Misra–Gries + recount through
+    * JSON config) — hash-matches the x21_heavy_hitters oracle.
+    */
+  def r27SpecHeavy(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"heavy-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"heavy_hitters","column":"text","tokenize":true,
+         |  "minFraction":0.005}],
+         |"outputTopic":{"enabled":true,"name":"docs-heavy"}}""".stripMargin)
+      .select("item", "cnt")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2630,7 +2654,10 @@ object Queries {
       ("r25_spec_sample" -> oracles0("x9_stratified_sample")) +
       ("r25_spec_mix" -> oracles0("x9_weighted_mix")) +
       // the declarative temporal step must match the code-path ASOF oracle
-      ("r26_spec_asof" -> oracles0("x7_asof_join"))
+      ("r26_spec_asof" -> oracles0("x7_asof_join")) +
+      // config-declared curation primitives must hash-match their code paths
+      ("r27_spec_topk" -> oracles0("x12_group_topk")) +
+      ("r27_spec_heavy" -> oracles0("x21_heavy_hitters"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2655,6 +2682,8 @@ object Queries {
     "r25_spec_sample" -> r25SpecSample _,
     "r25_spec_mix" -> r25SpecMix _,
     "r26_spec_asof" -> r26SpecAsOf _,
+    "r27_spec_topk" -> r27SpecTopk _,
+    "r27_spec_heavy" -> r27SpecHeavy _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

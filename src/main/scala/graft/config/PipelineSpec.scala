@@ -203,6 +203,22 @@ case class OutputTopic(
   *    reweighting, exactly ⌊n·w⌋±1 evenly-spread rows per stratum, no RNG.
   *    Same window exchange + batch-only note as stratified_sample.
   *
+  *  - `top_k` (X12): the `k` best rows per `groupColumns` group
+  *    (`groupColumns` empty = one global group) by `byColumn` descending,
+  *    ties broken by ascending `idColumn` — output is groupColumns…, rank
+  *    (1-based), idColumn, byColumn. Rides the partial-aggregating heap
+  *    (TopKAggregator): at most k rows per map partition per group cross
+  *    the exchange, never the corpus-sized sort a row_number window pays.
+  *    `byColumn` is compared as double and `idColumn` carried as long
+  *    (exact up to 2^53 — the aggregator's pair encoding). Batch-only.
+  *  - `heavy_hitters` (X21): every item of `column` occurring in at least
+  *    `minFraction` of rows, with its EXACT count — Misra–Gries sketch pass
+  *    + broadcast recount, identical to groupBy+filter without its
+  *    per-distinct-item exchange. `tokenize: true` treats `column` as text
+  *    and counts whitespace tokens instead of whole values. Output (item,
+  *    cnt), keyed by item (a compacted count-table). Batch-only (two
+  *    passes).
+  *
   * Streaming note: all ops here are map-only on a stream EXCEPT
   * `dedup_exact`, which becomes an UNWATERMARKED stateful aggregation in
   * Update mode — state holds one entry per distinct `dupColumns` group
@@ -252,7 +268,14 @@ case class TransformOp(
     // by unboxing the Scala Double directly
     weights: Option[Map[String, Double]] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Double])
-    defaultWeight: Option[Double] = None) {
+    defaultWeight: Option[Double] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    k: Option[Int] = None,
+    byColumn: Option[String] = None,
+    groupColumns: Seq[String] = Nil,
+    @JsonDeserialize(contentAs = classOf[java.lang.Double])
+    minFraction: Option[Double] = None,
+    tokenize: Boolean = false) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -309,6 +332,14 @@ case class TransformOp(
         s"[$where] stratified_sample requires stratumColumns and idColumn")
       require(interval.exists(_ >= 1),
         s"[$where] stratified_sample requires interval >= 1")
+    case "top_k" =>
+      require(byColumn.isDefined && idColumn.isDefined,
+        s"[$where] top_k requires byColumn and idColumn")
+      require(k.exists(_ >= 1), s"[$where] top_k requires k >= 1")
+    case "heavy_hitters" =>
+      require(column.isDefined, s"[$where] heavy_hitters requires column")
+      require(minFraction.exists(f => f > 0 && f <= 1),
+        s"[$where] heavy_hitters requires minFraction in (0, 1]")
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] weighted_mix requires column (the stratum) and idColumn")
@@ -320,7 +351,8 @@ case class TransformOp(
     case other => throw new IllegalArgumentException(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
-        "lang_id, text_stats, stratified_sample, weighted_mix)")
+        "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
+        "heavy_hitters)")
   }
 }
 

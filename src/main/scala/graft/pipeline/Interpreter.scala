@@ -145,6 +145,49 @@ object Interpreter extends Logging {
           "hash-threshold form for streams — see TextAnalysis.weightedMix")
       graft.operators.TextAnalysis.weightedMix(df, t.column.get,
         t.idColumn.get, t.numericWeights, t.numericDefaultWeight)
+    case "top_k" =>
+      // a streaming grouped top-k would be an unwatermarked stateful
+      // aggregation (the heap state never evicts) — reject with intent;
+      // bound the domain under a windowed aggregation instead
+      require(!df.isStreaming,
+        "top_k is batch-only (unbounded heap state on a stream); " +
+          "bound it under a windowed aggregation instead")
+      val byCol = t.byColumn.get
+      val idCol = t.idColumn.get
+      val groups = t.groupColumns
+      val agged = df.groupBy(groups.map(col): _*)
+        .agg(graft.functions.TopK.topk(
+          col(byCol).cast("double"), col(idCol).cast("long"), t.k.get).as("__top"))
+      val result = agged
+        .select(groups.map(col) :+ posexplode(col("__top")).as(Seq("__rank0", "__p")): _*)
+        .select(groups.map(col) ++ Seq(
+          (col("__rank0") + 1).cast("int").as("rank"),
+          // cast the carried pair back to the INPUT column types — the
+          // aggregator holds (double score, long id) internally
+          col("__p._2").cast(df.schema(idCol).dataType).as(idCol),
+          col("__p._1").cast(df.schema(byCol).dataType).as(byCol)): _*)
+      // an aggregation's output key IS the group key (Kafka Streams
+      // KGroupedStream semantics); a global top-k has no key
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, groups match {
+        case Seq()  => lit(null)
+        case Seq(g) => col(g)
+        case many   => struct(many.map(col): _*)
+      }) else result
+    case "heavy_hitters" =>
+      require(!df.isStreaming,
+        "heavy_hitters is batch-only (two passes: Misra-Gries sketch + " +
+          "exact recount)")
+      val result =
+        if (t.tokenize)
+          graft.operators.Profile.heavyHittersFromArrays(
+            df.select(graft.operators.TextAnalysis.tokens(col(t.column.get)).as("__toks")),
+            "__toks", minFraction = t.minFraction.get)
+        else
+          graft.operators.Profile.heavyHitters(df, t.column.get,
+            minFraction = t.minFraction.get)
+      // a count table is keyed by its item (compacted-topic semantics)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("item"))
+      else result
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming
       // spec (an eval set is a fixed artifact, not a stream), compiled once

@@ -414,6 +414,39 @@ class InterpreterSpec extends SparkSuite {
     assert(e3.getMessage.contains("collide with left input"))
   }
 
+  test("config top_k and heavy_hitters equal their code-path x12/x21 queries") {
+    assert(Queries.r27SpecTopk(spark, sf()).orderBy("lang", "rank").collect().toSeq ==
+      Queries.x12GroupTopk(spark, sf()).orderBy("lang", "rank").collect().toSeq)
+    assert(Queries.r27SpecHeavy(spark, sf()).orderBy("item").collect().toSeq ==
+      Queries.x21HeavyHitters(spark, sf()).orderBy("item").collect().toSeq)
+  }
+
+  test("top_k / heavy_hitters validation and batch-only posture") {
+    def spec(transforms: String) = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":$transforms}""".stripMargin)
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"top_k","byColumn":"n_chars","idColumn":"doc_id"}]""")) // no k
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"top_k","k":0,"byColumn":"n_chars","idColumn":"doc_id"}]"""))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"top_k","k":3,"byColumn":"n_chars"}]""")) // no idColumn
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"heavy_hitters","column":"text"}]""")) // no minFraction
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"heavy_hitters","column":"text","minFraction":1.5}]"""))
+    // streaming frame → intentional batch-only rejection, not a Spark
+    // unsupported-operation chain at sink start
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(
+        """[{"op":"top_k","k":3,"byColumn":"n_chars","idColumn":"doc_id",
+          |  "groupColumns":["lang"]}]""".stripMargin),
+        new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("config sampling ops equal their code-path x9 queries") {
     assert(Queries.r25SpecSample(spark, sf()).orderBy("doc_id").collect().toSeq ==
       Queries.x9StratifiedSample(spark, sf()).orderBy("doc_id").collect().toSeq)
