@@ -101,21 +101,33 @@ object FieldMapping {
   *    catalog key.
   *  - `enrichmentFilter`: SQL predicate carving the version rows out of
   *    the changelog (changelog topics often multiplex record kinds).
+  *  - `snapshotPath`: read the versioned dimension from this parquet
+  *    SNAPSHOT (the store a `startSnapshotSink` keyed by (key, versionTs)
+  *    maintains) instead of the resolver's changelog. This is what makes
+  *    the step STREAMING-legal: a static versioned snapshot joins
+  *    stream-static per micro-batch (AsOfJoin.asOfSnapshot — per-key
+  *    packed version arrays, no streaming sort), while the resolver
+  *    changelog form is batch-only (the temporal merge windows over both
+  *    full histories). The snapshot is listed when the query STARTS; a
+  *    dimension updated while the query runs needs a restart (or the
+  *    foreachBatch loop) to be seen — the KTable-loop recipe in
+  *    StreamRunner.
   *
-  * An as-of step consumes the enrichment topic's FULL changelog history
-  * (`stream`, never the latest-per-key `table` view — a versioned join
-  * against only the head would be the plain join by a slower route), and
-  * its join type must be LEFT_JOIN: every stream record survives, with
-  * null payload before the first version (ASOF LEFT semantics; filter
-  * afterwards for inner). The record key after the step is the join key
-  * under the enrichment's declared keyClass.
+  * Without `snapshotPath`, an as-of step consumes the enrichment topic's
+  * FULL changelog history (`stream`, never the latest-per-key `table`
+  * view — a versioned join against only the head would be the plain join
+  * by a slower route). Its join type must be LEFT_JOIN: every stream
+  * record survives, with null payload before the first version (ASOF LEFT
+  * semantics; filter afterwards for inner). The record key after the step
+  * is the join key under the enrichment's declared keyClass.
   */
 case class AsOfSpec(
     leftTimeColumn: String,
     rightTimeColumn: String,
     direction: String = "backward",
     enrichmentKeyField: Option[String] = None,
-    enrichmentFilter: Option[String] = None)
+    enrichmentFilter: Option[String] = None,
+    snapshotPath: Option[String] = None)
 
 /** Mirror of JoinOperationConfig (AggregationDefinition.java:57-83).
   * `global = true` marks the enrichment table as a GlobalKTable analogue
@@ -160,11 +172,21 @@ case class OutputTopic(
   *  - `redact_pii` (X22): scrub emails/phones/IPs/SSNs from `column` (or a
   *    computed SQL `expression`) into `outputField` (defaults to `column`,
   *    in place). Zero shuffles, codegen'd regexp chain.
-  *  - `dedup_near` (X2): collapse near-duplicate clusters to one
-  *    representative row — exact-Jaccard pairs over `shingleSize`-word
+  *  - `dedup_near` (X2): BATCH — collapse near-duplicate clusters to one
+  *    representative row: exact-Jaccard pairs over `shingleSize`-word
   *    shingles of `column` at `threshold` (prefix-filtered posting join),
   *    connected components, min-`idColumn` representative survives.
-  *    Batch-only (self-join + iterative CC are not streaming-legal).
+  *    STREAMING — the same spec wires the keyed-state LSH index
+  *    (graft.streaming.StreamingDedup): each arriving doc is checked
+  *    against the whole streamed history and the op REPLACES the row set
+  *    with the directed match stream (idColumn, dup_of, est_jaccard),
+  *    keyed by the arriving doc; survivors are the rows with no match
+  *    (first-arrival representative — equals the batch min-id collapse
+  *    when arrival follows id order). Similarity is minhash-ESTIMATED
+  *    Jaccard over `numHashes` hashes in `bands` bands (defaults 128/32);
+  *    `maxBucketDocs` caps per-bucket state (skew guard), `stateTtl`
+  *    expires idle buckets (else state grows with the distinct-shingle
+  *    history — same commitment as streaming dedup_exact).
   *  - `chunk` (X5): split `column` into `size`-token windows every `stride`
   *    tokens (REPLACES the row set: output is `idColumn`, chunk_id, chunk,
   *    n_chunk_tokens, with the incoming record key carried through — each
@@ -219,14 +241,19 @@ case class OutputTopic(
   *    cnt), keyed by item (a compacted count-table). Batch-only (two
   *    passes).
   *
-  * Streaming note: all ops here are map-only on a stream EXCEPT
-  * `dedup_exact`, which becomes an UNWATERMARKED stateful aggregation in
-  * Update mode — state holds one entry per distinct `dupColumns` group
-  * FOREVER. That is the operator's semantics (a late duplicate must still
-  * dedup against the whole history), but on a long-running high-cardinality
-  * stream it is an unbounded-state commitment: budget state for |distinct
-  * groups| (see graft.streaming.StreamRunner.outputModeFor), or bound the
-  * dup domain upstream (e.g. dedup within a windowed aggregation instead).
+  * Streaming note: most ops here are map-only on a stream; the batch-only
+  * ones (stratified_sample, weighted_mix, top_k, heavy_hitters) reject a
+  * streaming frame with a pointer to their streaming-shaped alternative.
+  * The two STATEFUL streaming ops hold history: `dedup_exact` becomes an
+  * UNWATERMARKED stateful aggregation in Update mode — state holds one
+  * entry per distinct `dupColumns` group FOREVER (a late duplicate must
+  * still dedup against the whole history), and `dedup_near` holds the LSH
+  * signature index. On a long-running high-cardinality stream that is an
+  * unbounded-state commitment: declare `stateTtl` to bound it (dedup_exact
+  * switches to a TTL'd flatMapGroupsWithState; dedup_near expires idle
+  * buckets), or acknowledge the unbounded form with `unboundedOk: true` —
+  * a streaming dedup_exact declaring NEITHER is rejected at build
+  * (graft.streaming.StreamRunner.outputModeFor documents the posture).
   *
   * With these, the whole x14 training pipeline (filter → near-dedup →
   * chunk) is expressible as pure JSON — see the r22_spec_training query —
@@ -275,7 +302,17 @@ case class TransformOp(
     groupColumns: Seq[String] = Nil,
     @JsonDeserialize(contentAs = classOf[java.lang.Double])
     minFraction: Option[Double] = None,
-    tokenize: Boolean = false) {
+    tokenize: Boolean = false,
+    // streaming knobs (dedup_near's keyed-state LSH index; stateTtl also
+    // bounds streaming dedup_exact state) — see the Streaming note below
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    numHashes: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    bands: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    maxBucketDocs: Option[Int] = None,
+    stateTtl: Option[String] = None,
+    unboundedOk: Boolean = false) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -311,6 +348,14 @@ case class TransformOp(
         s"[$where] dedup_near requires shingleSize >= 1")
       require(threshold.exists(t => t > 0.0 && t <= 1.0),
         s"[$where] dedup_near requires threshold in (0, 1]")
+      // streaming-form knobs: the banding arithmetic needs bands | numHashes
+      val nh = numHashes.getOrElse(128)
+      val nb = bands.getOrElse(32)
+      require(nh >= 1 && nb >= 1 && nh % nb == 0,
+        s"[$where] dedup_near numHashes ($nh) must be a positive multiple " +
+          s"of bands ($nb)")
+      require(maxBucketDocs.forall(_ >= 1),
+        s"[$where] dedup_near maxBucketDocs must be >= 1")
     case "chunk" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] chunk requires column and idColumn")
@@ -436,6 +481,8 @@ case class PipelineSpec(
             require(Set("backward", "forward").contains(a.direction),
               s"[$where] asOf direction must be 'backward' or 'forward', " +
                 s"got '${a.direction}'")
+            require(a.snapshotPath.forall(_.nonEmpty),
+              s"[$where] asOf snapshotPath must be non-empty when present")
             require(op.outputFieldsMapping.forall(_.expression.isEmpty),
               s"[$where] expression mappings are not supported in asOf steps " +
                 "(right columns exist only through the carried payload)")

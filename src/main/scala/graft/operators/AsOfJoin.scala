@@ -87,6 +87,54 @@ object AsOfJoin {
       rightTs: String, payload: Map[String, String]): DataFrame =
     asOfImpl(left, right, key, leftTs, rightTs, payload, forward = true)
 
+  /** Stream-static as-of: the same temporal semantics as [[asOf]] /
+    * [[asOfForward]] when the RIGHT side is a static versioned snapshot
+    * (e.g. the parquet store a startSnapshotSink maintains keyed by
+    * (key, versionTs)) and the LEFT side may be an unbounded stream.
+    *
+    * The union-window merge is not streaming-legal (it sorts over both
+    * full histories), so this form restructures: ONE batch aggregation
+    * packs the dimension into a per-key ts-sorted version array, the
+    * stream equi-joins it (a plain stream-static left join — stateless,
+    * any output mode), and a codegen'd `filter` + `get` picks the latest
+    * version at-or-before each record's time (earliest at-or-after for
+    * `forward`) — same inclusive-tie semantics as the window form (right
+    * row at ts == left ts matches). Works on batch left frames too and
+    * returns identical rows to [[asOf]]; use it whenever the dimension is
+    * snapshot-shaped.
+    *
+    * Scale posture: state-free (the only shuffle is the equi-join, and
+    * Spark broadcasts the packed dim when small). Each key's FULL version
+    * history must fit in one row — true for dimension changelogs (versions
+    * per key is bounded by update frequency), NOT for event-shaped right
+    * sides; those belong in the batch union-window form.
+    */
+  def asOfSnapshot(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+      rightTs: String, payload: Map[String, String],
+      forward: Boolean = false): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val versions = right.groupBy(col(key).as("__vk"))
+      .agg(sort_array(collect_list(struct(
+        col(rightTs).as("__vts"),
+        struct(payload.map { case (src, out) => col(src).as(out) }.toSeq: _*)
+          .as("__vp")))).as("__vers"))
+    val joined = left.join(versions, left(key) === versions("__vk"), "left")
+    // the version array is ts-ASCENDING (sort_array on a struct orders by
+    // its first field); inclusive bounds match the window form's tie rule
+    val eligible =
+      if (forward) filter(col("__vers"), v => v.getItem("__vts") >= col(leftTs))
+      else filter(col("__vers"), v => v.getItem("__vts") <= col(leftTs))
+    // get() (0-based, null out of bounds) rather than element_at: ANSI mode
+    // makes element_at THROW on an empty filter result, and "no version
+    // yet" must be a null payload, not a query error
+    val hit =
+      if (forward) get(eligible, lit(0))
+      else get(eligible, size(eligible) - 1)
+    joined.withColumn("__hit", hit)
+      .select(leftCols.map(col) ++
+        payload.values.toSeq.map(o => col(s"__hit.__vp.$o").as(o)): _*)
+  }
+
   /** Fixed-interval resampling with forward fill (time-series gap filling):
     * for each key, a grid of `interval`-spaced timestamps spans
     * [epoch-aligned bucket of its first observation, its last observation],

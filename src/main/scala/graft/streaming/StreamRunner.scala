@@ -30,21 +30,25 @@ object StreamRunner extends Logging {
     case ProcessingMode.Aggregation
         if spec.eventTime.exists(_.windowType == "session") => OutputMode.Append()
     case ProcessingMode.Aggregation => OutputMode.Update()
-    // a dedup_exact transform is a streaming aggregation (min_by per dup
-    // group) — its emission is a per-group changelog, and Append would
-    // reject the unwatermarked aggregate outright. Reached only for the
-    // non-AGGREGATION modes (the arms above win otherwise); stacking
-    // dedup_exact on a streaming AGGREGATION spec is a chained stateful
-    // aggregation, which Spark rejects at start in any mode.
+    // an UNBOUNDED dedup_exact transform (unboundedOk, no stateTtl) is a
+    // streaming aggregation (min_by per dup group) — its emission is a
+    // per-group changelog, and Append would reject the unwatermarked
+    // aggregate outright. Reached only for the non-AGGREGATION modes (the
+    // arms above win otherwise); stacking dedup_exact on a streaming
+    // AGGREGATION spec is a chained stateful aggregation, which Spark
+    // rejects at start in any mode.
     // UNBOUNDED STATE: the aggregation is unwatermarked BY DESIGN — a late
     // duplicate must still dedup against the whole history, so state keeps
     // one entry per distinct dupColumns group forever. On a long-running
     // high-cardinality stream that is a real memory commitment: budget the
-    // state store for |distinct groups| (DEPLOY.md), or bound the domain
-    // upstream (window the spec) if history-wide dedup isn't actually the
-    // requirement. build() logs this once per start so the commitment is
-    // explicit, not discovered from a state-store OOM.
-    case _ if spec.transform.exists(_.op == "dedup_exact") => OutputMode.Update()
+    // state store for |distinct groups| (DEPLOY.md), bound the domain
+    // upstream (window the spec), or declare stateTtl — which switches the
+    // op to the TTL'd first-arrival form (flatMapGroupsWithState, Append
+    // emission, state ∝ groups active within the TTL). build() logs the
+    // unbounded commitment once per start so it is explicit, not
+    // discovered from a state-store OOM.
+    case _ if spec.transform.exists(t =>
+      t.op == "dedup_exact" && t.stateTtl.isEmpty) => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 
@@ -60,10 +64,12 @@ object StreamRunner extends Logging {
   def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
     val df = Interpreter.build(spark, spec, sources)
     import org.apache.spark.sql.functions.{col, count, lit, when}
-    if (df.isStreaming && spec.transform.exists(_.op == "dedup_exact"))
+    if (df.isStreaming && spec.transform.exists(t =>
+        t.op == "dedup_exact" && t.stateTtl.isEmpty))
       logWarning(s"[${spec.id}] streaming dedup_exact keeps state per distinct " +
         "dup group with NO eviction (history-wide dedup semantics) — size the " +
-        "state store for the group cardinality, see outputModeFor")
+        "state store for the group cardinality, or declare stateTtl; see " +
+        "outputModeFor")
     if (!df.isStreaming) df
     else {
       val metrics = count(lit(1)).as("rows") +:
@@ -82,13 +88,29 @@ object StreamRunner extends Logging {
     require(spec.branches.isEmpty,
       s"[${spec.id}] branches need one query per sink — use ${entry}Branches")
 
+  /** A spec carrying a processing-time-TTL'd stateful op makes EVERY batch
+    * "require another batch" (timer evaluation), so the engine runs
+    * micro-batches continuously — with the default always-ready trigger
+    * that is a busy loop (offset-log commits as fast as the FS can rename,
+    * measured as a pegged core). Throttle timer evaluation to a bounded
+    * cadence. Note: `processAllAvailable()` NEVER returns on such a query
+    * (no-more-work is unreachable by design) — callers/tests must poll the
+    * sink instead.
+    */
+  private def applyTrigger[T](spec: PipelineSpec,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    if (spec.transform.exists(_.stateTtl.isDefined))
+      w.trigger(Trigger.ProcessingTime("500 milliseconds"))
+    else w
+
   /** Run a spec to an in-memory sink (tests / debugging). */
   def startMemory(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
       queryName: String): StreamingQuery = {
     requireNoBranches(spec, "startMemory")
-    Interpreter.values(build(spark, spec, sources))
+    applyTrigger(spec, Interpreter.values(build(spark, spec, sources))
       .writeStream.format("memory").queryName(queryName)
-      .outputMode(outputModeFor(spec))
+      .outputMode(outputModeFor(spec)))
       .start()
   }
 
@@ -119,14 +141,14 @@ object StreamRunner extends Logging {
       orderCols: Seq[String], checkpoint: String,
       partitionCols: Seq[String] = Nil): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
-    build(spark, spec, sources).writeStream
+    applyTrigger(spec, build(spark, spec, sources).writeStream
       .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.sinks.BatchSink.upsertSnapshot(
           spark, path, batch, keys, orderCols, partitionCols)
         ()
-      }
+      })
       .start()
   }
 
@@ -140,8 +162,8 @@ object StreamRunner extends Logging {
     val df = build(spark, spec, sources)
     import org.apache.spark.sql.functions.expr
     def start(frame: org.apache.spark.sql.DataFrame, name: String) =
-      Interpreter.values(frame).writeStream.format("memory").queryName(name)
-        .outputMode(outputModeFor(spec)).start()
+      applyTrigger(spec, Interpreter.values(frame).writeStream.format("memory")
+        .queryName(name).outputMode(outputModeFor(spec))).start()
     val main = spec.outputTopic.filter(_.enabled).map(_ => start(df, queryName)).toSeq
     main ++ spec.branches.filter(_.outputTopic.enabled).map(b =>
       start(df.filter(expr(b.predicate)), s"${queryName}_${b.outputTopic.name}"))

@@ -14,8 +14,10 @@ import graft.operators.Dedup
   * `minhash_signature` native expression as the batch path) and exploded to
   * its `bands` (band, bucket) keys; `flatMapGroupsWithState` keyed by
   * (band, bucket) keeps the signatures previously seen in that bucket and
-  * emits an estimated-Jaccard-verified pair for every new⇆prior collision at
-  * or above `threshold`. A doc arriving in a later batch is therefore
+  * emits an estimated-Jaccard-verified DIRECTED match (arriving doc →
+  * prior doc) for every new⇆prior collision at or above `threshold`
+  * ([[nearDupMatches]]; [[nearDupPairs]] is the undirected normalized
+  * view). A doc arriving in a later batch is therefore
   * checked against the WHOLE streamed history (bounded by TTL/cap), not
   * just its own micro-batch — the semantics a corpus-ingest dedup needs.
   *
@@ -41,6 +43,65 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
+  /** TTL-bounded streaming exact dedup: keep the FIRST arrival per distinct
+    * `dupColumns` group, suppress later duplicates, and FORGET a group after
+    * `stateTtl` of inactivity (idle TTL — any arrival, emitted or
+    * suppressed, refreshes it). A duplicate arriving after expiry re-emits:
+    * that is the deal a bounded-state dedup makes, in exchange for state
+    * ∝ groups ACTIVE within the TTL instead of every group ever seen (the
+    * unbounded `Dedup.exact` streaming form's commitment).
+    *
+    * Emission is Append (each emitted row is final — first arrival wins),
+    * unlike the unbounded form's per-group changelog in Update mode. Within
+    * a micro-batch the min-`tieBreak` row of the group wins
+    * (deterministic); across batches arrival order decides, so the two
+    * forms converge when arrival follows tieBreak order.
+    */
+  def exactFirstArrival(df: DataFrame, dupColumns: Seq[String], tieBreak: String,
+      stateTtl: String): DataFrame = {
+    require(dupColumns.nonEmpty, "exactFirstArrival requires dupColumns")
+    require(Option(stateTtl).exists(_.trim.nonEmpty),
+      "exactFirstArrival requires a stateTtl (use Dedup.exact for the " +
+        "unbounded history-wide form)")
+    import org.apache.spark.sql.Row
+    implicit val strEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
+    // group key as canonical JSON of the dup columns — deterministic across
+    // partitions/batches, null-safe (struct fields keep their slot)
+    val keyed = df.withColumn("__dupkey",
+      to_json(struct(dupColumns.map(col): _*)))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(keyed.schema))
+    // nulls-last Comparable ordering over the tieBreak value — the same
+    // min-tieBreak winner rule as Dedup.exact, per micro-batch
+    val tieOrd: Ordering[Any] = new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _)    => 1
+        case (_, null)    => -1
+        case (x, y)       => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+    }
+    keyed.groupByKey(_.getAs[String]("__dupkey"))
+      .flatMapGroupsWithState[Boolean, Row](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            rows.size // drain: suppressed duplicates still refresh the TTL
+            state.setTimeoutDuration(stateTtl)
+            Iterator.empty
+          } else {
+            val winner = rows.minBy(_.getAs[Any](tieBreak))(tieOrd)
+            state.update(true)
+            state.setTimeoutDuration(stateTtl)
+            Iterator.single(winner)
+          }
+      }
+      .drop("__dupkey")
+  }
+
   /** One doc's membership in one LSH bucket. */
   private[streaming] case class BandRow(band: Int, bucket: Long, id: Long, sig: Array[Long])
 
@@ -50,15 +111,35 @@ object StreamingDedup {
   /** A verified candidate pair (est. Jaccard from signature agreement). */
   case class NearDupPair(id1: Long, id2: Long, estJaccard: Double)
 
+  /** A DIRECTED match: the arriving doc `id` collided with the previously
+    * seen `dupOf`. The direction is what an ingest-dedup consumer needs
+    * (`id` is the redundant new arrival; `dupOf` its prior); [[NearDupPair]]
+    * is the same stream normalized to id1 < id2.
+    */
+  case class NearDupMatch(id: Long, dupOf: Long, estJaccard: Double)
+
+  /** Undirected pair view of [[nearDupMatches]] (id1 < id2). */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.5, maxBucketDocs: Int = 64,
+      stateTtl: String = null): Dataset[NearDupPair] = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    nearDupMatches(docs, idCol, textCol, shingleSize, numHashes, bands,
+      threshold, maxBucketDocs, stateTtl)
+      .map(m => NearDupPair(math.min(m.id, m.dupOf), math.max(m.id, m.dupOf),
+        m.estJaccard))
+  }
+
   /** @param docs       streaming (or batch) frame with `idCol` (long) and `textCol`
     * @param threshold  minimum signature-estimated Jaccard to emit
     * @param maxBucketDocs cap on signatures remembered per bucket (skew guard)
     * @param stateTtl   e.g. "2 hours": drop buckets idle that long; null/empty = keep forever
     */
-  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+  def nearDupMatches(docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.5, maxBucketDocs: Int = 64,
-      stateTtl: String = null): Dataset[NearDupPair] = {
+      stateTtl: String = null): Dataset[NearDupMatch] = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     require(maxBucketDocs > 0, "maxBucketDocs must be positive")
     val ss = docs.sparkSession
@@ -87,13 +168,13 @@ object StreamingDedup {
       if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     banded.groupByKey(b => (b.band, b.bucket))
-      .flatMapGroupsWithState[Seq[SeenDoc], NearDupPair](
+      .flatMapGroupsWithState[Seq[SeenDoc], NearDupMatch](
         OutputMode.Append, timeoutConf) {
         case (_, rows, state: GroupState[Seq[SeenDoc]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             var seen = state.getOption.getOrElse(Seq.empty)
-            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupMatch]
             // ascending id: same-batch pair emission and cap admission are
             // order-independent of Spark's group iteration
             rows.toSeq.sortBy(_.id).foreach { row =>
@@ -111,8 +192,7 @@ object StreamingDedup {
                     }
                     val est = agree.toDouble / numHashes
                     if (est >= threshold)
-                      out += NearDupPair(math.min(prior.id, row.id),
-                        math.max(prior.id, row.id), est)
+                      out += NearDupMatch(row.id, prior.id, est)
                   }
                 }
                 if (seen.size < maxBucketDocs) seen = seen :+ SeenDoc(row.id, row.sig)

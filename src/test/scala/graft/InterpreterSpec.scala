@@ -267,6 +267,10 @@ class InterpreterSpec extends SparkSuite {
     // near-dedup threshold must be a similarity in (0, 1]
     intercept[IllegalArgumentException](spec(
       """[{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,"threshold":1.5}]"""))
+    // streaming-form LSH knobs: banding arithmetic needs bands | numHashes
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,
+        |  "threshold":0.5,"numHashes":100,"bands":32}]""".stripMargin))
     // chunk stride > size would silently drop tokens between windows
     intercept[IllegalArgumentException](spec(
       """[{"op":"chunk","column":"text","idColumn":"doc_id","size":10,"stride":20}]"""))
