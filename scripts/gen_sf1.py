@@ -13,12 +13,16 @@ reads via nanosAsLong) and the same per-tile statistical structure:
    by i * (max_key + 1)), so join fan-outs per key are IDENTICAL to sf0.1
    and total volume is 10x — the null hypothesis for a linear operator.
  - documents: each tile applies a BIJECTIVE same-length token substitution
-   (last character -> tile letter), so within-tile shingle sets, Jaccard
-   similarities, token counts, and n_chars are exactly sf0.1's, while
-   cross-tile shingle spaces are DISJOINT (tile letters are uppercase,
-   original tokens lowercase). Near-dup density therefore scales linearly
-   by construction; a super-linear runtime is the operator's fault, which
-   is precisely what the scaling bench exists to detect.
+   (each vocab word -> a seeded random lowercase string of the same
+   length), so within-tile shingle sets, Jaccard similarities, token
+   counts, and n_chars are exactly sf0.1's, while cross-tile WORD-shingle
+   spaces are disjoint and cross-tile CHAR-n-gram overlap is the random
+   26-letter baseline (a first draft substituted only the last character,
+   which kept 7/8 of every char 8-gram shared across tiles and made the
+   char-Jaccard query look quadratic for fixture reasons). Near-dup
+   density therefore scales linearly by construction; a super-linear
+   runtime is the operator's fault, which is precisely what the scaling
+   bench exists to detect.
  - embeddings: each tile applies a random ORTHOGONAL rotation (QR of a
    seeded gaussian), preserving every within-tile pairwise cosine exactly
    while cross-tile cosines collapse to ~N(0, 1/sqrt(64)) noise — far
@@ -86,20 +90,29 @@ tile_keys("events", ["event_id", "user_id"])
 t = read("documents")
 texts = t.column("text").to_pylist()
 vocab = sorted({tok for s in texts for tok in s.split()})
-# bijectivity within a tile needs token prefixes (all but last char) to be
-# pairwise distinct; fall back to appending the tile letter if not
-prefixes = [w[:-1] for w in vocab]
-same_len_ok = len(set(prefixes)) == len(prefixes)
-print(f"documents vocab: {len(vocab)} tokens, same-length substitution "
-      f"{'OK' if same_len_ok else 'COLLIDES -> append mode'}")
+print(f"documents vocab: {len(vocab)} tokens")
+letters = "abcdefghijklmnopqrstuvwxyz"
+
+
+def tile_mapping(tile):
+    """Seeded random same-length lowercase word per vocab entry, bijective
+    within the tile (resample on collision)."""
+    rng = np.random.default_rng(5000 + tile)
+    used, mapping = set(), {}
+    for w in vocab:
+        while True:
+            cand = "".join(rng.choice(list(letters), size=len(w)))
+            if cand not in used:
+                used.add(cand)
+                mapping[w] = cand
+                break
+    return mapping
+
+
 doc_delta = int(pa.compute.max(t.column("doc_id")).as_py()) + 1
 doc_tiles = [t]
 for i in range(1, TILES):
-    letter = chr(ord("A") + i - 1)  # uppercase: disjoint from lowercase vocab
-    if same_len_ok:
-        mapping = {w: w[:-1] + letter for w in vocab}
-    else:
-        mapping = {w: w + letter for w in vocab}
+    mapping = tile_mapping(i)
     new_texts = [" ".join(mapping[tok] for tok in s.split()) for s in texts]
     cols = []
     for c in t.column_names:

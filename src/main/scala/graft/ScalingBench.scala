@@ -1,0 +1,96 @@
+package graft
+
+/** Scaling-exponent probe: times the heaviest declared queries at two scale
+  * factors in ONE JVM and reports the per-query ratio.
+  *
+  * The per-round bench (graft.Bench) measures sf0.1 only; every 100 TB
+  * design claim beyond that rests on plan-shape audits (no cartesians,
+  * bounded collects, banded LSH candidates). A super-linear tail — a
+  * posting-list cap mis-sized for denser corpora, an LSH bucket whose
+  * occupancy makes the verify step quadratic — is invisible at 600k rows.
+  * This main runs the ~10 highest-floor queries against sf0.1 AND an
+  * sf1-shaped directory (scripts/gen_sf1.py tiles sf0.1 tenfold with
+  * per-tile-disjoint shingle/embedding spaces, so candidate density per
+  * tile is exactly sf0.1's and the LINEAR expectation is ~10x), then
+  * writes bench_out/scaling.json with both times and the ratio.
+  *
+  * Methodology mirrors Bench: warm once at sf0.001 (Catalyst/codegen
+  * compile out of the measurement), noop-sink writes (full plan runs,
+  * nothing lands on disk), clearCache + dedup-registry drain between runs,
+  * and the MIN across runs is reported (ambient contention only ever
+  * inflates; the scaling question needs each side's truth, not its noise).
+  */
+object ScalingBench {
+
+  /** The 10 highest-floor queries of round 8 (VERDICT directive #1). */
+  val Heavy: Seq[String] = Seq(
+    "x2_jaccard_char",
+    "r22_spec_training",
+    "x14_training_pipeline",
+    "x2_jaccard_pairs",
+    "x2_jaccard_capped",
+    "x2_embed_dup",
+    "x2_dedup_collapse",
+    "q21_sole_blame",
+    "q2_min_cost_supplier",
+    "x20_resample")
+
+  def main(args: Array[String]): Unit = {
+    val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val sfBig = args.lift(1).getOrElse("testdata_sf1")
+    val warmDir = "/root/testdata/sf0.001"
+    val runsSmall = 3
+    val runsBig = 2 // big runs are ~10x the wall clock; 2 suffice for a min
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sfBig)),
+      s"big SF dir $sfBig missing — run scripts/gen_sf1.py first")
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = GraftSession.get()
+    def timeOnce(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      graft.operators.Dedup.releaseInternalCaches()
+      secs
+    }
+    val rows = Heavy.filter(q => only.forall(_.contains(q))).map { name =>
+      try { timeOnce(name, warmDir); () } catch { case _: Throwable => () }
+      val small = (1 to runsSmall).map(_ => timeOnce(name, sfSmall)).min
+      System.err.println(f"[scaling] $name sf0.1 best $small%.2f s")
+      val big = (1 to runsBig).map(_ => timeOnce(name, sfBig)).min
+      val ratio = big / math.max(small, 1e-9)
+      System.err.println(f"[scaling] $name sf1 best $big%.2f s — ratio $ratio%.1fx")
+      (name, small, big, ratio)
+    }
+    def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val out = java.nio.file.Paths.get("bench_out")
+    java.nio.file.Files.createDirectories(out)
+    val scalingPath = out.resolve("scaling.json")
+    // merge over the existing artifact (same discipline as the bench floor
+    // file): a focused SPARK_GRAFT_SCALING_ONLY re-measure refines its
+    // queries without dropping everyone else's numbers
+    val existing: Map[String, (Double, Double, Double)] =
+      if (!java.nio.file.Files.exists(scalingPath)) Map.empty
+      else """"([A-Za-z0-9_]+)":\{"sf0\.1":([0-9.eE+-]+),"sf1":([0-9.eE+-]+),"ratio":([0-9.eE+-]+)\}""".r
+        .findAllMatchIn(java.nio.file.Files.readString(scalingPath))
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
+          m.group(4).toDouble)).toMap
+    val merged = existing ++ rows.map { case (n, s, b, r) => n -> (s, b, r) }
+    // stable presentation: the Heavy declaration order, extras appended
+    val order = Heavy.filter(merged.contains) ++
+      merged.keys.filterNot(Heavy.contains).toSeq.sorted
+    val body = order.map { n =>
+      val (s, b, r) = merged(n)
+      s""""$n":{"sf0.1":${fmt(s)},"sf1":${fmt(b)},"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    val worst = if (merged.isEmpty) 0.0 else merged.values.map(_._3).max
+    val json = s"""{"metric":"scaling","small":"$sfSmall","big":"$sfBig",""" +
+      s""""data_ratio":10,"worst_ratio":${fmt(worst)},"queries":$body}"""
+    java.nio.file.Files.write(scalingPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import org.apache.spark.internal.Logging
+
 import graft.functions.{HashFunctions, VectorFunctions}
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2B X1/X2):
@@ -19,19 +21,32 @@ import graft.functions.{HashFunctions, VectorFunctions}
   *    and never materializes the O(n²) cross product;
   *  - verification joins only candidate pairs back to their sketches/sets.
   */
-object Dedup {
+object Dedup extends Logging {
 
   /** Largest hot-shingle tail [[jaccardPairs]] ships as a single collected
     * broadcast row; above it the capped rebuild falls back to the anti-join
     * exchange. Sized by the PER-ROW cost, not broadcast memory: Spark's
     * `array_except` rebuilds its lookup set from the hot array for every
     * document row (it cannot know the column is constant), so the map pass
-    * costs O(|docs| · |hot|) — at 64k the per-row rebuild stays ~100 µs,
-    * the regime where it still beats re-exchanging the posting list; a
-    * multi-million-entry tail must take the anti-join path even though it
-    * would broadcast fine. Package-visible for tests.
+    * costs O(|docs| · |hot|); a multi-million-entry tail must take the
+    * anti-join path even though it would broadcast fine. This is the
+    * ABSOLUTE backstop — the operative choice is the relative cost rule in
+    * [[jaccardPairs]] (round-9 scaling fix): |docs|·|hot| grows
+    * QUADRATICALLY with the corpus (both factors scale with it), measured
+    * 53× runtime at 10× data when the old fixed 64k bound kept choosing
+    * the broadcast branch. The anti-join's cost is the posting volume
+    * |docs|·avgShingles — linear — so broadcast is only worth it while
+    * |hot| is within a small multiple of a doc's own shingle count
+    * ([[BroadcastHotSetCostFactor]]). Package-visible for tests.
     */
   private[graft] val MaxBroadcastHotSet = 64 * 1024
+
+  /** Broadcast the hot tail only while |hot| ≤ factor × avg shingles/doc —
+    * the point where the per-row `array_except` set rebuild (O(|hot|) per
+    * document) stops beating the anti-join's per-posting exchange cost
+    * (O(avgShingles) per document, shuffle-constant ≈ this factor).
+    */
+  private[graft] val BroadcastHotSetCostFactor = 8L
 
   /** Exact dedup keeping a deterministic representative per duplicate group:
     * min tie-break column wins (X1). One shuffle, map-side combined.
@@ -123,10 +138,16 @@ object Dedup {
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
         .filter(col("df") > maxShinglePostings).select(col("h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // Bounded driver scalar (≤ postings/cap rows exist at all; count()
-      // moves one long) that picks the rebuild strategy — the same
-      // measure-then-choose pattern as the hybrid CC collapse.
+      // Bounded driver scalars (≤ postings/cap rows exist at all; each agg
+      // moves one row of longs) that pick the rebuild strategy — the same
+      // measure-then-choose pattern as the hybrid CC collapse. avgSh prices
+      // the two rebuilds against each other: broadcast costs |docs|·|hot|
+      // (per-row set rebuild), anti-join costs the posting volume
+      // |docs|·avgSh — comparable only while |hot| ≲ 8·avgSh.
       val nHot = hot.count()
+      val docStats = base.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+      val nDocs = docStats.getLong(0)
+      val avgSh = if (nDocs == 0) 0L else docStats.getLong(1) / nDocs
       // Rebuild per-doc arrays over the FILTERED shingle universe, then run
       // the same prefix-filtered join as the exact branch. Jaccard
       // semantics are unchanged: sizes and intersections both exclude
@@ -139,22 +160,29 @@ object Dedup {
         hot.unpersist(false)
         registerCache(base)
       } else {
-        val rebuilt = if (nHot <= MaxBroadcastHotSet) {
+        val rebuilt = if (nHot <= MaxBroadcastHotSet &&
+            nHot <= BroadcastHotSetCostFactor * avgSh) {
           // Common case: the hot tail is a few boilerplate shingles. Ship
           // it to every task as ONE collected row (8 bytes per hash) and
           // drop hot shingles with a map-only array_except; no posting
-          // explode, no rebuild exchange. The guard bounds the PER-ROW
-          // array_except set rebuild, not just the broadcast (see
-          // MaxBroadcastHotSet).
+          // explode, no rebuild exchange. The guards bound the PER-ROW
+          // array_except set rebuild — absolutely (MaxBroadcastHotSet) and
+          // RELATIVE to the corpus (the cost-factor rule: both |docs| and
+          // |hot| grow with the corpus, so an absolute bound alone lets
+          // this pass go quadratic — the round-9 53×-at-10×-data finding).
           // array_except preserves the left array's sorted distinct order.
           val hotRow = hot.agg(collect_set(col("h")).as("hotset"))
           base.crossJoin(broadcast(hotRow))
             .select(col("id"), array_except(col("sh"), col("hotset")).as("sh"))
             .withColumn("n", size(col("sh")))
         } else {
-          // Pathological corpus (hot tail too large to broadcast): robust
-          // explode + anti-join + partial-aggregated collect_list rebuild —
-          // one extra exchange of 16-byte posting rows, never an OOM.
+          // Hot tail too large to broadcast, or too expensive per-row
+          // relative to the posting volume (the LARGE-corpus normal —
+          // |hot| grows with the corpus, avg shingles/doc does not):
+          // robust explode + anti-join + partial-aggregated collect_list
+          // rebuild — one extra exchange of 16-byte posting rows (the hot
+          // side broadcasts into the anti-join), linear in the corpus,
+          // never an OOM.
           base.select(col("id"), explode(col("sh")).as("h"))
             .join(hot, Seq("h"), "left_anti")
             .groupBy(col("id")).agg(sort_array(collect_list(col("h"))).as("sh"))
@@ -456,16 +484,63 @@ object Dedup {
     * Candidate rows through the shuffle are (id, table, bucket) — vectors
     * rejoin only on the deduped candidate set (same discipline as MinHash).
     * Hyperplanes derive deterministically from `seed`.
+    *
+    * AUTO-SIZING (the round-9 scaling fix — a fixed `planesPerTable` made
+    * bucket occupancy ∝ corpus and within-bucket pairs ∝ corpus², measured
+    * 239× runtime at 10× data): when `autoSize` (default), the table WIDTH
+    * grows with the corpus — b = max(planesPerTable, ⌈log2(n / 64)⌉), so
+    * expected occupancy stays ~64 and per-table candidate volume stays
+    * ~linear — and the table COUNT grows to hold `recallTarget` at the
+    * declared threshold, L = ⌈ln(1−recall)/ln(1−p^b)⌉, clamped to
+    * [nTables, maxTables]. When the clamp binds (it does for LOW
+    * thresholds: at c the LSH candidate exponent is ρ = ln p(c)/ln p(0),
+    * which approaches 1 as c → 0 — weak similarity is fundamentally
+    * expensive for hyperplane LSH), the achieved recall estimate is logged
+    * loudly; hold full recall at low thresholds with the exact brute-force
+    * pair join (the x3_cosine_pairs_exact form) instead. In the operator's design
+    * regime (c ≥ 0.9, real near-dup) L stays small and cost linear.
+    * `maxBucketSize` defaults to 32× the occupancy target as a skew guard
+    * (clustered corpora concentrate buckets; capped members still pair
+    * through their other tables — the documented recall trade).
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = -1, autoSize: Boolean = true,
+      recallTarget: Double = 0.9, maxTables: Int = 64): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val occupancyTarget = 64
+    // one count over the id column — parquet metadata-cheap, and the price
+    // of a plan that stays linear instead of quadratic at 10× the corpus
+    val (bPlanes, lTables) =
+      if (!autoSize) (planesPerTable, nTables)
+      else {
+        val n = math.max(1L, e.count())
+        val b = math.min(16, math.max(planesPerTable,
+          math.ceil(math.log(n.toDouble / occupancyTarget) / math.log(2)).toInt))
+        val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+        val pb = math.pow(p, b)
+        val lNeeded =
+          if (pb >= 1.0) 1
+          else math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pb)).toInt
+        val l = math.min(maxTables, math.max(nTables, lNeeded))
+        if (lNeeded > maxTables) {
+          val estRecall = 1.0 - math.pow(1.0 - pb, l)
+          logWarning(f"embeddingCosinePairs: holding recall $recallTarget%.2f at " +
+            f"cosine >= $threshold%.2f over $n rows needs $lNeeded tables " +
+            f"(clamped to $l); estimated recall $estRecall%.2f — low thresholds " +
+            "are fundamentally expensive for hyperplane LSH (candidate exponent " +
+            "rho -> 1); use the exact brute-force pair join for full recall there")
+        } else logInfo(s"embeddingCosinePairs auto-sized: n=$n planes/table=$b " +
+          s"tables=$l")
+        (b, l)
+      }
+    val bucketCap =
+      if (maxBucketSize >= 0) maxBucketSize else 32 * occupancyTarget
     // Seq-of-Seq (structural equality) so two identically-seeded calls build
     // semanticEquals expressions — cache/exchange reuse across queries works.
-    val planes: Seq[Seq[Double]] = (0 until nTables).flatMap { t =>
-      hyperplanes(dim, planesPerTable, seed + t * 7919).map(_.toSeq)
+    val planes: Seq[Seq[Double]] = (0 until lTables).flatMap { t =>
+      hyperplanes(dim, bPlanes, seed + t * 7919).map(_.toSeq)
     }
     // Cached: bucket assignment costs nTables × planesPerTable dot products
     // per vector; without the cache the self-join computes them all twice.
@@ -474,15 +549,15 @@ object Dedup {
     // reference object) — the per-plane literal-array form made the plan
     // thousands of nodes and cost seconds of Catalyst/janino time.
     val banded0 = e.select(col("id"),
-        posexplode(VectorFunctions.sign_buckets(col("v"), planes, planesPerTable))
+        posexplode(VectorFunctions.sign_buckets(col("v"), planes, bPlanes))
           .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // capped → eager swap, one resident narrow frame (see simhashPairs)
     val banded =
-      if (maxBucketSize <= 0) registerCache(banded0)
+      if (bucketCap <= 0) registerCache(banded0)
       else {
         val capped = registerCache(
-          capBuckets(banded0, Seq("tbl", "bucket"), maxBucketSize)
+          capBuckets(banded0, Seq("tbl", "bucket"), bucketCap)
             .persist(StorageLevel.MEMORY_AND_DISK))
         capped.count()
         banded0.unpersist(false)
