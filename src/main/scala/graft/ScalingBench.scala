@@ -22,7 +22,15 @@ package graft
   */
 object ScalingBench {
 
-  /** The 10 highest-floor queries of round 8 (VERDICT directive #1). */
+  /** The 10 highest-floor queries of round 8 (the judge's directive), plus
+    * a second tier covering every sketch/candidate family with FIXED
+    * geometry — the risk class the embed-LSH 239× finding exposed (a
+    * bucket space that does not grow with the corpus makes occupancy ∝ n
+    * and within-bucket pairs ∝ n²): minhash banding (int64 bucket space —
+    * expected safe), simhash pigeonhole (4 × 16-bit chunks — fixed 65536
+    * buckets per chunk), the LSH collapse composition, and the TF-IDF
+    * vocabulary join.
+    */
   val Heavy: Seq[String] = Seq(
     "x2_jaccard_char",
     "r22_spec_training",
@@ -33,7 +41,11 @@ object ScalingBench {
     "x2_dedup_collapse",
     "q21_sole_blame",
     "q2_min_cost_supplier",
-    "x20_resample")
+    "x20_resample",
+    "x2_minhash_lsh",
+    "x2_simhash",
+    "x2_dedup_collapse_lsh",
+    "x5_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
