@@ -67,15 +67,6 @@ object ScalingBench {
       graft.operators.Dedup.releaseInternalCaches()
       secs
     }
-    val rows = Heavy.filter(q => only.forall(_.contains(q))).map { name =>
-      try { timeOnce(name, warmDir); () } catch { case _: Throwable => () }
-      val small = (1 to runsSmall).map(_ => timeOnce(name, sfSmall)).min
-      System.err.println(f"[scaling] $name sf0.1 best $small%.2f s")
-      val big = (1 to runsBig).map(_ => timeOnce(name, sfBig)).min
-      val ratio = big / math.max(small, 1e-9)
-      System.err.println(f"[scaling] $name sf1 best $big%.2f s — ratio $ratio%.1fx")
-      (name, small, big, ratio)
-    }
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val out = java.nio.file.Paths.get("bench_out")
     java.nio.file.Files.createDirectories(out)
@@ -89,20 +80,46 @@ object ScalingBench {
         .findAllMatchIn(java.nio.file.Files.readString(scalingPath))
         .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
           m.group(4).toDouble)).toMap
-    val merged = existing ++ rows.map { case (n, s, b, r) => n -> (s, b, r) }
-    // stable presentation: the Heavy declaration order, extras appended
-    val order = Heavy.filter(merged.contains) ++
-      merged.keys.filterNot(Heavy.contains).toSeq.sorted
-    val body = order.map { n =>
-      val (s, b, r) = merged(n)
-      s""""$n":{"sf0.1":${fmt(s)},"sf1":${fmt(b)},"ratio":${fmt(r)}}"""
-    }.mkString("{", ",", "}")
-    val worst = if (merged.isEmpty) 0.0 else merged.values.map(_._3).max
-    val json = s"""{"metric":"scaling","small":"$sfSmall","big":"$sfBig",""" +
-      s""""data_ratio":10,"worst_ratio":${fmt(worst)},"queries":$body}"""
-    java.nio.file.Files.write(scalingPath,
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    var merged = existing
+    def writeArtifact(): String = {
+      // stable presentation: the Heavy declaration order, extras appended
+      val order = Heavy.filter(merged.contains) ++
+        merged.keys.filterNot(Heavy.contains).toSeq.sorted
+      val body = order.map { n =>
+        val (s, b, r) = merged(n)
+        s""""$n":{"sf0.1":${fmt(s)},"sf1":${fmt(b)},"ratio":${fmt(r)}}"""
+      }.mkString("{", ",", "}")
+      val worst = if (merged.isEmpty) 0.0 else merged.values.map(_._3).max
+      val json = s"""{"metric":"scaling","small":"$sfSmall","big":"$sfBig",""" +
+        s""""data_ratio":10,"worst_ratio":${fmt(worst)},"queries":$body}"""
+      java.nio.file.Files.write(scalingPath,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      json
+    }
+    // One query's blow-up (an sf1 OOM is exactly the pathology this probe
+    // hunts) must not discard the sweep: each query is fenced, and the
+    // artifact is rewritten after every measurement, so the multi-minute
+    // sf1 timings already banked survive both a thrown query and a dead
+    // JVM. A failed query logs to stderr and keeps its prior entry, if any.
+    Heavy.filter(q => only.forall(_.contains(q))).foreach { name =>
+      try {
+        try { timeOnce(name, warmDir); () } catch { case _: Throwable => () }
+        val small = (1 to runsSmall).map(_ => timeOnce(name, sfSmall)).min
+        System.err.println(f"[scaling] $name sf0.1 best $small%.2f s")
+        val big = (1 to runsBig).map(_ => timeOnce(name, sfBig)).min
+        val ratio = big / math.max(small, 1e-9)
+        System.err.println(f"[scaling] $name sf1 best $big%.2f s — ratio $ratio%.1fx")
+        merged += name -> (small, big, ratio)
+        writeArtifact()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[scaling] $name FAILED (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — continuing; prior entry, if any, retained")
+          spark.catalog.clearCache()
+          graft.operators.Dedup.releaseInternalCaches()
+      }
+    }
+    println(writeArtifact())
     spark.stop()
   }
 }

@@ -118,7 +118,12 @@ object AsOfJoin {
         col(rightTs).as("__vts"),
         struct(payload.map { case (src, out) => col(src).as(out) }.toSeq: _*)
           .as("__vp")))).as("__vers"))
-    val joined = left.join(versions, left(key) === versions("__vk"), "left")
+    // NULL-SAFE equality: asOf's Window.partitionBy groups null keys into
+    // one partition, so null-keyed left rows DO pick up null-keyed
+    // versions there — a plain === here would silently diverge from the
+    // documented row-identity. <=> is a valid hash-join key (Spark plans
+    // it as BroadcastHashJoin/SMJ, not a nested loop).
+    val joined = left.join(versions, left(key) <=> versions("__vk"), "left")
     // the version array is ts-ASCENDING (sort_array on a struct orders by
     // its first field); inclusive bounds match the window form's tie rule
     val eligible =

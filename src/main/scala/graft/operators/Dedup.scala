@@ -145,9 +145,16 @@ object Dedup extends Logging {
       // (per-row set rebuild), anti-join costs the posting volume
       // |docs|·avgSh — comparable only while |hot| ≲ 8·avgSh.
       val nHot = hot.count()
-      val docStats = base.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
-      val nDocs = docStats.getLong(0)
-      val avgSh = if (nDocs == 0) 0L else docStats.getLong(1) / nDocs
+      // LAZY: avgSh costs a corpus-sized pass over the cached base frame
+      // and only the broadcast-vs-anti-join pricing rule consults it —
+      // which is reached only when 0 < nHot <= MaxBroadcastHotSet. The
+      // no-hot-shingles and oversized-hot-tail branches must not pay it.
+      lazy val avgSh: Long = {
+        val docStats =
+          base.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L))).head()
+        val nDocs = docStats.getLong(0)
+        if (nDocs == 0) 0L else docStats.getLong(1) / nDocs
+      }
       // Rebuild per-doc arrays over the FILTERED shingle universe, then run
       // the same prefix-filtered join as the exact branch. Jaccard
       // semantics are unchanged: sizes and intersections both exclude

@@ -70,6 +70,11 @@ object StreamRunner extends Logging {
         "dup group with NO eviction (history-wide dedup semantics) — size the " +
         "state store for the group cardinality, or declare stateTtl; see " +
         "outputModeFor")
+    if (df.isStreaming && spec.transform.exists(t =>
+        t.op == "dedup_near" && t.stateTtl.isEmpty))
+      logWarning(s"[${spec.id}] streaming dedup_near keeps the LSH signature " +
+        "index (8 + 8*numHashes bytes per doc) with NO eviction — budget " +
+        "the state store for the full corpus, or declare stateTtl")
     if (!df.isStreaming) df
     else {
       val metrics = count(lit(1)).as("rows") +:

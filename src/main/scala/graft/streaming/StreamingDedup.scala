@@ -37,9 +37,10 @@ import graft.operators.Dedup
   * band (same as the batch candidate stream before its dropDuplicates — an
   * exchange Spark forbids downstream of arbitrary stateful ops in the same
   * query anyway); sinks needing exactly-once pairs dedup in their own query
-  * or batch step. Pairs are normalized (id1 < id2). Within a batch, bucket
-  * members are processed in ascending id order, so same-batch pairs and
-  * cap admission are deterministic.
+  * or batch step. [[nearDupMatches]] rows are DIRECTED — (arriving doc,
+  * prior doc), no id-order guarantee; only [[nearDupPairs]] normalizes to
+  * id1 < id2. Within a batch, bucket members are processed in ascending id
+  * order, so same-batch pairs and cap admission are deterministic.
   */
 object StreamingDedup {
 
@@ -89,7 +90,9 @@ object StreamingDedup {
         case (_, rows, state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else if (state.exists) {
-            rows.size // drain: suppressed duplicates still refresh the TTL
+            // the group function being invoked at all is what lets the TTL
+            // refresh — setTimeoutDuration does it; the suppressed rows'
+            // iterator need not (and should not) be consumed
             state.setTimeoutDuration(stateTtl)
             Iterator.empty
           } else {

@@ -35,6 +35,38 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out.head().getString(3) == "v")
   }
 
+  test("asOfSnapshot is row-identical to asOf, including null keys, both directions") {
+    // asOf's Window.partitionBy groups null keys into ONE partition, so a
+    // null-keyed event picks up null-keyed versions — asOfSnapshot joins
+    // null-safely (<=>) to reproduce exactly that, per its documented
+    // row-identity. A plain === here once silently diverged (review find).
+    val events = spark.createDataFrame(Seq(
+      (1L, Some(1L), t(15)), (2L, Some(2L), t(15)),
+      (3L, None, t(15)), (4L, None, t(5))))
+      .toDF("event_id", "k", "ts")
+    val versions = spark.createDataFrame(Seq(
+      (Some(1L), t(10), "v1"), (Some(1L), t(20), "v2"),
+      (None: Option[Long], t(10), "n1"), (None: Option[Long], t(20), "n2")))
+      .toDF("k", "vts", "payload")
+    for (fwd <- Seq(false, true)) {
+      val viaWindow =
+        (if (fwd) AsOfJoin.asOfForward(events, versions, "k", "ts", "vts",
+          Map("payload" -> "version"))
+        else AsOfJoin.asOf(events, versions, "k", "ts", "vts",
+          Map("payload" -> "version")))
+          .orderBy("event_id").collect()
+          .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+      val viaSnapshot = AsOfJoin.asOfSnapshot(events, versions, "k", "ts", "vts",
+        Map("payload" -> "version"), forward = fwd)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+      assert(viaSnapshot == viaWindow, s"forward=$fwd")
+      // and the null-key rows actually matched something (not vacuous)
+      val nullKeyHits = viaSnapshot.filter { case (id, _) => id >= 3L }
+      assert(nullKeyHits.exists(_._2.isDefined), s"forward=$fwd null-key rows")
+    }
+  }
+
   test("forward as-of: earliest version at-or-after; null after last version") {
     val events = spark.createDataFrame(Seq(
       (1L, 1L, t(5)), (2L, 1L, t(15)), (3L, 1L, t(25)), (4L, 2L, t(40))))

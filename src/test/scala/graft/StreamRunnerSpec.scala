@@ -538,11 +538,24 @@ class StreamRunnerSpec extends SparkSuite {
         fail("no table side in this spec")
       override def catalog = TestdataCatalog
     }
-    val spec = PipelineSpec.fromJson(
+    // neither stateTtl nor unboundedOk: rejected at build, same explicit
+    // unbounded-state posture as streaming dedup_exact (and the commitment
+    // is heavier — a full signature per doc, not a Boolean per group)
+    val undeclared = PipelineSpec.fromJson(
       """{"id":"docs-stream-neardup","processingMode":"SIMPLE_STREAM",
         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
         |"transform":[{"op":"dedup_near","column":"text","idColumn":"doc_id",
         |  "shingleSize":3,"threshold":0.5}],
+        |"outputTopic":{"enabled":true,"name":"neardup-matches"}}""".stripMargin)
+    val rejected = intercept[IllegalArgumentException] {
+      StreamRunner.build(spark, undeclared, mem)
+    }
+    assert(rejected.getMessage.contains("stateTtl"))
+    val spec = PipelineSpec.fromJson(
+      """{"id":"docs-stream-neardup","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"dedup_near","column":"text","idColumn":"doc_id",
+        |  "shingleSize":3,"threshold":0.5,"unboundedOk":true}],
         |"outputTopic":{"enabled":true,"name":"neardup-matches"}}""".stripMargin)
     // the match stream is append-only (flatMapGroupsWithState in Append)
     assert(StreamRunner.outputModeFor(spec) ==
