@@ -444,6 +444,36 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"docs-heavy"}}""".stripMargin)
       .select("item", "cnt")
 
+  /** Spec-level exact similarity search (x3's brute-force cosine top-k
+    * through JSON config; frame = corpus, queryPath = the query artifact) —
+    * hash-matches the x3_knn_exact oracle.
+    */
+  def r28SpecKnn(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","column":"embedding","idColumn":"vec_id",
+         |  "k":10,"queryPath":"$dir/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5"}],
+         |"outputTopic":{"enabled":true,"name":"knn-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+
+  /** Spec-level quantized similarity search (int8 sketch + exact re-rank
+    * through JSON config) — STILL hash-matches the exact oracle, because
+    * the sketch only proposes candidates and the true cosine picks the
+    * final k (same contract as x3_knn_quantized).
+    */
+  def r28SpecKnnQuantized(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      s"""{"id":"knn-quantized-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"$dir/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5"}],
+         |"outputTopic":{"enabled":true,"name":"knn-quantized-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -1146,6 +1176,30 @@ object Queries {
     val per = graft.operators.Profile.rollupDistinct(sk, Seq("event_type"))
     val global = graft.operators.Profile.rollupDistinct(sk, Nil)
       .select(lit("__all__").as("event_type"), col("n_distinct"), col("n_rows"))
+    per.unionByName(global)
+  }
+
+  /** X6 mergeable QUANTILE-sketch rollup (rows-only: centroid estimates are
+    * engine-specific; OperatorsSpec pins ±1% of rank vs exact): the
+    * percentile analogue of [[x6SketchRollup]] — a stored per-type sketch
+    * table answers the GLOBAL percentile question by merging sketch rows,
+    * scanning raw data once. Spark has no storable percentile summary
+    * (`percentile_approx` is complete-mode only), so this rides the custom
+    * equi-weight centroid aggregator (functions/QuantileSketch.scala).
+    */
+  def x6QuantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for the same reason as x6SketchRollup: both the per-type
+    // and global rollups read the sketch table, which in production is a
+    // written artifact, not a recomputation
+    val sk = Dedup.registerCache(graft.operators.Profile.quantileSketches(
+      spark.read.parquet(s"$dir/events.parquet"), Seq("event_type"), "value")
+      .persist())
+    val per = graft.operators.Profile.rollupQuantiles(
+      sk, Seq("event_type"), Seq(0.5, 0.9, 0.99))
+    val global = graft.operators.Profile.rollupQuantiles(
+      sk, Nil, Seq(0.5, 0.9, 0.99))
+      .select(lit("__all__").as("event_type"),
+        col("p50"), col("p90"), col("p99"), col("n_rows"))
     per.unionByName(global)
   }
 
@@ -2657,7 +2711,11 @@ object Queries {
       ("r26_spec_asof" -> oracles0("x7_asof_join")) +
       // config-declared curation primitives must hash-match their code paths
       ("r27_spec_topk" -> oracles0("x12_group_topk")) +
-      ("r27_spec_heavy" -> oracles0("x21_heavy_hitters"))
+      ("r27_spec_heavy" -> oracles0("x21_heavy_hitters")) +
+      // declarative similarity search must hash-match the x3 exact oracle —
+      // including the quantized form, whose re-rank restores exactness
+      ("r28_spec_knn" -> oracles0("x3_knn_exact")) +
+      ("r28_spec_knn_quantized" -> oracles0("x3_knn_exact"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2684,6 +2742,8 @@ object Queries {
     "r26_spec_asof" -> r26SpecAsOf _,
     "r27_spec_topk" -> r27SpecTopk _,
     "r27_spec_heavy" -> r27SpecHeavy _,
+    "r28_spec_knn" -> r28SpecKnn _,
+    "r28_spec_knn_quantized" -> r28SpecKnnQuantized _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,
@@ -2742,6 +2802,7 @@ object Queries {
     "x2_incremental" -> x2Incremental _,
     "x2_incremental_novel" -> x2IncrementalNovel _,
     "x6_sketch_rollup" -> x6SketchRollup _,
+    "x6_quantile_rollup" -> x6QuantileRollup _,
     "x7_asof_forward" -> x7AsofForward _,
     "r02_table_history" -> r02TableHistory _,
     "x5_pack" -> x5Pack _,

@@ -252,8 +252,10 @@ case class OutputTopic(
   * unbounded-state commitment: declare `stateTtl` to bound it (dedup_exact
   * switches to a TTL'd flatMapGroupsWithState; dedup_near expires idle
   * buckets), or acknowledge the unbounded form with `unboundedOk: true` —
-  * a streaming dedup_exact declaring NEITHER is rejected at build
-  * (graft.streaming.StreamRunner.outputModeFor documents the posture).
+  * a streaming dedup_exact OR dedup_near declaring NEITHER is rejected at
+  * build (graft.streaming.StreamRunner.outputModeFor documents the
+  * posture). `stateTtl` is parsed at validate time (a bad duration is a
+  * config error here, not a first-micro-batch task failure).
   *
   * With these, the whole x14 training pipeline (filter → near-dedup →
   * chunk) is expressible as pure JSON — see the r22_spec_training query —
@@ -312,7 +314,29 @@ case class TransformOp(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     maxBucketDocs: Option[Int] = None,
     stateTtl: Option[String] = None,
-    unboundedOk: Boolean = false) {
+    unboundedOk: Boolean = false,
+    // knn (declarative similarity search): the frame is the CORPUS, the
+    // query set is a batch parquet artifact (same second-frame pattern as
+    // contamination_screen's benchPath); `method` picks the x3 family
+    // member — exact / quantized re-rank (both oracle-exact) or ivf / lsh
+    // (approximate, recall-tested)
+    method: Option[String] = None,
+    queryPath: Option[String] = None,
+    queryFilter: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    refine: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    nCells: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    nProbe: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    nAssign: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    nTables: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    planesPerTable: Option[Int] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    dim: Option[Int] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -329,7 +353,28 @@ case class TransformOp(
   // defaultWeight is coerced to java.lang.Double by its @JsonDeserialize
   // contentAs (same pattern as minAvgTokenLen), so plain access is safe
   def numericDefaultWeight: Double = defaultWeight.getOrElse(0.0)
-  def validate(where: String): Unit = op match {
+  def validate(where: String): Unit = {
+    // stateTtl reaches GroupState.setTimeoutDuration verbatim inside an
+    // executor task — parse it HERE so a bad duration is an [id]-prefixed
+    // config error at validate time, not a cryptic streaming task failure
+    // on the first micro-batch. Same arithmetic as GroupStateImpl's
+    // parseDuration (31-day months, must come out strictly positive).
+    stateTtl.foreach { s =>
+      val micros =
+        try {
+          val cal = org.apache.spark.sql.catalyst.util.IntervalUtils
+            .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+          cal.months * (31L * 24 * 3600 * 1000000L) +
+            cal.days * (24L * 3600 * 1000000L) + cal.microseconds
+        } catch { case scala.util.control.NonFatal(_) => -1L }
+      require(micros > 0,
+        s"[$where] $op stateTtl '$s' is not a positive duration " +
+          "(examples: '10 minutes', '2 hours', '1 day')")
+    }
+    validateOp(where)
+  }
+
+  private def validateOp(where: String): Unit = op match {
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
         s"[$where] dedup_exact requires dupColumns and tieBreak")
@@ -385,6 +430,22 @@ case class TransformOp(
       require(column.isDefined, s"[$where] heavy_hitters requires column")
       require(minFraction.exists(f => f > 0 && f <= 1),
         s"[$where] heavy_hitters requires minFraction in (0, 1]")
+    case "knn" =>
+      require(column.isDefined && idColumn.isDefined && queryPath.isDefined,
+        s"[$where] knn requires column (the vector), idColumn and queryPath")
+      require(k.exists(_ >= 1), s"[$where] knn requires k >= 1")
+      val m = method.getOrElse("exact")
+      require(Set("exact", "quantized", "ivf", "lsh")(m),
+        s"[$where] knn method '$m' unknown " +
+          "(supported: exact, quantized, ivf, lsh)")
+      if (m == "lsh") require(dim.exists(_ >= 1),
+        s"[$where] knn method=lsh requires dim (the embedding width " +
+          "drives the hyperplane matrix)")
+      require(refine.forall(_ >= 1), s"[$where] knn refine must be >= 1")
+      Seq("nCells" -> nCells, "nProbe" -> nProbe, "nAssign" -> nAssign,
+        "nTables" -> nTables, "planesPerTable" -> planesPerTable).foreach {
+        case (n, v) => require(v.forall(_ >= 1), s"[$where] knn $n must be >= 1")
+      }
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] weighted_mix requires column (the stratum) and idColumn")
@@ -397,7 +458,7 @@ case class TransformOp(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
         "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
-        "heavy_hitters)")
+        "heavy_hitters, knn)")
   }
 }
 

@@ -118,6 +118,50 @@ object Profile {
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("n_distinct"),
           sum(col("n_rows")).as("n_rows"))
 
+  /** Per-cell mergeable QUANTILE sketch table — the percentile analogue of
+    * [[distinctSketches]]: one raw scan builds a storable
+    * (dims..., qsketch, n_rows) table; any dimension-subset percentile
+    * question is then answered from the stored sketches
+    * ([[rollupQuantiles]]) without touching raw data again. Spark ships
+    * this pattern for distinct counts (`hll_sketch_agg`) but its own
+    * `percentile_approx` summary never materializes as a column — at
+    * 100 TB that difference is one scan vs one scan PER slice question.
+    */
+  def quantileSketches(df: DataFrame, dims: Seq[String], valueCol: String,
+      maxCentroids: Int = 256): DataFrame = {
+    require(dims.nonEmpty, "quantileSketches needs at least one dimension")
+    df.groupBy(dims.map(col): _*)
+      .agg(graft.functions.QuantileSketch.sketch(
+          col(valueCol).cast("double"), maxCentroids).as("qsketch"),
+        count(col(valueCol)).as("n_rows"))
+  }
+
+  /** Roll a quantile-sketch table up to a dimension subset (empty = global)
+    * and estimate the requested quantiles — never touches raw data. One
+    * output column per quantile, named p50/p90/p99-style from the fraction.
+    * Rank resolution is ~1/maxCentroids per sketch plus one compression of
+    * smearing for the merge (±1% of rank at the default 256, pinned in
+    * tests against exact percentiles).
+    */
+  def rollupQuantiles(sketches: DataFrame, keepDims: Seq[String],
+      quantiles: Seq[Double], maxCentroids: Int = 256): DataFrame = {
+    require(quantiles.nonEmpty, "rollupQuantiles needs at least one quantile")
+    val est = graft.functions.QuantileSketch.mergeEstimate(
+      col("qsketch"), quantiles, maxCentroids).as("__est")
+    val agged =
+      if (keepDims.isEmpty) sketches.agg(est, sum(col("n_rows")).as("n_rows"))
+      else sketches.groupBy(keepDims.map(col): _*)
+        .agg(est, sum(col("n_rows")).as("n_rows"))
+    val qCols = quantiles.zipWithIndex.map { case (q, i) =>
+      // p50, p99, p99_9 — the fraction's digits with '.' as '_'. Decimal
+      // arithmetic: q*100 in doubles turns 0.9 into 90.00000000000001
+      val name = "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+      col("__est").getItem(i).as(name)
+    }
+    agged.select(keepDims.map(col) ++ qCols :+ col("n_rows"): _*)
+  }
+
   private def sketchSize(minFraction: Double, slack: Int): Int = {
     require(minFraction > 0 && minFraction <= 1,
       s"minFraction must be in (0, 1], got $minFraction")

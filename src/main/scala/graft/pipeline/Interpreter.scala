@@ -106,6 +106,15 @@ object Interpreter extends Logging {
       df.withColumn(t.outputField.orElse(t.column).get,
         graft.operators.TextAnalysis.redactPii(src))
     case "dedup_near" if df.isStreaming =>
+      // same EXPLICIT unbounded-state posture as streaming dedup_exact —
+      // and the commitment here is heavier: the LSH index holds
+      // 8 + 8*numHashes bytes PER DOC (signature + id), not one Boolean
+      // per group
+      require(t.stateTtl.isDefined || t.unboundedOk,
+        "streaming dedup_near holds the keyed-state LSH signature index " +
+          "(8 + 8*numHashes bytes per ingested doc) FOREVER without a " +
+          "TTL; declare stateTtl (idle buckets expire) or unboundedOk:true " +
+          "to acknowledge the history-wide commitment")
       // STREAMING form: the batch self-join + iterative CC cannot run on a
       // stream, but the semantics an ingest pipeline declares — "flag each
       // arriving doc against everything already ingested" — can: the
@@ -220,6 +229,50 @@ object Interpreter extends Logging {
             minFraction = t.minFraction.get)
       // a count table is keyed by its item (compacted-topic semantics)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("item"))
+      else result
+    case "knn" =>
+      // declarative similarity search: the FRAME is the corpus (the big
+      // side — it stays distributed, scored map-side, reduced by the
+      // partial-aggregating TopK heap), the query set is a small batch
+      // parquet artifact read once at build time (same second-frame
+      // pattern as contamination_screen's benchPath) and broadcast.
+      require(!df.isStreaming,
+        "knn is batch-only on the config path: the frame is the CORPUS " +
+          "side, and a per-query top-k over an unbounded corpus never " +
+          "finalizes; for streaming retrieval score arriving queries " +
+          "against a snapshot dim with graft.operators.Similarity directly")
+      val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
+      // vectors are stored array<float> (4-byte storage form); score in
+      // double like every x3 query so the config path hash-matches them
+      val corpus = df.withColumn(vecC, col(vecC).cast("array<double>"))
+      val q0 = df.sparkSession.read.parquet(t.queryPath.get)
+      val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
+        .withColumn(vecC, col(vecC).cast("array<double>"))
+      val result = t.method.getOrElse("exact") match {
+        case "exact" =>
+          graft.operators.Similarity.bruteForceTopK(corpus, queries, idC, vecC, kk)
+            .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+        case "quantized" =>
+          // int8 sketch proposes k·refine candidates, true cosine re-ranks —
+          // oracle-exact like the x3_knn_quantized query, so it gets the
+          // same 6-dp rounding
+          graft.operators.Similarity.quantizedTopK(corpus, queries, idC, vecC,
+              kk, refine = t.refine.getOrElse(4))
+            .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 6).as("cos"))
+        case "ivf" =>
+          graft.operators.Similarity.ivfTopK(corpus, queries, idC, vecC, kk,
+            nCells = t.nCells.getOrElse(16), nProbe = t.nProbe.getOrElse(4),
+            nAssign = t.nAssign.getOrElse(2))
+        case "lsh" =>
+          graft.operators.Similarity.lshTopK(corpus, queries, idC, vecC, kk,
+            dim = t.dim.get, nTables = t.nTables.getOrElse(16),
+            planesPerTable = t.planesPerTable.getOrElse(4))
+      }
+      // a neighbor list is keyed by its query (aggregation-output
+      // semantics, same rule as top_k's group key)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("query_id"))
       else result
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming

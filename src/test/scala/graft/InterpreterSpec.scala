@@ -287,6 +287,22 @@ class InterpreterSpec extends SparkSuite {
            |{"op":"lang_id","column":"text"},
            |{"op":"text_stats","column":"text"},
            |{"op":"redact_pii","column":"text"}]""".stripMargin)
+    // stateTtl feeds GroupState.setTimeoutDuration verbatim on executors —
+    // an unparseable or non-positive duration must die HERE as a config
+    // error, not as a task failure on the first micro-batch
+    val eTtl = intercept[IllegalArgumentException](spec(
+      """[{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id",
+        |  "stateTtl":"1 fortnight"}]""".stripMargin))
+    assert(eTtl.getMessage.contains("stateTtl"))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"dedup_near","column":"text","idColumn":"doc_id","shingleSize":3,
+        |  "threshold":0.5,"stateTtl":"-5 minutes"}]""".stripMargin))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id",
+        |  "stateTtl":"0 seconds"}]""".stripMargin))
+    // a well-formed duration parses
+    spec("""[{"op":"dedup_exact","dupColumns":["text"],"tieBreak":"doc_id",
+           |  "stateTtl":"10 minutes"}]""".stripMargin)
     // projection ops still need their input column
     intercept[IllegalArgumentException](spec("""[{"op":"lang_id"}]"""))
     intercept[IllegalArgumentException](spec("""[{"op":"text_stats"}]"""))
@@ -446,6 +462,65 @@ class InterpreterSpec extends SparkSuite {
       graft.pipeline.Interpreter.build(spark, spec(
         """[{"op":"top_k","k":3,"byColumn":"n_chars","idColumn":"doc_id",
           |  "groupColumns":["lang"]}]""".stripMargin),
+        new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
+    }
+    assert(e.getMessage.contains("batch-only"))
+  }
+
+  test("config knn (exact and quantized) hash-equals the code-path x3_knn_exact") {
+    val exact = Queries.x3KnnExact(spark, sf())
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exact.nonEmpty)
+    assert(Queries.r28SpecKnn(spark, sf())
+      .orderBy("query_id", "rank").collect().toSeq == exact)
+    // the int8 sketch only proposes candidates; the re-rank restores
+    // exactness, so the quantized config path matches the exact rows too
+    assert(Queries.r28SpecKnnQuantized(spark, sf())
+      .orderBy("query_id", "rank").collect().toSeq == exact)
+  }
+
+  test("config knn approximate methods, validation, batch-only posture") {
+    def spec(transforms: String) = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":$transforms}""".stripMargin)
+    def knn(extra: String) = spec(
+      s"""[{"op":"knn","column":"embedding","idColumn":"vec_id","k":10,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5"$extra}]""".stripMargin)
+    // ivf and lsh run through the config path; both are approximate, so pin
+    // recall against the exact top-k instead of row equality
+    val exactPairs = Queries.x3KnnExact(spark, sf())
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (extra <- Seq(""","method":"ivf","nAssign":2""",
+        ""","method":"lsh","dim":64""")) {
+      val got = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
+          .build(spark, knn(extra), new ParquetSourceResolver(sf(), TestdataCatalog)))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.intersect(exactPairs).size.toDouble / exactPairs.size
+      assert(recall >= 0.8, s"config knn$extra recall $recall below 0.8")
+    }
+    // validation: each missing requirement is a parse-time config error
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"knn","column":"embedding","idColumn":"vec_id",
+        |  "queryPath":"q"}]""".stripMargin)) // no k
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"knn","column":"embedding","idColumn":"vec_id","k":0,
+        |  "queryPath":"q"}]""".stripMargin))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"knn","column":"embedding","idColumn":"vec_id","k":10}]""")) // no queryPath
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"knn","column":"embedding","idColumn":"vec_id","k":10,
+        |  "queryPath":"q","method":"hnsw"}]""".stripMargin)) // unknown method
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"knn","column":"embedding","idColumn":"vec_id","k":10,
+        |  "queryPath":"q","method":"lsh"}]""".stripMargin)) // lsh without dim
+    // streaming frame → intentional batch-only rejection (the frame is the
+    // corpus side; a top-k over an unbounded corpus never finalizes)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, knn(""),
         new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
     }
     assert(e.getMessage.contains("batch-only"))

@@ -838,6 +838,74 @@ class OperatorsSpec extends SparkSuite {
     assert(reread == global, s"parquet round trip changed the estimate: $reread vs $global")
   }
 
+  test("quantile-sketch rollup: merged estimates within 1% of rank vs exact at every level (X6)") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val qs = Seq(0.5, 0.9, 0.99)
+    // rank-error pin: the estimate for q must lie between the EXACT
+    // (q-1%) and (q+1%) percentiles — the honest error metric for a
+    // rank-space sketch (value-space error is data-scale-dependent)
+    def bounds(df: org.apache.spark.sql.DataFrame, group: Seq[String]) = {
+      val lo = qs.map(q => expr(s"percentile(value, ${math.max(0.0, q - 0.01)})"))
+      val hi = qs.map(q => expr(s"percentile(value, ${math.min(1.0, q + 0.01)})"))
+      val aggs = lo.zip(hi).zipWithIndex.flatMap { case ((l, h), i) =>
+        Seq(l.as(s"lo$i"), h.as(s"hi$i")) }
+      if (group.isEmpty) df.agg(aggs.head, aggs.tail: _*).withColumn("event_type", lit("__all__"))
+      else df.groupBy(group.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val est = Queries.x6QuantileRollup(spark, sf())
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val bnd = (bounds(ev, Seq("event_type")).collect() ++ bounds(ev, Nil).collect())
+      .map(r => r.getAs[String]("event_type") ->
+        qs.indices.map(i => (r.getAs[Double](s"lo$i"), r.getAs[Double](s"hi$i")))).toMap
+    assert(est.keySet == bnd.keySet && est.nonEmpty)
+    for ((t, es) <- est; (e, i) <- es.zipWithIndex) {
+      val (lo, hi) = bnd(t)(i)
+      assert(e >= lo && e <= hi,
+        s"type $t q=${qs(i)}: estimate $e outside exact rank band [$lo, $hi]")
+    }
+    // the stored-artifact claim is real: sketches survive a parquet
+    // write/read, and a TWO-LEVEL rollup (per-type table → re-sketched
+    // coarser sketch → estimate) stays inside the same rank band
+    val sk = graft.operators.Profile.quantileSketches(ev, Seq("event_type"), "value")
+    val dir = tempDir("graft_qsk")
+    sk.write.mode("overwrite").parquet(dir)
+    val coarse = spark.read.parquet(dir)
+      .agg(graft.functions.QuantileSketch.mergeSketches(col("qsketch")).as("qsketch"))
+    val twoLevel = graft.operators.Profile.rollupQuantiles(
+      coarse.withColumn("n_rows", lit(0L)), Nil, qs).head()
+    for (i <- qs.indices) {
+      val (lo, hi) = bnd("__all__")(i)
+      val e = twoLevel.getAs[Double](s"p${Seq("50", "90", "99")(i)}")
+      assert(e >= lo && e <= hi,
+        s"two-level q=${qs(i)}: $e outside [$lo, $hi]")
+    }
+  }
+
+  test("quantile-sketch kernel: compress preserves mass/order, estimate interpolates and clamps") {
+    import graft.functions.QuantileSketch.{compress, estimate}
+    // small inputs are only sorted, never smeared
+    assert(compress(Seq((3.0, 1L), (1.0, 2L)), 4) == Seq((1.0, 2L), (3.0, 1L)))
+    // compression preserves total mass and stays sorted and under the cap
+    val big = (1 to 1000).map(i => (i.toDouble, 1L))
+    val c = compress(big, 64)
+    assert(c.size <= 64 && c.map(_._2).sum == 1000L)
+    assert(c == c.sortBy(_._1))
+    // a heavyweight centroid larger than the budget survives alone
+    val heavy = compress(Seq((0.0, 1000L)) ++ (1 to 99).map(i => (i.toDouble, 1L)), 8)
+    assert(heavy.exists { case (m, w) => m == 0.0 && w == 1000L })
+    // estimate: empty → NaN; single centroid → its mean at any q;
+    // extremes clamp to the outermost means; midpoints interpolate
+    assert(estimate(Nil, 0.5).isNaN)
+    assert(estimate(Seq((7.0, 5L)), 0.0) == 7.0 && estimate(Seq((7.0, 5L)), 1.0) == 7.0)
+    val two = Seq((0.0, 1L), (10.0, 1L))
+    assert(estimate(two, 0.0) == 0.0 && estimate(two, 1.0) == 10.0)
+    assert(estimate(two, 0.5) == 5.0)
+    // monotone in q over an uneven sketch
+    val sk = Seq((0.0, 1L), (1.0, 10L), (2.0, 1L), (100.0, 3L))
+    val es = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0).map(estimate(sk, _))
+    assert(es == es.sorted, s"not monotone: $es")
+  }
+
   test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {
     val cases = Seq(
       ("write to bob.smith+x@corp.example.org today", "write to [EMAIL] today"),

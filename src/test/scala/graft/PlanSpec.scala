@@ -170,6 +170,8 @@ class PlanSpec extends SparkSuite {
     //   x3_knn_exact          corpus × broadcast-query-set scan (exact path)
     //   x3_knn_quantized      same scan on the int8 sketch (exact re-rank)
     //   x3_sql_knn            same, via the SQL surface
+    //   r28_spec_knn          the x3_knn_exact scan declared from JSON
+    //   r28_spec_knn_quantized  the x3_knn_quantized scan from JSON
     //   x3_cosine_pairs_exact intentional all-pairs oracle twin
     //   x2_jaccard_char       1-row broadcast hot-shingle-set cross
     //                         (array_except rebuild; guarded by
@@ -177,6 +179,7 @@ class PlanSpec extends SparkSuite {
     val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
       "x13_salted_join",
       "x3_ann_ivf", "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
+      "r28_spec_knn", "r28_spec_knn_quantized",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it
