@@ -110,4 +110,63 @@ object Scale {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
   }
+
+  /** Morton (z-order) interleave of 2+ numeric columns, as a Column — the
+    * clustering key for [[writeZOrdered]]. Each column is quantized to
+    * `bits` levels by LINEAR min/max scaling (the mins/maxes come from one
+    * tiny agg pass in writeZOrdered); bit i of every quantized column maps
+    * to bit i*n+idx of the z-value, so files sorted by z-value are
+    * rectangles in the multi-dim space and parquet min/max footer stats
+    * prune on EVERY clustered column, not just a leading sort key.
+    *
+    * The whole thing is a fold of shiftleft/bitand expressions — one
+    * codegen'd projection, no UDF. Linear quantization is skew-sensitive
+    * (a heavy value crowds its bucket); for skewed clustering keys quantize
+    * upstream (e.g. rank or log transform) before calling.
+    */
+  def zValue(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+      bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, "z-order needs at least two columns (one = plain sort)")
+    require(n * bits <= 63, s"$n cols x $bits bits overflow a signed long")
+    val quantized = cols.zipWithIndex.map { case (c, i) =>
+      val lo = mins(i); val hi = maxs(i)
+      val span = if (hi > lo) hi - lo else 1.0
+      // clamp into [0, 2^bits - 1]; nulls sort first (quantize to 0)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((coalesce(c.cast("double"), lit(lo)) - lo) / span * ((1L << bits) - 1))
+          .cast("long")))
+    }
+    (0 until bits).flatMap { b =>
+      quantized.zipWithIndex.map { case (q, i) =>
+        shiftleft(q.bitwiseAND(lit(1L << b)), b * (n - 1) + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order-clustered parquet layout: quantize the clustering columns
+    * (one agg pass for min/max), range-partition by the interleaved
+    * z-value into `numFiles` files, sort within each. A conjunctive range
+    * predicate over ANY subset of the clustered columns then skips most
+    * files on parquet footer min/max alone — the multi-dimensional
+    * counterpart of writePartitioned's directory pruning, for columns too
+    * high-cardinality to partition by. ScaleSpec pins the actual skip rate
+    * on a 2-dim box query.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val aggExprs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val mins = zCols.indices.map(i => Option(stats.get(2 * i))
+      .fold(0.0)(_.asInstanceOf[Double]))
+    val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1))
+      .fold(0.0)(_.asInstanceOf[Double]))
+    df.withColumn("__z", zValue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
