@@ -474,6 +474,44 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"knn-quantized-out"}}""".stripMargin)
       .select("query_id", "rank", "neighbor_id", "cos")
 
+  /** Spec-level resample (x20's regular-grid gap fill through JSON config;
+    * simultaneous observations collapse by max, making the declared op
+    * deterministic) — hash-matches the x20_resample oracle.
+    */
+  def r29SpecResample(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"resample-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+         |  "valueColumns":["value"],"every":"30 minutes"}],
+         |"outputTopic":{"enabled":true,"name":"events-resampled"}}""".stripMargin)
+      .select("user_id", "grid_ts", "value")
+
+  /** Spec-level column profile (x16's one-pass null/distinct audit through
+    * JSON config) — hash-matches the x16_profile oracle.
+    */
+  def r29SpecProfile(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"profile-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"profile",
+         |  "columns":["doc_id","text","lang","source","n_chars"]}],
+         |"outputTopic":{"enabled":true,"name":"docs-profile"}}""".stripMargin)
+      .select("col_name", "n_non_null", "n_distinct")
+
+  /** Spec-level quantile rollup (the mergeable percentile sketch through
+    * JSON config; rows-only — estimates are engine-specific, accuracy
+    * rank-pinned in InterpreterSpec against exact percentiles).
+    */
+  def r29SpecQuantiles(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"quantiles-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"quantile_rollup","groupColumns":["event_type"],
+         |  "column":"value","quantiles":[0.5,0.9,0.99]}],
+         |"outputTopic":{"enabled":true,"name":"events-quantiles"}}""".stripMargin)
+      .select("event_type", "p50", "p90", "p99", "n_rows")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2715,7 +2753,11 @@ object Queries {
       // declarative similarity search must hash-match the x3 exact oracle —
       // including the quantized form, whose re-rank restores exactness
       ("r28_spec_knn" -> oracles0("x3_knn_exact")) +
-      ("r28_spec_knn_quantized" -> oracles0("x3_knn_exact"))
+      ("r28_spec_knn_quantized" -> oracles0("x3_knn_exact")) +
+      // declarative resample / profile must hash-match their code paths
+      // (r29_spec_quantiles is rows-only: sketch estimates, rank-pinned)
+      ("r29_spec_resample" -> oracles0("x20_resample")) +
+      ("r29_spec_profile" -> oracles0("x16_profile"))
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2744,6 +2786,9 @@ object Queries {
     "r27_spec_heavy" -> r27SpecHeavy _,
     "r28_spec_knn" -> r28SpecKnn _,
     "r28_spec_knn_quantized" -> r28SpecKnnQuantized _,
+    "r29_spec_resample" -> r29SpecResample _,
+    "r29_spec_profile" -> r29SpecProfile _,
+    "r29_spec_quantiles" -> r29SpecQuantiles _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

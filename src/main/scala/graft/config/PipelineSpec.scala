@@ -336,7 +336,19 @@ case class TransformOp(
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     planesPerTable: Option[Int] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
-    dim: Option[Int] = None) {
+    dim: Option[Int] = None,
+    // resample (regular-grid gap fill): timeColumn + every (a duration
+    // string) + valueColumns; profile: columns (+ approx); quantile_rollup:
+    // groupColumns + column + quantiles
+    timeColumn: Option[String] = None,
+    every: Option[String] = None,
+    valueColumns: Seq[String] = Nil,
+    columns: Seq[String] = Nil,
+    approx: Boolean = false,
+    // values arrive boxed by JSON token type (a literal 1 is an Integer
+    // inside the erased Seq) — read through numericQuantiles, never by
+    // unboxing directly
+    quantiles: Seq[Double] = Nil) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -349,6 +361,13 @@ case class TransformOp(
     // Integer-boxed values — the very trap this accessor exists to absorb
     weights.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
       .map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
+
+  /** Same boxed-by-token-type trap as [[numericWeights]]: a whole-number
+    * quantile literal (`1`) crosses Jackson as Integer inside the erased
+    * Seq — widen through Number.
+    */
+  def numericQuantiles: Seq[Double] =
+    quantiles.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Number].doubleValue)
 
   // defaultWeight is coerced to java.lang.Double by its @JsonDeserialize
   // contentAs (same pattern as minAvgTokenLen), so plain access is safe
@@ -430,6 +449,38 @@ case class TransformOp(
       require(column.isDefined, s"[$where] heavy_hitters requires column")
       require(minFraction.exists(f => f > 0 && f <= 1),
         s"[$where] heavy_hitters requires minFraction in (0, 1]")
+    case "resample" =>
+      require(idColumn.isDefined && timeColumn.isDefined && valueColumns.nonEmpty,
+        s"[$where] resample requires idColumn (the series key), timeColumn " +
+          "and valueColumns")
+      // same arithmetic AsOfJoin.resample enforces, surfaced as a config
+      // error with the [id] prefix instead of a mid-query require
+      val ev = every.getOrElse(
+        throw new IllegalArgumentException(s"[$where] resample requires every"))
+      val iv =
+        try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ev))
+        catch { case scala.util.control.NonFatal(_) => null }
+      require(iv != null && iv.months == 0,
+        s"[$where] resample every '$ev' is unparseable or month-based " +
+          "(months are irregular; use days)")
+      val micros = iv.days * 86_400_000_000L + iv.microseconds
+      require(micros > 0 && micros % 1_000_000L == 0,
+        s"[$where] resample every '$ev' must be a positive whole number " +
+          "of seconds")
+    case "profile" =>
+      require(columns.nonEmpty, s"[$where] profile requires columns")
+      require(columns.distinct == columns,
+        s"[$where] profile columns has duplicates: " +
+          columns.diff(columns.distinct).distinct.mkString(", "))
+    case "quantile_rollup" =>
+      require(column.isDefined && groupColumns.nonEmpty,
+        s"[$where] quantile_rollup requires column (the measure) and " +
+          "groupColumns")
+      require(quantiles.nonEmpty,
+        s"[$where] quantile_rollup requires quantiles")
+      require(numericQuantiles.forall(q => q >= 0.0 && q <= 1.0),
+        s"[$where] quantile_rollup quantiles must be fractions in [0, 1]")
     case "knn" =>
       require(column.isDefined && idColumn.isDefined && queryPath.isDefined,
         s"[$where] knn requires column (the vector), idColumn and queryPath")
@@ -458,7 +509,7 @@ case class TransformOp(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
         "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
-        "heavy_hitters, knn)")
+        "heavy_hitters, knn, resample, profile, quantile_rollup)")
   }
 }
 

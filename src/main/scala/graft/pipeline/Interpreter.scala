@@ -230,6 +230,47 @@ object Interpreter extends Logging {
       // a count table is keyed by its item (compacted-topic semantics)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("item"))
       else result
+    case "resample" =>
+      require(!df.isStreaming,
+        "resample is batch-only (the grid needs each key's min/max time); " +
+          "for streams aggregate into tumbling windows instead")
+      val key = t.idColumn.get; val ts = t.timeColumn.get
+      // collapse simultaneous observations (max per value column) BEFORE
+      // gap-filling: the as-of tie rule over duplicate (key, ts) rows would
+      // otherwise be arbitrary — this keeps the declared op deterministic
+      // (and matches the x20 query's own pre-aggregation)
+      val obs = df.groupBy(col(key), col(ts))
+        .agg(max(col(t.valueColumns.head)).as(t.valueColumns.head),
+          t.valueColumns.tail.map(c => max(col(c)).as(c)): _*)
+      val result = graft.operators.AsOfJoin.resample(
+        obs, key, ts, t.valueColumns, t.every.get)
+      // one series per key: the record key is the series key
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col(key))
+      else result
+    case "profile" =>
+      require(!df.isStreaming,
+        "profile is batch-only (global exact distinct counts); use windowed " +
+          "aggregations or approx_count_distinct streams for live profiles")
+      val result = graft.operators.Profile.columnStats(df, t.columns,
+        approxDistinct = t.approx)
+      // a profile table is keyed by the profiled column's name
+      // (compacted-topic semantics, same rule as heavy_hitters' item)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
+      else result
+    case "quantile_rollup" =>
+      require(!df.isStreaming,
+        "quantile_rollup is batch-only (merging sketch state on a stream " +
+          "is an unwatermarked aggregation); bound the domain under a " +
+          "windowed aggregation instead")
+      val sk = graft.operators.Profile.quantileSketches(
+        df, t.groupColumns, t.column.get)
+      val result = graft.operators.Profile.rollupQuantiles(
+        sk, t.groupColumns, t.numericQuantiles)
+      // an aggregation's output key IS the group key (same rule as top_k)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, t.groupColumns match {
+        case Seq(g) => col(g)
+        case many   => struct(many.map(col): _*)
+      }) else result
     case "knn" =>
       // declarative similarity search: the FRAME is the corpus (the big
       // side — it stays distributed, scored map-side, reduced by the

@@ -526,6 +526,80 @@ class InterpreterSpec extends SparkSuite {
     assert(e.getMessage.contains("batch-only"))
   }
 
+  test("config resample and profile equal their code-path x20/x16 queries") {
+    assert(Queries.r29SpecResample(spark, sf())
+      .orderBy("user_id", "grid_ts").collect().toSeq ==
+      Queries.x20Resample(spark, sf())
+        .orderBy("user_id", "grid_ts").collect().toSeq)
+    assert(Queries.r29SpecProfile(spark, sf()).orderBy("col_name").collect().toSeq ==
+      Queries.x16Profile(spark, sf()).orderBy("col_name").collect().toSeq)
+  }
+
+  test("config quantile_rollup estimates stay within 1% of rank vs exact per group") {
+    val got = Queries.r29SpecQuantiles(spark, sf()).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val qs = Seq(0.5, 0.9, 0.99)
+    val bandAggs = qs.zipWithIndex.flatMap { case (q, i) => Seq(
+      expr(s"percentile(value, ${math.max(0.0, q - 0.01)})").as(s"lo$i"),
+      expr(s"percentile(value, ${math.min(1.0, q + 0.01)})").as(s"hi$i")) }
+    val bands = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(col("event_type")).agg(bandAggs.head, bandAggs.tail: _*)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => (r.getAs[Double](s"lo$i"), r.getAs[Double](s"hi$i")))).toMap
+    assert(got.keySet == bands.keySet && got.nonEmpty)
+    for ((g, es) <- got; (e, i) <- es.zipWithIndex) {
+      val (lo, hi) = bands(g)(i)
+      assert(e >= lo && e <= hi,
+        s"group $g q=${qs(i)}: $e outside exact rank band [$lo, $hi]")
+    }
+  }
+
+  test("resample / profile / quantile_rollup validation and batch-only posture") {
+    def spec(transforms: String) = PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":$transforms}""".stripMargin)
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"]}]""".stripMargin)) // no every
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"],"every":"1 parsec"}]""".stripMargin))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"],"every":"2 months"}]""".stripMargin))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"],"every":"500 milliseconds"}]""".stripMargin))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"profile","columns":[]}]"""))
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"profile","columns":["a","a"]}]""")) // duplicate
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"quantile_rollup","groupColumns":["event_type"],
+        |  "column":"value"}]""".stripMargin)) // no quantiles
+    intercept[IllegalArgumentException](spec(
+      """[{"op":"quantile_rollup","groupColumns":["event_type"],
+        |  "column":"value","quantiles":[1.5]}]""".stripMargin))
+    // whole-number quantile literals survive Jackson's Integer boxing
+    spec("""[{"op":"quantile_rollup","groupColumns":["event_type"],
+           |  "column":"value","quantiles":[0.5,1]}]""".stripMargin)
+    // all three are intentional batch-only rejections on a streaming frame
+    for (t <- Seq(
+        """[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+          |  "valueColumns":["value"],"every":"30 minutes"}]""".stripMargin,
+        """[{"op":"profile","columns":["value"]}]""",
+        """[{"op":"quantile_rollup","groupColumns":["event_type"],
+          |  "column":"value","quantiles":[0.5]}]""".stripMargin)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.Interpreter.build(spark, spec(t),
+          new graft.streaming.FileStreamSourceResolver(sf(), TestdataCatalog))
+      }
+      assert(e.getMessage.contains("batch-only"), t)
+    }
+  }
+
   test("config sampling ops equal their code-path x9 queries") {
     assert(Queries.r25SpecSample(spark, sf()).orderBy("doc_id").collect().toSeq ==
       Queries.x9StratifiedSample(spark, sf()).orderBy("doc_id").collect().toSeq)
