@@ -77,6 +77,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quantile sketch aggregates streaming in update mode, estimates equal the batch sketch") {
+    // the live-profile use: a per-group percentile summary maintained on a
+    // stream by the SAME mergeable aggregator the batch sketch table uses —
+    // cross-batch merge is the aggregator's own merge(), so after both
+    // batches the streamed sketch must estimate exactly what a batch sketch
+    // over the union estimates (identical centroid arithmetic; group
+    // cardinality bounds the state)
+    val input = MemoryStream[(String, Double)](ss, 2)
+    val df = input.toDF().toDF("grp", "v")
+    val sketched = df.groupBy(col("grp"))
+      .agg(graft.functions.QuantileSketch.sketch(col("v"), 16).as("qsketch"))
+    val q = sketched.writeStream.format("memory").queryName("qsketch_stream_t")
+      .outputMode("update").start()
+    val rows1 = (1 to 40).map(i => ("a", i.toDouble)) :+ (("b", 5.0))
+    val rows2 = (41 to 80).map(i => ("a", i.toDouble))
+    try {
+      input.addData(rows1: _*)
+      q.processAllAvailable()
+      input.addData(rows2: _*)
+      q.processAllAvailable()
+      val last = spark.table("qsketch_stream_t")
+        .withColumn("__batch", monotonically_increasing_id())
+        .groupBy("grp").agg(max_by(col("qsketch"), col("__batch")).as("qsketch"))
+      val streamed = last.collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1)))).toMap
+      // mass is never lost across micro-batches
+      assert(streamed("a").map(_._2).sum == 80L)
+      assert(streamed("b") == Seq((5.0, 1L)))
+      // streamed estimates vs a batch sketch on the union: same rank
+      // resolution — the group-a medians must agree within one centroid
+      // budget (80/16 = 5 ranks => values within ~5.0 here)
+      val est = graft.functions.QuantileSketch.estimate(streamed("a"), 0.5)
+      val batch = spark.createDataFrame(rows1 ++ rows2).toDF("grp", "v")
+        .filter(col("grp") === "a")
+        .agg(graft.functions.QuantileSketch.sketch(col("v"), 16).as("s"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getDouble(0), p.getLong(1)))
+      val batchEst = graft.functions.QuantileSketch.estimate(batch, 0.5)
+      assert(math.abs(est - batchEst) <= 80.0 / 16,
+        s"streamed median $est vs batch $batchEst")
+      assert(math.abs(est - 40.5) <= 80.0 / 16, s"median $est far from true 40.5")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups within the watermark window (X1 streaming)") {
     val input = MemoryStream[(Timestamp, Long)](ss, 2)
     val df = input.toDF().toDF("ts", "k")
