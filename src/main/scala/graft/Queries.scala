@@ -512,6 +512,20 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-quantiles"}}""".stripMargin)
       .select("event_type", "p50", "p90", "p99", "n_rows")
 
+  /** Spec-level HLL distinct rollup (the mergeable distinct-count sketch
+    * through JSON config; rows-only — HLL estimates are engine-specific,
+    * but DETERMINISTIC, so InterpreterSpec pins row equality against the
+    * code-path sketch table).
+    */
+  def r30SpecDistinct(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"distinct-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+         |  "column":"user_id"}],
+         |"outputTopic":{"enabled":true,"name":"events-distinct"}}""".stripMargin)
+      .select("event_type", "n_distinct", "n_rows")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2789,6 +2803,7 @@ object Queries {
     "r29_spec_resample" -> r29SpecResample _,
     "r29_spec_profile" -> r29SpecProfile _,
     "r29_spec_quantiles" -> r29SpecQuantiles _,
+    "r30_spec_distinct" -> r30SpecDistinct _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -473,6 +473,10 @@ case class TransformOp(
       require(columns.distinct == columns,
         s"[$where] profile columns has duplicates: " +
           columns.diff(columns.distinct).distinct.mkString(", "))
+    case "distinct_rollup" =>
+      require(column.isDefined && groupColumns.nonEmpty,
+        s"[$where] distinct_rollup requires column (the counted item) and " +
+          "groupColumns")
     case "quantile_rollup" =>
       require(column.isDefined && groupColumns.nonEmpty,
         s"[$where] quantile_rollup requires column (the measure) and " +
@@ -509,7 +513,8 @@ case class TransformOp(
       s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
         "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
-        "heavy_hitters, knn, resample, profile, quantile_rollup)")
+        "heavy_hitters, knn, resample, profile, quantile_rollup, " +
+        "distinct_rollup)")
   }
 }
 

@@ -257,6 +257,17 @@ object Interpreter extends Logging {
       // (compacted-topic semantics, same rule as heavy_hitters' item)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
       else result
+    case "distinct_rollup" =>
+      require(!df.isStreaming,
+        "distinct_rollup is batch-only on the config path; for streams use " +
+          "approx_count_distinct under a windowed aggregation")
+      val sk = graft.operators.Profile.distinctSketches(
+        df, t.groupColumns, t.column.get)
+      val result = graft.operators.Profile.rollupDistinct(sk, t.groupColumns)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, t.groupColumns match {
+        case Seq(g) => col(g)
+        case many   => struct(many.map(col): _*)
+      }) else result
     case "quantile_rollup" =>
       require(!df.isStreaming,
         "quantile_rollup is batch-only (merging sketch state on a stream " +

@@ -555,6 +555,37 @@ class InterpreterSpec extends SparkSuite {
     }
   }
 
+  test("config distinct_rollup equals the code-path sketch table per group") {
+    // HLL sketches are deterministic and merge-order independent, so the
+    // config path must equal the direct Profile composition EXACTLY
+    val direct = graft.operators.Profile.rollupDistinct(
+      graft.operators.Profile.distinctSketches(
+        spark.read.parquet(s"${sf()}/events.parquet")
+          .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        Seq("event_type"), "user_id"),
+      Seq("event_type"))
+      .select("event_type", "n_distinct", "n_rows")
+      .orderBy("event_type").collect().toSeq
+    val got = Queries.r30SpecDistinct(spark, sf())
+      .orderBy("event_type").collect().toSeq
+    assert(got.nonEmpty && got == direct)
+    // and the estimates are within the HLL bound of exact
+    val exact = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (t, est) = (r.getString(0), r.getLong(1))
+      assert(math.abs(est - exact(t)).toDouble / exact(t) <= 0.05,
+        s"type $t: $est vs exact ${exact(t)}")
+    }
+    // validation
+    intercept[IllegalArgumentException](PipelineSpec.fromJson(
+      """{"id":"t","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events"},
+        |"transform":[{"op":"distinct_rollup","column":"user_id"}]}""".stripMargin))
+  }
+
   test("resample / profile / quantile_rollup validation and batch-only posture") {
     def spec(transforms: String) = PipelineSpec.fromJson(
       s"""{"id":"t","processingMode":"SIMPLE_STREAM",
