@@ -526,6 +526,23 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-distinct"}}""".stripMargin)
       .select("event_type", "n_distinct", "n_rows")
 
+  /** Spec-level chunk → pack (x17's sequence packing through JSON config,
+    * chained after the chunk stage — the declarative training-batch prep
+    * pipeline; rows-only: pack ids are partition-local, invariants pinned
+    * in InterpreterSpec).
+    */
+  def r31SpecPack(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"pack-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[
+         |  {"op":"chunk","column":"text","idColumn":"doc_id",
+         |   "size":40,"stride":30},
+         |  {"op":"pack","column":"n_chunk_tokens","budget":256,
+         |   "orderColumns":["doc_id","chunk_id"]}],
+         |"outputTopic":{"enabled":true,"name":"doc-packs"}}""".stripMargin)
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_slot")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2804,6 +2821,7 @@ object Queries {
     "r29_spec_profile" -> r29SpecProfile _,
     "r29_spec_quantiles" -> r29SpecQuantiles _,
     "r30_spec_distinct" -> r30SpecDistinct _,
+    "r31_spec_pack" -> r31SpecPack _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -45,7 +45,13 @@ object ScalingBench {
     "x2_minhash_lsh",
     "x2_simhash",
     "x2_dedup_collapse_lsh",
-    "x5_tfidf")
+    "x5_tfidf",
+    // round-9 additions: the quantile-sketch table (partial typed agg —
+    // linear by construction, measured to keep it honest) and the exact
+    // knn scan (corpus × fixed query set — the broadcast-cross class whose
+    // cost must scale with the corpus side only)
+    "x6_quantile_rollup",
+    "x3_knn_exact")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")

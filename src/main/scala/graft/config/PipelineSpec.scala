@@ -348,7 +348,12 @@ case class TransformOp(
     // values arrive boxed by JSON token type (a literal 1 is an Integer
     // inside the erased Seq) — read through numericQuantiles, never by
     // unboxing directly
-    quantiles: Seq[Double] = Nil) {
+    quantiles: Seq[Double] = Nil,
+    // pack (sequence packing): token budget per pack + the deterministic
+    // within-partition visit order
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    budget: Option[Long] = None,
+    orderColumns: Seq[String] = Nil) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -473,6 +478,13 @@ case class TransformOp(
       require(columns.distinct == columns,
         s"[$where] profile columns has duplicates: " +
           columns.diff(columns.distinct).distinct.mkString(", "))
+    case "pack" =>
+      require(column.isDefined,
+        s"[$where] pack requires column (the per-row token count)")
+      require(budget.exists(_ >= 1), s"[$where] pack requires budget >= 1")
+      require(orderColumns.nonEmpty,
+        s"[$where] pack requires orderColumns (the deterministic " +
+          "within-partition visit order)")
     case "distinct_rollup" =>
       require(column.isDefined && groupColumns.nonEmpty,
         s"[$where] distinct_rollup requires column (the counted item) and " +
@@ -514,7 +526,7 @@ case class TransformOp(
         "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
         "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
         "heavy_hitters, knn, resample, profile, quantile_rollup, " +
-        "distinct_rollup)")
+        "distinct_rollup, pack)")
   }
 }
 

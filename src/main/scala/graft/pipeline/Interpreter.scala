@@ -257,6 +257,17 @@ object Interpreter extends Logging {
       // (compacted-topic semantics, same rule as heavy_hitters' item)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
       else result
+    case "pack" =>
+      // row-PRESERVING (appends pack_id/pack_slot), so the record key
+      // rides through untouched; partition-local running bins make the
+      // assignment partitioning-dependent — declared rows-only, invariants
+      // (every row packed once, budget respected, slots contiguous) pinned
+      // in tests exactly like the code-path x5_pack
+      require(!df.isStreaming,
+        "pack is batch-only (partition-local running-bin state has no " +
+          "streaming analogue); pack the stored batch output instead")
+      graft.operators.Packing.pack(df, t.column.get, t.budget.get,
+        t.orderColumns)
     case "distinct_rollup" =>
       require(!df.isStreaming,
         "distinct_rollup is batch-only on the config path; for streams use " +

@@ -555,6 +555,48 @@ class InterpreterSpec extends SparkSuite {
     }
   }
 
+  test("config chunk -> pack carries the x17 invariants and the record key") {
+    val got = Queries.r31SpecPack(spark, sf())
+    val chunks = graft.operators.TextAnalysis.chunk(
+      spark.read.parquet(s"${sf()}/documents.parquet"), "doc_id", "text",
+      size = 40, stride = 30)
+    // every chunk packed exactly once
+    assert(got.count() == chunks.count())
+    assert(got.select("doc_id", "chunk_id").distinct().count() == chunks.count())
+    // no pack over budget (except a single oversized chunk alone), slots
+    // contiguous from 0 — the same invariants OperatorsSpec pins for x17
+    val perPack = got.groupBy("pack_id").agg(
+      sum(col("n_chunk_tokens")).as("toks"), count(lit(1)).as("n"),
+      min(col("pack_slot")).as("lo"), max(col("pack_slot")).as("hi"))
+    perPack.collect().foreach { r =>
+      val (toks, n, lo, hi) = (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(toks <= 256 || n == 1, s"pack ${r.getLong(0)}: $toks tokens in $n rows")
+      assert(lo == 0 && hi == n - 1, s"pack ${r.getLong(0)}: slots not contiguous")
+    }
+    // pack is row-preserving: a topic sink still sees the chunk's doc key
+    val out = tempDir("graft-pack-sink")
+    val spec = PipelineSpec.fromJson(
+      """{"id":"docs-packed","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+        |"transform":[
+        |  {"op":"chunk","column":"text","idColumn":"doc_id","size":40,"stride":30},
+        |  {"op":"pack","column":"n_chunk_tokens","budget":256,
+        |   "orderColumns":["doc_id","chunk_id"]}],
+        |"outputTopic":{"enabled":true,"name":"doc-packs"}}""".stripMargin)
+    val paths = graft.sinks.PipelineRunner.runBatch(spark, spec,
+      new ParquetSourceResolver(sf(), TestdataCatalog), out)
+    val written = spark.read.parquet(paths.head)
+    assert(written.filter(col("key").isNull).count() == 0 && written.count() > 0)
+    // validation: missing budget / order / token column are config errors
+    def bad(t: String) = intercept[IllegalArgumentException](PipelineSpec.fromJson(
+      s"""{"id":"t","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents"},"transform":[$t]}""".stripMargin))
+    bad("""{"op":"pack","column":"n","orderColumns":["a"]}""")
+    bad("""{"op":"pack","column":"n","budget":0,"orderColumns":["a"]}""")
+    bad("""{"op":"pack","column":"n","budget":10}""")
+    bad("""{"op":"pack","budget":10,"orderColumns":["a"]}""")
+  }
+
   test("config distinct_rollup equals the code-path sketch table per group") {
     // HLL sketches are deterministic and merge-order independent, so the
     // config path must equal the direct Profile composition EXACTLY
