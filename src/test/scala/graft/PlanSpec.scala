@@ -122,6 +122,19 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
   }
 
+  test("quantile-sketch build partial-aggregates map-side; rollup never rescans raw data (x6)") {
+    val p = plan("x6_quantile_rollup")
+    // the build must combine BEFORE the exchange — at 100 TB the shuffle
+    // carries |cells| byte-packed sketch buffers, never raw values
+    assert(p.contains("partial_quantile_sketch"),
+      "sketch build must map-side combine before the exchange")
+    assert(!p.contains("Window"), "sketch rollup fell back to a window sort")
+    // percentile estimation happens on stored sketch rows only: both
+    // rollups read the cached sketch table, not the raw events
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "rollups must read the stored sketch table, not rescan raw data")
+  }
+
   test("bucketed range join plans as an equi hash join, never the BETWEEN nested loop (x15)") {
     // the whole point of the bucketization: the containment predicate rides
     // an equi join on (bucket, key) as a post-join filter
