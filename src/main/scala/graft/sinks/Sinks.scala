@@ -368,6 +368,115 @@ object BatchSink extends org.apache.spark.internal.Logging {
     n
   }
 
+  /** Rewrite a snapshot store's data files toward ~`targetBytes` each
+    * WITHOUT changing a single row — the small-files maintenance pass a
+    * per-micro-batch snapshot sink accumulates toward (each partitioned
+    * upsert adds a fresh file set to every touched partition; Kafka solves
+    * the same growth with log compaction). Layout-only: keys/versions are
+    * untouched, so it needs no merge columns.
+    *
+    * Protocol: the SAME `.staging`/`.old` dir names and two-rename swap as
+    * [[upsertSnapshot]] — a crash mid-compact leaves exactly the states the
+    * next upsert's (or compact's) recovery preamble already heals, and the
+    * single-writer contract is shared: run it between batches of the one
+    * snapshot writer (see `startSnapshotSink(compactEvery = ...)`), never
+    * concurrently with it.
+    *
+    * Partitioned stores compact per partition directory, each with its own
+    * atomic swap, and ONLY directories whose file count exceeds what
+    * `targetBytes` calls for — a healthy partition's files are not even
+    * opened (their listing is; at tens of thousands of partitions that is
+    * one `listStatus` per leaf, the same order of driver work as the
+    * upsert's own pruning). Returns the number of data files removed
+    * (0 = store already compact).
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = 128L << 20): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val cur = new HPath(path)
+    val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new HPath(path + ".old")
+    val staging = new HPath(path + ".staging")
+    def dataFiles(dir: HPath) = fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    def neededFiles(bytes: Long) =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+
+    if (partitionCols.isEmpty) {
+      // flat store: whole-snapshot rewrite under the flat swap protocol
+      if (!fs.exists(cur) && fs.exists(aside))
+        require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      require(fs.exists(cur), s"no snapshot at $path to compact")
+      // same layout guard as the flat upsert: a partitioned store reaching
+      // the flat path would silently no-op (its root holds directories,
+      // not data files) — fail with instructions instead
+      require(!fs.listStatus(cur).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("=")),
+        s"$path holds a PARTITIONED snapshot; pass its partitionCols")
+      val files = dataFiles(cur)
+      val needed = neededFiles(files.map(_.getLen).sum)
+      if (files.length <= needed) return 0L
+      spark.read.parquet(path).repartition(needed.toInt)
+        .write.mode("overwrite").parquet(staging.toString)
+      require(fs.rename(cur, aside), s"cannot move $cur aside")
+      require(fs.rename(staging, cur), s"cannot install $staging as $cur")
+      fs.delete(aside, true)
+      files.length - dataFiles(cur).length
+    } else {
+      // partitioned store: per-directory compaction, same recovery preamble
+      // and per-partition swap as the partitioned upsert — including the
+      // flat-aside-with-cur-absent window (the ONLY surviving copy after a
+      // flat upsert's crash): restore it wholesale, never delete it
+      if (!fs.exists(cur) && fs.exists(aside) &&
+          leafPartitionDirs(fs, aside, partitionCols.size).isEmpty)
+        require(fs.rename(aside, cur), s"cannot restore $aside to $cur")
+      leafPartitionDirs(fs, aside, partitionCols.size).foreach { rel =>
+        val target = new HPath(cur, rel)
+        if (!fs.exists(target)) {
+          fs.mkdirs(target.getParent)
+          require(fs.rename(new HPath(aside, rel), target),
+            s"cannot restore $aside/$rel to $target")
+        }
+      }
+      if (fs.exists(aside)) fs.delete(aside, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      require(fs.exists(cur), s"no snapshot at $path to compact")
+      require(fs.listStatus(cur).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("=")),
+        s"$path holds an unpartitioned snapshot; call compactSnapshot " +
+          "without partitionCols")
+      var removed = 0L
+      leafPartitionDirs(fs, cur, partitionCols.size).foreach { rel =>
+        val dir = new HPath(cur, rel)
+        val files = dataFiles(dir)
+        val needed = neededFiles(files.map(_.getLen).sum)
+        if (files.length > needed) {
+          // basePath keeps the partition columns on read; they are dropped
+          // on write because in this layout their values live in the
+          // directory name, not the files
+          spark.read.option("basePath", path).parquet(dir.toString)
+            .drop(partitionCols: _*)
+            .repartition(needed.toInt)
+            .write.mode("overwrite").parquet(new HPath(staging, rel).toString)
+          val asideDir = new HPath(aside, rel)
+          fs.mkdirs(asideDir.getParent)
+          require(fs.rename(dir, asideDir), s"cannot move $dir aside")
+          fs.mkdirs(dir.getParent)
+          require(fs.rename(new HPath(staging, rel), dir),
+            s"cannot install $staging/$rel as $dir")
+          removed += files.length - dataFiles(dir).length
+        }
+      }
+      fs.delete(aside, true)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      removed
+    }
+  }
+
   /** Pruning predicate for the touched snapshot slice. Compares the STRING
     * rendering of both sides: directory-derived partition values re-infer
     * their type on read (a LongType bucket comes back IntegerType), and

@@ -144,14 +144,22 @@ object StreamRunner extends Logging {
   def startSnapshotSink(spark: SparkSession, spec: PipelineSpec,
       sources: SourceResolver, path: String, keys: Seq[String],
       orderCols: Seq[String], checkpoint: String,
-      partitionCols: Seq[String] = Nil): StreamingQuery = {
+      partitionCols: Seq[String] = Nil,
+      compactEvery: Int = 0): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
     applyTrigger(spec, build(spark, spec, sources).writeStream
       .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         graft.sinks.BatchSink.upsertSnapshot(
           spark, path, batch, keys, orderCols, partitionCols)
+        // maintenance inside the single-writer loop: every upsert adds a
+        // file set to each touched partition, so a long-running sink
+        // accumulates small files — compact every N batches (0 = never).
+        // batchId is the CHECKPOINTED id: a replayed batch re-compacts
+        // idempotently (compaction changes no rows)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.sinks.BatchSink.compactSnapshot(spark, path, partitionCols)
         ()
       })
       .start()

@@ -224,6 +224,75 @@ class SinksSpec extends SparkSuite {
     assert(e2.getMessage.contains("key/order columns"))
   }
 
+  test("compactSnapshot shrinks multi-file partitions, skips healthy ones, changes no rows") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = tempDir("graft_compact_part") + "/snap"
+    val fs = new HPath(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def batch(rows: Seq[(Long, Long, String)]) =
+      spark.createDataFrame(rows.map { case (k, ver, v) => (k, k % 2, ver, v) })
+        .toDF("k", "bucket", "ver", "v")
+    def files(p: String) = fs.listStatus(new HPath(p)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).sorted
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"), (5L, 1L, "e1"))),
+      Seq("k"), Seq("ver"), Seq("bucket"))
+    // fragment bucket=1 in place (same rows, three files) — the shape a
+    // long-running sink's many small merge writes accumulate toward
+    locally {
+      val p1 = dir + "/bucket=1"
+      val tmp = new HPath(dir + ".frag")
+      spark.read.option("basePath", dir).parquet(p1).drop("bucket")
+        .repartition(3).write.parquet(tmp.toString)
+      fs.listStatus(new HPath(p1)).filter(_.isFile)
+        .foreach(s => fs.delete(s.getPath, false))
+      fs.listStatus(tmp).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_"))
+        .foreach(s => assert(fs.rename(s.getPath, new HPath(p1, s.getPath.getName))))
+      fs.delete(tmp, true)
+    }
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("bucket"), r.getAs[String]("v"))).toSet
+    val healthy0 = files(dir + "/bucket=0")
+    assert(files(dir + "/bucket=1").size > 1, "fixture: bucket=1 must be fragmented")
+    val removed = graft.sinks.BatchSink.compactSnapshot(spark, dir, Seq("bucket"))
+    assert(removed > 0, "compaction removed no files from a fragmented store")
+    // one generous-budget file per fragmented partition; healthy partition
+    // untouched down to file names and mtimes
+    assert(files(dir + "/bucket=1").size == 1, s"${files(dir + "/bucket=1")}")
+    assert(files(dir + "/bucket=0") == healthy0,
+      "compaction rewrote a healthy partition")
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("bucket"), r.getAs[String]("v"))).toSet
+    assert(after == before, "compaction changed the stored rows")
+    // partition pruning still works on the compacted layout
+    val pruned = spark.read.parquet(dir).filter(col("bucket") === 1L)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // idempotent: a second pass is a no-op
+    assert(graft.sinks.BatchSink.compactSnapshot(spark, dir, Seq("bucket")) == 0L)
+    // the next upsert proceeds normally on the compacted store
+    graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+      batch(Seq((1L, 2L, "a2"))), Seq("k"), Seq("ver"), Seq("bucket"))
+    assert(spark.read.parquet(dir).filter(col("k") === 1L).head.getAs[String]("v") == "a2")
+    // flat store: fragment by writing with many partitions, compact to one
+    val flat = tempDir("graft_compact_flat") + "/snap"
+    spark.createDataFrame((1 to 50).map(i => (i.toLong, 1L, s"v$i")))
+      .toDF("k", "ver", "v").repartition(8)
+      .write.parquet(flat)
+    assert(files(flat).size > 1)
+    val beforeFlat = spark.read.parquet(flat).count()
+    assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) > 0)
+    assert(files(flat).size == 1 && spark.read.parquet(flat).count() == beforeFlat)
+    assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) == 0L)
+    // layout guards in both directions, and a missing store fails fast
+    intercept[IllegalArgumentException](
+      graft.sinks.BatchSink.compactSnapshot(spark, flat, Seq("bucket")))
+    intercept[IllegalArgumentException](
+      graft.sinks.BatchSink.compactSnapshot(spark, dir)) // partitioned, no cols
+    intercept[IllegalArgumentException](
+      graft.sinks.BatchSink.compactSnapshot(spark, tempDir("graft_compact_none") + "/nope"))
+  }
+
   test("partitioned upsert READS only the touched partitions (pruning pinned on the executed plan)") {
     // The 100 TB claim of the partitioned sink is on the READ side: a
     // micro-batch merge must scan |touched partitions|, not |snapshot|.

@@ -400,6 +400,49 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("snapshot sink compactEvery keeps partitions single-file without changing rows") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long, String)](ss, 2)
+    val mem = new graft.sources.SourceResolver {
+      override def stream(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        input.toDF().toDF("event_id", "ver", "v")
+          .withColumn("bucket", col("event_id") % 2)
+      override def table(s: org.apache.spark.sql.SparkSession, topic: graft.config.TopicConfig) =
+        fail("no table side in this spec")
+      override def catalog = TestdataCatalog
+    }
+    val spec = PipelineSpec.fromJson(
+      """{"id":"snap-compact","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"snap-compact-out"}}""".stripMargin)
+    val base = tempDir("graft_snap_compact")
+    val q = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("event_id"), Seq("ver"), s"$base/ckpt", Seq("bucket"),
+      compactEvery = 1)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      input.addData((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, "a2"), (5L, 1L, "e1"))
+      q.processAllAvailable()
+      // every leaf dir is single-file after the in-loop compaction, and
+      // the merged rows are exactly latestPerKey over the ingested stream
+      for (b <- Seq(0, 1)) {
+        val dataFiles = fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$base/table/bucket=$b"))
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        assert(dataFiles.length == 1,
+          s"bucket=$b holds ${dataFiles.length} files under compactEvery=1")
+      }
+      val got = spark.read.parquet(s"$base/table").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("v"))).toMap
+      assert(got == Map(1L -> "a2", 2L -> "b1", 3L -> "c1", 5L -> "e1"), s"$got")
+    } finally q.stop()
+  }
+
   test("partitioned snapshot sink: bucketed merge through foreachBatch survives a checkpoint restart") {
     // startSnapshotSink(partitionCols=...) end-to-end: a multi-batch
     // changelog into a bucketed snapshot, killed and restarted across its
