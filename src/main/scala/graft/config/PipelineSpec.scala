@@ -241,8 +241,39 @@ case class OutputTopic(
   *    cnt), keyed by item (a compacted count-table). Batch-only (two
   *    passes).
   *
+  *  - `knn` (X3): similarity search — the frame is the CORPUS (stays
+  *    distributed, scored map-side, reduced by the TopK heap), the query
+  *    set is the parquet artifact at `queryPath` (narrowed by the SQL
+  *    predicate `queryFilter`), read once at build and broadcast. `method`
+  *    picks the family member: `exact` (default) and `quantized` (int8
+  *    sketch + exact re-rank of k·`refine` candidates) are oracle-exact;
+  *    `ivf` (`nCells`/`nProbe`/`nAssign`) and `lsh` (`nTables`/
+  *    `planesPerTable`; `dim` required) are approximate, recall-tested.
+  *    Output (query_id, rank, neighbor_id, cos), keyed by query.
+  *    Batch-only (a top-k over an unbounded corpus never finalizes).
+  *  - `resample` (X20): per-`idColumn` regular time grid every `every`
+  *    (whole-second duration) over `timeColumn`, `valueColumns`
+  *    forward-filled by the as-of merge; simultaneous observations
+  *    collapse by max FIRST, keeping the op deterministic. Batch-only.
+  *  - `profile` (X16): one-pass per-column audit of `columns` → (col_name,
+  *    n_non_null, n_distinct), keyed by col_name; `approx: true` swaps
+  *    exact distinct for HLL (no Expand). Batch-only (global exact
+  *    distinct counts).
+  *  - `quantile_rollup` (X26): per-`groupColumns` percentile estimates of
+  *    `column` at `quantiles` via the mergeable centroid sketch — output
+  *    one pNN column per requested fraction plus n_rows; ±1%-of-rank
+  *    accuracy pinned in tests. Batch-only.
+  *  - `distinct_rollup` (X25): per-`groupColumns` HLL distinct count of
+  *    `column` → (groups…, n_distinct, n_rows); deterministic (sketch
+  *    merges are order-independent), ±5% of exact. Batch-only.
+  *  - `pack` (X17): first-fit token packing of rows into fixed-`budget`
+  *    bins by the per-row count in `column`, visited in `orderColumns`
+  *    order per partition — appends pack_id/pack_slot, row-preserving (the
+  *    record key rides through). Partition-local by design; batch-only.
+  *
   * Streaming note: most ops here are map-only on a stream; the batch-only
-  * ones (stratified_sample, weighted_mix, top_k, heavy_hitters) reject a
+  * ones (stratified_sample, weighted_mix, top_k, heavy_hitters, knn,
+  * resample, profile, quantile_rollup, distinct_rollup, pack) reject a
   * streaming frame with a pointer to their streaming-shaped alternative.
   * The two STATEFUL streaming ops hold history: `dedup_exact` becomes an
   * UNWATERMARKED stateful aggregation in Update mode — state holds one
