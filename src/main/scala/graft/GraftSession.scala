@@ -13,9 +13,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-      // read as raw long nanos and floor-convert at the source boundary
-      // (ParquetSourceResolver.fixNanos).
+      // Producers have shipped events.ts as BOTH parquet TIMESTAMP(NANOS)
+      // and TIMESTAMP(MICROS) across dump generations. Spark's reader rejects
+      // NANOS outright, so read it as raw long nanos; Sources.fixNanos then
+      // dispatches on the arriving type (long-nanos / timestamp / ntz) and
+      // normalizes to session-TZ micros at the source boundary. This flag is
+      // inert when the file is already MICROS.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   // Default parallelism matches the driver environment contract (local[32]);

@@ -13,11 +13,13 @@ case class TopicSchema(
     schema: Option[StructType],   // None → infer from source (generic-JSON path)
     keyColumns: Seq[String],      // record key — the Kafka message key analogue
     orderColumns: Seq[String],    // changelog order (offset/ingest-ts analogue)
-    // Columns physically stored as parquet TIMESTAMP(NANOS): Spark has no
-    // nanosecond timestamp type, so they are read as raw long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong) and floor-converted to
-    // microsecond TimestampType at the source boundary — the same floor
-    // DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, keeping oracles exact.
+    // Columns DECLARED as timestamps whose physical encoding may vary across
+    // dump generations — producers have shipped both parquet TIMESTAMP(NANOS)
+    // and TIMESTAMP(MICROS). Sources.fixNanos dispatches on the arriving type
+    // (long-nanos under spark.sql.legacy.parquet.nanosAsLong / timestamp /
+    // timestamp_ntz) and normalizes to session-TZ microsecond TimestampType
+    // at the source boundary — the same floor DuckDB applies casting
+    // TIMESTAMP_NS → TIMESTAMP, keeping oracles exact.
     nanosTimestampColumns: Seq[String] = Nil)
 
 trait SchemaCatalog {

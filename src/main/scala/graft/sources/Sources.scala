@@ -173,15 +173,39 @@ class OrcSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceR
 }
 
 object Sources {
-  /** Floor-convert raw-nanos long columns (read under
-    * spark.sql.legacy.parquet.nanosAsLong) to microsecond TimestampType —
-    * see TopicSchema.nanosTimestampColumns. Works on batch and streaming
-    * frames alike (pure projection).
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize catalog-declared timestamp columns
+    * (TopicSchema.nanosTimestampColumns) to session-TZ microsecond
+    * TimestampType, dispatching on the type the file ACTUALLY arrived as —
+    * a schema-on-read engine must tolerate producers changing physical
+    * timestamp encodings between dumps:
+    *
+    *  - LongType          → raw int64 nanos (parquet TIMESTAMP(NANOS) read
+    *                        under spark.sql.legacy.parquet.nanosAsLong);
+    *                        floor-convert to micros.
+    *  - TimestampType     → already micros; pass through.
+    *  - TimestampNTZType  → parquet timestamp[us] with isAdjustedToUTC=false;
+    *                        cast to session-TZ TimestampType (session TZ is
+    *                        pinned to UTC in GraftSession, so the instant is
+    *                        unchanged and oracle hashes stay stable).
+    *  - anything else     → loud error naming topic+column — silently keeping
+    *                        a string/double here would corrupt every
+    *                        downstream window/asof/resample.
+    *
+    * Works on batch and streaming frames alike (pure projection).
     */
   def fixNanos(df: DataFrame, catalog: SchemaCatalog, topicName: String): DataFrame =
     catalog.nanosColumnsOf(topicName).foldLeft(df) { (d, c) =>
-      if (d.columns.contains(c)) d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
-      else d
+      if (!d.columns.contains(c)) d
+      else d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case TimestampType    => d
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case other => throw new IllegalArgumentException(
+          s"topic '$topicName' column '$c' is declared a timestamp but arrived as $other " +
+            "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+      }
     }
 }
 

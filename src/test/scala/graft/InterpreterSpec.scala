@@ -350,8 +350,8 @@ class InterpreterSpec extends SparkSuite {
         |"outputTopic":{"enabled":true,"name":"fwd-out"}}""".stripMargin),
       new ParquetSourceResolver(sf(), TestdataCatalog)))
       .orderBy("event_id").collect().toSeq
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.sources.Sources.fixNanos(
+      spark.read.parquet(s"${sf()}/events.parquet"), TestdataCatalog, "events")
     val direct = graft.operators.AsOfJoin.asOfForward(
       ev.filter(col("user_id").isNotNull).select("event_id", "user_id", "ts"),
       ev.filter(col("event_id") % 10 === 0).select("user_id", "ts", "value"),
