@@ -543,6 +543,65 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"doc-packs"}}""".stripMargin)
       .select("doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_slot")
 
+  /** Spec-level WINDOWED grouped top-k (the streaming-capable form of r27:
+    * cells are (tumbling hour, event_type) instead of global, so heap state
+    * is watermark-evictable on a stream; here built batch — identical
+    * grouping by construction, so it gets a full exact oracle).
+    */
+  def r32SpecWindowTopk(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"window-topk-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"top_k","k":3,"byColumn":"value",
+         |  "idColumn":"event_id","groupColumns":["event_type"],
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"events-window-topk"}}""".stripMargin)
+      .select("window_start", "event_type", "rank", "event_id", "value")
+
+  /** Spec-level WINDOWED heavy hitters (exact per-window counts over an
+    * absolute minCount — the single-aggregation shape that streams in
+    * update mode; the global form's MG sketch exists only because an
+    * unwindowed corpus doesn't bound the key domain). Exact → full oracle.
+    */
+  def r32SpecWindowHeavy(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"window-heavy-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"heavy_hitters","column":"user_id","minCount":3,
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"events-window-heavy"}}""".stripMargin)
+      .select("window_start", "item", "cnt")
+
+  /** Spec-level WINDOWED HLL distinct rollup — the incrementally-maintained
+    * sketch table (one mergeable HLL per (hour, event_type) cell; the same
+    * spec streams into the snapshot sink, pinned stream==batch in
+    * StreamRunnerSpec). Rows-only: HLL estimates are engine-specific;
+    * the sketch column is dropped from the query row (binary artifact).
+    */
+  def r32SpecWindowDistinct(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"window-distinct-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+         |  "column":"user_id","timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"events-window-distinct"}}""".stripMargin)
+      .select("window_start", "event_type", "n_distinct", "n_rows")
+
+  /** Spec-level WINDOWED quantile rollup — the percentile analogue of the
+    * windowed distinct rollup (mergeable centroid sketch per cell,
+    * estimates emitted per cell). Rows-only: sketch estimates are
+    * engine-specific, rank accuracy pinned in InterpreterSpec.
+    */
+  def r32SpecWindowQuantile(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"window-quantile-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"quantile_rollup","groupColumns":["event_type"],
+         |  "column":"value","quantiles":[0.5,0.9],
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"events-window-quantile"}}""".stripMargin)
+      .select("window_start", "event_type", "p50", "p90", "n_rows")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2788,7 +2847,23 @@ object Queries {
       // declarative resample / profile must hash-match their code paths
       // (r29_spec_quantiles is rows-only: sketch estimates, rank-pinned)
       ("r29_spec_resample" -> oracles0("x20_resample")) +
-      ("r29_spec_profile" -> oracles0("x16_profile"))
+      ("r29_spec_profile" -> oracles0("x16_profile")) +
+      // windowed top-k / heavy hitters are EXACT per-window computations —
+      // full oracles (tie-break mirrors x12: score DESC, id ASC; the
+      // windowed rollups are sketch-estimating → rows-only, test-pinned)
+      ("r32_spec_window_topk" ->
+        """SELECT window_start, event_type, rank, event_id, value FROM (
+          |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          |         event_type, event_id, value,
+          |         row_number() OVER (
+          |           PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+          |           ORDER BY value DESC, event_id ASC) AS rank
+          |  FROM events) WHERE rank <= 3""".stripMargin) +
+      ("r32_spec_window_heavy" ->
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+          |       user_id AS item, count(*) AS cnt
+          |FROM events WHERE user_id IS NOT NULL
+          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2822,6 +2897,10 @@ object Queries {
     "r29_spec_quantiles" -> r29SpecQuantiles _,
     "r30_spec_distinct" -> r30SpecDistinct _,
     "r31_spec_pack" -> r31SpecPack _,
+    "r32_spec_window_topk" -> r32SpecWindowTopk _,
+    "r32_spec_window_heavy" -> r32SpecWindowHeavy _,
+    "r32_spec_window_distinct" -> r32SpecWindowDistinct _,
+    "r32_spec_window_quantile" -> r32SpecWindowQuantile _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -370,9 +370,22 @@ case class TransformOp(
     dim: Option[Int] = None,
     // resample (regular-grid gap fill): timeColumn + every (a duration
     // string) + valueColumns; profile: columns (+ approx); quantile_rollup:
-    // groupColumns + column + quantiles
+    // groupColumns + column + quantiles.
+    // For the sketch/top-k family (top_k, heavy_hitters, distinct_rollup,
+    // quantile_rollup), declaring timeColumn + every switches the op to its
+    // WINDOWED form: cells are (tumbling window, groupColumns...) instead of
+    // global — the shape that runs on a stream with bounded state. watermark
+    // (required when the frame is streaming) bounds lateness and lets Spark
+    // evict window state; on batch the same declaration produces the
+    // identical windowed table, so stream-built == batch-built is testable.
     timeColumn: Option[String] = None,
     every: Option[String] = None,
+    watermark: Option[String] = None,
+    // heavy_hitters windowed form: absolute count threshold (a per-window
+    // FRACTION needs the window total, which is a second stateful
+    // aggregation on a stream — Spark rejects chained stateful aggs)
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    minCount: Option[Long] = None,
     valueColumns: Seq[String] = Nil,
     columns: Seq[String] = Nil,
     approx: Boolean = false,
@@ -429,6 +442,35 @@ case class TransformOp(
     validateOp(where)
   }
 
+  /** True iff `s` parses as a positive, month-free duration (months are
+    * irregular — a tumbling window or watermark must be a fixed span).
+    */
+  private def positiveDuration(s: String): Boolean =
+    try {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      iv.months == 0 && (iv.days * 86_400_000_000L + iv.microseconds) > 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The windowed-form declaration shared by the sketch/top-k family:
+    * timeColumn + every come together (the tumbling window), watermark only
+    * rides on a declared window. Returns whether the op IS windowed.
+    */
+  private def validateWindowDecl(where: String): Boolean = {
+    require(timeColumn.isDefined == every.isDefined,
+      s"[$where] $op windowed form needs BOTH timeColumn and every " +
+        "(the tumbling window column and width)")
+    every.foreach(e => require(positiveDuration(e),
+      s"[$where] $op every '$e' is not a positive month-free duration"))
+    watermark.foreach { w =>
+      require(timeColumn.isDefined,
+        s"[$where] $op watermark requires the windowed form (timeColumn + every)")
+      require(positiveDuration(w),
+        s"[$where] $op watermark '$w' is not a positive month-free duration")
+    }
+    timeColumn.isDefined
+  }
+
   private def validateOp(where: String): Unit = op match {
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
@@ -481,10 +523,22 @@ case class TransformOp(
       require(byColumn.isDefined && idColumn.isDefined,
         s"[$where] top_k requires byColumn and idColumn")
       require(k.exists(_ >= 1), s"[$where] top_k requires k >= 1")
+      validateWindowDecl(where)
     case "heavy_hitters" =>
       require(column.isDefined, s"[$where] heavy_hitters requires column")
-      require(minFraction.exists(f => f > 0 && f <= 1),
-        s"[$where] heavy_hitters requires minFraction in (0, 1]")
+      if (validateWindowDecl(where)) {
+        // windowed = exact per-window counts under an ABSOLUTE threshold; a
+        // per-window fraction needs the window total — a second stateful
+        // aggregation a stream cannot chain
+        require(minCount.exists(_ >= 1) && minFraction.isEmpty,
+          s"[$where] windowed heavy_hitters requires minCount >= 1 " +
+            "(and no minFraction — a per-window fraction needs the window " +
+            "total, a second stateful aggregation)")
+      } else {
+        require(minFraction.exists(f => f > 0 && f <= 1) && minCount.isEmpty,
+          s"[$where] global heavy_hitters requires minFraction in (0, 1] " +
+            "(minCount belongs to the windowed form: declare timeColumn + every)")
+      }
     case "resample" =>
       require(idColumn.isDefined && timeColumn.isDefined && valueColumns.nonEmpty,
         s"[$where] resample requires idColumn (the series key), timeColumn " +
@@ -520,6 +574,7 @@ case class TransformOp(
       require(column.isDefined && groupColumns.nonEmpty,
         s"[$where] distinct_rollup requires column (the counted item) and " +
           "groupColumns")
+      validateWindowDecl(where)
     case "quantile_rollup" =>
       require(column.isDefined && groupColumns.nonEmpty,
         s"[$where] quantile_rollup requires column (the measure) and " +
@@ -528,6 +583,7 @@ case class TransformOp(
         s"[$where] quantile_rollup requires quantiles")
       require(numericQuantiles.forall(q => q >= 0.0 && q <= 1.0),
         s"[$where] quantile_rollup quantiles must be fractions in [0, 1]")
+      validateWindowDecl(where)
     case "knn" =>
       require(column.isDefined && idColumn.isDefined && queryPath.isDefined,
         s"[$where] knn requires column (the vector), idColumn and queryPath")

@@ -234,4 +234,24 @@ object QuantileSketch {
       maxCentroids: Int = 256): Column =
     udaf(new QuantileMergeAggregator(maxCentroids, quantiles), sketchEnc)
       .apply(sketchCol)
+
+  /** SCALAR quantile estimates from ONE stored sketch value (no
+    * aggregation) — one array<double> per ROW, aligned with `quantiles`.
+    * Used where the sketch column is already one-per-cell (the windowed
+    * streaming rollup emission), so this evaluates once per emitted CELL,
+    * never once per raw row — a Scala udf is fine at that cardinality and
+    * keeps the interpolation kernel shared with the aggregate forms.
+    */
+  def estimateSketch(sketchCol: Column, quantiles: Seq[Double]): Column = {
+    val qs = quantiles.toIndexedSeq
+    val f = org.apache.spark.sql.functions.udf {
+      (cs: Seq[org.apache.spark.sql.Row]) =>
+        if (cs == null) qs.map(_ => Double.NaN)
+        else {
+          val centroids = cs.map(r => (r.getDouble(0), r.getLong(1)))
+          qs.map(estimate(centroids, _))
+        }
+    }
+    f(sketchCol)
+  }
 }

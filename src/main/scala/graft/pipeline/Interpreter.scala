@@ -187,13 +187,35 @@ object Interpreter extends Logging {
           "hash-threshold form for streams — see TextAnalysis.weightedMix")
       graft.operators.TextAnalysis.weightedMix(df, t.column.get,
         t.idColumn.get, t.numericWeights, t.numericDefaultWeight)
+    case "top_k" if t.timeColumn.isDefined =>
+      // WINDOWED form: cells are (tumbling window, groups...) — the shape
+      // that runs on a stream with bounded, watermark-evicted heap state
+      // (and on batch produces the identical table, so the two builds are
+      // directly comparable). The TopK heap aggregates partially map-side
+      // exactly like the global form.
+      val (src, win) = eventWindow(df, t)
+      val byCol = t.byColumn.get
+      val idCol = t.idColumn.get
+      val groups = t.groupColumns
+      val agged = src.groupBy(win.as("__w") +: groups.map(col): _*)
+        .agg(graft.functions.TopK.topk(
+          col(byCol).cast("double"), col(idCol).cast("long"), t.k.get).as("__top"))
+      val result = agged
+        .select((col("__w.start").as("window_start") +: groups.map(col)) :+
+          posexplode(col("__top")).as(Seq("__rank0", "__p")): _*)
+        .select((col("window_start") +: groups.map(col)) ++ Seq(
+          (col("__rank0") + 1).cast("int").as("rank"),
+          col("__p._2").cast(df.schema(idCol).dataType).as(idCol),
+          col("__p._1").cast(df.schema(byCol).dataType).as(byCol)): _*)
+      windowedKey(result, df, groups)
     case "top_k" =>
-      // a streaming grouped top-k would be an unwatermarked stateful
-      // aggregation (the heap state never evicts) — reject with intent;
-      // bound the domain under a windowed aggregation instead
+      // GLOBAL grouped top-k on a stream would be an unwatermarked stateful
+      // aggregation (the heap state never evicts) — reject pointing at the
+      // windowed form, which is the same op with bounded state
       require(!df.isStreaming,
-        "top_k is batch-only (unbounded heap state on a stream); " +
-          "bound it under a windowed aggregation instead")
+        "global top_k is batch-only (unbounded heap state on a stream); " +
+          "declare timeColumn + every + watermark for the windowed " +
+          "streaming form")
       val byCol = t.byColumn.get
       val idCol = t.idColumn.get
       val groups = t.groupColumns
@@ -215,10 +237,35 @@ object Interpreter extends Logging {
         case Seq(g) => col(g)
         case many   => struct(many.map(col): _*)
       }) else result
+    case "heavy_hitters" if t.timeColumn.isDefined =>
+      // WINDOWED form: EXACT per-window counts over an ABSOLUTE minCount
+      // threshold — one stateful aggregation (streaming-legal in update
+      // mode), no sketch needed because the window bounds the key domain.
+      // The global form's MG sketch + recount exists precisely because an
+      // unwindowed corpus does not bound it.
+      val (src, win) = eventWindow(df, t)
+      val ts = t.timeColumn.get
+      val items =
+        if (t.tokenize)
+          src.select(col(ts), explode(
+            graft.operators.TextAnalysis.tokens(col(t.column.get))).as("__item"))
+        else src.select(col(ts), col(t.column.get).as("__item"))
+      val result = items.filter(col("__item").isNotNull)
+        .groupBy(win.as("__w"), col("__item"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= t.minCount.get)
+        .select(col("__w.start").as("window_start"),
+          col("__item").as("item"), col("cnt"))
+      // keyed by (window, item) — the count-table analogue of the global
+      // form's per-item key
+      if (df.columns.contains(KeyCol))
+        result.withColumn(KeyCol, struct(col("window_start"), col("item")))
+      else result
     case "heavy_hitters" =>
       require(!df.isStreaming,
-        "heavy_hitters is batch-only (two passes: Misra-Gries sketch + " +
-          "exact recount)")
+        "global heavy_hitters is batch-only (two passes: Misra-Gries " +
+          "sketch + exact recount); declare timeColumn + every + watermark " +
+          "+ minCount for the windowed streaming form")
       val result =
         if (t.tokenize)
           graft.operators.Profile.heavyHittersFromArrays(
@@ -268,10 +315,30 @@ object Interpreter extends Logging {
           "streaming analogue); pack the stored batch output instead")
       graft.operators.Packing.pack(df, t.column.get, t.budget.get,
         t.orderColumns)
+    case "distinct_rollup" if t.timeColumn.isDefined =>
+      // WINDOWED form — the INCREMENTALLY-MAINTAINED sketch table: one HLL
+      // sketch per (tumbling window, dims...) cell, built by Spark's
+      // stateful aggregation on a stream (update mode emits each refreshed
+      // cell; the snapshot sink upserts it) and by the identical grouping
+      // on batch. The sketch column is KEPT in the output so the stored
+      // table stays mergeable — later coarser rollups union stored sketches
+      // (Profile.rollupDistinct) without rescanning raw data; that is the
+      // KTable-style materialization the batch-only form could not offer.
+      val (src, win) = eventWindow(df, t)
+      val dims = t.groupColumns
+      val g = src.groupBy(win.as("__w") +: dims.map(col): _*)
+        .agg(hll_sketch_agg(col(t.column.get)).as("sketch"),
+          count(col(t.column.get)).as("n_rows"))
+      val result = g.select((col("__w.start").as("window_start") +: dims.map(col)) ++ Seq(
+        col("sketch"),
+        hll_sketch_estimate(col("sketch")).as("n_distinct"),
+        col("n_rows")): _*)
+      windowedKey(result, df, dims)
     case "distinct_rollup" =>
       require(!df.isStreaming,
-        "distinct_rollup is batch-only on the config path; for streams use " +
-          "approx_count_distinct under a windowed aggregation")
+        "global distinct_rollup is batch-only on the config path; declare " +
+          "timeColumn + every + watermark for the windowed streaming form " +
+          "(an incrementally-maintained sketch table)")
       val sk = graft.operators.Profile.distinctSketches(
         df, t.groupColumns, t.column.get)
       val result = graft.operators.Profile.rollupDistinct(sk, t.groupColumns)
@@ -279,11 +346,35 @@ object Interpreter extends Logging {
         case Seq(g) => col(g)
         case many   => struct(many.map(col): _*)
       }) else result
+    case "quantile_rollup" if t.timeColumn.isDefined =>
+      // WINDOWED form — same maintained-table pattern as windowed
+      // distinct_rollup: one mergeable centroid sketch per (window, dims)
+      // cell (the native QuantileSketchBuild aggregate carries its state
+      // through the streaming state store), estimates emitted per cell
+      // (estimateSketch is per-CELL scalar work, not per raw row), sketch
+      // kept for later coarser rollups (Profile.rollupQuantiles).
+      val (src, win) = eventWindow(df, t)
+      val dims = t.groupColumns
+      val g = src.groupBy(win.as("__w") +: dims.map(col): _*)
+        .agg(graft.functions.QuantileSketch.sketch(
+            col(t.column.get).cast("double")).as("qsketch"),
+          count(col(t.column.get)).as("n_rows"))
+      val qs = t.numericQuantiles
+      val est = graft.functions.QuantileSketch.estimateSketch(col("qsketch"), qs)
+      val qCols = qs.zipWithIndex.map { case (q, i) =>
+        // p50 / p99 / p99_9 — same naming rule as Profile.rollupQuantiles
+        val name = "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
+          .toPlainString.replace(".", "_")
+        est.getItem(i).as(name)
+      }
+      val result = g.select((col("__w.start").as("window_start") +: dims.map(col)) ++
+        (col("qsketch") +: qCols) :+ col("n_rows"): _*)
+      windowedKey(result, df, dims)
     case "quantile_rollup" =>
       require(!df.isStreaming,
-        "quantile_rollup is batch-only (merging sketch state on a stream " +
-          "is an unwatermarked aggregation); bound the domain under a " +
-          "windowed aggregation instead")
+        "global quantile_rollup is batch-only (merging sketch state on a " +
+          "stream is an unwatermarked aggregation); declare timeColumn + " +
+          "every + watermark for the windowed streaming form")
       val sk = graft.operators.Profile.quantileSketches(
         df, t.groupColumns, t.column.get)
       val result = graft.operators.Profile.rollupQuantiles(
@@ -352,6 +443,36 @@ object Interpreter extends Logging {
         t.idColumn.get, t.column.get, t.shingleSize.get, carryCols = keyCarry(df))
     case other => throw new IllegalArgumentException(s"unknown transform op $other")
   }
+
+  /** Tumbling event-time window for the sketch/top-k family's windowed
+    * form: watermark the stream (validated present by the callers — bounds
+    * lateness AND lets Spark evict closed-window state), leave batch frames
+    * untouched (identical grouping, no watermark), hand back the window
+    * expression. One helper so stream-built and batch-built cells are the
+    * same by construction.
+    */
+  private def eventWindow(df: DataFrame, t: TransformOp): (DataFrame, Column) = {
+    val ts = t.timeColumn.get
+    val src =
+      if (df.isStreaming) {
+        require(t.watermark.isDefined,
+          s"streaming ${t.op} requires watermark alongside timeColumn/every " +
+            "— unbounded window state is the exact commitment the windowed " +
+            "form exists to avoid")
+        df.withWatermark(ts, t.watermark.get)
+      } else df
+    (src, window(col(ts), t.every.get))
+  }
+
+  /** Record key for a windowed aggregation output: the cell identity
+    * (window_start, groups...) — the windowed analogue of "an aggregation's
+    * output key IS the group key".
+    */
+  private def windowedKey(result: DataFrame, df: DataFrame,
+      groups: Seq[String]): DataFrame =
+    if (df.columns.contains(KeyCol))
+      result.withColumn(KeyCol, struct(col("window_start") +: groups.map(col): _*))
+    else result
 
   /** Row-set-replacing transforms (chunk, contamination_screen) project to
     * their own output schema and would drop the threaded `__key` — but the

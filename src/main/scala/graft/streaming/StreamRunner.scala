@@ -49,6 +49,15 @@ object StreamRunner extends Logging {
     // discovered from a state-store OOM.
     case _ if spec.transform.exists(t =>
       t.op == "dedup_exact" && t.stateTtl.isEmpty) => OutputMode.Update()
+    // the windowed sketch/top-k transform family is a stateful aggregation
+    // whose emission is a per-cell changelog (each micro-batch refreshes
+    // the touched (window, dims) cells; the snapshot sink upserts them).
+    // Append would hold every cell until its window passes the watermark —
+    // correct for fire-once delivery, but it defeats the continuously-
+    // maintained-table semantics these ops declare.
+    case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
+      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup")
+        .contains(t.op)) => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 

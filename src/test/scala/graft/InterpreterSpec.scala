@@ -555,6 +555,83 @@ class InterpreterSpec extends SparkSuite {
     }
   }
 
+  test("windowed rollup estimates match exact per-window answers (batch form)") {
+    // distinct: HLL per (hour, event_type) cell vs exact count(distinct) —
+    // sf0.001 cells are small, so the HLL estimate must be exact
+    val gotD = Queries.r32SpecWindowDistinct(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val exactD = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd"), count(col("user_id")).as("nr"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(gotD.nonEmpty && gotD == exactD,
+      s"windowed HLL cells diverge from exact: ${gotD.toSet.diff(exactD.toSet)}")
+    // quantile: the sketch's guarantee is RANK accuracy — the estimate's
+    // rank among the cell's exact values must sit within ~1.5 positions of
+    // q·n (±0.5 from the midpoint mass rule, ±1 from interpolation). A
+    // percentage-of-rank band (the global r29 pin) is meaningless on
+    // hour-sized cells of a handful of rows.
+    val gotQ = Queries.r32SpecWindowQuantile(spark, sf()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> Seq(r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val qs = Seq(0.5, 0.9)
+    val exactVals = spark.read.parquet(s"${sf()}/events.parquet")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(sort_array(collect_list(col("value"))).as("vals"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        r.getSeq[Double](2)).toMap
+    assert(gotQ.keySet == exactVals.keySet && gotQ.nonEmpty)
+    for ((cell, es) <- gotQ; (e, i) <- es.zipWithIndex) {
+      val vals = exactVals(cell); val n = vals.size
+      val below = vals.count(_ < e)       // e's rank is in [below, atMost]
+      val atMost = vals.count(_ <= e)
+      val target = qs(i) * n
+      assert(below <= target + 1.5 && atMost >= target - 1.5,
+        s"cell $cell q=${qs(i)}: estimate $e has rank in [$below, $atMost], " +
+          s"target $target of $n — off by more than 1.5 positions")
+    }
+  }
+
+  test("windowed-form declaration validation (sketch/top-k family)") {
+    def spec(transform: String) = PipelineSpec.fromJson(
+      s"""{"id":"wv","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[$transform],
+         |"outputTopic":{"enabled":true,"name":"wv-out"}}""".stripMargin)
+        .validate()
+    // timeColumn and every must come together
+    val e1 = intercept[IllegalArgumentException](spec(
+      """{"op":"top_k","k":2,"byColumn":"value","idColumn":"event_id",
+        |"timeColumn":"ts"}""".stripMargin))
+    assert(e1.getMessage.contains("timeColumn") && e1.getMessage.contains("every"))
+    // watermark only rides on a declared window
+    val e2 = intercept[IllegalArgumentException](spec(
+      """{"op":"distinct_rollup","groupColumns":["event_type"],
+        |"column":"user_id","watermark":"1 hour"}""".stripMargin))
+    assert(e2.getMessage.contains("watermark"))
+    // durations must parse positive and month-free
+    val e3 = intercept[IllegalArgumentException](spec(
+      """{"op":"quantile_rollup","groupColumns":["event_type"],"column":"value",
+        |"quantiles":[0.5],"timeColumn":"ts","every":"1 month"}""".stripMargin))
+    assert(e3.getMessage.contains("month-free"))
+    // windowed heavy_hitters takes minCount, not minFraction — and vice versa
+    val e4 = intercept[IllegalArgumentException](spec(
+      """{"op":"heavy_hitters","column":"user_id","minFraction":0.1,
+        |"timeColumn":"ts","every":"1 hour"}""".stripMargin))
+    assert(e4.getMessage.contains("minCount"))
+    val e5 = intercept[IllegalArgumentException](spec(
+      """{"op":"heavy_hitters","column":"user_id","minCount":3}"""))
+    assert(e5.getMessage.contains("minFraction"))
+    // happy paths parse
+    spec("""{"op":"top_k","k":2,"byColumn":"value","idColumn":"event_id",
+      |"timeColumn":"ts","every":"1 hour","watermark":"10 minutes"}""".stripMargin)
+    spec("""{"op":"heavy_hitters","column":"user_id","minCount":3,
+      |"timeColumn":"ts","every":"1 hour"}""".stripMargin)
+  }
+
   test("config chunk -> pack carries the x17 invariants and the record key") {
     val got = Queries.r31SpecPack(spark, sf())
     val chunks = graft.operators.TextAnalysis.chunk(

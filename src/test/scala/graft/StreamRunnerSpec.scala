@@ -790,4 +790,194 @@ class StreamRunnerSpec extends SparkSuite {
       awaitUntil("post-TTL duplicate to re-emit")(rowsNow() == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  // ------------------------------------------------- windowed sketch tables
+
+  private def t(h: Int, m: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  /** Resolver pair for the windowed-rollup tests: a MemoryStream-backed
+    * streaming resolver and a batch resolver over the same accumulated
+    * rows, so "stream-built == batch-built" is literally the same spec
+    * interpreted twice.
+    */
+  private def eventsResolver(df: => org.apache.spark.sql.DataFrame) =
+    new graft.sources.SourceResolver {
+      override def stream(s: org.apache.spark.sql.SparkSession,
+          topic: graft.config.TopicConfig) = df
+      override def table(s: org.apache.spark.sql.SparkSession,
+          topic: graft.config.TopicConfig) = df
+      override def catalog = TestdataCatalog
+    }
+
+  test("windowed distinct_rollup: stream-maintained sketch table equals the " +
+      "batch build across a checkpoint restart (X25 streaming maintenance)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"wdr","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+        |  "column":"user_id","timeColumn":"ts","every":"1 hour",
+        |  "watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"wdr-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val base = tempDir("graft_wdr")
+    // n_rows only grows per cell, so it is a valid last-write-wins version
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "event_type"), Seq("n_rows"),
+      s"$base/ckpt")
+    val batch1 = Seq((1L, t(10, 5), 100L, "click"), (2L, t(10, 15), 101L, "click"),
+      (3L, t(10, 20), 100L, "view"), (4L, t(11, 0), 102L, "click"))
+    val batch2 = Seq((5L, t(10, 40), 102L, "click"), (6L, t(11, 30), 102L, "click"),
+      (7L, t(11, 45), 103L, "view"))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart from the checkpoint: recovered window state must keep
+    // absorbing rows into the SAME cells (10:00 'click' gains a late-ish
+    // doc inside the watermark), not fork fresh ones
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "event_type", "n_distinct", "n_rows")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val got = cells(spark.read.parquet(s"$base/table"))
+      val want = cells(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // the stored table stays MERGEABLE: rolling stored sketches up to a
+      // coarser grain must answer without the raw data
+      val rolled = graft.operators.Profile.rollupDistinct(
+        spark.read.parquet(s"$base/table").select(col("event_type"),
+          col("sketch"), col("n_rows")), Seq("event_type"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rolled == Map("click" -> 3L, "view" -> 2L),
+        s"rollup from stored sketches wrong: $rolled")
+    } finally q2.stop()
+  }
+
+  test("windowed quantile_rollup: stream-maintained sketch table equals the " +
+      "batch build across a checkpoint restart (X26 streaming maintenance)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"wqr","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"quantile_rollup","groupColumns":["event_type"],
+        |  "column":"value","quantiles":[0.5,0.9],"timeColumn":"ts",
+        |  "every":"1 hour","watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"wqr-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "event_type", "value")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val base = tempDir("graft_wqr")
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "event_type"), Seq("n_rows"),
+      s"$base/ckpt")
+    val batch1 = Seq((1L, t(10, 5), "click", 1.0), (2L, t(10, 15), "click", 5.0),
+      (3L, t(10, 20), "view", 10.0), (4L, t(11, 0), "click", 7.0))
+    val batch2 = Seq((5L, t(10, 40), "click", 3.0), (6L, t(11, 30), "click", 9.0))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      // cells hold < maxCentroids values, so sketches carry the EXACT value
+      // multiset both ways — estimates must agree exactly
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "event_type", "p50", "p90", "n_rows")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+      val got = cells(spark.read.parquet(s"$base/table"))
+      val want = cells(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // stored sketches roll up to a coarser grain without raw data
+      val rolled = graft.operators.Profile.rollupQuantiles(
+        spark.read.parquet(s"$base/table").select(col("event_type"),
+          col("qsketch"), col("n_rows")), Seq("event_type"), Seq(0.5))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n_rows"))).toMap
+      assert(rolled == Map("click" -> 5L, "view" -> 1L),
+        s"rollup from stored sketches wrong: $rolled")
+    } finally q2.stop()
+  }
+
+  test("windowed top_k streams in update mode and converges to the batch build") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"wtopk","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"top_k","k":2,"byColumn":"value",
+        |  "idColumn":"event_id","groupColumns":["event_type"],
+        |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"wtopk-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "event_type", "value")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    assert(StreamRunner.build(spark, spec, mem).isStreaming)
+    val q = StreamRunner.startMemory(spark, spec, mem, "wtopk_t")
+    try {
+      input.addData((1L, t(10, 5), "click", 1.0), (2L, t(10, 15), "click", 5.0),
+        (3L, t(10, 20), "view", 10.0))
+      q.processAllAvailable()
+      input.addData((4L, t(10, 40), "click", 7.0), (5L, t(11, 0), "click", 2.0))
+      q.processAllAvailable()
+      // update mode re-emits a cell's rows when its heap changes — the
+      // final emission per (cell, rank) is the converged answer
+      val got = spark.table("wtopk_t")
+        .groupBy("window_start", "event_type", "rank")
+        .agg(last("event_id").as("event_id"), last("value").as("value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val want = Set(
+        (t(10, 0), "click", 1, 4L, 7.0), (t(10, 0), "click", 2, 2L, 5.0),
+        (t(10, 0), "view", 1, 3L, 10.0),
+        (t(11, 0), "click", 1, 5L, 2.0))
+      assert(got == want, s"windowed top-k converged to $got, want $want")
+    } finally q.stop()
+  }
+
+  test("streaming sketch/top-k ops REQUIRE the windowed declaration " +
+      "(global forms reject with the windowed pointer)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val mem = eventsResolver(
+      input.toDF().toDF("event_id", "ts", "event_type", "value"))
+    def specFor(transform: String) = PipelineSpec.fromJson(
+      s"""{"id":"rej","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[$transform],
+         |"outputTopic":{"enabled":true,"name":"rej-out"}}""".stripMargin)
+    // global streaming forms reject, naming the windowed form
+    val globals = Seq(
+      """{"op":"top_k","k":2,"byColumn":"value","idColumn":"event_id"}""",
+      """{"op":"distinct_rollup","groupColumns":["event_type"],"column":"event_id"}""",
+      """{"op":"quantile_rollup","groupColumns":["event_type"],"column":"value",
+        |"quantiles":[0.5]}""".stripMargin,
+      """{"op":"heavy_hitters","column":"event_type","minFraction":0.1}""")
+    globals.foreach { tj =>
+      val e = intercept[IllegalArgumentException](
+        StreamRunner.build(spark, specFor(tj), mem))
+      assert(e.getMessage.contains("windowed"), s"$tj: ${e.getMessage}")
+    }
+    // windowed WITHOUT watermark on a stream also rejects
+    val e = intercept[IllegalArgumentException](StreamRunner.build(spark,
+      specFor("""{"op":"top_k","k":2,"byColumn":"value","idColumn":"event_id",
+        |"timeColumn":"ts","every":"1 hour"}""".stripMargin), mem))
+    assert(e.getMessage.contains("watermark"))
+  }
 }
