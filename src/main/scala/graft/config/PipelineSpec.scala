@@ -146,13 +146,46 @@ case class JoinOp(
 
 /** Mirror of OutputTopicConfig (AggregationDefinition.java:112-130).
   * retentionMs == -1 → compacted topic (TopicProvisioner.java:37-43).
+  *
+  * The three layout fields extend the reference's physical-output knobs
+  * (it stops at partition count) to the lake-sink dimension that matters
+  * at 100 TB — directory pruning, multi-dim footer pruning, file sizing:
+  *
+  *  - `partitionBy`: hive-partition the topic data by these VALUE columns
+  *    (low-cardinality — date/source/lang); a filter on them prunes whole
+  *    directories at plan time (X24 declarable).
+  *  - `zOrderBy`: cluster files by the Morton interleave of 2+ numeric
+  *    value columns so parquet footer min/max prunes on EVERY clustered
+  *    column (X27 declarable). Mutually exclusive with partitionBy.
+  *  - `targetFileBytes`: size output files toward this many bytes each,
+  *    estimated from the optimized plan's size statistic (pre-compression
+  *    — on-disk files land smaller; the knob bounds file GRANULARITY, not
+  *    exact size).
   */
 case class OutputTopic(
     enabled: Boolean = true,
     name: String,
     retentionMs: Option[Long] = None,
     partitions: Option[Int] = None,
-    replicationFactor: Option[Short] = None)
+    replicationFactor: Option[Short] = None,
+    partitionBy: Seq[String] = Nil,
+    zOrderBy: Seq[String] = Nil,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    targetFileBytes: Option[Long] = None) {
+
+  def validateLayout(where: String): Unit = {
+    require(partitionBy.isEmpty || zOrderBy.isEmpty,
+      s"[$where] $name: partitionBy and zOrderBy are mutually exclusive " +
+        "layouts (directory pruning vs multi-dim file clustering)")
+    require(zOrderBy.isEmpty || zOrderBy.size >= 2,
+      s"[$where] $name: zOrderBy needs at least two columns " +
+        "(one column = a plain sort; use partitionBy or leave default)")
+    require(partitionBy.distinct == partitionBy && zOrderBy.distinct == zOrderBy,
+      s"[$where] $name: duplicate layout columns")
+    require(targetFileBytes.forall(_ >= 1),
+      s"[$where] $name: targetFileBytes must be positive")
+  }
+}
 
 /** Spec-level transform stage — the corpus X-operators through the config
   * path. The reference's essence is config-driven pipelines
@@ -791,6 +824,7 @@ case class PipelineSpec(
       branches.filter(_.outputTopic.enabled).map(_.outputTopic.name)
     require(sinkNames.distinct.size == sinkNames.size,
       s"[$id] duplicate output topic names: ${sinkNames.mkString(", ")}")
+    (outputTopic.toSeq ++ branches.map(_.outputTopic)).foreach(_.validateLayout(id))
   }
 }
 

@@ -824,11 +824,19 @@ object Interpreter extends Logging {
   /** Sink projection (R15, DynamicTopologyBuilder.java:61-74): the record key
     * plus the value serialized back to JSON — `to_json(struct(*))` matches the
     * reference's generic-map JSON serialization (SerdeFactory.java:110-137).
+    *
+    * `carry` keeps the named columns as PHYSICAL columns alongside
+    * (key, value) — the sink-layout channel (hive partition directories,
+    * clustering keys). Engine-synthetic columns (`__`-prefixed, e.g. a
+    * z-value) never serialize into the JSON value; real value fields stay
+    * in the JSON even when also carried (directory-encoding a field is a
+    * layout choice, not a serde change — the record must round-trip whole).
     */
-  def toKafkaShape(df: DataFrame): DataFrame = {
-    val valueCols = df.columns.filterNot(_ == KeyCol).map(col)
-    df.select(col(KeyCol).cast(StringType).as("key"),
-      to_json(struct(valueCols.toSeq: _*)).as("value"))
+  def toKafkaShape(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val valueCols =
+      df.columns.filterNot(c => c == KeyCol || c.startsWith("__")).map(col)
+    df.select(col(KeyCol).cast(StringType).as("key") +:
+      to_json(struct(valueCols.toSeq: _*)).as("value") +: carry.map(col): _*)
   }
 
   /** Drop the threaded key for plain-relational output. */

@@ -113,17 +113,59 @@ class KafkaTopicProvisioner(admin: () => TopicAdmin) extends TopicProvisioner {
 
 object BatchSink extends org.apache.spark.internal.Logging {
   /** R15: write the pipeline output in Kafka record shape (key string +
-    * JSON value) honoring the declared partition count. Gated on
-    * `outputTopic.enabled` like DynamicTopologyBuilder.java:62.
+    * JSON value) honoring the declared partition count and the spec's
+    * physical layout (OutputTopic.partitionBy / zOrderBy /
+    * targetFileBytes — X24/X27 declarable). Gated on `outputTopic.enabled`
+    * like DynamicTopologyBuilder.java:62.
     */
   def write(df: DataFrame, topic: OutputTopic, baseDir: String,
       provisioner: TopicProvisioner): Boolean = {
     if (!topic.enabled) return false
     provisioner.provision(topic)
-    val shaped = Interpreter.toKafkaShape(df)
+    val missing = (topic.partitionBy ++ topic.zOrderBy).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"${topic.name}: layout columns not in the pipeline output: " +
+        s"${missing.mkString(", ")} (have: ${df.columns.mkString(", ")})")
+    val dest = s"$baseDir/${topic.name}/data"
     val parts = topic.partitions.getOrElse(3)
-    shaped.repartition(parts)
-      .write.mode("overwrite").parquet(s"$baseDir/${topic.name}/data")
+    // targetFileBytes → file count from the optimized plan's size estimate
+    // (pre-compression upper bound: a granularity knob, not an exact size)
+    def fileCount(frame: DataFrame): Int = topic.targetFileBytes.fold(parts) { t =>
+      val est = frame.queryExecution.optimizedPlan.stats.sizeInBytes
+      math.max(1, math.min(100000, ((est + t - 1) / BigInt(t)).toInt))
+    }
+    if (topic.zOrderBy.nonEmpty) {
+      // X27 through config: cluster the topic files by the Morton
+      // interleave of the declared value columns (one tiny min/max agg,
+      // then range+sort on the z-value, which stays OUT of the JSON value)
+      val zCols = topic.zOrderBy
+      val aggExprs = zCols.flatMap(c =>
+        Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+      val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+      val mins = zCols.indices.map(i => Option(stats.get(2 * i))
+        .fold(0.0)(_.asInstanceOf[Double]))
+      val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1))
+        .fold(0.0)(_.asInstanceOf[Double]))
+      val withZ = df.withColumn("__z", graft.operators.Scale.zValue(
+        zCols.map(col), mins, maxs))
+      Interpreter.toKafkaShape(withZ, carry = Seq("__z"))
+        .repartitionByRange(fileCount(df), col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode("overwrite").parquet(dest)
+    } else if (topic.partitionBy.nonEmpty) {
+      // X24 through config: hive-partitioned topic data — the partition
+      // columns ride OUTSIDE the JSON as physical columns and become
+      // directories on write (they stay inside the JSON too: layout is
+      // not a serde change). Repartition BY the layout columns so each
+      // directory receives ~one file set, not one file per task.
+      Interpreter.toKafkaShape(df, carry = topic.partitionBy)
+        .repartition(parts, topic.partitionBy.map(col): _*)
+        .write.mode("overwrite").partitionBy(topic.partitionBy: _*).parquet(dest)
+    } else {
+      Interpreter.toKafkaShape(df).repartition(fileCount(df))
+        .write.mode("overwrite").parquet(dest)
+    }
     true
   }
 
@@ -389,12 +431,48 @@ object BatchSink extends org.apache.spark.internal.Logging {
     * one `listStatus` per leaf, the same order of driver work as the
     * upsert's own pruning). Returns the number of data files removed
     * (0 = store already compact).
+    *
+    * `sortCols` (typically the store key) range-partitions + sorts the
+    * rewritten files so each covers a DISJOINT key range — a compaction
+    * that merely coalesces DESTROYS whatever footer min/max pruning the
+    * store had accumulated on its key, turning every later point/range
+    * lookup into a full scan of the compacted files. `zOrderCols` (2+
+    * numeric columns) clusters by the Morton interleave instead
+    * (Scale.zValue), preserving multi-dimensional footer pruning; the two
+    * are mutually exclusive.
     */
   def compactSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
-      targetBytes: Long = 128L << 20): Long = {
+      targetBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil,
+      zOrderCols: Seq[String] = Nil): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     require(targetBytes >= 1, "targetBytes must be positive")
+    require(sortCols.isEmpty || zOrderCols.isEmpty,
+      "sortCols and zOrderCols are mutually exclusive layouts")
+
+    // the compacted rewrite of one store slice: plain coalesce when no
+    // layout is declared, range+sort for key-disjoint files, z-value
+    // range+sort for multi-dim clustering (min/max from one tiny agg over
+    // the slice being rewritten — same pass writeZOrdered pays)
+    def rewritten(df: org.apache.spark.sql.DataFrame, needed: Int) =
+      if (zOrderCols.nonEmpty) {
+        val aggExprs = zOrderCols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+        val mins = zOrderCols.indices.map(i => Option(stats.get(2 * i))
+          .fold(0.0)(_.asInstanceOf[Double]))
+        val maxs = zOrderCols.indices.map(i => Option(stats.get(2 * i + 1))
+          .fold(0.0)(_.asInstanceOf[Double]))
+        df.withColumn("__z", graft.operators.Scale.zValue(
+            zOrderCols.map(col), mins, maxs))
+          .repartitionByRange(needed, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      } else if (sortCols.nonEmpty)
+        df.repartitionByRange(needed, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(needed)
     val cur = new HPath(path)
     val fs = cur.getFileSystem(spark.sessionState.newHadoopConf())
     val aside = new HPath(path + ".old")
@@ -420,7 +498,7 @@ object BatchSink extends org.apache.spark.internal.Logging {
       val files = dataFiles(cur)
       val needed = neededFiles(files.map(_.getLen).sum)
       if (files.length <= needed) return 0L
-      spark.read.parquet(path).repartition(needed.toInt)
+      rewritten(spark.read.parquet(path), needed.toInt)
         .write.mode("overwrite").parquet(staging.toString)
       require(fs.rename(cur, aside), s"cannot move $cur aside")
       require(fs.rename(staging, cur), s"cannot install $staging as $cur")
@@ -458,9 +536,8 @@ object BatchSink extends org.apache.spark.internal.Logging {
           // basePath keeps the partition columns on read; they are dropped
           // on write because in this layout their values live in the
           // directory name, not the files
-          spark.read.option("basePath", path).parquet(dir.toString)
-            .drop(partitionCols: _*)
-            .repartition(needed.toInt)
+          rewritten(spark.read.option("basePath", path).parquet(dir.toString)
+              .drop(partitionCols: _*), needed.toInt)
             .write.mode("overwrite").parquet(new HPath(staging, rel).toString)
           val asideDir = new HPath(aside, rel)
           fs.mkdirs(asideDir.getParent)

@@ -166,9 +166,13 @@ object StreamRunner extends Logging {
         // file set to each touched partition, so a long-running sink
         // accumulates small files — compact every N batches (0 = never).
         // batchId is the CHECKPOINTED id: a replayed batch re-compacts
-        // idempotently (compaction changes no rows)
+        // idempotently (compaction changes no rows). Compacted files sort
+        // by the store key (minus directory-encoded partition cols), so
+        // maintenance PRESERVES footer min/max pruning on the key instead
+        // of coalescing it away.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          graft.sinks.BatchSink.compactSnapshot(spark, path, partitionCols)
+          graft.sinks.BatchSink.compactSnapshot(spark, path, partitionCols,
+            sortCols = keys.filterNot(partitionCols.contains))
         ()
       })
       .start()

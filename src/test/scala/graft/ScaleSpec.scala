@@ -123,6 +123,84 @@ class ScaleSpec extends SparkSuite {
     assert(boxHits <= math.min(zB.count(hitU), zB.count(hitV)))
   }
 
+  test("config-path sink layout: zOrderBy on the output topic prunes like writeZOrdered") {
+    // the X27 layout declared on the SINK SPEC (OutputTopic.zOrderBy +
+    // targetFileBytes) must deliver the same per-file box disjointness the
+    // code-path test above pins — measured on the written topic data
+    val out = tempDir("graft_spec_layout")
+    val spec = graft.config.PipelineSpec.fromJson(
+      """{"id":"layout-z","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"events-z",
+        |  "zOrderBy":["user_id","value"],"targetFileBytes":4096}}""".stripMargin)
+    val written = graft.sinks.PipelineRunner.runBatch(spark, spec,
+      new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
+    assert(written == Seq(s"$out/events-z/data"))
+    val data = spark.read.parquet(written.head)
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    assert(data.count() == ev.count())
+    // records still round-trip whole: the z-value never leaks into the JSON
+    assert(data.columns.toSet == Set("key", "value"))
+    val sample = data.select("value").head.getString(0)
+    assert(sample.contains("\"user_id\"") && sample.contains("\"event_id\""))
+    // per-file (user_id, value) boxes parsed back OUT of the JSON — both
+    // single-dim bands must skip at least half the files
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(written.head))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size >= 4, s"targetFileBytes should yield several files, got ${files.size}")
+    def parsed(f: String) = spark.read.parquet(f).select(
+      from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL("user_id DOUBLE, value DOUBLE")).as("v"))
+      .select(col("v.user_id").as("u"), col("v.value").as("w"))
+    val boxes = files.map { f =>
+      val r = parsed(f).agg(min("u"), max("u"), min("w"), max("w")).head()
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    }
+    val st = ev.agg(min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+      min(col("value").cast("double")), max(col("value").cast("double"))).head()
+    def band(lo: Double, hi: Double) = (lo + 0.45 * (hi - lo), lo + 0.55 * (hi - lo))
+    val (uLo, uHi) = band(st.getDouble(0), st.getDouble(1))
+    val (vLo, vHi) = band(st.getDouble(2), st.getDouble(3))
+    val uHits = boxes.count(b => b._1 <= uHi && b._2 >= uLo)
+    val vHits = boxes.count(b => b._3 <= vHi && b._4 >= vLo)
+    assert(uHits <= files.size / 2, s"user_id band hit $uHits/${files.size}")
+    assert(vHits <= files.size / 2, s"value band hit $vHits/${files.size}")
+  }
+
+  test("config-path sink layout: partitionBy writes directory-pruned topic data") {
+    val out = tempDir("graft_spec_part")
+    val spec = graft.config.PipelineSpec.fromJson(
+      """{"id":"layout-p","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"events-p",
+        |  "partitionBy":["event_type"]}}""".stripMargin)
+    val written = graft.sinks.PipelineRunner.runBatch(spark, spec,
+      new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog), out)
+    val data = spark.read.parquet(written.head)
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    assert(data.count() == ev.count())
+    // hive layout: event_type is a directory AND stays in the JSON value
+    assert(data.columns.toSet == Set("key", "value", "event_type"))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(written.head))
+      .toArray.map(_.toString).count(_.contains("event_type=")) >= 2)
+    assert(data.select("value").head.getString(0).contains("\"event_type\""))
+    // a partition filter prunes at plan time, not by reading rows
+    val prunedPlan = data.filter(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters"))
+    // validation: layout mutual exclusion + short zOrderBy are config errors
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.fromJson(
+      """{"id":"bad","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"b","partitionBy":["a"],
+        |  "zOrderBy":["x","y"]}}""".stripMargin).validate())
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.fromJson(
+      """{"id":"bad2","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"b","zOrderBy":["x"]}}""".stripMargin)
+      .validate())
+  }
+
   test("bloom-pruned join is bit-identical to the plain join (false positives die in the join)") {
     val l = spark.read.parquet(s"${sf()}/lineitem.parquet")
     val o = spark.read.parquet(s"${sf()}/orders.parquet").filter(col("o_totalprice") > 400000)

@@ -293,6 +293,50 @@ class SinksSpec extends SparkSuite {
       graft.sinks.BatchSink.compactSnapshot(spark, tempDir("graft_compact_none") + "/nope"))
   }
 
+  test("compactSnapshot sortCols keeps per-file key ranges DISJOINT (footer pruning preserved)") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val flat = tempDir("graft_compact_sorted") + "/snap"
+    val fs = new HPath(flat).getFileSystem(spark.sessionState.newHadoopConf())
+    // a store whose accumulated files interleave the key space — the shape
+    // repeated upserts produce; a plain coalesce would KEEP the interleave
+    spark.createDataFrame((1 to 400).map(i => (i.toLong, 1L, s"v$i")))
+      .toDF("k", "ver", "v").repartition(8) // hash-partitioned: every file spans ~the full key range
+      .write.parquet(flat)
+    def dataFiles() = fs.listStatus(new HPath(flat)).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")).map(_.getPath)
+    val totalBytes = fs.listStatus(new HPath(flat)).filter(_.isFile).map(_.getLen).sum
+    val before = spark.read.parquet(flat).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    // target ~4 output files so disjointness is tested across several
+    val removed = graft.sinks.BatchSink.compactSnapshot(spark, flat,
+      targetBytes = math.max(1L, totalBytes / 4), sortCols = Seq("k"))
+    assert(removed > 0, "fixture: compaction must rewrite")
+    val ranges = dataFiles().map { p =>
+      val mm = spark.read.parquet(p.toString).agg(min("k"), max("k")).head()
+      (mm.getLong(0), mm.getLong(1))
+    }.sortBy(_._1)
+    assert(ranges.size >= 2, s"want several output files, got $ranges")
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping key ranges after sorted compaction: $ranges")
+    case _ => }
+    // rows unchanged, and the parquet footer stats (what the ranges above
+    // measure) now let a point lookup skip all files but one
+    val after = spark.read.parquet(flat).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(after == before)
+    // z-order layout: runs, preserves rows; exclusive with sortCols
+    val zdir = tempDir("graft_compact_z") + "/snap"
+    spark.createDataFrame((1 to 400).map(i => (i.toLong, (i * 37 % 400).toLong, s"v$i")))
+      .toDF("x", "y", "v").repartition(8).write.parquet(zdir)
+    val zBefore = spark.read.parquet(zdir).count()
+    val zTotal = fs.listStatus(new HPath(zdir)).filter(_.isFile).map(_.getLen).sum
+    assert(graft.sinks.BatchSink.compactSnapshot(spark, zdir,
+      targetBytes = math.max(1L, zTotal / 4), zOrderCols = Seq("x", "y")) > 0)
+    assert(spark.read.parquet(zdir).count() == zBefore)
+    intercept[IllegalArgumentException](graft.sinks.BatchSink.compactSnapshot(
+      spark, zdir, sortCols = Seq("x"), zOrderCols = Seq("x", "y")))
+  }
+
   test("partitioned upsert READS only the touched partitions (pruning pinned on the executed plan)") {
     // The 100 TB claim of the partitioned sink is on the READ side: a
     // micro-batch merge must scan |touched partitions|, not |snapshot|.
