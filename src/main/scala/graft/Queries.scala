@@ -1055,7 +1055,11 @@ object Queries {
       .join(p.filter(col("p_size") <= 3), col("p_partkey") === col("l_partkey"))
       .join(s, col("s_suppkey") === col("l_suppkey"))
       .select(col("p_partkey").as("partkey"), col("s_name").as("supplier"),
-        round(col("unit_cost"), 4).as("unit_cost"))
+        // round through decimal, not double: double round disagrees with
+        // the oracle by 1 ulp at exact .00005 midpoints (one sf1 row sits
+        // on one); decimal HALF_UP at a fixed scale is engine-independent
+        round(col("unit_cost").cast("decimal(18,6)"), 4).cast("double")
+          .as("unit_cost"))
   }
 
   /** TPC-H Q9-shaped product profit by nation and order year (the fixture
@@ -2718,7 +2722,7 @@ object Queries {
         |              FROM lineitem GROUP BY 1, 2),
         |mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY 1)
         |SELECT p.p_partkey AS partkey, s.s_name AS supplier,
-        |       round(c.unit_cost, 4) AS unit_cost
+        |       round(CAST(c.unit_cost AS DECIMAL(18,6)), 4)::DOUBLE AS unit_cost
         |FROM cost c
         |JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
         |JOIN part p ON p.p_partkey = c.l_partkey
