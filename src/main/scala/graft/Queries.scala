@@ -1335,6 +1335,35 @@ object Queries {
     per.unionByName(global)
   }
 
+  /** X26 MERGE-side rollup at cell scale (the round-11 bench row): one
+    * quantile sketch per ORDER (~150k cells at sf0.1), every stored cell
+    * merged to global percentiles plus a half-coarse resketch level — the
+    * path where the native QuantileSketchMerge aggregate earns its port
+    * (one aggregate call per CELL; the udaf(Aggregator) form paid encoder
+    * traffic on each). Rows-only: sketch estimates, rank-pinned in
+    * OperatorsSpec at every rollup level.
+    */
+  def x6QuantileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Dedup.registerCache(graft.operators.Profile.quantileSketches(
+      spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_orderkey"),
+      "l_extendedprice").persist())
+    // two merge shapes over the same stored cells: the terminal estimate
+    // (|cells| → 1) and a resketch level (|cells| → |cells|/~100 coarser
+    // cells → 1), the daily→monthly→global pattern
+    val direct = graft.operators.Profile.rollupQuantiles(
+      sk, Nil, Seq(0.5, 0.95, 0.99))
+      .select(lit("direct").as("path"), col("p50"), col("p95"), col("p99"),
+        col("n_rows"))
+    val coarse = sk.groupBy((col("l_orderkey") % 1024).as("bucket"))
+      .agg(graft.functions.QuantileSketch.mergeSketches(col("qsketch")).as("qsketch"),
+        sum(col("n_rows")).as("n_rows"))
+    val twoLevel = graft.operators.Profile.rollupQuantiles(
+      coarse, Nil, Seq(0.5, 0.95, 0.99))
+      .select(lit("two_level").as("path"), col("p50"), col("p95"), col("p99"),
+        col("n_rows"))
+    direct.unionByName(twoLevel)
+  }
+
   /** X2 embedding-cosine near-dup via hyperplane LSH (rows-only: LSH recall
     * is probabilistic; the oracle-exact form is x3_cosine_pairs_exact).
     */
@@ -2964,6 +2993,7 @@ object Queries {
     "x2_incremental_novel" -> x2IncrementalNovel _,
     "x6_sketch_rollup" -> x6SketchRollup _,
     "x6_quantile_rollup" -> x6QuantileRollup _,
+    "x6_quantile_merge" -> x6QuantileMerge _,
     "x7_asof_forward" -> x7AsofForward _,
     "r02_table_history" -> r02TableHistory _,
     "x5_pack" -> x5Pack _,

@@ -2,13 +2,11 @@ package graft.functions
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
 import org.apache.spark.sql.types._
 
 /** Mergeable quantile sketch: equi-weight centroids (a t-digest without the
@@ -40,6 +38,10 @@ final class QSketchBuffer(val maxCentroids: Int) {
   var items = new ArrayBuffer[(Double, Long)](4 * maxCentroids)
   def add(v: Double): Unit = {
     items += ((v, 1L))
+    if (items.size >= 4 * maxCentroids) compressNow()
+  }
+  def addCentroid(m: Double, w: Long): Unit = {
+    items += ((m, w))
     if (items.size >= 4 * maxCentroids) compressNow()
   }
   def mergeIn(other: QSketchBuffer): Unit = {
@@ -122,45 +124,91 @@ case class QuantileSketchBuild(child: Expression, maxCentroids: Int,
     copy(child = c)
 }
 
-/** Merges STORED sketches and re-emits the merged sketch — the rollup step
-  * that writes a COARSER sketch table (e.g. daily cells → a monthly table)
-  * without estimating yet.
+/** Merge-side aggregate over STORED sketches (input rows are sketch
+  * columns, not raw values) as a native [[TypedImperativeAggregate]] —
+  * the same port the build side got ([[QuantileSketchBuild]]): a ≥100k-cell
+  * rollup calls this once per CELL, and the former `udaf(Aggregator)`
+  * wrapper paid encoder traffic (deserialize the full centroid array into
+  * Scala tuples, re-encode the buffer) on every one of those calls. This
+  * form reads the centroid structs straight off the `ArrayData` and
+  * appends into the shared mutable [[QSketchBuffer]].
+  *
+  * `quantiles` empty → RESKETCH mode: emit the merged sketch itself (the
+  * step that writes a coarser sketch table, e.g. daily → monthly, without
+  * estimating). Non-empty → terminal ESTIMATE mode: emit one
+  * `array<double>` aligned with `quantiles`.
   */
-class QuantileResketchAggregator(maxCentroids: Int)
-    extends Aggregator[Seq[(Double, Long)], Seq[(Double, Long)], Seq[(Double, Long)]] {
-  override def zero: Seq[(Double, Long)] = Vector.empty
-  override def reduce(b: Seq[(Double, Long)], s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    QuantileSketch.compress(b ++ s, maxCentroids)
-  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    QuantileSketch.compress(b1 ++ b2, maxCentroids)
-  override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    QuantileSketch.compress(b, maxCentroids)
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-}
-
-/** Merges STORED sketches (the rollup side: input rows are sketch columns,
-  * not raw values) and evaluates the requested quantiles from the merged
-  * sketch — the terminal estimate step.
-  */
-class QuantileMergeAggregator(maxCentroids: Int, quantiles: Seq[Double])
-    extends Aggregator[Seq[(Double, Long)], Seq[(Double, Long)], Seq[Double]] {
+case class QuantileSketchMerge(child: Expression, maxCentroids: Int,
+    quantiles: Seq[Double] = Nil,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QSketchBuffer]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  require(maxCentroids >= 2, s"maxCentroids must be >= 2, got $maxCentroids")
   require(quantiles.forall(q => q >= 0.0 && q <= 1.0),
     s"quantiles must be in [0, 1], got $quantiles")
 
-  override def zero: Seq[(Double, Long)] = Vector.empty
-  override def reduce(b: Seq[(Double, Long)], s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    QuantileSketch.compress(b ++ s, maxCentroids)
-  override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    QuantileSketch.compress(b1 ++ b2, maxCentroids)
-  override def finish(b: Seq[(Double, Long)]): Seq[Double] =
-    quantiles.map(QuantileSketch.estimate(QuantileSketch.compress(b, maxCentroids), _))
-  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  override def prettyName: String =
+    if (quantiles.isEmpty) "quantile_resketch" else "quantile_merge_estimate"
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    if (quantiles.isEmpty) ArrayType(StructType(Seq(
+      StructField("_1", DoubleType, nullable = false),
+      StructField("_2", LongType, nullable = false))), containsNull = false)
+    else ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): QSketchBuffer =
+    new QSketchBuffer(maxCentroids)
+
+  override def update(b: QSketchBuffer, input: InternalRow): QSketchBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val c = arr.getStruct(i, 2)
+        b.addCentroid(c.getDouble(0), c.getLong(1))
+        i += 1
+      }
+    }
+    b
+  }
+
+  override def merge(b: QSketchBuffer, other: QSketchBuffer): QSketchBuffer = {
+    b.mergeIn(other); b
+  }
+
+  override def eval(b: QSketchBuffer): Any = {
+    val cs = QuantileSketch.compress(b.items.toSeq, maxCentroids)
+    if (quantiles.isEmpty)
+      new GenericArrayData(cs.map { case (m, w) => InternalRow(m, w): Any }.toArray)
+    else
+      new GenericArrayData(quantiles.map(QuantileSketch.estimate(cs, _)).toArray)
+  }
+
+  override def serialize(b: QSketchBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
+    bb.putInt(b.items.size)
+    b.items.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new QSketchBuffer(maxCentroids)
+    var i = 0
+    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMerge =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantileSketchMerge =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): QuantileSketchMerge =
+    copy(child = c)
 }
 
 object QuantileSketch {
@@ -208,9 +256,6 @@ object QuantileSketch {
     cs.last._1
   }
 
-  private def sketchEnc: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-
   /** Aggregate raw doubles into a storable sketch column
     * (`array<struct<_1: mean, _2: weight>>`, value-sorted) — the native
     * [[QuantileSketchBuild]] aggregate (hot path: one call per raw row).
@@ -222,18 +267,25 @@ object QuantileSketch {
         maxCentroids).toAggregateExpression())
 
   /** Merge stored sketch columns into one coarser sketch (rollup WITHOUT
-    * estimating — for writing a coarser sketch table).
+    * estimating — for writing a coarser sketch table). Native
+    * [[QuantileSketchMerge]] in resketch mode: one call per stored cell.
     */
   def mergeSketches(sketchCol: Column, maxCentroids: Int = 256): Column =
-    udaf(new QuantileResketchAggregator(maxCentroids), sketchEnc).apply(sketchCol)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      QuantileSketchMerge(
+        org.apache.spark.sql.graftbridge.Bridge.expression(sketchCol),
+        maxCentroids).toAggregateExpression())
 
   /** Merge stored sketch columns and evaluate `quantiles` from the merged
     * sketch — one array<double> per group, aligned with `quantiles`.
+    * Native [[QuantileSketchMerge]] in estimate mode.
     */
   def mergeEstimate(sketchCol: Column, quantiles: Seq[Double],
       maxCentroids: Int = 256): Column =
-    udaf(new QuantileMergeAggregator(maxCentroids, quantiles), sketchEnc)
-      .apply(sketchCol)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      QuantileSketchMerge(
+        org.apache.spark.sql.graftbridge.Bridge.expression(sketchCol),
+        maxCentroids, quantiles).toAggregateExpression())
 
   /** SCALAR quantile estimates from ONE stored sketch value (no
     * aggregation) — one array<double> per ROW, aligned with `quantiles`.

@@ -881,6 +881,27 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("x6_quantile_merge: both merge paths stay inside the 1%-of-rank band over per-order cells") {
+    // the native merge aggregate's bench row (one sketch per order, ~1.5k
+    // cells at sf0.001): the |cells|→1 estimate and the bucketed two-level
+    // resketch must both land within 1% of rank of the exact percentiles
+    val got = Queries.x6QuantileMerge(spark, sf()).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == Set("direct", "two_level"))
+    val qs = Seq(0.5, 0.95, 0.99)
+    val bandAggs = qs.zipWithIndex.flatMap { case (q, i) => Seq(
+      expr(s"percentile(l_extendedprice, ${math.max(0.0, q - 0.01)})").as(s"lo$i"),
+      expr(s"percentile(l_extendedprice, ${math.min(1.0, q + 0.01)})").as(s"hi$i")) }
+    val b = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .agg(bandAggs.head, bandAggs.tail: _*).head()
+    for ((path, es) <- got; (e, i) <- es.zipWithIndex) {
+      val (lo, hi) = (b.getAs[Double](s"lo$i"), b.getAs[Double](s"hi$i"))
+      assert(e >= lo && e <= hi,
+        s"$path q=${qs(i)}: $e outside exact rank band [$lo, $hi]")
+    }
+  }
+
   test("quantile-sketch kernel: compress preserves mass/order, estimate interpolates and clamps") {
     import graft.functions.QuantileSketch.{compress, estimate}
     // small inputs are only sorted, never smeared
