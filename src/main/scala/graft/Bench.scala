@@ -55,9 +55,9 @@ package graft
   *    AFTER the whole sweep, with that number under "focused" — so a reader
   *    sees both the shipped value and the post-contention truth.
   *
-  * A failed query reports its elapsed time NEGATED and is listed under
-  * "failed" — unambiguous in the artifact, instead of blending into the
-  * fast passers.
+  * A failed query reports 0.0 in "queries" and is listed under "failed" —
+  * the list is the authoritative marker (round-10 advisor: the earlier
+  * negated-elapsed convention shipped bogus per-query values).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -192,12 +192,13 @@ object Bench {
         if (fail) extraFailed = true else timings += ((secs, false))
         floorExtras += 1
       }
-      // failed → report the FAILING run's elapsed time negated (the loop
-      // stops on it, so it is the last entry) — a median over mixed
-      // passed/failed runs would negate a successful run's duration
+      // failed → report 0.0 (round-10 advisor: the earlier negated-elapsed
+      // convention shipped bogus per-query values like -0.073 s into the
+      // round artifact; the "failed" list is the authoritative marker, so
+      // the duration slot carries no signal worth inventing)
       val window = if (failed) Seq.empty else bestWindow
       val reported =
-        if (failed) timings.last._1
+        if (failed) 0.0
         else windowMedian(window)
       // max-min across the USED runs: ambient machine load has repeatedly
       // masqueraded as a per-query regression (a query at 0.8s showing 4.5s
@@ -215,7 +216,7 @@ object Bench {
       // trigger then misses exactly the 2-3× sustained slowdowns it exists
       // to catch
       val minRun = if (failed) 0.0 else allPassed.min
-      (name, if (failed) -reported else reported, failed, spread, spreadAll,
+      (name, reported, failed, spread, spreadAll,
         extras + floorExtras, minRun)
     }
     // SUSPECT FLAG + FOCUSED RERUN (round-8 judge): the spread and floor
@@ -252,7 +253,7 @@ object Bench {
     val total = results.collect { case (_, v, false, _, _, _, _) => v }.sum
     val suspectList = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val focusedJson = focused.map { case (k, v, fail) =>
-      "\"" + k + "\":" + (if (fail) -v else v) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + (if (fail) 0.0 else v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""spread":$spreads,"spread_all":$spreadsAll,"extra_runs":$extraRuns,""" +
       s""""suspect":$suspectList,"focused":$focusedJson,""" +
