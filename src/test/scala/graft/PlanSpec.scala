@@ -135,6 +135,35 @@ class PlanSpec extends SparkSuite {
       "rollups must read the stored sketch table, not rescan raw data")
   }
 
+  test("windowed top-k / rollups partial-aggregate under the window grouping (r32)") {
+    // the windowed forms must keep the same map-side-combine shape as
+    // their global siblings — the window column is just one more group key,
+    // never an excuse for a Window sort or a raw-row exchange
+    val pt = plan("r32_spec_window_topk")
+    assert(pt.contains("partial_topkaggregator"),
+      "windowed top-k heap must map-side combine before the exchange")
+    assert(!pt.contains("Window"), "windowed top-k fell back to a window sort")
+    val pd = plan("r32_spec_window_distinct")
+    assert(pd.contains("partial_hll_sketch_agg"),
+      "windowed HLL build must map-side combine before the exchange")
+    val pq = plan("r32_spec_window_quantile")
+    assert(pq.contains("partial_quantile_sketch"),
+      "windowed quantile build must map-side combine before the exchange")
+  }
+
+  test("native merge aggregate partial-combines the 150k-cell rollup (x6_quantile_merge)") {
+    val p = plan("x6_quantile_merge")
+    // both merge shapes (terminal estimate + bucketed resketch) must
+    // partial-aggregate over CELLS map-side — the exchange carries merged
+    // sketch buffers, never the full cell set to one partition
+    assert(p.contains("partial_quantile_merge_estimate"),
+      "merge-estimate must map-side combine over cells")
+    assert(p.contains("partial_quantile_resketch"),
+      "resketch level must map-side combine over cells")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "both merge paths must read the stored cell table, not rebuild it")
+  }
+
   test("bucketed range join plans as an equi hash join, never the BETWEEN nested loop (x15)") {
     // the whole point of the bucketization: the containment predicate rides
     // an equi join on (bucket, key) as a post-join filter
