@@ -51,7 +51,16 @@ object ScalingBench {
     // knn scan (corpus × fixed query set — the broadcast-cross class whose
     // cost must scale with the corpus side only)
     "x6_quantile_rollup",
-    "x3_knn_exact")
+    "x3_knn_exact",
+    // round-11 additions: the native merge-side rollup (cells grow 10×
+    // with the corpus — the merge loop must stay linear in cells) and the
+    // windowed sketch/top-k family (same cell grid, 10× rows per cell —
+    // the per-cell state path must stay linear in rows)
+    "x6_quantile_merge",
+    "r32_spec_window_topk",
+    "r32_spec_window_heavy",
+    "r32_spec_window_distinct",
+    "r32_spec_window_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
