@@ -144,6 +144,42 @@ case class JoinOp(
     global: Boolean = false,
     asOf: Option[AsOfSpec] = None)
 
+/** Declarative snapshot-sink materialization — the config form of
+  * [[graft.streaming.StreamRunner.startSnapshotSink]]'s parameters, the
+  * analogue of the reference's `Materialized.as(stateStoreName)` (KTable
+  * materialization is config there; here the materialization is a
+  * continuously-upserted parquet table any engine can read).
+  *
+  *  - `keyColumns` / `orderColumns`: last-write-wins identity and version
+  *    (orderColumns must be non-decreasing per key across emissions —
+  *    e.g. a count, n_rows, or a version/timestamp column).
+  *  - `partitionBy`: hive-partition the store; each micro-batch merges
+  *    only the partitions it touches (the 100 TB posture).
+  *  - `compactEvery`: run small-files maintenance every N batches
+  *    (sorted by keyColumns, so footer pruning survives — see
+  *    BatchSink.compactSnapshot).
+  */
+case class SnapshotSpec(
+    keyColumns: Seq[String],
+    orderColumns: Seq[String],
+    partitionBy: Seq[String] = Nil,
+    @JsonDeserialize(contentAs = classOf[java.lang.Integer])
+    compactEvery: Option[Int] = None) {
+  def validate(where: String, topicName: String): Unit = {
+    require(keyColumns.nonEmpty,
+      s"[$where] $topicName: snapshot requires keyColumns (the upsert identity)")
+    require(orderColumns.nonEmpty,
+      s"[$where] $topicName: snapshot requires orderColumns (last-write-wins " +
+        "needs an explicit version; emission order is not one)")
+    require(compactEvery.forall(_ >= 1),
+      s"[$where] $topicName: snapshot compactEvery must be >= 1")
+    // partitionBy columns must be DETERMINISTIC per key (part of the key,
+    // or derived from it, e.g. a bucket column) — a key whose partition
+    // value drifts between emissions escapes the partition-pruned merge.
+    // Not statically checkable here; BatchSink documents the contract.
+  }
+}
+
 /** Mirror of OutputTopicConfig (AggregationDefinition.java:112-130).
   * retentionMs == -1 → compacted topic (TopicProvisioner.java:37-43).
   *
@@ -171,9 +207,11 @@ case class OutputTopic(
     partitionBy: Seq[String] = Nil,
     zOrderBy: Seq[String] = Nil,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    targetFileBytes: Option[Long] = None) {
+    targetFileBytes: Option[Long] = None,
+    snapshot: Option[SnapshotSpec] = None) {
 
   def validateLayout(where: String): Unit = {
+    snapshot.foreach(_.validate(where, name))
     require(partitionBy.isEmpty || zOrderBy.isEmpty,
       s"[$where] $name: partitionBy and zOrderBy are mutually exclusive " +
         "layouts (directory pruning vs multi-dim file clustering)")

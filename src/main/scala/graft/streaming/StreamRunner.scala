@@ -178,6 +178,29 @@ object StreamRunner extends Logging {
       .start()
   }
 
+  /** Declarative form of [[startSnapshotSink]]: everything comes from the
+    * spec's `outputTopic.snapshot` block (keyColumns / orderColumns /
+    * partitionBy / compactEvery — the `Materialized.as(stateStoreName)`
+    * analogue), the store lives at `<baseDir>/<topic.name>/snapshot`, the
+    * checkpoint beside it. One JSON document now declares the whole
+    * KTable-materialization loop.
+    */
+  def startSpecSnapshot(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver, baseDir: String): StreamingQuery = {
+    val topic = spec.outputTopic.filter(_.enabled).getOrElse(
+      throw new IllegalArgumentException(
+        s"[${spec.id}] startSpecSnapshot needs an enabled outputTopic"))
+    val snap = topic.snapshot.getOrElse(
+      throw new IllegalArgumentException(
+        s"[${spec.id}] outputTopic '${topic.name}' declares no snapshot block"))
+    startSnapshotSink(spark, spec, sources,
+      path = s"$baseDir/${topic.name}/snapshot",
+      keys = snap.keyColumns, orderCols = snap.orderColumns,
+      checkpoint = s"$baseDir/${topic.name}/ckpt",
+      partitionCols = snap.partitionBy,
+      compactEvery = snap.compactEvery.getOrElse(0))
+  }
+
   /** Branch fan-out to memory sinks: the main output under `queryName`, each
     * branch under `queryName_<topic>` (KStream.split semantics — a record
     * lands in every branch whose predicate it satisfies). One built plan,

@@ -949,6 +949,57 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("declarative snapshot sink: the outputTopic.snapshot block drives the " +
+      "whole KTable-materialization loop from JSON") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"spec-snap","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+        |  "column":"user_id","timeColumn":"ts","every":"1 hour",
+        |  "watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"wdr-spec",
+        |  "snapshot":{"keyColumns":["window_start","event_type"],
+        |    "orderColumns":["n_rows"],"compactEvery":2}}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val base = tempDir("graft_spec_snap")
+    val q = StreamRunner.startSpecSnapshot(spark, spec, mem, base)
+    try {
+      input.addData((1L, t(10, 5), 100L, "click"), (2L, t(10, 15), 101L, "click"))
+      q.processAllAvailable()
+      input.addData((3L, t(10, 40), 100L, "view"), (4L, t(11, 0), 102L, "click"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/wdr-spec/snapshot")
+        .select("window_start", "event_type", "n_distinct", "n_rows")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val want = Set(
+        (t(10, 0), "click", 2L, 2L), (t(10, 0), "view", 1L, 1L),
+        (t(11, 0), "click", 1L, 1L))
+      assert(got == want, s"spec-driven snapshot wrong: $got")
+      // missing snapshot block fails loudly, naming the topic
+      val bare = PipelineSpec.fromJson(
+        """{"id":"no-snap","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"outputTopic":{"enabled":true,"name":"plain"}}""".stripMargin)
+      val e = intercept[IllegalArgumentException](
+        StreamRunner.startSpecSnapshot(spark, bare, mem, base))
+      assert(e.getMessage.contains("snapshot block"))
+      // validation: orderColumns are mandatory (emission order is not a version)
+      val e2 = intercept[IllegalArgumentException](PipelineSpec.fromJson(
+        """{"id":"bad-snap","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"outputTopic":{"enabled":true,"name":"b",
+          |  "snapshot":{"keyColumns":["k"],"orderColumns":[]}}}""".stripMargin)
+        .validate())
+      assert(e2.getMessage.contains("orderColumns"))
+    } finally q.stop()
+  }
+
   test("streaming sketch/top-k ops REQUIRE the windowed declaration " +
       "(global forms reject with the windowed pointer)") {
     val ss = spark
