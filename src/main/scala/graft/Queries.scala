@@ -602,6 +602,20 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-window-quantile"}}""".stripMargin)
       .select("window_start", "event_type", "p50", "p90", "n_rows")
 
+  /** Sliding variant of the windowed heavy hitters (r32): 1-hour windows
+    * hopping every 15 minutes — each event lands in 4 overlapping cells.
+    * Still exact per-cell counts, so it gets a full oracle (DuckDB
+    * generates each event's 4 epoch-anchored window starts explicitly).
+    */
+  def r33SpecSlidingHeavy(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"sliding-heavy-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"heavy_hitters","column":"user_id","minCount":3,
+         |  "timeColumn":"ts","every":"1 hour","slide":"15 minutes"}],
+         |"outputTopic":{"enabled":true,"name":"events-sliding-heavy"}}""".stripMargin)
+      .select("window_start", "item", "cnt")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2896,7 +2910,19 @@ object Queries {
         """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
           |       user_id AS item, count(*) AS cnt
           |FROM events WHERE user_id IS NOT NULL
-          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)
+          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin) +
+      ("r33_spec_sliding_heavy" ->
+        // Spark sliding semantics: event at T lands in windows with
+        // epoch-anchored start in (T - 1 hour, T] at 15-minute steps —
+        // i.e. the 4 starts time_bucket(15min, T) - {0,15,30,45} minutes
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id FROM events
+          |           WHERE user_id IS NOT NULL),
+          |w AS (SELECT user_id,
+          |             time_bucket(INTERVAL '15 minutes', t)
+          |               - INTERVAL (s.i * 15) MINUTE AS ws
+          |      FROM e, (SELECT unnest([0, 1, 2, 3]) AS i) s)
+          |SELECT ws AS window_start, user_id AS item, count(*) AS cnt
+          |FROM w GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)
 
   /** name → implementation (SparkEntry.queries delegates here). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2934,6 +2960,7 @@ object Queries {
     "r32_spec_window_heavy" -> r32SpecWindowHeavy _,
     "r32_spec_window_distinct" -> r32SpecWindowDistinct _,
     "r32_spec_window_quantile" -> r32SpecWindowQuantile _,
+    "r33_spec_sliding_heavy" -> r33SpecSlidingHeavy _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

@@ -452,6 +452,11 @@ case class TransformOp(
     timeColumn: Option[String] = None,
     every: Option[String] = None,
     watermark: Option[String] = None,
+    // sliding variant of the windowed form: each event lands in
+    // every/slide overlapping windows (slide must divide every — Spark
+    // anchors window starts at epoch mod slide, and divisibility is what
+    // keeps "which windows contain T" closed-form for oracles and users)
+    slide: Option[String] = None,
     // heavy_hitters windowed form: absolute count threshold (a per-window
     // FRACTION needs the window total, which is a second stateful
     // aggregation on a stream — Spark rejects chained stateful aggs)
@@ -538,6 +543,22 @@ case class TransformOp(
         s"[$where] $op watermark requires the windowed form (timeColumn + every)")
       require(positiveDuration(w),
         s"[$where] $op watermark '$w' is not a positive month-free duration")
+    }
+    slide.foreach { sl =>
+      require(timeColumn.isDefined,
+        s"[$where] $op slide requires the windowed form (timeColumn + every)")
+      require(positiveDuration(sl),
+        s"[$where] $op slide '$sl' is not a positive month-free duration")
+      def micros(s: String): Long = {
+        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        iv.days * 86_400_000_000L + iv.microseconds
+      }
+      val (w, st) = (micros(every.get), micros(sl))
+      require(st <= w && w % st == 0,
+        s"[$where] $op slide '$sl' must divide every '${every.get}' " +
+          "(epoch-anchored overlapping windows; divisibility keeps the " +
+          "windows-containing-T set closed-form)")
     }
     timeColumn.isDefined
   }

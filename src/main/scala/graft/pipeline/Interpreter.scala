@@ -461,7 +461,9 @@ object Interpreter extends Logging {
             "form exists to avoid")
         df.withWatermark(ts, t.watermark.get)
       } else df
-    (src, window(col(ts), t.every.get))
+    // slide declared → overlapping windows (each event in every/slide
+    // cells; state and emission volume scale by the same factor)
+    (src, window(col(ts), t.every.get, t.slide.getOrElse(t.every.get)))
   }
 
   /** Record key for a windowed aggregation output: the cell identity

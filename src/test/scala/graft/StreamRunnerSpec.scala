@@ -949,6 +949,86 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("windowed distinct_rollup over the REAL events file stream equals the " +
+      "batch r32 build (timestamp ingestion + window grouping end-to-end)") {
+    // the exact surface that died in round 10: catalog-declared timestamp
+    // column, arriving in whatever physical encoding the current fixture
+    // uses, through the file-stream declaration, into a windowed stateful
+    // aggregation — pinned against the batch build of the same spec
+    val spec = PipelineSpec.fromJson(
+      """{"id":"wdr-file","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+        |  "column":"user_id","timeColumn":"ts","every":"1 hour",
+        |  "watermark":"365 days"}],
+        |"outputTopic":{"enabled":true,"name":"wdr-file-out"}}""".stripMargin)
+    val df = StreamRunner.build(spark, spec,
+      new FileStreamSourceResolver(sf(), TestdataCatalog))
+    assert(df.isStreaming)
+    val q = graft.pipeline.Interpreter.values(df)
+      .writeStream.format("memory").queryName("wdr_file_t")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      def cells(d: org.apache.spark.sql.DataFrame) = d
+        .groupBy("window_start", "event_type")
+        .agg(max("n_distinct").as("nd"), max("n_rows").as("nr"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val streaming = cells(spark.table("wdr_file_t"))
+      val batch = cells(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          new ParquetSourceResolver(sf(), TestdataCatalog))))
+      assert(streaming.nonEmpty && streaming == batch,
+        s"file-stream windowed cells diverge: ${streaming.diff(batch)} vs ${batch.diff(streaming)}")
+    } finally q.stop()
+  }
+
+  test("sliding windowed heavy hitters streams in update mode and converges to the batch build") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"slheavy","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"heavy_hitters","column":"user_id","minCount":2,
+        |  "timeColumn":"ts","every":"1 hour","slide":"30 minutes",
+        |  "watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"slheavy-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "user_id")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val q = StreamRunner.startMemory(spark, spec, mem, "slheavy_t")
+    try {
+      input.addData((1L, t(10, 10), 7L), (2L, t(10, 40), 7L))
+      q.processAllAvailable()
+      input.addData((3L, t(10, 50), 7L), (4L, t(11, 10), 8L))
+      q.processAllAvailable()
+      val got = spark.table("slheavy_t")
+        .groupBy("window_start", "item").agg(max("cnt").as("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      // user 7 at 10:10/10:40/10:50: window [9:30,10:30) sees 1 (below
+      // minCount), [10:00,11:00) sees all 3, [10:30,11:30) sees 2
+      val want = Set((t(10, 0), 7L, 3L), (t(10, 30), 7L, 2L))
+      assert(got == want, s"sliding heavy hitters converged to $got, want $want")
+      // batch build of the same spec agrees
+      val batch = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, spec, eventsResolver(spark.createDataFrame(Seq(
+          (1L, t(10, 10), 7L), (2L, t(10, 40), 7L), (3L, t(10, 50), 7L),
+          (4L, t(11, 10), 8L))).toDF(cols: _*))))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == want, s"batch sliding build wrong: $batch")
+    } finally q.stop()
+    // slide must divide every — rejected at parse time
+    val e = intercept[IllegalArgumentException](PipelineSpec.fromJson(
+      """{"id":"badslide","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"heavy_hitters","column":"user_id","minCount":2,
+        |  "timeColumn":"ts","every":"1 hour","slide":"25 minutes"}],
+        |"outputTopic":{"enabled":true,"name":"x"}}""".stripMargin).validate())
+    assert(e.getMessage.contains("divide"))
+  }
+
   test("declarative snapshot sink: the outputTopic.snapshot block drives the " +
       "whole KTable-materialization loop from JSON") {
     val ss = spark
