@@ -164,7 +164,12 @@ case class SnapshotSpec(
     orderColumns: Seq[String],
     partitionBy: Seq[String] = Nil,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
-    compactEvery: Option[Int] = None) {
+    compactEvery: Option[Int] = None,
+    // compaction layout override: cluster rewritten files by the Morton
+    // interleave of these 2+ numeric columns instead of sorting by
+    // keyColumns — for stores queried by multi-dim ranges rather than
+    // point key lookups
+    zOrderBy: Seq[String] = Nil) {
   def validate(where: String, topicName: String): Unit = {
     require(keyColumns.nonEmpty,
       s"[$where] $topicName: snapshot requires keyColumns (the upsert identity)")
@@ -173,6 +178,9 @@ case class SnapshotSpec(
         "needs an explicit version; emission order is not one)")
     require(compactEvery.forall(_ >= 1),
       s"[$where] $topicName: snapshot compactEvery must be >= 1")
+    require(zOrderBy.isEmpty || zOrderBy.size >= 2,
+      s"[$where] $topicName: snapshot zOrderBy needs at least two columns " +
+        "(one column = the default key sort already provides it)")
     // partitionBy columns must be DETERMINISTIC per key (part of the key,
     // or derived from it, e.g. a bucket column) — a key whose partition
     // value drifts between emissions escapes the partition-pruned merge.

@@ -154,7 +154,8 @@ object StreamRunner extends Logging {
       sources: SourceResolver, path: String, keys: Seq[String],
       orderCols: Seq[String], checkpoint: String,
       partitionCols: Seq[String] = Nil,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      compactZOrderBy: Seq[String] = Nil): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
     applyTrigger(spec, build(spark, spec, sources).writeStream
       .outputMode(outputModeFor(spec))
@@ -167,12 +168,15 @@ object StreamRunner extends Logging {
         // accumulates small files — compact every N batches (0 = never).
         // batchId is the CHECKPOINTED id: a replayed batch re-compacts
         // idempotently (compaction changes no rows). Compacted files sort
-        // by the store key (minus directory-encoded partition cols), so
-        // maintenance PRESERVES footer min/max pruning on the key instead
-        // of coalescing it away.
+        // by the store key (minus directory-encoded partition cols) — or
+        // z-cluster by compactZOrderBy when declared — so maintenance
+        // PRESERVES footer min/max pruning instead of coalescing it away.
         if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
           graft.sinks.BatchSink.compactSnapshot(spark, path, partitionCols,
-            sortCols = keys.filterNot(partitionCols.contains))
+            sortCols =
+              if (compactZOrderBy.nonEmpty) Nil
+              else keys.filterNot(partitionCols.contains),
+            zOrderCols = compactZOrderBy)
         ()
       })
       .start()
@@ -198,7 +202,8 @@ object StreamRunner extends Logging {
       keys = snap.keyColumns, orderCols = snap.orderColumns,
       checkpoint = s"$baseDir/${topic.name}/ckpt",
       partitionCols = snap.partitionBy,
-      compactEvery = snap.compactEvery.getOrElse(0))
+      compactEvery = snap.compactEvery.getOrElse(0),
+      compactZOrderBy = snap.zOrderBy)
   }
 
   /** Branch fan-out to memory sinks: the main output under `queryName`, each
