@@ -616,6 +616,23 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-sliding-heavy"}}""".stripMargin)
       .select("window_start", "item", "cnt")
 
+  /** Session-windowed grouped top-k (r33): cells are gap-merged sessions
+    * per user (5-minute inactivity), top-2 events by value within each —
+    * the per-session curation shape (e.g. best examples per browsing
+    * burst). Exact, so it gets a full oracle (DuckDB sessionizes with the
+    * same lag/sum break trick as the r11 session oracle).
+    */
+  def r33SpecSessionTopk(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"session-topk-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"top_k","k":2,"byColumn":"value",
+         |  "idColumn":"event_id","groupColumns":["user_id"],
+         |  "timeColumn":"ts","every":"5 minutes","windowType":"session"}],
+         |"outputTopic":{"enabled":true,"name":"events-session-topk"}}""".stripMargin)
+      .filter(col("user_id").isNotNull)
+      .select("window_start", "user_id", "rank", "event_id", "value")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2911,6 +2928,27 @@ object Queries {
           |       user_id AS item, count(*) AS cnt
           |FROM events WHERE user_id IS NOT NULL
           |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin) +
+      ("r33_spec_session_topk" ->
+        // same gap-break sessionization as the q_session oracle (diff >=
+        // gap starts a new session, matching Spark's session_window merge
+        // rule); window_start = the session's first event time
+        """WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS t
+          |           FROM events WHERE user_id IS NOT NULL),
+          |m AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+          |               OR t - lag(t) OVER w >= INTERVAL '5 minutes'
+          |             THEN 1 ELSE 0 END AS brk
+          |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+          |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+          |g AS (SELECT user_id, sid, min(t) AS window_start
+          |      FROM s GROUP BY 1, 2),
+          |r AS (SELECT user_id, sid, event_id, value,
+          |             row_number() OVER (PARTITION BY user_id, sid
+          |               ORDER BY value DESC, event_id ASC) AS rank
+          |      FROM s)
+          |SELECT g.window_start, r.user_id, r.rank, r.event_id, r.value
+          |FROM r JOIN g ON r.user_id = g.user_id AND r.sid = g.sid
+          |WHERE r.rank <= 2""".stripMargin) +
       ("r33_spec_sliding_heavy" ->
         // Spark sliding semantics: event at T lands in windows with
         // epoch-anchored start in (T - 1 hour, T] at 15-minute steps —
@@ -2961,6 +2999,7 @@ object Queries {
     "r32_spec_window_distinct" -> r32SpecWindowDistinct _,
     "r32_spec_window_quantile" -> r32SpecWindowQuantile _,
     "r33_spec_sliding_heavy" -> r33SpecSlidingHeavy _,
+    "r33_spec_session_topk" -> r33SpecSessionTopk _,
     "r11_having" -> r11Having _,
     "r09_join_chain_multi" -> r09JoinChainMulti _,
     "r11_count_agg" -> r11CountAgg _,

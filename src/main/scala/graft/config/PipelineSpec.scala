@@ -465,6 +465,12 @@ case class TransformOp(
     // anchors window starts at epoch mod slide, and divisibility is what
     // keeps "which windows contain T" closed-form for oracles and users)
     slide: Option[String] = None,
+    // windowType "session" turns `every` into the INACTIVITY GAP: cells
+    // are gap-merged sessions within each dims group (mirrors
+    // EventTimeSpec.windowType for AGGREGATION mode). Sessions stream in
+    // Append mode only — merging sessions cannot be expressed as per-key
+    // upserts — so each cell emits once, finalized past the watermark.
+    windowType: Option[String] = None,
     // heavy_hitters windowed form: absolute count threshold (a per-window
     // FRACTION needs the window total, which is a second stateful
     // aggregation on a stream — Spark rejects chained stateful aggs)
@@ -551,6 +557,16 @@ case class TransformOp(
         s"[$where] $op watermark requires the windowed form (timeColumn + every)")
       require(positiveDuration(w),
         s"[$where] $op watermark '$w' is not a positive month-free duration")
+    }
+    windowType.foreach { wt =>
+      require(timeColumn.isDefined,
+        s"[$where] $op windowType requires the windowed form (timeColumn + every)")
+      require(Set("tumbling", "session")(wt),
+        s"[$where] $op windowType '$wt' unknown (tumbling, session; " +
+          "sliding is declared via slide)")
+      require(wt != "session" || slide.isEmpty,
+        s"[$where] $op session windows take no slide (the gap merges " +
+          "variable-width cells; there is nothing to hop)")
     }
     slide.foreach { sl =>
       require(timeColumn.isDefined,

@@ -462,8 +462,14 @@ object Interpreter extends Logging {
         df.withWatermark(ts, t.watermark.get)
       } else df
     // slide declared → overlapping windows (each event in every/slide
-    // cells; state and emission volume scale by the same factor)
-    (src, window(col(ts), t.every.get, t.slide.getOrElse(t.every.get)))
+    // cells; state and emission volume scale by the same factor);
+    // windowType session → `every` is the inactivity gap, cells are
+    // gap-merged sessions per dims group (Append emission — see
+    // StreamRunner.outputModeFor)
+    val win =
+      if (t.windowType.contains("session")) session_window(col(ts), t.every.get)
+      else window(col(ts), t.every.get, t.slide.getOrElse(t.every.get))
+    (src, win)
   }
 
   /** Record key for a windowed aggregation output: the cell identity

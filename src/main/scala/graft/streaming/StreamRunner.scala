@@ -49,6 +49,13 @@ object StreamRunner extends Logging {
     // discovered from a state-store OOM.
     case _ if spec.transform.exists(t =>
       t.op == "dedup_exact" && t.stateTtl.isEmpty) => OutputMode.Update()
+    // session-windowed sketch ops: same Spark restriction as session
+    // AGGREGATION — merging sessions cannot be per-key upserts, so Append
+    // (each session emits once, finalized past the watermark)
+    case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
+      t.windowType.contains("session") &&
+      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup")
+        .contains(t.op)) => OutputMode.Append()
     // the windowed sketch/top-k transform family is a stateful aggregation
     // whose emission is a per-cell changelog (each micro-batch refreshes
     // the touched (window, dims) cells; the snapshot sink upserts them).

@@ -1029,6 +1029,62 @@ class StreamRunnerSpec extends SparkSuite {
     assert(e.getMessage.contains("divide"))
   }
 
+  test("session-windowed top_k streams in Append mode and emits finalized sessions") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"sstopk","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"top_k","k":2,"byColumn":"value",
+        |  "idColumn":"event_id","groupColumns":["user_id"],
+        |  "timeColumn":"ts","every":"5 minutes","windowType":"session",
+        |  "watermark":"1 minute"}],
+        |"outputTopic":{"enabled":true,"name":"sstopk-out"}}""".stripMargin)
+    assert(StreamRunner.outputModeFor(spec) ==
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val q = StreamRunner.startMemory(spark, spec, mem, "sstopk_t")
+    try {
+      // user 7: one session of three events (gaps < 5 min), then silence
+      input.addData((1L, t(10, 0), 7L, 1.0), (2L, t(10, 3), 7L, 9.0),
+        (3L, t(10, 6), 7L, 5.0))
+      q.processAllAvailable()
+      // watermark-advancing event finalizes the session (mirrors the
+      // session AGGREGATION test's finalize pattern)
+      input.addData((99L, t(12, 0), 8L, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sstopk_t")
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Long]("user_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSet
+      val want = Set(
+        (t(10, 0), 7L, 1, 2L, 9.0), (t(10, 0), 7L, 2, 3L, 5.0))
+      assert(got == want, s"finalized session top-k: $got, want $want")
+      // batch build of the same spec agrees (plus user 8's open session,
+      // which batch DOES see — append streaming only withholds unfinalized)
+      val batch = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, spec, eventsResolver(spark.createDataFrame(Seq(
+          (1L, t(10, 0), 7L, 1.0), (2L, t(10, 3), 7L, 9.0), (3L, t(10, 6), 7L, 5.0),
+          (99L, t(12, 0), 8L, 0.5))).toDF(cols: _*))))
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Long]("user_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSet
+      assert(batch == want + ((t(12, 0), 8L, 1, 99L, 0.5)), s"batch session build: $batch")
+    } finally q.stop()
+    // session + slide is a config error
+    val e = intercept[IllegalArgumentException](PipelineSpec.fromJson(
+      """{"id":"bad","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"top_k","k":2,"byColumn":"value","idColumn":"event_id",
+        |  "timeColumn":"ts","every":"5 minutes","windowType":"session",
+        |  "slide":"1 minute"}],
+        |"outputTopic":{"enabled":true,"name":"x"}}""".stripMargin).validate())
+    assert(e.getMessage.contains("session"))
+  }
+
   test("declarative snapshot sink: the outputTopic.snapshot block drives the " +
       "whole KTable-materialization loop from JSON") {
     val ss = spark
