@@ -181,6 +181,13 @@ case class SnapshotSpec(
     require(zOrderBy.isEmpty || zOrderBy.size >= 2,
       s"[$where] $topicName: snapshot zOrderBy needs at least two columns " +
         "(one column = the default key sort already provides it)")
+    // partition columns live in DIRECTORY NAMES, not in the stored files —
+    // a z-order over one would fail to resolve inside the compaction
+    // rewrite, killing the streaming query on its Nth micro-batch
+    require(zOrderBy.intersect(partitionBy).isEmpty,
+      s"[$where] $topicName: snapshot zOrderBy cannot include partitionBy " +
+        s"columns (${zOrderBy.intersect(partitionBy).mkString(", ")}): they " +
+        "are directory-encoded, absent from the files compaction rewrites")
     // partitionBy columns must be DETERMINISTIC per key (part of the key,
     // or derived from it, e.g. a bucket column) — a key whose partition
     // value drifts between emissions escapes the partition-pruned merge.
@@ -230,6 +237,14 @@ case class OutputTopic(
       s"[$where] $name: duplicate layout columns")
     require(targetFileBytes.forall(_ >= 1),
       s"[$where] $name: targetFileBytes must be positive")
+    // the hive-partitioned writer derives per-directory files from the
+    // repartition-by-layout-columns shape; a global byte target cannot
+    // size individual directories — reject loudly rather than silently
+    // ignore the declared knob
+    require(targetFileBytes.isEmpty || partitionBy.isEmpty,
+      s"[$where] $name: targetFileBytes is not supported with partitionBy " +
+        "(per-directory file sizing needs per-partition statistics; use " +
+        "partitions to bound writer tasks instead)")
   }
 }
 
@@ -532,15 +547,20 @@ case class TransformOp(
     validateOp(where)
   }
 
-  /** True iff `s` parses as a positive, month-free duration (months are
-    * irregular — a tumbling window or watermark must be a fixed span).
+  /** Microseconds of `s` when it parses as a positive, month-free duration
+    * (months are irregular — a tumbling window or watermark must be a
+    * fixed span); None otherwise. The ONE parse both the positivity and
+    * the slide-divisibility checks read from.
     */
-  private def positiveDuration(s: String): Boolean =
+  private def durationMicros(s: String): Option[Long] =
     try {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      iv.months == 0 && (iv.days * 86_400_000_000L + iv.microseconds) > 0
-    } catch { case scala.util.control.NonFatal(_) => false }
+      val us = iv.days * 86_400_000_000L + iv.microseconds
+      if (iv.months == 0 && us > 0) Some(us) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def positiveDuration(s: String): Boolean = durationMicros(s).isDefined
 
   /** The windowed-form declaration shared by the sketch/top-k family:
     * timeColumn + every come together (the tumbling window), watermark only
@@ -573,16 +593,11 @@ case class TransformOp(
         s"[$where] $op slide requires the windowed form (timeColumn + every)")
       require(positiveDuration(sl),
         s"[$where] $op slide '$sl' is not a positive month-free duration")
-      def micros(s: String): Long = {
-        val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-          org.apache.spark.unsafe.types.UTF8String.fromString(s))
-        iv.days * 86_400_000_000L + iv.microseconds
-      }
-      val (w, st) = (micros(every.get), micros(sl))
-      require(st <= w && w % st == 0,
-        s"[$where] $op slide '$sl' must divide every '${every.get}' " +
-          "(epoch-anchored overlapping windows; divisibility keeps the " +
-          "windows-containing-T set closed-form)")
+      for (w <- durationMicros(every.get); st <- durationMicros(sl))
+        require(st <= w && w % st == 0,
+          s"[$where] $op slide '$sl' must divide every '${every.get}' " +
+            "(epoch-anchored overlapping windows; divisibility keeps the " +
+            "windows-containing-T set closed-form)")
     }
     timeColumn.isDefined
   }

@@ -256,6 +256,17 @@ object QuantileSketch {
     cs.last._1
   }
 
+  /** Output-column name for a quantile fraction — p50 / p99 / p99_9 (the
+    * fraction's digits, '.' as '_'). Decimal arithmetic because q*100 in
+    * doubles turns 0.9 into 90.00000000000001. ONE implementation shared
+    * by every emitter (Profile.rollupQuantiles, the windowed rollup) so
+    * stream-built, batch-built and rolled-up tables can never diverge in
+    * column names.
+    */
+  def colName(q: Double): String =
+    "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_")
+
   /** Aggregate raw doubles into a storable sketch column
     * (`array<struct<_1: mean, _2: weight>>`, value-sorted) — the native
     * [[QuantileSketchBuild]] aggregate (hot path: one call per raw row).

@@ -153,11 +153,7 @@ object Profile {
       else sketches.groupBy(keepDims.map(col): _*)
         .agg(est, sum(col("n_rows")).as("n_rows"))
     val qCols = quantiles.zipWithIndex.map { case (q, i) =>
-      // p50, p99, p99_9 — the fraction's digits with '.' as '_'. Decimal
-      // arithmetic: q*100 in doubles turns 0.9 into 90.00000000000001
-      val name = "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
-        .toPlainString.replace(".", "_")
-      col("__est").getItem(i).as(name)
+      col("__est").getItem(i).as(graft.functions.QuantileSketch.colName(q))
     }
     agged.select(keepDims.map(col) ++ qCols :+ col("n_rows"): _*)
   }

@@ -154,7 +154,18 @@ object Scale {
     * on a 2-dim box query.
     */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
-      numFiles: Int, bits: Int = 16): Unit = {
+      numFiles: Int, bits: Int = 16): Unit =
+    zCluster(df, zCols, numFiles, bits).write.mode("overwrite").parquet(path)
+
+  /** The z-clustering transform shared by [[writeZOrdered]], the
+    * spec-driven sink layout (BatchSink.write zOrderBy) and snapshot
+    * compaction (BatchSink.compactSnapshot zOrderCols): one tiny min/max
+    * agg over `df`, the Morton interleave, range-partition + sort on it,
+    * z-column dropped. ONE implementation so the quantization and
+    * null-placement conventions cannot drift between call sites.
+    */
+  def zCluster(df: DataFrame, zCols: Seq[String], numFiles: Int,
+      bits: Int = 16): DataFrame = {
     require(numFiles >= 1, "numFiles must be >= 1")
     val aggExprs = zCols.flatMap(c =>
       Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
@@ -163,10 +174,9 @@ object Scale {
       .fold(0.0)(_.asInstanceOf[Double]))
     val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1))
       .fold(0.0)(_.asInstanceOf[Double]))
-    df.withColumn("__z", zValue(zCols.map(col), mins, maxs, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    df.withColumn("__graft_z", zValue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
   }
 }

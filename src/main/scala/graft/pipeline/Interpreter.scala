@@ -207,7 +207,11 @@ object Interpreter extends Logging {
           (col("__rank0") + 1).cast("int").as("rank"),
           col("__p._2").cast(df.schema(idCol).dataType).as(idCol),
           col("__p._1").cast(df.schema(byCol).dataType).as(byCol)): _*)
-      windowedKey(result, df, groups)
+      // rank IS part of the record identity: a cell emits k rows, and a
+      // keyed/compacted sink must retain all k (and update mode must be
+      // able to overwrite rank r specifically) — same reasoning as the
+      // windowed heavy_hitters (window, item) key
+      windowedKey(result, df, groups :+ "rank")
     case "top_k" =>
       // GLOBAL grouped top-k on a stream would be an unwatermarked stateful
       // aggregation (the heap state never evicts) — reject pointing at the
@@ -230,13 +234,13 @@ object Interpreter extends Logging {
           // aggregator holds (double score, long id) internally
           col("__p._2").cast(df.schema(idCol).dataType).as(idCol),
           col("__p._1").cast(df.schema(byCol).dataType).as(byCol)): _*)
-      // an aggregation's output key IS the group key (Kafka Streams
-      // KGroupedStream semantics); a global top-k has no key
-      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, groups match {
-        case Seq()  => lit(null)
-        case Seq(g) => col(g)
-        case many   => struct(many.map(col): _*)
-      }) else result
+      // the record identity is (group key, rank) — a cell emits k rows and
+      // a keyed/compacted sink must retain all k, so rank belongs in the
+      // key (a bare group key would let log compaction collapse the top-k
+      // to one arbitrary rank)
+      if (df.columns.contains(KeyCol))
+        result.withColumn(KeyCol, struct((groups :+ "rank").map(col): _*))
+      else result
     case "heavy_hitters" if t.timeColumn.isDefined =>
       // WINDOWED form: EXACT per-window counts over an ABSOLUTE minCount
       // threshold — one stateful aggregation (streaming-legal in update
@@ -362,10 +366,7 @@ object Interpreter extends Logging {
       val qs = t.numericQuantiles
       val est = graft.functions.QuantileSketch.estimateSketch(col("qsketch"), qs)
       val qCols = qs.zipWithIndex.map { case (q, i) =>
-        // p50 / p99 / p99_9 — same naming rule as Profile.rollupQuantiles
-        val name = "p" + (BigDecimal(q) * 100).underlying.stripTrailingZeros
-          .toPlainString.replace(".", "_")
-        est.getItem(i).as(name)
+        est.getItem(i).as(graft.functions.QuantileSketch.colName(q))
       }
       val result = g.select((col("__w.start").as("window_start") +: dims.map(col)) ++
         (col("qsketch") +: qCols) :+ col("n_rows"): _*)
@@ -834,15 +835,15 @@ object Interpreter extends Logging {
     * reference's generic-map JSON serialization (SerdeFactory.java:110-137).
     *
     * `carry` keeps the named columns as PHYSICAL columns alongside
-    * (key, value) — the sink-layout channel (hive partition directories,
-    * clustering keys). Engine-synthetic columns (`__`-prefixed, e.g. a
-    * z-value) never serialize into the JSON value; real value fields stay
-    * in the JSON even when also carried (directory-encoding a field is a
-    * layout choice, not a serde change — the record must round-trip whole).
+    * (key, value) — the hive-partition-directory channel; carried fields
+    * STAY in the JSON too (directory-encoding a field is a layout choice,
+    * not a serde change — the record must round-trip whole). Every non-key
+    * column serializes: the engine never injects synthetic columns into a
+    * frame reaching this projection (the z-order sink clusters BEFORE
+    * shaping), and a producer's own `__`-prefixed fields are data.
     */
   def toKafkaShape(df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val valueCols =
-      df.columns.filterNot(c => c == KeyCol || c.startsWith("__")).map(col)
+    val valueCols = df.columns.filterNot(_ == KeyCol).map(col)
     df.select(col(KeyCol).cast(StringType).as("key") +:
       to_json(struct(valueCols.toSeq: _*)).as("value") +: carry.map(col): _*)
   }

@@ -135,23 +135,13 @@ object BatchSink extends org.apache.spark.internal.Logging {
       math.max(1, math.min(100000, ((est + t - 1) / BigInt(t)).toInt))
     }
     if (topic.zOrderBy.nonEmpty) {
-      // X27 through config: cluster the topic files by the Morton
-      // interleave of the declared value columns (one tiny min/max agg,
-      // then range+sort on the z-value, which stays OUT of the JSON value)
-      val zCols = topic.zOrderBy
-      val aggExprs = zCols.flatMap(c =>
-        Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-      val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-      val mins = zCols.indices.map(i => Option(stats.get(2 * i))
-        .fold(0.0)(_.asInstanceOf[Double]))
-      val maxs = zCols.indices.map(i => Option(stats.get(2 * i + 1))
-        .fold(0.0)(_.asInstanceOf[Double]))
-      val withZ = df.withColumn("__z", graft.operators.Scale.zValue(
-        zCols.map(col), mins, maxs))
-      Interpreter.toKafkaShape(withZ, carry = Seq("__z"))
-        .repartitionByRange(fileCount(df), col("__z"))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z")
+      // X27 through config: cluster FIRST (the shared Scale.zCluster
+      // kernel — z-value computed on the raw columns, dropped after the
+      // range+sort), THEN shape for the sink; the kafka projection is
+      // narrow, so it preserves the clustered partitioning and order, and
+      // no synthetic column ever approaches the JSON value
+      Interpreter.toKafkaShape(graft.operators.Scale.zCluster(
+          df, topic.zOrderBy, fileCount(df)))
         .write.mode("overwrite").parquet(dest)
     } else if (topic.partitionBy.nonEmpty) {
       // X24 through config: hive-partitioned topic data — the partition
@@ -456,20 +446,9 @@ object BatchSink extends org.apache.spark.internal.Logging {
     // range+sort for multi-dim clustering (min/max from one tiny agg over
     // the slice being rewritten — same pass writeZOrdered pays)
     def rewritten(df: org.apache.spark.sql.DataFrame, needed: Int) =
-      if (zOrderCols.nonEmpty) {
-        val aggExprs = zOrderCols.flatMap(c =>
-          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-        val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
-        val mins = zOrderCols.indices.map(i => Option(stats.get(2 * i))
-          .fold(0.0)(_.asInstanceOf[Double]))
-        val maxs = zOrderCols.indices.map(i => Option(stats.get(2 * i + 1))
-          .fold(0.0)(_.asInstanceOf[Double]))
-        df.withColumn("__z", graft.operators.Scale.zValue(
-            zOrderCols.map(col), mins, maxs))
-          .repartitionByRange(needed, col("__z"))
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-      } else if (sortCols.nonEmpty)
+      if (zOrderCols.nonEmpty)
+        graft.operators.Scale.zCluster(df, zOrderCols, needed)
+      else if (sortCols.nonEmpty)
         df.repartitionByRange(needed, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(needed)
