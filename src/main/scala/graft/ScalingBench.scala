@@ -60,7 +60,12 @@ object ScalingBench {
     "r32_spec_window_topk",
     "r32_spec_window_heavy",
     "r32_spec_window_distinct",
-    "r32_spec_window_quantile")
+    "r32_spec_window_quantile",
+    // the sliding form multiplies cells by every/slide (4× here) and the
+    // session form carries per-(user, session) merge state — both must
+    // still scale linearly in rows
+    "r33_spec_sliding_heavy",
+    "r33_spec_session_topk")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
