@@ -245,6 +245,18 @@ case class OutputTopic(
       s"[$where] $name: targetFileBytes is not supported with partitionBy " +
         "(per-directory file sizing needs per-partition statistics; use " +
         "partitions to bound writer tasks instead)")
+    // partitionBy columns are CARRIED alongside the generated kafka-shape
+    // key/value sink columns (toKafkaShape(df, carry)); a carried column
+    // with either name would collide and only surface as an
+    // ambiguous-reference AnalysisException at write time — reject at spec
+    // build instead. zOrderBy is exempt: zCluster consumes the raw columns
+    // and drops them before the sink shape, so no collision exists there
+    // (and the events fixture legitimately z-orders its "value" column).
+    val reserved = partitionBy.filter(Set("key", "value"))
+    require(reserved.isEmpty,
+      s"[$where] $name: partitionBy columns ${reserved.mkString(", ")} " +
+        "collide with the sink's generated key/value record columns; " +
+        "rename the pipeline output column before declaring it in partitionBy")
   }
 }
 

@@ -364,11 +364,17 @@ object Interpreter extends Logging {
             col(t.column.get).cast("double")).as("qsketch"),
           count(col(t.column.get)).as("n_rows"))
       val qs = t.numericQuantiles
-      val est = graft.functions.QuantileSketch.estimateSketch(col("qsketch"), qs)
+      // materialize the UDF's array ONCE per cell, then fan out per-quantile
+      // items from the named column: Spark does not reliably CSE a
+      // nondeterministic-wrapped UDF repeated across projection items, so
+      // inlining estimateSketch(...).getItem(i) would re-decode the centroid
+      // array |quantiles| times per emitted cell
+      val withEst = g.withColumn("__est",
+        graft.functions.QuantileSketch.estimateSketch(col("qsketch"), qs))
       val qCols = qs.zipWithIndex.map { case (q, i) =>
-        est.getItem(i).as(graft.functions.QuantileSketch.colName(q))
+        col("__est").getItem(i).as(graft.functions.QuantileSketch.colName(q))
       }
-      val result = g.select((col("__w.start").as("window_start") +: dims.map(col)) ++
+      val result = withEst.select((col("__w.start").as("window_start") +: dims.map(col)) ++
         (col("qsketch") +: qCols) :+ col("n_rows"): _*)
       windowedKey(result, df, dims)
     case "quantile_rollup" =>

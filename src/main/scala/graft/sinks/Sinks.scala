@@ -132,7 +132,10 @@ object BatchSink extends org.apache.spark.internal.Logging {
     // (pre-compression upper bound: a granularity knob, not an exact size)
     def fileCount(frame: DataFrame): Int = topic.targetFileBytes.fold(parts) { t =>
       val est = frame.queryExecution.optimizedPlan.stats.sizeInBytes
-      math.max(1, math.min(100000, ((est + t - 1) / BigInt(t)).toInt))
+      // clamp in BigInt space BEFORE narrowing: stats on join-heavy plans
+      // can be astronomically large, and .toInt on the raw quotient would
+      // wrap modulo 2^32 to an arbitrary (possibly negative) file count
+      ((est + t - 1) / BigInt(t)).min(BigInt(100000)).max(BigInt(1)).toInt
     }
     if (topic.zOrderBy.nonEmpty) {
       // X27 through config: cluster FIRST (the shared Scale.zCluster

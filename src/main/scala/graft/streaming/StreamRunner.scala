@@ -164,7 +164,20 @@ object StreamRunner extends Logging {
       compactEvery: Int = 0,
       compactZOrderBy: Seq[String] = Nil): StreamingQuery = {
     requireNoBranches(spec, "startSnapshotSink")
-    applyTrigger(spec, build(spark, spec, sources).writeStream
+    val planned = build(spark, spec, sources)
+    // fail at start(), not on the Nth micro-batch: a typo'd key/order/
+    // layout column would otherwise launch cleanly and only kill the
+    // long-running query at the first upsert (or worse, first compaction)
+    val declared = Seq(
+      "keyColumns" -> keys, "orderColumns" -> orderCols,
+      "partitionBy" -> partitionCols, "zOrderBy" -> compactZOrderBy)
+    val missing = declared.flatMap { case (what, cols) =>
+      cols.filterNot(planned.columns.contains).map(c => s"$what:$c") }
+    require(missing.isEmpty,
+      s"[${spec.id}] snapshot sink declares columns absent from the built " +
+        s"plan: ${missing.mkString(", ")} (plan columns: " +
+        s"${planned.columns.mkString(", ")})")
+    applyTrigger(spec, planned.writeStream
       .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>

@@ -199,6 +199,15 @@ class ScaleSpec extends SparkSuite {
         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
         |"outputTopic":{"enabled":true,"name":"b","zOrderBy":["x"]}}""".stripMargin)
       .validate())
+    // partitionBy "value" would collide with the generated kafka-shape
+    // sink columns — must be a clear config error, not a late
+    // ambiguous-reference AnalysisException (the events fixture really
+    // does have a column named "value")
+    val collide = intercept[IllegalArgumentException](graft.config.PipelineSpec.fromJson(
+      """{"id":"bad3","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"outputTopic":{"enabled":true,"name":"b","partitionBy":["value"]}}""".stripMargin))
+    assert(collide.getMessage.contains("key/value"))
   }
 
   test("bloom-pruned join is bit-identical to the plain join (false positives die in the join)") {

@@ -1133,6 +1133,19 @@ class StreamRunnerSpec extends SparkSuite {
           |  "snapshot":{"keyColumns":["k"],"orderColumns":[]}}}""".stripMargin)
         .validate())
       assert(e2.getMessage.contains("orderColumns"))
+      // a typo'd snapshot column must fail AT START, not on the Nth
+      // micro-batch (a long-running query dying at first compaction is
+      // the failure mode this guard exists for)
+      val typo = PipelineSpec.fromJson(
+        """{"id":"typo-snap","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"outputTopic":{"enabled":true,"name":"typo",
+          |  "snapshot":{"keyColumns":["event_idd"],
+          |    "orderColumns":["ts"]}}}""".stripMargin)
+      val e3 = intercept[IllegalArgumentException](
+        StreamRunner.startSpecSnapshot(spark, typo, mem, base))
+      assert(e3.getMessage.contains("event_idd") &&
+        e3.getMessage.contains("keyColumns"))
     } finally q.stop()
   }
 
