@@ -633,6 +633,45 @@ object Queries {
       .filter(col("user_id").isNotNull)
       .select("window_start", "user_id", "rank", "event_id", "value")
 
+  /** Sliding variant of the windowed HLL distinct rollup (r34 — the sketch
+    * family's window-type triad, matching what r33 did for top-k/heavy):
+    * 1-hour windows hopping every 15 minutes, one mergeable HLL per
+    * (sliding cell, event_type). Each event lands in 4 overlapping cells —
+    * state and emission scale by every/slide, the declared trade. Accuracy
+    * contract: every cell's estimate within ±5% of the exact per-cell
+    * distinct (Accuracy.checks), cell count oracle-checked.
+    */
+  def r34SpecSlidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"sliding-distinct-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+         |  "column":"user_id","timeColumn":"ts","every":"1 hour",
+         |  "slide":"15 minutes"}],
+         |"outputTopic":{"enabled":true,"name":"events-sliding-distinct"}}""".stripMargin)
+      .select("window_start", "event_type", "n_distinct", "n_rows")
+
+  /** Session-windowed quantile rollup (r34): per-user 5-minute-gap sessions
+    * each carrying a mergeable centroid sketch of `value` — the
+    * "percentiles per burst" shape (session_window + the native
+    * QuantileSketchBuild aggregate, Append emission on streams). Accuracy
+    * contract: every session's estimates within the rank-slack of the
+    * session's exact order statistics, sessionized INDEPENDENTLY via the
+    * lag/sum break walk — so the check also cross-pins Spark's
+    * session_window merge rule; session count oracle-checked by the same
+    * DuckDB walk the r33 session oracle uses.
+    */
+  def r34SpecSessionQuantile(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"session-quantile-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"quantile_rollup","groupColumns":["user_id"],
+         |  "column":"value","quantiles":[0.5,0.9],
+         |  "timeColumn":"ts","every":"5 minutes","windowType":"session"}],
+         |"outputTopic":{"enabled":true,"name":"events-session-quantile"}}""".stripMargin)
+      .filter(col("user_id").isNotNull)
+      .select("window_start", "user_id", "p50", "p90", "n_rows")
+
   /** Spec filter after AGGREGATION = HAVING semantics through the config
     * path (the predicate sees the aggregate output columns).
     */
@@ -2998,6 +3037,8 @@ object Queries {
     "r32_spec_window_heavy" -> r32SpecWindowHeavy _,
     "r32_spec_window_distinct" -> r32SpecWindowDistinct _,
     "r32_spec_window_quantile" -> r32SpecWindowQuantile _,
+    "r34_spec_sliding_distinct" -> r34SpecSlidingDistinct _,
+    "r34_spec_session_quantile" -> r34SpecSessionQuantile _,
     "r33_spec_sliding_heavy" -> r33SpecSlidingHeavy _,
     "r33_spec_session_topk" -> r33SpecSessionTopk _,
     "r11_having" -> r11Having _,

@@ -65,7 +65,13 @@ object ScalingBench {
     // session form carries per-(user, session) merge state — both must
     // still scale linearly in rows
     "r33_spec_sliding_heavy",
-    "r33_spec_session_topk")
+    "r33_spec_session_topk",
+    // round-12 additions: the sketch family's sliding/session forms (r34) —
+    // sliding multiplies HLL cells 4×, session carries one centroid sketch
+    // per (user, session); both must stay linear in rows like their
+    // tumbling siblings
+    "r34_spec_sliding_distinct",
+    "r34_spec_session_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")

@@ -16,8 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (approximate LSH/ANN variants, non-SQL hashes) → rows-only check.
+    * the same parquet tables. Exact queries come from [[Queries.oracles]];
+    * approximate queries (LSH/ANN/sketch/packing) are covered by their
+    * [[Accuracy]] contracts — [[Verify]] dumps the accuracy summary row
+    * set for those names, and [[Accuracy.oracles]] recomputes its
+    * reference columns and pins `pass = true`, so every declared query is
+    * machine-checked by the driver's hash compare.
     */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ Accuracy.oracles
 }

@@ -2,6 +2,18 @@ package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * APPROXIMATE queries (the [[Accuracy.checks]] registry — LSH/ANN recall,
+  * HLL and quantile-sketch estimates, packing, fingerprints) dump their
+  * accuracy-contract summary `(metric, scope, n_ref, bound, pass)` instead
+  * of the raw approximate rows, which no exact SQL oracle can hash-match
+  * by nature (round-11 directive #1): `pass` is measured in Spark against
+  * the exact sibling and pinned `true` by the oracle, `n_ref` is genuinely
+  * recomputed by DuckDB. The measured values land in `<outDir>/accuracy
+  * .json`, `bench_out/accuracy-<sf>.json`, and one `[accuracy]` stderr
+  * line per metric. The raw approximate outputs still execute — the checks
+  * compute recall/error FROM them — and stay benchmarked unchanged through
+  * [[Bench]], which reads [[SparkEntry.queries]] directly.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -20,13 +32,29 @@ object Verify {
     }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
+    val accuracyLog =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Accuracy.Metric)]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        Accuracy.checks.get(name) match {
+          case Some(check) =>
+            val ms = check(spark, sfDir)
+            require(ms.nonEmpty, s"$name: accuracy check produced no metrics")
+            Accuracy.summaryDf(spark, ms).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            ms.foreach { m =>
+              accuracyLog += name -> m
+              System.err.println(f"[accuracy] $name ${m.metric}(${m.scope}) " +
+                f"value=${m.value}%.6f bound=${m.bound} n_ref=${m.nRef} " +
+                s"pass=${m.pass}")
+            }
+          case None =>
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+        }
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -51,6 +79,29 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // measured accuracy values (the part of the contract a static SQL
+    // oracle cannot hash-check): durable copies beside the dump AND in the
+    // repo's bench_out (the driver's outDir is ephemeral; bench_out is the
+    // committed evidence trail). Locale.ROOT — a comma-decimal locale
+    // would emit unparseable JSON.
+    def fmt(d: Double) =
+      if (d.isNaN) "null"
+      else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
+    if (accuracyLog.nonEmpty) {
+      val accJson = accuracyLog.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (name, ms) =>
+          s"${q(name)}: [" + ms.map { case (_, m) =>
+            s"""{"metric":${q(m.metric)},"scope":${q(m.scope)},""" +
+              s""""value":${fmt(m.value)},"n_ref":${m.nRef},""" +
+              s""""bound":${fmt(m.bound)},"pass":${m.pass}}"""
+          }.mkString(",") + "]"
+        }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/accuracy.json"), accJson)
+      val benchOut = Paths.get("bench_out")
+      if (Files.isDirectory(benchOut))
+        Files.writeString(benchOut.resolve(
+          s"accuracy-${Paths.get(sfDir).getFileName}.json"), accJson)
+    }
     spark.stop()
   }
 }

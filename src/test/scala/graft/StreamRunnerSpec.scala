@@ -1085,6 +1085,74 @@ class StreamRunnerSpec extends SparkSuite {
     assert(e.getMessage.contains("session"))
   }
 
+  test("session-windowed quantile_rollup: session merge state survives a " +
+      "checkpoint restart and the finalized cells equal the batch build (r34)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"ssq","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"quantile_rollup","groupColumns":["user_id"],
+        |  "column":"value","quantiles":[0.5,0.9],
+        |  "timeColumn":"ts","every":"5 minutes","windowType":"session",
+        |  "watermark":"1 minute"}],
+        |"outputTopic":{"enabled":true,"name":"ssq-out"}}""".stripMargin)
+    // session cells finalize once — Append, not update-mode changelog
+    assert(StreamRunner.outputModeFor(spec) ==
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val cols = Seq("event_id", "ts", "user_id", "value")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val base = tempDir("graft_ssq")
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "user_id"), Seq("n_rows"),
+      s"$base/ckpt")
+    // user 7's session OPENS before the restart (2 events, gaps < 5 min)…
+    val q1 = start()
+    try {
+      input.addData((1L, t(10, 0), 7L, 1.0), (2L, t(10, 3), 7L, 9.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // …and must keep MERGING after recovery: the third event extends the
+    // same session from checkpointed state (the novel risk vs tumbling —
+    // tumbling cells have fixed identity, session cells merge), then a
+    // watermark-advancing event finalizes it
+    val q2 = start()
+    try {
+      input.addData((3L, t(10, 6), 7L, 5.0))
+      q2.processAllAvailable()
+      input.addData((99L, t(12, 0), 8L, 0.5))
+      q2.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "user_id", "p50", "p90", "n_rows")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+      val got = cells(spark.read.parquet(s"$base/table"))
+      val wantAll = cells(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(Seq(
+            (1L, t(10, 0), 7L, 1.0), (2L, t(10, 3), 7L, 9.0),
+            (3L, t(10, 6), 7L, 5.0), (99L, t(12, 0), 8L, 0.5)))
+            .toDF(cols: _*)))))
+      // ONE merged session for user 7 spanning the restart, n_rows = 3,
+      // estimates identical to the batch build; user 8's session is still
+      // open — Append withholds it (batch sees it)
+      assert(got.size == 1 && got.head._2 == 7L && got.head._5 == 3L,
+        s"expected one finalized 3-row session for user 7, got $got")
+      assert(wantAll.filter(_._2 == 7L) == got,
+        s"stream-built $got != batch-built ${wantAll.filter(_._2 == 7L)}")
+      assert(wantAll.exists(_._2 == 8L), "batch build lost the open session")
+      // the stored session sketches stay mergeable without raw data
+      val rolled = graft.operators.Profile.rollupQuantiles(
+        spark.read.parquet(s"$base/table").select(col("user_id"),
+          col("qsketch"), col("n_rows")), Seq("user_id"), Seq(0.5))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n_rows"))).toMap
+      assert(rolled == Map(7L -> 3L),
+        s"rollup from stored session sketches wrong: $rolled")
+    } finally q2.stop()
+  }
+
   test("declarative snapshot sink: the outputTopic.snapshot block drives the " +
       "whole KTable-materialization loop from JSON") {
     val ss = spark
