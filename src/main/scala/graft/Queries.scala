@@ -2087,6 +2087,21 @@ object Queries {
     graft.operators.AsOfJoin.resample(obs, "user_id", "ts", Seq("value"), "30 minutes")
   }
 
+  /** X20 at a 10×-denser grid (3-minute buckets, same data) with the
+    * dense-grid guard declared — the probe that separates resample's
+    * OUTPUT-VOLUME cost from algorithmic cost (round-11 directive #4:
+    * x20_resample posts the worst scaling ratio because its output grows
+    * with the data; this row grows output 10× while the input stays fixed,
+    * so flat per-output-row cost here means the 6.75× sf1 ratio is volume,
+    * not algorithm). Oracle-exact like x20.
+    */
+  def x20ResampleDense(spark: SparkSession, dir: String): DataFrame = {
+    val ev = resolver(dir).stream(spark, graft.config.TopicConfig("events"))
+    val obs = ev.groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+    graft.operators.AsOfJoin.resample(obs, "user_id", "ts", Seq("value"), "3 minutes",
+      maxGridRowsPerKey = 1000000L)
+  }
+
   // ------------------------------------------------------------------ oracle
 
   /** DuckDB-dialect oracle SQL per query (same tables registered by name).
@@ -2915,6 +2930,15 @@ object Queries {
         |grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '30 minutes')) AS grid_ts
         |         FROM b)
         |SELECT g.user_id, g.grid_ts, o.value
+        |FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.t""".stripMargin,
+    "x20_resample_dense" ->
+      """WITH obs AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(value) AS value
+        |             FROM events GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+        |b AS (SELECT user_id, time_bucket(INTERVAL '3 minutes', min(t)) AS t0, max(t) AS t1
+        |      FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL '3 minutes')) AS grid_ts
+        |         FROM b)
+        |SELECT g.user_id, g.grid_ts, o.value
         |FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.t""".stripMargin
   )
 
@@ -3134,6 +3158,7 @@ object Queries {
     "x19_contamination" -> x19Contamination _,
     "x19_contamination_stream" -> x19ContaminationStream _,
     "x9_weighted_mix" -> x9WeightedMix _,
-    "x20_resample" -> x20Resample _
+    "x20_resample" -> x20Resample _,
+    "x20_resample_dense" -> x20ResampleDense _
   )
 }

@@ -503,6 +503,13 @@ case class TransformOp(
     // aggregation on a stream — Spark rejects chained stateful aggs)
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     minCount: Option[Long] = None,
+    // resample dense-grid guard: upper bound on the DENSEST key's grid
+    // rows (ceil(span / every)); output volume is SUM over keys of
+    // span/every, so a mis-declared `every` against a long-span key
+    // multiplies output silently — with the bound declared, the operator
+    // fails loudly before exploding the grid
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    maxGridRowsPerKey: Option[Long] = None,
     valueColumns: Seq[String] = Nil,
     columns: Seq[String] = Nil,
     approx: Boolean = false,
@@ -701,6 +708,8 @@ case class TransformOp(
       require(micros > 0 && micros % 1_000_000L == 0,
         s"[$where] resample every '$ev' must be a positive whole number " +
           "of seconds")
+      require(maxGridRowsPerKey.forall(_ >= 1),
+        s"[$where] resample maxGridRowsPerKey must be positive")
     case "profile" =>
       require(columns.nonEmpty, s"[$where] profile requires columns")
       require(columns.distinct == columns,

@@ -157,7 +157,8 @@ object AsOfJoin {
     * can collide (the x20 query does).
     */
   def resample(df: DataFrame, key: String, tsCol: String,
-      valueCols: Seq[String], interval: String): DataFrame = {
+      valueCols: Seq[String], interval: String,
+      maxGridRowsPerKey: Long = 0L): DataFrame = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
       org.apache.spark.unsafe.types.UTF8String.fromString(interval))
     require(iv != null && iv.months == 0,
@@ -167,8 +168,29 @@ object AsOfJoin {
     val secs = micros / 1_000_000L
     require(secs * 1_000_000L == micros,
       s"resample interval '$interval' must be whole seconds")
-    val grid = df.groupBy(col(key))
+    val bounds = df.groupBy(col(key))
       .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+    // DENSE-GRID GUARD (declared, 0 = unguarded): output volume is
+    // Σ_keys (span/every) — a mis-declared `every` against a long-span key
+    // silently multiplies output by orders of magnitude (the x20 scaling
+    // row is output-bound for exactly this reason). When a bound is
+    // declared, fail LOUDLY before exploding, naming the densest key's
+    // grid size and the sizing formula. Costs one extra pass over the
+    // per-key bounds (|keys| rows), not over the data.
+    if (maxGridRowsPerKey > 0L) {
+      val worst = bounds.select(
+        max(expr(s"floor((unix_timestamp(__max) - " +
+          s"floor(unix_timestamp(__min) / $secs) * $secs) / $secs) + 1")
+          .cast("long")).as("g")).head()
+      val worstGrid = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(worstGrid <= maxGridRowsPerKey,
+        s"resample grid for the densest key would be $worstGrid rows " +
+          s"(ceil(span / every) with every = '$interval'), exceeding the " +
+          s"declared maxGridRowsPerKey = $maxGridRowsPerKey; total output " +
+          "is SUM over keys of span/every — widen `every`, shorten the " +
+          "span (filter first), or raise the declared bound")
+    }
+    val grid = bounds
       .select(col(key), explode(expr(
         s"sequence(timestamp_seconds(floor(unix_timestamp(__min) / $secs) * $secs), " +
           s"__max, interval $secs seconds)")).as("grid_ts"))

@@ -294,7 +294,8 @@ object Interpreter extends Logging {
         .agg(max(col(t.valueColumns.head)).as(t.valueColumns.head),
           t.valueColumns.tail.map(c => max(col(c)).as(c)): _*)
       val result = graft.operators.AsOfJoin.resample(
-        obs, key, ts, t.valueColumns, t.every.get)
+        obs, key, ts, t.valueColumns, t.every.get,
+        maxGridRowsPerKey = t.maxGridRowsPerKey.getOrElse(0L))
       // one series per key: the record key is the series key
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col(key))
       else result

@@ -156,4 +156,48 @@ class AsOfJoinSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("positive"))
   }
+
+  test("resample dense-grid guard: loud error past maxGridRowsPerKey, " +
+      "identical result under it") {
+    val obs = spark.createDataFrame(Seq(
+      (1L, t(7), 10.0), (1L, t(48), 30.0), (2L, t(31), 99.0)))
+      .toDF("k", "ts", "value")
+    // key 1 spans 41 minutes: a 1-second grid wants ~2900 rows — a declared
+    // bound of 100 must refuse BEFORE exploding, naming the grid size and
+    // the sizing formula
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.resample(obs, "k", "ts", Seq("value"), "1 second",
+        maxGridRowsPerKey = 100L)
+    }
+    assert(e.getMessage.contains("maxGridRowsPerKey") &&
+      e.getMessage.contains("span / every"), e.getMessage)
+    // a bound the grid fits under changes nothing: guarded == unguarded
+    val guarded = AsOfJoin.resample(obs, "k", "ts", Seq("value"), "15 minutes",
+      maxGridRowsPerKey = 10L).collect().toSeq
+    val plain = AsOfJoin.resample(obs, "k", "ts", Seq("value"), "15 minutes")
+      .collect().toSeq
+    assert(guarded.toSet == plain.toSet && guarded.nonEmpty)
+    // config path: the declared guard reaches the operator
+    val spec = graft.config.PipelineSpec.fromJson(
+      """{"id":"dense-guard","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"],"every":"1 second",
+        |  "maxGridRowsPerKey":10}],
+        |"outputTopic":{"enabled":true,"name":"dense-out"}}""".stripMargin)
+    val ev = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec,
+        new graft.sources.ParquetSourceResolver(sf(), graft.config.TestdataCatalog))
+        .collect()
+    }
+    assert(ev.getMessage.contains("maxGridRowsPerKey"))
+    // declared guard must be positive
+    intercept[IllegalArgumentException](graft.config.PipelineSpec.fromJson(
+      """{"id":"bad","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"resample","idColumn":"user_id","timeColumn":"ts",
+        |  "valueColumns":["value"],"every":"1 second",
+        |  "maxGridRowsPerKey":0}],
+        |"outputTopic":{"enabled":true,"name":"x"}}""".stripMargin))
+  }
 }
