@@ -293,6 +293,114 @@ class SinksSpec extends SparkSuite {
       graft.sinks.BatchSink.compactSnapshot(spark, tempDir("graft_compact_none") + "/nope"))
   }
 
+  test("compactSnapshot crash recovery: a kill in ANY swap window neither " +
+      "loses nor doubles rows on rerun") {
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    def copyDir(fs: org.apache.hadoop.fs.FileSystem, src: String, dst: String): Unit =
+      assert(FileUtil.copy(fs, new HPath(src), fs, new HPath(dst), false, conf))
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq.sorted
+    def mkFlat(name: String): (String, org.apache.hadoop.fs.FileSystem) = {
+      val flat = tempDir(name) + "/snap"
+      spark.createDataFrame((1 to 50).map(i => (i.toLong, s"v$i")))
+        .toDF("k", "v").repartition(8).write.parquet(flat)
+      (flat, new HPath(flat).getFileSystem(conf))
+    }
+    // window A — killed mid-staging-write: cur intact, .staging holds a
+    // partial fileset (including an in-flight _temporary dir)
+    locally {
+      val (flat, fs) = mkFlat("graft_crash_a")
+      val want = rows(flat)
+      val staging = new HPath(flat + ".staging")
+      fs.mkdirs(new HPath(staging, "_temporary/0"))
+      val out = fs.create(new HPath(staging, "part-00000.parquet"))
+      out.write(Array.fill(128)(0x7f.toByte)); out.close() // torn, unreadable
+      assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) > 0)
+      assert(rows(flat) == want, "window-A rerun changed rows")
+    }
+    // window B — killed between the two renames: cur ABSENT, .old holds the
+    // only live copy, .staging holds the full compacted rewrite. Recovery
+    // must restore .old (never trust .staging — its write may itself have
+    // been the casualty) and recompact from it.
+    locally {
+      val (flat, fs) = mkFlat("graft_crash_b")
+      val want = rows(flat)
+      copyDir(fs, flat, flat + ".staging")
+      assert(fs.rename(new HPath(flat), new HPath(flat + ".old")))
+      assert(!fs.exists(new HPath(flat)))
+      assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) > 0)
+      assert(rows(flat) == want, "window-B rerun lost or doubled rows")
+      assert(!fs.exists(new HPath(flat + ".old")) &&
+        !fs.exists(new HPath(flat + ".staging")))
+    }
+    // window C — killed after install, before the aside delete: cur is the
+    // compacted store, .old is a STALE full copy. Rerun must drop the stale
+    // copy without re-merging it (doubling) and leave cur untouched.
+    locally {
+      val (flat, fs) = mkFlat("graft_crash_c")
+      val want = rows(flat)
+      assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) > 0)
+      copyDir(fs, flat, flat + ".old")
+      assert(graft.sinks.BatchSink.compactSnapshot(spark, flat) == 0L)
+      assert(rows(flat) == want, "window-C rerun changed rows")
+      assert(!fs.exists(new HPath(flat + ".old")))
+    }
+    // partitioned store — killed mid-loop between a partition's two
+    // renames: bucket=1 sits under .old, its staging rewrite exists, cur's
+    // bucket=1 is ABSENT. The preamble must restore the aside copy per
+    // partition, then compaction proceeds over the whole store.
+    locally {
+      val dir = tempDir("graft_crash_p") + "/snap"
+      val fs = new HPath(dir).getFileSystem(conf)
+      graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+        spark.createDataFrame((1 to 40).map(i =>
+          (i.toLong, i.toLong % 2, 1L, s"v$i"))).toDF("k", "bucket", "ver", "v"),
+        Seq("k"), Seq("ver"), Seq("bucket"))
+      val want = spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("bucket"),
+          r.getAs[String]("v"))).toSeq.sorted
+      copyDir(fs, dir + "/bucket=1", dir + ".staging/bucket=1")
+      fs.mkdirs(new HPath(dir + ".old"))
+      assert(fs.rename(new HPath(dir + "/bucket=1"), new HPath(dir + ".old/bucket=1")))
+      assert(!fs.exists(new HPath(dir + "/bucket=1")))
+      graft.sinks.BatchSink.compactSnapshot(spark, dir, Seq("bucket"))
+      val got = spark.read.parquet(dir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("bucket"),
+          r.getAs[String]("v"))).toSeq.sorted
+      assert(got == want, "partitioned mid-loop rerun lost or doubled rows")
+      assert(!fs.exists(new HPath(dir + ".old")) &&
+        !fs.exists(new HPath(dir + ".staging")))
+      // the next upsert proceeds normally on the recovered store
+      graft.sinks.BatchSink.upsertSnapshot(spark, dir,
+        spark.createDataFrame(Seq((1L, 1L, 2L, "a2")))
+          .toDF("k", "bucket", "ver", "v"),
+        Seq("k"), Seq("ver"), Seq("bucket"))
+      assert(spark.read.parquet(dir).filter(col("k") === 1L)
+        .head.getAs[String]("v") == "a2")
+    }
+    // z-order compaction recovers through the same windows (window B, the
+    // hairiest): clustering layout + crash recovery compose
+    locally {
+      val zdir = tempDir("graft_crash_z") + "/snap"
+      val fs = new HPath(zdir).getFileSystem(conf)
+      spark.createDataFrame((1 to 400).map(i =>
+        (i.toLong, (i * 37 % 400).toLong, s"v$i"))).toDF("k", "u", "v")
+        .repartition(8).write.parquet(zdir)
+      val want = spark.read.parquet(zdir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("u"),
+          r.getAs[String]("v"))).toSeq.sorted
+      copyDir(fs, zdir, zdir + ".staging")
+      assert(fs.rename(new HPath(zdir), new HPath(zdir + ".old")))
+      assert(graft.sinks.BatchSink.compactSnapshot(spark, zdir,
+        zOrderCols = Seq("k", "u")) > 0)
+      val got = spark.read.parquet(zdir).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("u"),
+          r.getAs[String]("v"))).toSeq.sorted
+      assert(got == want, "z-order window-B rerun lost or doubled rows")
+    }
+  }
+
   test("compactSnapshot sortCols keeps per-file key ranges DISJOINT (footer pruning preserved)") {
     import org.apache.hadoop.fs.{Path => HPath}
     val flat = tempDir("graft_compact_sorted") + "/snap"
