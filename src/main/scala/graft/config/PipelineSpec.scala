@@ -581,6 +581,14 @@ case class TransformOp(
 
   private def positiveDuration(s: String): Boolean = durationMicros(s).isDefined
 
+  /** '0 seconds' and friends: parseable, month-free, exactly zero. */
+  private def zeroDuration(s: String): Boolean =
+    try {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      iv.months == 0 && iv.days * 86_400_000_000L + iv.microseconds == 0
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** The windowed-form declaration shared by the sketch/top-k family:
     * timeColumn + every come together (the tumbling window), watermark only
     * rides on a declared window. Returns whether the op IS windowed.
@@ -594,8 +602,12 @@ case class TransformOp(
     watermark.foreach { w =>
       require(timeColumn.isDefined,
         s"[$where] $op watermark requires the windowed form (timeColumn + every)")
-      require(positiveDuration(w),
-        s"[$where] $op watermark '$w' is not a positive month-free duration")
+      // ZERO is legal — same posture as EventTimeSpec: a process-time-exact
+      // stream declares '0 seconds' to mean "no lateness tolerated", and
+      // rejecting it here while the AGGREGATION window accepts it was an
+      // inconsistency the spec fuzzer caught (round 12)
+      require(positiveDuration(w) || zeroDuration(w),
+        s"[$where] $op watermark '$w' is not a non-negative month-free duration")
     }
     windowType.foreach { wt =>
       require(timeColumn.isDefined,

@@ -1,0 +1,553 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.config._
+import graft.pipeline.Interpreter
+import graft.sources.ParquetSourceResolver
+
+/** Config-surface fuzzing (round-11 directive #7): PipelineSpec is the
+  * public API — a ~950-line declarative surface — so its two build-time
+  * contracts are checked over GENERATED specs, not just the fixtures the
+  * oracle queries happen to use:
+  *
+  *  (a) every INVALID spec fails AT BUILD TIME with an
+  *      IllegalArgumentException whose message carries the spec id (the
+  *      reference's posture: DynamicTopologyBuilder throws IAE before any
+  *      topology starts — a config error must never surface as a mid-query
+  *      AnalysisException or a first-micro-batch task death);
+  *  (b) every VALID spec builds an ANALYZABLE plan (schema resolves; no
+  *      latent AnalysisException behind a green validate()).
+  *
+  * Coverage is deliberately exhaustive-by-construction rather than
+  * random-only: the invalid side enumerates one mutation per validation
+  * class (every transform.op's required-field/range/duration/window rules,
+  * join-chain + asOf rules, eventTime window rules, sink layout + snapshot
+  * rules, mode rules), and the valid side has a generator per transform.op
+  * and per join/window/sink combination class, with ScalaCheck randomizing
+  * the knobs within each class.
+  */
+object SpecFuzzProperties extends Properties("specfuzz") {
+
+  // each valid-side case builds + analyzes a real plan (~100ms); 8 random
+  // knob-variations per class × ~30 classes is plenty — the CLASSES are
+  // covered deterministically, ScalaCheck only varies knobs within them
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSuite.spark
+  private lazy val resolver =
+    new ParquetSourceResolver("/root/testdata/sf0.001", TestdataCatalog)
+
+  private val docsParquet = "/root/testdata/sf0.001/documents.parquet"
+  private val embParquet = "/root/testdata/sf0.001/embeddings.parquet"
+
+  private def topic(name: String) = TopicConfig(name, "java.lang.Long")
+
+  private def simple(id: String, source: String, ops: TransformOp*): PipelineSpec =
+    PipelineSpec(id = id, processingMode = ProcessingMode.SimpleStream,
+      sourceTopic = topic(source), transform = ops.toSeq,
+      outputTopic = Some(OutputTopic(enabled = true, name = s"$id-out")))
+
+  /** (b): the spec validates and the built frame ANALYZES — resolving the
+    * full schema forces analysis; a spec that validates but cannot analyze
+    * is exactly the latent failure this property exists to catch.
+    */
+  private def analyzes(spec: PipelineSpec): Prop = {
+    val df = Interpreter.build(spark, spec, resolver)
+    Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
+  }
+
+  /** (a): build rejects the spec at validate time, IAE, id in message. */
+  private def rejected(spec: PipelineSpec): Boolean =
+    try { Interpreter.build(spark, spec, resolver); false }
+    catch {
+      case e: IllegalArgumentException =>
+        val ok = Option(e.getMessage).exists(_.contains(spec.id))
+        if (!ok) println(s"specfuzz: IAE without id '${spec.id}': ${e.getMessage}")
+        ok
+      case e: Throwable =>
+        println(s"specfuzz: ${spec.id} threw ${e.getClass.getSimpleName} " +
+          s"instead of IllegalArgumentException: ${e.getMessage}")
+        false
+    }
+
+  // ------------------------------------------------------------ shared gens
+
+  private val posSmall = Gen.chooseNum(1, 10)
+  private val fraction = Gen.chooseNum(0.05, 1.0)
+  private val docCols =
+    Gen.someOf(Seq("lang", "source")).map(_.toSeq).suchThat(_.nonEmpty)
+
+  /** Windowed-form declaration for the sketch/top-k family on events.ts:
+    * none / tumbling / sliding (slide divides every) / session.
+    */
+  private case class WindowDecl(timeColumn: Option[String], every: Option[String],
+      slide: Option[String], windowType: Option[String], watermark: Option[String])
+  private val windowDecls: Gen[WindowDecl] = Gen.oneOf(
+    Gen.const(WindowDecl(None, None, None, None, None)),
+    Gen.oneOf("30 minutes", "1 hour", "2 hours").map(e =>
+      WindowDecl(Some("ts"), Some(e), None, None, Some("10 minutes"))),
+    Gen.oneOf(2, 3, 4).map(div =>
+      WindowDecl(Some("ts"), Some("1 hour"), Some(s"${60 / div} minutes"),
+        None, Some("0 seconds"))),
+    Gen.oneOf("20 minutes", "45 minutes").map(gap =>
+      WindowDecl(Some("ts"), Some(gap), None, Some("session"), Some("5 minutes"))))
+
+  private def withWindow(op: TransformOp, w: WindowDecl): TransformOp =
+    op.copy(timeColumn = w.timeColumn, every = w.every, slide = w.slide,
+      windowType = w.windowType, watermark = w.watermark)
+
+  // ------------------------------------------- valid transform.op generators
+
+  property("valid dedup_exact analyzes") = Prop.forAll(docCols) { cols =>
+    analyzes(simple("fz-dedup-exact", "documents", TransformOp(op = "dedup_exact",
+      dupColumns = cols, tieBreak = Some("doc_id"))))
+  }
+
+  property("valid quality_filter analyzes (any nonempty threshold subset)") =
+    Prop.forAll(Gen.chooseNum(1, 7)) { mask =>
+      analyzes(simple("fz-quality", "documents", TransformOp(op = "quality_filter",
+        column = Some("text"),
+        minTokens = if ((mask & 1) != 0) Some(10L) else None,
+        minAvgTokenLen = if ((mask & 2) != 0) Some(2.0) else None,
+        maxAvgTokenLen = if ((mask & 4) != 0) Some(12.0) else None)))
+    }
+
+  property("valid redact_pii analyzes (column and expression forms)") =
+    Prop.forAll(Gen.oneOf(true, false)) { viaExpr =>
+      val op = if (viaExpr)
+        TransformOp(op = "redact_pii",
+          expression = Some("concat(text, ' mail x@y.zz')"),
+          outputField = Some("scrubbed"))
+      else TransformOp(op = "redact_pii", column = Some("text"))
+      analyzes(simple("fz-redact", "documents", op))
+    }
+
+  property("valid dedup_near analyzes (banding arithmetic respected)") =
+    Prop.forAll(Gen.chooseNum(1, 5), Gen.chooseNum(0.5, 0.95),
+        Gen.oneOf(16, 32, 64)) { (sh, th, nb) =>
+      analyzes(simple("fz-neardup", "documents", TransformOp(op = "dedup_near",
+        column = Some("text"), idColumn = Some("doc_id"),
+        shingleSize = Some(sh), threshold = Some(th),
+        numHashes = Some(nb * 4), bands = Some(nb))))
+    }
+
+  property("valid chunk analyzes (size >= stride >= 1)") =
+    Prop.forAll(Gen.chooseNum(1, 64)) { size =>
+      Prop.forAll(Gen.chooseNum(1, size)) { stride =>
+        analyzes(simple("fz-chunk", "documents", TransformOp(op = "chunk",
+          column = Some("text"), idColumn = Some("doc_id"),
+          size = Some(size), stride = Some(stride))))
+      }
+    }
+
+  property("valid contamination_screen analyzes") =
+    Prop.forAll(Gen.chooseNum(1, 4)) { sh =>
+      analyzes(simple("fz-contam", "documents", TransformOp(
+        op = "contamination_screen", column = Some("text"),
+        idColumn = Some("doc_id"), shingleSize = Some(sh),
+        benchPath = Some(docsParquet), benchFilter = Some("doc_id % 50 = 0"))))
+    }
+
+  property("valid lang_id / text_stats analyze") =
+    Prop.forAll(Gen.oneOf("lang_id", "text_stats"),
+        Gen.option(Gen.const("out_col"))) { (opName, out) =>
+      analyzes(simple("fz-text", "documents", TransformOp(op = opName,
+        column = Some("text"),
+        outputField = if (opName == "lang_id") out else None)))
+    }
+
+  property("valid stratified_sample analyzes") =
+    Prop.forAll(docCols, posSmall) { (cols, interval) =>
+      analyzes(simple("fz-sample", "documents", TransformOp(
+        op = "stratified_sample", stratumColumns = cols,
+        idColumn = Some("doc_id"), interval = Some(interval))))
+    }
+
+  property("valid weighted_mix analyzes") =
+    Prop.forAll(fraction, Gen.chooseNum(0.0, 1.0)) { (w, dw) =>
+      analyzes(simple("fz-mix", "documents", TransformOp(op = "weighted_mix",
+        column = Some("lang"), idColumn = Some("doc_id"),
+        weights = Some(Map("en" -> w)), defaultWeight = Some(dw))))
+    }
+
+  property("valid top_k analyzes (global + all three window types)") =
+    Prop.forAll(posSmall, windowDecls, Gen.oneOf(Nil, Seq("event_type"))) {
+      (k, w, groups) =>
+        analyzes(simple("fz-topk", "events", withWindow(TransformOp(op = "top_k",
+          byColumn = Some("value"), idColumn = Some("event_id"),
+          k = Some(k), groupColumns = groups), w)))
+    }
+
+  property("valid heavy_hitters analyzes (global fraction / windowed count)") =
+    Prop.forAll(windowDecls, fraction, Gen.chooseNum(1L, 20L)) { (w, mf, mc) =>
+      val base = TransformOp(op = "heavy_hitters", column = Some("event_type"))
+      val op =
+        if (w.timeColumn.isDefined) withWindow(base.copy(minCount = Some(mc)), w)
+        else base.copy(minFraction = Some(mf))
+      analyzes(simple("fz-heavy", "events", op))
+    }
+
+  property("valid knn analyzes (all four methods)") =
+    Prop.forAll(Gen.oneOf("exact", "quantized", "ivf", "lsh"), posSmall) {
+      (method, k) =>
+        analyzes(simple("fz-knn", "embeddings", TransformOp(op = "knn",
+          column = Some("embedding"), idColumn = Some("vec_id"),
+          k = Some(k), method = Some(method),
+          queryPath = Some(embParquet), queryFilter = Some("vec_id < 3"),
+          dim = if (method == "lsh") Some(64) else None,
+          nCells = if (method == "ivf") Some(8) else None)))
+    }
+
+  property("valid resample analyzes (whole-second grid)") =
+    Prop.forAll(Gen.oneOf("30 seconds", "5 minutes", "1 hour"),
+        // a cap BELOW the fixture's densest grid correctly fails loudly (the
+        // dense-grid guard's whole contract, pinned in OperatorsSpec) — the
+        // valid side declares caps comfortably above span/every
+        Gen.option(Gen.chooseNum(100_000_000L, 1_000_000_000L))) { (every, cap) =>
+      analyzes(simple("fz-resample", "events", TransformOp(op = "resample",
+        idColumn = Some("user_id"), timeColumn = Some("ts"),
+        valueColumns = Seq("value"), every = Some(every),
+        maxGridRowsPerKey = cap)))
+    }
+
+  property("valid profile analyzes (exact and approx)") =
+    Prop.forAll(Gen.someOf(Seq("lang", "source", "n_chars")).suchThat(_.nonEmpty),
+        Gen.oneOf(true, false)) { (cols, approx) =>
+      analyzes(simple("fz-profile", "documents", TransformOp(op = "profile",
+        columns = cols.toSeq, approx = approx)))
+    }
+
+  property("valid quantile_rollup analyzes (incl. windowed forms)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1.0)), windowDecls) {
+      (qs0, w) =>
+        // shrinking can hand back an empty list; an empty quantiles decl is
+        // the invalid-side's territory, not this property's
+        val qs = if (qs0.isEmpty) Seq(0.5) else qs0.distinct
+        analyzes(simple("fz-quant", "events", withWindow(TransformOp(
+          op = "quantile_rollup", column = Some("value"),
+          groupColumns = Seq("event_type"), quantiles = qs), w)))
+    }
+
+  property("valid distinct_rollup analyzes (incl. windowed forms)") =
+    Prop.forAll(windowDecls) { w =>
+      analyzes(simple("fz-distinct", "events", withWindow(TransformOp(
+        op = "distinct_rollup", column = Some("user_id"),
+        groupColumns = Seq("event_type")), w)))
+    }
+
+  property("valid pack analyzes") =
+    Prop.forAll(Gen.chooseNum(100L, 10000L)) { budget =>
+      analyzes(simple("fz-pack", "documents", TransformOp(op = "pack",
+        column = Some("n_chars"), budget = Some(budget),
+        orderColumns = Seq("doc_id"))))
+    }
+
+  property("valid transform CHAINS analyze (filter + multiple ops in order)") =
+    Prop.forAll(Gen.chooseNum(10L, 50L), Gen.chooseNum(20, 60)) { (mt, size) =>
+      val spec = simple("fz-chain", "documents",
+        TransformOp(op = "quality_filter", column = Some("text"),
+          minTokens = Some(mt)),
+        TransformOp(op = "text_stats", column = Some("text")),
+        TransformOp(op = "chunk", column = Some("text"),
+          idColumn = Some("doc_id"), size = Some(size), stride = Some(size)))
+        .copy(filter = Some("n_chunk_tokens > 1"))
+      analyzes(spec)
+    }
+
+  // ------------------------------------------ valid join / window / sink gens
+
+  private def mapping(feature: Int): FieldMapping = feature match {
+    case 0 => FieldMapping("LEFT", "o_orderkey", "order_id")
+    case 1 => FieldMapping("RIGHT", "c_name", "customer_name")
+    case 2 => FieldMapping("RIGHT", "missing_col", "warn_null") // warn-and-null
+    case 3 => FieldMapping("RIGHT", "c_name", "name_or_default",
+      defaultValue = Some("unknown"))
+    case 4 => FieldMapping("LEFT", "", "computed",
+      expression = Some("o_totalprice * 2"))
+    case 5 => FieldMapping("RIGHT", "c_name", "upper_name",
+      transformationFunction = Some("upper"))
+  }
+
+  property("valid join chains analyze (type x global x mapping features)") =
+    Prop.forAll(Gen.oneOf(JoinType.Inner, JoinType.Left, JoinType.Outer),
+        Gen.oneOf(true, false),
+        Gen.someOf(0 to 5).suchThat(_.nonEmpty)) { (jt, global, features) =>
+      val spec = PipelineSpec(id = "fz-join", processingMode = ProcessingMode.JoinChain,
+        sourceTopic = topic("orders"),
+        joinOperations = Seq(JoinOp(id = "s1", `type` = jt,
+          initialSourceIsStream = true,
+          primaryKeyExtraction = Some(KeyExtraction("VALUE", Some("o_custkey"))),
+          enrichmentTopic = topic("customer"), global = global,
+          outputFieldsMapping = features.toSeq.sorted.map(mapping))))
+      analyzes(spec)
+    }
+
+  property("valid asOf steps analyze (both directions, filter, key field)") =
+    Prop.forAll(Gen.oneOf("backward", "forward"),
+        Gen.option(Gen.const("event_id % 10 = 0"))) { (dir, filt) =>
+      val spec = PipelineSpec(id = "fz-asof", processingMode = ProcessingMode.JoinChain,
+        sourceTopic = topic("events"),
+        joinOperations = Seq(JoinOp(id = "t1", `type` = JoinType.Left,
+          initialSourceIsStream = true,
+          primaryKeyExtraction = Some(KeyExtraction("VALUE", Some("user_id"))),
+          enrichmentTopic = topic("events"),
+          asOf = Some(AsOfSpec("ts", "ts", direction = dir,
+            enrichmentKeyField = Some("user_id"), enrichmentFilter = filt)),
+          outputFieldsMapping = Seq(
+            FieldMapping("LEFT", "event_id", "event_id"),
+            FieldMapping("RIGHT", "value", "profile_value")))))
+      analyzes(spec)
+    }
+
+  property("valid AGGREGATION windows analyze (tumbling/sliding/session x aggs)") =
+    Prop.forAll(Gen.oneOf("tumbling", "sliding", "session"),
+        Gen.oneOf(Seq(AggSpec("count")),
+          Seq(AggSpec("sum", Some("value")), AggSpec("max", Some("value"))),
+          Seq(AggSpec("avg", Some("value")), AggSpec("min", Some("value"))))) {
+      (wt, aggs) =>
+        val spec = PipelineSpec(id = "fz-agg", processingMode = ProcessingMode.Aggregation,
+          sourceTopic = topic("events"),
+          groupByKeyExtraction = Some(KeyExtraction("VALUE", Some("event_type"))),
+          groupByKeyType = Some("java.lang.String"),
+          aggregations = aggs,
+          eventTime = Some(EventTimeSpec("ts", "1 hour", Some("10 minutes"),
+            windowType = wt,
+            slide = if (wt == "sliding") Some("30 minutes") else None)))
+        analyzes(spec)
+    }
+
+  property("valid sink layouts validate (partitionBy/zOrder/sizing/snapshot)") =
+    Prop.forAll(Gen.oneOf(0, 1, 2, 3, 4)) { variant =>
+      val out = variant match {
+        case 0 => OutputTopic(enabled = true, name = "fz-out",
+          partitionBy = Seq("lang"))
+        case 1 => OutputTopic(enabled = true, name = "fz-out",
+          zOrderBy = Seq("doc_id", "n_chars"))
+        case 2 => OutputTopic(enabled = true, name = "fz-out",
+          targetFileBytes = Some(64L * 1024 * 1024))
+        case 3 => OutputTopic(enabled = true, name = "fz-out",
+          snapshot = Some(SnapshotSpec(Seq("doc_id"), Seq("n_chars"),
+            partitionBy = Seq("lang"), compactEvery = Some(4))))
+        case _ => OutputTopic(enabled = true, name = "fz-out",
+          snapshot = Some(SnapshotSpec(Seq("doc_id"), Seq("n_chars"),
+            zOrderBy = Seq("doc_id", "n_chars"))))
+      }
+      val spec = simple("fz-sink", "documents").copy(outputTopic = Some(out))
+      analyzes(spec)
+    }
+
+  // --------------------------------------------------- invalid spec mutations
+
+  /** One mutation per validation class. Each must throw IAE-with-id at
+    * build. Kept deterministic and exhaustive: random sampling over a list
+    * this heterogeneous would leave classes unvisited at any sane test
+    * count.
+    */
+  private def invalidSpecs: Seq[(String, PipelineSpec)] = {
+    def t(op: TransformOp) = simple("fz-bad", "documents", op)
+    def te(op: TransformOp) = simple("fz-bad", "events", op)
+    val joinBase = PipelineSpec(id = "fz-bad", processingMode = ProcessingMode.JoinChain,
+      sourceTopic = topic("orders"),
+      joinOperations = Seq(JoinOp(id = "j1", `type` = JoinType.Inner,
+        enrichmentTopic = topic("customer"),
+        primaryKeyExtraction = Some(KeyExtraction("VALUE", Some("o_custkey"))),
+        outputFieldsMapping = Seq(FieldMapping("LEFT", "o_orderkey", "a")))))
+    def oneJoin(f: JoinOp => JoinOp) =
+      joinBase.copy(joinOperations = joinBase.joinOperations.map(f))
+    val asOfOk = AsOfSpec("ts", "ts")
+    def asOfJoin(a: AsOfSpec, jt: String = JoinType.Left,
+        maps: Seq[FieldMapping] = Seq(FieldMapping("LEFT", "event_id", "e"),
+          FieldMapping("RIGHT", "value", "v")),
+        global: Boolean = false) =
+      joinBase.copy(sourceTopic = topic("events"),
+        joinOperations = Seq(JoinOp(id = "j1", `type` = jt, global = global,
+          primaryKeyExtraction = Some(KeyExtraction("VALUE", Some("user_id"))),
+          enrichmentTopic = topic("events"), asOf = Some(a),
+          outputFieldsMapping = maps)))
+    val aggBase = PipelineSpec(id = "fz-bad", processingMode = ProcessingMode.Aggregation,
+      sourceTopic = topic("events"),
+      groupByKeyExtraction = Some(KeyExtraction("VALUE", Some("event_type"))),
+      groupByKeyType = Some("java.lang.String"))
+    def et(e: EventTimeSpec) = aggBase.copy(eventTime = Some(e))
+    def sink(o: OutputTopic) = simple("fz-bad", "documents").copy(outputTopic = Some(o))
+
+    Seq(
+      // mode / chain level
+      "unknown processingMode" ->
+        aggBase.copy(processingMode = "STREAM_TABLE_DUALITY"),
+      "AGGREGATION without groupByKeyExtraction" ->
+        aggBase.copy(groupByKeyExtraction = None),
+      "JOIN_CHAIN without joinOperations" ->
+        joinBase.copy(joinOperations = Nil),
+      "join op without outputFieldsMapping" ->
+        oneJoin(_.copy(outputFieldsMapping = Nil)),
+      "mapping with neither sourceFieldName nor expression" ->
+        oneJoin(_.copy(outputFieldsMapping = Seq(FieldMapping("LEFT", "", "a")))),
+      "unknown transformationFunction" ->
+        oneJoin(_.copy(outputFieldsMapping = Seq(FieldMapping("LEFT", "o_orderkey",
+          "a", transformationFunction = Some("sha999"))))),
+      // asOf rules
+      "asOf on INNER join" -> asOfJoin(asOfOk, jt = JoinType.Inner),
+      "asOf with global" -> asOfJoin(asOfOk, global = true),
+      "asOf missing time columns" -> asOfJoin(AsOfSpec("", "ts")),
+      "asOf bad direction" -> asOfJoin(asOfOk.copy(direction = "sideways")),
+      "asOf empty snapshotPath" -> asOfJoin(asOfOk.copy(snapshotPath = Some(""))),
+      "asOf expression mapping" -> asOfJoin(asOfOk, maps = Seq(
+        FieldMapping("LEFT", "", "x", expression = Some("1+1")))),
+      "asOf duplicate RIGHT outputs" -> asOfJoin(asOfOk, maps = Seq(
+        FieldMapping("RIGHT", "value", "v"), FieldMapping("RIGHT", "props", "v"))),
+      "asOf RIGHT output colliding with LEFT source" -> asOfJoin(asOfOk, maps = Seq(
+        FieldMapping("LEFT", "event_id", "e"), FieldMapping("RIGHT", "value", "event_id"))),
+      // eventTime rules
+      "eventTime outside AGGREGATION" ->
+        simple("fz-bad", "events").copy(eventTime =
+          Some(EventTimeSpec("ts", "1 hour", Some("0 seconds")))),
+      "unknown windowType" -> et(EventTimeSpec("ts", "1 hour", Some("0 seconds"),
+        windowType = "hopping-ish")),
+      "sliding without slide" -> et(EventTimeSpec("ts", "1 hour", Some("0 seconds"),
+        windowType = "sliding")),
+      "slide on non-sliding window" -> et(EventTimeSpec("ts", "1 hour",
+        Some("0 seconds"), windowType = "tumbling", slide = Some("30 minutes"))),
+      "window without watermark" -> et(EventTimeSpec("ts", "1 hour", None)),
+      "unparseable window interval" -> et(EventTimeSpec("ts", "one hourish",
+        Some("0 seconds"))),
+      "month-based window interval" -> et(EventTimeSpec("ts", "1 month",
+        Some("0 seconds"))),
+      "zero window" -> et(EventTimeSpec("ts", "0 seconds", Some("0 seconds"))),
+      "slide exceeding window" -> et(EventTimeSpec("ts", "1 hour", Some("0 seconds"),
+        windowType = "sliding", slide = Some("2 hours"))),
+      // sink layout + snapshot rules
+      "partitionBy and zOrderBy together" -> sink(OutputTopic(enabled = true,
+        name = "o", partitionBy = Seq("lang"), zOrderBy = Seq("doc_id", "n_chars"))),
+      "single-column zOrderBy" -> sink(OutputTopic(enabled = true, name = "o",
+        zOrderBy = Seq("doc_id"))),
+      "duplicate layout columns" -> sink(OutputTopic(enabled = true, name = "o",
+        partitionBy = Seq("lang", "lang"))),
+      "nonpositive targetFileBytes" -> sink(OutputTopic(enabled = true, name = "o",
+        targetFileBytes = Some(0L))),
+      "targetFileBytes with partitionBy" -> sink(OutputTopic(enabled = true,
+        name = "o", partitionBy = Seq("lang"), targetFileBytes = Some(1L << 20))),
+      "partitionBy named key collides with sink shape" ->
+        sink(OutputTopic(enabled = true, name = "o", partitionBy = Seq("key"))),
+      "snapshot without keyColumns" -> sink(OutputTopic(enabled = true, name = "o",
+        snapshot = Some(SnapshotSpec(Nil, Seq("n_chars"))))),
+      "snapshot without orderColumns" -> sink(OutputTopic(enabled = true, name = "o",
+        snapshot = Some(SnapshotSpec(Seq("doc_id"), Nil)))),
+      "snapshot compactEvery zero" -> sink(OutputTopic(enabled = true, name = "o",
+        snapshot = Some(SnapshotSpec(Seq("doc_id"), Seq("n_chars"),
+          compactEvery = Some(0))))),
+      "snapshot single-column zOrderBy" -> sink(OutputTopic(enabled = true,
+        name = "o", snapshot = Some(SnapshotSpec(Seq("doc_id"), Seq("n_chars"),
+          zOrderBy = Seq("doc_id"))))),
+      "snapshot zOrderBy intersecting partitionBy" -> sink(OutputTopic(
+        enabled = true, name = "o", snapshot = Some(SnapshotSpec(Seq("doc_id"),
+          Seq("n_chars"), partitionBy = Seq("lang"),
+          zOrderBy = Seq("lang", "n_chars"))))),
+      "duplicate enabled sink names" -> simple("fz-bad", "documents").copy(
+        outputTopic = Some(OutputTopic(enabled = true, name = "same")),
+        branches = Seq(BranchSpec("doc_id > 0",
+          OutputTopic(enabled = true, name = "same")))),
+      // transform.op rules — one per op's validation class
+      "unknown transform op" -> t(TransformOp(op = "transmogrify")),
+      "dedup_exact without tieBreak" -> t(TransformOp(op = "dedup_exact",
+        dupColumns = Seq("lang"))),
+      "quality_filter without thresholds" -> t(TransformOp(op = "quality_filter",
+        column = Some("text"))),
+      "redact_pii expression without outputField" -> t(TransformOp(
+        op = "redact_pii", expression = Some("text"))),
+      "dedup_near threshold out of range" -> t(TransformOp(op = "dedup_near",
+        column = Some("text"), idColumn = Some("doc_id"), shingleSize = Some(3),
+        threshold = Some(1.5))),
+      "dedup_near numHashes not multiple of bands" -> t(TransformOp(
+        op = "dedup_near", column = Some("text"), idColumn = Some("doc_id"),
+        shingleSize = Some(3), threshold = Some(0.8),
+        numHashes = Some(100), bands = Some(32))),
+      "dedup_near bad stateTtl duration" -> t(TransformOp(op = "dedup_near",
+        column = Some("text"), idColumn = Some("doc_id"), shingleSize = Some(3),
+        threshold = Some(0.8), stateTtl = Some("a fortnight-ish"))),
+      "chunk stride exceeding size" -> t(TransformOp(op = "chunk",
+        column = Some("text"), idColumn = Some("doc_id"),
+        size = Some(10), stride = Some(20))),
+      "contamination_screen without benchPath" -> t(TransformOp(
+        op = "contamination_screen", column = Some("text"),
+        idColumn = Some("doc_id"), shingleSize = Some(3))),
+      "lang_id without column" -> t(TransformOp(op = "lang_id")),
+      "text_stats without column" -> t(TransformOp(op = "text_stats")),
+      "stratified_sample zero interval" -> t(TransformOp(op = "stratified_sample",
+        stratumColumns = Seq("lang"), idColumn = Some("doc_id"),
+        interval = Some(0))),
+      "weighted_mix weight above one" -> t(TransformOp(op = "weighted_mix",
+        column = Some("lang"), idColumn = Some("doc_id"),
+        weights = Some(Map("en" -> 1.5)))),
+      "top_k zero k" -> t(TransformOp(op = "top_k", byColumn = Some("n_chars"),
+        idColumn = Some("doc_id"), k = Some(0))),
+      "top_k slide not dividing every" -> te(TransformOp(op = "top_k",
+        byColumn = Some("value"), idColumn = Some("event_id"), k = Some(3),
+        timeColumn = Some("ts"), every = Some("1 hour"),
+        slide = Some("25 minutes"))),
+      "top_k session with slide" -> te(TransformOp(op = "top_k",
+        byColumn = Some("value"), idColumn = Some("event_id"), k = Some(3),
+        timeColumn = Some("ts"), every = Some("1 hour"),
+        windowType = Some("session"), slide = Some("30 minutes"))),
+      "top_k watermark without window" -> te(TransformOp(op = "top_k",
+        byColumn = Some("value"), idColumn = Some("event_id"), k = Some(3),
+        watermark = Some("10 minutes"))),
+      "top_k every without timeColumn" -> te(TransformOp(op = "top_k",
+        byColumn = Some("value"), idColumn = Some("event_id"), k = Some(3),
+        every = Some("1 hour"))),
+      "heavy_hitters global with minCount" -> te(TransformOp(op = "heavy_hitters",
+        column = Some("event_type"), minCount = Some(5L))),
+      "heavy_hitters windowed with minFraction" -> te(TransformOp(
+        op = "heavy_hitters", column = Some("event_type"),
+        timeColumn = Some("ts"), every = Some("1 hour"),
+        minFraction = Some(0.1))),
+      "heavy_hitters unknown windowType" -> te(TransformOp(op = "heavy_hitters",
+        column = Some("event_type"), timeColumn = Some("ts"),
+        every = Some("1 hour"), minCount = Some(3L),
+        windowType = Some("jumping"))),
+      "knn unknown method" -> te(TransformOp(op = "knn",
+        column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
+        queryPath = Some(embParquet), method = Some("sublinear-magic"))),
+      "knn lsh without dim" -> te(TransformOp(op = "knn",
+        column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
+        queryPath = Some(embParquet), method = Some("lsh"))),
+      "knn nonpositive nProbe" -> te(TransformOp(op = "knn",
+        column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
+        queryPath = Some(embParquet), method = Some("ivf"), nProbe = Some(0))),
+      "resample fractional-second every" -> te(TransformOp(op = "resample",
+        idColumn = Some("user_id"), timeColumn = Some("ts"),
+        valueColumns = Seq("value"), every = Some("500 milliseconds"))),
+      "resample month-based every" -> te(TransformOp(op = "resample",
+        idColumn = Some("user_id"), timeColumn = Some("ts"),
+        valueColumns = Seq("value"), every = Some("1 month"))),
+      "resample nonpositive maxGridRowsPerKey" -> te(TransformOp(op = "resample",
+        idColumn = Some("user_id"), timeColumn = Some("ts"),
+        valueColumns = Seq("value"), every = Some("1 hour"),
+        maxGridRowsPerKey = Some(0L))),
+      "profile duplicate columns" -> t(TransformOp(op = "profile",
+        columns = Seq("lang", "lang"))),
+      "quantile_rollup quantile above one" -> te(TransformOp(
+        op = "quantile_rollup", column = Some("value"),
+        groupColumns = Seq("event_type"), quantiles = Seq(0.5, 1.2))),
+      "quantile_rollup without quantiles" -> te(TransformOp(
+        op = "quantile_rollup", column = Some("value"),
+        groupColumns = Seq("event_type"))),
+      "distinct_rollup without groupColumns" -> te(TransformOp(
+        op = "distinct_rollup", column = Some("user_id"))),
+      "distinct_rollup bad every duration" -> te(TransformOp(
+        op = "distinct_rollup", column = Some("user_id"),
+        groupColumns = Seq("event_type"), timeColumn = Some("ts"),
+        every = Some("whenever"))),
+      "pack zero budget" -> t(TransformOp(op = "pack", column = Some("n_chars"),
+        budget = Some(0L), orderColumns = Seq("doc_id"))),
+      "pack without orderColumns" -> t(TransformOp(op = "pack",
+        column = Some("n_chars"), budget = Some(100L))))
+  }
+
+  property("every invalid spec class fails at build with IAE naming the id") =
+    Prop.all(invalidSpecs.map { case (desc, spec) =>
+      Prop(rejected(spec)) :| desc
+    }: _*)
+}
