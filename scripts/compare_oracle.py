@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Full-surface DuckDB oracle compare at an arbitrary SF (round-11 directive
+#2: the sf1 sweep must cover ALL oracle-backed queries, not a 10-query spot).
+
+Dev-only tooling (sandbox python3 + duckdb — never part of the engine).
+Mirrors the driver's compare contract: for every query in the Verify dump's
+oracle_sql.json, run the SQL in DuckDB over the same parquet tables, align
+columns by sorted name, and compare the two multisets. The compare runs
+INSIDE DuckDB (EXCEPT ALL both ways) so 20M-row results finish in seconds:
+
+  tier 1  strict equality — the verdict for every non-float column type
+          (the q2 midpoint bug the sf1 spot-check caught was an
+          exact-compare find, so decimals/ints/strings stay strict);
+  tier 2  floats quantized to 6 significant digits (printf %.5e) — at sf1
+          a 6M-row double sum legitimately drifts from DuckDB in the last
+          ulps because addition order differs; a genuine value bug is
+          orders of magnitude above 1e-6 relative.
+
+Accuracy-contract queries (the ~19 approximate ones) are skipped here:
+their dump is a (metric, value, bound, pass) summary, and their sf-level
+evidence is the accuracy.json emitted by the same Verify run.
+
+usage: compare_oracle.py <sfDir> <verifyOutDir> <reportJson> [--skip name,...]
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+ACCURACY = {
+    "x6_approx_distinct", "x6_sketch_rollup", "r30_spec_distinct",
+    "r32_spec_window_distinct", "r32_spec_window_quantile",
+    "r34_spec_sliding_distinct", "r34_spec_session_quantile",
+    "x6_quantile_rollup", "r29_spec_quantiles", "x6_quantile_merge",
+    "x2_minhash_lsh", "x2_simhash", "x2_embed_dup", "x2_dedup_collapse_lsh",
+    "x3_ann_ivf", "x3_ann_lsh", "x5_pack", "r31_spec_pack", "x5_fingerprint",
+}
+
+FLOATY = {"FLOAT", "DOUBLE", "REAL"}
+
+
+def mismatches(con, cols, types, quantize):
+    """Rows in spk not in ora plus rows in ora not in spk (multiset)."""
+    def proj(col, typ):
+        base = f'"{col}"'
+        if typ.upper() in FLOATY:
+            if quantize:
+                # 6-significant-digit quantization; NaN/inf format stably
+                return f"printf('%.5e', {base}) AS \"{col}\""
+            return f"{base} AS \"{col}\""
+        # TIMESTAMP_NS vs TIMESTAMP: normalize to µs for strict equality
+        if typ.upper().startswith("TIMESTAMP"):
+            return f'CAST({base} AS TIMESTAMP) AS "{col}"'
+        return f'{base} AS "{col}"'
+    sel = ", ".join(proj(c, t) for c, t in zip(cols, types))
+    return con.execute(
+        f"SELECT count(*) FROM ("
+        f"(SELECT {sel} FROM spk EXCEPT ALL SELECT {sel} FROM ora) "
+        f"UNION ALL "
+        f"(SELECT {sel} FROM ora EXCEPT ALL SELECT {sel} FROM spk))"
+    ).fetchone()[0]
+
+
+def main():
+    sf_dir, out_dir, report_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    skip = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle_sql = json.load(f)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    report = {}
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle_sql):
+        if name in ACCURACY or name in skip:
+            n_skip += 1
+            continue
+        entry = {}
+        try:
+            parts = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+            if not parts:
+                raise RuntimeError("no Verify dump (query errored or not run)")
+            con.execute("DROP TABLE IF EXISTS spk")
+            con.execute("DROP TABLE IF EXISTS ora")
+            con.execute(
+                f"CREATE TABLE spk AS SELECT * FROM read_parquet({parts!r})")
+            con.execute(f"CREATE TABLE ora AS {oracle_sql[name]}")
+
+            spk_cols = {r[0]: r[1] for r in con.execute("DESCRIBE spk").fetchall()}
+            ora_cols = {r[0]: r[1] for r in con.execute("DESCRIBE ora").fetchall()}
+            entry["spark_rows"] = con.execute("SELECT count(*) FROM spk").fetchone()[0]
+            entry["oracle_rows"] = con.execute("SELECT count(*) FROM ora").fetchone()[0]
+            entry["rows_match"] = entry["spark_rows"] == entry["oracle_rows"]
+            cols = sorted(spk_cols)
+            entry["schema_match"] = cols == sorted(ora_cols)
+            if entry["rows_match"] and entry["schema_match"]:
+                # float verdict comes from the SPARK side's physical type;
+                # oracle DECIMAL vs spark DOUBLE compares as DuckDB coerces
+                types = [spk_cols[c] if spk_cols[c].upper() in FLOATY
+                         or ora_cols[c].upper() in FLOATY else spk_cols[c]
+                         for c in cols]
+                strict = mismatches(con, cols, types, quantize=False)
+                if strict == 0:
+                    entry["values_match"] = True
+                elif any(t.upper() in FLOATY for t in types):
+                    quant = mismatches(con, cols, types, quantize=True)
+                    entry["values_match"] = quant == 0
+                    entry["float_tier"] = "quantized_1e-6"
+                    if quant:
+                        entry["value_diffs"] = quant
+                else:
+                    entry["values_match"] = False
+                    entry["value_diffs"] = strict
+            else:
+                entry["values_match"] = False
+            ok = entry["rows_match"] and entry["schema_match"] and entry["values_match"]
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the sweep
+            entry["err"] = f"{type(e).__name__}: {e}"[:500]
+            ok = False
+        n_pass += ok
+        n_fail += not ok
+        print(f"[compare] {name}: {'ok' if ok else 'FAIL'} "
+              f"({entry.get('spark_rows', '?')} vs {entry.get('oracle_rows', '?')} rows)"
+              + (f" err={entry['err']}" if "err" in entry else ""),
+              flush=True)
+        report[name] = entry
+
+    doc = {
+        "sf_dir": sf_dir,
+        "note": "full oracle-backed sweep vs DuckDB (round-11 directive #2); "
+                "accuracy-contract queries covered by accuracy.json from the "
+                "same Verify run",
+        "pass": n_pass, "fail": n_fail, "skipped_accuracy": n_skip,
+        "queries": report,
+    }
+    with open(report_path, "w") as f:
+        json.dump(doc, f, indent=1, default=str)
+    print(f"[compare] done: {n_pass} pass, {n_fail} fail, {n_skip} accuracy-skipped")
+    sys.exit(0 if n_fail == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -20,15 +20,24 @@ object Verify {
     // dev loop: an optional third arg "q1_agg,x2_simhash" dumps only those
     // queries (unknown names fail loudly). The driver passes two args, so
     // round artifacts always cover the full set.
+    // dev loop: "--resume" as the third arg skips queries whose dump dir
+    // already holds a _SUCCESS marker — a wall-clock-limited big-SF sweep
+    // continues instead of restarting (partial dirs from a killed write
+    // have no _SUCCESS and re-run)
     val (sfDir, outDir, only) = args match {
       case Array(sf, out) => (sf, out, None)
+      case Array(sf, out, "--resume") =>
+        val done = SparkEntry.queries.keySet.filter(n =>
+          Files.exists(Paths.get(s"$out/$n/_SUCCESS")))
+        System.err.println(s"[verify] resume: skipping ${done.size} completed")
+        (sf, out, Some(SparkEntry.queries.keySet.diff(done)))
       case Array(sf, out, names) =>
         val set = names.split(',').map(_.trim).filter(_.nonEmpty).toSet
         val unknown = set.diff(SparkEntry.queries.keySet)
         require(unknown.isEmpty,
           s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
         (sf, out, Some(set))
-      case _ => sys.error("usage: Verify <sfDir> <outDir> [query,query,...]")
+      case _ => sys.error("usage: Verify <sfDir> <outDir> [--resume | query,query,...]")
     }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
