@@ -294,7 +294,12 @@ object Accuracy {
     // hamming <= 3 forces at least one identical chunk, so no qualifying
     // pair can be missed) — the measurable claims are output soundness
     // (every emitted pair really is hamming <= maxHamming) and precision
-    // against the exact word-jaccard pair set at 0.8
+    // against the exact word-jaccard pair set at 0.8. Since round 12 the
+    // query is the VERIFIED form (candidates filtered by exact Jaccard >=
+    // 0.8), so precision holds 1.0 structurally at EVERY corpus size — the
+    // raw banding's precision decayed 0.97 -> 0.27 at sf1 because false
+    // 64-bit collisions grow quadratically. The check still measures it
+    // end-to-end rather than assuming it.
     val rows = Queries.all("x2_simhash")(spark, dir).collect()
     val maxHam = if (rows.isEmpty) 0L
       else rows.map(_.getAs[Number]("hamming").longValue()).max

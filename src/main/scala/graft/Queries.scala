@@ -1355,8 +1355,13 @@ object Queries {
     */
   def x6ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
+    // rsd 0.01, not the 0.05 default: the accuracy contract pins ±5% and
+    // the default's ±5% STANDARD error sits exactly on that boundary — the
+    // round-12 sf1 probe measured 5.07% at 15k distinct. A 1%-rsd HLL is
+    // 2^14 registers (~16 KB/group) — still constant-size per group at any
+    // corpus scale, which is the whole point of the sketch
     ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
   }
 
   /** X6 mergeable-sketch rollup (rows-only: HLL estimates are
@@ -1439,8 +1444,16 @@ object Queries {
     */
   def x2EmbedDup(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // maxTables raised from the 64 default: this query declares a LOW
+    // threshold (0.4 — the weak-similarity regime where the hyperplane-LSH
+    // candidate exponent ρ approaches 1), and holding the 0.9-recall
+    // contract at sf1's 20k vectors needs L≈143 tables (the auto-sizer's
+    // own formula; at 64 it clamped and the round-12 probe measured the
+    // predicted 0.69 recall). 256 keeps the contract through ~100k rows —
+    // and the operator still logs loudly when even that clamp binds,
+    // pointing at the exact pair join as the full-recall alternative
     Dedup.embeddingCosinePairs(e, "vec_id", "embedding", dim = 64,
-      nTables = 24, planesPerTable = 4, threshold = 0.4)
+      nTables = 24, planesPerTable = 4, threshold = 0.4, maxTables = 256)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
   }
 
@@ -1678,8 +1691,13 @@ object Queries {
 
   /** X2 SimHash near-dup (Hamming ≤ 3 over 64-bit sketches). */
   def x2Simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(spark.read.parquet(s"$dir/documents.parquet"),
-      "doc_id", "text", maxHamming = 3)
+    // the VERIFIED form (candidates ∩ exact-Jaccard ≥ 0.8): raw hamming≤3
+    // banding is a candidate generator, not a dedup verdict — false 64-bit
+    // sketch collisions grow ∝ n² and its precision measured 0.27 at sf1
+    // (round-12 probe). Verification is ∝ |candidates| and restores
+    // precision 1.0 at every scale — see Dedup.simhashVerifiedPairs
+    Dedup.simhashVerifiedPairs(spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", maxHamming = 3, shingleSize = 3, threshold = 0.8)
 
   /** X3 exact all-pairs embedding cosine ≥ 0.4 (oracle-exact; LSH variant is
     * the 100 TB path).
@@ -1721,8 +1739,12 @@ object Queries {
   def x3AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // nCells/nProbe auto-sized (√n rule): the fixed 16/4 this query shipped
+    // through round 11 held recall 0.9+ at sf0.1 but decayed to 0.78 at sf1
+    // (1250 vectors/cell) — the round-12 scale-accuracy fix makes the cell
+    // grid grow with the corpus, so the recall contract holds at any SF
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 10, nCells = 16, nProbe = 4, nAssign = 2)
+      k = 10, nAssign = 2)
   }
 
   /** X3 LSH-bucketed ANN (approximate — rows-only check; recall measured in

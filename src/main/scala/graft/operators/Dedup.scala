@@ -481,6 +481,38 @@ object Dedup extends Logging {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash candidates VERIFIED by exact shingle Jaccard — the full Manku
+    * et al. (2007) shape: banding proposes, verification disposes. The raw
+    * hamming window ([[simhashPairs]]) is a sound candidate generator but a
+    * poor standalone dedup verdict at corpus scale: random 64-bit sketches
+    * land within hamming ≤ 3 of each other with per-pair probability
+    * ~(Σ₀³ C(64,i))/2⁶⁴, so false candidates grow ∝ n² while true pairs
+    * grow ∝ n — measured as precision 0.97 at sf0.01 collapsing to 0.27 at
+    * sf1 (round-12 accuracy probe). Verification restores precision to 1.0
+    * BY CONSTRUCTION at every scale (emitted ⊆ the exact-Jaccard pair set),
+    * and its cost is ∝ |candidates| — bounded by the banding, never
+    * all-pairs. Output: (id1, id2, hamming, jaccard).
+    */
+  def simhashVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, shingleSize: Int = 3, threshold: Double = 0.8,
+      maxBucketSize: Int = 0): DataFrame = {
+    val cands = simhashPairs(docs, idCol, textCol, maxHamming, maxBucketSize)
+    // (id, sorted distinct shingle hashes, n) — consumed by both sides of
+    // the verification join; persisted + registered like every sketch frame
+    val sh = registerCache(
+      shingleFrame(docs, idCol, textCol, shingleSize)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    cands.join(sh.as("s1"), col("id1") === col("s1.id"))
+      .join(sh.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("inter",
+        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("hamming"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup via multi-table random-hyperplane (sign) LSH,
     * cosine-verified. OR-amplification: `nTables` independent tables of
     * `planesPerTable` hyperplanes each — a pair collides if it shares ANY

@@ -424,8 +424,10 @@ object Interpreter extends Logging {
             .select(col("query_id"), col("rank"), col("neighbor_id"),
               round(col("cos"), 6).as("cos"))
         case "ivf" =>
+          // undeclared nCells/nProbe auto-size with the corpus (√n rule —
+          // the round-12 scale-accuracy fix); a declared value pins it
           graft.operators.Similarity.ivfTopK(corpus, queries, idC, vecC, kk,
-            nCells = t.nCells.getOrElse(16), nProbe = t.nProbe.getOrElse(4),
+            nCells = t.nCells.getOrElse(0), nProbe = t.nProbe.getOrElse(0),
             nAssign = t.nAssign.getOrElse(2))
         case "lsh" =>
           graft.operators.Similarity.lshTopK(corpus, queries, idC, vecC, kk,

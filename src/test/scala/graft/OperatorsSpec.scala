@@ -111,6 +111,28 @@ class OperatorsSpec extends SparkSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("simhash verified pairs: emitted ⊆ exact-jaccard set at every scale (round-12)") {
+    // raw hamming≤3 banding is a candidate generator whose false-collision
+    // count grows ∝ n² (precision measured 0.97 at sf0.01 → 0.27 at sf1);
+    // the verified form filters candidates by exact shingle Jaccard, making
+    // precision 1.0 BY CONSTRUCTION — pinned here as a subset relation
+    // against the exact pair set, plus the hamming contract surviving.
+    val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val verified = Dedup.simhashVerifiedPairs(docs, "doc_id", "text",
+      maxHamming = 3, shingleSize = 3, threshold = 0.8)
+    val rows = verified.collect()
+    assert(rows.nonEmpty, "fixture lost its simhash near-dup pairs")
+    assert(rows.forall(_.getAs[Number]("hamming").longValue() <= 3),
+      "verified pair outside the declared hamming window")
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.8),
+      "verified pair below the jaccard threshold")
+    val emitted = rows.map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.subsetOf(exact),
+      s"false positives survived verification: ${emitted.diff(exact).take(5)}")
+  }
+
   test("embedding-LSH pair recall >= 0.9 vs exact cosine pairs at threshold 0.4") {
     // round-8 judge #7: the x2_embed_dup query is rows-only in the oracle
     // (LSH is probabilistic); this pins it to a correctness anchor — the
@@ -417,6 +439,30 @@ class OperatorsSpec extends SparkSuite {
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ann).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall below 0.9 at nProbe=4 on clustered data")
+  }
+
+  test("IVF auto-sizing: undeclared nCells/nProbe follow the √n rule (round-12)") {
+    // a FIXED 16-cell grid held recall 0.9+ at sf0.1 but decayed to 0.78 at
+    // sf1 (1250 vectors/cell) — auto-sizing keeps cells ∝ √n so the probed
+    // neighborhood (and recall) is scale-stable. Pinned at sf0.1: the auto
+    // form must match or beat the old fixed 16/4 recall.
+    val e = spark.read.parquet(s"${sf("sf0.1")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val s = ann.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(s).size.toDouble / exact.size
+    }
+    val fixed = recallOf(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nCells = 16, nProbe = 4, nAssign = 2))
+    val auto = recallOf(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+      nAssign = 2))
+    assert(auto >= 0.85, s"auto-sized recall $auto below the 0.85 contract")
+    assert(auto >= fixed - 0.05,
+      s"auto-sizing ($auto) lost recall vs the fixed grid ($fixed)")
   }
 
   test("LSH ANN: recall@10 vs exact on the real embeddings; wider buckets raise recall") {
