@@ -1355,13 +1355,15 @@ object Queries {
     */
   def x6ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = spark.read.parquet(s"$dir/events.parquet")
-    // rsd 0.01, not the 0.05 default: the accuracy contract pins ±5% and
+    // rsd 0.02, not the 0.05 default: the accuracy contract pins ±5% and
     // the default's ±5% STANDARD error sits exactly on that boundary — the
-    // round-12 sf1 probe measured 5.07% at 15k distinct. A 1%-rsd HLL is
-    // 2^14 registers (~16 KB/group) — still constant-size per group at any
-    // corpus scale, which is the whole point of the sketch
+    // round-12 sf1 probe measured 5.07% at 15k distinct. ProbeHll measured
+    // rsd 0.02 at 0.4% actual error here (bias-corrected HLL++ beats its
+    // worst-case σ at this cardinality) for ~1.6× less agg cost than 0.01;
+    // the register block stays constant-size per group at any corpus scale,
+    // which is the whole point of the sketch
     ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
   }
 
   /** X6 mergeable-sketch rollup (rows-only: HLL estimates are

@@ -71,7 +71,11 @@ object ScalingBench {
     // per (user, session); both must stay linear in rows like their
     // tumbling siblings
     "r34_spec_sliding_distinct",
-    "r34_spec_session_quantile")
+    "r34_spec_session_quantile",
+    // round-12 addition: auto-sized IVF grows the cell grid ∝ √n and must
+    // stay ~linear (x2_simhash — now the verified pipeline — and
+    // x2_embed_dup — raised table budget — are already in the tiers above)
+    "x3_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
