@@ -75,7 +75,12 @@ object ScalingBench {
     // round-12 addition: auto-sized IVF grows the cell grid ∝ √n and must
     // stay ~linear (x2_simhash — now the verified pipeline — and
     // x2_embed_dup — raised table budget — are already in the tiers above)
-    "x3_ann_ivf")
+    "x3_ann_ivf",
+    // round-12 addition: the 10×-denser resample grid — its OUTPUT grows
+    // ~10× with the corpus like x20_resample's, so the expected ratio is
+    // ~data_ratio; a super-linear ratio here would mean the per-key
+    // sequence explode has a cost term beyond its output volume
+    "x20_resample_dense")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
