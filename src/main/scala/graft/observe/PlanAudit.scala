@@ -52,10 +52,15 @@ object PlanAudit {
 
   /** Every node in the plan, descending through AQE wrappers and subquery
     * plans (scalar subqueries hide joins — q11's corpus-average cross).
+    * The AQE wrapper descends into `executedPlan` (the CURRENT physical
+    * plan: before execution that is the initial plan, with
+    * EnsureRequirements already applied) — NOT `inputPlan`, which predates
+    * exchange insertion and would make every shuffle invisible to the
+    * audit.
     */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val extra = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case _ => Nil
     }
     val subs = try p.subqueries catch { case _: Throwable => Nil }

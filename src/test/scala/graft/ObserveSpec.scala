@@ -42,6 +42,14 @@ class ObserveSpec extends SparkSuite {
     assert(!PlanAudit.warns(equi).exists(_.rule == "nested_loop_join"))
   }
 
+  test("PlanAudit: exchange counting sees through the AQE wrapper (inputPlan predates exchange insertion)") {
+    val shuffled = spark.range(0, 1000, 1, 4)
+      .withColumn("k", col("id") % 7).groupBy("k").count()
+    val n = PlanAudit.audit(shuffled)
+      .find(_.rule == "exchanges").map(_.detail.toInt)
+    assert(n.exists(_ >= 1), s"groupBy must report ≥1 exchange, got $n")
+  }
+
   test("PlanAudit: a pushable filter that reached the scan passes; with pushdown disabled it is flagged") {
     val li = () => spark.read.parquet(s"${sf()}/lineitem.parquet")
       .filter(col("l_quantity") < 10).select("l_orderkey")
