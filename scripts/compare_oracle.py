@@ -113,9 +113,11 @@ def main():
             cols = sorted(spk_cols)
             entry["schema_match"] = cols == sorted(ora_cols)
             if entry["rows_match"] and entry["schema_match"]:
-                # float verdict comes from the SPARK side's physical type;
-                # oracle DECIMAL vs spark DOUBLE compares as DuckDB coerces
-                types = [spk_cols[c] if spk_cols[c].upper() in FLOATY
+                # a column is float-tier if EITHER side's physical type is
+                # floating (spark DOUBLE vs oracle DECIMAL compares as
+                # DuckDB coerces — addition-order last-ulp drift must fall
+                # into the quantized tier, not strict-fail)
+                types = ["DOUBLE" if spk_cols[c].upper() in FLOATY
                          or ora_cols[c].upper() in FLOATY else spk_cols[c]
                          for c in cols]
                 strict = mismatches(con, cols, types, quantize=False)

@@ -337,9 +337,15 @@ object Accuracy {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val exactSurv = Queries.all("x2_dedup_collapse")(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    // SYMMETRIC agreement (|∩| / |∪|): under-merging — LSH missing dup
+    // pairs leaves EXTRA survivors, the realistic recall-decay failure —
+    // inflates the union and moves the metric, where the one-sided
+    // |∩|/|exact| form would stay 1.0 forever (exact ⊆ lsh) and only ever
+    // see over-merging
     val agree =
       if (exactSurv.isEmpty) 0.0
-      else lshSurv.intersect(exactSurv).size.toDouble / exactSurv.size
+      else lshSurv.intersect(exactSurv).size.toDouble /
+        lshSurv.union(exactSurv).size
     Seq(Metric("survivor_agreement_vs_exact", "__all__", agree,
       exactSurv.size.toLong, 0.98, agree >= 0.98))
   }

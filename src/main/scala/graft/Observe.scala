@@ -44,8 +44,17 @@ object Observe {
         s""""$name":{"rows":$n,"metrics":${m.toJson},"audit":$fJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[observe] $name failed: ${e.getMessage}")
-        s""""$name":{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", "\\\\").replace("\"", "\\\"").take(300)}"}"""
+        // truncate BEFORE escaping (a cut mid-escape-sequence dangles a
+        // backslash), then escape quotes/backslashes AND control chars —
+        // AnalysisException messages routinely span lines
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          .flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }
+        s""""$name":{"error":"$msg"}"""
       }
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseInternalCaches()

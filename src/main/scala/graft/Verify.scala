@@ -96,21 +96,42 @@ object Verify {
     def fmt(d: Double) =
       if (d.isNaN) "null"
       else String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
-    if (accuracyLog.nonEmpty) {
-      val accJson = accuracyLog.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (name, ms) =>
-          s"${q(name)}: [" + ms.map { case (_, m) =>
-            s"""{"metric":${q(m.metric)},"scope":${q(m.scope)},""" +
-              s""""value":${fmt(m.value)},"n_ref":${m.nRef},""" +
-              s""""bound":${fmt(m.bound)},"pass":${m.pass}}"""
-          }.mkString(",") + "]"
-        }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/accuracy.json"), accJson)
-      val benchOut = Paths.get("bench_out")
-      if (Files.isDirectory(benchOut))
-        Files.writeString(benchOut.resolve(
-          s"accuracy-${Paths.get(sfDir).getFileName}.json"), accJson)
+    // A SUBSET run (--resume or an explicit name list) must not clobber the
+    // durable accuracy evidence with only the queries it re-ran: merge the
+    // fresh entries over the existing file's (the file is self-authored
+    // single-line `"name": [...]` pairs — the regex split matches exactly
+    // what the writer below emits; entry arrays never nest brackets).
+    val fresh: Map[String, String] = accuracyLog.groupBy(_._1)
+      .map { case (name, ms) =>
+        name -> ("[" + ms.map { case (_, m) =>
+          s"""{"metric":${q(m.metric)},"scope":${q(m.scope)},""" +
+            s""""value":${fmt(m.value)},"n_ref":${m.nRef},""" +
+            s""""bound":${fmt(m.bound)},"pass":${m.pass}}"""
+        }.mkString(",") + "]")
+      }
+    def existingEntries(p: java.nio.file.Path): Map[String, String] =
+      if (only.isDefined && Files.exists(p))
+        scala.util.Try {
+          val entry = """"([A-Za-z0-9_]+)": (\[[^\]]*\])""".r
+          entry.findAllMatchIn(Files.readString(p))
+            .map(m => m.group(1) -> m.group(2)).toMap
+        }.getOrElse(Map.empty)
+      else Map.empty
+    // each destination merges over ITS OWN existing content — a dev subset
+    // run with a fresh outDir must still not shrink the committed
+    // bench_out evidence file
+    def writeMerged(p: java.nio.file.Path): Unit = {
+      val merged = existingEntries(p) ++ fresh
+      if (merged.nonEmpty)
+        Files.writeString(p, merged.toSeq.sortBy(_._1)
+          .map { case (name, arr) => s"${q(name)}: $arr" }
+          .mkString("{", ",", "}"))
     }
+    writeMerged(Paths.get(s"$outDir/accuracy.json"))
+    val benchOut = Paths.get("bench_out")
+    if (Files.isDirectory(benchOut))
+      writeMerged(benchOut.resolve(
+        s"accuracy-${Paths.get(sfDir).getFileName}.json"))
     spark.stop()
   }
 }

@@ -59,7 +59,9 @@ object RunMetrics {
     def toJson: String =
       s"""{"name":"$name","wall_ms":$wallMs,"stages":$stages,"tasks":$tasks,""" +
         s""""task_time_ms":$taskTimeMs,"max_task_ms":$maxTaskMs,""" +
-        s""""p50_task_ms":$p50TaskMs,"skew":${"%.2f".format(skew)},""" +
+        s""""p50_task_ms":$p50TaskMs,"skew":${
+          // Locale.ROOT: a comma-decimal default locale would emit 1,23
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(skew))},""" +
         s""""shuffle_read_bytes":$shuffleReadBytes,""" +
         s""""shuffle_read_records":$shuffleReadRecords,""" +
         s""""shuffle_write_bytes":$shuffleWriteBytes,""" +

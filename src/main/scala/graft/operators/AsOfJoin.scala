@@ -168,8 +168,18 @@ object AsOfJoin {
     val secs = micros / 1_000_000L
     require(secs * 1_000_000L == micros,
       s"resample interval '$interval' must be whole seconds")
-    val bounds = df.groupBy(col(key))
+    // with the guard on, the bounds aggregate gets TWO actions (the guard
+    // head() now, the grid explode later) — persist it so the guard's cost
+    // really is one pass over |keys| bounds rows, not a second full input
+    // scan+shuffle (registered for the shared release hook like every
+    // operator-internal cache)
+    val bounds0 = df.groupBy(col(key))
       .agg(min(col(tsCol)).as("__min"), max(col(tsCol)).as("__max"))
+    val bounds =
+      if (maxGridRowsPerKey > 0L)
+        Dedup.registerCache(bounds0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else bounds0
     // DENSE-GRID GUARD (declared, 0 = unguarded): output volume is
     // Σ_keys (span/every) — a mis-declared `every` against a long-span key
     // silently multiplies output by orders of magnitude (the x20 scaling

@@ -153,12 +153,17 @@ object Similarity extends Logging {
     val (cells, probes) =
       if (nCells > 0 && nProbe > 0) (nCells, nProbe)
       else {
-        val n = math.max(1L, corpus.count())
+        // the corpus count (an eager full-scan job at build time) is only
+        // needed to derive an UNDECLARED nCells — a declared nCells with
+        // auto nProbe sizes from the declaration alone
         val c0 = if (nCells > 0) nCells
-          else math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+          else {
+            val n = math.max(1L, corpus.count())
+            math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+          }
         val p0 = if (nProbe > 0) nProbe
           else math.max(4, math.ceil(c0 / 3.0).toInt)
-        logInfo(s"ivfTopK auto-sized: n=$n nCells=$c0 nProbe=$p0")
+        logInfo(s"ivfTopK auto-sized: nCells=$c0 nProbe=$p0")
         (c0, p0)
       }
     require(nAssign >= 1 && nAssign <= cells, "nAssign must be in [1, nCells]")
