@@ -829,6 +829,13 @@ case class PipelineSpec(
     // filter operator at all — SURVEY §2A declared-absent list; for an
     // AGGREGATION spec this is HAVING semantics).
     filter: Option[String] = None,
+    // Declarative plan-hygiene gate (X28): "warn" logs PlanAudit warnings
+    // for the built plan, "fail" refuses to build a plan carrying any —
+    // the pre-flight check a config-driven pipeline runs before burning
+    // cluster hours on a nested-loop join nobody intended. Batch frames
+    // only (a streaming frame has no executable plan until start; the
+    // streaming runner's observability is StreamMetrics).
+    planAudit: Option[String] = None,
     outputTopic: Option[OutputTopic] = None,
     branches: Seq[BranchSpec] = Nil) {
 
@@ -836,6 +843,8 @@ case class PipelineSpec(
     * the same conditions (DynamicTopologyBuilder.java:41-43, 96-101, 144-146).
     */
   def validate(): Unit = {
+    require(planAudit.forall(Set("warn", "fail").contains),
+      s"[$id] planAudit must be 'warn' or 'fail', got '${planAudit.get}'")
     processingMode match {
       case ProcessingMode.JoinChain =>
         require(joinOperations.nonEmpty, s"[$id] JOIN_CHAIN requires joinOperations")

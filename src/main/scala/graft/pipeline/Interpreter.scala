@@ -70,7 +70,21 @@ object Interpreter extends Logging {
     val transformed = spec.transform.foldLeft(built)(applyTransform)
     // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
     // Catalyst pushes it down through the plan wherever legal
-    spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
+    val out = spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
+    // declarative plan-hygiene gate (X28): refuse-or-log BEFORE any
+    // cluster hours are spent on a flagged shape. Batch only — a streaming
+    // frame has no executable plan until writeStream.start()
+    spec.planAudit.filter(_ => !out.isStreaming).foreach { mode =>
+      val warns = graft.observe.PlanAudit.warns(out)
+      if (warns.nonEmpty) {
+        val msg = s"[${spec.id}] plan audit: " +
+          warns.map(w => s"${w.rule} (${w.detail})").mkString("; ")
+        if (mode == "fail") throw new IllegalStateException(
+          msg + " — fix the plan or declare planAudit: \"warn\"")
+        else logWarning(msg)
+      }
+    }
+    out
   }
 
   /** One declared transform op → the corresponding X-operator. The quality

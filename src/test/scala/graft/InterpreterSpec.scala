@@ -801,4 +801,52 @@ class InterpreterSpec extends SparkSuite {
     assert(v.getLong(0).toString == v.getString(1),
       "record key must carry the chunk's doc_id")
   }
+
+  test("declarative plan audit: a clean plan builds under 'fail'; a nested-loop plan refuses with the rule named; 'warn' lets it through") {
+    def knnSpec(mode: String) = PipelineSpec.fromJson(
+      s"""{"id":"audited-knn","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","column":"embedding","idColumn":"vec_id",
+         |  "k":5,"queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3"}],
+         |"planAudit":"$mode",
+         |"outputTopic":{"enabled":true,"name":"knn-audited"}}""".stripMargin)
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+
+    // the corpus × broadcast-queries top-k scan is a BNLJ by design — under
+    // "fail" the build must refuse and NAME the rule before any action runs
+    val e = intercept[IllegalStateException] {
+      graft.pipeline.Interpreter.build(spark, knnSpec("fail"), resolver)
+    }
+    assert(e.getMessage.contains("nested_loop_join") &&
+      e.getMessage.contains("audited-knn"), e.getMessage)
+
+    // "warn" logs and builds; the frame still computes
+    assert(graft.pipeline.Interpreter.build(spark, knnSpec("warn"), resolver)
+      .limit(1).count() == 1)
+
+    // a broadcast-dim join chain audits clean under "fail"
+    val clean = PipelineSpec.fromJson(
+      """{"id":"audited-clean","processingMode":"JOIN_CHAIN",
+        |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+        |"planAudit":"fail",
+        |"joinOperations":[{"id":"j1","type":"INNER_JOIN","global":true,
+        |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+        |  "sourceKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+        |  "enrichmentKeyExtraction":{"source":"VALUE","fieldName":"c_custkey"},
+        |  "outputFieldsMapping":[
+        |    {"sourceFieldName":"o_orderkey","outputFieldName":"order_id","source":"LEFT"},
+        |    {"sourceFieldName":"c_name","outputFieldName":"customer","source":"RIGHT"}]}],
+        |"outputTopic":{"enabled":true,"name":"audited-out"}}""".stripMargin)
+    assert(graft.pipeline.Interpreter.build(spark, clean, resolver)
+      .limit(1).count() == 1)
+
+    // bad mode value → config error naming the field
+    val bad = intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"id":"bad-audit","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events"},"planAudit":"maybe"}""".stripMargin)
+    }
+    assert(bad.getMessage.contains("planAudit"), bad.getMessage)
+  }
 }

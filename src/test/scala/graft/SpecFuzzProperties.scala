@@ -543,7 +543,9 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "pack zero budget" -> t(TransformOp(op = "pack", column = Some("n_chars"),
         budget = Some(0L), orderColumns = Seq("doc_id"))),
       "pack without orderColumns" -> t(TransformOp(op = "pack",
-        column = Some("n_chars"), budget = Some(100L))))
+        column = Some("n_chars"), budget = Some(100L))),
+      "planAudit bad mode" ->
+        simple("fz-bad", "documents").copy(planAudit = Some("maybe")))
   }
 
   property("every invalid spec class fails at build with IAE naming the id") =
