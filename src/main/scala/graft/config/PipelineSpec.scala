@@ -983,4 +983,37 @@ object PipelineSpec {
     spec.validate()
     spec
   }
+
+  // The reference's AggregationDefinition binds from Spring YAML config in
+  // practice (application.yml aggregation lists) — same object model, same
+  // lenient unknown-field posture, only the syntax differs. Jackson's YAML
+  // dataformat ships with Spark, so the binding costs one factory swap.
+  private val yamlMapper: ObjectMapper = {
+    val m = new ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def fromYaml(yaml: String): PipelineSpec = {
+    val spec = yamlMapper.readValue(yaml, classOf[PipelineSpec])
+    spec.validate()
+    spec
+  }
+
+  /** A YAML document holding a LIST of specs (the application.yml shape:
+    * one config file drives many topologies). Every spec validates; ids
+    * must be unique — two topologies sharing an id would silently share
+    * checkpoint/state paths downstream.
+    */
+  def listFromYaml(yaml: String): Seq[PipelineSpec] = {
+    val specs = yamlMapper.readValue(
+      yaml, classOf[Array[PipelineSpec]]).toSeq
+    specs.foreach(_.validate())
+    val ids = specs.map(_.id)
+    require(ids.distinct.size == ids.size,
+      s"duplicate pipeline ids in config: ${ids.mkString(", ")}")
+    specs
+  }
 }

@@ -849,4 +849,53 @@ class InterpreterSpec extends SparkSuite {
     }
     assert(bad.getMessage.contains("planAudit"), bad.getMessage)
   }
+
+  test("YAML config binds to the same spec as JSON; a list document drives many topologies with unique ids") {
+    val yaml =
+      """id: yaml-chain
+        |processingMode: JOIN_CHAIN
+        |sourceTopic: {name: orders, keyClass: java.lang.Long}
+        |joinOperations:
+        |  - id: j1
+        |    type: INNER_JOIN
+        |    global: true
+        |    enrichmentTopic: {name: customer, keyClass: java.lang.Long}
+        |    sourceKeyExtraction: {source: VALUE, fieldName: o_custkey}
+        |    enrichmentKeyExtraction: {source: VALUE, fieldName: c_custkey}
+        |    outputFieldsMapping:
+        |      - {sourceFieldName: o_orderkey, outputFieldName: order_id, source: LEFT}
+        |      - {sourceFieldName: c_name, outputFieldName: customer, source: RIGHT}
+        |someSpringManagedField: ignored
+        |outputTopic: {enabled: true, name: yaml-out}
+        |""".stripMargin
+    val fromY = PipelineSpec.fromYaml(yaml)
+    val fromJ = PipelineSpec.fromJson(
+      """{"id":"yaml-chain","processingMode":"JOIN_CHAIN",
+        |"sourceTopic":{"name":"orders","keyClass":"java.lang.Long"},
+        |"joinOperations":[{"id":"j1","type":"INNER_JOIN","global":true,
+        |  "enrichmentTopic":{"name":"customer","keyClass":"java.lang.Long"},
+        |  "sourceKeyExtraction":{"source":"VALUE","fieldName":"o_custkey"},
+        |  "enrichmentKeyExtraction":{"source":"VALUE","fieldName":"c_custkey"},
+        |  "outputFieldsMapping":[
+        |    {"sourceFieldName":"o_orderkey","outputFieldName":"order_id","source":"LEFT"},
+        |    {"sourceFieldName":"c_name","outputFieldName":"customer","source":"RIGHT"}]}],
+        |"outputTopic":{"enabled":true,"name":"yaml-out"}}""".stripMargin)
+    assert(fromY == fromJ, "YAML and JSON must bind to identical specs")
+    // and the YAML-bound spec actually builds and computes
+    assert(graft.pipeline.Interpreter.build(spark, fromY,
+      new ParquetSourceResolver(sf(), TestdataCatalog)).limit(1).count() == 1)
+
+    val list = PipelineSpec.listFromYaml(
+      """- {id: a, processingMode: SIMPLE_STREAM, sourceTopic: {name: events}}
+        |- {id: b, processingMode: SIMPLE_STREAM, sourceTopic: {name: documents}}
+        |""".stripMargin)
+    assert(list.map(_.id) == Seq("a", "b"))
+    val dup = intercept[IllegalArgumentException] {
+      PipelineSpec.listFromYaml(
+        """- {id: a, processingMode: SIMPLE_STREAM, sourceTopic: {name: events}}
+          |- {id: a, processingMode: SIMPLE_STREAM, sourceTopic: {name: documents}}
+          |""".stripMargin)
+    }
+    assert(dup.getMessage.contains("duplicate pipeline ids"), dup.getMessage)
+  }
 }
