@@ -37,9 +37,15 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
+import sys
+
+# default: 10 tiles -> testdata_sf1. Optional argv [tiles] [dirname] builds
+# larger rungs for multi-point scaling curves (e.g. `gen_sf1.py 30
+# testdata_sf3` = 30x sf0.1); tile construction is identical, so every
+# rung has the same per-tile statistical structure.
+TILES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "testdata_sf1")
-TILES = 10
+                   sys.argv[2] if len(sys.argv) > 2 else "testdata_sf1")
 
 os.makedirs(DST, exist_ok=True)
 

@@ -85,6 +85,14 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val sfBig = args.lift(1).getOrElse("testdata_sf1")
+    // optional args 3-5 parameterize a NON-default rung (e.g. sf1 -> sf3
+    // for a three-point curve): the artifact's side labels, its filename,
+    // and the data ratio between the two dirs. Defaults preserve the
+    // canonical sf0.1 -> sf1 artifact exactly.
+    val labelSmall = args.lift(2).getOrElse("sf0.1")
+    val labelBig = args.lift(3).getOrElse("sf1")
+    val artifactName = args.lift(4).getOrElse("scaling.json")
+    val dataRatio = args.lift(5).map(_.toInt).getOrElse(10)
     val warmDir = "/root/testdata/sf0.001"
     val runsSmall = 3
     val runsBig = 2 // big runs are ~10x the wall clock; 2 suffice for a min
@@ -105,13 +113,15 @@ object ScalingBench {
     def fmt(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val out = java.nio.file.Paths.get("bench_out")
     java.nio.file.Files.createDirectories(out)
-    val scalingPath = out.resolve("scaling.json")
+    val scalingPath = out.resolve(artifactName)
     // merge over the existing artifact (same discipline as the bench floor
     // file): a focused SPARK_GRAFT_SCALING_ONLY re-measure refines its
     // queries without dropping everyone else's numbers
     val existing: Map[String, (Double, Double, Double)] =
       if (!java.nio.file.Files.exists(scalingPath)) Map.empty
-      else """"([A-Za-z0-9_]+)":\{"sf0\.1":([0-9.eE+-]+),"sf1":([0-9.eE+-]+),"ratio":([0-9.eE+-]+)\}""".r
+      else (""""([A-Za-z0-9_]+)":\{"""" + java.util.regex.Pattern.quote(labelSmall) +
+        """":([0-9.eE+-]+),"""" + java.util.regex.Pattern.quote(labelBig) +
+        """":([0-9.eE+-]+),"ratio":([0-9.eE+-]+)\}""").r
         .findAllMatchIn(java.nio.file.Files.readString(scalingPath))
         .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
           m.group(4).toDouble)).toMap
@@ -122,11 +132,11 @@ object ScalingBench {
         merged.keys.filterNot(Heavy.contains).toSeq.sorted
       val body = order.map { n =>
         val (s, b, r) = merged(n)
-        s""""$n":{"sf0.1":${fmt(s)},"sf1":${fmt(b)},"ratio":${fmt(r)}}"""
+        s""""$n":{"$labelSmall":${fmt(s)},"$labelBig":${fmt(b)},"ratio":${fmt(r)}}"""
       }.mkString("{", ",", "}")
       val worst = if (merged.isEmpty) 0.0 else merged.values.map(_._3).max
       val json = s"""{"metric":"scaling","small":"$sfSmall","big":"$sfBig",""" +
-        s""""data_ratio":10,"worst_ratio":${fmt(worst)},"queries":$body}"""
+        s""""data_ratio":$dataRatio,"worst_ratio":${fmt(worst)},"queries":$body}"""
       java.nio.file.Files.write(scalingPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       json
@@ -140,10 +150,10 @@ object ScalingBench {
       try {
         try { timeOnce(name, warmDir); () } catch { case _: Throwable => () }
         val small = (1 to runsSmall).map(_ => timeOnce(name, sfSmall)).min
-        System.err.println(f"[scaling] $name sf0.1 best $small%.2f s")
+        System.err.println(f"[scaling] $name $labelSmall%s best $small%.2f s")
         val big = (1 to runsBig).map(_ => timeOnce(name, sfBig)).min
         val ratio = big / math.max(small, 1e-9)
-        System.err.println(f"[scaling] $name sf1 best $big%.2f s — ratio $ratio%.1fx")
+        System.err.println(f"[scaling] $name $labelBig%s best $big%.2f s — ratio $ratio%.1fx")
         merged += name -> (small, big, ratio)
         writeArtifact()
       } catch {
