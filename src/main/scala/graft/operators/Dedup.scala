@@ -551,8 +551,8 @@ object Dedup extends Logging {
     val occupancyTarget = 64
     // one count over the id column — parquet metadata-cheap, and the price
     // of a plan that stays linear instead of quadratic at 10× the corpus
-    val (bPlanes, lTables) =
-      if (!autoSize) (planesPerTable, nTables)
+    val (bPlanes, lTables, nKnown) =
+      if (!autoSize) (planesPerTable, nTables, -1L)
       else {
         val n = math.max(1L, e.count())
         val b = math.min(16, math.max(planesPerTable,
@@ -572,7 +572,7 @@ object Dedup extends Logging {
             "rho -> 1); use the exact brute-force pair join for full recall there")
         } else logInfo(s"embeddingCosinePairs auto-sized: n=$n planes/table=$b " +
           s"tables=$l")
-        (b, l)
+        (b, l, n)
       }
     val bucketCap =
       if (maxBucketSize >= 0) maxBucketSize else 32 * occupancyTarget
@@ -603,16 +603,62 @@ object Dedup extends Logging {
         capped
       }
     val a = banded.as("a"); val b = banded.as("b")
+    // CANDIDATE-VOLUME-AWARE dedup partitioning (round-12 sf3 finding): raw
+    // candidates are Σ_buckets c·(c−1)/2 ≈ n·L·occupancy/2 — at a LOW
+    // threshold the auto-sizer's L grows toward maxTables and the volume
+    // reaches hundreds of millions of pairs, which the session's default
+    // shuffle partition count funnels into a handful of oversized dedup
+    // sorts (measured: 450M pairs / 32 partitions = spill-thrash OOM at an
+    // 8g driver). The occupancy aggregate over the cached (id, tbl, bucket)
+    // frame prices the volume exactly, and the dedup repartitions by the
+    // pair key so each sort fits execution memory; the aggregation reuses
+    // that partitioning (one exchange total, same as dropDuplicates alone).
+    val estPairs = {
+      val r = banded.groupBy(col("tbl"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val dedupParts = math.min(4096L, math.max(
+      banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
+      estPairs / 2_000_000L)).toInt
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .repartition(dedupParts, col("id1"), col("id2"))
       .dropDuplicates("id1", "id2")
-    cands
-      .join(e.select(col("id").as("id1"), col("v").as("v1")), "id1")
-      .join(e.select(col("id").as("id2"), col("v").as("v2")), "id2")
-      .select(col("id1"), col("id2"),
-        VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
-      .filter(col("cos") >= threshold)
+    // VERIFY-join shape, priced by the same candidate estimate: in the
+    // low-threshold regime candidates approach all-pairs (ρ → 1), and a
+    // sort-merge join would drag dim×8-byte vectors through
+    // hundreds-of-millions-row sorts (measured OOM at sf3: the dedup
+    // survived, the verify sort didn't). When the whole vector table fits
+    // a broadcast budget, broadcast it for BOTH lookups — the candidate
+    // stream never exchanges again and cosine evaluates map-side. Past the
+    // budget, fall back to shuffle joins with the pair volume repartitioned
+    // so each sort's slice of (pair + two vectors) fits execution memory.
+    val vecRowBytes = dim * 8L + 32L
+    // auto-sizing already counted the corpus; a declared geometry prices
+    // the broadcast with one id-distinct over the cached banded frame
+    val vecTableBytes = (if (nKnown >= 0) nKnown
+      else banded.select(col("id")).distinct().count()) * vecRowBytes
+    val broadcastBudget = 64L * 1024 * 1024
+    if (vecTableBytes <= broadcastBudget) {
+      cands
+        .join(broadcast(e.select(col("id").as("id1"), col("v").as("v1"))), "id1")
+        .join(broadcast(e.select(col("id").as("id2"), col("v").as("v2"))), "id2")
+        .select(col("id1"), col("id2"),
+          VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val verifyParts = math.min(8192L, math.max(dedupParts.toLong,
+        estPairs * (2 * vecRowBytes + 32) / (128L * 1024 * 1024))).toInt
+      cands.repartition(verifyParts, col("id1"))
+        .join(e.select(col("id").as("id1"), col("v").as("v1")), "id1")
+        .join(e.select(col("id").as("id2"), col("v").as("v2")), "id2")
+        .select(col("id1"), col("id2"),
+          VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
   }
 
   /** Collapse near-duplicate PAIRS into clusters and keep one representative

@@ -664,6 +664,20 @@ object PipelineRunner {
       main.toSeq ++ branched
     } finally if (df ne df0) { df.unpersist(); () }
   }
+
+  /** The application.yml shape end-to-end: one config document, many
+    * topologies, ONE SourceResolver — so every spec referencing a topic
+    * shares the resolver's memoized table frame (the KTableRegistry
+    * semantic, KTableRegistry.java:26-30: N topologies over one topic
+    * materialize ONE KTable). Returns spec id → written sink paths.
+    */
+  def runAll(spark: SparkSession, specs: Seq[PipelineSpec],
+      sources: SourceResolver, outBase: String): Map[String, Seq[String]] = {
+    val ids = specs.map(_.id)
+    require(ids.distinct.size == ids.size,
+      s"duplicate pipeline ids: ${ids.mkString(", ")}")
+    specs.map(s => s.id -> runBatch(spark, s, sources, outBase)).toMap
+  }
 }
 
 /** R13 peek: the reference logs every record pass-through

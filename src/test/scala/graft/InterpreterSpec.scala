@@ -898,4 +898,39 @@ class InterpreterSpec extends SparkSuite {
     }
     assert(dup.getMessage.contains("duplicate pipeline ids"), dup.getMessage)
   }
+
+  test("runAll: one YAML document drives many topologies over ONE shared source registry (KTableRegistry semantic)") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    // the registry pin itself: repeated table() references share one frame
+    val cust = graft.config.TopicConfig("customer", keyClass = "java.lang.Long")
+    assert(resolver.table(spark, cust) eq resolver.table(spark, cust),
+      "table() must memoize per topic (KTableRegistry.java:26-30 dedup)")
+
+    val out = tempDir("graft_runall")
+    val specs = PipelineSpec.listFromYaml(
+      """- id: all-stream
+        |  processingMode: SIMPLE_STREAM
+        |  sourceTopic: {name: events}
+        |  outputTopic: {enabled: true, name: all-events}
+        |- id: all-chain
+        |  processingMode: JOIN_CHAIN
+        |  sourceTopic: {name: orders, keyClass: java.lang.Long}
+        |  joinOperations:
+        |    - id: j1
+        |      type: INNER_JOIN
+        |      global: true
+        |      enrichmentTopic: {name: customer, keyClass: java.lang.Long}
+        |      sourceKeyExtraction: {source: VALUE, fieldName: o_custkey}
+        |      enrichmentKeyExtraction: {source: VALUE, fieldName: c_custkey}
+        |      outputFieldsMapping:
+        |        - {sourceFieldName: o_orderkey, outputFieldName: order_id, source: LEFT}
+        |        - {sourceFieldName: c_name, outputFieldName: customer, source: RIGHT}
+        |  outputTopic: {enabled: true, name: all-joined}
+        |""".stripMargin)
+    val paths = graft.sinks.PipelineRunner.runAll(spark, specs, resolver, out)
+    assert(paths.keySet == Set("all-stream", "all-chain"))
+    paths.values.flatten.foreach { p =>
+      assert(spark.read.parquet(p).count() > 0, s"$p must hold rows")
+    }
+  }
 }
