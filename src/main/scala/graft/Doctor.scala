@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.{PipelineSpec, TestdataCatalog}
+import graft.observe.PlanAudit
+import graft.sources.ParquetSourceResolver
+
+/** Pre-flight CLI: validate a pipeline config, build its plan against real
+  * data, and report the plan-hygiene findings and input sizing BEFORE the
+  * job is submitted to a cluster — the five-second check that catches a
+  * typo'd field, an accidental nested-loop join, or a forgotten-broadcast
+  * dim while it still costs nothing.
+  *
+  * usage: runMain graft.Doctor <spec.json|.yaml> <dataDir> [--audit-fail]
+  *
+  *  - the spec file may hold ONE spec or a YAML/JSON LIST of specs (the
+  *    application.yml shape) — every spec is checked;
+  *  - exit 0 = every spec validates, builds, and (with --audit-fail) has
+  *    zero audit warnings; exit 1 otherwise, with the failure printed
+  *    per spec id;
+  *  - streaming-mode specs validate and build, but plan audit applies to
+  *    batch frames only (a streaming frame has no executable plan until
+  *    start — [[graft.observe.StreamMetrics]] covers the live side).
+  */
+object Doctor {
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int = {
+    val failOnWarn = args.contains("--audit-fail")
+    val positional = args.filterNot(_.startsWith("--"))
+    if (positional.length != 2) {
+      System.err.println(
+        "usage: graft.Doctor <spec.json|.yaml> <dataDir> [--audit-fail]")
+      return 2
+    }
+    val (specPath, dataDir) = (positional(0), positional(1))
+    val text = Files.readString(Paths.get(specPath))
+    val isYaml = specPath.endsWith(".yaml") || specPath.endsWith(".yml")
+
+    val specs: Seq[PipelineSpec] =
+      try {
+        val t = text.dropWhile(_.isWhitespace)
+        if (isYaml && t.startsWith("-")) PipelineSpec.listFromYaml(text)
+        else if (isYaml) Seq(PipelineSpec.fromYaml(text))
+        else if (t.startsWith("[")) PipelineSpec.listFromYaml(text) // JSON array parses as YAML
+        else Seq(PipelineSpec.fromJson(text))
+      } catch { case e: Exception =>
+        println(s"CONFIG INVALID: ${e.getMessage}")
+        return 1
+      }
+    println(s"config OK: ${specs.size} spec(s) — ${specs.map(_.id).mkString(", ")}")
+
+    val spark = doctorSession()
+    val resolver = new ParquetSourceResolver(dataDir, TestdataCatalog)
+    var failures = 0
+    specs.foreach { spec =>
+      println(s"\n=== ${spec.id} (${spec.processingMode}) ===")
+      try {
+        val df = graft.pipeline.Interpreter.build(spark, spec, resolver)
+        if (df.isStreaming) {
+          println("  builds OK (streaming — audit applies at start; attach StreamMetrics)")
+        } else {
+          val findings = PlanAudit.audit(df)
+          val warns = findings.filter(_.severity == "warn")
+          val leafBytes = findings.find(_.rule == "leaf_scan_bytes")
+            .map(_.detail.toLong).getOrElse(0L)
+          val exchanges = findings.find(_.rule == "exchanges")
+            .map(_.detail).getOrElse("?")
+          println(s"  builds OK: ${df.columns.length} columns, " +
+            s"$exchanges exchange(s), input ~${leafBytes / 1024 / 1024} MiB")
+          val suggested = math.max(32L, leafBytes / (128L * 1024 * 1024))
+          println(s"  suggested spark.sql.shuffle.partitions at this input: ≥ $suggested")
+          if (warns.isEmpty) println("  plan audit: clean")
+          else {
+            warns.foreach(w => println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
+            if (failOnWarn) failures += 1
+          }
+        }
+      } catch { case e: Exception =>
+        println(s"  BUILD FAILED: ${e.getMessage}")
+        failures += 1
+      }
+    }
+    if (failures > 0) { println(s"\n$failures spec(s) failed preflight"); 1 }
+    else { println("\npreflight OK"); 0 }
+  }
+
+  /** Doctor runs where a cluster session may not exist — a tiny local
+    * session suffices (plans are built, never executed). Reuses an active
+    * session when the caller (tests, a notebook) already has one.
+    */
+  private def doctorSession(): SparkSession =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(GraftSession.get("2"))
+}

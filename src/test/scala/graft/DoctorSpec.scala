@@ -1,0 +1,79 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+/** Preflight CLI pins: a clean multi-spec YAML passes, an intentional
+  * nested-loop spec fails under --audit-fail with the rule printed, and a
+  * broken config reports the validation error instead of stack-tracing.
+  */
+class DoctorSpec extends SparkSuite {
+
+  private def runDoctor(args: String*): (Int, String) = {
+    val buf = new ByteArrayOutputStream()
+    val code = Console.withOut(new PrintStream(buf, true, "UTF-8")) {
+      Doctor.run(args.toArray)
+    }
+    (code, buf.toString("UTF-8"))
+  }
+
+  private def write(name: String, text: String): String = {
+    val dir = tempDirPath("graft_doctor")
+    val p = dir.resolve(name)
+    Files.writeString(p, text)
+    p.toString
+  }
+
+  test("Doctor: a clean multi-spec YAML list passes preflight with audit clean") {
+    val p = write("ok.yaml",
+      """- id: doc-stream
+        |  processingMode: SIMPLE_STREAM
+        |  sourceTopic: {name: events}
+        |- id: doc-chain
+        |  processingMode: JOIN_CHAIN
+        |  sourceTopic: {name: orders, keyClass: java.lang.Long}
+        |  joinOperations:
+        |    - id: j1
+        |      type: INNER_JOIN
+        |      global: true
+        |      enrichmentTopic: {name: customer, keyClass: java.lang.Long}
+        |      sourceKeyExtraction: {source: VALUE, fieldName: o_custkey}
+        |      enrichmentKeyExtraction: {source: VALUE, fieldName: c_custkey}
+        |      outputFieldsMapping:
+        |        - {sourceFieldName: o_orderkey, outputFieldName: order_id, source: LEFT}
+        |""".stripMargin)
+    val (code, out) = runDoctor(p, sf(), "--audit-fail")
+    assert(code == 0, out)
+    assert(out.contains("config OK: 2 spec(s)"), out)
+    assert(out.contains("plan audit: clean"), out)
+    assert(out.contains("preflight OK"), out)
+  }
+
+  test("Doctor: an intentional nested-loop spec fails under --audit-fail with the rule named") {
+    val p = write("knn.yaml",
+      s"""id: doc-knn
+         |processingMode: SIMPLE_STREAM
+         |sourceTopic: {name: embeddings, keyClass: java.lang.Long}
+         |transform:
+         |  - {op: knn, column: embedding, idColumn: vec_id, k: 5,
+         |     queryPath: "${sf()}/embeddings.parquet", queryFilter: "vec_id < 3"}
+         |""".stripMargin)
+    val (code, out) = runDoctor(p, sf(), "--audit-fail")
+    assert(code == 1, out)
+    assert(out.contains("nested_loop_join"), out)
+    // without the flag the same spec passes (warn-only)
+    val (code2, out2) = runDoctor(p, sf())
+    assert(code2 == 0 && out2.contains("plan audit WARN"), out2)
+  }
+
+  test("Doctor: a broken config reports the validation error, not a stack trace") {
+    val p = write("bad.yaml",
+      """id: doc-bad
+        |processingMode: JOIN_CHAIN
+        |sourceTopic: {name: orders}
+        |""".stripMargin)
+    val (code, out) = runDoctor(p, sf())
+    assert(code == 1, out)
+    assert(out.contains("CONFIG INVALID") && out.contains("JOIN_CHAIN"), out)
+  }
+}
