@@ -42,10 +42,13 @@ object Doctor {
 
     val specs: Seq[PipelineSpec] =
       try {
-        val t = text.dropWhile(_.isWhitespace)
-        if (isYaml && t.startsWith("-")) PipelineSpec.listFromYaml(text)
-        else if (isYaml) Seq(PipelineSpec.fromYaml(text))
-        else if (t.startsWith("[")) PipelineSpec.listFromYaml(text) // JSON array parses as YAML
+        // list-vs-single decided by the parsed node type (anyFromYaml) —
+        // raw-text sniffing misroutes `---` markers and leading comments.
+        // JSON is a YAML subset, so one entry point handles both; only the
+        // single-object JSON case keeps the JSON mapper for its error text.
+        if (isYaml) PipelineSpec.anyFromYaml(text)
+        else if (text.dropWhile(_.isWhitespace).startsWith("["))
+          PipelineSpec.anyFromYaml(text)
         else Seq(PipelineSpec.fromJson(text))
       } catch { case e: Exception =>
         println(s"CONFIG INVALID: ${e.getMessage}")

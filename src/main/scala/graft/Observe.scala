@@ -45,16 +45,11 @@ object Observe {
       } catch { case e: Throwable =>
         System.err.println(s"[observe] $name failed: ${e.getMessage}")
         // truncate BEFORE escaping (a cut mid-escape-sequence dangles a
-        // backslash), then escape quotes/backslashes AND control chars —
-        // AnalysisException messages routinely span lines
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
-          .flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          }
-        s""""$name":{"error":"$msg"}"""
+        // backslash); the shared escaper covers quotes/backslashes and the
+        // control chars AnalysisException messages routinely carry
+        val msg = JsonText.quote(
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        s""""$name":{"error":$msg}"""
       }
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseInternalCaches()

@@ -76,15 +76,7 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = JsonText.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -117,11 +109,18 @@ object Verify {
             .map(m => m.group(1) -> m.group(2)).toMap
         }.getOrElse(Map.empty)
       else Map.empty
+    // an accuracy query ATTEMPTED this run that produced no metrics FAILED
+    // — its stale entry must drop from the evidence (a visible gap), not
+    // survive as yesterday's pass=true
+    val attempted = SparkEntry.queries.keySet
+      .filter(n => only.forall(_.contains(n)))
+      .intersect(Accuracy.checks.keySet)
+    val failedAttempts = attempted.diff(fresh.keySet)
     // each destination merges over ITS OWN existing content — a dev subset
     // run with a fresh outDir must still not shrink the committed
     // bench_out evidence file
     def writeMerged(p: java.nio.file.Path): Unit = {
-      val merged = existingEntries(p) ++ fresh
+      val merged = (existingEntries(p) -- failedAttempts) ++ fresh
       if (merged.nonEmpty)
         Files.writeString(p, merged.toSeq.sortBy(_._1)
           .map { case (name, arr) => s"${q(name)}: $arr" }

@@ -1016,4 +1016,15 @@ object PipelineSpec {
       s"duplicate pipeline ids in config: ${ids.mkString(", ")}")
     specs
   }
+
+  /** Either shape from one document — list or single, decided by the
+    * PARSED node type, never by sniffing the first raw character (a `---`
+    * document marker or a leading `# comment` would misroute a valid
+    * config). Validation errors propagate from whichever binding matched.
+    */
+  def anyFromYaml(yaml: String): Seq[PipelineSpec] = {
+    val node = yamlMapper.readTree(yaml)
+    if (node != null && node.isArray) listFromYaml(yaml)
+    else Seq(fromYaml(yaml))
+  }
 }

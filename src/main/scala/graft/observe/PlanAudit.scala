@@ -45,9 +45,11 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 object PlanAudit {
 
   final case class Finding(severity: String, rule: String, detail: String) {
+    // detail embeds expression SQL, which can carry control chars via
+    // exotic column names — the shared escaper covers them
     def toJson: String =
-      s"""{"severity":"$severity","rule":"$rule","detail":"${
-        detail.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+      s"""{"severity":"$severity","rule":"$rule","detail":${
+        graft.JsonText.quote(detail)}}"""
   }
 
   /** Every node in the plan, descending through AQE wrappers and subquery

@@ -58,8 +58,13 @@ final class StreamMetrics private (historyPerQuery: Int)
   private val history =
     mutable.LinkedHashMap.empty[String, mutable.ArrayDeque[Batch]]
 
+  // a restart under the same name is a NEW run (often a fresh checkpoint):
+  // mixing its batches with the old run's would double-count totalInputRows
+  // and span stateRowsGrowthPerBatch across the state reset
   override def onQueryStarted(
-      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      e: StreamingQueryListener.QueryStartedEvent): Unit = synchronized {
+    history.remove(Option(e.name).getOrElse(e.id.toString)); ()
+  }
 
   override def onQueryTerminated(
       e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()

@@ -619,9 +619,14 @@ object Dedup extends Logging {
         .agg(sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val dedupParts = math.min(4096L, math.max(
-      banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong,
-      estPairs / 2_000_000L)).toInt
+    // the 4096 cap bounds only the ESTIMATE-driven raise — a session that
+    // explicitly declared more shuffle partitions than the cap keeps them
+    // (lowering an operator below the cluster's own tuning would
+    // re-introduce exactly the oversized-sort pressure this fixes)
+    val confParts =
+      banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong
+    val dedupParts =
+      math.max(confParts, math.min(4096L, estPairs / 2_000_000L)).toInt
     val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -637,10 +642,11 @@ object Dedup extends Logging {
     // budget, fall back to shuffle joins with the pair volume repartitioned
     // so each sort's slice of (pair + two vectors) fits execution memory.
     val vecRowBytes = dim * 8L + 32L
-    // auto-sizing already counted the corpus; a declared geometry prices
-    // the broadcast with one id-distinct over the cached banded frame
-    val vecTableBytes = (if (nKnown >= 0) nKnown
-      else banded.select(col("id")).distinct().count()) * vecRowBytes
+    // budget the FULL vector table `e` — that is what broadcasts. (The
+    // banded frame undercounts it when bucket capping dropped ids, which
+    // is precisely the clustered-corpus case where the corpus is huge.)
+    // Auto-sizing already counted e; a declared geometry counts it once.
+    val vecTableBytes = (if (nKnown >= 0) nKnown else e.count()) * vecRowBytes
     val broadcastBudget = 64L * 1024 * 1024
     if (vecTableBytes <= broadcastBudget) {
       cands
@@ -650,7 +656,7 @@ object Dedup extends Logging {
           VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
         .filter(col("cos") >= threshold)
     } else {
-      val verifyParts = math.min(8192L, math.max(dedupParts.toLong,
+      val verifyParts = math.max(dedupParts.toLong, math.min(8192L,
         estPairs * (2 * vecRowBytes + 32) / (128L * 1024 * 1024))).toInt
       cands.repartition(verifyParts, col("id1"))
         .join(e.select(col("id").as("id1"), col("v").as("v1")), "id1")

@@ -66,6 +66,25 @@ class DoctorSpec extends SparkSuite {
     assert(code2 == 0 && out2.contains("plan audit WARN"), out2)
   }
 
+  test("Doctor: a --- document marker and leading comments do not misroute list-vs-single binding") {
+    val single = write("marker.yaml",
+      """---
+        |# a perfectly normal single-spec document
+        |id: doc-marker
+        |processingMode: SIMPLE_STREAM
+        |sourceTopic: {name: events}
+        |""".stripMargin)
+    val (c1, o1) = runDoctor(single, sf(), "--audit-fail")
+    assert(c1 == 0, o1)
+    val list = write("commented-list.yaml",
+      """# topologies for the batch tier
+        |- {id: doc-a, processingMode: SIMPLE_STREAM, sourceTopic: {name: events}}
+        |- {id: doc-b, processingMode: SIMPLE_STREAM, sourceTopic: {name: documents}}
+        |""".stripMargin)
+    val (c2, o2) = runDoctor(list, sf(), "--audit-fail")
+    assert(c2 == 0 && o2.contains("config OK: 2 spec(s)"), o2)
+  }
+
   test("Doctor: a broken config reports the validation error, not a stack trace") {
     val p = write("bad.yaml",
       """id: doc-bad
