@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.observe.StreamMetrics
+
+/** Streaming-throughput benchmark (dev/ops tool, ad hoc like [[Observe]]):
+  * drives the real events fixture through representative STREAMING
+  * topologies in micro-batches and reports measured rows/second — the
+  * number the batch bench cannot see (R1/R13–R15's streaming leg is
+  * correctness-pinned by the suite; this measures it). Metrics come from
+  * [[graft.observe.StreamMetrics]] — the same listener a production
+  * operator attaches — so the benchmark exercises the observability path
+  * it reports through.
+  *
+  * Topologies (noop sink, so numbers measure the operators, not a sink):
+  *  - `passthrough`       stateless projection (floor: harness + decode cost)
+  *  - `tumbling_agg`      watermarked 1h windows × event_type, update mode
+  *  - `session_agg`       per-user 5-min-gap session windows (merge state)
+  *
+  * Data is fed from the driver in fixed-size chunks through MemoryStream
+  * (one chunk ≈ one micro-batch): sf0.01's 100k events collect to ~10 MB —
+  * a bounded, documented driver materialization in a DEV tool.
+  *
+  * usage: runMain graft.StreamBench [sfDir] [outJson] [chunkRows]
+  */
+/** Top-level and public: Catalyst's encoder codegen cannot access a
+  * private nested case class (it falls back to interpreted projections,
+  * which would quietly tax exactly the numbers this tool measures).
+  */
+final case class StreamBenchEvent(event_id: Long, ts: Timestamp,
+    user_id: java.lang.Long, event_type: String, value: Double)
+
+object StreamBench {
+  private type Ev = StreamBenchEvent
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val base = Paths.get(sfDir).getFileName.toString
+    val out = args.lift(1).getOrElse(s"bench_out/streambench-$base.json")
+    val chunkRows = args.lift(2).map(_.toInt).getOrElse(10000)
+    val spark = GraftSession.get()
+    // Spark 4.1's checkpoint-file checksum manager writes each state delta's
+    // checksum on a background future the committing task then awaits; at
+    // local[32] with 32 state partitions committing concurrently the awaits
+    // were observed to stall indefinitely (jstack: every task parked in
+    // ChecksumCancellableFSDataOutputStream.close). The bench measures
+    // operator throughput, not corruption detection — disable it here.
+    // Production clusters with many executors don't share one JVM's pool.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    // RocksDB state store — the production-grade store for non-trivial
+    // state (and the engine's analogue of Kafka Streams' RocksDB stores).
+    // The default HDFSBackedStateStore on this image pays a FORKED SHELL
+    // per file-status call (no native-hadoop library, so Hadoop's
+    // RawLocalFileSystem shells out readlink/ls): jstack showed 24/32
+    // task threads inside Shell.execCommand during the dedup topology's
+    // state commits — minutes per micro-batch of pure process-fork storm.
+    // RocksDB keeps state file-ops inside the JVM and is what DEPLOY.md
+    // prescribes for keyed-state operators at scale anyway.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import spark.implicits._
+
+    val rows: Array[StreamBenchEvent] = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamBenchEvent].collect()
+    System.err.println(s"[streambench] ${rows.length} events, chunks of $chunkRows")
+
+    // session windows and flatMapGroupsWithState emit in APPEND mode only;
+    // the update-legal topologies keep update (the changelog shape a
+    // snapshot sink consumes)
+    def topology(name: String, mode: String = "update")(
+        build: DataFrame => DataFrame): String = {
+      val sm = StreamMetrics.attach(spark)
+      val input = MemoryStream[StreamBenchEvent](
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], 8)
+      val qName = s"sb_${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = build(input.toDF()).writeStream.queryName(qName)
+        .outputMode(mode).format("noop").start()
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(chunkRows).foreach { chunk =>
+          input.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally {
+        q.stop()
+      }
+      val wallS = (System.nanoTime() - t0) / 1e9
+      // the listener drains async — report() after stop() may still miss the
+      // tail; totals below use the driven row count, batches are informative
+      val rep = sm.report(qName)
+      StreamMetrics.detach(spark, sm)
+      val rps = rows.length / math.max(wallS, 1e-9)
+      System.err.println(f"[streambench] $name%-14s ${rows.length} rows in " +
+        f"$wallS%.1fs = ${rps / 1000}%.1fk rows/s (${rep.map(_.batches).getOrElse(0)} batches, " +
+        s"state ${rep.map(_.lastStateRows).getOrElse(0L)} rows)")
+      f""""$name":{"rows":${rows.length},"wall_s":$wallS%.3f,""" +
+        f""""rows_per_sec":$rps%.0f,"batches":${rep.map(_.batches).getOrElse(0)},""" +
+        s""""state_rows":${rep.map(_.lastStateRows).getOrElse(0L)},""" +
+        s""""state_mem_bytes":${rep.map(_.maxStateMemBytes).getOrElse(0L)}}"""
+    }
+
+    val results = Seq(
+      topology("passthrough") { df =>
+        df.select(col("event_id"), col("user_id"), col("event_type"),
+          (col("value") * 2).as("v2"))
+      },
+      topology("tumbling_agg") { df =>
+        df.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      },
+      topology("session_agg", mode = "append") { df =>
+        df.filter(col("user_id").isNotNull)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+      },
+      // NOT benchmarked: the TTL'd first-arrival dedup
+      // (StreamingDedup.exactFirstArrival). Its ProcessingTimeTimeout makes
+      // Spark run CONTINUOUS no-data timeout-processing batches between
+      // data batches, and on this image every state/offset-log commit pays
+      // a forked shell per file-status (no native-hadoop - see DEPLOY
+      // "Streaming state"), so the measurement saturates on environment
+      // fork cost, not operator cost. The operator's correctness (including
+      // TTL expiry and restart recovery) is pinned in StreamRunnerSpec /
+      // StreamingSpec; measure its throughput on a cluster with native
+      // Hadoop or HDFS, where file-status is a syscall, not a fork.
+      )
+
+    val json = s"""{"sf":"$sfDir","chunk_rows":$chunkRows,${results.mkString(",")}}"""
+    Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
+    Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
+    println(s"[streambench] wrote $out")
+    spark.stop()
+  }
+}
