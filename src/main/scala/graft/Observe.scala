@@ -41,7 +41,7 @@ object Observe {
         System.err.println(f"[observe] $name rows=$n wall=${m.wallMs}ms " +
           f"shufR=${m.shuffleReadBytes} spill=${m.spillDiskBytes} skew=${m.skew}%.1f " +
           s"warns=${findings.count(_.severity == "warn")}")
-        s""""$name":{"rows":$n,"metrics":${m.toJson},"audit":$fJson}"""
+        s"""${JsonText.quote(name)}:{"rows":$n,"metrics":${m.toJson},"audit":$fJson}"""
       } catch { case e: Throwable =>
         System.err.println(s"[observe] $name failed: ${e.getMessage}")
         // truncate BEFORE escaping (a cut mid-escape-sequence dangles a
@@ -49,14 +49,16 @@ object Observe {
         // control chars AnalysisException messages routinely carry
         val msg = JsonText.quote(
           Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
-        s""""$name":{"error":$msg}"""
+        s"""${JsonText.quote(name)}:{"error":$msg}"""
       }
       spark.catalog.clearCache()
       graft.operators.Dedup.releaseInternalCaches()
       line
     }
 
-    val json = s"""{"sf":"$sfDir",${entries.mkString(",")}}"""
+    // sfDir is a user-supplied path — quote it like the error branch does,
+    // so a directory containing a quote/backslash can't corrupt the artifact
+    val json = s"""{"sf":${JsonText.quote(sfDir)},${entries.mkString(",")}}"""
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
     println(s"[observe] wrote $out (${entries.size} queries)")

@@ -119,12 +119,25 @@ object ScalingBench {
     // queries without dropping everyone else's numbers
     val existing: Map[String, (Double, Double, Double)] =
       if (!java.nio.file.Files.exists(scalingPath)) Map.empty
-      else (""""([A-Za-z0-9_]+)":\{"""" + java.util.regex.Pattern.quote(labelSmall) +
-        """":([0-9.eE+-]+),"""" + java.util.regex.Pattern.quote(labelBig) +
-        """":([0-9.eE+-]+),"ratio":([0-9.eE+-]+)\}""").r
-        .findAllMatchIn(java.nio.file.Files.readString(scalingPath))
-        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
-          m.group(4).toDouble)).toMap
+      else {
+        val content = java.nio.file.Files.readString(scalingPath)
+        val parsed = (""""([A-Za-z0-9_]+)":\{"""" +
+          java.util.regex.Pattern.quote(labelSmall) +
+          """":([0-9.eE+-]+),"""" + java.util.regex.Pattern.quote(labelBig) +
+          """":([0-9.eE+-]+),"ratio":([0-9.eE+-]+)\}""").r
+          .findAllMatchIn(content)
+          .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble,
+            m.group(4).toDouble)).toMap
+        // the merge regex is parameterized on THIS run's labels: pointed at
+        // an artifact written under different labels it matches nothing and
+        // the rewrite below would silently drop every prior query's numbers
+        if (parsed.isEmpty && content.contains("\"queries\":{\""))
+          System.err.println(
+            s"[scaling] WARNING: $scalingPath has query entries but none " +
+              s"matched labels ($labelSmall/$labelBig) — prior numbers " +
+              "will NOT be merged (label mismatch?)")
+        parsed
+      }
     var merged = existing
     def writeArtifact(): String = {
       // stable presentation: the Heavy declaration order, extras appended

@@ -102,13 +102,31 @@ object Verify {
         }.mkString(",") + "]")
       }
     def existingEntries(p: java.nio.file.Path): Map[String, String] =
-      if (only.isDefined && Files.exists(p))
-        scala.util.Try {
+      if (only.isDefined && Files.exists(p)) {
+        val parsed = scala.util.Try {
+          val content = Files.readString(p)
           val entry = """"([A-Za-z0-9_]+)": (\[[^\]]*\])""".r
-          entry.findAllMatchIn(Files.readString(p))
+          val m = entry.findAllMatchIn(content)
             .map(m => m.group(1) -> m.group(2)).toMap
-        }.getOrElse(Map.empty)
-      else Map.empty
+          (m, content.trim.nonEmpty)
+        }
+        parsed match {
+          // a non-empty file from which ZERO entries parse means format
+          // drift (or a read error below) — a silent Map.empty here would
+          // let a subset run quietly drop every prior entry from the
+          // durable evidence file, so make the drop loud
+          case scala.util.Success((m, nonEmpty)) =>
+            if (m.isEmpty && nonEmpty) System.err.println(
+              s"[verify] WARNING: $p exists but no accuracy entries parsed " +
+                "— format drift? prior evidence will NOT be merged")
+            m
+          case scala.util.Failure(e) =>
+            System.err.println(
+              s"[verify] WARNING: could not read $p (${e.getMessage}) " +
+                "— prior accuracy evidence will NOT be merged")
+            Map.empty
+        }
+      } else Map.empty
     // an accuracy query ATTEMPTED this run that produced no metrics FAILED
     // — its stale entry must drop from the evidence (a visible gap), not
     // survive as yesterday's pass=true

@@ -592,6 +592,11 @@ object Dedup extends Logging {
           .as(Seq("tbl", "bucket")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // capped → eager swap, one resident narrow frame (see simhashPairs)
+    // bandedRowsPreCap: banded0's exact row count (= n·L for non-null,
+    // dim-matching vectors), captured while banded0's cache is warm in the
+    // capped branch — the declared-geometry broadcast-budget sizing below
+    // derives n from it instead of a fresh e.count() full-corpus action
+    var bandedRowsPreCap = -1L
     val banded =
       if (bucketCap <= 0) registerCache(banded0)
       else {
@@ -599,6 +604,7 @@ object Dedup extends Logging {
           capBuckets(banded0, Seq("tbl", "bucket"), bucketCap)
             .persist(StorageLevel.MEMORY_AND_DISK))
         capped.count()
+        if (nKnown < 0) bandedRowsPreCap = banded0.count() // cache-local scan
         banded0.unpersist(false)
         capped
       }
@@ -642,11 +648,22 @@ object Dedup extends Logging {
     // budget, fall back to shuffle joins with the pair volume repartitioned
     // so each sort's slice of (pair + two vectors) fits execution memory.
     val vecRowBytes = dim * 8L + 32L
-    // budget the FULL vector table `e` — that is what broadcasts. (The
-    // banded frame undercounts it when bucket capping dropped ids, which
-    // is precisely the clustered-corpus case where the corpus is huge.)
-    // Auto-sizing already counted e; a declared geometry counts it once.
-    val vecTableBytes = (if (nKnown >= 0) nKnown else e.count()) * vecRowBytes
+    // budget the FULL vector table `e` — that is what broadcasts. Auto-
+    // sizing already counted e; a declared geometry derives n from the
+    // CACHED banded frame instead of a fresh full-corpus e.count():
+    // banded0 carries exactly lTables rows per vector pre-cap, so
+    // rows/lTables is exact for every vector that bucketed (null or
+    // dim-mismatched vectors emit no rows — they also never reach the
+    // verify join, so excluding them from the broadcast budget is the
+    // honest size of what actually broadcasts... of `e` itself they are a
+    // sliver; the 64 MB budget has 2× headroom vs Spark's 8 GB hard cap).
+    // In the uncapped branch banded IS banded0 and its cache is warm from
+    // the estPairs aggregate just above — still no new corpus scan.
+    val nForBudget =
+      if (nKnown >= 0) nKnown
+      else if (bandedRowsPreCap >= 0) bandedRowsPreCap / math.max(1, lTables)
+      else banded.count() / math.max(1, lTables)
+    val vecTableBytes = nForBudget * vecRowBytes
     val broadcastBudget = 64L * 1024 * 1024
     if (vecTableBytes <= broadcastBudget) {
       cands

@@ -74,6 +74,10 @@ object Interpreter extends Logging {
     // declarative plan-hygiene gate (X28): refuse-or-log BEFORE any
     // cluster hours are spent on a flagged shape. Batch only — a streaming
     // frame has no executable plan until writeStream.start()
+    if (out.isStreaming && spec.planAudit.nonEmpty) logWarning(
+      s"[${spec.id}] planAudit declared on a streaming spec is skipped at " +
+        "build time (a streaming frame has no executable plan until " +
+        "writeStream.start()) — rely on StreamMetrics for runtime hygiene")
     spec.planAudit.filter(_ => !out.isStreaming).foreach { mode =>
       val warns = graft.observe.PlanAudit.warns(out)
       if (warns.nonEmpty) {
