@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -136,9 +135,13 @@ object Similarity extends Logging {
     // 2k vectors probe tight neighborhoods, the same 16 over 20k vectors
     // average 1250 vectors/cell and recall@10 measured 0.78 at 10× data.
     // The standard IVF sizing (FAISS guideline) keeps cells ∝ √n: nCells =
-    // ⌈√n⌉ clamped to [16, 1024] (the upper clamp bounds the
-    // centroid-literal expression the assignment codegen carries; past
-    // ~10⁶ rows raise it together with a broadcast-join assignment).
+    // ⌈√n⌉ clamped to [16, 1024]. The clamp no longer bounds plan size
+    // (assignment carries the centroid matrix as ONE reference-object
+    // expression, see NearestCells) — what it bounds now is the DRIVER
+    // k-means training cost (iters·sample·cells·dim ≈ 4 GFLOP at 1024
+    // cells, a few seconds single-threaded). Past ~10⁶ rows declare nCells
+    // (assignment and probing handle thousands of cells fine) and bring a
+    // hierarchically-trained quantizer if √n cells are genuinely needed.
     // nProbe holds a FIXED fraction of the cells (1/3, ProbeIvf-measured:
     // recall 0.91-0.95 at that fraction with nAssign=2 across 2k and 20k
     // corpora, vs 0.66-0.82 at 1/8 and 1/4): on weakly-clustered data
@@ -168,47 +171,35 @@ object Similarity extends Logging {
       }
     require(nAssign >= 1 && nAssign <= cells, "nAssign must be in [1, nCells]")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val centroids: Array[(Long, Array[Double])] =
-      kmeansCentroids(corpus, idCol, vecCol, cells)
-        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // Seq-of-Seq (structural equality) so identically-parameterized
+    // NearestCells expressions are semanticEquals — see SignBuckets
+    val centroids: Seq[Seq[Double]] =
+      kmeansCentroids(corpus, idCol, vecCol, cells).map(_.toSeq).toSeq
 
-    def distTo(vec: Column, p: Array[Double]): Column =
-      VectorFunctions.l2_dist(vec, array(p.toSeq.map(lit): _*).cast("array<double>"))
-
-    // argmin over the centroid literals, array-based: build the distance
-    // vector once and index it — NOT a when/otherwise fold, which doubles
-    // the expression tree per centroid (2^n nodes) and stalls codegen.
-    // Ties → first (lowest-id) centroid, since array_position finds the
-    // first occurrence and centroids are id-ordered.
-    val cellIds = array(centroids.toSeq.map(c0 => lit(c0._1)): _*)
-    def nearestCell(vec: Column): Column = {
-      val dists = array(centroids.toSeq.map(c0 => distTo(vec, c0._2)): _*)
-      element_at(cellIds, array_position(dists, array_min(dists)).cast("int"))
-    }
-    // n nearest cells: sort the (dist, cell) struct array once per row and
-    // slice — the lambda touches only its own variable, so nothing big
-    // re-evaluates per element (the HOF O(n²) trap). Ties break on cell id
-    // ascending via the struct's field order, matching nearestCell.
-    def nearestCells(vec: Column, n: Int): Column = {
-      val dists = array(centroids.toSeq.map(c0 => distTo(vec, c0._2)): _*)
-      transform(slice(array_sort(arrays_zip(dists.as("d"), cellIds.as("cell"))), 1, n),
-        s => s.getField("cell"))
-    }
-
+    // Both corpus assignment and query probing go through ONE
+    // [[graft.functions.NearestCells]] node carrying the centroid matrix as
+    // a codegen reference object. The previous literal-array argmin put
+    // nCells × dim literal nodes into the plan (≈16k nodes at 245 cells ×
+    // 64 dims), fell out of codegen, and made assignment wall time track
+    // plan size instead of FLOPs — measured 4.8× at 3× data; this form is
+    // O(1) plan nodes and a tight primitive loop per row. Ties break on
+    // lower cell id, matching the old array_position/orderBy semantics.
     val assigned =
-      if (nAssign == 1) c.withColumn("cell", nearestCell(col("cv")))
-      else c.withColumn("cell", explode(nearestCells(col("cv"), nAssign)))
+      if (nAssign == 1)
+        c.withColumn("cell",
+          element_at(VectorFunctions.nearest_cells(col("cv"), centroids, 1), 1))
+      else
+        c.withColumn("cell",
+          explode(VectorFunctions.nearest_cells(col("cv"), centroids, nAssign)))
 
-    // Query-side probing: queries are small; explode query × centroid and
-    // rank to the nProbe closest cells.
+    // Query-side probing: the same expression, nProbe nearest cells per
+    // query — a map-side projection, replacing the old query × centroid
+    // broadcast cross join + window rank (one fewer BroadcastNestedLoopJoin
+    // in the plan, and no per-query row_number sort).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val centroidDf = q.sparkSession.createDataFrame(centroids.toSeq)
-      .toDF("cell", "centroid")
-    val probedScored = q.join(broadcast(centroidDf))
-      .withColumn("d", VectorFunctions.l2_dist(col("qv"), col("centroid")))
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("d").asc, col("cell").asc)
-    val probed = probedScored.withColumn("cr", row_number().over(wp))
-      .filter(col("cr") <= probes).select(col("query_id"), col("qv"), col("cell"))
+    val probed = q.withColumn("cell",
+      explode(VectorFunctions.nearest_cells(col("qv"), centroids, probes)))
+      .select(col("query_id"), col("qv"), col("cell"))
 
     // multi-assignment can surface one (query, neighbor) via several probed
     // cells with a bit-identical score — the distinct-pairs TopK collapses

@@ -111,9 +111,6 @@ class ObserveSpec extends SparkSuite {
       // salt table before the equi join (Scale.saltedJoin) — the cross IS
       // the skew mitigation, its output is |dim|·salts tiny rows
       "x13_salted_join" -> Set("nested_loop_join"),
-      // query-batch × centroid-table scoring: both sides are k-scale and
-      // broadcast-tiny; the corpus side still joins by equi cell id (X3)
-      "x3_ann_ivf" -> Set("nested_loop_join"),
       // the exact all-pairs cosine BASELINE is brute force by definition —
       // it exists as the oracle/recall reference for the bucketed paths
       "x3_cosine_pairs_exact" -> Set("nested_loop_join"))

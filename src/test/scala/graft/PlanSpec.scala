@@ -208,7 +208,6 @@ class PlanSpec extends SparkSuite {
     //   q11_important_stock   1-row corpus-average broadcast cross
     //   x5_tfidf              1-row corpus-count (idf denominator) cross
     //   x13_salted_join       k-row salt-replication cross
-    //   x3_ann_ivf            query × centroid-table broadcast cross
     //   x3_knn_exact          corpus × broadcast-query-set scan (exact path)
     //   x3_knn_quantized      same scan on the int8 sketch (exact re-rank)
     //   x3_sql_knn            same, via the SQL surface
@@ -220,7 +219,10 @@ class PlanSpec extends SparkSuite {
     //                         Dedup.MaxBroadcastHotSet)
     val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
       "x13_salted_join",
-      "x3_ann_ivf", "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
+      // x3_ann_ivf left this list in round 13: centroid assignment and
+      // query probing now go through the NearestCells reference-object
+      // expression (map-side projections, no join at all)
+      "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
       "r28_spec_knn", "r28_spec_knn_quantized",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
