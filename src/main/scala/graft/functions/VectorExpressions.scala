@@ -375,6 +375,111 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Multi-probe sign-LSH bucket assignment (Lu et al., VLDB 2007 adapted to
+  * hyperplane LSH): for each table, emits the main bucket PLUS the
+  * `nProbes` neighbor buckets reached by flipping the hyperplane bits with
+  * the smallest |margin| (|v·p| — the bits most likely to differ for a true
+  * near neighbor, since a close pair disagrees on a plane only when one of
+  * them lies near it). Probing neighbor buckets raises the per-table
+  * collision probability so the table count L can stay near its floor
+  * instead of growing with the corpus — the lever that tames the measured
+  * superlinear x2_embed_dup wall (L ∝ n^0.66 at threshold 0.4 without it).
+  *
+  * Output layout: flat array<int> of length nTables·(1+nProbes); element
+  * t·(1+nProbes)+k is table t's k-th probe bucket (k=0 the main bucket,
+  * then flips by ascending |margin|, ties on lower plane index). Consumers
+  * posexplode and derive (tbl = pos / (1+nProbes), isMain = pos %
+  * (1+nProbes) == 0); with nProbes=0 this is exactly [[SignBuckets]].
+  *
+  * Same reference-object/codegen discipline as SignBuckets: the plane
+  * matrix is ONE plan node, margins are computed once per row, and the
+  * flip selection is nProbes passes over the per-table margin array
+  * (nProbes ≤ 6 in practice).
+  */
+case class SignBucketsMultiProbe(child: Expression, planes: Seq[Seq[Double]],
+    planesPerTable: Int, nProbes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(planes.nonEmpty && planes.length % planesPerTable == 0,
+    "planes must divide evenly into tables")
+  require(nProbes >= 0 && nProbes <= planesPerTable,
+    "nProbes must be in [0, planesPerTable]")
+  override def prettyName: String = "sign_buckets_multiprobe"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got ${other.sql}")
+    }
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  /** Per-row kernel (called from generated code via a reference object). */
+  def buckets(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    if (n != mat(0).length) return null
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) input.getFloat(i).toDouble else input.getDouble(i)
+      i += 1
+    }
+    val nTables = mat.length / planesPerTable
+    val stride = 1 + nProbes
+    val out = new Array[Int](nTables * stride)
+    val margin = new Array[Double](planesPerTable)
+    val flipped = new Array[Boolean](planesPerTable)
+    var t = 0
+    while (t < nTables) {
+      var main = 0
+      var j = 0
+      while (j < planesPerTable) {
+        val p = mat(t * planesPerTable + j)
+        var s = 0.0; var i2 = 0
+        while (i2 < n) { s += v(i2) * p(i2); i2 += 1 }
+        if (s >= 0) main |= (1 << j)
+        margin(j) = math.abs(s)
+        j += 1
+      }
+      out(t * stride) = main
+      java.util.Arrays.fill(flipped, false)
+      var k = 0
+      while (k < nProbes) {
+        var best = -1; var bm = Double.MaxValue
+        var j2 = 0
+        while (j2 < planesPerTable) {
+          if (!flipped(j2) && margin(j2) < bm) { bm = margin(j2); best = j2 }
+          j2 += 1
+        }
+        flipped(best) = true
+        out(t * stride + 1 + k) = main ^ (1 << best)
+        k += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any = buckets(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("multiProbe", this,
+      classOf[SignBucketsMultiProbe].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r = $self.buckets($v);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `nAssign`-nearest coarse-centroid assignment in ONE expression node: for
   * a vector row, scans the centroid matrix (a codegen reference object, like
   * [[SignBuckets]]' planes) and returns the `nAssign` nearest cell ids by L2
@@ -478,6 +583,9 @@ object VectorFunctions {
   def l2_dist(a: Column, b: Column): Column = c(L2Distance(e(a), e(b)))
   def sign_buckets(v: Column, planes: Seq[Seq[Double]], planesPerTable: Int): Column =
     c(SignBuckets(e(v), planes, planesPerTable))
+  def sign_buckets_multiprobe(v: Column, planes: Seq[Seq[Double]],
+      planesPerTable: Int, nProbes: Int): Column =
+    c(SignBucketsMultiProbe(e(v), planes, planesPerTable, nProbes))
   def nearest_cells(v: Column, centroids: Seq[Seq[Double]], nAssign: Int): Column =
     c(NearestCells(e(v), centroids, nAssign))
   def quantize_vec(v: Column): Column = c(QuantizeVec(e(v)))

@@ -524,20 +524,28 @@ object Dedup extends Logging {
     * rejoin only on the deduped candidate set (same discipline as MinHash).
     * Hyperplanes derive deterministically from `seed`.
     *
-    * AUTO-SIZING (the round-9 scaling fix — a fixed `planesPerTable` made
-    * bucket occupancy ∝ corpus and within-bucket pairs ∝ corpus², measured
-    * 239× runtime at 10× data): when `autoSize` (default), the table WIDTH
-    * grows with the corpus — b = max(planesPerTable, ⌈log2(n / 64)⌉), so
-    * expected occupancy stays ~64 and per-table candidate volume stays
-    * ~linear — and the table COUNT grows to hold `recallTarget` at the
-    * declared threshold, L = ⌈ln(1−recall)/ln(1−p^b)⌉, clamped to
-    * [nTables, maxTables]. When the clamp binds (it does for LOW
-    * thresholds: at c the LSH candidate exponent is ρ = ln p(c)/ln p(0),
-    * which approaches 1 as c → 0 — weak similarity is fundamentally
-    * expensive for hyperplane LSH), the achieved recall estimate is logged
-    * loudly; hold full recall at low thresholds with the exact brute-force
-    * pair join (the x3_cosine_pairs_exact form) instead. In the operator's design
-    * regime (c ≥ 0.9, real near-dup) L stays small and cost linear.
+    * AUTO-SIZING (round-9 scaling fix, multi-probe since round 13 — a
+    * fixed `planesPerTable` made bucket occupancy ∝ corpus and
+    * within-bucket pairs ∝ corpus², measured 239× runtime at 10× data):
+    * when `autoSize` (default), table WIDTH b, probe count T, and table
+    * COUNT L are chosen JOINTLY — a cost-model search over (b, T) with L =
+    * the table count holding `recallTarget` at the declared threshold
+    * under the multi-probe collision model (each vector also lands in its
+    * T lowest-|margin| bit-flip buckets per table; see
+    * [[graft.functions.SignBucketsMultiProbe]] and the inline sizing
+    * comment), clamped to [nTables, maxTables]. Probing catches Hamming-1
+    * and Hamming-2 sketch disagreements without more tables, which is what
+    * keeps L near its floor at LOW thresholds instead of growing ∝ n^ρ
+    * (at cosine c the LSH candidate exponent ρ = ln p(c)/ln p(0) → 1 as
+    * c → 0 — weak similarity is fundamentally expensive for hyperplane
+    * LSH). When even probing can't hold the target under `maxTables`, the
+    * achieved worst-case recall estimate is logged loudly; hold full
+    * recall at low thresholds with the exact brute-force pair join (the
+    * x3_cosine_pairs_exact form) instead. In the operator's design regime
+    * (c ≥ 0.9, real near-dup) the sizer picks T = 0 and small L — probing
+    * only pays where collision mass sits in the Hamming-1/2 tail.
+    * `nProbes` ≥ 0 pins T (0 = classic single-probe); -1 lets the sizer
+    * choose.
     * `maxBucketSize` defaults to 32× the occupancy target as a skew guard
     * (clustered corpora concentrate buckets; capped members still pair
     * through their other tables — the documented recall trade).
@@ -546,34 +554,99 @@ object Dedup extends Logging {
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L,
       maxBucketSize: Int = -1, autoSize: Boolean = true,
-      recallTarget: Double = 0.9, maxTables: Int = 64): DataFrame = {
+      recallTarget: Double = 0.9, maxTables: Int = 64,
+      nProbes: Int = -1): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val occupancyTarget = 64
     // one count over the id column — parquet metadata-cheap, and the price
     // of a plan that stays linear instead of quadratic at 10× the corpus
-    val (bPlanes, lTables, nKnown) =
-      if (!autoSize) (planesPerTable, nTables, -1L)
+    val (bPlanes, lTables, probeT, nKnown) =
+      if (!autoSize) (planesPerTable, nTables, math.max(0, nProbes), -1L)
       else {
         val n = math.max(1L, e.count())
-        val b = math.min(16, math.max(planesPerTable,
-          math.ceil(math.log(n.toDouble / occupancyTarget) / math.log(2)).toInt))
         val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
-        val pb = math.pow(p, b)
-        val lNeeded =
-          if (pb >= 1.0) 1
-          else math.ceil(math.log(1.0 - recallTarget) / math.log(1.0 - pb)).toInt
-        val l = math.min(maxTables, math.max(nTables, lNeeded))
+        val q = 1.0 - p
+        // JOINT (width b, probes T, tables L) sizing, multi-probe aware
+        // (round-13; Lu et al. VLDB 2007 adapted to hyperplane LSH). Each
+        // vector lands in its main bucket AND the T lowest-|margin|
+        // single-bit-flip buckets per table; the symmetric self-join then
+        // collides a pair when EITHER side's probe reaches the other
+        // (Hamming-1 disagreements) or their flips cross (u flips j, w
+        // flips k, buckets differ in {j,k} — Hamming-2). Per-table
+        // collision probability for a pair at exactly the threshold angle:
+        //   pTbl = p^b  +  γ₁·b·p^(b−1)·q  +  γ₂·C(b,2)·p^(b−2)·q²
+        // where γ are the probe catch rates. The specific-bit catch is
+        // modeled as probeBoost·T/b per side: the T/b is the uninformed
+        // floor (T of b bits probed), probeBoost ≥ 1 is the margin lift —
+        // a disagreeing plane is one a vector is CLOSE to, so it skews
+        // toward the lowest-|margin| slots. probeBoost = 1.6 is MEASURED:
+        // back-fitting per-table pTbl from end recall over six probed
+        // geometries at sf1+sf3 (b 9–13, T 0–3, L 76–146; e.g. measured
+        // pTbl 0.0319/0.0494/0.0328 at (12,2)/(12,3)/(13,3) vs model
+        // 0.029/0.050/0.032 at boost 1.6 — every config within ~5%; 2.0
+        // overshot by 1.3×; see DEPLOY.md "ANN / dedup sizing").
+        // Holding recall through the Hamming-1/2 terms instead of raw
+        // table count is the whole point: without probes L must grow ∝ n^ρ
+        // at low thresholds (the measured 7.2× wall at 3× data); with them
+        // L stays near its floor and the growth moves into the bounded
+        // (1+T)² candidate factor, which the cost model prices explicitly.
+        val probeBoost = 1.6
+        // cost units, MEASURED through the verify-first broadcast path at
+        // sf3 (ProbeMp2): a banded row costs ~0.5 µs·thread (sketch
+        // compute + self-join exchange both sides) vs ~0.034 µs per raw
+        // candidate (map-side cosine + filter) — a row is ~16 candidates.
+        // Re-measured after dropping the broadcast-branch cache: 8.0 here
+        // (pushing configs toward more tables / fewer candidates) made
+        // BOTH scales slower (sf1 3.1→5.0 s, sf3 14.0→26.6 s) — the
+        // exchange keeps the row cost high even without the cache write.
+        val cRow = 16.0
+        // lNeeded safety margin: the per-table independence behind
+        // 1−(1−pTbl)^L is approximate (tables share the corpus and the
+        // capped buckets), and sizing L EXACTLY at recallTarget leaves the
+        // measured value on the wrong side of the pin half the time —
+        // 40% more tables buys e.g. 0.90 → ~0.96 estimated at the chosen
+        // config (measured: 1.25 landed recall 0.923-0.925 at sf1/sf3,
+        // only 0.02 over the pin), cheap insurance priced into the same
+        // cost search.
+        val lSafety = 1.4
+        val tCands = if (nProbes >= 0) Seq(nProbes) else 0 to 4
+        val cfgs = for {
+          b <- planesPerTable to 16
+          t <- tCands if t <= b
+        } yield {
+          val gs = math.min(1.0, probeBoost * t / b)
+          val gp1 = 1.0 - (1.0 - gs) * (1.0 - gs) // either side probes the bit
+          val gp2 = math.min(1.0, 2.0 * gs * gs)  // crossed flips, 2 orderings
+          val pTbl = math.min(0.999,
+            math.pow(p, b) +
+              gp1 * b * math.pow(p, b - 1) * q +
+              gp2 * (b * (b - 1) / 2.0) * math.pow(p, b - 2) * q * q)
+          val lNeeded =
+            if (pTbl >= 0.999) 1
+            else math.ceil(lSafety *
+              math.log(1.0 - recallTarget) / math.log(1.0 - pTbl)).toInt
+          val l = math.min(maxTables, math.max(nTables, lNeeded))
+          val occ = n.toDouble / (1L << b)
+          // per-point-per-table: (1+T)²·occ/2 candidate pairs + (1+T) rows
+          val cost = l * ((1.0 + t) * (1.0 + t) * occ / 2.0 + cRow * (1.0 + t))
+          (b, t, l, lNeeded, 1.0 - math.pow(1.0 - pTbl, l), cost)
+        }
+        val feasible = cfgs.filter(c => c._4 <= maxTables)
+        val (b, t, l, lNeeded, estRecall, _) =
+          if (feasible.nonEmpty) feasible.minBy(_._6)
+          else cfgs.maxBy(c => (c._5, -c._6)) // best achievable recall, then cost
         if (lNeeded > maxTables) {
-          val estRecall = 1.0 - math.pow(1.0 - pb, l)
           logWarning(f"embeddingCosinePairs: holding recall $recallTarget%.2f at " +
-            f"cosine >= $threshold%.2f over $n rows needs $lNeeded tables " +
-            f"(clamped to $l); estimated recall $estRecall%.2f — low thresholds " +
-            "are fundamentally expensive for hyperplane LSH (candidate exponent " +
-            "rho -> 1); use the exact brute-force pair join for full recall there")
+            f"cosine >= $threshold%.2f over $n rows needs $lNeeded tables even " +
+            f"with $t probes (clamped to $l); estimated worst-case recall " +
+            f"$estRecall%.2f — low thresholds are fundamentally expensive for " +
+            "hyperplane LSH (candidate exponent rho -> 1); use the exact " +
+            "brute-force pair join for full recall there")
         } else logInfo(s"embeddingCosinePairs auto-sized: n=$n planes/table=$b " +
-          s"tables=$l")
-        (b, l, n)
+          s"tables=$l probes=$t")
+        (b, l, t, n)
       }
+    val stride = 1 + probeT
     val bucketCap =
       if (maxBucketSize >= 0) maxBucketSize else 32 * occupancyTarget
     // Seq-of-Seq (structural equality) so two identically-seeded calls build
@@ -581,98 +654,127 @@ object Dedup extends Logging {
     val planes: Seq[Seq[Double]] = (0 until lTables).flatMap { t =>
       hyperplanes(dim, bPlanes, seed + t * 7919).map(_.toSeq)
     }
-    // Cached: bucket assignment costs nTables × planesPerTable dot products
-    // per vector; without the cache the self-join computes them all twice.
-    // The cached rows are (id, tbl, bucket) — ~20 bytes regardless of dim.
-    // SignBuckets carries the hyperplane matrix as ONE plan node (a codegen
-    // reference object) — the per-plane literal-array form made the plan
-    // thousands of nodes and cost seconds of Catalyst/janino time.
-    val banded0 = e.select(col("id"),
-        posexplode(VectorFunctions.sign_buckets(col("v"), planes, bPlanes))
-          .as(Seq("tbl", "bucket")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // capped → eager swap, one resident narrow frame (see simhashPairs)
-    // bandedRowsPreCap: banded0's exact row count (= n·L for non-null,
-    // dim-matching vectors), captured while banded0's cache is warm in the
-    // capped branch — the declared-geometry broadcast-budget sizing below
-    // derives n from it instead of a fresh e.count() full-corpus action
-    var bandedRowsPreCap = -1L
-    val banded =
-      if (bucketCap <= 0) registerCache(banded0)
-      else {
-        val capped = registerCache(
-          capBuckets(banded0, Seq("tbl", "bucket"), bucketCap)
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        capped.count()
-        if (nKnown < 0) bandedRowsPreCap = banded0.count() // cache-local scan
-        banded0.unpersist(false)
-        capped
-      }
-    val a = banded.as("a"); val b = banded.as("b")
-    // CANDIDATE-VOLUME-AWARE dedup partitioning (round-12 sf3 finding): raw
-    // candidates are Σ_buckets c·(c−1)/2 ≈ n·L·occupancy/2 — at a LOW
-    // threshold the auto-sizer's L grows toward maxTables and the volume
-    // reaches hundreds of millions of pairs, which the session's default
-    // shuffle partition count funnels into a handful of oversized dedup
-    // sorts (measured: 450M pairs / 32 partitions = spill-thrash OOM at an
-    // 8g driver). The occupancy aggregate over the cached (id, tbl, bucket)
-    // frame prices the volume exactly, and the dedup repartitions by the
-    // pair key so each sort fits execution memory; the aggregation reuses
-    // that partitioning (one exchange total, same as dropDuplicates alone).
-    val estPairs = {
-      val r = banded.groupBy(col("tbl"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
-    // the 4096 cap bounds only the ESTIMATE-driven raise — a session that
-    // explicitly declared more shuffle partitions than the cap keeps them
-    // (lowering an operator below the cluster's own tuning would
-    // re-introduce exactly the oversized-sort pressure this fixes)
-    val confParts =
-      banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong
-    val dedupParts =
-      math.max(confParts, math.min(4096L, estPairs / 2_000_000L)).toInt
-    val cands = a.join(b, col("a.tbl") === col("b.tbl") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .repartition(dedupParts, col("id1"), col("id2"))
-      .dropDuplicates("id1", "id2")
-    // VERIFY-join shape, priced by the same candidate estimate: in the
-    // low-threshold regime candidates approach all-pairs (ρ → 1), and a
-    // sort-merge join would drag dim×8-byte vectors through
-    // hundreds-of-millions-row sorts (measured OOM at sf3: the dedup
-    // survived, the verify sort didn't). When the whole vector table fits
-    // a broadcast budget, broadcast it for BOTH lookups — the candidate
-    // stream never exchanges again and cosine evaluates map-side. Past the
-    // budget, fall back to shuffle joins with the pair volume repartitioned
-    // so each sort's slice of (pair + two vectors) fits execution memory.
+    // The banded frame: (id, tbl, bucket) rows — ~20 bytes regardless of
+    // dim — (1+T) of them per table when probing: the main bucket plus the
+    // T lowest-|margin| bit-flip neighbors, all from ONE reference-object
+    // expression node (SignBucketsMultiProbe ≡ SignBuckets at T=0; the
+    // per-plane literal-array form made the plan thousands of nodes and
+    // cost seconds of Catalyst/janino time). The symmetric self-join below
+    // collides probe rows main↔probe (Hamming-1) and probe↔probe with
+    // crossed flips (Hamming-2) exactly as the sizer models, and every
+    // downstream guard (bucket cap, occupancy-priced partitioning)
+    // operates on the probe-expanded frame, so the (1+T)² candidate growth
+    // is priced, capped, and partitioned like any other occupancy.
+    // Whether it is WORTH CACHING depends on the branch below, so the
+    // persistence decision is made there, not here.
+    val banded1 = e.select(col("id"),
+        posexplode(VectorFunctions.sign_buckets_multiprobe(
+          col("v"), planes, bPlanes, probeT))
+          .as(Seq("pos", "bucket")))
+      .select(col("id"), (col("pos") / lit(stride)).cast("int").as("tbl"),
+        col("bucket"))
     val vecRowBytes = dim * 8L + 32L
-    // budget the FULL vector table `e` — that is what broadcasts. Auto-
-    // sizing already counted e; a declared geometry derives n from the
-    // CACHED banded frame instead of a fresh full-corpus e.count():
-    // banded0 carries exactly lTables rows per vector pre-cap, so
-    // rows/lTables is exact for every vector that bucketed (null or
-    // dim-mismatched vectors emit no rows — they also never reach the
-    // verify join, so excluding them from the broadcast budget is the
-    // honest size of what actually broadcasts... of `e` itself they are a
-    // sliver; the 64 MB budget has 2× headroom vs Spark's 8 GB hard cap).
-    // In the uncapped branch banded IS banded0 and its cache is warm from
-    // the estPairs aggregate just above — still no new corpus scan.
-    val nForBudget =
-      if (nKnown >= 0) nKnown
-      else if (bandedRowsPreCap >= 0) bandedRowsPreCap / math.max(1, lTables)
-      else banded.count() / math.max(1, lTables)
-    val vecTableBytes = nForBudget * vecRowBytes
+    // budget the FULL vector table `e` — that is what broadcasts (64 MB
+    // budget = ~120k vectors at dim 64; 2× headroom vs Spark's 8 GB hard
+    // cap). Auto-sizing already counted e; a declared geometry stays LAZY —
+    // the decision reads the optimizer's own file-size statistic for the
+    // scan with 2× decompression headroom instead of running a count job
+    // at DataFrame-construction time (round-13 ADVICE item).
     val broadcastBudget = 64L * 1024 * 1024
+    val vecTableBytes =
+      if (nKnown >= 0) nKnown * vecRowBytes
+      else (BigInt(2) * e.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .min(BigInt(Long.MaxValue)).toLong
+    def pairs(banded: DataFrame): DataFrame = {
+      // SHUFFLE_MERGE pinned: the banded frame is n·L·(1+T) rows, but its
+      // SIZE ESTIMATE derives from the (small, compressed) parquet scan
+      // underneath — without the pin Catalyst broadcast the whole exploded
+      // frame as the self-join build side (a multi-million-row driver-built
+      // hash table; measured 45 s at sf1 vs 4 s shuffled). The cached
+      // fallback branch never hit this (InMemoryRelation stats are
+      // accurate); the hint makes the plan correct-by-declaration on both.
+      val a = banded.as("a"); val b = banded.hint("shuffle_merge").as("b")
+      // raw shared-bucket candidates, id1 < id2, duplicated across tables
+      a.join(b, col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+    }
     if (vecTableBytes <= broadcastBudget) {
-      cands
+      // VERIFY-FIRST (round-13 reorder, measured 4×): with the vector table
+      // broadcast, the exact cosine is a MAP-SIDE projection on the raw
+      // candidate stream — so verify BEFORE deduplicating and the
+      // hundreds-of-millions-row candidate volume never crosses an
+      // exchange at all. Profiled at sf3 (496M raw candidates): the old
+      // dedup-the-candidates-first order paid a 56 s pair-key exchange
+      // before its (cheap) broadcast verify; this order runs
+      // join → cosine → filter in-task in 17 s and deduplicates only the
+      // ≥-threshold survivors (true pairs × their table multiplicity —
+      // sketch-verified near-dup volume, orders of magnitude smaller).
+      // A pair colliding in k tables computes its cosine k times: pure
+      // map-side FLOPs (~dim multiply-adds per hit) traded for the
+      // exchange, and the trade is priced by the measured constants in the
+      // auto-sizer's cost model (a banded ROW costs ~16× a candidate
+      // through this path). The surviving cos is bit-deterministic per
+      // pair (same vectors, same expression), so dropDuplicates keeping an
+      // arbitrary survivor is still deterministic output.
+      //
+      // NOT persisted on this branch: the budget caps the corpus at ~120k
+      // vectors, where recomputing the sketch per join side (≲L·b·dim
+      // flops/vector, sub-second) is cheaper than writing an n·L·(1+T)-row
+      // cache (measured at sf3: the 22M-row cache write cost ~7 s — more
+      // than every recompute it saved; the hot-bucket aggregate inside
+      // capBuckets is one exchange, reused across both join sides by
+      // ReuseExchange since the subplans are semantically equal).
+      val banded = capBuckets(banded1, Seq("tbl", "bucket"), bucketCap)
+      pairs(banded)
         .join(broadcast(e.select(col("id").as("id1"), col("v").as("v1"))), "id1")
         .join(broadcast(e.select(col("id").as("id2"), col("v").as("v2"))), "id2")
         .select(col("id1"), col("id2"),
           VectorFunctions.cosine_sim(col("v1"), col("v2")).as("cos"))
         .filter(col("cos") >= threshold)
+        .dropDuplicates("id1", "id2")
     } else {
+      // PAST THE BROADCAST BUDGET: candidates must join vectors through
+      // exchanges, so dedup FIRST (a pair's vectors should ship once, not
+      // once per table collision) with CANDIDATE-VOLUME-AWARE partitioning
+      // (round-12 sf3 finding): raw candidates are Σ_buckets c·(c−1)/2 ≈
+      // n·L·(1+T)²·occupancy/2, and the session's default shuffle
+      // partition count funnels that into a handful of oversized dedup
+      // sorts (measured: 450M pairs / 32 partitions = spill-thrash OOM at
+      // an 8g driver). The occupancy aggregate over the cached banded
+      // frame prices the volume exactly — it runs ONLY on this branch (the
+      // broadcast path above needs no pair-key exchange to size).
+      // HERE the banded frame IS cached (capped → eager swap, one resident
+      // narrow frame — see simhashPairs): past the broadcast budget the
+      // corpus is large, its scan+sketch is no longer trivially
+      // recomputable, and the frame feeds three consumers (occupancy
+      // aggregate + both self-join sides).
+      val banded0 = banded1.persist(StorageLevel.MEMORY_AND_DISK)
+      val banded =
+        if (bucketCap <= 0) registerCache(banded0)
+        else {
+          val capped = registerCache(
+            capBuckets(banded0, Seq("tbl", "bucket"), bucketCap)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+          capped.count()
+          banded0.unpersist(false)
+          capped
+        }
+      val estPairs = {
+        val r = banded.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("long")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      // the 4096 cap bounds only the ESTIMATE-driven raise — a session that
+      // explicitly declared more shuffle partitions than the cap keeps them
+      val confParts =
+        banded.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toLong
+      val dedupParts =
+        math.max(confParts, math.min(4096L, estPairs / 2_000_000L)).toInt
+      val cands = pairs(banded)
+        .repartition(dedupParts, col("id1"), col("id2"))
+        .dropDuplicates("id1", "id2")
       val verifyParts = math.max(dedupParts.toLong, math.min(8192L,
         estPairs * (2 * vecRowBytes + 32) / (128L * 1024 * 1024))).toInt
       cands.repartition(verifyParts, col("id1"))
@@ -856,7 +958,7 @@ object Dedup extends Logging {
   }
 
   /** Deterministic pseudo-random unit hyperplanes (driver-side, tiny). */
-  private[operators] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, n: Int, seed: Long): Seq[Array[Double]] = {
     val rng = new java.util.Random(seed)
     Seq.fill(n) {
       val v = Array.fill(dim)(rng.nextGaussian())

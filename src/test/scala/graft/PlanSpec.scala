@@ -43,12 +43,34 @@ class PlanSpec extends SparkSuite {
     // Spark does not reuse a derived frame's plan across self-join sides;
     // the round-1 plans computed every sketch twice. The banded frames are
     // persisted now — both join inputs must be InMemoryRelation scans.
-    for (q <- Seq("x2_simhash", "x2_embed_dup")) {
+    // (x2_embed_dup left this pin in round 13: its broadcast-verify branch
+    // deliberately does NOT cache — see the next test.)
+    for (q <- Seq("x2_simhash")) {
       val p = plan(q)
       val hits = "InMemoryTableScan".r.findAllIn(p).size
       assert(hits >= 2, s"$q: expected both self-join sides cached, found $hits cache scans")
       spark.catalog.clearCache() // don't leak the 43-query suite's caches
     }
+  }
+
+  test("embedding-LSH broadcast branch: shuffled self-join, broadcast verify, no cache (X2, round 13)") {
+    // The round-13 discipline for the ≤-broadcast-budget regime: the
+    // sketch is cheap enough to recompute per self-join side (no
+    // InMemoryRelation — the 22M-row cache write cost more than every
+    // recompute it saved), the self-join is PINNED shuffled (without the
+    // hint Catalyst broadcast the whole exploded banded frame off the tiny
+    // parquet-scan size estimate — measured 45 s vs 3 s at sf1), and the
+    // exact-cosine verify is two BroadcastHashJoins against the vector
+    // table applied BEFORE the pair dedup, so raw candidates never cross
+    // an exchange.
+    val p = plan("x2_embed_dup")
+    assert(!p.contains("InMemoryTableScan"),
+      "broadcast branch should recompute the sketch, not cache it")
+    assert("SortMergeJoin".r.findAllIn(p).size >= 1,
+      s"banded self-join must stay a shuffle join:\n${p.take(800)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"verify stage must be two broadcast hash joins:\n${p.take(800)}")
+    spark.catalog.clearCache()
   }
 
   test("minhash LSH: banded self-join cached both sides; final plan rejoins a materialized candidate set (X2)") {
