@@ -19,7 +19,10 @@ import graft.observe.StreamMetrics
   * operator attaches — so the benchmark exercises the observability path
   * it reports through.
   *
-  * Topologies (noop sink, so numbers measure the operators, not a sink):
+  * Topologies (noop sink, so numbers measure the operators, not a sink),
+  * each run under BOTH state-store providers (RocksDB — the DEPLOY.md
+  * production prescription — and the default HDFS-backed heap store), so
+  * the artifact carries the throughput and state-memory delta between them:
   *  - `passthrough`       stateless projection (floor: harness + decode cost)
   *  - `tumbling_agg`      watermarked 1h windows × event_type, update mode
   *  - `session_agg`       per-user 5-min-gap session windows (merge state)
@@ -54,17 +57,6 @@ object StreamBench {
     // operator throughput, not corruption detection — disable it here.
     // Production clusters with many executors don't share one JVM's pool.
     spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
-    // RocksDB state store — the production-grade store for non-trivial
-    // state (and the engine's analogue of Kafka Streams' RocksDB stores).
-    // The default HDFSBackedStateStore on this image pays a FORKED SHELL
-    // per file-status call (no native-hadoop library, so Hadoop's
-    // RawLocalFileSystem shells out readlink/ls): jstack showed 24/32
-    // task threads inside Shell.execCommand during the dedup topology's
-    // state commits — minutes per micro-batch of pure process-fork storm.
-    // RocksDB keeps state file-ops inside the JVM and is what DEPLOY.md
-    // prescribes for keyed-state operators at scale anyway.
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import spark.implicits._
 
     val rows: Array[StreamBenchEvent] = spark.read.parquet(s"$sfDir/events.parquet")
@@ -107,35 +99,56 @@ object StreamBench {
         s""""state_mem_bytes":${rep.map(_.maxStateMemBytes).getOrElse(0L)}}"""
     }
 
-    val results = Seq(
-      topology("passthrough") { df =>
-        df.select(col("event_id"), col("user_id"), col("event_type"),
-          (col("value") * 2).as("v2"))
-      },
-      topology("tumbling_agg") { df =>
-        df.withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-      },
-      topology("session_agg", mode = "append") { df =>
-        df.filter(col("user_id").isNotNull)
-          .withWatermark("ts", "1 hour")
-          .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n"))
-      },
-      // NOT benchmarked: the TTL'd first-arrival dedup
-      // (StreamingDedup.exactFirstArrival). Its ProcessingTimeTimeout makes
-      // Spark run CONTINUOUS no-data timeout-processing batches between
-      // data batches, and on this image every state/offset-log commit pays
-      // a forked shell per file-status (no native-hadoop - see DEPLOY
-      // "Streaming state"), so the measurement saturates on environment
-      // fork cost, not operator cost. The operator's correctness (including
-      // TTL expiry and restart recovery) is pinned in StreamRunnerSpec /
-      // StreamingSpec; measure its throughput on a cluster with native
-      // Hadoop or HDFS, where file-status is a syscall, not a fork.
-      )
+    // BOTH state-store providers, back to back (round-13 directive #5):
+    //  - RocksDB is what DEPLOY.md prescribes for production keyed state
+    //    (state file-ops stay inside the JVM; no per-entry JVM object tax;
+    //    spill-to-disk instead of heap-bound state). Also the pragmatic
+    //    local choice: the default HDFSBackedStateStore on this image pays
+    //    a FORKED SHELL per file-status call (no native-hadoop library, so
+    //    Hadoop's RawLocalFileSystem shells out readlink/ls — jstack
+    //    showed 24/32 task threads inside Shell.execCommand during state
+    //    commits of an earlier dedup topology).
+    //  - The HDFS-backed (default heap) leg is measured alongside so the
+    //    artifact shows BOTH the throughput delta and the per-row state
+    //    memory delta (heap snapshots keep every version's objects;
+    //    RocksDB reports native memtable/block-cache bytes).
+    // NOT benchmarked under either: the TTL'd first-arrival dedup
+    // (StreamingDedup.exactFirstArrival) — its ProcessingTimeTimeout makes
+    // Spark run CONTINUOUS no-data timeout-processing batches whose
+    // offset-log commits fork shells regardless of state provider, so the
+    // measurement saturates on environment fork cost, not operator cost.
+    // Correctness (TTL expiry, restart recovery) is pinned in
+    // StreamRunnerSpec / StreamingSpec; measure its throughput where
+    // file-status is a syscall, not a fork.
+    val providers = Seq(
+      "rocksdb" -> ("org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider"),
+      "hdfs_heap" -> ("org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider"))
+    val legs = providers.map { case (label, cls) =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      System.err.println(s"[streambench] provider: $label ($cls)")
+      val results = Seq(
+        topology("passthrough") { df =>
+          df.select(col("event_id"), col("user_id"), col("event_type"),
+            (col("value") * 2).as("v2"))
+        },
+        topology("tumbling_agg") { df =>
+          df.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        },
+        topology("session_agg", mode = "append") { df =>
+          df.filter(col("user_id").isNotNull)
+            .withWatermark("ts", "1 hour")
+            .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+        })
+      s""""$label":{"provider_class":"$cls",${results.mkString(",")}}"""
+    }
 
-    val json = s"""{"sf":"$sfDir","chunk_rows":$chunkRows,${results.mkString(",")}}"""
+    val json =
+      s"""{"sf":"$sfDir","chunk_rows":$chunkRows,${legs.mkString(",")}}"""
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)
     Files.write(Paths.get(out), json.getBytes(StandardCharsets.UTF_8))
     println(s"[streambench] wrote $out")
