@@ -3,6 +3,8 @@ package graft
 import java.io.{ByteArrayOutputStream, PrintStream}
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 /** Preflight CLI pins: a clean multi-spec YAML passes, an intentional
   * nested-loop spec fails under --audit-fail with the rule printed, and a
   * broken config reports the validation error instead of stack-tracing.
@@ -36,9 +38,8 @@ class DoctorSpec extends SparkSuite {
         |    - id: j1
         |      type: INNER_JOIN
         |      global: true
+        |      primaryKeyExtraction: {source: VALUE, fieldName: o_custkey}
         |      enrichmentTopic: {name: customer, keyClass: java.lang.Long}
-        |      sourceKeyExtraction: {source: VALUE, fieldName: o_custkey}
-        |      enrichmentKeyExtraction: {source: VALUE, fieldName: c_custkey}
         |      outputFieldsMapping:
         |        - {sourceFieldName: o_orderkey, outputFieldName: order_id, source: LEFT}
         |""".stripMargin)
@@ -83,6 +84,34 @@ class DoctorSpec extends SparkSuite {
         |""".stripMargin)
     val (c2, o2) = runDoctor(list, sf(), "--audit-fail")
     assert(c2 == 0 && o2.contains("config OK: 2 spec(s)"), o2)
+  }
+
+  test("examples/ preflight: every checked-in fixture passes Doctor against real data") {
+    // The checked-in examples ARE part of the product surface (round-13
+    // directive #7): a field rename, a transform-op change, or a plan
+    // regression must fail the build, not wait for a user to paste a stale
+    // example. Convention: *.warn.yml marks a fixture whose plan carries a
+    // DOCUMENTED intentional audit warning (e.g. the knn broadcast scan) —
+    // it preflights without --audit-fail but must still REPORT the warning
+    // (an intentional-warning example must stay intentional); every other
+    // fixture must be fully clean under --audit-fail.
+    val dir = java.nio.file.Paths.get("examples")
+    assert(java.nio.file.Files.isDirectory(dir), "examples/ directory missing")
+    val fixtures = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.toString).filter(p => p.endsWith(".yml") || p.endsWith(".yaml"))
+      .toSeq.sorted
+    assert(fixtures.nonEmpty, "no example fixtures found under examples/")
+    fixtures.foreach { p =>
+      if (p.endsWith(".warn.yml") || p.endsWith(".warn.yaml")) {
+        val (code, out) = runDoctor(p, sf())
+        assert(code == 0, s"$p failed preflight:\n$out")
+        assert(out.contains("plan audit WARN"),
+          s"$p is marked .warn.yml but audited clean — drop the marker:\n$out")
+      } else {
+        val (code, out) = runDoctor(p, sf(), "--audit-fail")
+        assert(code == 0, s"$p failed preflight under --audit-fail:\n$out")
+      }
+    }
   }
 
   test("Doctor: a broken config reports the validation error, not a stack trace") {
