@@ -773,11 +773,8 @@ case class TransformOp(
           .forall(w => w >= 0 && w <= 1),
         s"[$where] weighted_mix weights must be fractions in [0, 1]")
     case other => throw new IllegalArgumentException(
-      s"[$where] unknown transform op '$other' (supported: dedup_exact, " +
-        "quality_filter, redact_pii, dedup_near, chunk, contamination_screen, " +
-        "lang_id, text_stats, stratified_sample, weighted_mix, top_k, " +
-        "heavy_hitters, knn, resample, profile, quantile_rollup, " +
-        "distinct_rollup, pack)")
+      s"[$where] unknown transform op '$other' (supported: " +
+        SpecSurface.transformOps.mkString(", ") + ")")
   }
 }
 
