@@ -207,8 +207,9 @@ object Accuracy {
     // rank check
     val nWalkCells = raw.select("window_start", "user_id").distinct().count()
     val nEstCells = est.count()
-    Seq(Metric("quantile_rank_within_slack", "__all__",
-      if (devs.isEmpty) Double.NaN else devs.map(_._3).max, nWalkCells, 1.5,
+    Seq(Metric("quantile_rank_slack_ratio", "__all__",
+      if (devs.isEmpty) Double.NaN else devs.map(slackRatio).max, nWalkCells,
+      1.0,
       devs.nonEmpty && devs.forall(_._4) &&
         devs.size.toLong == nWalkCells && nEstCells == nWalkCells))
   }
@@ -220,10 +221,20 @@ object Accuracy {
     val devs = rankDeviations(raw, Seq("window_start", "event_type"), "value",
       est, Seq(0.5 -> "p50", 0.9 -> "p90"))
     val nCells = devs.size.toLong
-    Seq(Metric("quantile_rank_within_slack", "__all__",
-      if (devs.isEmpty) Double.NaN else devs.map(_._3).max, nCells, 1.5,
+    Seq(Metric("quantile_rank_slack_ratio", "__all__",
+      if (devs.isEmpty) Double.NaN else devs.map(slackRatio).max, nCells, 1.0,
       devs.nonEmpty && devs.forall(_._4)))
   }
+
+  /** Worst-cell rank deviation as a fraction of that cell's own slack
+    * (max(1.5, 1% of cell rows) — the same per-cell bound `within` uses),
+    * so the reported value and the reported bound (1.0) agree: before this
+    * normalization the summary row showed the max ABSOLUTE deviation
+    * against the 1.5-row floor, which read as value>bound with pass=true
+    * on any cell big enough for the 1% term to govern.
+    */
+  private def slackRatio(d: (Seq[Any], Long, Double, Boolean)): Double =
+    d._3 / math.max(1.5, 0.01 * d._2)
 
   /** Shared by the global quantile rollups: per-scope rank check over
     * events.value grouped by event_type, plus an optional global scope.
@@ -491,9 +502,9 @@ object Accuracy {
          |       $windowCellsSql AS n_ref,
          |       CAST(0.05 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     "r32_spec_window_quantile" ->
-      s"""SELECT 'quantile_rank_within_slack' AS metric, '__all__' AS scope,
+      s"""SELECT 'quantile_rank_slack_ratio' AS metric, '__all__' AS scope,
          |       $windowCellsSql AS n_ref,
-         |       CAST(1.5 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+         |       CAST(1.0 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     // sliding cells: each event's 4 epoch-anchored window starts (the same
     // expansion as the r33_spec_sliding_heavy oracle), distinct with dims
     "r34_spec_sliding_distinct" ->
@@ -507,7 +518,7 @@ object Accuracy {
     // session cells: the same lag/sum gap-break walk as the r33 session
     // oracle, counted per (user, session)
     "r34_spec_session_quantile" ->
-      """SELECT 'quantile_rank_within_slack' AS metric, '__all__' AS scope,
+      """SELECT 'quantile_rank_slack_ratio' AS metric, '__all__' AS scope,
         |  (SELECT count(*) FROM (
         |    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t
         |               FROM events WHERE user_id IS NOT NULL),
@@ -518,7 +529,7 @@ object Accuracy {
         |    s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id
         |            ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |    SELECT DISTINCT user_id, sid FROM s) __c) AS n_ref,
-        |  CAST(1.5 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+        |  CAST(1.0 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     "x6_quantile_rollup" ->
       (quantileByTypeSql +
         """

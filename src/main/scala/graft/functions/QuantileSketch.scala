@@ -224,12 +224,20 @@ object QuantileSketch {
       val total = sorted.iterator.map(_._2).sum
       val budget = math.max(1L, (total + maxCentroids - 1) / maxCentroids)
       val out = new ArrayBuffer[(Double, Long)](maxCentroids + 1)
+      // A bucket whose points all share one value must emit EXACTLY that
+      // value: sum(v*w)/w drifts an ulp (48.95*3/3 = 48.95000000000001),
+      // and on heavy-tie data one ulp above a plateau moves the estimate
+      // past the whole plateau's rank mass (caught by the sf3 accuracy
+      // sweep: r32 windowed p50 off by a full 30-row tie run).
       var sum = 0.0; var w = 0L
+      var firstM = 0.0; var allEq = true
+      def flush(): Unit = { out += ((if (allEq) firstM else sum / w, w)) }
       sorted.foreach { case (m, cw) =>
-        if (w > 0 && w + cw > budget) { out += ((sum / w, w)); sum = 0.0; w = 0L }
+        if (w > 0 && w + cw > budget) { flush(); sum = 0.0; w = 0L; allEq = true }
+        if (w == 0L) firstM = m else if (m != firstM) allEq = false
         sum += m * cw; w += cw
       }
-      if (w > 0) out += ((sum / w, w))
+      if (w > 0) flush()
       out.toSeq
     }
   }
