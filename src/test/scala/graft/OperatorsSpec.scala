@@ -971,6 +971,24 @@ class OperatorsSpec extends SparkSuite {
     val sk = Seq((0.0, 1L), (1.0, 10L), (2.0, 1L), (100.0, 3L))
     val es = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0).map(estimate(sk, _))
     assert(es == es.sorted, s"not monotone: $es")
+    // heavy-tie plateaus survive compression EXACTLY: a bucket of identical
+    // values must emit that value, not sum(v*w)/w (48.95*3/3 is one ulp
+    // high, which on tied data moves the estimate past the whole plateau's
+    // rank mass — the r32 sf3 accuracy-sweep find). 25 distinct values ×
+    // 120 repeats, budget forces ~multi-row buckets: every centroid whose
+    // span sits inside one plateau must carry the exact plateau value, and
+    // the p50 estimate must land exactly on its plateau.
+    val plateau = (0 until 25).flatMap { i =>
+      val v = 48.95 + i * 0.31
+      Seq.fill(120)((v, 1L))
+    }
+    val pc = compress(scala.util.Random.shuffle(plateau), 256)
+    val values = plateau.map(_._1).distinct.toSet
+    val offPlateau = pc.filterNot { case (m, _) => values.contains(m) }
+    assert(offPlateau.isEmpty,
+      s"constant buckets drifted off their plateau value: $offPlateau")
+    assert(values.contains(estimate(pc, 0.5)),
+      s"p50 ${estimate(pc, 0.5)} is not a data value")
   }
 
   test("PII redaction: each rule fires, order protects emails, idempotent (X22)") {
