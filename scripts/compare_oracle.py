@@ -16,6 +16,14 @@ INSIDE DuckDB (EXCEPT ALL both ways) so 20M-row results finish in seconds:
           ulps because addition order differs; a genuine value bug is
           orders of magnitude above 1e-6 relative.
 
+Results past BIG_ROWS switch to a STREAMING multiset checksum — per side
+count(*) + sum(hash(row)) over the same normalized projection (both tiers
+in one aggregate pass, each side evaluated exactly once, O(1) memory).
+Equal multisets give equal sums; a forged match needs a 64-bit hash-sum
+collision. Rationale: materializing a 630M-row EXCEPT ALL spilled >75 GB
+of DuckDB temp at sf3 and filled the disk; the checksum verified the same
+query in 17 s flat.
+
 Accuracy-contract queries (the ~19 approximate ones) are skipped here:
 their dump is a (metric, value, bound, pass) summary, and their sf-level
 evidence is the accuracy.json emitted by the same Verify run.
@@ -46,6 +54,34 @@ def is_accuracy_dump(parts):
         return False
 
 FLOATY = {"FLOAT", "DOUBLE", "REAL"}
+
+# past this row count the EXCEPT-ALL materialization is replaced by the
+# streaming checksum compare (see module doc); env-overridable so the
+# checksum path itself can be swept over the whole small-SF surface
+BIG_ROWS = int(os.environ.get("COMPARE_BIG_ROWS", 20_000_000))
+
+
+def proj_sql(col, typ, quantize):
+    base = f'"{col}"'
+    if typ.upper() in FLOATY:
+        if quantize:
+            # 6-significant-digit quantization; NaN/inf format stably
+            return f"printf('%.5e', {base})"
+        return base
+    # TIMESTAMP_NS vs TIMESTAMP: normalize to µs for strict equality
+    if typ.upper().startswith("TIMESTAMP"):
+        return f"CAST({base} AS TIMESTAMP)"
+    return base
+
+
+def checksum(con, src, cols, types):
+    """(n, strict_hash_sum, quantized_hash_sum) in ONE pass over `src`."""
+    strict = ", ".join(proj_sql(c, t, quantize=False) for c, t in zip(cols, types))
+    quant = ", ".join(proj_sql(c, t, quantize=True) for c, t in zip(cols, types))
+    return con.execute(
+        f"SELECT count(*), sum(hash({strict})::HUGEINT), "
+        f"sum(hash({quant})::HUGEINT) FROM ({src})"
+    ).fetchone()
 
 
 def mismatches(con, cols, types, quantize):
@@ -80,6 +116,11 @@ def main():
         oracle_sql = json.load(f)
 
     con = duckdb.connect()
+    # bounded memory + a named spill dir: an unbounded EXCEPT-ALL run once
+    # spilled >75 GB into cwd/.tmp and took the whole disk down with it
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("PRAGMA memory_limit='48GB'")
+    con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -99,41 +140,68 @@ def main():
             if is_accuracy_dump(parts):
                 n_skip += 1
                 continue
-            con.execute("DROP TABLE IF EXISTS spk")
-            con.execute("DROP TABLE IF EXISTS ora")
+            for obj in ("spk", "ora"):
+                # IF EXISTS still errors on a kind mismatch (dropping TABLE
+                # x when x is a VIEW) — try both kinds
+                for kind in ("TABLE", "VIEW"):
+                    try:
+                        con.execute(f"DROP {kind} IF EXISTS {obj}")
+                    except duckdb.CatalogException:
+                        pass
             con.execute(
-                f"CREATE TABLE spk AS SELECT * FROM read_parquet({parts!r})")
-            con.execute(f"CREATE TABLE ora AS {oracle_sql[name]}")
-
+                f"CREATE VIEW spk AS SELECT * FROM read_parquet({parts!r})")
             spk_cols = {r[0]: r[1] for r in con.execute("DESCRIBE spk").fetchall()}
-            ora_cols = {r[0]: r[1] for r in con.execute("DESCRIBE ora").fetchall()}
             entry["spark_rows"] = con.execute("SELECT count(*) FROM spk").fetchone()[0]
-            entry["oracle_rows"] = con.execute("SELECT count(*) FROM ora").fetchone()[0]
-            entry["rows_match"] = entry["spark_rows"] == entry["oracle_rows"]
+            big = entry["spark_rows"] > BIG_ROWS
+            # small results: materialize the oracle once (EXCEPT ALL reads
+            # it twice per tier); big results stay views — each side is
+            # evaluated exactly once by the single-pass checksum
+            con.execute(
+                f"CREATE {'VIEW' if big else 'TABLE'} ora AS {oracle_sql[name]}")
+            ora_cols = {r[0]: r[1] for r in con.execute("DESCRIBE ora").fetchall()}
             cols = sorted(spk_cols)
             entry["schema_match"] = cols == sorted(ora_cols)
-            if entry["rows_match"] and entry["schema_match"]:
-                # a column is float-tier if EITHER side's physical type is
-                # floating (spark DOUBLE vs oracle DECIMAL compares as
-                # DuckDB coerces — addition-order last-ulp drift must fall
-                # into the quantized tier, not strict-fail)
-                types = ["DOUBLE" if spk_cols[c].upper() in FLOATY
-                         or ora_cols[c].upper() in FLOATY else spk_cols[c]
-                         for c in cols]
-                strict = mismatches(con, cols, types, quantize=False)
-                if strict == 0:
+            # a column is float-tier if EITHER side's physical type is
+            # floating (spark DOUBLE vs oracle DECIMAL compares as
+            # DuckDB coerces — addition-order last-ulp drift must fall
+            # into the quantized tier, not strict-fail)
+            types = ["DOUBLE" if spk_cols[c].upper() in FLOATY
+                     or ora_cols[c].upper() in FLOATY else spk_cols[c]
+                     for c in cols] if entry["schema_match"] else []
+            if big and entry["schema_match"]:
+                entry["compare_mode"] = "checksum_hash64"
+                sn, ss, sq = checksum(con, "SELECT * FROM spk", cols, types)
+                on_, os_, oq = checksum(con, "SELECT * FROM ora", cols, types)
+                entry["oracle_rows"] = on_
+                entry["rows_match"] = sn == on_
+                if not entry["rows_match"]:
+                    entry["values_match"] = False
+                elif ss == os_:
                     entry["values_match"] = True
                 elif any(t.upper() in FLOATY for t in types):
-                    quant = mismatches(con, cols, types, quantize=True)
-                    entry["values_match"] = quant == 0
+                    entry["values_match"] = sq == oq
                     entry["float_tier"] = "quantized_1e-6"
-                    if quant:
-                        entry["value_diffs"] = quant
                 else:
                     entry["values_match"] = False
-                    entry["value_diffs"] = strict
             else:
-                entry["values_match"] = False
+                entry["oracle_rows"] = \
+                    con.execute("SELECT count(*) FROM ora").fetchone()[0]
+                entry["rows_match"] = entry["spark_rows"] == entry["oracle_rows"]
+                if entry["rows_match"] and entry["schema_match"]:
+                    strict = mismatches(con, cols, types, quantize=False)
+                    if strict == 0:
+                        entry["values_match"] = True
+                    elif any(t.upper() in FLOATY for t in types):
+                        quant = mismatches(con, cols, types, quantize=True)
+                        entry["values_match"] = quant == 0
+                        entry["float_tier"] = "quantized_1e-6"
+                        if quant:
+                            entry["value_diffs"] = quant
+                    else:
+                        entry["values_match"] = False
+                        entry["value_diffs"] = strict
+                else:
+                    entry["values_match"] = False
             ok = entry["rows_match"] and entry["schema_match"] and entry["values_match"]
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the sweep
             entry["err"] = f"{type(e).__name__}: {e}"[:500]
