@@ -251,7 +251,7 @@ object Bench {
     val suspects0 = results.collect { case (k, v, false, _, _, _, _)
       if floors.get(k).exists(f => v > 2 * f && v - f > 0.5) => k }
     val focused = suspects0.map { k =>
-      System.err.println(s"[bench] $k shipped >3x floor — post-sweep focused rerun")
+      System.err.println(s"[bench] $k shipped >2x floor — post-sweep focused rerun")
       val (secs, fail) = timeQuery(k, SparkEntry.queries(k))
       (k, secs, fail)
     }
