@@ -62,16 +62,23 @@ BIG_ROWS = int(os.environ.get("COMPARE_BIG_ROWS", 20_000_000))
 
 
 def proj_sql(col, typ, quantize):
+    """Projection for the checksum compare. `typ` is the UNIFIED column type
+    and every branch CASTs to it: hash() is type-sensitive in DuckDB
+    (hash(1.5::DOUBLE) != hash(1.5::DECIMAL(3,1))), so hashing each side's
+    native physical type would strict-fail DOUBLE-vs-DECIMAL columns that
+    the EXCEPT-ALL path's implicit coercion compared fine — and hard-fail
+    same-value DECIMALs of different scales.
+    """
     base = f'"{col}"'
     if typ.upper() in FLOATY:
         if quantize:
             # 6-significant-digit quantization; NaN/inf format stably
-            return f"printf('%.5e', {base})"
-        return base
+            return f"printf('%.5e', CAST({base} AS DOUBLE))"
+        return f"CAST({base} AS DOUBLE)"
     # TIMESTAMP_NS vs TIMESTAMP: normalize to µs for strict equality
     if typ.upper().startswith("TIMESTAMP"):
         return f"CAST({base} AS TIMESTAMP)"
-    return base
+    return f"CAST({base} AS {typ})"
 
 
 def checksum(con, src, cols, types):
@@ -155,9 +162,16 @@ def main():
             big = entry["spark_rows"] > BIG_ROWS
             # small results: materialize the oracle once (EXCEPT ALL reads
             # it twice per tier); big results stay views — each side is
-            # evaluated exactly once by the single-pass checksum
-            con.execute(
-                f"CREATE {'VIEW' if big else 'TABLE'} ora AS {oracle_sql[name]}")
+            # evaluated exactly once by the single-pass checksum. The
+            # small-mode materialization is CAPPED: the big/small decision
+            # reads only the spark side, so a regressed (tiny) spark result
+            # on a giant oracle must fail on the capped count instead of
+            # materializing 600M rows
+            if big:
+                con.execute(f"CREATE VIEW ora AS {oracle_sql[name]}")
+            else:
+                con.execute(f"CREATE TABLE ora AS SELECT * FROM "
+                            f"({oracle_sql[name]}) LIMIT {BIG_ROWS + 1}")
             ora_cols = {r[0]: r[1] for r in con.execute("DESCRIBE ora").fetchall()}
             cols = sorted(spk_cols)
             entry["schema_match"] = cols == sorted(ora_cols)
@@ -186,6 +200,11 @@ def main():
             else:
                 entry["oracle_rows"] = \
                     con.execute("SELECT count(*) FROM ora").fetchone()[0]
+                if not big and entry["oracle_rows"] == BIG_ROWS + 1:
+                    # materialization cap hit — the true oracle count is
+                    # >= this; rows_match is correctly false either way
+                    # (spark_rows <= BIG_ROWS < oracle_rows)
+                    entry["oracle_rows_capped"] = True
                 entry["rows_match"] = entry["spark_rows"] == entry["oracle_rows"]
                 if entry["rows_match"] and entry["schema_match"]:
                     strict = mismatches(con, cols, types, quantize=False)

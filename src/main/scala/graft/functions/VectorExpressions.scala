@@ -454,6 +454,15 @@ case class SignBucketsMultiProbe(child: Expression, planes: Seq[Seq[Double]],
           if (!flipped(j2) && margin(j2) < bm) { bm = margin(j2); best = j2 }
           j2 += 1
         }
+        if (best < 0) {
+          // all remaining margins NaN (a NaN vector component poisons every
+          // dot product) — flip the first unflipped bit so one bad row
+          // degrades deterministically instead of crashing the job
+          var j3 = 0
+          while (best < 0 && j3 < planesPerTable) {
+            if (!flipped(j3)) best = j3; j3 += 1
+          }
+        }
         flipped(best) = true
         out(t * stride + 1 + k) = main ^ (1 << best)
         k += 1
@@ -551,6 +560,15 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nAssign:
       while (j < k) {
         if (!taken(j) && d2(j) < bd) { bd = d2(j); best = j }
         j += 1
+      }
+      if (best < 0) {
+        // every remaining distance is NaN or >= MaxValue (e.g. a NaN
+        // component poisons all d2) — fall back to the first untaken cell
+        // so a single bad vector degrades deterministically instead of
+        // crashing the job (the pre-round-13 literal-array argmin also
+        // tolerated NaN)
+        var j2 = 0
+        while (best < 0 && j2 < k) { if (!taken(j2)) best = j2; j2 += 1 }
       }
       taken(best) = true
       out(a) = best.toLong

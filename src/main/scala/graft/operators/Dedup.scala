@@ -610,9 +610,14 @@ object Dedup extends Logging {
         // cost search.
         val lSafety = 1.4
         val tCands = if (nProbes >= 0) Seq(nProbes) else 0 to 4
+        // the width search is bounded at 16 bits, but a caller declaring a
+        // wider planesPerTable (or a probe count above every candidate
+        // width) must still yield >= 1 config — an empty search crashed on
+        // cfgs.maxBy before; widen the upper bound to the declaration and
+        // clamp probes to the width instead of filtering the row out
         val cfgs = for {
-          b <- planesPerTable to 16
-          t <- tCands if t <= b
+          b <- planesPerTable to math.max(16, planesPerTable)
+          t <- tCands.map(math.min(_, b)).distinct
         } yield {
           val gs = math.min(1.0, probeBoost * t / b)
           val gp1 = 1.0 - (1.0 - gs) * (1.0 - gs) // either side probes the bit

@@ -175,6 +175,18 @@ object Similarity extends Logging {
     // NearestCells expressions are semanticEquals — see SignBuckets
     val centroids: Seq[Seq[Double]] =
       kmeansCentroids(corpus, idCol, vecCol, cells).map(_.toSeq).toSeq
+    // kmeans returns min(nCells, distinct sample vectors) centroids — on a
+    // tiny/degenerate corpus that can undercut a declared or auto-sized
+    // probe/assign count, and NearestCells requires nAssign <= cells. Clamp
+    // both (the old query×centroid window-rank form degraded the same way:
+    // fewer cells than asked just means probing all of them).
+    val kk = centroids.length
+    val assignN = math.min(nAssign, kk)
+    val probeN = math.min(probes, kk)
+    if (probeN < probes || assignN < nAssign) {
+      logWarning(s"ivfTopK: kmeans produced $kk cells (< requested); " +
+        s"clamping nProbe $probes->$probeN nAssign $nAssign->$assignN")
+    }
 
     // Both corpus assignment and query probing go through ONE
     // [[graft.functions.NearestCells]] node carrying the centroid matrix as
@@ -185,12 +197,12 @@ object Similarity extends Logging {
     // O(1) plan nodes and a tight primitive loop per row. Ties break on
     // lower cell id, matching the old array_position/orderBy semantics.
     val assigned =
-      if (nAssign == 1)
+      if (assignN == 1)
         c.withColumn("cell",
           element_at(VectorFunctions.nearest_cells(col("cv"), centroids, 1), 1))
       else
         c.withColumn("cell",
-          explode(VectorFunctions.nearest_cells(col("cv"), centroids, nAssign)))
+          explode(VectorFunctions.nearest_cells(col("cv"), centroids, assignN)))
 
     // Query-side probing: the same expression, nProbe nearest cells per
     // query — a map-side projection, replacing the old query × centroid
@@ -198,7 +210,7 @@ object Similarity extends Logging {
     // in the plan, and no per-query row_number sort).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probed = q.withColumn("cell",
-      explode(VectorFunctions.nearest_cells(col("qv"), centroids, probes)))
+      explode(VectorFunctions.nearest_cells(col("qv"), centroids, probeN)))
       .select(col("query_id"), col("qv"), col("cell"))
 
     // multi-assignment can surface one (query, neighbor) via several probed
@@ -208,7 +220,7 @@ object Similarity extends Logging {
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-    val top = if (nAssign == 1) graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k)
+    val top = if (assignN == 1) graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k)
       else graft.functions.TopK.topkDistinct(col("cos"), col("neighbor_id"), k)
     scored.groupBy(col("query_id"))
       .agg(top.as("top"))

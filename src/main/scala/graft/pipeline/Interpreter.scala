@@ -67,7 +67,8 @@ object Interpreter extends Logging {
     }
     // spec-level transform stage (X-surface through the config path),
     // in declaration order; validated by spec.validate() above
-    val transformed = spec.transform.foldLeft(built)(applyTransform)
+    val transformed = spec.transform.foldLeft(built)(
+      (df, t) => applyTransform(df, t, sources.dataDir))
     // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
     // Catalyst pushes it down through the plan wherever legal
     val out = spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
@@ -97,7 +98,21 @@ object Interpreter extends Logging {
     * and their oracles); redaction accepts either a source column or a
     * computed SQL expression.
     */
-  private def applyTransform(df: DataFrame, t: TransformOp): DataFrame = t.op match {
+  /** Substitute the literal `<dataDir>` placeholder in a spec path field
+    * with the bound resolver's base directory — checked-in example configs
+    * stay portable across environments (see SourceResolver.dataDir).
+    */
+  private def resolvePath(p: String, dataDir: Option[String]): String =
+    if (!p.contains("<dataDir>")) p
+    else dataDir match {
+      case Some(d) => p.replace("<dataDir>", d)
+      case None => throw new IllegalArgumentException(
+        s"path '$p' uses <dataDir> but the bound source resolver has no " +
+          "filesystem base directory")
+    }
+
+  private def applyTransform(df: DataFrame, t: TransformOp,
+      dataDir: Option[String]): DataFrame = t.op match {
     case "dedup_exact" if df.isStreaming =>
       // the unbounded-state commitment must be EXPLICIT (round-8 judge):
       // either bound it with a TTL or acknowledge it with unboundedOk
@@ -425,7 +440,7 @@ object Interpreter extends Logging {
       // vectors are stored array<float> (4-byte storage form); score in
       // double like every x3 query so the config path hash-matches them
       val corpus = df.withColumn(vecC, col(vecC).cast("array<double>"))
-      val q0 = df.sparkSession.read.parquet(t.queryPath.get)
+      val q0 = df.sparkSession.read.parquet(resolvePath(t.queryPath.get, dataDir))
       val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
         .withColumn(vecC, col(vecC).cast("array<double>"))
       val result = t.method.getOrElse("exact") match {
@@ -463,7 +478,7 @@ object Interpreter extends Logging {
       // construction (eval sets are small; the corpus side never collects).
       // The projection form keeps the op stateless → streaming-legal in
       // any output mode, and shuffle-free in batch.
-      val bench0 = df.sparkSession.read.parquet(t.benchPath.get)
+      val bench0 = df.sparkSession.read.parquet(resolvePath(t.benchPath.get, dataDir))
       val bench = t.benchFilter.fold(bench0)(f => bench0.filter(expr(f)))
       val hashes = graft.operators.TextAnalysis.benchShingleHashes(
         bench, t.column.get, t.shingleSize.get)
@@ -697,7 +712,7 @@ object Interpreter extends Logging {
     // changelog to a static parquet snapshot (the startSnapshotSink store
     // keyed by (key, versionTs)) — the streaming-legal shape
     val changelog0 = a.snapshotPath match {
-      case Some(p) => spark.read.parquet(p)
+      case Some(p) => spark.read.parquet(resolvePath(p, sources.dataDir))
       case None    => sources.stream(spark, op.enrichmentTopic)
     }
     // fail with intent, not Spark's unsupported-window chain: the temporal

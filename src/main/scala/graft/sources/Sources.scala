@@ -25,6 +25,13 @@ trait SourceResolver {
   def globalTable(spark: SparkSession, topic: TopicConfig): DataFrame =
     broadcast(table(spark, topic))
   def catalog: SchemaCatalog
+  /** Base directory spec-level path fields (`queryPath`, `benchmarkPath`,
+    * `snapshotPath`) may reference via the literal `<dataDir>` placeholder —
+    * lets checked-in example configs stay environment-portable (the
+    * round-13 review flagged an example hard-coding one machine's absolute
+    * fixture path). None when the resolver has no filesystem base (Kafka).
+    */
+  def dataDir: Option[String] = None
 }
 
 /** Batch resolver over the driver-provisioned parquet tables.
@@ -41,6 +48,7 @@ trait SourceResolver {
   * DataFrame, so Catalyst sees one scan it can reuse.
   */
 class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceResolver {
+  override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
   def path(name: String) = s"$dir/$name.parquet"
@@ -78,6 +86,7 @@ class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends Sou
   */
 class JsonSourceResolver(dir: String, val catalog: SchemaCatalog,
     schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+  override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
   def path(name: String) = s"$dir/$name.jsonl"
@@ -123,6 +132,7 @@ object JsonSourceResolver {
   */
 class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
     schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+  override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
   def path(name: String) = s"$dir/$name.csv"
@@ -156,6 +166,7 @@ class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
   * parquet nanos workaround does not apply here.
   */
 class OrcSourceResolver(dir: String, val catalog: SchemaCatalog) extends SourceResolver {
+  override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
   def path(name: String) = s"$dir/$name.orc"

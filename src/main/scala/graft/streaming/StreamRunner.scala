@@ -300,6 +300,7 @@ object StreamRunner extends Logging {
   */
 class FileStreamSourceResolver(dir: String, val catalog: SchemaCatalog,
     maxFilesPerTrigger: Int = 1) extends SourceResolver {
+  override def dataDir: Option[String] = Some(dir)
   private val batch = new graft.sources.ParquetSourceResolver(dir, catalog)
 
   override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {

@@ -99,6 +99,24 @@ class ExpressionsSpec extends SparkSuite {
     assert(!ok.isNullAt(0) && ok.getSeq[Int](0).length == 1)
   }
 
+  test("NaN vector components degrade deterministically, never crash (multi-probe buckets, nearest_cells)") {
+    // regression (round-13 review): a single NaN component poisoned every
+    // dot product / distance, the lowest-margin (resp. nearest-cell)
+    // selection loops never found a candidate (NaN comparisons are false),
+    // and `taken(-1)` / `flipped(-1)` threw AIOOBE — one bad embedding
+    // aborted the whole dedup/knn job. Both kernels now fall back to the
+    // first untried index.
+    val df = spark.range(1)
+      .select(array(lit(Double.NaN), lit(2.0)).as("v"))
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, -1.0))
+    val mp = df.select(graft.functions.VectorFunctions
+      .sign_buckets_multiprobe(col("v"), planes, 2, 1).as("b")).head()
+    assert(!mp.isNullAt(0) && mp.getSeq[Int](0).length == 2) // (main, 1 probe)
+    val nc = df.select(graft.functions.VectorFunctions
+      .nearest_cells(col("v"), Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), 2).as("c")).head()
+    assert(!nc.isNullAt(0) && nc.getSeq[Long](0).sorted == Seq(0L, 1L))
+  }
+
   test("GraftExtensions injects every builder into SparkSessionExtensions without error") {
     // the spark.sql.extensions path a CLUSTER user configures — a bad
     // ExpressionInfo or FunctionIdentifier construction would throw at

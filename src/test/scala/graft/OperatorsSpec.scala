@@ -416,6 +416,35 @@ class OperatorsSpec extends SparkSuite {
     assert(dups == 0, "a neighbor claimed two ranks after multi-assignment")
   }
 
+  test("IVF survives a corpus smaller than the requested cell/probe counts (round-13 review)") {
+    // 4 distinct vectors: auto-sizing clamps nCells to 16 but kmeans can
+    // only return 4 centroids, while auto nProbe asks for 6 —
+    // probe/assign now clamp to the produced cell count (the old
+    // query×centroid window rank degraded the same way) instead of
+    // crashing NearestCells' nAssign require
+    val tiny = spark.createDataFrame(
+      (0 until 4).map(i => (i.toLong, Seq.tabulate(4)(j => if (j == i) 1.0 else 0.0))))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(tiny, tiny.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2)
+    assert(res.count() == 2, "tiny-corpus knn lost rows")
+    // declared counts above the achievable cell count clamp the same way
+    val res2 = Similarity.ivfTopK(tiny, tiny.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 2, nCells = 4, nProbe = 4, nAssign = 4)
+    assert(res2.count() == 2)
+  }
+
+  test("embedding-LSH auto-sizer accepts widths past its 16-bit search bound (round-13 review)") {
+    // planesPerTable = 20 previously produced an EMPTY (b, T, L) config
+    // search (`20 to 16`) and crashed on cfgs.maxBy at construction; the
+    // width bound now widens to the declaration and pinned probe counts
+    // clamp to the width instead of filtering every config out
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val df = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", dim = 64,
+      nTables = 4, planesPerTable = 20, threshold = 0.4, maxTables = 8)
+    df.count() // construction and execution both survive
+  }
+
   test("IVF ANN: recall@10 >= 0.9 at nProbe=4 on clustered data") {
     // 16 tight clusters of 30 unit vectors each (deterministic seed): every
     // query's true top-10 are cluster-mates, the workload IVF exists for.
