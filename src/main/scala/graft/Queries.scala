@@ -499,6 +499,24 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"docs-profile"}}""".stripMargin)
       .select("col_name", "n_non_null", "n_distinct")
 
+  /** Spec-level snapshot drift (X29 through JSON config): the source topic
+    * is the NEW snapshot, `comparePath` + `compareFilter` select the OLD —
+    * here the events table vs its own first half (the deterministic
+    * fixture stand-in for "this crawl vs the last one"). `<dataDir>`
+    * resolves against the bound data directory, so the spec is
+    * environment-portable. Exact DuckDB oracle.
+    */
+  def r35SpecDrift(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"drift-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "numericColumns":["value"],"categoricalColumns":["event_type"]}],
+         |"outputTopic":{"enabled":true,"name":"events-drift"}}""".stripMargin)
+      .select("col_name", "metric", "old_value", "new_value", "delta")
+
   /** Spec-level quantile rollup (the mergeable percentile sketch through
     * JSON config; rows-only — estimates are engine-specific, accuracy
     * rank-pinned in InterpreterSpec against exact percentiles).
@@ -1981,6 +1999,23 @@ object Queries {
       spark.read.parquet(s"$dir/documents.parquet"),
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
+  /** X29 snapshot drift: exact per-column distribution drift between two
+    * corpus snapshots — here the events table split at a fixed date (the
+    * deterministic stand-in for crawl N vs crawl N+1): numeric drift on
+    * `value` (count / null rate / mean / stddev / min / max as old, new,
+    * delta rows) and the exact frequency-vector L1 distance on
+    * `event_type`. The pre-retrain data-quality gate: a shifted value
+    * distribution or collapsed category is caught before any GPU hours.
+    */
+  def x29Drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("__t", col("ts").cast("timestamp"))
+    val split = lit("2024-01-16").cast("timestamp")
+    graft.operators.Drift.driftReport(
+      ev.filter(col("__t") < split), ev.filter(col("__t") >= split),
+      Seq("value"), Seq("event_type"))
+  }
+
   /** X21 exact heavy hitters: tokens appearing in ≥0.5% of the corpus's
     * token stream, with exact counts. Misra–Gries candidate sketch (bounded
     * map-side state, ≤k-row exchange) + exact broadcast recount — the
@@ -2721,6 +2756,73 @@ object Queries {
         |FROM base
         |LEFT JOIN topw ON base.doc_id = topw.doc_id
         |LEFT JOIN topb ON base.doc_id = topb.doc_id""".stripMargin,
+    "x29_drift" ->
+      """WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+        |n AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'),
+        |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+        |              avg(value) AS mean, stddev_samp(value) AS sd,
+        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
+        |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+        |              avg(value) AS mean, stddev_samp(value) AS sd,
+        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
+        |num AS (
+        |  SELECT 'value' AS col_name, 'row_count' AS metric,
+        |         oa.cnt AS old_value, na.cnt AS new_value, na.cnt - oa.cnt AS delta
+        |  FROM oa, na
+        |  UNION ALL SELECT 'value', 'null_rate', (oa.cnt - oa.nn) / oa.cnt,
+        |         (na.cnt - na.nn) / na.cnt,
+        |         (na.cnt - na.nn) / na.cnt - (oa.cnt - oa.nn) / oa.cnt FROM oa, na
+        |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
+        |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
+        |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
+        |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
+        |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
+        |       WHERE event_type IS NOT NULL GROUP BY 1),
+        |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
+        |       WHERE event_type IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(oc.cnt, 0) AS ocnt, coalesce(nc.cnt, 0) AS ncnt
+        |      FROM oc FULL OUTER JOIN nc USING (cat)),
+        |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
+        |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
+        |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
+        |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
+        |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
+        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin,
+    // r35: the spec form's old side is the compareFilter'd first half; the
+    // NEW side is the whole source topic (the frame) — same metric
+    // pipeline, different split
+    "r35_spec_drift" ->
+      """WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+        |n AS (SELECT * FROM events),
+        |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+        |              avg(value) AS mean, stddev_samp(value) AS sd,
+        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
+        |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+        |              avg(value) AS mean, stddev_samp(value) AS sd,
+        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
+        |num AS (
+        |  SELECT 'value' AS col_name, 'row_count' AS metric,
+        |         oa.cnt AS old_value, na.cnt AS new_value, na.cnt - oa.cnt AS delta
+        |  FROM oa, na
+        |  UNION ALL SELECT 'value', 'null_rate', (oa.cnt - oa.nn) / oa.cnt,
+        |         (na.cnt - na.nn) / na.cnt,
+        |         (na.cnt - na.nn) / na.cnt - (oa.cnt - oa.nn) / oa.cnt FROM oa, na
+        |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
+        |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
+        |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
+        |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
+        |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
+        |       WHERE event_type IS NOT NULL GROUP BY 1),
+        |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
+        |       WHERE event_type IS NOT NULL GROUP BY 1),
+        |j AS (SELECT coalesce(oc.cnt, 0) AS ocnt, coalesce(nc.cnt, 0) AS ncnt
+        |      FROM oc FULL OUTER JOIN nc USING (cat)),
+        |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
+        |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
+        |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
+        |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
+        |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
+        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin,
     "x21_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -3141,6 +3243,8 @@ object Queries {
     "q4_order_priority" -> q4OrderPriority _,
     "q17_small_qty" -> q17SmallQty _,
     "x16_profile" -> x16Profile _,
+    "x29_drift" -> x29Drift _,
+    "r35_spec_drift" -> r35SpecDrift _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

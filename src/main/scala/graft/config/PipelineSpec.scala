@@ -521,7 +521,14 @@ case class TransformOp(
     // within-partition visit order
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     budget: Option[Long] = None,
-    orderColumns: Seq[String] = Nil) {
+    orderColumns: Seq[String] = Nil,
+    // snapshot_drift (X29): the frame is the NEW snapshot; comparePath
+    // points at the OLD snapshot's parquet (the `<dataDir>` placeholder
+    // resolves like every other path field), compareFilter narrows it
+    comparePath: Option[String] = None,
+    compareFilter: Option[String] = None,
+    numericColumns: Seq[String] = Nil,
+    categoricalColumns: Seq[String] = Nil) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -764,6 +771,13 @@ case class TransformOp(
         "nTables" -> nTables, "planesPerTable" -> planesPerTable).foreach {
         case (n, v) => require(v.forall(_ >= 1), s"[$where] knn $n must be >= 1")
       }
+    case "snapshot_drift" =>
+      require(comparePath.isDefined,
+        s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
+          "parquet; the frame is the NEW snapshot)")
+      require(numericColumns.nonEmpty || categoricalColumns.nonEmpty,
+        s"[$where] snapshot_drift requires numericColumns and/or " +
+          "categoricalColumns")
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] weighted_mix requires column (the stratum) and idColumn")

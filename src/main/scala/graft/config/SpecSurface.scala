@@ -22,7 +22,7 @@ object SpecSurface {
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "resample", "profile",
-    "quantile_rollup", "distinct_rollup", "pack")
+    "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift")
 
   /** knn method family members (PipelineSpec knn validation). */
   val knnMethods: Seq[String] = Seq("exact", "quantized", "ivf", "lsh")

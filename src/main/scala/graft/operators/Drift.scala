@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot drift report (SURVEY §2B X29): per-column distribution drift
+  * between two corpus snapshots — the data-quality gate a recurring
+  * training-data pipeline runs between crawl N and crawl N+1 before
+  * retraining on the new snapshot (a silently shifted value distribution,
+  * a collapsed category, or a null-rate spike is cheaper to catch here
+  * than in a loss curve).
+  *
+  * Two forms, matching the repo's exact/approximate split:
+  *
+  *  - [[driftReport]] — EXACT metrics, one aggregation pass per snapshot
+  *    (no shuffle beyond the two partial-aggregated `agg`s; the result is
+  *    O(columns) rows): per numeric column row count / null rate / mean /
+  *    stddev / min / max, each reported as (old, new, delta); per
+  *    categorical column the exact frequency-vector L1 distance
+  *    (total-variation ×2 — one `groupBy(col)` per side over the
+  *    category-cardinality key space, full outer joined). DuckDB-oracle
+  *    exact (`x29_drift`).
+  *  - [[driftSketchReport]] — the stored-artifact form for 100 TB
+  *    pipelines: distinct-count drift from the MERGEABLE HLL sketch tables
+  *    ([[Profile.distinctSketches]]) the pipeline already maintains per
+  *    snapshot — raw data is never rescanned; two stored sketch rows per
+  *    dimension cell are merged and compared. Accuracy-contract checked
+  *    (per-cell HLL error vs exact on BOTH snapshots, ±5%).
+  *
+  * Scale posture: driftReport's numeric leg is two map-side-combined
+  * aggregation jobs (one per snapshot) emitting one row each; the
+  * categorical leg shuffles one row per DISTINCT category per side —
+  * categorical drift is for bounded-cardinality columns (language, source,
+  * event type; for unbounded key spaces use the sketch form's distinct
+  * drift or heavy-hitter deltas). Nothing here ever joins the snapshots
+  * row-wise.
+  */
+object Drift extends Logging {
+
+  /** Exact per-column drift between `oldDf` and `newDf`.
+    *
+    * Output rows: (col_name, metric, old_value, new_value, delta) with
+    * delta = new − old, doubles throughout (counts cast). Metrics emitted
+    * per numeric column: `row_count`, `null_rate`, `mean`, `stddev`,
+    * `min`, `max`; per categorical column: `freq_l1` (Σ_cat |p_new(cat) −
+    * p_old(cat)|, old/new column carrying each side's distinct category
+    * count). Column lists may overlap.
+    */
+  def driftReport(oldDf: DataFrame, newDf: DataFrame,
+      numericCols: Seq[String], categoricalCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || categoricalCols.nonEmpty,
+      "driftReport needs at least one column")
+
+    def numericSide(df: DataFrame): DataFrame = {
+      val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+        numericCols.flatMap { c =>
+          Seq(
+            count(col(c)).cast("double").as(s"__nn_$c"),
+            avg(col(c)).as(s"__mean_$c"),
+            stddev_samp(col(c)).as(s"__sd_$c"),
+            min(col(c)).cast("double").as(s"__min_$c"),
+            max(col(c)).cast("double").as(s"__max_$c"))
+        }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = numericCols.flatMap { c =>
+        Seq(
+          struct(lit(c).as("col_name"), lit("row_count").as("metric"),
+            col("__n").as("value")),
+          struct(lit(c).as("col_name"), lit("null_rate").as("metric"),
+            ((col("__n") - col(s"__nn_$c")) / col("__n")).as("value")),
+          struct(lit(c).as("col_name"), lit("mean").as("metric"),
+            col(s"__mean_$c").as("value")),
+          struct(lit(c).as("col_name"), lit("stddev").as("metric"),
+            col(s"__sd_$c").as("value")),
+          struct(lit(c).as("col_name"), lit("min").as("metric"),
+            col(s"__min_$c").as("value")),
+          struct(lit(c).as("col_name"), lit("max").as("metric"),
+            col(s"__max_$c").as("value")))
+      }
+      one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
+    }
+
+    def catSide(df: DataFrame, c: String): DataFrame =
+      df.filter(col(c).isNotNull).groupBy(col(c).as("cat"))
+        .agg(count(lit(1)).as("cnt"))
+
+    val numeric =
+      if (numericCols.isEmpty) None
+      else Some(numericSide(oldDf).as("o")
+        .join(numericSide(newDf).as("n"), Seq("col_name", "metric"), "full_outer")
+        .select(col("col_name"), col("metric"),
+          col("o.value").as("old_value"), col("n.value").as("new_value"),
+          (col("n.value") - col("o.value")).as("delta")))
+
+    val categorical = categoricalCols.map { c =>
+      val o = catSide(oldDf, c); val n = catSide(newDf, c)
+      // full outer on category: a vanished or newborn category contributes
+      // its whole probability mass to the L1 distance
+      val joined = o.as("o").join(n.as("n"), Seq("cat"), "full_outer")
+        .select(coalesce(col("o.cnt"), lit(0L)).as("oc"),
+          coalesce(col("n.cnt"), lit(0L)).as("nc"))
+      joined.agg(
+        sum(col("oc")).as("ot"), sum(col("nc")).as("nt"),
+        count(when(col("oc") > 0, 1)).cast("double").as("ocats"),
+        count(when(col("nc") > 0, 1)).cast("double").as("ncats"),
+        // Σ |p_new − p_old| needs both totals — compute the fractions in a
+        // second projection over the single aggregated row
+        collect_list(struct(col("oc"), col("nc"))).as("cells"))
+        .select(lit(c).as("col_name"), lit("freq_l1").as("metric"),
+          col("ocats").as("old_value"), col("ncats").as("new_value"),
+          aggregate(col("cells"), lit(0.0),
+            (acc, cell) => acc +
+              abs(cell.getField("nc") / col("nt") -
+                cell.getField("oc") / col("ot"))).as("delta"))
+    }
+
+    val parts = numeric.toSeq ++ categorical
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** Distinct-count drift from the STORED mergeable HLL sketch tables of
+    * two snapshots (build each with [[Profile.distinctSketches]] — one raw
+    * scan per snapshot, typically already materialized by the profiling
+    * step). Output: one row per dimension cell with both estimates and the
+    * relative drift. Cells present in only one snapshot report the other
+    * side as 0 (newborn/vanished cells ARE drift, not join losses).
+    */
+  def driftFromSketches(oldSketches: DataFrame, newSketches: DataFrame,
+      dims: Seq[String]): DataFrame = {
+    val o = Profile.rollupDistinct(oldSketches, dims)
+      .withColumnRenamed("n_distinct", "old_distinct")
+    val n = Profile.rollupDistinct(newSketches, dims)
+      .withColumnRenamed("n_distinct", "new_distinct")
+    o.join(n, dims, "full_outer")
+      .select(dims.map(col) ++ Seq(
+        coalesce(col("old_distinct"), lit(0L)).as("old_distinct"),
+        coalesce(col("new_distinct"), lit(0L)).as("new_distinct")): _*)
+      .withColumn("rel_drift",
+        when(col("old_distinct") === 0 && col("new_distinct") === 0, lit(0.0))
+          .otherwise(abs(col("new_distinct") - col("old_distinct")) /
+            greatest(col("old_distinct"), col("new_distinct")).cast("double")))
+  }
+}

@@ -342,6 +342,22 @@ object Interpreter extends Logging {
       // (compacted-topic semantics, same rule as heavy_hitters' item)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
       else result
+    case "snapshot_drift" =>
+      require(!df.isStreaming,
+        "snapshot_drift is batch-only (it compares two complete corpus " +
+          "snapshots; a stream has no final distribution to compare — run " +
+          "it between ingest rounds on the materialized snapshots)")
+      // the frame is the NEW snapshot, comparePath the OLD — the natural
+      // reading of "drift of the incoming snapshot against the last one"
+      val old0 = df.sparkSession.read.parquet(
+        resolvePath(t.comparePath.get, dataDir))
+      val old = t.compareFilter.fold(old0)(f => old0.filter(expr(f)))
+      val result = graft.operators.Drift.driftReport(old, df,
+        t.numericColumns, t.categoricalColumns)
+      // a drift table is keyed by the inspected column (compacted-topic
+      // semantics, same rule as profile's col_name)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
+      else result
     case "pack" =>
       // row-PRESERVING (appends pack_id/pack_slot), so the record key
       // rides through untouched; partition-local running bins make the

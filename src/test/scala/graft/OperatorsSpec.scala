@@ -416,6 +416,63 @@ class OperatorsSpec extends SparkSuite {
     assert(dups == 0, "a neighbor claimed two ranks after multi-assignment")
   }
 
+  test("snapshot drift: exact report catches an injected category collapse and value shift (X29)") {
+    val oldDf = spark.createDataFrame((0 until 1000)
+      .map(i => (i.toDouble / 100.0, if (i % 4 == 0) "rare" else "common")))
+      .toDF("value", "event_type")
+    // new snapshot: category 'rare' collapsed, values shifted +5, 10% nulls
+    val newDf = spark.createDataFrame((0 until 1000)
+      .map(i => (if (i % 10 == 0) None
+                 else Some(i.toDouble / 100.0 + 5.0), "common")))
+      .toDF("value", "event_type")
+    val rep = graft.operators.Drift.driftReport(oldDf, newDf,
+      Seq("value"), Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // old mean = avg(0..9.99) = 4.995; new mean = avg over the 900
+    // non-null shifted values = 5.0 + 5 = 10.0 → delta 5.005
+    val mean = rep(("value", "mean"))
+    assert(math.abs(mean.getDouble(4) - 5.005) < 1e-9,
+      s"mean delta ${mean.getDouble(4)} missed the +5 shift")
+    assert(math.abs(rep(("value", "null_rate")).getDouble(4) - 0.1) < 1e-9,
+      "null-rate delta missed the injected 10% nulls")
+    val l1 = rep(("event_type", "freq_l1"))
+    // p_old = (0.25 rare, 0.75 common), p_new = (0, 1) → L1 = 0.25 + 0.25
+    assert(l1.getDouble(2) == 2.0 && l1.getDouble(3) == 1.0,
+      "category counts missed the collapse")
+    assert(math.abs(l1.getDouble(4) - 0.5) < 1e-9,
+      s"freq L1 ${l1.getDouble(4)} != 0.5 for the 25%-mass collapse")
+  }
+
+  test("snapshot drift from STORED sketch tables tracks exact distinct drift within the HLL band (X29)") {
+    // the 100 TB form: drift computed by merging the two snapshots' stored
+    // mergeable HLL tables, never rescanning raw data — per-cell estimates
+    // must stay within the sketch's ±5% pin of the exact distinct counts
+    // on BOTH snapshots
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("__t", col("ts").cast("timestamp"))
+    val split = lit("2024-01-16").cast("timestamp")
+    val o = ev.filter(col("__t") < split); val n = ev.filter(col("__t") >= split)
+    val drift = graft.operators.Drift.driftFromSketches(
+      graft.operators.Profile.distinctSketches(o, Seq("event_type"), "user_id"),
+      graft.operators.Profile.distinctSketches(n, Seq("event_type"), "user_id"),
+      Seq("event_type")).collect()
+    assert(drift.nonEmpty)
+    def exact(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(countDistinct(col("user_id")).as("nd"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eo = exact(o); val en = exact(n)
+    drift.foreach { r =>
+      val cell = r.getString(0)
+      val (od, nd) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(od - eo.getOrElse(cell, 0L)) <= 0.05 * math.max(1L, eo.getOrElse(cell, 0L)),
+        s"$cell old estimate $od vs exact ${eo.get(cell)}")
+      assert(math.abs(nd - en.getOrElse(cell, 0L)) <= 0.05 * math.max(1L, en.getOrElse(cell, 0L)),
+        s"$cell new estimate $nd vs exact ${en.get(cell)}")
+      val rel = r.getDouble(3)
+      assert(rel >= 0.0 && rel <= 1.0, s"rel_drift $rel out of [0,1]")
+    }
+  }
+
   test("IVF survives a corpus smaller than the requested cell/probe counts (round-13 review)") {
     // 4 distinct vectors: auto-sizing clamps nCells to 16 but kmeans can
     // only return 4 centroids, while auto nProbe asks for 6 —

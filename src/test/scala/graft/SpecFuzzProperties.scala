@@ -244,6 +244,17 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         orderColumns = Seq("doc_id"))))
     }
 
+  property("valid snapshot_drift analyzes (numeric / categorical / both)") =
+    Prop.forAll(Gen.oneOf(
+        (Seq("value"), Seq.empty[String]),
+        (Seq.empty[String], Seq("event_type")),
+        (Seq("value"), Seq("event_type"))),
+        Gen.option(Gen.const("user_id IS NOT NULL"))) { case ((num, cat), cf) =>
+      analyzes(simple("fz-drift", "events", TransformOp(op = "snapshot_drift",
+        comparePath = Some("<dataDir>/events.parquet"), compareFilter = cf,
+        numericColumns = num, categoricalColumns = cat)))
+    }
+
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
     Prop.forAll(Gen.chooseNum(10L, 50L), Gen.chooseNum(20, 60)) { (mt, size) =>
       val spec = simple("fz-chain", "documents",
@@ -516,6 +527,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "knn nonpositive nProbe" -> te(TransformOp(op = "knn",
         column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
         queryPath = Some(embParquet), method = Some("ivf"), nProbe = Some(0))),
+      "snapshot_drift without comparePath" -> te(TransformOp(
+        op = "snapshot_drift", numericColumns = Seq("value"))),
+      "snapshot_drift without any columns" -> te(TransformOp(
+        op = "snapshot_drift",
+        comparePath = Some("<dataDir>/events.parquet"))),
       "resample fractional-second every" -> te(TransformOp(op = "resample",
         idColumn = Some("user_id"), timeColumn = Some("ts"),
         valueColumns = Seq("value"), every = Some("500 milliseconds"))),
