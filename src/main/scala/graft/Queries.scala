@@ -2169,6 +2169,44 @@ object Queries {
     * on both sides. `CAST(ts AS TIMESTAMP)` floors TIMESTAMP_NS → micros,
     * matching the engine's nanos handling (Sources.fixNanos).
     */
+  /** Shared body of the two drift oracles — identical metric pipeline, the
+    * only difference is the NEW-side CTE (x29 splits events at the fixed
+    * date; the r35 spec twin's new side is the whole topic). One
+    * implementation so a metric fix can never drift between the twins.
+    */
+  private def driftOracleSql(newCte: String): String =
+    s"""WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+       |n AS ($newCte),
+       |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+       |              avg(value) AS mean, stddev_samp(value) AS sd,
+       |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
+       |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+       |              avg(value) AS mean, stddev_samp(value) AS sd,
+       |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
+       |num AS (
+       |  SELECT 'value' AS col_name, 'row_count' AS metric,
+       |         oa.cnt AS old_value, na.cnt AS new_value, na.cnt - oa.cnt AS delta
+       |  FROM oa, na
+       |  UNION ALL SELECT 'value', 'null_rate', (oa.cnt - oa.nn) / oa.cnt,
+       |         (na.cnt - na.nn) / na.cnt,
+       |         (na.cnt - na.nn) / na.cnt - (oa.cnt - oa.nn) / oa.cnt FROM oa, na
+       |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
+       |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
+       |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
+       |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
+       |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
+       |       WHERE event_type IS NOT NULL GROUP BY 1),
+       |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
+       |       WHERE event_type IS NOT NULL GROUP BY 1),
+       |j AS (SELECT coalesce(oc.cnt, 0) AS ocnt, coalesce(nc.cnt, 0) AS ncnt
+       |      FROM oc FULL OUTER JOIN nc USING (cat)),
+       |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
+       |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
+       |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
+       |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
+       |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
+       |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
     "r01_simple_stream" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
@@ -2757,72 +2795,11 @@ object Queries {
         |LEFT JOIN topw ON base.doc_id = topw.doc_id
         |LEFT JOIN topb ON base.doc_id = topb.doc_id""".stripMargin,
     "x29_drift" ->
-      """WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
-        |n AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'),
-        |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
-        |              avg(value) AS mean, stddev_samp(value) AS sd,
-        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
-        |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
-        |              avg(value) AS mean, stddev_samp(value) AS sd,
-        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
-        |num AS (
-        |  SELECT 'value' AS col_name, 'row_count' AS metric,
-        |         oa.cnt AS old_value, na.cnt AS new_value, na.cnt - oa.cnt AS delta
-        |  FROM oa, na
-        |  UNION ALL SELECT 'value', 'null_rate', (oa.cnt - oa.nn) / oa.cnt,
-        |         (na.cnt - na.nn) / na.cnt,
-        |         (na.cnt - na.nn) / na.cnt - (oa.cnt - oa.nn) / oa.cnt FROM oa, na
-        |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
-        |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
-        |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
-        |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
-        |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
-        |       WHERE event_type IS NOT NULL GROUP BY 1),
-        |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
-        |       WHERE event_type IS NOT NULL GROUP BY 1),
-        |j AS (SELECT coalesce(oc.cnt, 0) AS ocnt, coalesce(nc.cnt, 0) AS ncnt
-        |      FROM oc FULL OUTER JOIN nc USING (cat)),
-        |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
-        |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
-        |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
-        |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
-        |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
-        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin,
+      driftOracleSql(
+        "SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'"),
     // r35: the spec form's old side is the compareFilter'd first half; the
-    // NEW side is the whole source topic (the frame) — same metric
-    // pipeline, different split
-    "r35_spec_drift" ->
-      """WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
-        |n AS (SELECT * FROM events),
-        |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
-        |              avg(value) AS mean, stddev_samp(value) AS sd,
-        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
-        |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
-        |              avg(value) AS mean, stddev_samp(value) AS sd,
-        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
-        |num AS (
-        |  SELECT 'value' AS col_name, 'row_count' AS metric,
-        |         oa.cnt AS old_value, na.cnt AS new_value, na.cnt - oa.cnt AS delta
-        |  FROM oa, na
-        |  UNION ALL SELECT 'value', 'null_rate', (oa.cnt - oa.nn) / oa.cnt,
-        |         (na.cnt - na.nn) / na.cnt,
-        |         (na.cnt - na.nn) / na.cnt - (oa.cnt - oa.nn) / oa.cnt FROM oa, na
-        |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
-        |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
-        |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
-        |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
-        |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
-        |       WHERE event_type IS NOT NULL GROUP BY 1),
-        |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
-        |       WHERE event_type IS NOT NULL GROUP BY 1),
-        |j AS (SELECT coalesce(oc.cnt, 0) AS ocnt, coalesce(nc.cnt, 0) AS ncnt
-        |      FROM oc FULL OUTER JOIN nc USING (cat)),
-        |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
-        |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
-        |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
-        |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
-        |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
-        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin,
+    // NEW side is the whole source topic (the frame) — same metric pipeline
+    "r35_spec_drift" -> driftOracleSql("SELECT * FROM events"),
     "x21_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok

@@ -172,6 +172,11 @@ case class SignBuckets(child: Expression, planes: Seq[Seq[Double]],
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes.nonEmpty && planes.length % planesPerTable == 0,
     "planes must divide evenly into tables")
+  // bucket ids pack one bit per plane into an Int: past 31 planes the
+  // 1 << j shifts wrap mod 32 and plane j aliases plane j-32 SILENTLY —
+  // fail fast instead of corrupting buckets
+  require(planesPerTable >= 1 && planesPerTable <= 31,
+    "planesPerTable must be in [1, 31] (Int bucket packing)")
   override def prettyName: String = "sign_buckets"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   // dimension mismatch → null regardless of child nullability (see
@@ -401,6 +406,9 @@ case class SignBucketsMultiProbe(child: Expression, planes: Seq[Seq[Double]],
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes.nonEmpty && planes.length % planesPerTable == 0,
     "planes must divide evenly into tables")
+  // same Int-packing bound as SignBuckets — bit 32 would alias bit 0
+  require(planesPerTable >= 1 && planesPerTable <= 31,
+    "planesPerTable must be in [1, 31] (Int bucket packing)")
   require(nProbes >= 0 && nProbes <= planesPerTable,
     "nProbes must be in [0, planesPerTable]")
   override def prettyName: String = "sign_buckets_multiprobe"

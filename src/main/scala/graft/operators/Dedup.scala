@@ -556,12 +556,28 @@ object Dedup extends Logging {
       maxBucketSize: Int = -1, autoSize: Boolean = true,
       recallTarget: Double = 0.9, maxTables: Int = 64,
       nProbes: Int = -1): DataFrame = {
+    // bucket ids pack one sign bit per plane into an Int — widths past 31
+    // would alias bits silently (SignBuckets requires the same bound); a
+    // probe count past 31 can never be satisfied by any legal width
+    require(planesPerTable >= 1 && planesPerTable <= 31,
+      s"planesPerTable must be in [1, 31], got $planesPerTable")
+    require(nProbes <= 31, s"nProbes must be <= 31, got $nProbes")
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val occupancyTarget = 64
     // one count over the id column — parquet metadata-cheap, and the price
     // of a plan that stays linear instead of quadratic at 10× the corpus
     val (bPlanes, lTables, probeT, nKnown) =
-      if (!autoSize) (planesPerTable, nTables, math.max(0, nProbes), -1L)
+      if (!autoSize) {
+        // declared geometry honors the declaration, but a probe count above
+        // the table width is meaningless (there are only b bits to flip) —
+        // clamp it like the sized path does instead of letting
+        // SignBucketsMultiProbe's constructor require abort the job
+        val t0 = math.max(0, nProbes)
+        if (t0 > planesPerTable) logWarning(
+          s"embeddingCosinePairs: nProbes=$t0 exceeds planesPerTable=" +
+            s"$planesPerTable; clamping to $planesPerTable")
+        (planesPerTable, nTables, math.min(t0, planesPerTable), -1L)
+      }
       else {
         val n = math.max(1L, e.count())
         val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
@@ -611,13 +627,16 @@ object Dedup extends Logging {
         val lSafety = 1.4
         val tCands = if (nProbes >= 0) Seq(nProbes) else 0 to 4
         // the width search is bounded at 16 bits, but a caller declaring a
-        // wider planesPerTable (or a probe count above every candidate
-        // width) must still yield >= 1 config — an empty search crashed on
-        // cfgs.maxBy before; widen the upper bound to the declaration and
-        // clamp probes to the width instead of filtering the row out
+        // wider planesPerTable — or pinning a probe count above every
+        // candidate width — must still yield >= 1 config (an empty search
+        // crashed on cfgs.maxBy before): widen the upper bound to cover
+        // both declarations, and keep the t <= b filter so a PINNED probe
+        // count is honored exactly, never silently reduced by a
+        // smaller-width config winning the cost race
+        val bHi = math.max(16, math.max(planesPerTable, tCands.max))
         val cfgs = for {
-          b <- planesPerTable to math.max(16, planesPerTable)
-          t <- tCands.map(math.min(_, b)).distinct
+          b <- planesPerTable to bHi
+          t <- tCands if t <= b
         } yield {
           val gs = math.min(1.0, probeBoost * t / b)
           val gp1 = 1.0 - (1.0 - gs) * (1.0 - gs) // either side probes the bit

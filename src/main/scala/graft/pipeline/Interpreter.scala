@@ -68,7 +68,7 @@ object Interpreter extends Logging {
     // spec-level transform stage (X-surface through the config path),
     // in declaration order; validated by spec.validate() above
     val transformed = spec.transform.foldLeft(built)(
-      (df, t) => applyTransform(df, t, sources.dataDir))
+      (df, t) => applyTransform(df, t, sources.dataDir, spec.id))
     // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
     // Catalyst pushes it down through the plan wherever legal
     val out = spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
@@ -102,17 +102,18 @@ object Interpreter extends Logging {
     * with the bound resolver's base directory — checked-in example configs
     * stay portable across environments (see SourceResolver.dataDir).
     */
-  private def resolvePath(p: String, dataDir: Option[String]): String =
+  private def resolvePath(p: String, dataDir: Option[String],
+      where: String): String =
     if (!p.contains("<dataDir>")) p
     else dataDir match {
       case Some(d) => p.replace("<dataDir>", d)
       case None => throw new IllegalArgumentException(
-        s"path '$p' uses <dataDir> but the bound source resolver has no " +
-          "filesystem base directory")
+        s"[$where] path '$p' uses <dataDir> but the bound source resolver " +
+          "has no filesystem base directory")
     }
 
   private def applyTransform(df: DataFrame, t: TransformOp,
-      dataDir: Option[String]): DataFrame = t.op match {
+      dataDir: Option[String], specId: String): DataFrame = t.op match {
     case "dedup_exact" if df.isStreaming =>
       // the unbounded-state commitment must be EXPLICIT (round-8 judge):
       // either bound it with a TTL or acknowledge it with unboundedOk
@@ -350,7 +351,7 @@ object Interpreter extends Logging {
       // the frame is the NEW snapshot, comparePath the OLD — the natural
       // reading of "drift of the incoming snapshot against the last one"
       val old0 = df.sparkSession.read.parquet(
-        resolvePath(t.comparePath.get, dataDir))
+        resolvePath(t.comparePath.get, dataDir, specId))
       val old = t.compareFilter.fold(old0)(f => old0.filter(expr(f)))
       val result = graft.operators.Drift.driftReport(old, df,
         t.numericColumns, t.categoricalColumns)
@@ -456,7 +457,7 @@ object Interpreter extends Logging {
       // vectors are stored array<float> (4-byte storage form); score in
       // double like every x3 query so the config path hash-matches them
       val corpus = df.withColumn(vecC, col(vecC).cast("array<double>"))
-      val q0 = df.sparkSession.read.parquet(resolvePath(t.queryPath.get, dataDir))
+      val q0 = df.sparkSession.read.parquet(resolvePath(t.queryPath.get, dataDir, specId))
       val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
         .withColumn(vecC, col(vecC).cast("array<double>"))
       val result = t.method.getOrElse("exact") match {
@@ -494,7 +495,7 @@ object Interpreter extends Logging {
       // construction (eval sets are small; the corpus side never collects).
       // The projection form keeps the op stateless → streaming-legal in
       // any output mode, and shuffle-free in batch.
-      val bench0 = df.sparkSession.read.parquet(resolvePath(t.benchPath.get, dataDir))
+      val bench0 = df.sparkSession.read.parquet(resolvePath(t.benchPath.get, dataDir, specId))
       val bench = t.benchFilter.fold(bench0)(f => bench0.filter(expr(f)))
       val hashes = graft.operators.TextAnalysis.benchShingleHashes(
         bench, t.column.get, t.shingleSize.get)
@@ -728,7 +729,7 @@ object Interpreter extends Logging {
     // changelog to a static parquet snapshot (the startSnapshotSink store
     // keyed by (key, versionTs)) — the streaming-legal shape
     val changelog0 = a.snapshotPath match {
-      case Some(p) => spark.read.parquet(resolvePath(p, sources.dataDir))
+      case Some(p) => spark.read.parquet(resolvePath(p, sources.dataDir, spec.id))
       case None    => sources.stream(spark, op.enrichmentTopic)
     }
     // fail with intent, not Spark's unsupported-window chain: the temporal

@@ -25,8 +25,8 @@ trait SourceResolver {
   def globalTable(spark: SparkSession, topic: TopicConfig): DataFrame =
     broadcast(table(spark, topic))
   def catalog: SchemaCatalog
-  /** Base directory spec-level path fields (`queryPath`, `benchmarkPath`,
-    * `snapshotPath`) may reference via the literal `<dataDir>` placeholder —
+  /** Base directory spec-level path fields (`queryPath`, `benchPath`,
+    * `snapshotPath`, `comparePath`) may reference via the literal `<dataDir>` placeholder —
     * lets checked-in example configs stay environment-portable (the
     * round-13 review flagged an example hard-coding one machine's absolute
     * fixture path). None when the resolver has no filesystem base (Kafka).
