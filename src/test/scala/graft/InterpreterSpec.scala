@@ -850,6 +850,37 @@ class InterpreterSpec extends SparkSuite {
     assert(bad.getMessage.contains("planAudit"), bad.getMessage)
   }
 
+  test("<dataDir> against a resolver with no filesystem base fails at build with the spec-id prefix") {
+    // the portability placeholder's failure mode (e.g. a Kafka-bound spec):
+    // a prefixed IllegalArgumentException at build, per the global error
+    // contract — never a mid-query path error
+    val parquet = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val noBase = new graft.sources.SourceResolver {
+      def stream(s: org.apache.spark.sql.SparkSession, t: graft.config.TopicConfig) =
+        parquet.stream(s, t)
+      def table(s: org.apache.spark.sql.SparkSession, t: graft.config.TopicConfig) =
+        parquet.table(s, t)
+      def catalog = TestdataCatalog
+      // dataDir stays None — the trait default (the Kafka posture)
+    }
+    val spec = PipelineSpec.fromJson(
+      """{"id":"portable-drift","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"snapshot_drift",
+        |  "comparePath":"<dataDir>/events.parquet",
+        |  "numericColumns":["value"]}],
+        |"outputTopic":{"enabled":true,"name":"drift-out"}}""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec, noBase)
+    }
+    assert(e.getMessage.contains("[portable-drift]") &&
+      e.getMessage.contains("<dataDir>"), e.getMessage)
+    // the same spec against the parquet resolver builds and computes
+    // (6 rows: the six numeric metrics; no categorical column declared)
+    assert(graft.pipeline.Interpreter.build(spark, spec, parquet)
+      .count() == 6)
+  }
+
   test("YAML config binds to the same spec as JSON; a list document drives many topologies with unique ids") {
     val yaml =
       """id: yaml-chain
