@@ -443,6 +443,29 @@ class OperatorsSpec extends SparkSuite {
       s"freq L1 ${l1.getDouble(4)} != 0.5 for the 25%-mass collapse")
   }
 
+  test("snapshot drift is antisymmetric: swapping snapshots negates numeric deltas, preserves freq L1 (X29)") {
+    // a structural consistency check across the whole metric surface on
+    // real data: driftReport(new, old) must be driftReport(old, new) with
+    // old/new columns swapped — numeric deltas negate exactly, the L1
+    // distance (a metric) is direction-free
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("__t", col("ts").cast("timestamp"))
+    val split = lit("2024-01-16").cast("timestamp")
+    val o = ev.filter(col("__t") < split); val n = ev.filter(col("__t") >= split)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val fwd = rows(graft.operators.Drift.driftReport(o, n, Seq("value"), Seq("event_type")))
+    val rev = rows(graft.operators.Drift.driftReport(n, o, Seq("value"), Seq("event_type")))
+    assert(fwd.keySet == rev.keySet && fwd.nonEmpty)
+    fwd.foreach { case (k @ (_, metric), (ov, nv, d)) =>
+      val (rov, rnv, rd) = rev(k)
+      assert(rov == nv && rnv == ov, s"$k old/new did not swap")
+      if (metric == "freq_l1") assert(math.abs(rd - d) < 1e-12, s"$k L1 not symmetric")
+      else assert(math.abs(rd + d) < 1e-9, s"$k delta not antisymmetric: $d vs $rd")
+    }
+  }
+
   test("snapshot drift from STORED sketch tables tracks exact distinct drift within the HLL band (X29)") {
     // the 100 TB form: drift computed by merging the two snapshots' stored
     // mergeable HLL tables, never rescanning raw data — per-cell estimates
