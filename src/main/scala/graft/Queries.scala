@@ -2178,9 +2178,11 @@ object Queries {
     s"""WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
        |n AS ($newCte),
        |oa AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+       |              count(event_type)::DOUBLE AS cnn,
        |              avg(value) AS mean, stddev_samp(value) AS sd,
        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM o),
        |na AS (SELECT count(*)::DOUBLE AS cnt, count(value)::DOUBLE AS nn,
+       |              count(event_type)::DOUBLE AS cnn,
        |              avg(value) AS mean, stddev_samp(value) AS sd,
        |              min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx FROM n),
        |num AS (
@@ -2193,7 +2195,10 @@ object Queries {
        |  UNION ALL SELECT 'value', 'mean', oa.mean, na.mean, na.mean - oa.mean FROM oa, na
        |  UNION ALL SELECT 'value', 'stddev', oa.sd, na.sd, na.sd - oa.sd FROM oa, na
        |  UNION ALL SELECT 'value', 'min', oa.mn, na.mn, na.mn - oa.mn FROM oa, na
-       |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na),
+       |  UNION ALL SELECT 'value', 'max', oa.mx, na.mx, na.mx - oa.mx FROM oa, na
+       |  UNION ALL SELECT 'event_type', 'null_rate', (oa.cnt - oa.cnn) / oa.cnt,
+       |         (na.cnt - na.cnn) / na.cnt,
+       |         (na.cnt - na.cnn) / na.cnt - (oa.cnt - oa.cnn) / oa.cnt FROM oa, na),
        |oc AS (SELECT event_type AS cat, count(*) AS cnt FROM o
        |       WHERE event_type IS NOT NULL GROUP BY 1),
        |nc AS (SELECT event_type AS cat, count(*) AS cnt FROM n
@@ -2203,8 +2208,12 @@ object Queries {
        |cat AS (SELECT 'event_type' AS col_name, 'freq_l1' AS metric,
        |  (SELECT count(*) FROM j WHERE ocnt > 0)::DOUBLE AS old_value,
        |  (SELECT count(*) FROM j WHERE ncnt > 0)::DOUBLE AS new_value,
-       |  sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
-       |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) AS delta FROM j)
+       |  -- zero-total guard mirrors Drift.driftReport: an empty side
+       |  -- reports the maximal L1 (2.0), both empty reports 0.0
+       |  CASE WHEN coalesce(sum(ncnt), 0) = 0 AND coalesce(sum(ocnt), 0) = 0 THEN 0.0
+       |       WHEN coalesce(sum(ncnt), 0) = 0 OR coalesce(sum(ocnt), 0) = 0 THEN 2.0
+       |       ELSE sum(abs(ncnt / (SELECT sum(ncnt)::DOUBLE FROM j)
+       |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) END AS delta FROM j)
        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin
 
   private val oracles0: Map[String, String] = Map(

@@ -705,10 +705,21 @@ object Dedup extends Logging {
     // scan with 2× decompression headroom instead of running a count job
     // at DataFrame-construction time (round-13 ADVICE item).
     val broadcastBudget = 64L * 1024 * 1024
+    val sizeStatBytes =
+      (BigInt(2) * e.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .min(BigInt(Long.MaxValue)).toLong
+    // the size statistic is COMPRESSED file size with 2× headroom —
+    // dictionary/RLE-friendly embedding parquet can decompress well past
+    // 2×, so an estimate that PASSES the budget is confirmed with a row
+    // count before anything is force-broadcast (the count is cheap exactly
+    // when the stat says "small", and a count that reveals an oversized
+    // table routes to the shuffle branch instead of pressuring the
+    // driver). An estimate already past the budget routes to shuffle
+    // lazily — no count job at DataFrame-construction time.
     val vecTableBytes =
       if (nKnown >= 0) nKnown * vecRowBytes
-      else (BigInt(2) * e.queryExecution.optimizedPlan.stats.sizeInBytes)
-        .min(BigInt(Long.MaxValue)).toLong
+      else if (sizeStatBytes > broadcastBudget) sizeStatBytes
+      else e.count() * vecRowBytes
     def pairs(banded: DataFrame): DataFrame = {
       // SHUFFLE_MERGE pinned: the banded frame is n·L·(1+T) rows, but its
       // SIZE ESTIMATE derives from the (small, compressed) parquet scan

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   *    (no shuffle beyond the two partial-aggregated `agg`s; the result is
   *    O(columns) rows): per numeric column row count / null rate / mean /
   *    stddev / min / max, each reported as (old, new, delta); per
-  *    categorical column the exact frequency-vector L1 distance
-  *    (total-variation ×2 — one `groupBy(col)` per side over the
-  *    category-cardinality key space, full outer joined). DuckDB-oracle
-  *    exact (`x29_drift`).
-  *  - [[driftSketchReport]] — the stored-artifact form for 100 TB
+  *    categorical column a null_rate row (from the same scalar agg pass —
+  *    the frequency leg filters nulls, so a null-rate spike would be
+  *    invisible to `freq_l1` alone) plus the exact frequency-vector L1
+  *    distance over non-null values (total-variation ×2 — one
+  *    `groupBy(col)` per side over the category-cardinality key space,
+  *    full outer joined). DuckDB-oracle exact (`x29_drift`).
+  *  - [[driftFromSketches]] — the stored-artifact form for 100 TB
   *    pipelines: distinct-count drift from the MERGEABLE HLL sketch tables
   *    ([[Profile.distinctSketches]]) the pipeline already maintains per
   *    snapshot — raw data is never rescanned; two stored sketch rows per
@@ -43,16 +45,28 @@ object Drift extends Logging {
     * Output rows: (col_name, metric, old_value, new_value, delta) with
     * delta = new − old, doubles throughout (counts cast). Metrics emitted
     * per numeric column: `row_count`, `null_rate`, `mean`, `stddev`,
-    * `min`, `max`; per categorical column: `freq_l1` (Σ_cat |p_new(cat) −
-    * p_old(cat)|, old/new column carrying each side's distinct category
-    * count). Column lists may overlap.
+    * `min`, `max`; per categorical column: `null_rate` (computed in the
+    * same scalar agg pass — the frequency leg excludes nulls, so a
+    * snapshot whose categories keep their relative frequencies but go 50%
+    * null would otherwise report zero drift) and `freq_l1` (Σ_cat
+    * |p_new(cat) − p_old(cat)| over non-null values, old/new column
+    * carrying each side's distinct category count). A side whose
+    * non-null total is zero (empty snapshot or fully collapsed column)
+    * reports `freq_l1` as the maximal L1 distance 2.0 — the headline
+    * collapse case must gate, not divide by zero; both sides empty
+    * reports 0.0 (no distribution on either side). Column lists may
+    * overlap.
     */
   def driftReport(oldDf: DataFrame, newDf: DataFrame,
       numericCols: Seq[String], categoricalCols: Seq[String]): DataFrame = {
     require(numericCols.nonEmpty || categoricalCols.nonEmpty,
       "driftReport needs at least one column")
 
-    def numericSide(df: DataFrame): DataFrame = {
+    // one scalar-agg pass per snapshot covers BOTH column lists: the six
+    // numeric metrics, and null_rate for categorical columns (their only
+    // scalar metric; a column in both lists emits its null_rate once)
+    def scalarSide(df: DataFrame): DataFrame = {
+      val catOnly = categoricalCols.filterNot(numericCols.contains)
       val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
         numericCols.flatMap { c =>
           Seq(
@@ -61,14 +75,17 @@ object Drift extends Logging {
             stddev_samp(col(c)).as(s"__sd_$c"),
             min(col(c)).cast("double").as(s"__min_$c"),
             max(col(c)).cast("double").as(s"__max_$c"))
-        }
+        } ++
+        catOnly.map(c => count(col(c)).cast("double").as(s"__nn_$c"))
       val one = df.agg(aggs.head, aggs.tail: _*)
+      def nullRate(c: String) =
+        struct(lit(c).as("col_name"), lit("null_rate").as("metric"),
+          ((col("__n") - col(s"__nn_$c")) / col("__n")).as("value"))
       val stacked = numericCols.flatMap { c =>
         Seq(
           struct(lit(c).as("col_name"), lit("row_count").as("metric"),
             col("__n").as("value")),
-          struct(lit(c).as("col_name"), lit("null_rate").as("metric"),
-            ((col("__n") - col(s"__nn_$c")) / col("__n")).as("value")),
+          nullRate(c),
           struct(lit(c).as("col_name"), lit("mean").as("metric"),
             col(s"__mean_$c").as("value")),
           struct(lit(c).as("col_name"), lit("stddev").as("metric"),
@@ -77,7 +94,7 @@ object Drift extends Logging {
             col(s"__min_$c").as("value")),
           struct(lit(c).as("col_name"), lit("max").as("metric"),
             col(s"__max_$c").as("value")))
-      }
+      } ++ catOnly.map(nullRate)
       one.select(explode(array(stacked: _*)).as("p")).select(col("p.*"))
     }
 
@@ -85,13 +102,11 @@ object Drift extends Logging {
       df.filter(col(c).isNotNull).groupBy(col(c).as("cat"))
         .agg(count(lit(1)).as("cnt"))
 
-    val numeric =
-      if (numericCols.isEmpty) None
-      else Some(numericSide(oldDf).as("o")
-        .join(numericSide(newDf).as("n"), Seq("col_name", "metric"), "full_outer")
-        .select(col("col_name"), col("metric"),
-          col("o.value").as("old_value"), col("n.value").as("new_value"),
-          (col("n.value") - col("o.value")).as("delta")))
+    val scalar = Some(scalarSide(oldDf).as("o")
+      .join(scalarSide(newDf).as("n"), Seq("col_name", "metric"), "full_outer")
+      .select(col("col_name"), col("metric"),
+        col("o.value").as("old_value"), col("n.value").as("new_value"),
+        (col("n.value") - col("o.value")).as("delta")))
 
     val categorical = categoricalCols.map { c =>
       val o = catSide(oldDf, c); val n = catSide(newDf, c)
@@ -109,13 +124,19 @@ object Drift extends Logging {
         collect_list(struct(col("oc"), col("nc"))).as("cells"))
         .select(lit(c).as("col_name"), lit("freq_l1").as("metric"),
           col("ocats").as("old_value"), col("ncats").as("new_value"),
-          aggregate(col("cells"), lit(0.0),
-            (acc, cell) => acc +
-              abs(cell.getField("nc") / col("nt") -
-                cell.getField("oc") / col("ot"))).as("delta"))
+          // zero-total guard: a side with no non-null values has no
+          // distribution — the maximal-drift convention (2.0) makes a
+          // fully collapsed column GATE instead of dividing by zero
+          // (null delta under default Spark, runtime error under ANSI)
+          when(col("nt") === 0 && col("ot") === 0, lit(0.0))
+            .when(col("nt") === 0 || col("ot") === 0, lit(2.0))
+            .otherwise(aggregate(col("cells"), lit(0.0),
+              (acc, cell) => acc +
+                abs(cell.getField("nc") / col("nt") -
+                  cell.getField("oc") / col("ot")))).as("delta"))
     }
 
-    val parts = numeric.toSeq ++ categorical
+    val parts = scalar.toSeq ++ categorical
     parts.reduce(_.unionByName(_))
   }
 

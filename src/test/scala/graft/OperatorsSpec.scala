@@ -443,6 +443,41 @@ class OperatorsSpec extends SparkSuite {
       s"freq L1 ${l1.getDouble(4)} != 0.5 for the 25%-mass collapse")
   }
 
+  test("snapshot drift: categorical null-rate spike and full collapse are visible (X29)") {
+    // a null-rate spike with UNCHANGED relative frequencies is invisible
+    // to freq_l1 (the frequency leg excludes nulls by design) — the
+    // categorical null_rate row is what catches it
+    val oldDf = spark.createDataFrame((0 until 1000)
+      .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
+      .toDF("id", "event_type")
+    // 50% null; among the 500 non-null rows (odd i) the a:b split stays
+    // 25:75 (i%8==1 → 125 of 500 are "a") — relative frequencies unchanged
+    val spiked = spark.createDataFrame((0 until 1000)
+      .map(i => (i, if (i % 2 == 0) None else Some(if (i % 8 == 1) "a" else "b"))))
+      .toDF("id", "event_type")
+    val rep = graft.operators.Drift.driftReport(oldDf, spiked, Nil, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(math.abs(rep(("event_type", "null_rate")).getDouble(4) - 0.5) < 1e-9,
+      "categorical null_rate row missed the 50% null spike")
+    assert(math.abs(rep(("event_type", "freq_l1")).getDouble(4) - 0.0) < 1e-9,
+      "unchanged relative frequencies should report zero L1")
+    // a FULLY collapsed (all-null) new side must report the maximal L1
+    // 2.0, not a divide-by-zero null
+    val collapsed = spark.createDataFrame((0 until 1000)
+      .map(i => (i, None: Option[String]))).toDF("id", "event_type")
+    val rep2 = graft.operators.Drift.driftReport(oldDf, collapsed, Nil, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val l1 = rep2(("event_type", "freq_l1"))
+    assert(!l1.isNullAt(4) && l1.getDouble(4) == 2.0,
+      s"all-null new side should report maximal drift 2.0, got ${l1.get(4)}")
+    // both sides empty: no distribution on either side → 0.0 by convention
+    val rep3 = graft.operators.Drift.driftReport(collapsed, collapsed, Nil, Seq("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val l13 = rep3(("event_type", "freq_l1"))
+    assert(!l13.isNullAt(4) && l13.getDouble(4) == 0.0,
+      s"both-empty sides should report 0.0 drift, got ${l13.get(4)}")
+  }
+
   test("snapshot drift is antisymmetric: swapping snapshots negates numeric deltas, preserves freq L1 (X29)") {
     // a structural consistency check across the whole metric surface on
     // real data: driftReport(new, old) must be driftReport(old, new) with
