@@ -14,13 +14,19 @@ import graft.sources.ParquetSourceResolver
   * typo'd field, an accidental nested-loop join, or a forgotten-broadcast
   * dim while it still costs nothing.
   *
-  * usage: runMain graft.Doctor <spec.json|.yaml> <dataDir> [--audit-fail]
+  * usage: runMain graft.Doctor <spec.json|.yaml> <dataDir>
+  *        [--audit-fail] [--run-gates]
   *
   *  - the spec file may hold ONE spec or a YAML/JSON LIST of specs (the
   *    application.yml shape) — every spec is checked;
   *  - exit 0 = every spec validates, builds, and (with --audit-fail) has
   *    zero audit warnings; exit 1 otherwise, with the failure printed
   *    per spec id;
+  *  - `--run-gates` additionally EXECUTES batch specs that declare drift
+  *    gate bounds (snapshot_drift maxAbsDelta/maxRelDelta) — the one
+  *    preflight that must touch data, opted into explicitly because it
+  *    scans both snapshots; a violated gate fails the spec with the
+  *    violation named. Gate-less specs stay build-only;
   *  - streaming-mode specs validate and build, but plan audit applies to
   *    batch frames only (a streaming frame has no executable plan until
   *    start — [[graft.observe.StreamMetrics]] covers the live side).
@@ -30,10 +36,12 @@ object Doctor {
 
   def run(args: Array[String]): Int = {
     val failOnWarn = args.contains("--audit-fail")
+    val runGates = args.contains("--run-gates")
     val positional = args.filterNot(_.startsWith("--"))
     if (positional.length != 2) {
       System.err.println(
-        "usage: graft.Doctor <spec.json|.yaml> <dataDir> [--audit-fail]")
+        "usage: graft.Doctor <spec.json|.yaml> <dataDir> " +
+          "[--audit-fail] [--run-gates]")
       return 2
     }
     val (specPath, dataDir) = (positional(0), positional(1))
@@ -80,6 +88,15 @@ object Doctor {
           else {
             warns.foreach(w => println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
             if (failOnWarn) failures += 1
+          }
+          val gates = spec.transform.filter(t => t.op == "snapshot_drift" &&
+            (t.numericMaxAbsDelta.nonEmpty || t.numericMaxRelDelta.nonEmpty))
+          if (runGates && gates.nonEmpty) {
+            // the drift frame is O(columns) rows; collect() (never count —
+            // column pruning would drop the raising `pass` column)
+            // evaluates every gate and throws the named violation
+            val n = df.collect().length
+            println(s"  drift gates: clean ($n rows checked)")
           }
         }
       } catch { case e: Exception =>

@@ -517,6 +517,46 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-drift"}}""".stripMargin)
       .select("col_name", "metric", "old_value", "new_value", "delta")
 
+  /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
+    * a categorical column, Misra–Gries candidates + exact broadcast
+    * recount per snapshot — the form that scales to UNBOUNDED key spaces
+    * (the exact freq_l1 leg shuffles one row per distinct key; this one
+    * never exceeds the sketch's ≤ k-row exchange). Exact DuckDB oracle:
+    * the result equals the naive groupBy-both-sides form by the MG
+    * superset guarantee.
+    */
+  def x29DriftHeavy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("__t", col("ts").cast("timestamp"))
+    val split = lit("2024-01-16").cast("timestamp")
+    graft.operators.Drift.heavyHitterDrift(
+      ev.filter(col("__t") < split), ev.filter(col("__t") >= split),
+      "event_type", minFraction = 0.01)
+  }
+
+  /** X29 drift GATE through config (round-14 directive #2): the full
+    * drift surface — exact numeric + categorical report, heavy-hitter
+    * leg, and declarative per-metric bounds — in one spec. The bounds
+    * hold on the fixture (the date split drifts mildly), so every row
+    * carries pass = true; an injected collapse failing the gate is
+    * pinned in InterpreterSpec (the raise-on-evaluate form fails any
+    * runner with a named violation).
+    */
+  def r36SpecDriftGate(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"drift-gate-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "numericColumns":["value"],"categoricalColumns":["event_type"],
+         |  "heavyHitterColumns":["event_type"],"minFraction":0.01,
+         |  "maxAbsDelta":{"null_rate":0.2,"freq_l1":0.5,"heavy_freq":0.2},
+         |  "maxRelDelta":{"row_count":1.2,"mean":1.0}}],
+         |"outputTopic":{"enabled":true,"name":"events-drift-gate"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta", "pass")
+
   /** Spec-level quantile rollup (the mergeable percentile sketch through
     * JSON config; rows-only — estimates are engine-specific, accuracy
     * rank-pinned in InterpreterSpec against exact percentiles).
@@ -2216,6 +2256,30 @@ object Queries {
        |        - ocnt / (SELECT sum(ocnt)::DOUBLE FROM j))) END AS delta FROM j)
        |SELECT * FROM num UNION ALL SELECT * FROM cat""".stripMargin
 
+  /** Shared body of the heavy-hitter drift oracles: the naive
+    * groupBy-both-sides form the sketch+recount path is exactly equal to
+    * (MG superset guarantee + exact recount). Same newCte parameterization
+    * as [[driftOracleSql]].
+    */
+  private def heavyDriftOracleSql(newCte: String): String =
+    s"""WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+       |n AS ($newCte),
+       |hoc AS (SELECT event_type AS category, count(*) AS c FROM o
+       |        WHERE event_type IS NOT NULL GROUP BY 1),
+       |hnc AS (SELECT event_type AS category, count(*) AS c FROM n
+       |        WHERE event_type IS NOT NULL GROUP BY 1),
+       |hj AS (SELECT category, coalesce(hoc.c, 0) AS ocnt, coalesce(hnc.c, 0) AS ncnt
+       |       FROM hoc FULL OUTER JOIN hnc USING (category)),
+       |ht AS (SELECT coalesce(sum(ocnt), 0) AS os, coalesce(sum(ncnt), 0) AS ns FROM hj)
+       |SELECT 'event_type' AS col_name, 'heavy_freq' AS metric, category,
+       |  CASE WHEN os = 0 THEN 0.0 ELSE ocnt::DOUBLE / os END AS old_value,
+       |  CASE WHEN ns = 0 THEN 0.0 ELSE ncnt::DOUBLE / ns END AS new_value,
+       |  CASE WHEN ns = 0 THEN 0.0 ELSE ncnt::DOUBLE / ns END -
+       |  CASE WHEN os = 0 THEN 0.0 ELSE ocnt::DOUBLE / os END AS delta
+       |FROM hj, ht
+       |WHERE (os > 0 AND ocnt >= ceil(0.01 * os))
+       |   OR (ns > 0 AND ncnt >= ceil(0.01 * ns))""".stripMargin
+
   private val oracles0: Map[String, String] = Map(
     "r01_simple_stream" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
@@ -2809,6 +2873,20 @@ object Queries {
     // r35: the spec form's old side is the compareFilter'd first half; the
     // NEW side is the whole source topic (the frame) — same metric pipeline
     "r35_spec_drift" -> driftOracleSql("SELECT * FROM events"),
+    "x29_drift_heavy" ->
+      heavyDriftOracleSql(
+        "SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'"),
+    // the r36 gate twin: scalar+freq report rows (null category) unioned
+    // with the heavy rows, every row pass = true — the bounds hold on the
+    // fixture; the violation path is exception-pinned in InterpreterSpec
+    "r36_spec_drift_gate" ->
+      s"""SELECT col_name, metric, NULL::VARCHAR AS category,
+         |       old_value, new_value, delta, TRUE AS pass
+         |FROM (${driftOracleSql("SELECT * FROM events")})
+         |UNION ALL
+         |SELECT col_name, metric, category, old_value, new_value, delta,
+         |       TRUE AS pass
+         |FROM (${heavyDriftOracleSql("SELECT * FROM events")})""".stripMargin,
     "x21_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -3231,6 +3309,8 @@ object Queries {
     "x16_profile" -> x16Profile _,
     "x29_drift" -> x29Drift _,
     "r35_spec_drift" -> r35SpecDrift _,
+    "x29_drift_heavy" -> x29DriftHeavy _,
+    "r36_spec_drift_gate" -> r36SpecDriftGate _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

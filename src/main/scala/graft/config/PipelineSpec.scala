@@ -528,7 +528,19 @@ case class TransformOp(
     comparePath: Option[String] = None,
     compareFilter: Option[String] = None,
     numericColumns: Seq[String] = Nil,
-    categoricalColumns: Seq[String] = Nil) {
+    categoricalColumns: Seq[String] = Nil,
+    // snapshot_drift heavy-hitter leg (unbounded categorical key spaces —
+    // user ids, URLs, tokens — where exact freq_l1 would shuffle one row
+    // per distinct key): per-column Misra–Gries candidates + exact
+    // broadcast recount, threshold = the op's shared `minFraction`
+    heavyHitterColumns: Seq[String] = Nil,
+    // snapshot_drift GATE: per-metric |delta| bounds that fail the run
+    // (raise-on-evaluate) when violated — keys are "metric" or
+    // "col_name.metric" (most specific wins); maxRelDelta is relative to
+    // |old_value|. The declarative form of "retrain only if drift is
+    // within bounds".
+    maxAbsDelta: Option[Map[String, Double]] = None,
+    maxRelDelta: Option[Map[String, Double]] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -552,6 +564,15 @@ case class TransformOp(
   // defaultWeight is coerced to java.lang.Double by its @JsonDeserialize
   // contentAs (same pattern as minAvgTokenLen), so plain access is safe
   def numericDefaultWeight: Double = defaultWeight.getOrElse(0.0)
+
+  /** Same boxed-by-token-type trap as [[numericWeights]] for the drift
+    * gate bound maps: whole-number bounds cross Jackson Integer-boxed.
+    */
+  private def numericBounds(m: Option[Map[String, Double]]): Map[String, Double] =
+    m.getOrElse(Map.empty).asInstanceOf[Map[String, Any]]
+      .map { case (k, v) => k -> v.asInstanceOf[Number].doubleValue }
+  def numericMaxAbsDelta: Map[String, Double] = numericBounds(maxAbsDelta)
+  def numericMaxRelDelta: Map[String, Double] = numericBounds(maxRelDelta)
   def validate(where: String): Unit = {
     // stateTtl reaches GroupState.setTimeoutDuration verbatim inside an
     // executor task — parse it HERE so a bad duration is an [id]-prefixed
@@ -775,9 +796,18 @@ case class TransformOp(
       require(comparePath.isDefined,
         s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
           "parquet; the frame is the NEW snapshot)")
-      require(numericColumns.nonEmpty || categoricalColumns.nonEmpty,
-        s"[$where] snapshot_drift requires numericColumns and/or " +
-          "categoricalColumns")
+      require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
+          heavyHitterColumns.nonEmpty,
+        s"[$where] snapshot_drift requires numericColumns, " +
+          "categoricalColumns and/or heavyHitterColumns")
+      if (heavyHitterColumns.nonEmpty)
+        require(minFraction.exists(f => f > 0 && f <= 1),
+          s"[$where] snapshot_drift heavyHitterColumns requires " +
+            "minFraction in (0, 1] (the heavy-key threshold)")
+      (numericMaxAbsDelta ++ numericMaxRelDelta).foreach { case (k, v) =>
+        require(v >= 0,
+          s"[$where] snapshot_drift gate bound '$k' must be >= 0, got $v")
+      }
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] weighted_mix requires column (the stratum) and idColumn")

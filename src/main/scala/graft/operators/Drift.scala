@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Snapshot drift report (SURVEY §2B X29): per-column distribution drift
@@ -138,6 +138,112 @@ object Drift extends Logging {
 
     val parts = scalar.toSeq ++ categorical
     parts.reduce(_.unionByName(_))
+  }
+
+  /** Heavy-hitter frequency drift for UNBOUNDED categorical key spaces
+    * (user ids, URLs, tokens) — where [[driftReport]]'s exact `freq_l1`
+    * would shuffle one row per distinct key. One Misra–Gries candidate
+    * aggregate per snapshot (bounded map-side state, ≤ k-row exchange —
+    * [[graft.functions.FreqSketch]]), candidate sets unioned, then ONE
+    * exact broadcast-pruned recount per side over the union — so a
+    * vanished or newborn heavy key surfaces with its exact frequency on
+    * BOTH sides, never paying a per-distinct-key shuffle.
+    *
+    * Output rows: (col_name, metric = "heavy_freq", category, old_value,
+    * new_value, delta) where old/new_value are the key's exact fraction of
+    * that side's non-null rows (0.0 when absent) and delta = new − old.
+    * Kept keys: exact count ≥ ceil(minFraction · n) on at least one side —
+    * the same exactness contract as [[Profile.heavyHitters]] (MG with
+    * slack ≥ 2 guarantees the candidate union is a superset of both
+    * sides' true heavy sets, so the recount+filter is oracle-exact).
+    */
+  def heavyHitterDrift(oldDf: DataFrame, newDf: DataFrame, c: String,
+      minFraction: Double, slack: Int = 2): DataFrame = {
+    val k = Profile.sketchSize(minFraction, slack)
+    def side(df: DataFrame): (DataFrame, DataFrame) = {
+      val sk = df.agg(
+        graft.functions.FreqSketch.mgCandidates(col(c), k).as("__cands"),
+        count(col(c)).as("__n"))
+      val cands = sk.select(explode(col("__cands")).as("__e"))
+        .select(col("__e._1").as("category"))
+      (cands, sk.select(col("__n")))
+    }
+    val (oCands, oN) = side(oldDf); val (nCands, nN) = side(newDf)
+    // the candidate UNION (≤ 2k rows by construction) broadcasts to both
+    // recounts; each side's recount is one partial-aggregated count over
+    // the broadcast-pruned item stream
+    val union = oCands.unionByName(nCands).distinct()
+    def recount(df: DataFrame): DataFrame =
+      df.select(col(c).as("category")).filter(col("category").isNotNull)
+        .join(broadcast(union), "category")
+        .groupBy("category").agg(count(lit(1)).as("cnt"))
+    val joined = recount(oldDf).withColumnRenamed("cnt", "ocnt").as("o")
+      .join(recount(newDf).withColumnRenamed("cnt", "ncnt").as("n"),
+        Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("ocnt"), lit(0L)).as("ocnt"),
+        coalesce(col("ncnt"), lit(0L)).as("ncnt"))
+    // totals ride in on one-row broadcast cross joins (no scalar subquery
+    // re-scan); a side with zero non-null rows has no heavy keys and
+    // contributes fraction 0.0
+    joined.crossJoin(broadcast(oN.withColumnRenamed("__n", "__on")))
+      .crossJoin(broadcast(nN.withColumnRenamed("__n", "__nn")))
+      .filter(
+        (col("__on") > 0 && col("ocnt") >= ceil(lit(minFraction) * col("__on"))) ||
+        (col("__nn") > 0 && col("ncnt") >= ceil(lit(minFraction) * col("__nn"))))
+      .select(lit(c).as("col_name"), lit("heavy_freq").as("metric"),
+        col("category"),
+        when(col("__on") === 0, lit(0.0))
+          .otherwise(col("ocnt") / col("__on")).as("old_value"),
+        when(col("__nn") === 0, lit(0.0))
+          .otherwise(col("ncnt") / col("__nn")).as("new_value"))
+      .withColumn("delta", col("new_value") - col("old_value"))
+  }
+
+  /** Declarative drift GATE: append a `pass` column to a drift report
+    * ([[driftReport]] / [[heavyHitterDrift]] shaped — any frame with
+    * col_name/metric/old_value/delta) that FAILS THE JOB with a named
+    * violation when any row's |delta| exceeds its bound. Bounds are keyed
+    * by `"<col_name>.<metric>"` (most specific wins) or bare `"<metric>"`
+    * (applies to every column); `absBounds` bound |delta| directly,
+    * `relBounds` bound |delta| / max(|old_value|, 1e-12) — a relative
+    * bound on a zero baseline treats ANY change as a violation (declare an
+    * absolute bound for metrics that legitimately start at 0). A row with
+    * a declared bound but a NULL delta also violates (a metric that can't
+    * be computed must not silently pass its gate). Rows without a
+    * matching bound pass.
+    *
+    * The raise-on-evaluate form means ANY runner — a batch sink write, a
+    * Verify dump, `Doctor --run-gates` — gets a nonzero status from a
+    * violated gate with zero runner-specific plumbing; the error message
+    * names the column, metric, delta, and bound.
+    */
+  def gated(report: DataFrame, absBounds: Map[String, Double],
+      relBounds: Map[String, Double]): DataFrame = {
+    if (absBounds.isEmpty && relBounds.isEmpty) return report
+    def boundFor(bs: Map[String, Double]): Column =
+      if (bs.isEmpty) lit(null).cast("double")
+      else {
+        val m = map(bs.toSeq.flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*)
+        coalesce(element_at(m, concat(col("col_name"), lit("."), col("metric"))),
+          element_at(m, col("metric")))
+      }
+    val absB = boundFor(absBounds); val relB = boundFor(relBounds)
+    // a NULL comparison result must read as violation, not fall through
+    // `when` to pass — spell the null case out on both legs
+    val absViol = absB.isNotNull && (col("delta").isNull ||
+      abs(col("delta")) > absB)
+    val relViol = relB.isNotNull && (col("delta").isNull ||
+      col("old_value").isNull ||
+      abs(col("delta")) > relB * greatest(abs(col("old_value")), lit(1e-12)))
+    report.withColumn("pass",
+      when(absViol || relViol, raise_error(concat(
+        lit("drift gate violated: "), col("col_name"), lit("/"), col("metric"),
+        lit(" delta="), format_number(col("delta"), 6),
+        lit(" abs_bound="), coalesce(format_number(absB, 6), lit("-")),
+        lit(" rel_bound="), coalesce(format_number(relB, 6), lit("-")))))
+        .otherwise(lit(true)))
   }
 
   /** Distinct-count drift from the STORED mergeable HLL sketch tables of

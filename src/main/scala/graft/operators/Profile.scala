@@ -158,7 +158,7 @@ object Profile {
     agged.select(keepDims.map(col) ++ qCols :+ col("n_rows"): _*)
   }
 
-  private def sketchSize(minFraction: Double, slack: Int): Int = {
+  private[operators] def sketchSize(minFraction: Double, slack: Int): Int = {
     require(minFraction > 0 && minFraction <= 1,
       s"minFraction must be in (0, 1], got $minFraction")
     require(slack >= 2, s"slack must be >= 2 for the superset guarantee, got $slack")

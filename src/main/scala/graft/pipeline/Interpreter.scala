@@ -353,8 +353,26 @@ object Interpreter extends Logging {
       val old0 = df.sparkSession.read.parquet(
         resolvePath(t.comparePath.get, dataDir, specId))
       val old = t.compareFilter.fold(old0)(f => old0.filter(expr(f)))
-      val result = graft.operators.Drift.driftReport(old, df,
-        t.numericColumns, t.categoricalColumns)
+      val report =
+        if (t.numericColumns.nonEmpty || t.categoricalColumns.nonEmpty)
+          Some(graft.operators.Drift.driftReport(old, df,
+            t.numericColumns, t.categoricalColumns))
+        else None
+      // heavy-hitter leg (unbounded key spaces): rows gain a `category`
+      // column; the exact-report rows carry null there — the column is
+      // added ONLY when the leg is declared, so the plain report's shape
+      // (and its oracle hash) is unchanged
+      val heavy = t.heavyHitterColumns.map(c =>
+        graft.operators.Drift.heavyHitterDrift(old, df, c,
+          t.minFraction.get))
+      val combined =
+        if (heavy.isEmpty) report.get
+        else (report.map(_.withColumn("category", lit(null).cast("string"))
+            .select("col_name", "metric", "category",
+              "old_value", "new_value", "delta")).toSeq ++ heavy)
+          .reduce(_.unionByName(_))
+      val result = graft.operators.Drift.gated(combined,
+        t.numericMaxAbsDelta, t.numericMaxRelDelta)
       // a drift table is keyed by the inspected column (compacted-topic
       // semantics, same rule as profile's col_name)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))

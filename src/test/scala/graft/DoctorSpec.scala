@@ -114,6 +114,32 @@ class DoctorSpec extends SparkSuite {
     }
   }
 
+  test("Doctor --run-gates: a violated drift gate fails preflight with the violation named; clean gates pass") {
+    def spec(bounds: String) =
+      s"""{"id":"gate-check","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "numericColumns":["value"],"categoricalColumns":["event_type"],
+         |  $bounds}],
+         |"outputTopic":{"enabled":true,"name":"gate-out"}}""".stripMargin
+    // without --run-gates the gated spec is build-only (no data touched)
+    val violating = write("gate_bad.json",
+      spec(""""maxAbsDelta":{"row_count":0}"""))
+    val (codeBuildOnly, _) = runDoctor(violating, sf())
+    assert(codeBuildOnly == 0, "gates must not run unless opted in")
+    val (codeBad, outBad) = runDoctor(violating, sf(), "--run-gates")
+    assert(codeBad == 1, outBad)
+    assert(outBad.contains("drift gate violated") &&
+      outBad.contains("value/row_count"), outBad)
+    val passing = write("gate_ok.json",
+      spec(""""maxAbsDelta":{"freq_l1":0.5},"maxRelDelta":{"row_count":1.2}"""))
+    val (codeOk, outOk) = runDoctor(passing, sf(), "--run-gates")
+    assert(codeOk == 0, outOk)
+    assert(outOk.contains("drift gates: clean"), outOk)
+  }
+
   test("Doctor: a broken config reports the validation error, not a stack trace") {
     val p = write("bad.yaml",
       """id: doc-bad

@@ -850,6 +850,38 @@ class InterpreterSpec extends SparkSuite {
     assert(bad.getMessage.contains("planAudit"), bad.getMessage)
   }
 
+  test("spec-declared drift gate fails the run on a violated bound; clean bounds pass with pass=true (r36)") {
+    def gateSpec(bounds: String) = PipelineSpec.fromJson(
+      s"""{"id":"drift-gate","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "numericColumns":["value"],"categoricalColumns":["event_type"],
+         |  $bounds}],
+         |"outputTopic":{"enabled":true,"name":"gate-out"}}""".stripMargin)
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    // a bound the fixture violates (row_count doubles across the split):
+    // ANY runner evaluating the frame gets the named violation — this is
+    // how "nonzero run status on gate violation" needs no sink plumbing
+    val e = intercept[Exception] {
+      graft.pipeline.Interpreter.build(spark,
+        gateSpec(""""maxAbsDelta":{"row_count":0}"""), resolver).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("value/row_count"), e.getMessage)
+    // bounds the fixture satisfies: every row materializes with pass=true
+    val rows = graft.pipeline.Interpreter.build(spark,
+      gateSpec(""""maxAbsDelta":{"freq_l1":0.5},"maxRelDelta":{"row_count":1.2}"""),
+      resolver).collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getBoolean(r.fieldIndex("pass"))))
+    // a gate bound that is not a number is a config error, not a run error
+    val bad = intercept[IllegalArgumentException] {
+      gateSpec(""""maxAbsDelta":{"freq_l1":-0.5}""").validate()
+    }
+    assert(bad.getMessage.contains("must be >= 0"), bad.getMessage)
+  }
+
   test("<dataDir> against a resolver with no filesystem base fails at build with the spec-id prefix") {
     // the portability placeholder's failure mode (e.g. a Kafka-bound spec):
     // a prefixed IllegalArgumentException at build, per the global error

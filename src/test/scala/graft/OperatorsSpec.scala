@@ -478,6 +478,49 @@ class OperatorsSpec extends SparkSuite {
       s"both-empty sides should report 0.0 drift, got ${l13.get(4)}")
   }
 
+  test("heavy-hitter drift: vanished and newborn heavy keys surface with exact fractions (X29)") {
+    // old: 30% "gone", 60% "stays", 10% singleton tail; new: "gone"
+    // vanished, 40% "born" appeared, "stays" slipped to 50%
+    val oldDf = spark.createDataFrame(
+      (Seq.fill(300)("gone") ++ Seq.fill(600)("stays") ++
+        (0 until 100).map(i => s"t$i")).map(Tuple1(_))).toDF("cat")
+    val newDf = spark.createDataFrame(
+      (Seq.fill(500)("stays") ++ Seq.fill(400)("born") ++
+        (0 until 100).map(i => s"u$i")).map(Tuple1(_))).toDF("cat")
+    val out = graft.operators.Drift.heavyHitterDrift(oldDf, newDf, "cat", 0.1)
+      .collect().map(r => r.getString(2) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == Set("gone", "stays", "born"),
+      s"heavy set ${out.keySet} missed a vanished/newborn key or leaked tail")
+    assert(out("gone") == ((0.3, 0.0, -0.3)), s"vanished key ${out("gone")}")
+    assert(out("born") == ((0.0, 0.4, 0.4)), s"newborn key ${out("born")}")
+    assert(math.abs(out("stays")._3 - (-0.1)) < 1e-12, s"shifted key ${out("stays")}")
+  }
+
+  test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
+    val oldDf = spark.createDataFrame((0 until 1000)
+      .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
+      .toDF("id", "event_type")
+    val collapsed = spark.createDataFrame((0 until 1000)
+      .map(i => (i, None: Option[String]))).toDF("id", "event_type")
+    val rep = graft.operators.Drift.driftReport(oldDf, collapsed, Nil, Seq("event_type"))
+    // injected collapse (freq_l1 = 2.0) against a 0.5 bound: the job fails
+    // with the violation named — no runner-specific plumbing needed
+    val e = intercept[Exception] {
+      graft.operators.Drift.gated(rep, Map("freq_l1" -> 0.5), Map.empty).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("event_type/freq_l1"), e.getMessage)
+    // a col-specific key overrides the bare-metric key (most specific wins)
+    val ok = graft.operators.Drift.gated(rep,
+      Map("event_type.freq_l1" -> 2.5, "freq_l1" -> 0.5,
+        "null_rate" -> 1.5), Map.empty).collect()
+    assert(ok.forall(_.getBoolean(5)), "clean bounds should pass every row")
+    // no bounds declared → the report is returned unchanged (no pass col)
+    assert(!graft.operators.Drift.gated(rep, Map.empty, Map.empty)
+      .columns.contains("pass"))
+  }
+
   test("snapshot drift is antisymmetric: swapping snapshots negates numeric deltas, preserves freq L1 (X29)") {
     // a structural consistency check across the whole metric surface on
     // real data: driftReport(new, old) must be driftReport(old, new) with

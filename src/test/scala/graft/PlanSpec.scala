@@ -239,8 +239,10 @@ class PlanSpec extends SparkSuite {
     //   x2_jaccard_char       1-row broadcast hot-shingle-set cross
     //                         (array_except rebuild; guarded by
     //                         Dedup.MaxBroadcastHotSet)
+    //   x29_drift_heavy       two 1-row per-side-total broadcast crosses
+    //   r36_spec_drift_gate   same crosses through the config path
     val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
-      "x13_salted_join",
+      "x13_salted_join", "x29_drift_heavy", "r36_spec_drift_gate",
       // x3_ann_ivf left this list in round 13: centroid assignment and
       // query probing now go through the NearestCells reference-object
       // expression (map-side projections, no join at all)
