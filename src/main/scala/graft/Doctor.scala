@@ -70,12 +70,19 @@ object Doctor {
     specs.foreach { spec =>
       println(s"\n=== ${spec.id} (${spec.processingMode}) ===")
       try {
-        val df = graft.pipeline.Interpreter.build(spark, spec, resolver)
+        val (df, specFindings) =
+          graft.pipeline.Interpreter.buildAudited(spark, spec, resolver)
+        // spec-level findings (config-detectable traps — e.g. the
+        // low-threshold embedding-LSH regime) print for streaming AND
+        // batch specs and count under --audit-fail like plan warns
+        specFindings.foreach(w =>
+          println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
         if (df.isStreaming) {
           println("  builds OK (streaming — audit applies at start; attach StreamMetrics)")
+          if (failOnWarn && specFindings.nonEmpty) failures += 1
         } else {
           val findings = PlanAudit.audit(df)
-          val warns = findings.filter(_.severity == "warn")
+          val planWarns = findings.filter(_.severity == "warn")
           val leafBytes = findings.find(_.rule == "leaf_scan_bytes")
             .map(_.detail.toLong).getOrElse(0L)
           val exchanges = findings.find(_.rule == "exchanges")
@@ -84,9 +91,10 @@ object Doctor {
             s"$exchanges exchange(s), input ~${leafBytes / 1024 / 1024} MiB")
           val suggested = math.max(32L, leafBytes / (128L * 1024 * 1024))
           println(s"  suggested spark.sql.shuffle.partitions at this input: ≥ $suggested")
-          if (warns.isEmpty) println("  plan audit: clean")
+          if (planWarns.isEmpty && specFindings.isEmpty)
+            println("  plan audit: clean")
           else {
-            warns.foreach(w => println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
+            planWarns.foreach(w => println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
             if (failOnWarn) failures += 1
           }
           val gates = spec.transform.filter(t => t.op == "snapshot_drift" &&

@@ -676,18 +676,29 @@ case class TransformOp(
     case "dedup_near" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] dedup_near requires column and idColumn")
-      require(shingleSize.exists(_ >= 1),
-        s"[$where] dedup_near requires shingleSize >= 1")
       require(threshold.exists(t => t > 0.0 && t <= 1.0),
         s"[$where] dedup_near requires threshold in (0, 1]")
-      // streaming-form knobs: the banding arithmetic needs bands | numHashes
-      val nh = numHashes.getOrElse(128)
-      val nb = bands.getOrElse(32)
-      require(nh >= 1 && nb >= 1 && nh % nb == 0,
-        s"[$where] dedup_near numHashes ($nh) must be a positive multiple " +
-          s"of bands ($nb)")
-      require(maxBucketDocs.forall(_ >= 1),
-        s"[$where] dedup_near maxBucketDocs must be >= 1")
+      val dm = method.getOrElse("jaccard")
+      require(Set("jaccard", "embedding")(dm),
+        s"[$where] dedup_near method '$dm' unknown " +
+          "(supported: jaccard, embedding)")
+      if (dm == "embedding") {
+        // column is the vector column; dim drives the hyperplane matrix
+        require(dim.exists(_ >= 1),
+          s"[$where] dedup_near method=embedding requires dim >= 1 " +
+            "(the embedding width)")
+      } else {
+        require(shingleSize.exists(_ >= 1),
+          s"[$where] dedup_near requires shingleSize >= 1")
+        // streaming-form knobs: the banding arithmetic needs bands | numHashes
+        val nh = numHashes.getOrElse(128)
+        val nb = bands.getOrElse(32)
+        require(nh >= 1 && nb >= 1 && nh % nb == 0,
+          s"[$where] dedup_near numHashes ($nh) must be a positive multiple " +
+            s"of bands ($nb)")
+        require(maxBucketDocs.forall(_ >= 1),
+          s"[$where] dedup_near maxBucketDocs must be >= 1")
+      }
     case "chunk" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] chunk requires column and idColumn")

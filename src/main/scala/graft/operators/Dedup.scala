@@ -550,12 +550,35 @@ object Dedup extends Logging {
     * (clustered corpora concentrate buckets; capped members still pair
     * through their other tables — the documented recall trade).
     */
+  /** The auto-sizer's outcome for one (corpus, threshold, recall) ask —
+    * exposed so preflight surfaces (Doctor / planAudit) can price a
+    * declared geometry WITHOUT building or running the operator.
+    * `tablesNeeded > the maxTables it was sized under` is the superlinear
+    * trap: recall cannot be held in-class and candidate volume grows
+    * ∝ n^ρ (ρ = ln p(c)/ln p(0) → 1 as the threshold drops).
+    * `costPerPoint` is in candidate-equivalents (one dim-length dot
+    * product + row handling) and INCLUDES the sketch-compute term l·b —
+    * comparable against the exact pair join's cost (see
+    * [[exactPairCostPerPoint]]).
+    */
+  case class LshSizing(planes: Int, probes: Int, tables: Int,
+      tablesNeeded: Int, estRecall: Double, costPerPoint: Double)
+
+  /** Exact brute-force pair join cost per point, in the same
+    * candidate-equivalent units as [[LshSizing.costPerPoint]]: n/2 pair
+    * cosines, each ~8× a broadcast-verify candidate (measured: 0.26 µs per
+    * BNLJ pair — quiet-r12 x3_cosine_pairs_exact, 2M pairs in 0.52 s at
+    * 32 threads — vs the 0.034 µs verify candidate the sizer's units are
+    * denominated in; the BNLJ row copy dominates the dot product).
+    */
+  def exactPairCostPerPoint(n: Long): Double = 8.0 * n / 2.0
+
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, nTables: Int = 16, planesPerTable: Int = 4,
       threshold: Double = 0.95, seed: Long = 42L,
       maxBucketSize: Int = -1, autoSize: Boolean = true,
       recallTarget: Double = 0.9, maxTables: Int = 64,
-      nProbes: Int = -1): DataFrame = {
+      nProbes: Int = -1, autoRouteExact: Boolean = true): DataFrame = {
     // bucket ids pack one sign bit per plane into an Int — widths past 31
     // would alias bits silently (SignBuckets requires the same bound); a
     // probe count past 31 can never be satisfied by any legal width
@@ -566,7 +589,7 @@ object Dedup extends Logging {
     val occupancyTarget = 64
     // one count over the id column — parquet metadata-cheap, and the price
     // of a plan that stays linear instead of quadratic at 10× the corpus
-    val (bPlanes, lTables, probeT, nKnown) =
+    val (bPlanes, lTables, probeT, nKnown, lshCostPP) =
       if (!autoSize) {
         // declared geometry honors the declaration, but a probe count above
         // the table width is meaningless (there are only b bits to flip) —
@@ -576,100 +599,45 @@ object Dedup extends Logging {
         if (t0 > planesPerTable) logWarning(
           s"embeddingCosinePairs: nProbes=$t0 exceeds planesPerTable=" +
             s"$planesPerTable; clamping to $planesPerTable")
-        (planesPerTable, nTables, math.min(t0, planesPerTable), -1L)
+        // PositiveInfinity route cost: a declared geometry never
+        // auto-routes to the exact join — the declaration is honored
+        (planesPerTable, nTables, math.min(t0, planesPerTable), -1L,
+          Double.PositiveInfinity)
       }
       else {
         val n = math.max(1L, e.count())
-        val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
-        val q = 1.0 - p
-        // JOINT (width b, probes T, tables L) sizing, multi-probe aware
-        // (round-13; Lu et al. VLDB 2007 adapted to hyperplane LSH). Each
-        // vector lands in its main bucket AND the T lowest-|margin|
-        // single-bit-flip buckets per table; the symmetric self-join then
-        // collides a pair when EITHER side's probe reaches the other
-        // (Hamming-1 disagreements) or their flips cross (u flips j, w
-        // flips k, buckets differ in {j,k} — Hamming-2). Per-table
-        // collision probability for a pair at exactly the threshold angle:
-        //   pTbl = p^b  +  γ₁·b·p^(b−1)·q  +  γ₂·C(b,2)·p^(b−2)·q²
-        // where γ are the probe catch rates. The specific-bit catch is
-        // modeled as probeBoost·T/b per side: the T/b is the uninformed
-        // floor (T of b bits probed), probeBoost ≥ 1 is the margin lift —
-        // a disagreeing plane is one a vector is CLOSE to, so it skews
-        // toward the lowest-|margin| slots. probeBoost = 1.6 is MEASURED:
-        // back-fitting per-table pTbl from end recall over six probed
-        // geometries at sf1+sf3 (b 9–13, T 0–3, L 76–146; e.g. measured
-        // pTbl 0.0319/0.0494/0.0328 at (12,2)/(12,3)/(13,3) vs model
-        // 0.029/0.050/0.032 at boost 1.6 — every config within ~5%; 2.0
-        // overshot by 1.3×; see DEPLOY.md "ANN / dedup sizing").
-        // Holding recall through the Hamming-1/2 terms instead of raw
-        // table count is the whole point: without probes L must grow ∝ n^ρ
-        // at low thresholds (the measured 7.2× wall at 3× data); with them
-        // L stays near its floor and the growth moves into the bounded
-        // (1+T)² candidate factor, which the cost model prices explicitly.
-        val probeBoost = 1.6
-        // cost units, MEASURED through the verify-first broadcast path at
-        // sf3 (ProbeMp2): a banded row costs ~0.5 µs·thread (sketch
-        // compute + self-join exchange both sides) vs ~0.034 µs per raw
-        // candidate (map-side cosine + filter) — a row is ~16 candidates.
-        // Re-measured after dropping the broadcast-branch cache: 8.0 here
-        // (pushing configs toward more tables / fewer candidates) made
-        // BOTH scales slower (sf1 3.1→5.0 s, sf3 14.0→26.6 s) — the
-        // exchange keeps the row cost high even without the cache write.
-        val cRow = 16.0
-        // lNeeded safety margin: the per-table independence behind
-        // 1−(1−pTbl)^L is approximate (tables share the corpus and the
-        // capped buckets), and sizing L EXACTLY at recallTarget leaves the
-        // measured value on the wrong side of the pin half the time —
-        // 40% more tables buys e.g. 0.90 → ~0.96 estimated at the chosen
-        // config (measured: 1.25 landed recall 0.923-0.925 at sf1/sf3,
-        // only 0.02 over the pin), cheap insurance priced into the same
-        // cost search.
-        val lSafety = 1.4
-        val tCands = if (nProbes >= 0) Seq(nProbes) else 0 to 4
-        // the width search is bounded at 16 bits, but a caller declaring a
-        // wider planesPerTable — or pinning a probe count above every
-        // candidate width — must still yield >= 1 config (an empty search
-        // crashed on cfgs.maxBy before): widen the upper bound to cover
-        // both declarations, and keep the t <= b filter so a PINNED probe
-        // count is honored exactly, never silently reduced by a
-        // smaller-width config winning the cost race
-        val bHi = math.max(16, math.max(planesPerTable, tCands.max))
-        val cfgs = for {
-          b <- planesPerTable to bHi
-          t <- tCands if t <= b
-        } yield {
-          val gs = math.min(1.0, probeBoost * t / b)
-          val gp1 = 1.0 - (1.0 - gs) * (1.0 - gs) // either side probes the bit
-          val gp2 = math.min(1.0, 2.0 * gs * gs)  // crossed flips, 2 orderings
-          val pTbl = math.min(0.999,
-            math.pow(p, b) +
-              gp1 * b * math.pow(p, b - 1) * q +
-              gp2 * (b * (b - 1) / 2.0) * math.pow(p, b - 2) * q * q)
-          val lNeeded =
-            if (pTbl >= 0.999) 1
-            else math.ceil(lSafety *
-              math.log(1.0 - recallTarget) / math.log(1.0 - pTbl)).toInt
-          val l = math.min(maxTables, math.max(nTables, lNeeded))
-          val occ = n.toDouble / (1L << b)
-          // per-point-per-table: (1+T)²·occ/2 candidate pairs + (1+T) rows
-          val cost = l * ((1.0 + t) * (1.0 + t) * occ / 2.0 + cRow * (1.0 + t))
-          (b, t, l, lNeeded, 1.0 - math.pow(1.0 - pTbl, l), cost)
-        }
-        val feasible = cfgs.filter(c => c._4 <= maxTables)
-        val (b, t, l, lNeeded, estRecall, _) =
-          if (feasible.nonEmpty) feasible.minBy(_._6)
-          else cfgs.maxBy(c => (c._5, -c._6)) // best achievable recall, then cost
-        if (lNeeded > maxTables) {
+        val s = sizeLsh(n, threshold, recallTarget, nTables, maxTables,
+          planesPerTable, nProbes)
+        if (s.tablesNeeded > maxTables) {
           logWarning(f"embeddingCosinePairs: holding recall $recallTarget%.2f at " +
-            f"cosine >= $threshold%.2f over $n rows needs $lNeeded tables even " +
-            f"with $t probes (clamped to $l); estimated worst-case recall " +
-            f"$estRecall%.2f — low thresholds are fundamentally expensive for " +
+            f"cosine >= $threshold%.2f over $n rows needs ${s.tablesNeeded} tables even " +
+            f"with ${s.probes} probes (clamped to ${s.tables}); estimated worst-case recall " +
+            f"${s.estRecall}%.2f — low thresholds are fundamentally expensive for " +
             "hyperplane LSH (candidate exponent rho -> 1); use the exact " +
             "brute-force pair join for full recall there")
-        } else logInfo(s"embeddingCosinePairs auto-sized: n=$n planes/table=$b " +
-          s"tables=$l probes=$t")
-        (b, l, t, n)
+        } else logInfo(s"embeddingCosinePairs auto-sized: n=$n planes/table=${s.planes} " +
+          s"tables=${s.tables} probes=${s.probes}")
+        (s.planes, s.tables, s.probes, n, s.costPerPoint)
       }
+    // AUTO-ROUTE below the LSH break-even (round-14 directive #6): when
+    // the corpus is small enough that the exact all-pairs join prices
+    // below the sized LSH plan (sketch flops + banded rows through the
+    // exchange + verify candidates), run the exact form — full recall, no
+    // sketch machinery, same (id1, id2, cos) schema. Only the auto-sized
+    // path routes (a declared geometry is honored verbatim); the measured
+    // calibration and the crossover arithmetic live in DEPLOY.md
+    // "ANN / dedup sizing".
+    if (autoRouteExact && nKnown >= 0 &&
+        exactPairCostPerPoint(nKnown) <= lshCostPP) {
+      logInfo(f"embeddingCosinePairs: n=$nKnown%d prices the exact pair join " +
+        f"below the sized LSH plan (${exactPairCostPerPoint(nKnown)}%.0f vs " +
+        f"$lshCostPP%.0f candidate-equivalents/point) — routing exact")
+      val ea = e.as("ea"); val eb = e.as("eb")
+      return ea.join(eb, col("ea.id") < col("eb.id"))
+        .select(col("ea.id").as("id1"), col("eb.id").as("id2"),
+          VectorFunctions.cosine_sim(col("ea.v"), col("eb.v")).as("cos"))
+        .filter(col("cos") >= threshold)
+    }
     val stride = 1 + probeT
     val bucketCap =
       if (maxBucketSize >= 0) maxBucketSize else 32 * occupancyTarget
@@ -821,6 +789,100 @@ object Dedup extends Logging {
     }
   }
 
+
+  /** JOINT (width b, probes T, tables L) auto-sizing for
+    * [[embeddingCosinePairs]] — pure arithmetic over the corpus size and
+    * the threshold's collision probability, callable from preflight
+    * surfaces (Doctor / planAudit) without touching data.
+    */
+  def sizeLsh(n: Long, threshold: Double, recallTarget: Double = 0.9,
+      nTables: Int = 16, maxTables: Int = 64, planesPerTable: Int = 4,
+      nProbes: Int = -1): LshSizing = {
+        val p = 1.0 - math.acos(math.min(threshold, 0.999)) / math.Pi
+        val q = 1.0 - p
+        // JOINT (width b, probes T, tables L) sizing, multi-probe aware
+        // (round-13; Lu et al. VLDB 2007 adapted to hyperplane LSH). Each
+        // vector lands in its main bucket AND the T lowest-|margin|
+        // single-bit-flip buckets per table; the symmetric self-join then
+        // collides a pair when EITHER side's probe reaches the other
+        // (Hamming-1 disagreements) or their flips cross (u flips j, w
+        // flips k, buckets differ in {j,k} — Hamming-2). Per-table
+        // collision probability for a pair at exactly the threshold angle:
+        //   pTbl = p^b  +  γ₁·b·p^(b−1)·q  +  γ₂·C(b,2)·p^(b−2)·q²
+        // where γ are the probe catch rates. The specific-bit catch is
+        // modeled as probeBoost·T/b per side: the T/b is the uninformed
+        // floor (T of b bits probed), probeBoost ≥ 1 is the margin lift —
+        // a disagreeing plane is one a vector is CLOSE to, so it skews
+        // toward the lowest-|margin| slots. probeBoost = 1.6 is MEASURED:
+        // back-fitting per-table pTbl from end recall over six probed
+        // geometries at sf1+sf3 (b 9–13, T 0–3, L 76–146; e.g. measured
+        // pTbl 0.0319/0.0494/0.0328 at (12,2)/(12,3)/(13,3) vs model
+        // 0.029/0.050/0.032 at boost 1.6 — every config within ~5%; 2.0
+        // overshot by 1.3×; see DEPLOY.md "ANN / dedup sizing").
+        // Holding recall through the Hamming-1/2 terms instead of raw
+        // table count is the whole point: without probes L must grow ∝ n^ρ
+        // at low thresholds (the measured 7.2× wall at 3× data); with them
+        // L stays near its floor and the growth moves into the bounded
+        // (1+T)² candidate factor, which the cost model prices explicitly.
+        val probeBoost = 1.6
+        // cost units, MEASURED through the verify-first broadcast path at
+        // sf3 (ProbeMp2): a banded row costs ~0.5 µs·thread (sketch
+        // compute + self-join exchange both sides) vs ~0.034 µs per raw
+        // candidate (map-side cosine + filter) — a row is ~16 candidates.
+        // Re-measured after dropping the broadcast-branch cache: 8.0 here
+        // (pushing configs toward more tables / fewer candidates) made
+        // BOTH scales slower (sf1 3.1→5.0 s, sf3 14.0→26.6 s) — the
+        // exchange keeps the row cost high even without the cache write.
+        val cRow = 16.0
+        // lNeeded safety margin: the per-table independence behind
+        // 1−(1−pTbl)^L is approximate (tables share the corpus and the
+        // capped buckets), and sizing L EXACTLY at recallTarget leaves the
+        // measured value on the wrong side of the pin half the time —
+        // 40% more tables buys e.g. 0.90 → ~0.96 estimated at the chosen
+        // config (measured: 1.25 landed recall 0.923-0.925 at sf1/sf3,
+        // only 0.02 over the pin), cheap insurance priced into the same
+        // cost search.
+        val lSafety = 1.4
+        val tCands = if (nProbes >= 0) Seq(nProbes) else 0 to 4
+        // the width search is bounded at 16 bits, but a caller declaring a
+        // wider planesPerTable — or pinning a probe count above every
+        // candidate width — must still yield >= 1 config (an empty search
+        // crashed on cfgs.maxBy before): widen the upper bound to cover
+        // both declarations, and keep the t <= b filter so a PINNED probe
+        // count is honored exactly, never silently reduced by a
+        // smaller-width config winning the cost race
+        val bHi = math.max(16, math.max(planesPerTable, tCands.max))
+        val cfgs = for {
+          b <- planesPerTable to bHi
+          t <- tCands if t <= b
+        } yield {
+          val gs = math.min(1.0, probeBoost * t / b)
+          val gp1 = 1.0 - (1.0 - gs) * (1.0 - gs) // either side probes the bit
+          val gp2 = math.min(1.0, 2.0 * gs * gs)  // crossed flips, 2 orderings
+          val pTbl = math.min(0.999,
+            math.pow(p, b) +
+              gp1 * b * math.pow(p, b - 1) * q +
+              gp2 * (b * (b - 1) / 2.0) * math.pow(p, b - 2) * q * q)
+          val lNeeded =
+            if (pTbl >= 0.999) 1
+            else math.ceil(lSafety *
+              math.log(1.0 - recallTarget) / math.log(1.0 - pTbl)).toInt
+          val l = math.min(maxTables, math.max(nTables, lNeeded))
+          val occ = math.max(1L, n).toDouble / (1L << b)
+          // per-point-per-table: (1+T)²·occ/2 candidate pairs + (1+T) rows
+          val cost = l * ((1.0 + t) * (1.0 + t) * occ / 2.0 + cRow * (1.0 + t))
+          (b, t, l, lNeeded, 1.0 - math.pow(1.0 - pTbl, l), cost)
+        }
+        val feasible = cfgs.filter(c => c._4 <= maxTables)
+        val (b, t, l, lNeeded, estRecall, cost) =
+          if (feasible.nonEmpty) feasible.minBy(_._6)
+          else cfgs.maxBy(c => (c._5, -c._6)) // best achievable recall, then cost
+        // costPerPoint adds the sketch-compute term l·b (one dot product
+        // per plane per table per point) the config SEARCH above omits —
+        // constant across same-l configs, but decisive when pricing the
+        // whole LSH plan against the exact pair join
+        LshSizing(b, t, l, lNeeded, estRecall, l.toDouble * b + cost)
+  }
   /** Collapse near-duplicate PAIRS into clusters and keep one representative
     * per cluster (the min id) — the "connected-components keep-one" step that
     * turns pair detection into an actual dedup (SURVEY §2B X2).

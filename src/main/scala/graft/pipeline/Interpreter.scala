@@ -53,7 +53,18 @@ object Interpreter extends Logging {
   /** Entry point ≅ buildAggregationTopology (DynamicTopologyBuilder.java:28-75):
     * dispatch on processing mode, producing the pre-sink DataFrame.
     */
-  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame = {
+  def build(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver): DataFrame =
+    buildAudited(spark, spec, sources)._1
+
+  /** [[build]] plus the SPEC-LEVEL preflight findings — traps detectable
+    * from the declaration (threshold × corpus size) that the physical-plan
+    * audit cannot see; today the low-threshold embedding-LSH regime
+    * ([[specAudit]]). The planAudit gate composes them with the plan
+    * warns (a declared `planAudit: "fail"` refuses on either kind), and
+    * Doctor prints them per spec.
+    */
+  def buildAudited(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver): (DataFrame, Seq[graft.observe.PlanAudit.Finding]) = {
     spec.validate()
     val built = spec.processingMode match {
       case ProcessingMode.JoinChain    => buildChainedJoin(spark, spec, sources)
@@ -66,21 +77,37 @@ object Interpreter extends Logging {
           spec.sourceKeyExtraction, sources.catalog)
     }
     // spec-level transform stage (X-surface through the config path),
-    // in declaration order; validated by spec.validate() above
-    val transformed = spec.transform.foldLeft(built)(
-      (df, t) => applyTransform(df, t, sources.dataDir, spec.id))
+    // in declaration order; validated by spec.validate() above. Each
+    // stage's config-level findings are collected against ITS input frame
+    // (the volume the declaration will actually face)
+    val specFindings = scala.collection.mutable.ListBuffer
+      .empty[graft.observe.PlanAudit.Finding]
+    val transformed = spec.transform.foldLeft(built) { (df, t) =>
+      val fs = specAudit(df, t, spec.id)
+      specFindings ++= fs
+      // fail-mode refuses BEFORE the stage is applied: several transforms
+      // (dedup collapse, profile) execute eagerly at build, and the whole
+      // point of a config-level finding is to refuse before that burn
+      if (fs.nonEmpty && spec.planAudit.contains("fail"))
+        throw new IllegalStateException(s"[${spec.id}] plan audit: " +
+          fs.map(w => s"${w.rule} (${w.detail})").mkString("; ") +
+          " — fix the declaration or declare planAudit: \"warn\"")
+      applyTransform(df, t, sources.dataDir, spec.id)
+    }
     // pre-sink predicate (post-aggregation for AGGREGATION = HAVING);
     // Catalyst pushes it down through the plan wherever legal
     val out = spec.filter.fold(transformed)(f => transformed.filter(expr(f)))
     // declarative plan-hygiene gate (X28): refuse-or-log BEFORE any
-    // cluster hours are spent on a flagged shape. Batch only — a streaming
-    // frame has no executable plan until writeStream.start()
+    // cluster hours are spent on a flagged shape. Plan audit is batch
+    // only — a streaming frame has no executable plan — but the
+    // spec-level findings are config-detectable and gate either way
     if (out.isStreaming && spec.planAudit.nonEmpty) logWarning(
       s"[${spec.id}] planAudit declared on a streaming spec is skipped at " +
         "build time (a streaming frame has no executable plan until " +
         "writeStream.start()) — rely on StreamMetrics for runtime hygiene")
-    spec.planAudit.filter(_ => !out.isStreaming).foreach { mode =>
-      val warns = graft.observe.PlanAudit.warns(out)
+    spec.planAudit.foreach { mode =>
+      val warns = specFindings.toSeq ++
+        (if (out.isStreaming) Nil else graft.observe.PlanAudit.warns(out))
       if (warns.nonEmpty) {
         val msg = s"[${spec.id}] plan audit: " +
           warns.map(w => s"${w.rule} (${w.detail})").mkString("; ")
@@ -89,8 +116,54 @@ object Interpreter extends Logging {
         else logWarning(msg)
       }
     }
-    out
+    (out, specFindings.toSeq)
   }
+
+  /** Config-detectable scale findings for one transform declaration — the
+    * refuse-before-burn check for traps the plan audit cannot see (round-14
+    * directive #1). Today: the low-threshold embedding-LSH regime, priced
+    * through [[graft.operators.Dedup.sizeLsh]] against the stage's input
+    * size statistic. A finding is a WARN: Doctor prints it, a declared
+    * planAudit gate composes it, and the operator still runs (its own
+    * runtime warning names the same trap).
+    */
+  private def specAudit(df: DataFrame, t: TransformOp,
+      specId: String): Seq[graft.observe.PlanAudit.Finding] = t.op match {
+    case "dedup_near" if t.method.contains("embedding") && !df.isStreaming =>
+      // corpus estimate from the optimizer's size statistic (compressed
+      // bytes / packed vector width — a LOWER bound, the conservative
+      // direction for a warn-only check); no data is touched
+      val dim = t.dim.get
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val nEst = (bytes / math.max(1, dim * 4L))
+        .min(BigInt(Long.MaxValue)).toLong.max(1L)
+      val s = graft.operators.Dedup.sizeLsh(nEst, t.threshold.get)
+      val occ = nEst.toDouble / (1L << s.planes)
+      val candsPerPoint =
+        s.tables * (1.0 + s.probes) * (1.0 + s.probes) * occ / 2.0
+      val issues = Seq(
+        if (s.tablesNeeded > s.tables) Some(
+          f"holding 0.90 recall needs ${s.tablesNeeded} tables (clamped " +
+            f"to ${s.tables}; estimated recall ${s.estRecall}%.2f)") else None,
+        if (candsPerPoint > CandsPerPointWarn) Some(
+          f"~${candsPerPoint}%.0f verify candidates per row (design " +
+            f"regime is < $CandsPerPointWarn) — candidate volume grows " +
+            "superlinearly (rho -> 1 at low cosine)") else None).flatten
+      if (issues.isEmpty) Nil
+      else Seq(graft.observe.PlanAudit.Finding("warn", "lsh_low_threshold_regime",
+        f"dedup_near method=embedding at threshold ${t.threshold.get}%.2f " +
+          f"over ~$nEst%d rows: ${issues.mkString("; ")}. Raise the " +
+          "threshold into the near-dup regime (>= ~0.7), or use the exact " +
+          "pair join for full recall (auto-routed only below the " +
+          "cost-model break-even)"))
+    case _ => Nil
+  }
+
+  /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
+    * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an
+    * order of magnitude past it, verify work dwarfs every linear term.
+    */
+  private val CandsPerPointWarn = 4096.0
 
   /** One declared transform op → the corresponding X-operator. The quality
     * filter compares the ROUNDED (6 dp) mean token length so the boundary
@@ -112,7 +185,7 @@ object Interpreter extends Logging {
           "has no filesystem base directory")
     }
 
-  private def applyTransform(df: DataFrame, t: TransformOp,
+  private[graft] def applyTransform(df: DataFrame, t: TransformOp,
       dataDir: Option[String], specId: String): DataFrame = t.op match {
     case "dedup_exact" if df.isStreaming =>
       // the unbounded-state commitment must be EXPLICIT (round-8 judge):
@@ -140,6 +213,10 @@ object Interpreter extends Logging {
       df.withColumn(t.outputField.orElse(t.column).get,
         graft.operators.TextAnalysis.redactPii(src))
     case "dedup_near" if df.isStreaming =>
+      require(!t.method.contains("embedding"),
+        "streaming dedup_near supports method=jaccard only (the embedding " +
+          "path's multi-table hyperplane index and exact-route decision " +
+          "are batch constructs); dedup the stored batch snapshot instead")
       // same EXPLICIT unbounded-state posture as streaming dedup_exact —
       // and the commitment here is heavier: the LSH index holds
       // 8 + 8*numHashes bytes PER DOC (signature + id), not one Boolean
@@ -181,9 +258,19 @@ object Interpreter extends Logging {
       // register for the shared release hook
       val persisted = graft.operators.Dedup.registerCache(
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val pairs = graft.operators.Dedup.jaccardPairs(persisted,
-        t.idColumn.get, t.column.get,
-        shingleSize = t.shingleSize.get, threshold = t.threshold.get)
+      val pairs =
+        if (t.method.contains("embedding"))
+          // auto-sized multi-probe LSH with the exact-join auto-route;
+          // the declaration's scale trap (low threshold × large corpus)
+          // is preflight-visible via specAudit
+          graft.operators.Dedup.embeddingCosinePairs(persisted,
+            t.idColumn.get, t.column.get, dim = t.dim.get,
+            nTables = t.nTables.getOrElse(16),
+            planesPerTable = t.planesPerTable.getOrElse(4),
+            threshold = t.threshold.get)
+        else graft.operators.Dedup.jaccardPairs(persisted,
+          t.idColumn.get, t.column.get,
+          shingleSize = t.shingleSize.get, threshold = t.threshold.get)
       graft.operators.Dedup.keepRepresentatives(persisted, t.idColumn.get, pairs)
     case "chunk" =>
       graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,

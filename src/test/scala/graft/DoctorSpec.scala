@@ -114,6 +114,39 @@ class DoctorSpec extends SparkSuite {
     }
   }
 
+  test("Doctor: low-threshold embedding dedup over a large corpus warns at preflight; design regime passes") {
+    // the one remaining 100 TB trap of round 13, now config-visible: a
+    // dedup_near method=embedding declaration is priced through the LSH
+    // auto-sizer against the input's size statistic BEFORE anything runs
+    def spec(threshold: Double, planAudit: String = "") =
+      s"""{"id":"embed-dedup","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"dedup_near","method":"embedding",
+         |  "idColumn":"vec_id","column":"embedding","dim":64,
+         |  "threshold":$threshold}],
+         |"outputTopic":{"enabled":true,"name":"dedup-out"}}""".stripMargin
+    // sf1-scale corpus (20k vectors): threshold 0.4 sits in the
+    // superlinear regime — holding 0.9 recall needs ~143 tables vs the 64
+    // clamp. The fixture also declares planAudit:"fail", pinning the
+    // composition: the spec-level finding refuses the build outright, so
+    // Doctor reports it even WITHOUT --audit-fail. (One sizeable run —
+    // building a dedup spec executes its collapse loop, so the test keeps
+    // the expensive configuration to a single Doctor invocation.)
+    assume(Files.isDirectory(java.nio.file.Paths.get("testdata_sf1")),
+      "sf1 rung not generated on this machine")
+    val low = write("embed_low.json", spec(0.4, """"planAudit":"fail","""))
+    val (codeLow, outLow) = runDoctor(low, "testdata_sf1")
+    assert(codeLow == 1, outLow)
+    assert(outLow.contains("lsh_low_threshold_regime") &&
+      outLow.contains("exact pair join"), outLow)
+    // the design regime (>= ~0.9 cosine) audits clean at the same scale
+    val hi = write("embed_hi.json", spec(0.95))
+    val (codeHi, outHi) = runDoctor(hi, "testdata_sf1")
+    assert(codeHi == 0, outHi)
+    assert(!outHi.contains("lsh_low_threshold_regime"), outHi)
+  }
+
   test("Doctor --run-gates: a violated drift gate fails preflight with the violation named; clean gates pass") {
     def spec(bounds: String) =
       s"""{"id":"gate-check","processingMode":"SIMPLE_STREAM",

@@ -850,6 +850,40 @@ class InterpreterSpec extends SparkSuite {
     assert(bad.getMessage.contains("planAudit"), bad.getMessage)
   }
 
+  test("dedup_near method=embedding through config equals the direct operator call; streaming is refused") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"embed-dedup","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"dedup_near","method":"embedding",
+        |  "idColumn":"vec_id","column":"embedding","dim":64,
+        |  "threshold":0.9}],
+        |"outputTopic":{"enabled":true,"name":"dedup-out"}}""".stripMargin)
+    val fromSpec = graft.pipeline.Interpreter.values(
+      graft.pipeline.Interpreter.build(spark, spec, resolver))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    graft.operators.Dedup.releaseInternalCaches()
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val pairs = graft.operators.Dedup.embeddingCosinePairs(
+      e, "vec_id", "embedding", dim = 64, threshold = 0.9)
+    val direct = graft.operators.Dedup.keepRepresentatives(e, "vec_id", pairs)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(fromSpec == direct && fromSpec.nonEmpty,
+      s"config path kept ${fromSpec.size} reps, code path ${direct.size}")
+    // embedding dedup is a batch construct — a streaming frame refuses
+    val ss = spark
+    import ss.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])](ss, 2)
+    val streamDf = input.toDF().toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      graft.pipeline.Interpreter.applyTransform(
+        streamDf, spec.transform.head, None, "s")
+    }
+    assert(err.getMessage.contains("method=jaccard only"), err.getMessage)
+  }
+
   test("spec-declared drift gate fails the run on a violated bound; clean bounds pass with pass=true (r36)") {
     def gateSpec(bounds: String) = PipelineSpec.fromJson(
       s"""{"id":"drift-gate","processingMode":"SIMPLE_STREAM",

@@ -148,17 +148,52 @@ class OperatorsSpec extends SparkSuite {
         graft.functions.VectorFunctions.cosine_sim(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= 0.4)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // the same call shape as the x2_embed_dup query (auto-sized LSH)
+    // the same call shape as the x2_embed_dup query (auto-sized LSH);
+    // autoRouteExact off — THIS test pins the sized-LSH path's recall (at
+    // the fixture's tiny n the router would otherwise pick the exact join,
+    // which the routing test below pins separately)
     val lsh = graft.operators.Dedup.embeddingCosinePairs(
       spark.read.parquet(s"${sf()}/embeddings.parquet"),
       "vec_id", "embedding", dim = 64, nTables = 24, planesPerTable = 4,
-      threshold = 0.4)
+      threshold = 0.4, autoRouteExact = false)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "fixture lost its >= 0.4 cosine pairs")
     assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh.diff(exact)}")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"embedding-LSH recall $recall below 0.9 " +
       s"(${exact.size} exact pairs, ${lsh.size} recalled)")
+  }
+
+  test("embedding dedup auto-routes to the exact pair join below the LSH break-even, identical output") {
+    // a low-threshold TINY corpus (64 vectors — the fixture's 500 already
+    // price LSH cheaper in the model) prices exact below the sized LSH
+    // plan (round-14 directive: the sizer's own cost model decides) — the
+    // plan must carry no LSH machinery and the result must equal brute
+    // force
+    val rng = new java.util.Random(11L)
+    val e = spark.createDataFrame((0 until 64).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextGaussian())))).toDF("vec_id", "embedding")
+    val routed = graft.operators.Dedup.embeddingCosinePairs(
+      e, "vec_id", "embedding", dim = 8, threshold = 0.4)
+    val plan = routed.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("sign_buckets"),
+      "tiny low-threshold corpus should have routed to the exact join")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        graft.functions.VectorFunctions.cosine_sim(
+          col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.4)
+    assert(pairs(routed) == pairs(exact) && pairs(routed).nonEmpty,
+      "routed output diverged from the brute-force form")
+    // the cost model itself: tiny n routes, large n does not (th 0.4)
+    val small = graft.operators.Dedup.sizeLsh(50, 0.4, maxTables = 256)
+    val large = graft.operators.Dedup.sizeLsh(1000000, 0.4, maxTables = 256)
+    assert(graft.operators.Dedup.exactPairCostPerPoint(50) <= small.costPerPoint)
+    assert(graft.operators.Dedup.exactPairCostPerPoint(1000000) > large.costPerPoint)
   }
 
   test("connected-components collapse: chain clusters resolve to one min-id rep") {
@@ -599,7 +634,8 @@ class OperatorsSpec extends SparkSuite {
     // clamp to the width instead of filtering every config out
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val df = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", dim = 64,
-      nTables = 4, planesPerTable = 20, threshold = 0.4, maxTables = 8)
+      nTables = 4, planesPerTable = 20, threshold = 0.4, maxTables = 8,
+      autoRouteExact = false) // pin the WIDTH SEARCH, not the exact route
     df.count() // construction and execution both survive
   }
 
