@@ -92,7 +92,9 @@ object ScalingBench {
     val labelSmall = args.lift(2).getOrElse("sf0.1")
     val labelBig = args.lift(3).getOrElse("sf1")
     val artifactName = args.lift(4).getOrElse("scaling.json")
-    val dataRatio = args.lift(5).map(_.toInt).getOrElse(10)
+    // Double: the sf3 -> sf10 rung's ratio is 10/3 (the tiled dirs hold
+    // 30 and 100 sf0.1 tiles)
+    val dataRatio = args.lift(5).map(_.toDouble).getOrElse(10.0)
     val warmDir = "/root/testdata/sf0.001"
     val runsSmall = 3
     val runsBig = 2 // big runs are ~10x the wall clock; 2 suffice for a min
@@ -149,7 +151,7 @@ object ScalingBench {
       }.mkString("{", ",", "}")
       val worst = if (merged.isEmpty) 0.0 else merged.values.map(_._3).max
       val json = s"""{"metric":"scaling","small":"$sfSmall","big":"$sfBig",""" +
-        s""""data_ratio":$dataRatio,"worst_ratio":${fmt(worst)},"queries":$body}"""
+        s""""data_ratio":${fmt(dataRatio)},"worst_ratio":${fmt(worst)},"queries":$body}"""
       java.nio.file.Files.write(scalingPath,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       json
