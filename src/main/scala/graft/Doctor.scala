@@ -73,8 +73,11 @@ object Doctor {
         val (df, specFindings) =
           graft.pipeline.Interpreter.buildAudited(spark, spec, resolver)
         // spec-level findings (config-detectable traps — e.g. the
-        // low-threshold embedding-LSH regime) print for streaming AND
-        // batch specs and count under --audit-fail like plan warns
+        // low-threshold embedding-LSH regime, the unbounded-categorical
+        // drift leg) print here and count under --audit-fail like plan
+        // warns. In practice they fire on BATCH specs: the streaming
+        // declarations that would hit them (embedding dedup on a stream)
+        // are refused at build and report BUILD FAILED instead
         specFindings.foreach(w =>
           println(s"  plan audit WARN: ${w.rule} — ${w.detail}"))
         if (df.isStreaming) {

@@ -815,9 +815,16 @@ case class TransformOp(
         require(minFraction.exists(f => f > 0 && f <= 1),
           s"[$where] snapshot_drift heavyHitterColumns requires " +
             "minFraction in (0, 1] (the heavy-key threshold)")
-      (numericMaxAbsDelta ++ numericMaxRelDelta).foreach { case (k, v) =>
-        require(v >= 0,
-          s"[$where] snapshot_drift gate bound '$k' must be >= 0, got $v")
+      // validate the two bound maps SEPARATELY: `++` merges them, so a key
+      // present in both would have its abs value shadowed by the rel one —
+      // a negative maxAbsDelta masked by a valid same-key maxRelDelta
+      // would escape here and make every matching row violate at runtime
+      Seq("maxAbsDelta" -> numericMaxAbsDelta,
+          "maxRelDelta" -> numericMaxRelDelta).foreach { case (which, bs) =>
+        bs.foreach { case (k, v) =>
+          require(v >= 0,
+            s"[$where] snapshot_drift $which bound '$k' must be >= 0, got $v")
+        }
       }
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,

@@ -240,7 +240,11 @@ object Drift extends Logging {
     report.withColumn("pass",
       when(absViol || relViol, raise_error(concat(
         lit("drift gate violated: "), col("col_name"), lit("/"), col("metric"),
-        lit(" delta="), format_number(col("delta"), 6),
+        // a NULL delta is itself a violation (see absViol/relViol above) —
+        // coalesce it like the bound legs, or the whole concat nulls out
+        // and raise_error fires with an EMPTY message, losing the
+        // "names the column, metric, delta, and bound" contract
+        lit(" delta="), coalesce(format_number(col("delta"), 6), lit("null")),
         lit(" abs_bound="), coalesce(format_number(absB, 6), lit("-")),
         lit(" rel_bound="), coalesce(format_number(relB, 6), lit("-")))))
         .otherwise(lit(true)))

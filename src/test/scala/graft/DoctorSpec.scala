@@ -107,6 +107,25 @@ class DoctorSpec extends SparkSuite {
         assert(code == 0, s"$p failed preflight:\n$out")
         assert(out.contains("plan audit WARN"),
           s"$p is marked .warn.yml but audited clean — drop the marker:\n$out")
+      } else if (p.endsWith(".fail.yml") || p.endsWith(".fail.yaml")) {
+        // *.fail.yml demonstrates the refuse-before-burn path END TO END
+        // (round-14 directive #7): the fixture declares planAudit: "fail"
+        // on a config-detectable trap, so Doctor must REFUSE it (exit 1)
+        // with the spec-level finding named in the failure — before the
+        // flagged stage ever executes. The traps are SCALE-AWARE (they
+        // price threshold × corpus), so these fixtures preflight against
+        // the sf1 rung where the regime is real — at toy scale the same
+        // spec correctly prices feasible and would pass
+        if (!Files.isDirectory(java.nio.file.Paths.get("testdata_sf1")))
+          info(s"$p skipped — sf1 rung not generated on this machine")
+        else {
+          val (code, out) = runDoctor(p, "testdata_sf1")
+          assert(code == 1,
+            s"$p is marked .fail.yml but passed preflight — drop the marker:\n$out")
+          assert(out.contains("plan audit:"),
+            s"$p must be refused BY THE AUDIT GATE (a build crash for any " +
+              s"other reason is a broken fixture, not a demonstration):\n$out")
+        }
       } else {
         val (code, out) = runDoctor(p, sf(), "--audit-fail")
         assert(code == 0, s"$p failed preflight under --audit-fail:\n$out")
@@ -145,6 +164,40 @@ class DoctorSpec extends SparkSuite {
     val (codeHi, outHi) = runDoctor(hi, "testdata_sf1")
     assert(codeHi == 0, outHi)
     assert(!outHi.contains("lsh_low_threshold_regime"), outHi)
+  }
+
+  test("Doctor: snapshot_drift over an identifier-like categorical warns at preflight; a bounded enum audits clean") {
+    // round-14 directive #4 — the OTHER config-detectable drift trap: the
+    // exact freq_l1 leg shuffles one row per distinct category per side,
+    // so a categoricalColumns entry pointed at an id-like key space grows
+    // the exchange with the corpus. The declaration is priced by one HLL
+    // probe of the compare snapshot; past the enum bar (10k) the finding
+    // names the heavyHitterColumns alternative. Scale-aware like the LSH
+    // regime check, so it pins against the sf1 rung (events: 15k distinct
+    // user_id — past the bar; 5 distinct event_type — well under it).
+    def spec(catCol: String, planAudit: String = "") =
+      s"""{"id":"drift-card","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "categoricalColumns":["$catCol"]}],
+         |"outputTopic":{"enabled":true,"name":"drift-out"}}""".stripMargin
+    assume(Files.isDirectory(java.nio.file.Paths.get("testdata_sf1")),
+      "sf1 rung not generated on this machine")
+    // composition with planAudit:"fail" pinned, same as the LSH regime
+    // test: the finding refuses the build outright, Doctor exits 1
+    val bad = write("drift_userid.json", spec("user_id", """"planAudit":"fail","""))
+    val (codeBad, outBad) = runDoctor(bad, "testdata_sf1")
+    assert(codeBad == 1, outBad)
+    assert(outBad.contains("drift_unbounded_categorical") &&
+      outBad.contains("heavyHitterColumns"), outBad)
+    // a genuine enum at the same scale audits clean under --audit-fail
+    val ok = write("drift_eventtype.json", spec("event_type"))
+    val (codeOk, outOk) = runDoctor(ok, "testdata_sf1", "--audit-fail")
+    assert(codeOk == 0, outOk)
+    assert(!outOk.contains("drift_unbounded_categorical"), outOk)
   }
 
   test("Doctor --run-gates: a violated drift gate fails preflight with the violation named; clean gates pass") {

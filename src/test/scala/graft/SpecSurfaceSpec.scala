@@ -56,6 +56,16 @@ class SpecSurfaceSpec extends AnyFunSuite {
         missing.mkString(", "))
   }
 
+  test("every spec-level audit finding is documented") {
+    // the config-level preflight findings (lsh_low_threshold_regime,
+    // drift_unbounded_categorical, …) are product surface: a user greps
+    // the reference doc for the name Doctor printed — a finding that can
+    // fire but isn't documented must fail the build (round-14 directive #8)
+    graft.pipeline.Interpreter.specAuditFindings.foreach(f =>
+      assert(doc.contains(s"`$f`"),
+        s"spec audit finding '$f' missing from SPEC_REFERENCE.md"))
+  }
+
   test("every knn method is documented") {
     SpecSurface.knnMethods.foreach(m => assert(doc.contains(s"`$m`"),
       s"knn method '$m' missing from SPEC_REFERENCE.md"))
