@@ -666,9 +666,11 @@ object Dedup extends Logging {
       .select(col("id"), (col("pos") / lit(stride)).cast("int").as("tbl"),
         col("bucket"))
     val vecRowBytes = dim * 8L + 32L
-    // budget the FULL vector table `e` — that is what broadcasts (64 MB
-    // budget = ~120k vectors at dim 64; 2× headroom vs Spark's 8 GB hard
-    // cap). Auto-sizing already counted e; a declared geometry stays LAZY —
+    // budget the FULL vector table `e` — that is what broadcasts. 64 MB
+    // (~120k vectors at dim 64) is the ALWAYS-broadcast floor; the
+    // cost-based decision below can raise the effective bound to 1 GiB
+    // when the sizer prices the shuffle alternative as more expensive.
+    // Auto-sizing already counted e; a declared geometry stays LAZY —
     // the decision reads the optimizer's own file-size statistic for the
     // scan with 2× decompression headroom instead of running a count job
     // at DataFrame-construction time (round-13 ADVICE item).
@@ -702,7 +704,35 @@ object Dedup extends Logging {
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id1"), col("b.id").as("id2"))
     }
-    if (vecTableBytes <= broadcastBudget) {
+    // COST-BASED branch choice (round 15 — found by the sf3→sf10 scaling
+    // rung): at 200k dim-64 vectors the table is 109 MB, just past the
+    // static 64 MB budget, and the shuffle branch that replaced broadcast
+    // wrote the ENTIRE raw candidate multiset (sizer-priced 3.1e9 rows ≈
+    // 75 GB) through the dedup exchange — a 1.7× table-size excess bought
+    // a ~700× shuffle-byte cliff that filled the dev disk and would tie up
+    // cluster I/O at 100 TB just the same. When the sizer knows both sides
+    // (auto-sized path), price them: shuffling raw candidates costs ~24
+    // bytes/row (two longs + exchange overhead) written and read back;
+    // broadcasting costs one table copy per executor, budgeted at a
+    // 32-executor fan-out (conservative: local pays 1). Broadcast wins
+    // whenever candidate bytes exceed the fan-out-priced table bytes, up
+    // to a 1 GiB hard cap (8× under Spark's broadcast limit; the verify
+    // joins hold TWO copies — past the cap, executor memory is the binding
+    // constraint and the volume-aware shuffle branch is the honest plan).
+    // Declared geometries (nKnown < 0) keep the static budget: no count
+    // job, no sizer estimate, lazy as before.
+    val rawCandBytes: Double =
+      if (nKnown < 0) 0.0
+      else {
+        val occ = nKnown.toDouble / (1L << bPlanes)
+        nKnown.toDouble *
+          (lTables * (1.0 + probeT) * (1.0 + probeT) * occ / 2.0) * 24.0
+      }
+    val broadcastHardCap = 1024L * 1024 * 1024
+    val preferBroadcast = vecTableBytes <= broadcastBudget ||
+      (nKnown >= 0 && vecTableBytes <= broadcastHardCap &&
+        rawCandBytes > 32.0 * vecTableBytes)
+    if (preferBroadcast) {
       // VERIFY-FIRST (round-13 reorder, measured 4×): with the vector table
       // broadcast, the exact cosine is a MAP-SIDE projection on the raw
       // candidate stream — so verify BEFORE deduplicating and the
@@ -721,13 +751,15 @@ object Dedup extends Logging {
       // pair (same vectors, same expression), so dropDuplicates keeping an
       // arbitrary survivor is still deterministic output.
       //
-      // NOT persisted on this branch: the budget caps the corpus at ~120k
-      // vectors, where recomputing the sketch per join side (≲L·b·dim
-      // flops/vector, sub-second) is cheaper than writing an n·L·(1+T)-row
-      // cache (measured at sf3: the 22M-row cache write cost ~7 s — more
-      // than every recompute it saved; the hot-bucket aggregate inside
-      // capBuckets is one exchange, reused across both join sides by
-      // ReuseExchange since the subplans are semantically equal).
+      // NOT persisted on this branch: recomputing the sketch per join side
+      // (L·b·dim flops/vector — seconds even at the 1 GiB cap's ~2M
+      // vectors) is cheaper than writing an n·L·(1+T)-row cache (measured
+      // at sf3: the 22M-row cache write cost ~7 s — more than every
+      // recompute it saved), and when the cost model routes a LARGE corpus
+      // here it is precisely because the avoided candidate exchange dwarfs
+      // everything else; the hot-bucket aggregate inside capBuckets is one
+      // exchange, reused across both join sides by ReuseExchange since the
+      // subplans are semantically equal.
       val banded = capBuckets(banded1, Seq("tbl", "bucket"), bucketCap)
       pairs(banded)
         .join(broadcast(e.select(col("id").as("id1"), col("v").as("v1"))), "id1")
