@@ -557,6 +557,26 @@ object Queries {
       .select("col_name", "metric", "category",
         "old_value", "new_value", "delta", "pass")
 
+  /** X29 histogram drift through config: the binned-distribution leg +
+    * PSI declared as a `histograms` entry, gated on the standard PSI bar
+    * (0.25 = major shift) and a per-bin fraction bound — both hold on the
+    * fixture's mild date-split drift, so every row carries pass = true.
+    * Old side = compareFilter'd first half, new side = the whole source
+    * topic (the r35 convention).
+    */
+  def r37SpecDriftHist(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"drift-hist-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "histograms":[{"column":"value","lo":10.0,"hi":110.0,"bins":10}],
+         |  "maxAbsDelta":{"psi":0.25,"bin_frac":0.05}}],
+         |"outputTopic":{"enabled":true,"name":"events-drift-hist"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta", "pass")
+
   /** Spec-level quantile rollup (the mergeable percentile sketch through
     * JSON config; rows-only — estimates are engine-specific, accuracy
     * rank-pinned in InterpreterSpec against exact percentiles).
@@ -2056,6 +2076,22 @@ object Queries {
       Seq("value"), Seq("event_type"))
   }
 
+  /** X29 binned-distribution drift + PSI: the same date split, exact
+    * fixed-bin histogram fractions (10 bins over value ∈ [10, 110), plus
+    * under/over bins — the fixture populates both) and the Population
+    * Stability Index summary row. The ≤ nBins+2-row exchange per side is
+    * the whole shuffle; the oracle computes identical bins (same IEEE
+    * double expression) and the same ε-clamped PSI in DuckDB.
+    */
+  def x29DriftHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("__t", col("ts").cast("timestamp"))
+    val split = lit("2024-01-16").cast("timestamp")
+    graft.operators.Drift.histogramDrift(
+      ev.filter(col("__t") < split), ev.filter(col("__t") >= split),
+      "value", lo = 10.0, hi = 110.0, nBins = 10)
+  }
+
   /** X21 exact heavy hitters: tokens appearing in ≥0.5% of the corpus's
     * token stream, with exact counts. Misra–Gries candidate sketch (bounded
     * map-side state, ≤k-row exchange) + exact broadcast recount — the
@@ -2261,6 +2297,40 @@ object Queries {
     * (MG superset guarantee + exact recount). Same newCte parameterization
     * as [[driftOracleSql]].
     */
+  /** Shared body of the histogram-drift oracles ([[driftOracleSql]]'s
+    * newCte parameterization): identical fixed-bin assignment — the same
+    * IEEE double expression in both engines, so bin placement agrees
+    * bit-for-bit — fractions per side, and the ε-clamped PSI summary.
+    * Bin geometry is the x29_drift_hist declaration: value ∈ [10, 110),
+    * 10 bins, ε = 1e-6.
+    */
+  private def histDriftOracleSql(newCte: String): String =
+    s"""WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
+       |n AS ($newCte),
+       |ob AS (SELECT least(greatest(CAST(floor((value - 10.0) / ((110.0 - 10.0) / 10)) AS BIGINT), -1), 10) AS bin,
+       |              count(*) AS cnt FROM o
+       |       WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+       |nb AS (SELECT least(greatest(CAST(floor((value - 10.0) / ((110.0 - 10.0) / 10)) AS BIGINT), -1), 10) AS bin,
+       |              count(*) AS cnt FROM n
+       |       WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1),
+       |j AS (SELECT bin, coalesce(ob.cnt, 0) AS ocnt, coalesce(nb.cnt, 0) AS ncnt
+       |      FROM ob FULL OUTER JOIN nb USING (bin)),
+       |t AS (SELECT coalesce(sum(ocnt), 0) AS ot, coalesce(sum(ncnt), 0) AS nt FROM j),
+       |f AS (SELECT bin,
+       |        CASE WHEN ot = 0 THEN 0.0 ELSE ocnt::DOUBLE / ot END AS po,
+       |        CASE WHEN nt = 0 THEN 0.0 ELSE ncnt::DOUBLE / nt END AS pn
+       |      FROM j, t),
+       |bins AS (SELECT 'value' AS col_name, 'bin_frac' AS metric,
+       |  CASE WHEN bin = -1 THEN 'under' WHEN bin = 10 THEN 'over'
+       |       ELSE 'b' || bin::VARCHAR END AS category,
+       |  po AS old_value, pn AS new_value, pn - po AS delta FROM f),
+       |psi AS (SELECT 'value' AS col_name, 'psi' AS metric, NULL::VARCHAR AS category,
+       |  (SELECT ot FROM t)::DOUBLE AS old_value,
+       |  (SELECT nt FROM t)::DOUBLE AS new_value,
+       |  coalesce((SELECT sum((greatest(pn, 1e-6) - greatest(po, 1e-6)) *
+       |            ln(greatest(pn, 1e-6) / greatest(po, 1e-6))) FROM f), 0.0) AS delta)
+       |SELECT * FROM bins UNION ALL SELECT * FROM psi""".stripMargin
+
   private def heavyDriftOracleSql(newCte: String): String =
     s"""WITH o AS (SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'),
        |n AS ($newCte),
@@ -2876,6 +2946,15 @@ object Queries {
     "x29_drift_heavy" ->
       heavyDriftOracleSql(
         "SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'"),
+    "x29_drift_hist" ->
+      histDriftOracleSql(
+        "SELECT * FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'"),
+    // r37: spec twin — old = compareFilter'd first half, new = the whole
+    // source topic; the declared bounds hold, so every row passes
+    "r37_spec_drift_hist" ->
+      s"""SELECT col_name, metric, category, old_value, new_value, delta,
+         |       TRUE AS pass
+         |FROM (${histDriftOracleSql("SELECT * FROM events")})""".stripMargin,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3310,6 +3389,8 @@ object Queries {
     "x29_drift" -> x29Drift _,
     "r35_spec_drift" -> r35SpecDrift _,
     "x29_drift_heavy" -> x29DriftHeavy _,
+    "x29_drift_hist" -> x29DriftHist _,
+    "r37_spec_drift_hist" -> r37SpecDriftHist _,
     "r36_spec_drift_gate" -> r36SpecDriftGate _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,

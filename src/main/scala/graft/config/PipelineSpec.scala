@@ -398,6 +398,19 @@ case class OutputTopic(
   * chunk) is expressible as pure JSON — see the r22_spec_training query —
   * and the x19 screen via r23_spec_contamination.
   */
+/** One fixed-bin histogram declaration for `snapshot_drift`'s binned
+  * distribution-drift leg: `bins` equal-width bins over [`lo`, `hi`),
+  * plus automatic under/over bins for out-of-range mass. Emits one
+  * `bin_frac` row per bin observed on either snapshot and one `psi`
+  * summary row (Population Stability Index; gate it with
+  * `maxAbsDelta: {"psi": 0.25}` — the standard "major shift" bar).
+  */
+case class HistogramSpec(
+    column: String,
+    lo: Double,
+    hi: Double,
+    bins: Int)
+
 case class TransformOp(
     op: String,
     dupColumns: Seq[String] = Nil,
@@ -540,7 +553,12 @@ case class TransformOp(
     // |old_value|. The declarative form of "retrain only if drift is
     // within bounds".
     maxAbsDelta: Option[Map[String, Double]] = None,
-    maxRelDelta: Option[Map[String, Double]] = None) {
+    maxRelDelta: Option[Map[String, Double]] = None,
+    // snapshot_drift histogram leg: fixed-bin distribution drift + PSI per
+    // declared numeric column ([[graft.operators.Drift.histogramDrift]]) —
+    // catches the moment-preserving shape changes the mean/stddev rows
+    // miss; the exchange is ≤ bins+2 rows per side at any corpus size
+    histograms: Seq[HistogramSpec] = Nil) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -808,9 +826,19 @@ case class TransformOp(
         s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
           "parquet; the frame is the NEW snapshot)")
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
-          heavyHitterColumns.nonEmpty,
+          heavyHitterColumns.nonEmpty || histograms.nonEmpty,
         s"[$where] snapshot_drift requires numericColumns, " +
-          "categoricalColumns and/or heavyHitterColumns")
+          "categoricalColumns, heavyHitterColumns and/or histograms")
+      histograms.foreach { h =>
+        require(h.column.nonEmpty,
+          s"[$where] snapshot_drift histogram entry needs a column")
+        require(h.bins >= 1,
+          s"[$where] snapshot_drift histogram '${h.column}' bins must be " +
+            s">= 1, got ${h.bins}")
+        require(h.hi > h.lo,
+          s"[$where] snapshot_drift histogram '${h.column}' needs hi > lo, " +
+            s"got [${h.lo}, ${h.hi})")
+      }
       if (heavyHitterColumns.nonEmpty)
         require(minFraction.exists(f => f > 0 && f <= 1),
           s"[$where] snapshot_drift heavyHitterColumns requires " +

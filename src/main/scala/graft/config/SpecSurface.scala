@@ -44,5 +44,6 @@ object SpecSurface {
     "BranchSpec" -> BranchSpec("true", OutputTopic(name = "o"))
       .productElementNames.toSeq,
     "AggSpec" -> AggSpec().productElementNames.toSeq,
+    "HistogramSpec" -> HistogramSpec("c", 0.0, 1.0, 1).productElementNames.toSeq,
     "EventTimeSpec" -> EventTimeSpec("ts", "1 hour").productElementNames.toSeq)
 }

@@ -200,6 +200,101 @@ object Drift extends Logging {
       .withColumn("delta", col("new_value") - col("old_value"))
   }
 
+  /** Binned-distribution drift for a numeric column: exact fixed-bin
+    * histogram fractions per snapshot plus the Population Stability Index
+    * (PSI — the standard "has this feature shifted enough to block the
+    * retrain" score; PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major).
+    * [[driftReport]]'s mean/stddev legs miss shape changes that preserve
+    * moments (bimodal split, variance swap between tails); the histogram
+    * sees them.
+    *
+    * Bins: `nBins` equal-width bins over [lo, hi), plus an `under` bin
+    * (value < lo) and an `over` bin (value >= hi) so out-of-range mass is
+    * reported, never dropped. Nulls (and NaNs on float columns) are
+    * excluded — null drift is [[driftReport]]'s `null_rate` metric.
+    *
+    * Output rows ([[heavyHitterDrift]]-shaped, so [[gated]] composes):
+    *  - one per bin observed on EITHER side: (col_name, metric =
+    *    "bin_frac", category = "under" | "b0".."b<n-1>" | "over",
+    *    old_value / new_value = that side's fraction of non-null rows in
+    *    the bin, delta = new − old). Bins empty on both sides are absent.
+    *  - one summary row: (col_name, "psi", null, old non-null count,
+    *    new non-null count, delta = PSI) where PSI = Σ_bins
+    *    (p_new − p_old) · ln(p_new / p_old) with each fraction clamped to
+    *    ≥ `epsilon` (the standard guard — a bin empty on one side would
+    *    otherwise send the score to ±∞). A side with zero non-null rows
+    *    has every fraction clamped to epsilon, so an empty snapshot
+    *    reports a large finite PSI (~ p·ln(1/ε) per occupied bin) and
+    *    GATES rather than erroring.
+    *
+    * Scale posture: one partial-aggregated `groupBy(bin)` per snapshot —
+    * the exchange is ≤ nBins + 2 rows per side regardless of row count;
+    * totals ride on one-row broadcast cross joins. Nothing joins the
+    * snapshots row-wise. DuckDB-oracle exact (`x29_drift_hist`): the bin
+    * expression is the same IEEE double arithmetic in both engines, so
+    * bin assignment agrees bit-for-bit.
+    */
+  def histogramDrift(oldDf: DataFrame, newDf: DataFrame, c: String,
+      lo: Double, hi: Double, nBins: Int,
+      epsilon: Double = 1e-6): DataFrame = {
+    require(nBins >= 1, s"histogramDrift nBins must be >= 1, got $nBins")
+    require(hi > lo, s"histogramDrift needs hi > lo, got [$lo, $hi)")
+    require(epsilon > 0 && epsilon < 1e-3,
+      s"histogramDrift epsilon must be in (0, 1e-3), got $epsilon")
+    val width = (hi - lo) / nBins
+    def side(df: DataFrame, out: String): DataFrame = {
+      val isFloaty = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => true
+        case _ => false
+      }
+      val clean0 = df.filter(col(c).isNotNull)
+      val clean = if (isFloaty) clean0.filter(!isnan(col(c))) else clean0
+      clean.groupBy(
+          least(greatest(floor((col(c) - lit(lo)) / lit(width)), lit(-1L)),
+            lit(nBins.toLong)).as("bin"))
+        .agg(count(lit(1)).as(out))
+    }
+    val j = side(oldDf, "ocnt").join(side(newDf, "ncnt"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ocnt"), lit(0L)).as("ocnt"),
+        coalesce(col("ncnt"), lit(0L)).as("ncnt"))
+    // totals are the sums of the ≤ nBins+2 joined rows (== each side's
+    // non-null count); one-row broadcast cross join, same pattern as
+    // heavyHitterDrift — no scalar-subquery re-scan of the snapshots
+    val tot = j.agg(sum(col("ocnt")).as("__ot"), sum(col("ncnt")).as("__nt"))
+    val withTot = j.crossJoin(broadcast(tot))
+    val oFrac = when(col("__ot") === 0, lit(0.0))
+      .otherwise(col("ocnt") / col("__ot"))
+    val nFrac = when(col("__nt") === 0, lit(0.0))
+      .otherwise(col("ncnt") / col("__nt"))
+    val binRows = withTot.select(
+      lit(c).as("col_name"), lit("bin_frac").as("metric"),
+      when(col("bin") === -1L, lit("under"))
+        .when(col("bin") === nBins.toLong, lit("over"))
+        .otherwise(concat(lit("b"), col("bin").cast("string"))).as("category"),
+      oFrac.as("old_value"), nFrac.as("new_value"),
+      (nFrac - oFrac).as("delta"))
+    val go = greatest(oFrac, lit(epsilon))
+    val gn = greatest(nFrac, lit(epsilon))
+    // both snapshots empty of non-null values → j has zero rows → the
+    // aggregates come back null; report (0, 0, 0.0) — no rows on either
+    // side is "no distribution on either side", the same convention as
+    // driftReport's freq_l1
+    val psiRow = withTot
+      // functions.log (natural log) spelled out: the Logging trait's
+      // slf4j `log` member shadows the sql function inside this object
+      .agg(sum((gn - go) * org.apache.spark.sql.functions.log(gn / go))
+        .as("__psi"),
+        first(col("__ot")).as("__ot"), first(col("__nt")).as("__nt"))
+      .select(lit(c).as("col_name"), lit("psi").as("metric"),
+        lit(null).cast("string").as("category"),
+        coalesce(col("__ot").cast("double"), lit(0.0)).as("old_value"),
+        coalesce(col("__nt").cast("double"), lit(0.0)).as("new_value"),
+        coalesce(col("__psi"), lit(0.0)).as("delta"))
+    binRows.unionByName(psiRow)
+  }
+
   /** Declarative drift GATE: append a `pass` column to a drift report
     * ([[driftReport]] / [[heavyHitterDrift]] shaped — any frame with
     * col_name/metric/old_value/delta) that FAILS THE JOB with a named

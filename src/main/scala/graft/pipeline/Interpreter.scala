@@ -499,18 +499,22 @@ object Interpreter extends Logging {
           Some(graft.operators.Drift.driftReport(old, df,
             t.numericColumns, t.categoricalColumns))
         else None
-      // heavy-hitter leg (unbounded key spaces): rows gain a `category`
-      // column; the exact-report rows carry null there — the column is
-      // added ONLY when the leg is declared, so the plain report's shape
-      // (and its oracle hash) is unchanged
+      // heavy-hitter and histogram legs: their rows carry a `category`
+      // column (heavy key / bin label); the exact-report rows get null
+      // there — the column is added ONLY when one of these legs is
+      // declared, so the plain report's shape (and its oracle hash) is
+      // unchanged
       val heavy = t.heavyHitterColumns.map(c =>
         graft.operators.Drift.heavyHitterDrift(old, df, c,
           t.minFraction.get))
+      val hist = t.histograms.map(h =>
+        graft.operators.Drift.histogramDrift(old, df, h.column,
+          h.lo, h.hi, h.bins))
       val combined =
-        if (heavy.isEmpty) report.get
+        if (heavy.isEmpty && hist.isEmpty) report.get
         else (report.map(_.withColumn("category", lit(null).cast("string"))
             .select("col_name", "metric", "category",
-              "old_value", "new_value", "delta")).toSeq ++ heavy)
+              "old_value", "new_value", "delta")).toSeq ++ heavy ++ hist)
           .reduce(_.unionByName(_))
       val result = graft.operators.Drift.gated(combined,
         t.numericMaxAbsDelta, t.numericMaxRelDelta)

@@ -916,6 +916,44 @@ class InterpreterSpec extends SparkSuite {
     assert(bad.getMessage.contains("must be >= 0"), bad.getMessage)
   }
 
+  test("spec-declared histogram drift: gate on psi, invalid geometry is a config error (r37)") {
+    def histSpec(hist: String, bounds: String) = PipelineSpec.fromJson(
+      s"""{"id":"drift-hist","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/events.parquet",
+         |  "compareFilter":"CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'",
+         |  "histograms":[$hist]$bounds}],
+         |"outputTopic":{"enabled":true,"name":"hist-out"}}""".stripMargin)
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    // an impossible psi bound (0 — any nonzero shift violates): the run
+    // fails with the row named, through pure config
+    val e = intercept[Exception] {
+      graft.pipeline.Interpreter.build(spark,
+        histSpec("""{"column":"value","lo":10.0,"hi":110.0,"bins":10}""",
+          ""","maxAbsDelta":{"psi":0}"""), resolver).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("value/psi"), e.getMessage)
+    // whole-number geometry crosses Jackson Integer-boxed into the Double
+    // fields — must parse, validate, and run (the r37 fixture uses 10.0
+    // literals; this pins the plain-integer spelling)
+    val rows = graft.pipeline.Interpreter.build(spark,
+      histSpec("""{"column":"value","lo":10,"hi":110,"bins":10}""", ""),
+      resolver).collect()
+    assert(rows.length == 13 &&
+      rows.count(_.getString(1) == "psi") == 1, s"got ${rows.length} rows")
+    // degenerate geometry is a config error at validate, not a run error
+    val bad = intercept[IllegalArgumentException] {
+      histSpec("""{"column":"value","lo":5,"hi":5,"bins":3}""", "").validate()
+    }
+    assert(bad.getMessage.contains("hi > lo"), bad.getMessage)
+    val bad2 = intercept[IllegalArgumentException] {
+      histSpec("""{"column":"value","lo":0,"hi":5,"bins":0}""", "").validate()
+    }
+    assert(bad2.getMessage.contains("bins must be >= 1"), bad2.getMessage)
+  }
+
   test("<dataDir> against a resolver with no filesystem base fails at build with the spec-id prefix") {
     // the portability placeholder's failure mode (e.g. a Kafka-bound spec):
     // a prefixed IllegalArgumentException at build, per the global error

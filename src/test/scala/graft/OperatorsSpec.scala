@@ -532,6 +532,73 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(out("stays")._3 - (-0.1)) < 1e-12, s"shifted key ${out("stays")}")
   }
 
+  test("histogram drift: exact bin placement, PSI formula, and a mean-preserving shape change (X29)") {
+    def df(vs: Seq[Double]) =
+      spark.createDataFrame(vs.map(Tuple1(_))).toDF("v")
+    // bin placement: [10, 20), 2 bins of width 5 — lo lands in b0, hi in
+    // over (half-open bins), out-of-range mass in under/over, nulls dropped
+    val edges = spark.createDataFrame(Seq(
+      Some(9.999), Some(10.0), Some(14.999), Some(15.0), Some(19.999),
+      Some(20.0), Some(25.0), Some(16.0), None).map(Tuple1(_))).toDF("v")
+    val placed = graft.operators.Drift.histogramDrift(
+        edges, edges, "v", 10.0, 20.0, 2)
+      .collect().map(r => Option(r.getString(2)).getOrElse("psi") ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    // every bin gets a DISTINCT fraction (1/8, 2/8, 3/8, 2/8 — b0 vs over
+    // disambiguated by the under/b1 counts), so a placement swap cannot
+    // cancel out: 9.999 → under, 10.0 → b0 (lo inclusive), 14.999 → b0,
+    // 15.0/16.0/19.999 → b1 (hi exclusive), 20.0/25.0 → over, null dropped
+    assert(placed("under")._1 == 0.125 && placed("b0")._1 == 0.25 &&
+      placed("b1")._1 == 0.375 && placed("over")._1 == 0.25,
+      s"bin placement wrong: $placed")
+    assert(placed("psi") == ((8.0, 8.0)), "nulls leaked into the total")
+    // PSI hand-check: old (0.5, 0.5) vs new (0.25, 0.75) over 2 bins =
+    // (0.25−0.5)·ln(0.25/0.5) + (0.75−0.5)·ln(0.75/0.5); mean moves
+    // 6.5 → 11.25 here, so ALSO pin a mean-preserving case below
+    val out = graft.operators.Drift.histogramDrift(
+        df(Seq(1, 2, 11, 12)), df(Seq(3, 13, 14, 15)), "v", 0.0, 20.0, 2)
+      .collect().map(r => Option(r.getString(2)).getOrElse("psi") ->
+        r.getDouble(5)).toMap
+    val expected = -0.25 * math.log(0.5) + 0.25 * math.log(1.5)
+    assert(math.abs(out("psi") - expected) < 1e-12,
+      s"PSI ${out("psi")} != hand-computed $expected")
+    assert(math.abs(out("b0") - -0.25) < 1e-12 &&
+      math.abs(out("b1") - 0.25) < 1e-12, s"bin_frac deltas: $out")
+    // the reason this leg exists: a shape change with UNCHANGED mean
+    // (mass splits symmetrically outward) — mean delta is exactly 0,
+    // PSI sees the split
+    val uni = df(Seq.fill(100)(50.0))
+    val bimod = df(Seq.fill(50)(25.0) ++ Seq.fill(50)(75.0))
+    val meanDelta = graft.operators.Drift.driftReport(uni, bimod, Seq("v"), Nil)
+      .filter(col("metric") === "mean").collect().head.getDouble(4)
+    assert(meanDelta == 0.0, s"fixture broken: mean moved $meanDelta")
+    val psi = graft.operators.Drift.histogramDrift(uni, bimod, "v", 0.0, 100.0, 4)
+      .filter(col("metric") === "psi").collect().head.getDouble(5)
+    assert(psi > 5.0, s"mean-preserving bimodal split scored PSI $psi — " +
+      "the histogram leg exists to catch exactly this")
+    // empty new side: clamped fractions give a large FINITE score that
+    // gates; both sides empty reports (0, 0, 0.0)
+    val empty = df(Nil)
+    val collapsed = graft.operators.Drift.histogramDrift(
+        df(Seq(1, 11)), empty, "v", 0.0, 20.0, 2)
+      .filter(col("metric") === "psi").collect().head
+    assert(collapsed.getDouble(3) == 2.0 && collapsed.getDouble(4) == 0.0 &&
+      collapsed.getDouble(5) > 5.0 && !collapsed.getDouble(5).isInfinite,
+      s"empty-side PSI row: $collapsed")
+    val both = graft.operators.Drift.histogramDrift(
+        empty, empty, "v", 0.0, 20.0, 2).collect()
+    assert(both.length == 1 && both.head.getString(1) == "psi" &&
+      both.head.getDouble(5) == 0.0, "both-empty should be one zero psi row")
+    // gated composition: the PSI bound fails the job with the row named
+    val e = intercept[Exception] {
+      graft.operators.Drift.gated(
+        graft.operators.Drift.histogramDrift(uni, bimod, "v", 0.0, 100.0, 4),
+        Map("psi" -> 0.25), Map.empty).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("v/psi"), e.getMessage)
+  }
+
   test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
     val oldDf = spark.createDataFrame((0 until 1000)
       .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
