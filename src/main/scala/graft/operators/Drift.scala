@@ -228,11 +228,13 @@ object Drift extends Logging {
     *    GATES rather than erroring.
     *
     * Scale posture: one partial-aggregated `groupBy(bin)` per snapshot —
-    * the exchange is ≤ nBins + 2 rows per side regardless of row count;
-    * totals ride on one-row broadcast cross joins. Nothing joins the
-    * snapshots row-wise. DuckDB-oracle exact (`x29_drift_hist`): the bin
-    * expression is the same IEEE double arithmetic in both engines, so
-    * bin assignment agrees bit-for-bit.
+    * the exchange is ≤ nBins + 2 rows per side regardless of row count —
+    * then ONE global aggregate folds the joined bins into a single row
+    * (totals + cell list) from which the bin rows and the PSI are both
+    * derived by array expressions, so each snapshot is scanned exactly
+    * once and nothing joins the snapshots row-wise. DuckDB-oracle exact
+    * (`x29_drift_hist`): the bin expression is the same IEEE double
+    * arithmetic in both engines, so bin assignment agrees bit-for-bit.
     */
   def histogramDrift(oldDf: DataFrame, newDf: DataFrame, c: String,
       lo: Double, hi: Double, nBins: Int,
@@ -259,40 +261,48 @@ object Drift extends Logging {
       .select(col("bin"),
         coalesce(col("ocnt"), lit(0L)).as("ocnt"),
         coalesce(col("ncnt"), lit(0L)).as("ncnt"))
-    // totals are the sums of the ≤ nBins+2 joined rows (== each side's
-    // non-null count); one-row broadcast cross join, same pattern as
-    // heavyHitterDrift — no scalar-subquery re-scan of the snapshots
-    val tot = j.agg(sum(col("ocnt")).as("__ot"), sum(col("ncnt")).as("__nt"))
-    val withTot = j.crossJoin(broadcast(tot))
-    val oFrac = when(col("__ot") === 0, lit(0.0))
-      .otherwise(col("ocnt") / col("__ot"))
-    val nFrac = when(col("__nt") === 0, lit(0.0))
-      .otherwise(col("ncnt") / col("__nt"))
-    val binRows = withTot.select(
-      lit(c).as("col_name"), lit("bin_frac").as("metric"),
-      when(col("bin") === -1L, lit("under"))
-        .when(col("bin") === nBins.toLong, lit("over"))
-        .otherwise(concat(lit("b"), col("bin").cast("string"))).as("category"),
-      oFrac.as("old_value"), nFrac.as("new_value"),
-      (nFrac - oFrac).as("delta"))
-    val go = greatest(oFrac, lit(epsilon))
-    val gn = greatest(nFrac, lit(epsilon))
-    // both snapshots empty of non-null values → j has zero rows → the
-    // aggregates come back null; report (0, 0, 0.0) — no rows on either
-    // side is "no distribution on either side", the same convention as
-    // driftReport's freq_l1
-    val psiRow = withTot
+    // ONE global aggregate folds the ≤ nBins+2 joined rows into a single
+    // row carrying the totals (== each side's non-null count) AND the
+    // cell list; the bin rows and the PSI summary are then both derived
+    // from that row with array expressions — the same collect_list
+    // pattern as driftReport's freq_l1. The naive alternative (bin-row
+    // projection UNION a psi aggregate over the same join) plans the
+    // whole bin-count join twice, scanning each snapshot twice; this
+    // shape scans each snapshot exactly once.
+    val one = j.agg(
+      sum(col("ocnt")).as("__ot"), sum(col("ncnt")).as("__nt"),
+      collect_list(struct(col("bin"), col("ocnt"), col("ncnt"))).as("cells"))
+    def oFrac(cell: Column) = when(col("__ot") === 0, lit(0.0))
+      .otherwise(cell.getField("ocnt") / col("__ot"))
+    def nFrac(cell: Column) = when(col("__nt") === 0, lit(0.0))
+      .otherwise(cell.getField("ncnt") / col("__nt"))
+    val binStructs = transform(col("cells"), cell => struct(
+      lit("bin_frac").as("metric"),
+      when(cell.getField("bin") === -1L, lit("under"))
+        .when(cell.getField("bin") === nBins.toLong, lit("over"))
+        .otherwise(concat(lit("b"), cell.getField("bin").cast("string")))
+        .as("category"),
+      oFrac(cell).as("old_value"), nFrac(cell).as("new_value"),
+      (nFrac(cell) - oFrac(cell)).as("delta")))
+    // both snapshots empty of non-null values → cells is the empty array
+    // (PSI fold yields its 0.0 seed) and the totals come back null,
+    // coalesced to 0 — no rows on either side is "no distribution on
+    // either side", the same convention as driftReport's freq_l1
+    val psi = aggregate(col("cells"), lit(0.0), (acc, cell) => {
+      val go = greatest(oFrac(cell), lit(epsilon))
+      val gn = greatest(nFrac(cell), lit(epsilon))
       // functions.log (natural log) spelled out: the Logging trait's
       // slf4j `log` member shadows the sql function inside this object
-      .agg(sum((gn - go) * org.apache.spark.sql.functions.log(gn / go))
-        .as("__psi"),
-        first(col("__ot")).as("__ot"), first(col("__nt")).as("__nt"))
-      .select(lit(c).as("col_name"), lit("psi").as("metric"),
-        lit(null).cast("string").as("category"),
-        coalesce(col("__ot").cast("double"), lit(0.0)).as("old_value"),
-        coalesce(col("__nt").cast("double"), lit(0.0)).as("new_value"),
-        coalesce(col("__psi"), lit(0.0)).as("delta"))
-    binRows.unionByName(psiRow)
+      acc + (gn - go) * org.apache.spark.sql.functions.log(gn / go)
+    })
+    val psiStruct = struct(
+      lit("psi").as("metric"), lit(null).cast("string").as("category"),
+      coalesce(col("__ot").cast("double"), lit(0.0)).as("old_value"),
+      coalesce(col("__nt").cast("double"), lit(0.0)).as("new_value"),
+      psi.as("delta"))
+    one.select(explode(concat(binStructs, array(psiStruct))).as("p"))
+      .select(lit(c).as("col_name"), col("p.metric"), col("p.category"),
+        col("p.old_value"), col("p.new_value"), col("p.delta"))
   }
 
   /** Declarative drift GATE: append a `pass` column to a drift report

@@ -119,11 +119,7 @@ class ObserveSpec extends SparkSuite {
       // alternative is a scalar-subquery rescan of each snapshot) — the
       // same designed shape as the q11/x5_tfidf scalar crosses
       "x29_drift_heavy" -> Set("nested_loop_join"),
-      "r36_spec_drift_gate" -> Set("nested_loop_join"),
-      // histogram drift: the same one-row totals cross over the
-      // ≤ bins+2 joined bin rows (Drift.histogramDrift)
-      "x29_drift_hist" -> Set("nested_loop_join"),
-      "r37_spec_drift_hist" -> Set("nested_loop_join"))
+      "r36_spec_drift_gate" -> Set("nested_loop_join"))
   }
 
   test("plan hygiene sweep: every registry query audits clean of unexpected warns (sf0.001)") {

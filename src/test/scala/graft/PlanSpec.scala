@@ -241,11 +241,10 @@ class PlanSpec extends SparkSuite {
     //                         Dedup.MaxBroadcastHotSet)
     //   x29_drift_heavy       two 1-row per-side-total broadcast crosses
     //   r36_spec_drift_gate   same crosses through the config path
-    //   x29_drift_hist        1-row bin-total cross over ≤ bins+2 rows
-    //   r37_spec_drift_hist   same cross through the config path
+    //   (x29_drift_hist needs NO cross: its totals and bin rows both come
+    //    off one collect_list'd aggregate row)
     val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
       "x13_salted_join", "x29_drift_heavy", "r36_spec_drift_gate",
-      "x29_drift_hist", "r37_spec_drift_hist",
       // x3_ann_ivf left this list in round 13: centroid assignment and
       // query probing now go through the NearestCells reference-object
       // expression (map-side projections, no join at all)
