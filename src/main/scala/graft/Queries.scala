@@ -517,6 +517,26 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"events-drift"}}""".stripMargin)
       .select("col_name", "metric", "old_value", "new_value", "delta")
 
+  /** Spec-level embedding drift + gate: `snapshot_drift` with
+    * `embeddingColumns` through JSON config — old = the compareFilter'd
+    * 8-cluster subset, new = the whole topic (two clusters APPEAR; the
+    * centroid metrics are direction-symmetric, so this mirrors
+    * [[x29EmbedDrift]]'s vanished-cluster fixture from the other side),
+    * with bounds that hold so the gate's `pass` column rides along.
+    */
+  def r38SpecEmbedDrift(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"embed-drift-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/embeddings.parquet",
+         |  "compareFilter":"label < 8",
+         |  "embeddingColumns":["embedding"],
+         |  "maxAbsDelta":{"centroid_shift":0.3,"mean_norm":0.001},
+         |  "maxRelDelta":{"row_count":0.5}}],
+         |"outputTopic":{"enabled":true,"name":"embed-drift"}}""".stripMargin)
+      .select("col_name", "metric", "old_value", "new_value", "delta", "pass")
+
   /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
     * a categorical column, Misra–Gries candidates + exact broadcast
     * recount per snapshot — the form that scales to UNBOUNDED key spaces
@@ -2092,6 +2112,21 @@ object Queries {
       "value", lo = 10.0, hi = 110.0, nBins = 10)
   }
 
+  /** X29 embedding-distribution drift: the same snapshot discipline over a
+    * VECTOR column — row count / mean L2 norm / centroid cosine-shift /
+    * centroid L2 distance between two snapshots of the embeddings table
+    * (new side drops cluster labels 8–9: the deterministic stand-in for a
+    * vanished cluster or a re-embedded corpus). This is the drift the
+    * scalar legs cannot see at all — every scalar column sits still while
+    * the embedding distribution moves. One scan per side; the exchange is
+    * ≤ dim rows regardless of corpus size.
+    */
+  def x29EmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Drift.embeddingDrift(
+      e, e.filter(col("label") < 8), "embedding")
+  }
+
   /** X21 exact heavy hitters: tokens appearing in ≥0.5% of the corpus's
     * token stream, with exact counts. Misra–Gries candidate sketch (bounded
     * map-side state, ≤k-row exchange) + exact broadcast recount — the
@@ -2349,6 +2384,61 @@ object Queries {
        |FROM hj, ht
        |WHERE (os > 0 AND ocnt >= ceil(0.01 * os))
        |   OR (ns > 0 AND ncnt >= ceil(0.01 * ns))""".stripMargin
+
+  /** Shared body of the embedding-drift oracles ([[driftOracleSql]]'s
+    * parameterization, here over BOTH side CTEs — the operator twin drops
+    * clusters on the new side, the spec twin drops them on the old side).
+    * Mirrors [[graft.operators.Drift.embeddingDrift]] step for step:
+    * per-row L2 norms ride the per-dimension unnest, per-dimension sums
+    * full-outer join, one global fold derives all four metrics; deltas
+    * rounded to 6 decimals with the −0 guard (gate-granularity clamping —
+    * below 1e-6 the value is summation-order noise, not drift; unrounded
+    * old/new doubles land in the compare's 6-significant-digit tier).
+    */
+  private def embedDriftOracleSql(oldCte: String, newCte: String): String =
+    s"""WITH o AS ($oldCte),
+       |n AS ($newCte),
+       |oe AS (SELECT unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+       |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM o),
+       |ne AS (SELECT unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+       |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM n),
+       |od AS (SELECT i, sum(v) AS s, sum(nrm) AS nrmsum, count(*)::DOUBLE AS cnt FROM oe GROUP BY i),
+       |nd AS (SELECT i, sum(v) AS s, sum(nrm) AS nrmsum, count(*)::DOUBLE AS cnt FROM ne GROUP BY i),
+       |j AS (SELECT coalesce(od.s, 0) AS os, coalesce(nd.s, 0) AS ns,
+       |             coalesce(od.nrmsum, 0) AS onrm, coalesce(nd.nrmsum, 0) AS nnrm,
+       |             coalesce(od.cnt, 0) AS ocnt, coalesce(nd.cnt, 0) AS ncnt
+       |      FROM od FULL OUTER JOIN nd USING (i)),
+       |t AS (SELECT coalesce(max(ocnt), 0) AS onc, coalesce(max(ncnt), 0) AS nnc,
+       |             coalesce(max(onrm), 0) AS onrm, coalesce(max(nnrm), 0) AS nnrm FROM j),
+       |agg AS (SELECT
+       |   coalesce(sum((CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END) *
+       |                (CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END)), 0) AS dot,
+       |   coalesce(sum(pow(CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END, 2)), 0) AS o2,
+       |   coalesce(sum(pow(CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END, 2)), 0) AS n2,
+       |   coalesce(sum(pow((CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END) -
+       |                    (CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END), 2)), 0) AS d2
+       |   FROM j, t)
+       |SELECT 'embedding' AS col_name, 'row_count' AS metric,
+       |  t.onc AS old_value, t.nnc AS new_value,
+       |  CASE WHEN round(t.nnc - t.onc, 6) = 0 THEN 0.0
+       |       ELSE round(t.nnc - t.onc, 6) END AS delta FROM t
+       |UNION ALL SELECT 'embedding', 'mean_norm',
+       |  CASE WHEN t.onc = 0 THEN 0.0 ELSE t.onrm / t.onc END,
+       |  CASE WHEN t.nnc = 0 THEN 0.0 ELSE t.nnrm / t.nnc END,
+       |  CASE WHEN round((CASE WHEN t.nnc = 0 THEN 0.0 ELSE t.nnrm / t.nnc END)
+       |                - (CASE WHEN t.onc = 0 THEN 0.0 ELSE t.onrm / t.onc END), 6) = 0 THEN 0.0
+       |       ELSE round((CASE WHEN t.nnc = 0 THEN 0.0 ELSE t.nnrm / t.nnc END)
+       |                - (CASE WHEN t.onc = 0 THEN 0.0 ELSE t.onrm / t.onc END), 6) END FROM t
+       |UNION ALL SELECT 'embedding', 'centroid_shift', sqrt(agg.o2), sqrt(agg.n2),
+       |  CASE WHEN round(CASE WHEN agg.o2 = 0 AND agg.n2 = 0 THEN 0.0
+       |            WHEN agg.o2 = 0 OR agg.n2 = 0 THEN 2.0
+       |            ELSE 1.0 - agg.dot / (sqrt(agg.o2) * sqrt(agg.n2)) END, 6) = 0 THEN 0.0
+       |       ELSE round(CASE WHEN agg.o2 = 0 AND agg.n2 = 0 THEN 0.0
+       |            WHEN agg.o2 = 0 OR agg.n2 = 0 THEN 2.0
+       |            ELSE 1.0 - agg.dot / (sqrt(agg.o2) * sqrt(agg.n2)) END, 6) END FROM agg
+       |UNION ALL SELECT 'embedding', 'centroid_l2', sqrt(agg.o2), sqrt(agg.n2),
+       |  CASE WHEN round(sqrt(agg.d2), 6) = 0 THEN 0.0
+       |       ELSE round(sqrt(agg.d2), 6) END FROM agg""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
     "r01_simple_stream" ->
@@ -2955,6 +3045,18 @@ object Queries {
       s"""SELECT col_name, metric, category, old_value, new_value, delta,
          |       TRUE AS pass
          |FROM (${histDriftOracleSql("SELECT * FROM events")})""".stripMargin,
+    "x29_embed_drift" ->
+      embedDriftOracleSql(
+        "SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL",
+        "SELECT embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL"),
+    // r38: spec twin from the other side — old = the compareFilter'd
+    // 8-cluster subset, new = the whole topic; declared bounds hold, so
+    // the gate's pass column is uniformly true
+    "r38_spec_embed_drift" ->
+      s"""SELECT col_name, metric, old_value, new_value, delta, TRUE AS pass
+         |FROM (${embedDriftOracleSql(
+        "SELECT embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL",
+        "SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL")})""".stripMargin,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3392,6 +3494,8 @@ object Queries {
     "x29_drift_hist" -> x29DriftHist _,
     "r37_spec_drift_hist" -> r37SpecDriftHist _,
     "r36_spec_drift_gate" -> r36SpecDriftGate _,
+    "x29_embed_drift" -> x29EmbedDrift _,
+    "r38_spec_embed_drift" -> r38SpecEmbedDrift _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -558,7 +558,13 @@ case class TransformOp(
     // declared numeric column ([[graft.operators.Drift.histogramDrift]]) —
     // catches the moment-preserving shape changes the mean/stddev rows
     // miss; the exchange is ≤ bins+2 rows per side at any corpus size
-    histograms: Seq[HistogramSpec] = Nil) {
+    histograms: Seq[HistogramSpec] = Nil,
+    // snapshot_drift embedding leg: vector-distribution drift per declared
+    // embedding column ([[graft.operators.Drift.embeddingDrift]] — count /
+    // mean-norm / centroid shift+distance); the drift a re-embedded corpus
+    // or vanished cluster shows when every scalar column stays put. One
+    // scan per side, exchange ≤ dim rows per partition
+    embeddingColumns: Seq[String] = Nil) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -826,9 +832,11 @@ case class TransformOp(
         s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
           "parquet; the frame is the NEW snapshot)")
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
-          heavyHitterColumns.nonEmpty || histograms.nonEmpty,
+          heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
+          embeddingColumns.nonEmpty,
         s"[$where] snapshot_drift requires numericColumns, " +
-          "categoricalColumns, heavyHitterColumns and/or histograms")
+          "categoricalColumns, heavyHitterColumns, histograms and/or " +
+          "embeddingColumns")
       histograms.foreach { h =>
         require(h.column.nonEmpty,
           s"[$where] snapshot_drift histogram entry needs a column")

@@ -305,6 +305,138 @@ object Drift extends Logging {
         col("p.old_value"), col("p.new_value"), col("p.delta"))
   }
 
+  /** Embedding-distribution drift for a vector column (`array<float>` /
+    * `array<double>`) between two snapshots — the drift the scalar legs
+    * cannot see at all: a re-embedded corpus, a vanished cluster, or an
+    * un-normalized model swap moves the embedding distribution while every
+    * scalar column stays put. Metrics (driftReport row shape, so [[gated]]
+    * composes directly):
+    *
+    *  - `row_count` — non-null vector count per side, delta = new − old.
+    *  - `mean_norm` — average per-vector L2 norm (catches a model swap
+    *    that stops unit-normalizing, or a precision change).
+    *  - `centroid_shift` — 1 − cos(μ_old, μ_new) between the two mean
+    *    vectors (old/new_value carry each centroid's norm). The headline
+    *    metric: a vanished cluster or re-embedding moves the centroid
+    *    even when norms and counts are unchanged.
+    *  - `centroid_l2` — ‖μ_new − μ_old‖ (old/new_value again the centroid
+    *    norms); the absolute-scale companion to the angular shift.
+    *
+    * Empty-side conventions mirror `freq_l1`: a side with no non-null
+    * vectors has centroid 0, so `centroid_shift` reports the maximal 2.0
+    * (both empty → 0.0) and `centroid_l2` degrades to the other side's
+    * centroid norm. Deltas are rounded to 6 decimals (negative zero
+    * normalized) — they are GATE quantities, and below 1e-6 the value is
+    * summation-order noise at corpus scale, not drift; the rounding is
+    * also what makes the metric oracle-portable (x29_embed_drift computes
+    * the identical pipeline in DuckDB).
+    *
+    * Scale posture: ONE scan per snapshot — per-row norms ride the
+    * `posexplode` (map-side combine collapses the ×dim row inflation to
+    * ≤ dim partial rows per partition), the per-dimension sums of the two
+    * sides full-outer join on dimension index (≤ dim rows), and one
+    * global aggregate folds them into a single row from which all four
+    * metrics derive by array expressions — the same fold shape as
+    * [[histogramDrift]]. Nothing joins the snapshots row-wise; the
+    * exchange is O(dim × partitions) regardless of corpus size. Assumes
+    * uniform dimensionality (the embedding-column contract everywhere in
+    * this engine — [[Similarity]] and [[Dedup]] assume it too).
+    */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame, c: String): DataFrame =
+    embeddingDriftFromSummaries(
+      embeddingSummary(oldDf, c), embeddingSummary(newDf, c), c)
+
+  /** Per-snapshot embedding summary ARTIFACT: ≤ dim rows of
+    * `(i, dim_sum, norm_sum, n)` — per-dimension value sums plus the
+    * side's total row-norm sum and non-null vector count (the latter two
+    * identical on every row: each vector contributes to every dimension
+    * group exactly once, so the totals ride the same exchange instead of
+    * a second scan). This is everything [[embeddingDrift]] needs from a
+    * snapshot, in a few KB. Write it as plain parquet at crawl time and
+    * feed two stored summaries to [[embeddingDriftFromSummaries]]: drift
+    * between ANY two historical snapshots then costs a dim-row join, not
+    * a 100 TB rescan — the same stored-artifact discipline as
+    * [[driftFromSketches]] over the X25 HLL tables. Composition identity
+    * (drift-from-stored-summaries == direct [[embeddingDrift]], through a
+    * parquet round-trip) is pinned in OperatorsSpec.
+    */
+  def embeddingSummary(df: DataFrame, c: String): DataFrame =
+    df.filter(col(c).isNotNull)
+      .select(col(c).as("__e"),
+        sqrt(aggregate(col(c), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm"))
+      .select(col("__nrm"), posexplode(col("__e")).as(Seq("i", "v")))
+      .groupBy("i")
+      .agg(sum(col("v").cast("double")).as("dim_sum"),
+        sum(col("__nrm")).as("norm_sum"),
+        count(lit(1)).cast("double").as("n"))
+
+  /** [[embeddingDrift]] from two STORED [[embeddingSummary]] artifacts —
+    * the no-rescan form; `c` only labels the output rows.
+    */
+  def embeddingDriftFromSummaries(oldSum: DataFrame, newSum: DataFrame,
+      c: String): DataFrame = {
+    def side(df: DataFrame, s: String, nrm: String, cnt: String): DataFrame =
+      df.select(col("i"), col("dim_sum").as(s),
+        col("norm_sum").as(nrm), col("n").as(cnt))
+    val j = side(oldSum, "os", "onrm", "ocnt")
+      .join(side(newSum, "ns", "nnrm", "ncnt"), Seq("i"), "full_outer")
+      .select(
+        coalesce(col("os"), lit(0.0)).as("os"),
+        coalesce(col("ns"), lit(0.0)).as("ns"),
+        coalesce(col("onrm"), lit(0.0)).as("onrm"),
+        coalesce(col("nnrm"), lit(0.0)).as("nnrm"),
+        coalesce(col("ocnt"), lit(0.0)).as("ocnt"),
+        coalesce(col("ncnt"), lit(0.0)).as("ncnt"))
+    // ONE global aggregate folds the ≤ dim joined rows into a single row
+    // (the histogramDrift shape); empty-on-both-sides leaves the maxes
+    // null — coalesced to 0 below, the "no distribution on either side"
+    // convention
+    val one = j.agg(
+      max(col("ocnt")).as("__on0"), max(col("ncnt")).as("__nn0"),
+      max(col("onrm")).as("__onrm"), max(col("nnrm")).as("__nnrm"),
+      collect_list(struct(col("os"), col("ns"))).as("cells"))
+      .select(coalesce(col("__on0"), lit(0.0)).as("__on"),
+        coalesce(col("__nn0"), lit(0.0)).as("__nn"),
+        coalesce(col("__onrm"), lit(0.0)).as("__onrm"),
+        coalesce(col("__nnrm"), lit(0.0)).as("__nnrm"), col("cells"))
+    def om(cell: Column) = when(col("__on") === 0, lit(0.0))
+      .otherwise(cell.getField("os") / col("__on"))
+    def nm(cell: Column) = when(col("__nn") === 0, lit(0.0))
+      .otherwise(cell.getField("ns") / col("__nn"))
+    def fold(f: Column => Column) =
+      aggregate(col("cells"), lit(0.0), (acc, cell) => acc + f(cell))
+    val dot = fold(cell => om(cell) * nm(cell))
+    val o2 = fold(cell => om(cell) * om(cell))
+    val n2 = fold(cell => nm(cell) * nm(cell))
+    val d2 = fold(cell => (nm(cell) - om(cell)) * (nm(cell) - om(cell)))
+    // gate-granularity rounding: 6 decimals, negative zero normalized (the
+    // DuckDB oracle rounds identically — round() there returns -0.0 for
+    // tiny negatives, which formats differently from 0.0)
+    def zround(x: Column): Column =
+      when(round(x, 6) === 0, lit(0.0)).otherwise(round(x, 6))
+    val meanNormO = when(col("__on") === 0, lit(0.0))
+      .otherwise(col("__onrm") / col("__on"))
+    val meanNormN = when(col("__nn") === 0, lit(0.0))
+      .otherwise(col("__nnrm") / col("__nn"))
+    val shift = when(o2 === 0 && n2 === 0, lit(0.0))
+      .when(o2 === 0 || n2 === 0, lit(2.0))
+      .otherwise(lit(1.0) - dot / (sqrt(o2) * sqrt(n2)))
+    val rows = array(
+      struct(lit("row_count").as("metric"), col("__on").as("old_value"),
+        col("__nn").as("new_value"),
+        zround(col("__nn") - col("__on")).as("delta")),
+      struct(lit("mean_norm").as("metric"), meanNormO.as("old_value"),
+        meanNormN.as("new_value"), zround(meanNormN - meanNormO).as("delta")),
+      struct(lit("centroid_shift").as("metric"), sqrt(o2).as("old_value"),
+        sqrt(n2).as("new_value"), zround(shift).as("delta")),
+      struct(lit("centroid_l2").as("metric"), sqrt(o2).as("old_value"),
+        sqrt(n2).as("new_value"), zround(sqrt(d2)).as("delta")))
+    one.select(explode(rows).as("p"))
+      .select(lit(c).as("col_name"), col("p.metric"),
+        col("p.old_value"), col("p.new_value"), col("p.delta"))
+  }
+
   /** Declarative drift GATE: append a `pass` column to a drift report
     * ([[driftReport]] / [[heavyHitterDrift]] shaped — any frame with
     * col_name/metric/old_value/delta) that FAILS THE JOB with a named

@@ -499,6 +499,10 @@ object Interpreter extends Logging {
           Some(graft.operators.Drift.driftReport(old, df,
             t.numericColumns, t.categoricalColumns))
         else None
+      // embedding leg rows share the exact report's category-less shape,
+      // so they group with `report` for the category-column decision below
+      val embeds = t.embeddingColumns.map(c =>
+        graft.operators.Drift.embeddingDrift(old, df, c))
       // heavy-hitter and histogram legs: their rows carry a `category`
       // column (heavy key / bin label); the exact-report rows get null
       // there — the column is added ONLY when one of these legs is
@@ -510,11 +514,12 @@ object Interpreter extends Logging {
       val hist = t.histograms.map(h =>
         graft.operators.Drift.histogramDrift(old, df, h.column,
           h.lo, h.hi, h.bins))
+      val flat = report.toSeq ++ embeds
       val combined =
-        if (heavy.isEmpty && hist.isEmpty) report.get
-        else (report.map(_.withColumn("category", lit(null).cast("string"))
+        if (heavy.isEmpty && hist.isEmpty) flat.reduce(_.unionByName(_))
+        else (flat.map(_.withColumn("category", lit(null).cast("string"))
             .select("col_name", "metric", "category",
-              "old_value", "new_value", "delta")).toSeq ++ heavy ++ hist)
+              "old_value", "new_value", "delta")) ++ heavy ++ hist)
           .reduce(_.unionByName(_))
       val result = graft.operators.Drift.gated(combined,
         t.numericMaxAbsDelta, t.numericMaxRelDelta)

@@ -599,6 +599,85 @@ class OperatorsSpec extends SparkSuite {
       e.getMessage.contains("v/psi"), e.getMessage)
   }
 
+  test("embedding drift: centroid shift/L2 hand-checks, null handling, empty-side convention (X29)") {
+    def df(vs: Seq[Option[Seq[Float]]]) =
+      spark.createDataFrame(vs.map(Tuple1(_))).toDF("e")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ex = Some(Seq(1f, 0f)); val ey = Some(Seq(0f, 1f))
+    // orthogonal centroids, unit vectors: shift = 1 − cos(90°) = 1,
+    // L2 = √2; a null vector on the new side is excluded from count,
+    // norm, and centroid alike
+    val ortho = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ex)), df(Seq(ey, ey, None)), "e"))
+    assert(ortho("row_count") == ((2.0, 2.0, 0.0)), s"null leaked: $ortho")
+    assert(ortho("mean_norm")._3 == 0.0 && ortho("mean_norm")._1 == 1.0)
+    assert(ortho("centroid_shift")._3 == 1.0, s"orthogonal shift: $ortho")
+    assert(math.abs(ortho("centroid_l2")._3 - math.sqrt(2)) < 1e-6)
+    // identical snapshots: every delta is exactly 0.0 (the 6-decimal
+    // rounding clamps summation-order noise, and −0 is normalized)
+    val same = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ey)), df(Seq(ex, ey)), "e"))
+    assert(same.values.forall(_._3 == 0.0), s"identical snapshots: $same")
+    // opposite centroids: shift = 1 − cos(180°) = 2 — same value as the
+    // empty-side convention, maximal on the metric's [0, 2] range
+    val opp = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex)), df(Seq(Some(Seq(-1f, 0f)))), "e"))
+    assert(opp("centroid_shift")._3 == 2.0, s"antipodal shift: $opp")
+    // empty new side (all-null counts as empty): maximal shift 2.0,
+    // zero counts/norms on the empty side; both-empty reports 0.0
+    val gone = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ey)), df(Seq(None)), "e"))
+    assert(gone("row_count") == ((2.0, 0.0, -2.0)), s"empty new side: $gone")
+    assert(gone("centroid_shift")._3 == 2.0 && gone("mean_norm")._2 == 0.0)
+    val both = rows(graft.operators.Drift.embeddingDrift(
+      df(Nil), df(Nil), "e"))
+    assert(both("centroid_shift")._3 == 0.0 && both("row_count") == ((0.0, 0.0, 0.0)),
+      s"both-empty: $both")
+    // gated composition: a centroid-shift bound fails the job by name
+    val e = intercept[Exception] {
+      graft.operators.Drift.gated(
+        graft.operators.Drift.embeddingDrift(df(Seq(ex)), df(Seq(ey)), "e"),
+        Map("centroid_shift" -> 0.5), Map.empty).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("e/centroid_shift"), e.getMessage)
+  }
+
+  test("embedding summary artifact: drift from STORED summaries equals direct drift (X29 100 TB form)") {
+    // the no-rescan discipline (same as driftFromSketches over the X25
+    // tables): write the ≤ dim-row summary at crawl time, and drift
+    // between any two historical snapshots is a dim-row join of stored
+    // artifacts. Pinned through a real parquet round-trip on real data;
+    // deltas (6-decimal-rounded gate quantities) must agree exactly, the
+    // unrounded centroid norms to double precision (the fold order over
+    // the collected dimension cells may differ between runs)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val o = emb; val n = emb.filter(col("label") < 8)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val direct = rows(graft.operators.Drift.embeddingDrift(o, n, "embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_summary").toString
+    graft.operators.Drift.embeddingSummary(o, "embedding")
+      .write.mode("overwrite").parquet(s"$dir/old")
+    graft.operators.Drift.embeddingSummary(n, "embedding")
+      .write.mode("overwrite").parquet(s"$dir/new")
+    val stored = rows(graft.operators.Drift.embeddingDriftFromSummaries(
+      spark.read.parquet(s"$dir/old"), spark.read.parquet(s"$dir/new"),
+      "embedding"))
+    assert(stored.keySet == direct.keySet && direct.size == 4)
+    for ((m, (ov, nv, dl)) <- direct; (ov2, nv2, dl2) = stored(m)) {
+      assert(dl2 == dl, s"$m delta: stored $dl2 != direct $dl")
+      assert(math.abs(ov2 - ov) < 1e-9 && math.abs(nv2 - nv) < 1e-9,
+        s"$m old/new drifted through storage: ($ov2,$nv2) vs ($ov,$nv)")
+    }
+    // the artifact is small enough to keep forever: one row per dimension
+    val nrows = spark.read.parquet(s"$dir/old").count()
+    assert(nrows == 64, s"summary should be dim rows, got $nrows")
+  }
+
   test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
     val oldDf = spark.createDataFrame((0 until 1000)
       .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
