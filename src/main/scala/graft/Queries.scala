@@ -537,6 +537,26 @@ object Queries {
          |"outputTopic":{"enabled":true,"name":"embed-drift"}}""".stripMargin)
       .select("col_name", "metric", "old_value", "new_value", "delta", "pass")
 
+  /** Spec-level per-group embedding drift: `embeddingGroupBy` strata the
+    * vector leg by cluster label through JSON config (old = the
+    * compareFilter'd 8-cluster subset, new = all 10 — the two NEWBORN
+    * clusters surface on their own `category` rows with shift 2.0). No
+    * bounds: the per-group report is the diagnosis surface; a gate on it
+    * would correctly refuse the newborn clusters.
+    */
+  def r39SpecEmbedDriftGroup(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"embed-drift-by-group","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/embeddings.parquet",
+         |  "compareFilter":"label < 8",
+         |  "embeddingColumns":["embedding"],
+         |  "embeddingGroupBy":"label"}],
+         |"outputTopic":{"enabled":true,"name":"embed-drift-by-group"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta")
+
   /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
     * a categorical column, Misra–Gries candidates + exact broadcast
     * recount per snapshot — the form that scales to UNBOUNDED key spaces
@@ -2127,6 +2147,19 @@ object Queries {
       e, e.filter(col("label") < 8), "embedding")
   }
 
+  /** X29 per-group embedding drift: [[x29EmbedDrift]]'s fixture stratified
+    * by cluster label — the report that answers WHICH slice moved. The
+    * eight surviving clusters report `centroid_shift` exactly 0.0 on
+    * their own rows while the two dropped ones carry the maximal 2.0 with
+    * their exact vanished counts; the global form reports one diluted
+    * 0.129 for the same snapshots.
+    */
+  def x29EmbedDriftGroup(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Drift.embeddingDriftByGroup(
+      e, e.filter(col("label") < 8), "embedding", "label")
+  }
+
   /** X21 exact heavy hitters: tokens appearing in ≥0.5% of the corpus's
     * token stream, with exact counts. Misra–Gries candidate sketch (bounded
     * map-side state, ≤k-row exchange) + exact broadcast recount — the
@@ -2439,6 +2472,61 @@ object Queries {
        |UNION ALL SELECT 'embedding', 'centroid_l2', sqrt(agg.o2), sqrt(agg.n2),
        |  CASE WHEN round(sqrt(agg.d2), 6) = 0 THEN 0.0
        |       ELSE round(sqrt(agg.d2), 6) END FROM agg""".stripMargin
+
+  /** Grouped form of [[embedDriftOracleSql]]: identical metric pipeline
+    * per `category` stratum (the CTEs yield (category, e)); a stratum
+    * present on one side only carries zeros on the other — the vanished/
+    * newborn-cluster rows the grouped leg exists to surface.
+    */
+  private def embedDriftGroupOracleSql(oldCte: String, newCte: String): String =
+    s"""WITH o AS ($oldCte),
+       |n AS ($newCte),
+       |oe AS (SELECT category, unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+       |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM o),
+       |ne AS (SELECT category, unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+       |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM n),
+       |od AS (SELECT category, i, sum(v) AS s, sum(nrm) AS nrmsum,
+       |              count(*)::DOUBLE AS cnt FROM oe GROUP BY 1, 2),
+       |nd AS (SELECT category, i, sum(v) AS s, sum(nrm) AS nrmsum,
+       |              count(*)::DOUBLE AS cnt FROM ne GROUP BY 1, 2),
+       |j AS (SELECT category, coalesce(od.s, 0) AS os, coalesce(nd.s, 0) AS ns,
+       |             coalesce(od.nrmsum, 0) AS onrm, coalesce(nd.nrmsum, 0) AS nnrm,
+       |             coalesce(od.cnt, 0) AS ocnt, coalesce(nd.cnt, 0) AS ncnt
+       |      FROM od FULL OUTER JOIN nd USING (category, i)),
+       |t AS (SELECT category, coalesce(max(ocnt), 0) AS onc, coalesce(max(ncnt), 0) AS nnc,
+       |             coalesce(max(onrm), 0) AS onrm, coalesce(max(nnrm), 0) AS nnrm
+       |      FROM j GROUP BY 1),
+       |agg AS (SELECT j.category,
+       |   coalesce(sum((CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END) *
+       |                (CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END)), 0) AS dot,
+       |   coalesce(sum(pow(CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END, 2)), 0) AS o2,
+       |   coalesce(sum(pow(CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END, 2)), 0) AS n2,
+       |   coalesce(sum(pow((CASE WHEN t.nnc = 0 THEN 0.0 ELSE ns / t.nnc END) -
+       |                    (CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END), 2)), 0) AS d2
+       |   FROM j JOIN t USING (category) GROUP BY 1)
+       |SELECT 'embedding' AS col_name, 'row_count' AS metric, category,
+       |  onc AS old_value, nnc AS new_value,
+       |  CASE WHEN round(nnc - onc, 6) = 0 THEN 0.0
+       |       ELSE round(nnc - onc, 6) END AS delta FROM t
+       |UNION ALL SELECT 'embedding', 'mean_norm', category,
+       |  CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END,
+       |  CASE WHEN nnc = 0 THEN 0.0 ELSE nnrm / nnc END,
+       |  CASE WHEN round((CASE WHEN nnc = 0 THEN 0.0 ELSE nnrm / nnc END)
+       |                - (CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END), 6) = 0 THEN 0.0
+       |       ELSE round((CASE WHEN nnc = 0 THEN 0.0 ELSE nnrm / nnc END)
+       |                - (CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END), 6) END FROM t
+       |UNION ALL SELECT 'embedding', 'centroid_shift', t.category, sqrt(agg.o2), sqrt(agg.n2),
+       |  CASE WHEN round(CASE WHEN agg.o2 = 0 AND agg.n2 = 0 THEN 0.0
+       |            WHEN agg.o2 = 0 OR agg.n2 = 0 THEN 2.0
+       |            ELSE 1.0 - agg.dot / (sqrt(agg.o2) * sqrt(agg.n2)) END, 6) = 0 THEN 0.0
+       |       ELSE round(CASE WHEN agg.o2 = 0 AND agg.n2 = 0 THEN 0.0
+       |            WHEN agg.o2 = 0 OR agg.n2 = 0 THEN 2.0
+       |            ELSE 1.0 - agg.dot / (sqrt(agg.o2) * sqrt(agg.n2)) END, 6) END
+       |  FROM t JOIN agg USING (category)
+       |UNION ALL SELECT 'embedding', 'centroid_l2', t.category, sqrt(agg.o2), sqrt(agg.n2),
+       |  CASE WHEN round(sqrt(agg.d2), 6) = 0 THEN 0.0
+       |       ELSE round(sqrt(agg.d2), 6) END
+       |  FROM t JOIN agg USING (category)""".stripMargin
 
   private val oracles0: Map[String, String] = Map(
     "r01_simple_stream" ->
@@ -3057,6 +3145,16 @@ object Queries {
          |FROM (${embedDriftOracleSql(
         "SELECT embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL",
         "SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL")})""".stripMargin,
+    "x29_embed_drift_group" ->
+      embedDriftGroupOracleSql(
+        "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE embedding IS NOT NULL",
+        "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL"),
+    // r39: spec twin of the grouped leg from the other side (newborn
+    // clusters instead of vanished ones)
+    "r39_spec_embed_drift_group" ->
+      embedDriftGroupOracleSql(
+        "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL",
+        "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE embedding IS NOT NULL"),
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3496,6 +3594,8 @@ object Queries {
     "r36_spec_drift_gate" -> r36SpecDriftGate _,
     "x29_embed_drift" -> x29EmbedDrift _,
     "r38_spec_embed_drift" -> r38SpecEmbedDrift _,
+    "x29_embed_drift_group" -> x29EmbedDriftGroup _,
+    "r39_spec_embed_drift_group" -> r39SpecEmbedDriftGroup _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

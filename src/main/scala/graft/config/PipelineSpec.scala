@@ -564,7 +564,13 @@ case class TransformOp(
     // mean-norm / centroid shift+distance); the drift a re-embedded corpus
     // or vanished cluster shows when every scalar column stays put. One
     // scan per side, exchange ≤ dim rows per partition
-    embeddingColumns: Seq[String] = Nil) {
+    embeddingColumns: Seq[String] = Nil,
+    // optional stratum for the embedding leg: per-group drift rows keyed
+    // by `category` ([[graft.operators.Drift.embeddingDriftByGroup]]) —
+    // answers WHICH slice (language, source, cluster) moved; exchange
+    // grows to ≤ groups × dim rows, so point it at bounded-cardinality
+    // strata (the categorical-leg guidance)
+    embeddingGroupBy: Option[String] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -847,6 +853,9 @@ case class TransformOp(
           s"[$where] snapshot_drift histogram '${h.column}' needs hi > lo, " +
             s"got [${h.lo}, ${h.hi})")
       }
+      require(embeddingGroupBy.isEmpty || embeddingColumns.nonEmpty,
+        s"[$where] snapshot_drift embeddingGroupBy needs embeddingColumns " +
+          "to group")
       if (heavyHitterColumns.nonEmpty)
         require(minFraction.exists(f => f > 0 && f <= 1),
           s"[$where] snapshot_drift heavyHitterColumns requires " +

@@ -360,46 +360,72 @@ object Drift extends Logging {
     * (drift-from-stored-summaries == direct [[embeddingDrift]], through a
     * parquet round-trip) is pinned in OperatorsSpec.
     */
-  def embeddingSummary(df: DataFrame, c: String): DataFrame =
+  def embeddingSummary(df: DataFrame, c: String,
+      groupBy: Option[String] = None): DataFrame = {
+    val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
+    val gk = groupBy.map(_ => col("category")).toSeq
     df.filter(col(c).isNotNull)
-      .select(col(c).as("__e"),
+      .select(g ++ Seq(col(c).as("__e"),
         sqrt(aggregate(col(c), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm"))
-      .select(col("__nrm"), posexplode(col("__e")).as(Seq("i", "v")))
-      .groupBy("i")
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm")): _*)
+      .select(gk ++ Seq(col("__nrm"),
+        posexplode(col("__e")).as(Seq("i", "v"))): _*)
+      .groupBy(gk :+ col("i"): _*)
       .agg(sum(col("v").cast("double")).as("dim_sum"),
         sum(col("__nrm")).as("norm_sum"),
         count(lit(1)).cast("double").as("n"))
+  }
+
+  /** Per-GROUP embedding drift: the four [[embeddingDrift]] metrics per
+    * value of a stratum column (language, source, cluster label …), with
+    * the group surfaced as `category` (the heavy/histogram-leg column
+    * convention, so [[gated]] bounds and the spec path compose
+    * unchanged). The report that answers not just "did the embedding
+    * distribution move" but WHICH slice moved: a vanished group shows
+    * `row_count` → 0 and the maximal `centroid_shift` 2.0 on its own row
+    * instead of diluting the global centroid. Exchange ≤ groups × dim
+    * rows — point it at bounded-cardinality strata (same guidance as the
+    * categorical leg).
+    */
+  def embeddingDriftByGroup(oldDf: DataFrame, newDf: DataFrame, c: String,
+      groupCol: String): DataFrame =
+    embeddingDriftFromSummaries(
+      embeddingSummary(oldDf, c, Some(groupCol)),
+      embeddingSummary(newDf, c, Some(groupCol)), c, grouped = true)
 
   /** [[embeddingDrift]] from two STORED [[embeddingSummary]] artifacts —
-    * the no-rescan form; `c` only labels the output rows.
+    * the no-rescan form; `c` only labels the output rows. `grouped` must
+    * match how the summaries were built (a `category` column per side).
     */
   def embeddingDriftFromSummaries(oldSum: DataFrame, newSum: DataFrame,
-      c: String): DataFrame = {
+      c: String, grouped: Boolean = false): DataFrame = {
+    val keyCols = if (grouped) Seq("category", "i") else Seq("i")
+    val gk = if (grouped) Seq(col("category")) else Nil
     def side(df: DataFrame, s: String, nrm: String, cnt: String): DataFrame =
-      df.select(col("i"), col("dim_sum").as(s),
-        col("norm_sum").as(nrm), col("n").as(cnt))
+      df.select(keyCols.map(col) ++ Seq(col("dim_sum").as(s),
+        col("norm_sum").as(nrm), col("n").as(cnt)): _*)
     val j = side(oldSum, "os", "onrm", "ocnt")
-      .join(side(newSum, "ns", "nnrm", "ncnt"), Seq("i"), "full_outer")
-      .select(
+      .join(side(newSum, "ns", "nnrm", "ncnt"), keyCols, "full_outer")
+      .select(gk ++ Seq(
         coalesce(col("os"), lit(0.0)).as("os"),
         coalesce(col("ns"), lit(0.0)).as("ns"),
         coalesce(col("onrm"), lit(0.0)).as("onrm"),
         coalesce(col("nnrm"), lit(0.0)).as("nnrm"),
         coalesce(col("ocnt"), lit(0.0)).as("ocnt"),
-        coalesce(col("ncnt"), lit(0.0)).as("ncnt"))
-    // ONE global aggregate folds the ≤ dim joined rows into a single row
-    // (the histogramDrift shape); empty-on-both-sides leaves the maxes
-    // null — coalesced to 0 below, the "no distribution on either side"
-    // convention
-    val one = j.agg(
+        coalesce(col("ncnt"), lit(0.0)).as("ncnt")): _*)
+    // ONE aggregate folds the ≤ dim joined rows (per group, when grouped)
+    // into a single row (the histogramDrift shape); empty-on-both-sides
+    // leaves the maxes null — coalesced to 0 below, the "no distribution
+    // on either side" convention. groupBy() with no keys IS the global
+    // single-row aggregate, so both forms share this one code path.
+    val one = j.groupBy(gk: _*).agg(
       max(col("ocnt")).as("__on0"), max(col("ncnt")).as("__nn0"),
       max(col("onrm")).as("__onrm"), max(col("nnrm")).as("__nnrm"),
       collect_list(struct(col("os"), col("ns"))).as("cells"))
-      .select(coalesce(col("__on0"), lit(0.0)).as("__on"),
+      .select(gk ++ Seq(coalesce(col("__on0"), lit(0.0)).as("__on"),
         coalesce(col("__nn0"), lit(0.0)).as("__nn"),
         coalesce(col("__onrm"), lit(0.0)).as("__onrm"),
-        coalesce(col("__nnrm"), lit(0.0)).as("__nnrm"), col("cells"))
+        coalesce(col("__nnrm"), lit(0.0)).as("__nnrm"), col("cells")): _*)
     def om(cell: Column) = when(col("__on") === 0, lit(0.0))
       .otherwise(cell.getField("os") / col("__on"))
     def nm(cell: Column) = when(col("__nn") === 0, lit(0.0))
@@ -432,9 +458,9 @@ object Drift extends Logging {
         sqrt(n2).as("new_value"), zround(shift).as("delta")),
       struct(lit("centroid_l2").as("metric"), sqrt(o2).as("old_value"),
         sqrt(n2).as("new_value"), zround(sqrt(d2)).as("delta")))
-    one.select(explode(rows).as("p"))
-      .select(lit(c).as("col_name"), col("p.metric"),
-        col("p.old_value"), col("p.new_value"), col("p.delta"))
+    one.select(gk :+ explode(rows).as("p"): _*)
+      .select(Seq(lit(c).as("col_name"), col("p.metric")) ++ gk ++ Seq(
+        col("p.old_value"), col("p.new_value"), col("p.delta")): _*)
   }
 
   /** Declarative drift GATE: append a `pass` column to a drift report

@@ -501,8 +501,14 @@ object Interpreter extends Logging {
         else None
       // embedding leg rows share the exact report's category-less shape,
       // so they group with `report` for the category-column decision below
-      val embeds = t.embeddingColumns.map(c =>
-        graft.operators.Drift.embeddingDrift(old, df, c))
+      // — UNLESS embeddingGroupBy strata them, in which case they already
+      // carry the heavy/hist legs' `category` column and join that bucket
+      val (embeds, embedsCat) = t.embeddingGroupBy match {
+        case None => (t.embeddingColumns.map(c =>
+          graft.operators.Drift.embeddingDrift(old, df, c)), Nil)
+        case Some(g) => (Nil, t.embeddingColumns.map(c =>
+          graft.operators.Drift.embeddingDriftByGroup(old, df, c, g)))
+      }
       // heavy-hitter and histogram legs: their rows carry a `category`
       // column (heavy key / bin label); the exact-report rows get null
       // there — the column is added ONLY when one of these legs is
@@ -515,11 +521,12 @@ object Interpreter extends Logging {
         graft.operators.Drift.histogramDrift(old, df, h.column,
           h.lo, h.hi, h.bins))
       val flat = report.toSeq ++ embeds
+      val withCat = heavy ++ hist ++ embedsCat
       val combined =
-        if (heavy.isEmpty && hist.isEmpty) flat.reduce(_.unionByName(_))
+        if (withCat.isEmpty) flat.reduce(_.unionByName(_))
         else (flat.map(_.withColumn("category", lit(null).cast("string"))
             .select("col_name", "metric", "category",
-              "old_value", "new_value", "delta")) ++ heavy ++ hist)
+              "old_value", "new_value", "delta")) ++ withCat)
           .reduce(_.unionByName(_))
       val result = graft.operators.Drift.gated(combined,
         t.numericMaxAbsDelta, t.numericMaxRelDelta)

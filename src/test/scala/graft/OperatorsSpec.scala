@@ -678,6 +678,37 @@ class OperatorsSpec extends SparkSuite {
     assert(nrows == 64, s"summary should be dim rows, got $nrows")
   }
 
+  test("per-group embedding drift pinpoints the moved stratum; surviving groups report zero (X29)") {
+    // the grouped leg's reason to exist: dropping clusters 8–9 moves the
+    // GLOBAL centroid a diluted ~0.13, but per-label rows say exactly
+    // which clusters vanished (shift 2.0, exact counts) while all eight
+    // survivors sit at exactly 0.0 on every metric
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = graft.operators.Drift.embeddingDriftByGroup(
+        emb, emb.filter(col("label") < 8), "embedding", "label")
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val labels = (0 to 9).map(_.toString)
+    assert(out.keySet == labels.flatMap(l => Seq("row_count", "mean_norm",
+      "centroid_shift", "centroid_l2").map(_ -> l)).toSet)
+    for (l <- labels if l < "8") {
+      assert(out(("centroid_shift", l))._3 == 0.0 &&
+        out(("row_count", l))._3 == 0.0, s"survivor $l drifted: $out")
+    }
+    for (l <- Seq("8", "9")) {
+      val (oldN, newN, d) = out(("row_count", l))
+      assert(newN == 0.0 && d == -oldN && oldN > 0, s"vanished $l: $out")
+      assert(out(("centroid_shift", l))._3 == 2.0,
+        s"vanished $l should carry maximal shift: $out")
+    }
+    // the same snapshots through the UNGROUPED form: one diluted number —
+    // the contrast that justifies the stratified report
+    val global = graft.operators.Drift.embeddingDrift(
+        emb, emb.filter(col("label") < 8), "embedding")
+      .filter(col("metric") === "centroid_shift").collect().head.getDouble(4)
+    assert(global > 0.05 && global < 0.5, s"global shift diluted to $global")
+  }
+
   test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
     val oldDf = spark.createDataFrame((0 until 1000)
       .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
