@@ -200,6 +200,36 @@ class DoctorSpec extends SparkSuite {
     assert(!outOk.contains("drift_unbounded_categorical"), outOk)
   }
 
+  test("Doctor: embeddingGroupBy over an identifier-like stratum warns at preflight; a bounded one audits clean") {
+    // the SAME per-distinct-key trap through the grouped embedding leg
+    // (exchange = groups × dim rows per side): vec_id has 20k distinct
+    // values at the sf1 rung — past the enum bar, so the declaration is
+    // refused before the burn under planAudit:"fail" with the bounded-
+    // stratum alternative named; label (10 clusters) audits clean
+    def spec(groupCol: String, planAudit: String = "") =
+      s"""{"id":"embed-drift-card","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"snapshot_drift",
+         |  "comparePath":"<dataDir>/embeddings.parquet",
+         |  "compareFilter":"label < 8",
+         |  "embeddingColumns":["embedding"],
+         |  "embeddingGroupBy":"$groupCol"}],
+         |"outputTopic":{"enabled":true,"name":"embed-drift-out"}}""".stripMargin
+    assume(Files.isDirectory(java.nio.file.Paths.get("testdata_sf1")),
+      "sf1 rung not generated on this machine")
+    val bad = write("embed_drift_vecid.json", spec("vec_id", """"planAudit":"fail","""))
+    val (codeBad, outBad) = runDoctor(bad, "testdata_sf1")
+    assert(codeBad == 1, outBad)
+    assert(outBad.contains("drift_unbounded_categorical") &&
+      outBad.contains("embeddingGroupBy") &&
+      outBad.contains("bounded stratum"), outBad)
+    val ok = write("embed_drift_label.json", spec("label"))
+    val (codeOk, outOk) = runDoctor(ok, "testdata_sf1", "--audit-fail")
+    assert(codeOk == 0, outOk)
+    assert(!outOk.contains("drift_unbounded_categorical"), outOk)
+  }
+
   test("Doctor --run-gates: a violated drift gate fails preflight with the violation named; clean gates pass") {
     def spec(bounds: String) =
       s"""{"id":"gate-check","processingMode":"SIMPLE_STREAM",
