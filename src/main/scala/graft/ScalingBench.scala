@@ -80,7 +80,12 @@ object ScalingBench {
     // ~10× with the corpus like x20_resample's, so the expected ratio is
     // ~data_ratio; a super-linear ratio here would mean the per-key
     // sequence explode has a cost term beyond its output volume
-    "x20_resample_dense")
+    "x20_resample_dense",
+    // round-15 additions: embedding drift (global + grouped) — the design
+    // claim is "one scan per side, ≤ (groups ×) dim-row exchange", so the
+    // ratio must track the scan (~data_ratio) with no join/state term
+    "x29_embed_drift",
+    "x29_embed_drift_group")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
