@@ -635,6 +635,25 @@ class OperatorsSpec extends SparkSuite {
       df(Nil), df(Nil), "e"))
     assert(both("centroid_shift")._3 == 0.0 && both("row_count") == ((0.0, 0.0, 0.0)),
       s"both-empty: $both")
+    // direction symmetry: the centroid metrics are metrics (shift/L2
+    // deltas identical under snapshot swap), row_count/mean_norm deltas
+    // negate — the same discipline the scalar report pins
+    val ab = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ex, ey)), df(Seq(ex, ey)), "e"))
+    val ba = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ey)), df(Seq(ex, ex, ey)), "e"))
+    assert(ab("centroid_shift")._3 == ba("centroid_shift")._3 &&
+      ab("centroid_l2")._3 == ba("centroid_l2")._3, s"$ab vs $ba")
+    assert(ab("row_count")._3 == -ba("row_count")._3 &&
+      ab("mean_norm")._3 == -ba("mean_norm")._3, s"$ab vs $ba")
+    // scale invariance: multiplying every new-side vector by the same
+    // positive constant leaves centroid_shift at 0.0 (it is angular —
+    // exactly why it catches a re-embedding and IGNORES a benign global
+    // rescale), while mean_norm catches the rescale itself
+    val scaled = rows(graft.operators.Drift.embeddingDrift(
+      df(Seq(ex, ey)), df(Seq(Some(Seq(3f, 0f)), Some(Seq(0f, 3f)))), "e"))
+    assert(scaled("centroid_shift")._3 == 0.0, s"rescale moved the angle: $scaled")
+    assert(scaled("mean_norm")._3 == 2.0, s"rescale invisible to mean_norm: $scaled")
     // gated composition: a centroid-shift bound fails the job by name
     val e = intercept[Exception] {
       graft.operators.Drift.gated(
