@@ -93,6 +93,27 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("embedding drift folds all metrics off ONE pass per snapshot (X29)") {
+    // the regression this pins: a union of "derived rows + an aggregate
+    // over the same frame" replans the shared subtree (histogramDrift hit
+    // exactly this in round 15 — both snapshots scanned twice, AQE did
+    // not reuse the exchange). The single collect_list fold keeps the
+    // whole report at one parquet scan per side; grouped form identical.
+    for (q <- Seq("x29_embed_drift", "x29_embed_drift_group")) {
+      val p = plan(q)
+      // count the FormattedMode detail headers "(n) Scan parquet" — the
+      // tree section prints every node a second time as "Scan parquet (n)"
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+      assert(scans == 2, s"$q should scan each snapshot exactly once, " +
+        s"got $scans scans")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q plans a cross:\n${p.take(400)}")
+      // map-side combine must collapse the posexplode inflation before
+      // the exchange: partial aggregation on the per-dimension sums
+      assert(p.contains("partial_sum"), s"$q missing map-side combine")
+    }
+  }
+
   test("CC collapse rounds run over materialized edges, not the pairs DAG (X2)") {
     // componentsFromPairs localCheckpoints pairs/edges/labels: the returned
     // label frame's lineage must bottom out in materialized RDD scans with
