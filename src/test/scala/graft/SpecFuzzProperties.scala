@@ -255,6 +255,15 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         numericColumns = num, categoricalColumns = cat)))
     }
 
+  property("valid snapshot_drift embedding leg analyzes (global / grouped)") =
+    Prop.forAll(Gen.option(Gen.const("label"))) { groupBy =>
+      analyzes(simple("fz-embed-drift", "embeddings",
+        TransformOp(op = "snapshot_drift",
+          comparePath = Some("<dataDir>/embeddings.parquet"),
+          compareFilter = Some("label < 8"),
+          embeddingColumns = Seq("embedding"), embeddingGroupBy = groupBy)))
+    }
+
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
     Prop.forAll(Gen.chooseNum(10L, 50L), Gen.chooseNum(20, 60)) { (mt, size) =>
       val spec = simple("fz-chain", "documents",
@@ -532,6 +541,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "snapshot_drift without any columns" -> te(TransformOp(
         op = "snapshot_drift",
         comparePath = Some("<dataDir>/events.parquet"))),
+      "snapshot_drift embeddingGroupBy without embeddingColumns" -> te(
+        TransformOp(op = "snapshot_drift",
+          comparePath = Some("<dataDir>/embeddings.parquet"),
+          numericColumns = Seq("vec_id"),
+          embeddingGroupBy = Some("label"))),
       "resample fractional-second every" -> te(TransformOp(op = "resample",
         idColumn = Some("user_id"), timeColumn = Some("ts"),
         valueColumns = Seq("value"), every = Some("500 milliseconds"))),
