@@ -364,7 +364,12 @@ object Drift extends Logging {
       groupBy: Option[String] = None): DataFrame = {
     val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
     val gk = groupBy.map(_ => col("category")).toSeq
-    df.filter(col(c).isNotNull)
+    // a NULL stratum is excluded (the categorical frequency leg's
+    // convention) — null group keys never join across sides (null ≠ null
+    // in the full outer), so keeping them would double-report one
+    // population as a vanished AND a newborn group
+    val strat = groupBy.fold(df)(gc => df.filter(col(gc).isNotNull))
+    strat.filter(col(c).isNotNull)
       .select(g ++ Seq(col(c).as("__e"),
         sqrt(aggregate(col(c), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm")): _*)

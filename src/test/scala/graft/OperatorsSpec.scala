@@ -726,6 +726,16 @@ class OperatorsSpec extends SparkSuite {
         emb, emb.filter(col("label") < 8), "embedding")
       .filter(col("metric") === "centroid_shift").collect().head.getDouble(4)
     assert(global > 0.05 && global < 0.5, s"global shift diluted to $global")
+    // a NULL stratum is excluded (categorical-leg convention): null group
+    // keys never join across sides, so keeping them would double-report
+    // one population as vanished AND newborn
+    val withNull = spark.createDataFrame(Seq(
+      (Some("a"), Seq(1f, 0f)), (None: Option[String], Seq(0f, 1f))))
+      .toDF("g", "e")
+    val cats = graft.operators.Drift.embeddingDriftByGroup(
+        withNull, withNull, "e", "g")
+      .select("category").distinct().collect().map(_.getString(0)).toSet
+    assert(cats == Set("a"), s"null stratum leaked into the report: $cats")
   }
 
   test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
