@@ -381,6 +381,25 @@ object Drift extends Logging {
         count(lit(1)).cast("double").as("n"))
   }
 
+  /** Merge [[embeddingSummary]] artifacts by summation: the summary is
+    * LINEAR (per-dimension value sums, norm sums, counts), so any
+    * partition of a corpus — daily crawl artifacts into a weekly
+    * snapshot, per-shard summaries into one — folds together without
+    * touching raw data; the stored-sketch-table discipline (X25/X26) for
+    * the embedding leg, except the merge here is exact, not an estimate.
+    * `parts` is a union of summaries; `grouped` must match how they were
+    * built. Merge-vs-direct identity is pinned in OperatorsSpec on real
+    * data.
+    */
+  def mergeEmbeddingSummaries(parts: DataFrame,
+      grouped: Boolean = false): DataFrame = {
+    val keys = if (grouped) Seq("category", "i") else Seq("i")
+    parts.groupBy(keys.map(col): _*)
+      .agg(sum(col("dim_sum")).as("dim_sum"),
+        sum(col("norm_sum")).as("norm_sum"),
+        sum(col("n")).as("n"))
+  }
+
   /** Per-GROUP embedding drift: the four [[embeddingDrift]] metrics per
     * value of a stratum column (language, source, cluster label …), with
     * the group surfaced as `category` (the heavy/histogram-leg column

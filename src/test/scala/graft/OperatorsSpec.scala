@@ -695,6 +695,22 @@ class OperatorsSpec extends SparkSuite {
     // the artifact is small enough to keep forever: one row per dimension
     val nrows = spark.read.parquet(s"$dir/old").count()
     assert(nrows == 64, s"summary should be dim rows, got $nrows")
+    // summaries are LINEAR: shard the corpus, summarize each shard, merge
+    // by summation — the merged artifact must drift identically to the
+    // one-shot summary (daily crawls → weekly snapshot without a rescan)
+    val shardA = graft.operators.Drift.embeddingSummary(
+      o.filter(col("vec_id") % 2 === 0), "embedding")
+    val shardB = graft.operators.Drift.embeddingSummary(
+      o.filter(col("vec_id") % 2 =!= 0), "embedding")
+    val merged = graft.operators.Drift.mergeEmbeddingSummaries(
+      shardA.unionByName(shardB))
+    val viaMerge = rows(graft.operators.Drift.embeddingDriftFromSummaries(
+      merged, spark.read.parquet(s"$dir/new"), "embedding"))
+    for ((m, (ov, nv, dl)) <- direct; (ov2, nv2, dl2) = viaMerge(m)) {
+      assert(dl2 == dl, s"$m delta via merge: $dl2 != direct $dl")
+      assert(math.abs(ov2 - ov) < 1e-9 && math.abs(nv2 - nv) < 1e-9,
+        s"$m old/new drifted through the shard merge: ($ov2,$nv2) vs ($ov,$nv)")
+    }
   }
 
   test("per-group embedding drift pinpoints the moved stratum; surviving groups report zero (X29)") {
