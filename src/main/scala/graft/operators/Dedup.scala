@@ -668,7 +668,7 @@ object Dedup extends Logging {
     val vecRowBytes = dim * 8L + 32L
     // budget the FULL vector table `e` — that is what broadcasts. 64 MB
     // (~120k vectors at dim 64) is the ALWAYS-broadcast floor; the
-    // cost-based decision below can raise the effective bound to 1 GiB
+    // cost-based decision below can raise the effective bound to 256 MB
     // when the sizer prices the shuffle alternative as more expensive.
     // Auto-sizing already counted e; a declared geometry stays LAZY —
     // the decision reads the optimizer's own file-size statistic for the
@@ -713,25 +713,39 @@ object Dedup extends Logging {
     // cluster I/O at 100 TB just the same. When the sizer knows both sides
     // (auto-sized path), price them: shuffling raw candidates costs ~24
     // bytes/row (two longs + exchange overhead) written and read back;
-    // broadcasting costs one table copy per executor, budgeted at a
+    // broadcasting costs TWO relations (the id1/v1 and id2/v2 projections
+    // below are not semantically equal, so the exchange is NOT reused) at
+    // ~3× raw bytes each (Spark's in-memory hash-relation overhead:
+    // BytesToBytesMap slots, unsafe-row copies, object headers) across a
     // 32-executor fan-out (conservative: local pays 1). Broadcast wins
-    // whenever candidate bytes exceed the fan-out-priced table bytes, up
-    // to a 1 GiB hard cap (8× under Spark's broadcast limit; the verify
-    // joins hold TWO copies — past the cap, executor memory is the binding
-    // constraint and the volume-aware shuffle branch is the honest plan).
-    // Declared geometries (nKnown < 0) keep the static budget: no count
-    // job, no sizer estimate, lazy as before.
+    // whenever candidate bytes exceed that fully-loaded table cost, up to
+    // a 256 MB hard cap on RAW bytes — ~1.5 GB resident worst-case per
+    // executor with both copies at the 3× overhead; the old 1 GiB cap
+    // priced raw bytes only and could park ~6 GB of relations on machines
+    // that run (slowly but safely) on the shuffle branch (round-15
+    // ADVICE). Past the cap, executor memory is the binding constraint
+    // and the volume-aware shuffle branch is the honest plan. Declared
+    // geometries (nKnown < 0) keep the static budget: no count job, no
+    // sizer estimate, lazy as before.
     val rawCandBytes: Double =
       if (nKnown < 0) 0.0
       else {
-        val occ = nKnown.toDouble / (1L << bPlanes)
+        // per-bucket occupancy bounded by the SAME cap capBuckets applies
+        // on the shuffle branch: the mean-occupancy formula prices the
+        // UNCAPPED multiset, so a hot-bucket-skewed corpus would overprice
+        // the shuffle alternative and route a near-cap table to broadcast
+        // on work the shuffle branch never actually ships (round-15 ADVICE)
+        val occRaw = nKnown.toDouble / (1L << bPlanes)
+        val occ = if (bucketCap > 0) math.min(occRaw, bucketCap.toDouble)
+                  else occRaw
         nKnown.toDouble *
           (lTables * (1.0 + probeT) * (1.0 + probeT) * occ / 2.0) * 24.0
       }
-    val broadcastHardCap = 1024L * 1024 * 1024
+    val broadcastHardCap = 256L * 1024 * 1024
+    val broadcastCostBytes = 32.0 * 2.0 * 3.0 * vecTableBytes.toDouble
     val preferBroadcast = vecTableBytes <= broadcastBudget ||
       (nKnown >= 0 && vecTableBytes <= broadcastHardCap &&
-        rawCandBytes > 32.0 * vecTableBytes)
+        rawCandBytes > broadcastCostBytes)
     if (preferBroadcast) {
       // VERIFY-FIRST (round-13 reorder, measured 4×): with the vector table
       // broadcast, the exact cosine is a MAP-SIDE projection on the raw
@@ -752,7 +766,7 @@ object Dedup extends Logging {
       // arbitrary survivor is still deterministic output.
       //
       // NOT persisted on this branch: recomputing the sketch per join side
-      // (L·b·dim flops/vector — seconds even at the 1 GiB cap's ~2M
+      // (L·b·dim flops/vector — seconds even at the 256 MB cap's ~500k
       // vectors) is cheaper than writing an n·L·(1+T)-row cache (measured
       // at sf3: the 22M-row cache write cost ~7 s — more than every
       // recompute it saved), and when the cost model routes a LARGE corpus

@@ -356,7 +356,10 @@ object Drift extends Logging {
     * feed two stored summaries to [[embeddingDriftFromSummaries]]: drift
     * between ANY two historical snapshots then costs a dim-row join, not
     * a 100 TB rescan — the same stored-artifact discipline as
-    * [[driftFromSketches]] over the X25 HLL tables. Composition identity
+    * [[driftFromSketches]] over the X25 HLL tables. Null vectors and
+    * vectors containing NaN/null ELEMENTS are excluded (they would poison
+    * the sums — see the inline note); their absence still shows up as
+    * `row_count` drift. Composition identity
     * (drift-from-stored-summaries == direct [[embeddingDrift]], through a
     * parquet round-trip) is pinned in OperatorsSpec.
     */
@@ -369,7 +372,16 @@ object Drift extends Logging {
     // in the full outer), so keeping them would double-report one
     // population as a vanished AND a newborn group
     val strat = groupBy.fold(df)(gc => df.filter(col(gc).isNotNull))
-    strat.filter(col(c).isNotNull)
+    // vectors carrying NaN or null ELEMENTS are excluded like the
+    // histogram leg's isnan guard excludes scalar NaNs: one NaN element
+    // would poison dim_sum/norm_sum and turn every drift metric NaN (read
+    // as a NULL-delta violation by [[gated]] — a single bad vector
+    // hard-failing the gate with delta=null), and a null element would
+    // silently skew mean_norm (counted in n, absent from norm_sum). A
+    // corrupt-vector RATE spike still surfaces: excluded rows move the
+    // row_count metric (round-15 ADVICE)
+    strat.filter(col(c).isNotNull &&
+        !exists(col(c), x => x.isNull || isnan(x.cast("double"))))
       .select(g ++ Seq(col(c).as("__e"),
         sqrt(aggregate(col(c), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm")): _*)

@@ -230,6 +230,46 @@ class DoctorSpec extends SparkSuite {
     assert(!outOk.contains("drift_unbounded_categorical"), outOk)
   }
 
+  test("snapshot_drift preflight probe: a dual-declared column emits BOTH findings; the flag skips the probe") {
+    // round-15 ADVICE pair: (1) a column declared under BOTH
+    // categoricalColumns and embeddingGroupBy used to be probed once but
+    // warned once — the categorical finding shadowed the stratum guidance;
+    // both must surface, each naming its own remediation, and both must
+    // say the probe prices only the compare side. (2) the probe is the one
+    // build-time check that runs a Spark job, so plan-only orchestration
+    // can switch it off (spark.graft.preflightProbe=false) and the build
+    // must then carry zero findings for the same trap declaration.
+    assume(Files.isDirectory(java.nio.file.Paths.get("testdata_sf1")),
+      "sf1 rung not generated on this machine")
+    val res = new graft.sources.ParquetSourceResolver(
+      "testdata_sf1", graft.config.TestdataCatalog)
+    val dual = graft.config.PipelineSpec.fromJson(
+      """{"id":"dual-decl","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"snapshot_drift",
+        |  "comparePath":"<dataDir>/embeddings.parquet",
+        |  "categoricalColumns":["vec_id"],
+        |  "embeddingColumns":["embedding"],
+        |  "embeddingGroupBy":"vec_id"}],
+        |"outputTopic":{"enabled":true,"name":"dual-out"}}""".stripMargin)
+    val (_, findings) = graft.pipeline.Interpreter.buildAudited(spark, dual, res)
+    val details = findings.map(_.detail)
+    assert(findings.size == 2 &&
+      findings.forall(_.rule == "drift_unbounded_categorical"),
+      s"expected both findings, got: $details")
+    assert(details.exists(_.contains("categoricalColumns entry 'vec_id'")) &&
+      details.exists(_.contains("embeddingGroupBy column 'vec_id'")),
+      s"one of the dual findings lost its remediation: $details")
+    assert(details.forall(_.contains("only the compare side is priced")),
+      s"findings must disclose the one-sided probe: $details")
+    spark.conf.set("spark.graft.preflightProbe", "false")
+    try {
+      val (_, none) = graft.pipeline.Interpreter.buildAudited(spark, dual, res)
+      assert(none.isEmpty,
+        s"preflightProbe=false must skip the probe, got: ${none.map(_.detail)}")
+    } finally spark.conf.unset("spark.graft.preflightProbe")
+  }
+
   test("Doctor --run-gates: a violated drift gate fails preflight with the violation named; clean gates pass") {
     def spec(bounds: String) =
       s"""{"id":"gate-check","processingMode":"SIMPLE_STREAM",

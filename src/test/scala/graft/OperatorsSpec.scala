@@ -713,6 +713,38 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("embedding summary excludes vectors with NaN/null ELEMENTS — one bad vector must not NaN-poison the drift gate") {
+    // round-15 ADVICE: the scalar histogram leg filters NaN, the embedding
+    // leg did not — a single NaN element turned every metric NaN (read as
+    // a NULL-delta violation by gated, hard-failing the gate), and a null
+    // element silently skewed mean_norm (counted in n, absent from
+    // norm_sum). Both row kinds are now excluded like null vectors; their
+    // absence still surfaces as row_count drift.
+    val clean = Seq(Seq[java.lang.Float](1f, 0f), Seq[java.lang.Float](0f, 1f))
+    val dirty = clean ++ Seq(
+      Seq[java.lang.Float](Float.NaN, 1f),          // NaN element
+      Seq[java.lang.Float](null, 1f))               // null element
+    def df(rows: Seq[Seq[java.lang.Float]]) =
+      spark.createDataFrame(rows.map(Tuple1(_))).toDF("e")
+    val sum = graft.operators.Drift.embeddingSummary(df(dirty), "e")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // only the two clean vectors contribute: n = 2 on every dimension row,
+    // sums finite and equal to the clean-frame sums
+    assert(sum.values.forall(_._3 == 2.0), s"bad vectors counted: $sum")
+    assert(sum.values.forall { case (s, nrm, _) => !s.isNaN && !nrm.isNaN },
+      s"NaN leaked into the summary: $sum")
+    // end to end: dirty-vs-clean drift is finite everywhere, and the bad
+    // vectors do NOT trip a centroid gate (same distribution), while the
+    // row_count metric still sees them as excluded rows
+    val report = graft.operators.Drift.gated(
+      graft.operators.Drift.embeddingDrift(df(clean), df(dirty), "e"),
+      Map("centroid_shift" -> 0.01), Map.empty)
+    val rows = report.collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(rows("row_count") == 0.0 && rows("centroid_shift") == 0.0,
+      s"clean-vs-dirty should be identical after exclusion: $rows")
+  }
+
   test("per-group embedding drift pinpoints the moved stratum; surviving groups report zero (X29)") {
     // the grouped leg's reason to exist: dropping clusters 8–9 moves the
     // GLOBAL centroid a diluted ~0.13, but per-label rows say exactly
