@@ -557,6 +557,96 @@ object Queries {
       .select("col_name", "metric", "category",
         "old_value", "new_value", "delta")
 
+  /** Stable scratch base for stored-artifact fixtures, keyed by the bound
+    * data directory so concurrent SF runs never cross-contaminate.
+    * Artifacts are REBUILT on every call (≤ dim rows — negligible next to
+    * the corpus scan that produces them) so stale content from an older
+    * engine version can never poison a run.
+    */
+  private def artifactBase(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_artifacts", safe)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Gate-granularity rounding for oracle-compared artifact sums: 6
+    * decimals with the negative-zero normalization (the same discipline as
+    * the embedding-drift deltas — below 1e-6 a per-dimension sum differs
+    * only by summation order, and DuckDB's round() emits -0.0 for tiny
+    * negatives, which hashes differently from 0.0).
+    */
+  private def zr6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(round(c, 6) === 0, lit(0.0)).otherwise(round(c, 6))
+
+  /** Spec-level STORED-ARTIFACT drift (the X29 no-rescan form through JSON
+    * config): crawl time writes the old snapshot's ≤ dim-row
+    * embedding_summary artifact; the drift declaration then carries
+    * `summaryPath` INSTEAD of comparePath — the old snapshot is never
+    * rescanned (the whole point at 100 TB), and the report hash-matches
+    * the same oracle as the rescanning r38 twin because the summary is
+    * exactly sufficient for every embedding-drift metric.
+    */
+  def r40SpecDriftSummary(spark: SparkSession, dir: String): DataFrame = {
+    val art = s"${artifactBase(dir)}/embed_summary_old.parquet"
+    graft.operators.Drift.embeddingSummary(
+        spark.read.parquet(s"$dir/embeddings.parquet").filter(col("label") < 8),
+        "embedding")
+      .write.mode("overwrite").parquet(art)
+    runSpec(spark, dir,
+      s"""{"id":"drift-from-stored-summary","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "summaryPath":"$art",
+         |  "embeddingColumns":["embedding"]}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-artifact"}}""".stripMargin)
+      .select("col_name", "metric", "old_value", "new_value", "delta")
+  }
+
+  /** Spec-level embedding_summary (the crawl-time artifact step through
+    * JSON config): REPLACES the row set with the per-dimension summary —
+    * sink it to parquet and every later drift question about this snapshot
+    * is a dim-row join ([[r40SpecDriftSummary]]). Oracle-exact on the
+    * 6-dp-rounded sums (below that is summation-order noise, the
+    * embedding-drift delta discipline).
+    */
+  def r41SpecEmbedSummary(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"summary-from-config","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"embedding_summary","column":"embedding"}],
+         |"outputTopic":{"enabled":true,"name":"embed-summary"}}""".stripMargin)
+      .select(col("i").cast("long").as("i"), zr6(col("dim_sum")).as("dim_sum"),
+        zr6(col("norm_sum")).as("norm_sum"), col("n"))
+
+  /** Spec-level merge_embedding_summaries (the artifact MAINTENANCE verb):
+    * two shard summaries written at crawl time (the daily-artifact
+    * discipline), stored as one dataset, declaratively folded by exact
+    * summation — the merged artifact equals the one-shot global summary,
+    * which is what the oracle computes from raw data. The source topic is
+    * the stored artifact itself (unknown to the schema catalog — artifact
+    * tables flow through the config path like any topic).
+    */
+  def r42SpecMergeSummaries(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    graft.operators.Drift.embeddingSummary(
+        e.filter(col("vec_id") % 2 === 0), "embedding")
+      .unionByName(graft.operators.Drift.embeddingSummary(
+        e.filter(col("vec_id") % 2 =!= 0), "embedding"))
+      .write.mode("overwrite").parquet(s"$base/embed_summary_shards.parquet")
+    val spec = PipelineSpec.fromJson(
+      """{"id":"merge-summaries","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embed_summary_shards","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"merge_embedding_summaries"}],
+         |"outputTopic":{"enabled":true,"name":"merged-summary"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, spec,
+        new ParquetSourceResolver(base, TestdataCatalog)))
+      .select(col("i").cast("long").as("i"), zr6(col("dim_sum")).as("dim_sum"),
+        zr6(col("norm_sum")).as("norm_sum"), col("n"))
+  }
+
   /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
     * a categorical column, Misra–Gries candidates + exact broadcast
     * recount per snapshot — the form that scales to UNBOUNDED key spaces
@@ -2473,6 +2563,22 @@ object Queries {
        |  CASE WHEN round(sqrt(agg.d2), 6) = 0 THEN 0.0
        |       ELSE round(sqrt(agg.d2), 6) END FROM agg""".stripMargin
 
+  /** Oracle for the embedding_summary ARTIFACT rows (r41 one-shot build,
+    * r42 declarative shard merge — linearity makes both equal this direct
+    * computation): per-dimension value sums + norm sum + count over
+    * non-null vectors, mirroring [[graft.operators.Drift.embeddingSummary]]
+    * with the 6-dp/−0 rounding of the compared query projections.
+    */
+  private val embedSummaryOracleSql: String =
+    """WITH e AS (SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL),
+      |ee AS (SELECT unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+      |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM e)
+      |SELECT i,
+      |  CASE WHEN round(sum(v), 6) = 0 THEN 0.0 ELSE round(sum(v), 6) END AS dim_sum,
+      |  CASE WHEN round(sum(nrm), 6) = 0 THEN 0.0 ELSE round(sum(nrm), 6) END AS norm_sum,
+      |  count(*)::DOUBLE AS n
+      |FROM ee GROUP BY i""".stripMargin
+
   /** Grouped form of [[embedDriftOracleSql]]: identical metric pipeline
     * per `category` stratum (the CTEs yield (category, e)); a stratum
     * present on one side only carries zeros on the other — the vanished/
@@ -3155,6 +3261,20 @@ object Queries {
       embedDriftGroupOracleSql(
         "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL",
         "SELECT label::VARCHAR AS category, embedding AS e FROM embeddings WHERE embedding IS NOT NULL"),
+    // r40: the stored-artifact route must answer IDENTICALLY to the
+    // rescanning form — same oracle as r38's inner pipeline (old = the
+    // 8-cluster subset whose summary was stored at crawl time, new = the
+    // whole topic), no rescan on the engine side
+    "r40_spec_drift_summary" ->
+      embedDriftOracleSql(
+        "SELECT embedding AS e FROM embeddings WHERE label < 8 AND embedding IS NOT NULL",
+        "SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL"),
+    // r41/r42: the artifact itself (one-shot build, and the two-shard
+    // declarative merge) against per-dimension sums computed from raw
+    // data — 6-dp rounding absorbs summation-order noise, the same
+    // discipline as the embedding-drift deltas
+    "r41_spec_embed_summary" -> embedSummaryOracleSql,
+    "r42_spec_merge_summaries" -> embedSummaryOracleSql,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3596,6 +3716,9 @@ object Queries {
     "r38_spec_embed_drift" -> r38SpecEmbedDrift _,
     "x29_embed_drift_group" -> x29EmbedDriftGroup _,
     "r39_spec_embed_drift_group" -> r39SpecEmbedDriftGroup _,
+    "r40_spec_drift_summary" -> r40SpecDriftSummary _,
+    "r41_spec_embed_summary" -> r41SpecEmbedSummary _,
+    "r42_spec_merge_summaries" -> r42SpecMergeSummaries _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -570,7 +570,18 @@ case class TransformOp(
     // answers WHICH slice (language, source, cluster) moved; exchange
     // grows to ≤ groups × dim rows, so point it at bounded-cardinality
     // strata (the categorical-leg guidance)
-    embeddingGroupBy: Option[String] = None) {
+    embeddingGroupBy: Option[String] = None,
+    // snapshot_drift stored-artifact routing — the NO-RESCAN forms (the
+    // 100 TB discipline: drift between any two historical crawls must not
+    // rescan them). summaryPath points the embedding leg's OLD side at a
+    // stored embedding_summary parquet (≤ dim rows; grouped iff
+    // embeddingGroupBy is declared) instead of comparePath; sketchPath
+    // points a distinct-count leg at the OLD snapshot's stored mergeable
+    // HLL sketch table (the X25 artifact), declared with groupColumns
+    // (the sketch dims) + column (the counted item) — emits one
+    // n_distinct row per dimension cell without touching old raw data
+    summaryPath: Option[String] = None,
+    sketchPath: Option[String] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -834,15 +845,37 @@ case class TransformOp(
         case (n, v) => require(v.forall(_ >= 1), s"[$where] knn $n must be >= 1")
       }
     case "snapshot_drift" =>
-      require(comparePath.isDefined,
-        s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
-          "parquet; the frame is the NEW snapshot)")
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
           heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
-          embeddingColumns.nonEmpty,
+          embeddingColumns.nonEmpty || sketchPath.isDefined,
         s"[$where] snapshot_drift requires numericColumns, " +
-          "categoricalColumns, heavyHitterColumns, histograms and/or " +
-          "embeddingColumns")
+          "categoricalColumns, heavyHitterColumns, histograms, " +
+          "embeddingColumns and/or sketchPath")
+      // comparePath (the OLD snapshot's raw parquet) is needed only by the
+      // legs that RESCAN it; a drift declared purely against stored
+      // artifacts (summaryPath / sketchPath) never touches old raw data —
+      // that is the point of the artifact discipline
+      val rescans = numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
+        heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
+        (embeddingColumns.nonEmpty && summaryPath.isEmpty)
+      require(comparePath.isDefined || !rescans,
+        s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
+          "parquet; the frame is the NEW snapshot) — only a purely " +
+          "artifact-backed declaration (summaryPath / sketchPath legs " +
+          "alone) may omit it")
+      summaryPath.foreach { _ =>
+        require(embeddingColumns.size == 1,
+          s"[$where] snapshot_drift summaryPath routes the embedding leg " +
+            "through ONE stored embedding_summary artifact, which " +
+            "summarizes exactly one vector column — declare exactly one " +
+            s"embeddingColumns entry (got ${embeddingColumns.size})")
+      }
+      sketchPath.foreach { _ =>
+        require(groupColumns.nonEmpty && column.isDefined,
+          s"[$where] snapshot_drift sketchPath (the stored distinct-" +
+            "sketch table) requires groupColumns (the sketch dimensions) " +
+            "and column (the counted item on the new snapshot)")
+      }
       histograms.foreach { h =>
         require(h.column.nonEmpty,
           s"[$where] snapshot_drift histogram entry needs a column")
@@ -871,6 +904,16 @@ case class TransformOp(
             s"[$where] snapshot_drift $which bound '$k' must be >= 0, got $v")
         }
       }
+    case "embedding_summary" =>
+      require(column.isDefined,
+        s"[$where] embedding_summary requires column (the vector to " +
+          "summarize); optional embeddingGroupBy strata the artifact")
+      validateWindowDecl(where)
+    case "merge_embedding_summaries" =>
+      // no declared fields: the frame IS the artifact union, and
+      // grouped-ness is inferred from its schema (a `category` column) —
+      // the Interpreter preflights that the schema is a summary's
+      ()
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] weighted_mix requires column (the stratum) and idColumn")

@@ -22,7 +22,8 @@ object SpecSurface {
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "resample", "profile",
-    "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift")
+    "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
+    "embedding_summary", "merge_embedding_summaries")
 
   /** knn method family members (PipelineSpec knn validation). */
   val knnMethods: Seq[String] = Seq("exact", "quantized", "ivf", "lsh")

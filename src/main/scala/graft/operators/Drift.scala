@@ -364,9 +364,35 @@ object Drift extends Logging {
     * parquet round-trip) is pinned in OperatorsSpec.
     */
   def embeddingSummary(df: DataFrame, c: String,
-      groupBy: Option[String] = None): DataFrame = {
+      groupBy: Option[String] = None): DataFrame =
+    summaryCore(df, c, groupBy, None)
+
+  /** WINDOWED form of [[embeddingSummary]] — the incrementally-maintained
+    * summary table: one artifact row set per (tumbling window, stratum?)
+    * cell. The summary aggregate is LINEAR (per-dimension sums + counts),
+    * exactly the property that lets the X25/X26 sketch tables stream — so
+    * on a watermarked streaming frame this is one stateful aggregation
+    * (update mode emits each refreshed cell; the snapshot sink upserts it),
+    * and on batch the identical grouping produces the identical table,
+    * making stream-built == batch-built testable (StreamRunnerSpec). A
+    * continuously-ingested corpus maintains its drift artifact this way
+    * instead of re-summarizing the whole snapshot per crawl;
+    * [[mergeEmbeddingSummaries]] over the stored window cells (window
+    * column dropped) folds them EXACTLY into the global summary — the
+    * windowed table is strictly more information than the global artifact.
+    * `win` is the window expression (the caller owns watermarking — the
+    * Interpreter's eventWindow does both from one declaration).
+    */
+  def embeddingSummaryWindowed(df: DataFrame, c: String,
+      groupBy: Option[String], win: Column): DataFrame =
+    summaryCore(df, c, groupBy, Some(win))
+
+  private def summaryCore(df: DataFrame, c: String,
+      groupBy: Option[String], win: Option[Column]): DataFrame = {
     val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
     val gk = groupBy.map(_ => col("category")).toSeq
+    val w = win.map(_.as("__w")).toSeq
+    val wk = win.map(_ => col("__w")).toSeq
     // a NULL stratum is excluded (the categorical frequency leg's
     // convention) — null group keys never join across sides (null ≠ null
     // in the full outer), so keeping them would double-report one
@@ -380,17 +406,22 @@ object Drift extends Logging {
     // silently skew mean_norm (counted in n, absent from norm_sum). A
     // corrupt-vector RATE spike still surfaces: excluded rows move the
     // row_count metric (round-15 ADVICE)
-    strat.filter(col(c).isNotNull &&
+    val agged = strat.filter(col(c).isNotNull &&
         !exists(col(c), x => x.isNull || isnan(x.cast("double"))))
-      .select(g ++ Seq(col(c).as("__e"),
+      .select(w ++ g ++ Seq(col(c).as("__e"),
         sqrt(aggregate(col(c), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double"))).as("__nrm")): _*)
-      .select(gk ++ Seq(col("__nrm"),
+      .select(wk ++ gk ++ Seq(col("__nrm"),
         posexplode(col("__e")).as(Seq("i", "v"))): _*)
-      .groupBy(gk :+ col("i"): _*)
+      .groupBy(wk ++ gk :+ col("i"): _*)
       .agg(sum(col("v").cast("double")).as("dim_sum"),
         sum(col("__nrm")).as("norm_sum"),
         count(lit(1)).cast("double").as("n"))
+    // windowed cells surface window_start first (the sketch-table
+    // convention) — the struct stays internal
+    win.fold(agged)(_ => agged.select(
+      (col("__w.start").as("window_start") +: (gk :+ col("i"))) ++
+        Seq(col("dim_sum"), col("norm_sum"), col("n")): _*))
   }
 
   /** Merge [[embeddingSummary]] artifacts by summation: the summary is

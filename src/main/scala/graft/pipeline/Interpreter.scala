@@ -292,6 +292,60 @@ object Interpreter extends Logging {
           "has no filesystem base directory")
     }
 
+  /** Preflight an [[graft.operators.Drift.embeddingSummary]] artifact's
+    * schema with a config-grade error — the alternative is an opaque
+    * unresolved-column AnalysisException deep inside the dim-row join. The
+    * grouped/global form mismatch is the subtle one: both are valid
+    * artifacts, but a grouped artifact answers only grouped declarations
+    * (and vice versa), so the error names the declaration fix.
+    */
+  private def requireSummarySchema(df: DataFrame, where: String,
+      grouped: Boolean, specId: String): Unit = {
+    val core = Seq("i", "dim_sum", "norm_sum", "n")
+    val missing = core.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[$specId] $where is not an embedding_summary artifact: missing " +
+        s"column(s) ${missing.mkString(", ")} (found: " +
+        s"${df.columns.mkString(", ")}). Build artifacts with the " +
+        "embedding_summary op (or Drift.embeddingSummary) at crawl time")
+    val hasCat = df.columns.contains("category")
+    require(!grouped || hasCat,
+      s"[$specId] $where was built WITHOUT a stratum (no category " +
+        "column) but the declaration is grouped (embeddingGroupBy) — " +
+        "rebuild the artifact with embeddingGroupBy, or drop the stratum " +
+        "from this declaration")
+    require(grouped || !hasCat,
+      s"[$specId] $where was built WITH a stratum (category column) but " +
+        "the declaration is global — declare the same embeddingGroupBy, " +
+        "or fold the strata out first with merge_embedding_summaries " +
+        "over the artifact with its category column dropped (the sums " +
+        "are linear, so the fold is exact)")
+  }
+
+  private def readSummaryArtifact(spark: SparkSession, path: String,
+      grouped: Boolean, specId: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    requireSummarySchema(df, s"summaryPath '$path'", grouped, specId)
+    df
+  }
+
+  /** Same config-grade preflight for a stored distinct-sketch table
+    * ([[graft.operators.Profile.distinctSketches]] shape): every declared
+    * dimension plus the sketch/n_rows payload must be present.
+    */
+  private def readSketchArtifact(spark: SparkSession, path: String,
+      dims: Seq[String], specId: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = (dims ++ Seq("sketch", "n_rows")).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[$specId] sketchPath '$path' is not a distinct-sketch table for " +
+        s"dims ${dims.mkString(", ")}: missing column(s) " +
+        s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
+        "Build artifacts with the distinct_rollup op's stored form (or " +
+        "Profile.distinctSketches) at crawl time")
+    df
+  }
+
   private[graft] def applyTransform(df: DataFrame, t: TransformOp,
       dataDir: Option[String], specId: String): DataFrame = t.op match {
     case "dedup_exact" if df.isStreaming =>
@@ -543,10 +597,15 @@ object Interpreter extends Logging {
           "snapshots; a stream has no final distribution to compare — run " +
           "it between ingest rounds on the materialized snapshots)")
       // the frame is the NEW snapshot, comparePath the OLD — the natural
-      // reading of "drift of the incoming snapshot against the last one"
-      val old0 = df.sparkSession.read.parquet(
-        resolvePath(t.comparePath.get, dataDir, specId))
-      val old = t.compareFilter.fold(old0)(f => old0.filter(expr(f)))
+      // reading of "drift of the incoming snapshot against the last one".
+      // Lazy: a purely artifact-backed declaration (summaryPath /
+      // sketchPath legs only) has no comparePath to read — old raw data is
+      // never touched, which is the artifact discipline's whole point
+      lazy val old = {
+        val old0 = df.sparkSession.read.parquet(
+          resolvePath(t.comparePath.get, dataDir, specId))
+        t.compareFilter.fold(old0)(f => old0.filter(expr(f)))
+      }
       val report =
         if (t.numericColumns.nonEmpty || t.categoricalColumns.nonEmpty)
           Some(graft.operators.Drift.driftReport(old, df,
@@ -555,11 +614,25 @@ object Interpreter extends Logging {
       // embedding leg rows share the exact report's category-less shape,
       // so they group with `report` for the category-column decision below
       // — UNLESS embeddingGroupBy strata them, in which case they already
-      // carry the heavy/hist legs' `category` column and join that bucket
-      val (embeds, embedsCat) = t.embeddingGroupBy match {
-        case None => (t.embeddingColumns.map(c =>
+      // carry the heavy/hist legs' `category` column and join that bucket.
+      // summaryPath reroutes the leg's OLD side to a STORED
+      // embedding_summary artifact (schema-preflighted): the old snapshot
+      // is not rescanned; the new side is summarized from the frame in its
+      // one scan — drift between two HISTORICAL crawls is the same
+      // declaration with the newer crawl's artifact as the source topic
+      // and merge_embedding_summaries upstream if it arrives sharded
+      val (embeds, embedsCat) = (t.summaryPath, t.embeddingGroupBy) match {
+        case (Some(p), g) =>
+          val c = t.embeddingColumns.head
+          val oldSum = readSummaryArtifact(df.sparkSession,
+            resolvePath(p, dataDir, specId), g.isDefined, specId)
+          val newSum = graft.operators.Drift.embeddingSummary(df, c, g)
+          val d = graft.operators.Drift.embeddingDriftFromSummaries(
+            oldSum, newSum, c, grouped = g.isDefined)
+          if (g.isDefined) (Nil, Seq(d)) else (Seq(d), Nil)
+        case (None, None) => (t.embeddingColumns.map(c =>
           graft.operators.Drift.embeddingDrift(old, df, c)), Nil)
-        case Some(g) => (Nil, t.embeddingColumns.map(c =>
+        case (None, Some(g)) => (Nil, t.embeddingColumns.map(c =>
           graft.operators.Drift.embeddingDriftByGroup(old, df, c, g)))
       }
       // heavy-hitter and histogram legs: their rows carry a `category`
@@ -573,8 +646,28 @@ object Interpreter extends Logging {
       val hist = t.histograms.map(h =>
         graft.operators.Drift.histogramDrift(old, df, h.column,
           h.lo, h.hi, h.bins))
+      // sketchPath: distinct-count drift from the OLD snapshot's STORED
+      // mergeable HLL sketch table (the X25 artifact) vs the new
+      // snapshot's one-scan sketches — reshaped to the report's gated row
+      // shape (category = the dimension cell) so bounds compose; the cell
+      // estimates are the HLL accuracy contract, same as every X25 row
+      val sketchLeg = t.sketchPath.map { p =>
+        val oldSk = readSketchArtifact(df.sparkSession,
+          resolvePath(p, dataDir, specId), t.groupColumns, specId)
+        val newSk = graft.operators.Profile.distinctSketches(
+          df, t.groupColumns, t.column.get)
+        graft.operators.Drift.driftFromSketches(oldSk, newSk, t.groupColumns)
+          .select(lit(t.column.get).as("col_name"),
+            lit("n_distinct").as("metric"),
+            concat_ws("/", t.groupColumns.map(c =>
+              col(c).cast(StringType)): _*).as("category"),
+            col("old_distinct").cast(DoubleType).as("old_value"),
+            col("new_distinct").cast(DoubleType).as("new_value"),
+            (col("new_distinct") - col("old_distinct"))
+              .cast(DoubleType).as("delta"))
+      }
       val flat = report.toSeq ++ embeds
-      val withCat = heavy ++ hist ++ embedsCat
+      val withCat = heavy ++ hist ++ embedsCat ++ sketchLeg.toSeq
       val combined =
         if (withCat.isEmpty) flat.reduce(_.unionByName(_))
         else (flat.map(_.withColumn("category", lit(null).cast("string"))
@@ -586,6 +679,57 @@ object Interpreter extends Logging {
       // a drift table is keyed by the inspected column (compacted-topic
       // semantics, same rule as profile's col_name)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("col_name"))
+      else result
+    case "embedding_summary" if t.timeColumn.isDefined =>
+      // WINDOWED form — the incrementally-maintained drift artifact: one
+      // ≤ dim-row summary per (tumbling window, stratum?) cell, built by
+      // one stateful aggregation on a watermarked stream (update mode
+      // upserts each refreshed cell into the snapshot store) and by the
+      // identical grouping on batch — the same maintained-table pattern as
+      // windowed distinct_rollup/quantile_rollup, possible because the
+      // summary aggregate is LINEAR. merge_embedding_summaries over the
+      // stored cells (window column dropped) folds them EXACTLY into the
+      // global crawl artifact.
+      val (src, win) = eventWindow(df, t)
+      val result = graft.operators.Drift.embeddingSummaryWindowed(
+        src, t.column.get, t.embeddingGroupBy, win)
+      // the record key is the cell identity: (window, stratum?, dimension)
+      windowedKey(result, df,
+        t.embeddingGroupBy.map(_ => "category").toSeq :+ "i")
+    case "embedding_summary" =>
+      require(!df.isStreaming,
+        "global embedding_summary is batch-only (one artifact per complete " +
+          "snapshot); declare timeColumn + every + watermark for the " +
+          "windowed streaming form (an incrementally-maintained summary " +
+          "table)")
+      // the crawl-time artifact step (X29 stored-artifact discipline):
+      // REPLACES the row set with the ≤ (groups ×) dim-row summary — sink
+      // it to parquet and later snapshot_drift declarations answer via
+      // summaryPath without rescanning this snapshot
+      val result = graft.operators.Drift.embeddingSummary(
+        df, t.column.get, t.embeddingGroupBy)
+      if (df.columns.contains(KeyCol))
+        result.withColumn(KeyCol, t.embeddingGroupBy match {
+          case Some(_) => struct(col("category"), col("i"))
+          case None    => col("i")
+        })
+      else result
+    case "merge_embedding_summaries" =>
+      require(!df.isStreaming,
+        "merge_embedding_summaries is batch-only (it folds stored " +
+          "artifacts; maintain a LIVE summary with the windowed " +
+          "embedding_summary form instead)")
+      // maintenance verb over stored artifacts: the frame is a UNION of
+      // embedding_summary outputs (daily crawls, per-shard jobs) and the
+      // fold is exact summation — grouped-ness is inferred from the
+      // artifact schema itself
+      requireSummarySchema(df, "merge_embedding_summaries source frame",
+        grouped = df.columns.contains("category"), specId)
+      val grouped = df.columns.contains("category")
+      val result = graft.operators.Drift.mergeEmbeddingSummaries(df, grouped)
+      if (df.columns.contains(KeyCol))
+        result.withColumn(KeyCol,
+          if (grouped) struct(col("category"), col("i")) else col("i"))
       else result
     case "pack" =>
       // row-PRESERVING (appends pack_id/pack_slot), so the record key

@@ -954,6 +954,125 @@ class InterpreterSpec extends SparkSuite {
     assert(bad2.getMessage.contains("bins must be >= 1"), bad2.getMessage)
   }
 
+  test("stored-artifact drift: summaryPath routes equal the rescanning forms; schema mismatches are config errors (r40)") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val dir = tempDirPath("graft_artifact_route").toString
+    graft.operators.Drift.embeddingSummary(
+        emb.filter(col("label") < 8), "embedding", Some("label"))
+      .write.mode("overwrite").parquet(s"$dir/grouped.parquet")
+    def spec(body: String) = PipelineSpec.fromJson(
+      s"""{"id":"art-drift","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",$body}],
+         |"outputTopic":{"enabled":true,"name":"art-out"}}""".stripMargin)
+    // GROUPED route: stored-artifact report == the rescanning grouped form
+    // (r40's oracle pins the global route; this pins the grouped one)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(1), r.getString(2)) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val stored = graft.pipeline.Interpreter.build(spark, spec(
+      s""""summaryPath":"$dir/grouped.parquet",
+         |"embeddingColumns":["embedding"],"embeddingGroupBy":"label"""".stripMargin),
+      resolver).collect().map(key).toMap
+    val direct = graft.operators.Drift.embeddingDriftByGroup(
+        emb.filter(col("label") < 8), emb, "embedding", "label")
+      .collect().map(key).toMap
+    assert(stored == direct, s"stored-artifact route diverged:\n$stored\nvs\n$direct")
+    // form mismatches are config-grade errors naming the fix, never an
+    // unresolved-column AnalysisException from inside the dim-row join
+    val globalDecl = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(
+        s""""summaryPath":"$dir/grouped.parquet",
+           |"embeddingColumns":["embedding"]""".stripMargin), resolver)
+    }
+    assert(globalDecl.getMessage.contains("WITH a stratum") &&
+      globalDecl.getMessage.contains("[art-drift]"), globalDecl.getMessage)
+    val notAnArtifact = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(
+        s""""summaryPath":"${sf()}/embeddings.parquet",
+           |"embeddingColumns":["embedding"]""".stripMargin), resolver)
+    }
+    assert(notAnArtifact.getMessage.contains("not an embedding_summary artifact") &&
+      notAnArtifact.getMessage.contains("dim_sum"), notAnArtifact.getMessage)
+  }
+
+  test("stored-artifact drift: sketchPath leg answers n_distinct drift from the X25 table without rescanning (r42 family)") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val dir = tempDirPath("graft_sketch_route").toString
+    // crawl N's profiling step already materializes this table (X25);
+    // old side = the low-id user population, so the new snapshot's extra
+    // users are REAL n_distinct drift (a time split would see every user
+    // on both sides at this SF and the deltas would all be 0)
+    graft.operators.Profile.distinctSketches(
+        ev.filter(col("user_id") < 8), Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+    val out = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"sketch-drift","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "sketchPath":"$dir/sketches.parquet",
+         |  "groupColumns":["event_type"],"column":"user_id"}],
+         |"outputTopic":{"enabled":true,"name":"sketch-out"}}""".stripMargin),
+      resolver).collect()
+    // same estimates as the API form (HLL is order-insensitive, so the
+    // stored old side matches a fresh build exactly), reshaped to the
+    // gated report row shape
+    val api = graft.operators.Drift.driftFromSketches(
+        spark.read.parquet(s"$dir/sketches.parquet"),
+        graft.operators.Profile.distinctSketches(ev, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty && out.length == api.size)
+    out.foreach { r =>
+      assert(r.getString(0) == "user_id" && r.getString(1) == "n_distinct")
+      val (o, n) = api(r.getString(2))
+      assert(r.getDouble(3) == o.toDouble && r.getDouble(4) == n.toDouble &&
+        r.getDouble(5) == (n - o).toDouble, s"cell ${r.getString(2)} diverged")
+    }
+    // the gate composes over the artifact leg like any other row
+    val e = intercept[Exception] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"sketch-gate","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "sketchPath":"$dir/sketches.parquet",
+           |  "groupColumns":["event_type"],"column":"user_id",
+           |  "maxAbsDelta":{"n_distinct":0}}],
+           |"outputTopic":{"enabled":true,"name":"sketch-gate-out"}}""".stripMargin),
+        resolver).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated") &&
+      e.getMessage.contains("n_distinct"), e.getMessage)
+    // a non-sketch parquet is refused with the missing columns named
+    val bad = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"sketch-bad","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "sketchPath":"${sf()}/events.parquet",
+           |  "groupColumns":["event_type"],"column":"user_id"}],
+           |"outputTopic":{"enabled":true,"name":"sketch-bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(bad.getMessage.contains("not a distinct-sketch table") &&
+      bad.getMessage.contains("sketch"), bad.getMessage)
+  }
+
+  test("merge_embedding_summaries: a non-artifact source frame is refused with the missing columns named") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        """{"id":"merge-bad","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+          |"transform":[{"op":"merge_embedding_summaries"}],
+          |"outputTopic":{"enabled":true,"name":"merge-bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(e.getMessage.contains("not an embedding_summary artifact") &&
+      e.getMessage.contains("[merge-bad]"), e.getMessage)
+  }
+
   test("<dataDir> against a resolver with no filesystem base fails at build with the spec-id prefix") {
     // the portability placeholder's failure mode (e.g. a Kafka-bound spec):
     // a prefixed IllegalArgumentException at build, per the global error

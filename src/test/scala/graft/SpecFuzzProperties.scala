@@ -264,6 +264,46 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           embeddingColumns = Seq("embedding"), embeddingGroupBy = groupBy)))
     }
 
+  // stored-artifact fixtures for the embedding_summary family: tiny
+  // summary parquets (global + grouped) written once per suite run — the
+  // merge op's source frame must BE an artifact union, and the
+  // summaryPath route needs a stored old side
+  private lazy val artifactDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzz_artifacts")
+    val e = spark.read.parquet(embParquet)
+    graft.operators.Drift.embeddingSummary(e, "embedding")
+      .write.mode("overwrite").parquet(s"$dir/summary_global.parquet")
+    graft.operators.Drift.embeddingSummary(e, "embedding", Some("label"))
+      .write.mode("overwrite").parquet(s"$dir/summary_grouped.parquet")
+    dir.toString
+  }
+
+  property("valid embedding_summary analyzes (global / grouped)") =
+    Prop.forAll(Gen.option(Gen.const("label"))) { g =>
+      analyzes(simple("fz-embed-summary", "embeddings",
+        TransformOp(op = "embedding_summary", column = Some("embedding"),
+          embeddingGroupBy = g)))
+    }
+
+  property("valid merge_embedding_summaries analyzes (global / grouped artifact)") =
+    Prop.forAll(Gen.oneOf("summary_global", "summary_grouped")) { t =>
+      val res = new ParquetSourceResolver(artifactDir, TestdataCatalog)
+      val spec = simple("fz-merge-summaries", t,
+        TransformOp(op = "merge_embedding_summaries"))
+      val df = Interpreter.build(spark, spec, res)
+      Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
+    }
+
+  property("valid snapshot_drift summaryPath route analyzes (global / grouped)") =
+    Prop.forAll(Gen.oneOf(false, true)) { grouped =>
+      val art = if (grouped) "summary_grouped" else "summary_global"
+      analyzes(simple("fz-drift-summary", "embeddings",
+        TransformOp(op = "snapshot_drift",
+          summaryPath = Some(s"$artifactDir/$art.parquet"),
+          embeddingColumns = Seq("embedding"),
+          embeddingGroupBy = if (grouped) Some("label") else None)))
+    }
+
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
     Prop.forAll(Gen.chooseNum(10L, 50L), Gen.chooseNum(20, 60)) { (mt, size) =>
       val spec = simple("fz-chain", "documents",
@@ -546,6 +586,20 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           comparePath = Some("<dataDir>/embeddings.parquet"),
           numericColumns = Seq("vec_id"),
           embeddingGroupBy = Some("label"))),
+      "snapshot_drift summaryPath with several embeddingColumns" -> te(
+        TransformOp(op = "snapshot_drift",
+          summaryPath = Some("/nowhere/summary.parquet"),
+          embeddingColumns = Seq("embedding", "embedding2"))),
+      "snapshot_drift sketchPath without groupColumns/column" -> te(
+        TransformOp(op = "snapshot_drift",
+          sketchPath = Some("/nowhere/sketches.parquet"))),
+      "snapshot_drift rescanning leg without comparePath (artifact legs alone may omit it)" ->
+        te(TransformOp(op = "snapshot_drift",
+          summaryPath = Some("/nowhere/summary.parquet"),
+          embeddingColumns = Seq("embedding"),
+          numericColumns = Seq("value"))),
+      "embedding_summary without column" -> te(
+        TransformOp(op = "embedding_summary")),
       "resample fractional-second every" -> te(TransformOp(op = "resample",
         idColumn = Some("user_id"), timeColumn = Some("ts"),
         valueColumns = Seq("value"), every = Some("500 milliseconds"))),
