@@ -647,6 +647,29 @@ object Queries {
         zr6(col("norm_sum")).as("norm_sum"), col("n"))
   }
 
+  /** WINDOWED embedding_summary (the incrementally-maintained drift
+    * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
+    * day, the declaration that also streams as one stateful aggregation
+    * (stream-built == batch-built across a restart is pinned in
+    * StreamRunnerSpec). Event times are synthesized deterministically from
+    * vec_id (the embeddings fixture carries no timestamp); the same
+    * arithmetic in the DuckDB oracle keeps the row exact. Goes through
+    * the config-path dispatch (applyTransform), not the operator directly.
+    */
+  def x29EmbedSummaryWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("ts", expr("TIMESTAMP '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(vec_id % 48 AS INT), 0, 0)"))
+    Interpreter.applyTransform(e,
+        graft.config.TransformOp(op = "embedding_summary",
+          column = Some("embedding"), timeColumn = Some("ts"),
+          every = Some("1 day")),
+        None, "x29-embed-summary-window")
+      .select(col("window_start"), col("i").cast("long").as("i"),
+        zr6(col("dim_sum")).as("dim_sum"), zr6(col("norm_sum")).as("norm_sum"),
+        col("n"))
+  }
+
   /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
     * a categorical column, Misra–Gries candidates + exact broadcast
     * recount per snapshot — the form that scales to UNBOUNDED key spaces
@@ -3275,6 +3298,22 @@ object Queries {
     // discipline as the embedding-drift deltas
     "r41_spec_embed_summary" -> embedSummaryOracleSql,
     "r42_spec_merge_summaries" -> embedSummaryOracleSql,
+    // windowed summary: same per-dimension sums per tumbling day, the
+    // synthesized event time spelled with identical arithmetic
+    "x29_embed_summary_window" ->
+      """WITH e0 AS (SELECT TIMESTAMP '2024-01-01 00:00:00'
+        |              + (vec_id % 48) * INTERVAL '1 hour' AS ts,
+        |            embedding AS e
+        |            FROM embeddings WHERE embedding IS NOT NULL),
+        |ee AS (SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+        |         unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+        |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+        |       FROM e0)
+        |SELECT window_start, i,
+        |  CASE WHEN round(sum(v), 6) = 0 THEN 0.0 ELSE round(sum(v), 6) END AS dim_sum,
+        |  CASE WHEN round(sum(nrm), 6) = 0 THEN 0.0 ELSE round(sum(nrm), 6) END AS norm_sum,
+        |  count(*)::DOUBLE AS n
+        |FROM ee GROUP BY 1, 2""".stripMargin,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3719,6 +3758,7 @@ object Queries {
     "r40_spec_drift_summary" -> r40SpecDriftSummary _,
     "r41_spec_embed_summary" -> r41SpecEmbedSummary _,
     "r42_spec_merge_summaries" -> r42SpecMergeSummaries _,
+    "x29_embed_summary_window" -> x29EmbedSummaryWindow _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

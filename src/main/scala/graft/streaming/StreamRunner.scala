@@ -54,8 +54,8 @@ object StreamRunner extends Logging {
     // (each session emits once, finalized past the watermark)
     case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
       t.windowType.contains("session") &&
-      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup")
-        .contains(t.op)) => OutputMode.Append()
+      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
+        "embedding_summary").contains(t.op)) => OutputMode.Append()
     // the windowed sketch/top-k transform family is a stateful aggregation
     // whose emission is a per-cell changelog (each micro-batch refreshes
     // the touched (window, dims) cells; the snapshot sink upserts them).
@@ -63,8 +63,8 @@ object StreamRunner extends Logging {
     // correct for fire-once delivery, but it defeats the continuously-
     // maintained-table semantics these ops declare.
     case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
-      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup")
-        .contains(t.op)) => OutputMode.Update()
+      Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
+        "embedding_summary").contains(t.op)) => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 

@@ -863,6 +863,64 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("windowed embedding_summary: stream-maintained drift artifact equals the " +
+      "batch build across a checkpoint restart, and merges to the global summary (X29 streaming maintenance)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      """{"id":"wes","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"embedding_summary","column":"emb",
+        |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours"}],
+        |"outputTopic":{"enabled":true,"name":"wes-out"}}""".stripMargin)
+    val cols = Seq("vec_id", "ts", "emb")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    val base = tempDir("graft_wes")
+    // n only grows per cell — a valid last-write-wins version, exactly
+    // like the sketch tables' n_rows
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "i"), Seq("n"), s"$base/ckpt")
+    val batch1 = Seq(
+      (1L, t(10, 5), Seq(1f, 0f)), (2L, t(10, 15), Seq(0f, 2f)),
+      (3L, t(11, 0), Seq(3f, 4f)))
+    // batch2 lands one late-ish row inside the watermark back into the
+    // 10:00 cell (recovered state must absorb it, not fork a fresh cell)
+    // and opens 11:00 further — across the restart boundary
+    val batch2 = Seq(
+      (4L, t(10, 40), Seq(2f, 2f)), (5L, t(11, 30), Seq(0f, 1f)))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "i", "dim_sum", "norm_sum", "n")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+      val got = cells(spark.read.parquet(s"$base/table"))
+      val want = cells(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // the stored window cells fold EXACTLY into the global crawl
+      // artifact (linearity) — the whole reason the windowed form is
+      // strictly more information than the one-shot summary
+      val merged = graft.operators.Drift.mergeEmbeddingSummaries(
+          spark.read.parquet(s"$base/table").select("i", "dim_sum", "norm_sum", "n"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      val global = graft.operators.Drift.embeddingSummary(
+          spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*), "emb")
+        .collect().map(r => r.getInt(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(merged == global,
+        s"window-cell merge $merged != one-shot global summary $global")
+    } finally q2.stop()
+  }
+
   test("windowed quantile_rollup: stream-maintained sketch table equals the " +
       "batch build across a checkpoint restart (X26 streaming maintenance)") {
     val ss = spark
