@@ -230,6 +230,45 @@ class DoctorSpec extends SparkSuite {
     assert(!outOk.contains("drift_unbounded_categorical"), outOk)
   }
 
+  test("knn geometry preflight: a brute-force-cheaper lsh/ivf declaration warns; tight geometry audits clean") {
+    // round-15 directive #4: knn method=lsh/ivf declarations get the same
+    // config-level cost finding as dedup_near — closed-form from the
+    // declared geometry, no data probe. The default lsh geometry (16
+    // tables x 4 planes) re-ranks ~100% of a brute-force scan's cosine
+    // work per query, so it MUST warn; 12 planes (16/4096 of the corpus)
+    // must not. Same pair for a declared ivf probe fraction.
+    def spec(body: String, planAudit: String = "") =
+      s"""{"id":"knn-geom","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"knn","column":"embedding","idColumn":"vec_id",
+         |  "k":5,"queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3",$body}],
+         |"outputTopic":{"enabled":true,"name":"knn-out"}}""".stripMargin
+    // composition with planAudit:"fail" pinned like the other spec-level
+    // findings: the declaration is refused before the index is built
+    val lshBad = write("knn_lsh_wide.json",
+      spec(""""method":"lsh","dim":64""", """"planAudit":"fail","""))
+    val (codeLshBad, outLshBad) = runDoctor(lshBad, sf())
+    assert(codeLshBad == 1, outLshBad)
+    assert(outLshBad.contains("knn_brute_force_regime") &&
+      outLshBad.contains("planesPerTable"), outLshBad)
+    val lshOk = write("knn_lsh_tight.json",
+      spec(""""method":"lsh","dim":64,"planesPerTable":12"""))
+    val (codeLshOk, outLshOk) = runDoctor(lshOk, sf())
+    assert(codeLshOk == 0, outLshOk)
+    assert(!outLshOk.contains("knn_brute_force_regime"), outLshOk)
+    val ivfBad = write("knn_ivf_wide.json",
+      spec(""""method":"ivf","nCells":16,"nProbe":12"""))
+    val (_, outIvfBad) = runDoctor(ivfBad, sf())
+    assert(outIvfBad.contains("knn_brute_force_regime") &&
+      outIvfBad.contains("nProbe"), outIvfBad)
+    val ivfOk = write("knn_ivf_tight.json",
+      spec(""""method":"ivf","nCells":64,"nProbe":8"""))
+    val (_, outIvfOk) = runDoctor(ivfOk, sf())
+    assert(!outIvfOk.contains("knn_brute_force_regime"), outIvfOk)
+  }
+
   test("snapshot_drift preflight probe: a dual-declared column emits BOTH findings; the flag skips the probe") {
     // round-15 ADVICE pair: (1) a column declared under BOTH
     // categoricalColumns and embeddingGroupBy used to be probed once but
