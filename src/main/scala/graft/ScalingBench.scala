@@ -85,7 +85,13 @@ object ScalingBench {
     // claim is "one scan per side, ≤ (groups ×) dim-row exchange", so the
     // ratio must track the scan (~data_ratio) with no join/state term
     "x29_embed_drift",
-    "x29_embed_drift_group")
+    "x29_embed_drift_group",
+    // round-16 additions: the remaining drift legs with bounded-exchange
+    // claims — histogram (≤ nBins+2 rows per side) and heavy-hitter (≤ k
+    // candidate rows + one broadcast-pruned recount per side); both must
+    // track the scan like the embedding legs
+    "x29_drift_hist",
+    "x29_drift_heavy")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
