@@ -526,6 +526,13 @@ case class TransformOp(
     valueColumns: Seq[String] = Nil,
     columns: Seq[String] = Nil,
     approx: Boolean = false,
+    // distinct_rollup global form: keepSketch keeps the mergeable HLL
+    // sketch column in the output — the STORED X25 artifact a crawl
+    // pipeline writes so later rollups (Profile.rollupDistinct) and
+    // snapshot_drift's sketchPath leg answer without rescanning this
+    // snapshot. The windowed form always keeps it (the maintained table
+    // IS the artifact)
+    keepSketch: Boolean = false,
     // values arrive boxed by JSON token type (a literal 1 is an Integer
     // inside the erased Seq) — read through numericQuantiles, never by
     // unboxing directly

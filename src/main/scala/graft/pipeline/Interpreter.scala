@@ -350,13 +350,25 @@ object Interpreter extends Logging {
 
   /** Preflight an [[graft.operators.Drift.embeddingSummary]] artifact's
     * schema with a config-grade error — the alternative is an opaque
-    * unresolved-column AnalysisException deep inside the dim-row join. The
+    * unresolved-column AnalysisException deep inside the dim-row join (or,
+    * for a WINDOWED artifact, silently wrong numbers: multiple rows per
+    * dimension key double-count through the full-outer join). The
     * grouped/global form mismatch is the subtle one: both are valid
     * artifacts, but a grouped artifact answers only grouped declarations
     * (and vice versa), so the error names the declaration fix.
+    * `allowWindowed` is true only for the merge verb, whose groupBy-sum
+    * folds the window column out exactly (linearity).
     */
   private def requireSummarySchema(df: DataFrame, where: String,
-      grouped: Boolean, specId: String): Unit = {
+      grouped: Boolean, specId: String,
+      allowWindowed: Boolean = false): Unit = {
+    require(allowWindowed || !df.columns.contains("window_start"),
+      s"[$specId] $where is a WINDOWED embedding_summary artifact (it " +
+        "carries window_start): it holds one row set per window cell, so " +
+        "joining it as a snapshot summary would double-count every " +
+        "dimension. Fold the windows out first with " +
+        "merge_embedding_summaries (the sums are linear — the fold is " +
+        "exact) and point summaryPath at the merged artifact")
     val core = Seq("i", "dim_sum", "norm_sum", "n")
     val missing = core.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -780,7 +792,8 @@ object Interpreter extends Logging {
       // fold is exact summation — grouped-ness is inferred from the
       // artifact schema itself
       requireSummarySchema(df, "merge_embedding_summaries source frame",
-        grouped = df.columns.contains("category"), specId)
+        grouped = df.columns.contains("category"), specId,
+        allowWindowed = true)
       val grouped = df.columns.contains("category")
       val result = graft.operators.Drift.mergeEmbeddingSummaries(df, grouped)
       if (df.columns.contains(KeyCol))
@@ -824,7 +837,16 @@ object Interpreter extends Logging {
           "(an incrementally-maintained sketch table)")
       val sk = graft.operators.Profile.distinctSketches(
         df, t.groupColumns, t.column.get)
-      val result = graft.operators.Profile.rollupDistinct(sk, t.groupColumns)
+      // keepSketch → the STORED X25 artifact form: the mergeable sketch
+      // column stays in the output (the windowed form's convention), so
+      // the written table feeds Profile.rollupDistinct and snapshot_drift's
+      // sketchPath leg without ever rescanning this snapshot
+      val result =
+        if (t.keepSketch)
+          sk.select(t.groupColumns.map(col) ++ Seq(col("sketch"),
+            hll_sketch_estimate(col("sketch")).as("n_distinct"),
+            col("n_rows")): _*)
+        else graft.operators.Profile.rollupDistinct(sk, t.groupColumns)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, t.groupColumns match {
         case Seq(g) => col(g)
         case many   => struct(many.map(col): _*)

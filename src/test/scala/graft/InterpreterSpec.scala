@@ -1059,6 +1059,90 @@ class InterpreterSpec extends SparkSuite {
       bad.getMessage.contains("sketch"), bad.getMessage)
   }
 
+  test("declarative artifact loop: distinct_rollup keepSketch writes the X25 table that snapshot_drift sketchPath consumes") {
+    // crawl N: ONE spec builds the stored sketch table (keepSketch keeps
+    // the mergeable column the plain rollup drops); crawl N+1: ONE spec
+    // answers n_distinct drift from it — the whole no-rescan loop through
+    // config, no Scala
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_sketch_loop").toString
+    // crawl N is a genuinely different snapshot: the low-user-id half,
+    // materialized as its own events table
+    spark.read.parquet(s"${sf()}/events.parquet")
+      .filter(col("user_id") < 8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val crawl = graft.pipeline.Interpreter.values(
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        """{"id":"crawl-sketch","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+          |  "column":"user_id","keepSketch":true}],
+          |"outputTopic":{"enabled":true,"name":"crawl-sketch-out"}}""".stripMargin),
+        new ParquetSourceResolver(dir, TestdataCatalog)))
+    assert(crawl.columns.toSeq ==
+      Seq("event_type", "sketch", "n_distinct", "n_rows"))
+    crawl.write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+    val drift = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"drift-from-crawl","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "sketchPath":"$dir/sketches.parquet",
+         |  "groupColumns":["event_type"],"column":"user_id"}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-crawl-out"}}""".stripMargin),
+      resolver).collect()
+    // every event_type sees users 0-7 on the old side vs the full
+    // population on the new — the drift is real and per-cell positive
+    assert(drift.nonEmpty && drift.forall(r => r.getDouble(5) > 0),
+      drift.mkString("; "))
+    // the filter stage of the first spec is what narrowed the old side —
+    // the sketch estimates are exact at this cardinality, so the old
+    // values are exactly 8 distinct users per cell
+    assert(drift.forall(r => r.getDouble(3) == 8.0), drift.mkString("; "))
+  }
+
+  test("summaryPath refuses a WINDOWED artifact (silent double-count) and names the merge fix") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_windowed_artifact").toString
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumn("ts", expr("TIMESTAMP '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(vec_id % 48 AS INT), 0, 0)"))
+    graft.operators.Drift.embeddingSummaryWindowed(e, "embedding", None,
+        org.apache.spark.sql.functions.window(col("ts"), "1 day"))
+      .write.mode("overwrite").parquet(s"$dir/windowed.parquet")
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"windowed-as-summary","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "summaryPath":"$dir/windowed.parquet",
+           |  "embeddingColumns":["embedding"]}],
+           |"outputTopic":{"enabled":true,"name":"bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(err.getMessage.contains("WINDOWED") &&
+      err.getMessage.contains("merge_embedding_summaries"), err.getMessage)
+    // the named fix WORKS: merge folds the windows out exactly, and the
+    // merged artifact drifts identically to the one-shot summary route
+    val mergeSpec = PipelineSpec.fromJson(
+      """{"id":"fold-windows","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"windowed","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"merge_embedding_summaries"}],
+        |"outputTopic":{"enabled":true,"name":"fold-out"}}""".stripMargin)
+    val merged = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
+      .build(spark, mergeSpec, new ParquetSourceResolver(dir, TestdataCatalog)))
+    merged.write.mode("overwrite").parquet(s"$dir/merged.parquet")
+    val viaMerged = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"drift-via-merged","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "summaryPath":"$dir/merged.parquet",
+         |  "embeddingColumns":["embedding"]}],
+         |"outputTopic":{"enabled":true,"name":"ok-out"}}""".stripMargin),
+      resolver).collect().map(r => r.getString(1) -> r.getDouble(4)).toMap
+    // old == new (same snapshot both sides) → every delta is exactly 0
+    assert(viaMerged.values.forall(_ == 0.0), viaMerged.toString)
+  }
+
   test("merge_embedding_summaries: a non-artifact source frame is refused with the missing columns named") {
     val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
     val e = intercept[IllegalArgumentException] {

@@ -231,10 +231,10 @@ object SpecFuzzProperties extends Properties("specfuzz") {
     }
 
   property("valid distinct_rollup analyzes (incl. windowed forms)") =
-    Prop.forAll(windowDecls) { w =>
+    Prop.forAll(windowDecls, Gen.oneOf(false, true)) { (w, keep) =>
       analyzes(simple("fz-distinct", "events", withWindow(TransformOp(
         op = "distinct_rollup", column = Some("user_id"),
-        groupColumns = Seq("event_type")), w)))
+        groupColumns = Seq("event_type"), keepSketch = keep), w)))
     }
 
   property("valid pack analyzes") =
