@@ -143,6 +143,18 @@ object StreamBench {
             .withWatermark("ts", "1 hour")
             .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
             .agg(count(lit(1)).as("n"))
+        },
+        topology("embed_summary") { df =>
+          // the X29 incrementally-maintained drift artifact (round 16):
+          // events carry no vector column, so a deterministic 16-dim
+          // vector is synthesized per event — the operator's cost is the
+          // dim-proportional posexplode + per-(window, i) sums either way,
+          // and the state is bounded at dim rows per open window
+          val emb = array((0 until 16).map(i =>
+            sin(col("value") * (i + 1) + col("user_id"))): _*)
+          graft.operators.Drift.embeddingSummaryWindowed(
+            df.withColumn("emb", emb).withWatermark("ts", "1 hour"),
+            "emb", None, window(col("ts"), "1 hour"))
         })
       s""""$label":{"provider_class":"$cls",${results.mkString(",")}}"""
     }
