@@ -91,7 +91,10 @@ object ScalingBench {
     // candidate rows + one broadcast-pruned recount per side); both must
     // track the scan like the embedding legs
     "x29_drift_hist",
-    "x29_drift_heavy")
+    "x29_drift_heavy",
+    // round-16 addition: the windowed summary-artifact build — cells are
+    // (day × dim), so the claim is scan-bound like the drift legs
+    "x29_embed_summary_window")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")

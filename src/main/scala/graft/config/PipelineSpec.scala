@@ -588,6 +588,12 @@ case class TransformOp(
     // (the sketch dims) + column (the counted item) — emits one
     // n_distinct row per dimension cell without touching old raw data
     summaryPath: Option[String] = None,
+    // BOTH-SIDES-STORED form: newSummaryPath supplies the NEW side's
+    // stored summary too — drift between any two HISTORICAL crawls whose
+    // raw snapshots are gone (or too big to touch) becomes a pure
+    // artifact-vs-artifact dim-row join; the source frame is not scanned
+    // by the embedding leg at all
+    newSummaryPath: Option[String] = None,
     sketchPath: Option[String] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
@@ -877,6 +883,12 @@ case class TransformOp(
             "summarizes exactly one vector column — declare exactly one " +
             s"embeddingColumns entry (got ${embeddingColumns.size})")
       }
+      require(newSummaryPath.isEmpty || summaryPath.isDefined,
+        s"[$where] snapshot_drift newSummaryPath (the NEW side's stored " +
+          "summary) requires summaryPath (the OLD side's) — the " +
+          "both-sides-stored form compares two artifacts; to compare a " +
+          "stored artifact against the live frame, declare summaryPath " +
+          "alone")
       sketchPath.foreach { _ =>
         require(groupColumns.nonEmpty && column.isDefined,
           s"[$where] snapshot_drift sketchPath (the stored distinct-" +

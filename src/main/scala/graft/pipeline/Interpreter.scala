@@ -694,7 +694,14 @@ object Interpreter extends Logging {
           val c = t.embeddingColumns.head
           val oldSum = readSummaryArtifact(df.sparkSession,
             resolvePath(p, dataDir, specId), g.isDefined, specId)
-          val newSum = graft.operators.Drift.embeddingSummary(df, c, g)
+          // newSummaryPath → the BOTH-SIDES-STORED form: drift between two
+          // historical crawls is a pure artifact-vs-artifact dim-row join;
+          // the frame is not scanned by this leg at all
+          val newSum = t.newSummaryPath match {
+            case Some(np) => readSummaryArtifact(df.sparkSession,
+              resolvePath(np, dataDir, specId), g.isDefined, specId)
+            case None => graft.operators.Drift.embeddingSummary(df, c, g)
+          }
           val d = graft.operators.Drift.embeddingDriftFromSummaries(
             oldSum, newSum, c, grouped = g.isDefined)
           if (g.isDefined) (Nil, Seq(d)) else (Seq(d), Nil)

@@ -978,6 +978,18 @@ class InterpreterSpec extends SparkSuite {
         emb.filter(col("label") < 8), emb, "embedding", "label")
       .collect().map(key).toMap
     assert(stored == direct, s"stored-artifact route diverged:\n$stored\nvs\n$direct")
+    // BOTH-SIDES-STORED (newSummaryPath): two historical crawls compared
+    // artifact-vs-artifact — identical rows again, and the frame's
+    // embedding column is never scanned by the leg
+    graft.operators.Drift.embeddingSummary(emb, "embedding", Some("label"))
+      .write.mode("overwrite").parquet(s"$dir/grouped_new.parquet")
+    val bothStored = graft.pipeline.Interpreter.build(spark, spec(
+      s""""summaryPath":"$dir/grouped.parquet",
+         |"newSummaryPath":"$dir/grouped_new.parquet",
+         |"embeddingColumns":["embedding"],"embeddingGroupBy":"label"""".stripMargin),
+      resolver).collect().map(key).toMap
+    assert(bothStored == direct,
+      s"both-sides-stored route diverged:\n$bothStored\nvs\n$direct")
     // form mismatches are config-grade errors naming the fix, never an
     // unresolved-column AnalysisException from inside the dim-row join
     val globalDecl = intercept[IllegalArgumentException] {

@@ -600,6 +600,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           numericColumns = Seq("value"))),
       "embedding_summary without column" -> te(
         TransformOp(op = "embedding_summary")),
+      "snapshot_drift newSummaryPath without summaryPath" -> te(
+        TransformOp(op = "snapshot_drift",
+          comparePath = Some("<dataDir>/embeddings.parquet"),
+          newSummaryPath = Some("/nowhere/new_summary.parquet"),
+          embeddingColumns = Seq("embedding"))),
       "resample fractional-second every" -> te(TransformOp(op = "resample",
         idColumn = Some("user_id"), timeColumn = Some("ts"),
         valueColumns = Seq("value"), every = Some("500 milliseconds"))),
