@@ -178,6 +178,34 @@ object Accuracy {
         .select(col("__w.start").as("window_start"), col("event_type"), col("ex_nd")),
       Seq("window_start", "event_type"))
 
+  private def checkSketchDrift: Check = (spark, dir) => {
+    // the declarative sketchPath drift route (r43): per-cell HLL estimates
+    // on BOTH sides vs exact distinct counts, one aggregated row — the
+    // same contract shape as the windowed sketch-table checks
+    val got = Queries.all("r43_spec_drift_sketch")(spark, dir)
+      .select(col("category"), col("old_value"), col("new_value"))
+    val ev = events(spark, dir)
+    val ex = ev.filter(col("user_id") < 8)
+      .groupBy(col("event_type").cast("string").as("category"))
+      .agg(countDistinct(col("user_id")).as("ex_old"))
+      .join(ev.groupBy(col("event_type").cast("string").as("category"))
+        .agg(countDistinct(col("user_id")).as("ex_new")),
+        Seq("category"), "full_outer")
+    val cells = got.join(ex, Seq("category"), "full_outer")
+      .select("old_value", "new_value", "ex_old", "ex_new").collect()
+    def exv(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    val errs = cells.flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) Seq(1.0) // cell missing from got
+      else Seq(relErr(r.getDouble(0).toLong, exv(r, 2)),
+        relErr(r.getDouble(1).toLong, exv(r, 3)))
+    }
+    val nCells = cells.count(r => !r.isNullAt(2) || !r.isNullAt(3))
+    Seq(Metric("hll_cells_within_bound", "__all__",
+      if (errs.isEmpty) 1.0 else errs.max, nCells, 0.05,
+      errs.nonEmpty && errs.forall(_ <= 0.05) && cells.length == nCells))
+  }
+
   private def checkSessionQuantile: Check = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val est = Queries.all("r34_spec_session_quantile")(spark, dir)
@@ -446,6 +474,7 @@ object Accuracy {
     "r32_spec_window_quantile" -> checkWindowQuantile,
     "r34_spec_sliding_distinct" -> checkSlidingDistinct,
     "r34_spec_session_quantile" -> checkSessionQuantile,
+    "r43_spec_drift_sketch" -> checkSketchDrift,
     "x6_quantile_rollup" -> checkQuantileRollup,
     "r29_spec_quantiles" -> checkSpecQuantiles,
     "x6_quantile_merge" -> checkQuantileMerge,
@@ -501,6 +530,13 @@ object Accuracy {
       s"""SELECT 'hll_cells_within_bound' AS metric, '__all__' AS scope,
          |       $windowCellsSql AS n_ref,
          |       CAST(0.05 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+    // sketchPath drift cells: one per distinct event_type present on
+    // either side — the old side is the user_id<8 slice, a subset, so the
+    // union of sides is every event_type in the table
+    "r43_spec_drift_sketch" ->
+      """SELECT 'hll_cells_within_bound' AS metric, '__all__' AS scope,
+        |  (SELECT count(DISTINCT event_type) FROM events) AS n_ref,
+        |  CAST(0.05 AS DOUBLE) AS bound, true AS pass""".stripMargin,
     "r32_spec_window_quantile" ->
       s"""SELECT 'quantile_rank_slack_ratio' AS metric, '__all__' AS scope,
          |       $windowCellsSql AS n_ref,

@@ -647,6 +647,31 @@ object Queries {
         zr6(col("norm_sum")).as("norm_sum"), col("n"))
   }
 
+  /** Declarative sketch-table drift — the `sketchPath` route through pure
+    * config, Verify-visible: crawl N's stored X25 sketch table (here the
+    * low-user-id population, the deterministic stand-in for an older
+    * crawl) answers per-cell n_distinct drift against the incoming
+    * snapshot without rescanning old raw data. The values are HLL
+    * estimates, so the row is an ACCURACY CONTRACT (per-cell ±5% vs exact
+    * on BOTH sides — Accuracy.checkSketchDrift), not a hash-match.
+    */
+  def r43SpecDriftSketch(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Profile.distinctSketches(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(s"$base/event_sketches.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"drift-from-sketches","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "sketchPath":"$base/event_sketches.parquet",
+         |  "groupColumns":["event_type"],"column":"user_id"}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-sketches-out"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta")
+  }
+
   /** WINDOWED embedding_summary (the incrementally-maintained drift
     * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
     * day, the declaration that also streams as one stateful aggregation
@@ -3759,6 +3784,7 @@ object Queries {
     "r41_spec_embed_summary" -> r41SpecEmbedSummary _,
     "r42_spec_merge_summaries" -> r42SpecMergeSummaries _,
     "x29_embed_summary_window" -> x29EmbedSummaryWindow _,
+    "r43_spec_drift_sketch" -> r43SpecDriftSketch _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,
