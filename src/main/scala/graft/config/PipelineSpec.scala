@@ -876,6 +876,17 @@ case class TransformOp(
           "parquet; the frame is the NEW snapshot) — only a purely " +
           "artifact-backed declaration (summaryPath / sketchPath legs " +
           "alone) may omit it")
+      // the converse trap: comparePath on a purely artifact-backed
+      // declaration is NEVER read (the artifact legs are the whole point),
+      // so a user declaring both would believe old raw data is being
+      // compared when it is not — refuse rather than silently ignore
+      require(comparePath.isEmpty || rescans,
+        s"[$where] snapshot_drift comparePath is declared but NO leg " +
+          "rescans old raw data (every declared leg is artifact-backed " +
+          "via summaryPath / sketchPath) — the path would never be read. " +
+          "Drop comparePath, or declare a rescanning leg " +
+          "(numericColumns / categoricalColumns / heavyHitterColumns / " +
+          "histograms, or embeddingColumns without summaryPath)")
       summaryPath.foreach { _ =>
         require(embeddingColumns.size == 1,
           s"[$where] snapshot_drift summaryPath routes the embedding leg " +

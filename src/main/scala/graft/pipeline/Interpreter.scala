@@ -234,6 +234,13 @@ object Interpreter extends Logging {
         if (!probeOn || t.comparePath.isEmpty) {
           if (!probeOn) logInfo(s"[$specId] snapshot_drift cardinality " +
             "preflight skipped (spark.graft.preflightProbe=false)")
+          // artifact-backed declarations (summaryPath, no comparePath) have
+          // no old raw data to probe — say so, or an identifier-like
+          // stratum on the new-side summarize goes unpriced SILENTLY
+          else logInfo(s"[$specId] snapshot_drift cardinality preflight " +
+            "skipped: no comparePath (artifact-backed declaration) — " +
+            "declared categorical/stratum columns are unpriced; the " +
+            "operator's runtime cost is the backstop")
           None
         } else try {
           val old0 = df.sparkSession.read.parquet(
@@ -725,12 +732,21 @@ object Interpreter extends Logging {
       // mergeable HLL sketch table (the X25 artifact) vs the new
       // snapshot's one-scan sketches — reshaped to the report's gated row
       // shape (category = the dimension cell) so bounds compose; the cell
-      // estimates are the HLL accuracy contract, same as every X25 row
+      // estimates are the HLL accuracy contract, same as every X25 row.
+      // NULL dims are excluded on BOTH sides (summaryCore's null-stratum
+      // convention): driftFromSketches joins dims null-unsafely, so a
+      // null-dim cell present on both sides would double-report as
+      // vanished AND newborn — spuriously hard-failing a declared
+      // n_distinct gate on unchanged data — and concat_ws would silently
+      // drop the null dim from the category label
       val sketchLeg = t.sketchPath.map { p =>
+        val noNullDims: Column =
+          t.groupColumns.map(col(_).isNotNull).reduce(_ && _)
         val oldSk = readSketchArtifact(df.sparkSession,
           resolvePath(p, dataDir, specId), t.groupColumns, specId)
+          .filter(noNullDims)
         val newSk = graft.operators.Profile.distinctSketches(
-          df, t.groupColumns, t.column.get)
+          df.filter(noNullDims), t.groupColumns, t.column.get)
         graft.operators.Drift.driftFromSketches(oldSk, newSk, t.groupColumns)
           .select(lit(t.column.get).as("col_name"),
             lit("n_distinct").as("metric"),

@@ -1071,6 +1071,40 @@ class InterpreterSpec extends SparkSuite {
       bad.getMessage.contains("sketch"), bad.getMessage)
   }
 
+  test("sketchPath leg excludes NULL dims on both sides (no vanished+newborn double-report)") {
+    // a null-dim cell identical on both sides used to double-report —
+    // vanished (new=0) AND newborn (old=0) — because driftFromSketches
+    // joins dims null-unsafely, spuriously hard-failing an n_distinct
+    // gate on unchanged data; the leg now filters nulls on BOTH sides
+    // (summaryCore's null-stratum convention)
+    val dir = tempDirPath("graft_sketch_nulldim").toString
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(("a", 1L), ("a", 2L), (null, 3L), (null, 4L))
+      .toDF("event_type", "user_id")
+      .withColumn("event_id", col("user_id"))
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    graft.operators.Profile.distinctSketches(
+        rows.filter(col("event_type").isNotNull), Seq("event_type"), "user_id")
+      .unionByName(graft.operators.Profile.distinctSketches(
+        rows.filter(col("event_type").isNull), Seq("event_type"), "user_id"))
+      .write.mode("overwrite").parquet(s"$dir/sketches.parquet")
+    val out = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"sketch-nulldim","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "sketchPath":"$dir/sketches.parquet",
+         |  "groupColumns":["event_type"],"column":"user_id",
+         |  "maxAbsDelta":{"n_distinct":0}}],
+         |"outputTopic":{"enabled":true,"name":"sketch-nulldim-out"}}""".stripMargin),
+      new ParquetSourceResolver(dir, TestdataCatalog)).collect()
+    // identical snapshots → one 'a' cell with zero delta; the null-dim
+    // population is excluded, so the zero-delta gate HOLDS (it used to
+    // raise on the phantom vanished/newborn pair)
+    assert(out.length == 1 && out.head.getString(2) == "a" &&
+      out.head.getDouble(5) == 0.0, out.mkString("; "))
+  }
+
   test("declarative artifact loop: distinct_rollup keepSketch writes the X25 table that snapshot_drift sketchPath consumes") {
     // crawl N: ONE spec builds the stored sketch table (keepSketch keeps
     // the mergeable column the plain rollup drops); crawl N+1: ONE spec

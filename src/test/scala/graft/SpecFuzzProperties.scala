@@ -598,6 +598,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           summaryPath = Some("/nowhere/summary.parquet"),
           embeddingColumns = Seq("embedding"),
           numericColumns = Seq("value"))),
+      "snapshot_drift comparePath with only artifact legs (path would never be read)" ->
+        te(TransformOp(op = "snapshot_drift",
+          comparePath = Some("<dataDir>/embeddings.parquet"),
+          summaryPath = Some("/nowhere/summary.parquet"),
+          embeddingColumns = Seq("embedding"))),
       "embedding_summary without column" -> te(
         TransformOp(op = "embedding_summary")),
       "snapshot_drift newSummaryPath without summaryPath" -> te(
