@@ -404,6 +404,39 @@ object Accuracy {
       0.85, recall >= 0.85))
   }
 
+  private def checkKnnIndexStored: Check = (spark, dir) => {
+    // the r44 stored-IVF contract: (1) the search against the STORED index
+    // reproduces the rebuilt train-per-call path EXACTLY (every index
+    // ingredient is deterministic — k-means sampling/seeding, cell
+    // assignment, the heap tie-break), rank-for-rank; (2) recall@10 vs the
+    // exact sibling holds the 0.85 x3 bound. n_ref is the exact sibling's
+    // cardinality, recomputed independently by DuckDB.
+    def ranked(df: DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = ranked(Queries.all("r44_spec_knn_ivf_stored")(spark, dir))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rebuilt = ranked(graft.operators.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+      nCells = Queries.ivfCellsFor(spark, dir), nProbe = 0, nAssign = 2))
+    val exact = Queries.all("x3_knn_exact")(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val storedPairs = stored.map(t => (t._1, t._3))
+    val agree =
+      if (rebuilt.isEmpty) 0.0
+      else stored.intersect(rebuilt).size.toDouble / stored.union(rebuilt).size
+    val recall =
+      if (exact.isEmpty) 0.0
+      else storedPairs.intersect(exact).size.toDouble / exact.size
+    Seq(
+      Metric("stored_equals_rebuilt", "__all__", agree, exact.size.toLong,
+        1.0, stored.nonEmpty && stored == rebuilt),
+      Metric("recall_at_10_vs_exact", "__all__", recall, exact.size.toLong,
+        0.85, recall >= 0.85))
+  }
+
   // ------------------------------------------------- packing / fingerprint
 
   private def packMetrics(queryName: String): Check = (spark, dir) => {
@@ -484,6 +517,7 @@ object Accuracy {
     "x2_dedup_collapse_lsh" -> checkCollapseLsh,
     "x3_ann_ivf" -> annRecall("x3_ann_ivf"),
     "x3_ann_lsh" -> annRecall("x3_ann_lsh"),
+    "r44_spec_knn_ivf_stored" -> checkKnnIndexStored,
     "x5_pack" -> packMetrics("x5_pack"),
     "r31_spec_pack" -> packMetrics("r31_spec_pack"),
     "x5_fingerprint" -> checkFingerprint)
@@ -615,6 +649,14 @@ object Accuracy {
       s"""SELECT 'recall_at_10_vs_exact' AS metric, '__all__' AS scope,
          |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
          |  CAST(0.85 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+    "r44_spec_knn_ivf_stored" ->
+      s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,
+         |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
+         |  CAST(1.0 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'recall_at_10_vs_exact', '__all__',
+         |  ${countOf(Queries.oracles("x3_knn_exact"))},
+         |  CAST(0.85 AS DOUBLE), true""".stripMargin,
     "x5_pack" -> packOracle,
     "r31_spec_pack" -> packOracle,
     "x5_fingerprint" ->

@@ -672,6 +672,76 @@ object Queries {
         "old_value", "new_value", "delta")
   }
 
+  /** Declarative STORED ANN index — the r44 family's hash-exact member:
+    * crawl time builds the quantized index artifact through config
+    * (knn_index writes int8 codes + vectors under indexPath), query time
+    * searches it through config (knn + indexPath) — the corpus is never
+    * re-trained, re-hashed, or re-quantized per query batch, and the
+    * int8-propose / exact-re-rank contract keeps the stored route
+    * hash-matching the x3 exact oracle (same argument as
+    * r28_spec_knn_quantized, now with the sketch read from storage).
+    */
+  def r44SpecKnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-knn-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_quant"}],
+         |"outputTopic":{"enabled":true,"name":"knn-index-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-stored-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_quant"}],
+         |"outputTopic":{"enabled":true,"name":"knn-stored-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Declarative stored IVF index — the r44 family's accuracy-contract
+    * member: nCells sized √n per snapshot (the artifact pins geometry; the
+    * declaration derives it once at crawl time, exactly how a production
+    * build would), nProbe left to the measured nCells/3 contract.
+    * Deterministic training makes stored == rebuilt EXACT, and recall@10
+    * vs the exact sibling holds the 0.85 x3 bound — both measured by
+    * Accuracy.checkKnnIndexStored at every SF.
+    */
+  def r44SpecKnnIvfStored(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val cells = ivfCellsFor(spark, dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-ivf-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
+         |  "indexPath":"$base/knn_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"ivf-index-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-ivf-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"knn-ivf-stored-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** The √n IVF cell sizing (the FAISS guideline ivfTopK auto-applies),
+    * derived ONCE per snapshot for the stored-index declarations — the
+    * artifact pins geometry, so the derivation happens at build time, not
+    * silently inside the operator. Clamped like the auto-sizer.
+    */
+  private[graft] def ivfCellsFor(spark: SparkSession, dir: String): Int = {
+    val n = math.max(1L, spark.read.parquet(s"$dir/embeddings.parquet").count())
+    math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
   /** WINDOWED embedding_summary (the incrementally-maintained drift
     * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
     * day, the declaration that also streams as one stateful aggregation
@@ -3624,6 +3694,10 @@ object Queries {
       // including the quantized form, whose re-rank restores exactness
       ("r28_spec_knn" -> oracles0("x3_knn_exact")) +
       ("r28_spec_knn_quantized" -> oracles0("x3_knn_exact")) +
+      // the STORED-index quantized route keeps the exact re-rank contract,
+      // so reading the int8 sketch from the knn_index artifact instead of
+      // quantizing per call still hash-matches the exact oracle
+      ("r44_spec_knn_index" -> oracles0("x3_knn_exact")) +
       // declarative resample / profile must hash-match their code paths
       // (r29_spec_quantiles is rows-only: sketch estimates, rank-pinned)
       ("r29_spec_resample" -> oracles0("x20_resample")) +
@@ -3785,6 +3859,8 @@ object Queries {
     "r42_spec_merge_summaries" -> r42SpecMergeSummaries _,
     "x29_embed_summary_window" -> x29EmbedSummaryWindow _,
     "r43_spec_drift_sketch" -> r43SpecDriftSketch _,
+    "r44_spec_knn_index" -> r44SpecKnnIndex _,
+    "r44_spec_knn_ivf_stored" -> r44SpecKnnIvfStored _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

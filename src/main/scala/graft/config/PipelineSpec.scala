@@ -594,7 +594,18 @@ case class TransformOp(
     // artifact-vs-artifact dim-row join; the source frame is not scanned
     // by the embedding leg at all
     newSummaryPath: Option[String] = None,
-    sketchPath: Option[String] = None) {
+    sketchPath: Option[String] = None,
+    // stored ANN index (X3's stored-artifact discipline): knn_index WRITES
+    // the artifact at indexPath at crawl time (method picks what is
+    // stored: quantized int8 codes / trained ivf cells / lsh buckets, all
+    // self-contained with the vectors); a later `knn` declaring the same
+    // indexPath searches the STORED index — no re-training, no corpus
+    // re-hash, no corpus scan. Declared geometry on the consuming knn must
+    // match the artifact (schema/geometry-preflighted); nProbe stays a
+    // query-time knob. seed pins the lsh hyperplane generation.
+    indexPath: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    seed: Option[Long] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -849,13 +860,51 @@ case class TransformOp(
       require(Set("exact", "quantized", "ivf", "lsh")(m),
         s"[$where] knn method '$m' unknown " +
           "(supported: exact, quantized, ivf, lsh)")
-      if (m == "lsh") require(dim.exists(_ >= 1),
+      // with indexPath the stored artifact carries dim (and all geometry) —
+      // a declared dim is then an optional cross-check against the meta
+      if (m == "lsh" && indexPath.isEmpty) require(dim.exists(_ >= 1),
         s"[$where] knn method=lsh requires dim (the embedding width " +
-          "drives the hyperplane matrix)")
+          "drives the hyperplane matrix) unless indexPath supplies the " +
+          "stored hyperplanes")
+      require(indexPath.isEmpty || m != "exact",
+        s"[$where] knn method=exact takes no indexPath — there is nothing " +
+          "to store for an exact scan (the scan IS the plan); use " +
+          "method=quantized for a stored 4x-smaller sketch index")
       require(refine.forall(_ >= 1), s"[$where] knn refine must be >= 1")
       Seq("nCells" -> nCells, "nProbe" -> nProbe, "nAssign" -> nAssign,
         "nTables" -> nTables, "planesPerTable" -> planesPerTable).foreach {
         case (n, v) => require(v.forall(_ >= 1), s"[$where] knn $n must be >= 1")
+      }
+    case "knn_index" =>
+      require(column.isDefined && idColumn.isDefined && indexPath.isDefined,
+        s"[$where] knn_index requires column (the vector), idColumn and " +
+          "indexPath (the artifact directory to write)")
+      require(method.isDefined,
+        s"[$where] knn_index requires method (quantized, ivf, lsh — exact " +
+          "has no index to store: the scan is the plan)")
+      require(Set("quantized", "ivf", "lsh")(method.get),
+        s"[$where] knn_index method '${method.get}' unknown (quantized, " +
+          "ivf, lsh; exact has no index to store)")
+      if (method.contains("ivf")) {
+        // geometry is DECLARED, never auto-sized: the artifact pins it, and
+        // an auto-sized build would derive different geometry per snapshot,
+        // breaking stored==rebuilt reproducibility
+        require(nCells.exists(_ >= 1),
+          s"[$where] knn_index method=ivf requires nCells >= 1 (the " +
+            "artifact pins geometry; ceil(sqrt(corpus rows)) is the " +
+            "standard sizing)")
+        require(nAssign.forall(a => a >= 1 && a <= nCells.get),
+          s"[$where] knn_index nAssign must be in [1, nCells]")
+      }
+      if (method.contains("lsh")) {
+        require(dim.exists(_ >= 1),
+          s"[$where] knn_index method=lsh requires dim (the embedding " +
+            "width drives the hyperplane matrix)")
+        require(nTables.forall(_ >= 1),
+          s"[$where] knn_index nTables must be >= 1")
+        require(planesPerTable.forall(p => p >= 1 && p <= 31),
+          s"[$where] knn_index planesPerTable must be in [1, 31] (Int " +
+            "bucket packing)")
       }
     case "snapshot_drift" =>
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||

@@ -21,7 +21,8 @@ object SpecSurface {
   val transformOps: Seq[String] = Seq(
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
-    "weighted_mix", "top_k", "heavy_hitters", "knn", "resample", "profile",
+    "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index", "resample",
+    "profile",
     "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
     "embedding_summary", "merge_embedding_summaries")
 

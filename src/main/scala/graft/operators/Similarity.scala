@@ -326,4 +326,238 @@ object Similarity extends Logging {
   def similarPairs(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double): DataFrame =
     Dedup.embeddingCosinePairs(emb, idCol, vecCol, dim, threshold = threshold)
+
+  // ------------------------------------------------------ stored ANN index
+
+  /** The shared (query_id, rank, neighbor_id, cos) tail: per-query heap
+    * top-k over the scored candidate relation, exploded to ranked rows.
+    * `distinct` collapses a (query, neighbor) pair surfacing through
+    * several cells/tables INSIDE the partial aggregate (no dedup exchange
+    * over the corpus-sized scored relation).
+    */
+  private def rankRows(scored: DataFrame, k: Int, distinct: Boolean): DataFrame = {
+    val top =
+      if (distinct) graft.functions.TopK.topkDistinct(col("cos"), col("neighbor_id"), k)
+      else graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k)
+    scored.groupBy(col("query_id"))
+      .agg(top.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
+      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
+  }
+
+  /** Build and STORE an ANN index artifact under `indexPath` — the X3
+    * analogue of the drift family's stored-artifact discipline (the
+    * reference's design is likewise build-once-reuse state:
+    * KTableRegistry.java:41-50 registers materialized tables once and every
+    * later lookup reuses them). Until this op, knn re-trained the k-means /
+    * re-hashed the corpus ON EVERY query batch — at 100 TB that is the most
+    * expensive recompute in the engine, paid for state that is fully
+    * deterministic and reusable.
+    *
+    * Layout under `indexPath`:
+    *  - `meta.parquet` — ONE [[AnnIndexMeta]] row: method, dim, corpus row
+    *    count, geometry, and the data-dependent state (trained centroids for
+    *    ivf / generated hyperplanes for lsh — a few hundred KB at most).
+    *  - `index.parquet` — the postings, carrying the full vectors so the
+    *    index is SELF-CONTAINED (query time never rescans the corpus):
+    *    quantized → (id, q int8-sketch, vec); ivf → (id, vec) PARTITIONED BY
+    *    cell; lsh → (id, vec) PARTITIONED BY (tbl, bucket). The partition
+    *    layout is the scale lever: a probe reads only its cells' directories
+    *    (dynamic partition pruning through the broadcast probe join), so
+    *    query cost tracks nProbe/nCells of the INDEX, not the corpus scan.
+    *    Partitioning is skipped past 4096 cells (filesystem-dir explosion —
+    *    correctness is unaffected, pruning is lost; declare a coarser
+    *    geometry).
+    *
+    * Geometry is DECLARED, not auto-sized: the artifact pins it (an
+    * auto-sized build would silently re-derive different geometry per
+    * snapshot and break stored==rebuilt reproducibility). ivf training is
+    * the same deterministic [[kmeansCentroids]] as the direct path, so a
+    * rebuild over the same corpus yields the identical index — pinned in
+    * tests and the r44 accuracy contract.
+    *
+    * Returns a one-row build report (method, dim, corpus_rows, index_rows)
+    * — index_rows recounted from the written parquet (a metadata count),
+    * so the report verifies the write landed.
+    */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      method: String, indexPath: String, nCells: Int = 0, nAssign: Int = 2,
+      nTables: Int = 16, planesPerTable: Int = 4, dim: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val theDim =
+      if (dim > 0) dim
+      else c.select(size(col("vec")).as("d")).head().getInt(0)
+    val n = c.count()
+    val meta: AnnIndexMeta = method match {
+      case "quantized" =>
+        AnnIndexMeta("quantized", theDim, n, None, None, None, None, None, None)
+      case "ivf" =>
+        require(nCells >= 1, "buildIndex method=ivf requires nCells >= 1 — " +
+          "the artifact pins geometry (ceil(sqrt(corpus rows)) is the " +
+          "standard sizing; auto-sizing here would break stored==rebuilt " +
+          "reproducibility across snapshots)")
+        require(nAssign >= 1 && nAssign <= nCells,
+          s"buildIndex nAssign must be in [1, nCells], got $nAssign")
+        val cents = kmeansCentroids(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, nCells).map(_.toSeq).toSeq
+        // kmeans yields min(nCells, distinct sample vectors) — store what
+        // was actually trained (the ivfTopK clamp convention)
+        AnnIndexMeta("ivf", theDim, n, Some(cents.length),
+          Some(math.min(nAssign, cents.length)), None, None, None, Some(cents))
+      case "lsh" =>
+        require(nTables >= 1 && planesPerTable >= 1 && planesPerTable <= 31,
+          "buildIndex method=lsh needs nTables >= 1 and planesPerTable in [1, 31]")
+        val planes = (0 until nTables).flatMap { t =>
+          Dedup.hyperplanes(theDim, planesPerTable, seed + t * 7919).map(_.toSeq)
+        }
+        AnnIndexMeta("lsh", theDim, n, None, None, Some(nTables),
+          Some(planesPerTable), Some(seed), Some(planes))
+      case other => throw new IllegalArgumentException(
+        s"buildIndex method '$other' unknown (quantized, ivf, lsh; exact " +
+          "has no index to store — the scan is the plan)")
+    }
+    val idxDir = s"$indexPath/index.parquet"
+    method match {
+      case "quantized" =>
+        c.select(col("id"), VectorFunctions.quantize_vec(col("vec")).as("q"),
+            col("vec"))
+          .write.mode("overwrite").parquet(idxDir)
+      case "ivf" =>
+        val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
+            col("vec"), meta.vectors.get, meta.n_assign.get)))
+          .select(col("cell"), col("id"), col("vec"))
+          .write.mode("overwrite")
+        (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("cell") else w)
+          .parquet(idxDir)
+      case "lsh" =>
+        val w = c.select(col("id"), col("vec"),
+            posexplode(VectorFunctions.sign_buckets(col("vec"),
+              meta.vectors.get, planesPerTable)).as(Seq("tbl", "bucket")))
+          .select(col("tbl"), col("bucket"), col("id"), col("vec"))
+          .write.mode("overwrite")
+        (if (nTables.toLong * (1L << planesPerTable) <= MaxPartitionedCells)
+           w.partitionBy("tbl", "bucket")
+         else w)
+          .parquet(idxDir)
+    }
+    // meta LAST: a killed build leaves postings without meta, which reads
+    // as "no index here" (readIndexMeta fails loudly) instead of a silent
+    // half-index — the same crash-ordering discipline as the sink compactor
+    Seq(meta).toDS().write.mode("overwrite").parquet(s"$indexPath/meta.parquet")
+    val idxRows = spark.read.parquet(idxDir).count()
+    logInfo(s"buildIndex wrote $method index to $indexPath: " +
+      s"$n corpus rows -> $idxRows index rows (dim $theDim)")
+    Seq((meta.method, meta.dim, n, idxRows))
+      .toDF("method", "dim", "corpus_rows", "index_rows")
+  }
+
+  /** Directory-count bar for the index partition layout: past ~4k cell
+    * directories the filesystem metadata cost outweighs pruning.
+    */
+  private val MaxPartitionedCells = 4096L
+
+  /** Read a stored index's meta row; fails with a build-the-artifact hint
+    * when `indexPath` holds no readable [[AnnIndexMeta]].
+    */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): AnnIndexMeta = {
+    import spark.implicits._
+    val df =
+      try spark.read.parquet(s"$indexPath/meta.parquet")
+      catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
+          s"indexPath '$indexPath' has no readable meta.parquet — build " +
+            "the artifact with the knn_index op (or Similarity.buildIndex) " +
+            s"at crawl time (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+      }
+    val need = Seq("method", "dim", "n_rows", "vectors")
+    val missing = need.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"indexPath '$indexPath' meta.parquet is not an ANN index meta: " +
+        s"missing column(s) ${missing.mkString(", ")} (found: " +
+        s"${df.columns.mkString(", ")})")
+    df.as[AnnIndexMeta].head()
+  }
+
+  /** Top-k search against a STORED index ([[buildIndex]]) — no training, no
+    * corpus hashing, no corpus scan: the quantized sketch pass reads only
+    * the index's (id, q) columns (the 4× memory-traffic win materialized in
+    * storage), and the ivf/lsh probes read only the probed cells'
+    * partitions. `nProbe` is a QUERY-time knob (recall vs scan fraction per
+    * batch); geometry is the artifact's. Deterministic state (k-means,
+    * hyperplanes, int8 codes) makes stored == rebuilt EXACT — pinned in
+    * OperatorsSpec and the r44 accuracy contract.
+    */
+  def indexedTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      indexPath: String, nProbe: Int = 0, refine: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = readIndexMeta(spark, indexPath)
+    val index = spark.read.parquet(s"$indexPath/index.parquet")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    meta.method match {
+      case "quantized" =>
+        val qq = q.withColumn("qq", VectorFunctions.quantize_vec(col("qv")))
+        val cands = index.select(col("id").as("neighbor_id"), col("q").as("cq"))
+          .join(broadcast(qq.select(col("query_id"), col("qq"))),
+            col("neighbor_id") =!= col("query_id"))
+          .withColumn("acos", VectorFunctions.quantized_cos(col("qq"), col("cq")))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.TopK.topk(col("acos"), col("neighbor_id"),
+            k * refine).as("top"))
+          .select(col("query_id"), explode(col("top")).as("p"))
+          .select(col("query_id"), col("p._2").as("neighbor_id"))
+        val rescored = cands
+          .join(index.select(col("id").as("neighbor_id"),
+            col("vec").cast("array<double>").as("cv")), "neighbor_id")
+          .join(broadcast(q), "query_id")
+          .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+        rankRows(rescored, k, distinct = false)
+      case "ivf" =>
+        val cents = meta.vectors.get.map(_.toSeq)
+        val kk = cents.length
+        val probeN = math.min(
+          if (nProbe > 0) nProbe else math.max(4, math.ceil(kk / 3.0).toInt), kk)
+        val probed = q.withColumn("cell",
+            explode(VectorFunctions.nearest_cells(col("qv"), cents, probeN)))
+          .select(col("query_id"), col("qv"), col("cell"))
+        val scored = index
+          .select(col("cell"), col("id").as("neighbor_id"),
+            col("vec").cast("array<double>").as("cv"))
+          .join(broadcast(probed), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+        rankRows(scored, k, distinct = meta.n_assign.exists(_ > 1))
+      case "lsh" =>
+        val planes = meta.vectors.get.map(_.toSeq)
+        val qb = q.select(col("query_id"), col("qv"),
+          posexplode(VectorFunctions.sign_buckets(col("qv"), planes,
+            meta.planes_per_table.get)).as(Seq("tbl", "bucket")))
+        val scored = index
+          .select(col("tbl"), col("bucket"), col("id").as("neighbor_id"),
+            col("vec").cast("array<double>").as("cv"))
+          .join(broadcast(qb), Seq("tbl", "bucket"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+        rankRows(scored, k, distinct = true)
+      case other => throw new IllegalArgumentException(
+        s"indexPath '$indexPath' stores unknown method '$other'")
+    }
+  }
 }
+
+/** Geometry + provenance of a stored ANN index (ONE parquet row under
+  * `indexPath/meta.parquet`). `vectors` carries the data-dependent state
+  * whose reuse is the artifact's whole point — trained centroids (ivf) or
+  * generated hyperplanes (lsh); absent for quantized (the int8 codes in the
+  * postings ARE the state). `n_rows` is the indexed corpus row count, the
+  * staleness reference the knn preflight compares against.
+  */
+case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
+    n_cells: Option[Int], n_assign: Option[Int], n_tables: Option[Int],
+    planes_per_table: Option[Int], seed: Option[Long],
+    vectors: Option[Seq[Seq[Double]]])

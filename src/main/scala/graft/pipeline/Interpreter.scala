@@ -159,6 +159,78 @@ object Interpreter extends Logging {
           "threshold into the near-dup regime (>= ~0.7), or use the exact " +
           "pair join for full recall (auto-routed only below the " +
           "cost-model break-even)"))
+    case "knn" if t.indexPath.isDefined =>
+      // staleness preflight for the stored-index route: the artifact's
+      // meta pins how many corpus rows it indexed — a frame whose count
+      // diverged means rows the search CANNOT see (or ghosts it still
+      // returns). Counting the stage's input frame is the one eager job
+      // this check costs (knn is terminal and its frame is typically the
+      // bare source scan, where count() is near-metadata); like the drift
+      // cardinality probe it is skippable (spark.graft.preflightProbe=
+      // false) and TOLERANT of an artifact that arrives later. Equal
+      // counts with changed content still escape — the finding says so.
+      val probeOn = df.sparkSession.conf
+        .get("spark.graft.preflightProbe", "true").toBoolean
+      if (!probeOn) {
+        logInfo(s"[$specId] knn index staleness preflight skipped " +
+          "(spark.graft.preflightProbe=false)")
+        Nil
+      } else try {
+        val p = resolvePath(t.indexPath.get, dataDir, specId)
+        val meta = graft.operators.Similarity.readIndexMeta(df.sparkSession, p)
+        val n = df.count()
+        val stale =
+          if (n == meta.n_rows) Nil
+          else Seq(graft.observe.PlanAudit.Finding("warn", KnnStaleIndex,
+            s"knn indexPath '$p' was built over ${meta.n_rows} corpus rows " +
+              s"but this frame has $n — the stored index does not cover the " +
+              "frame (rows added since the build are invisible to the " +
+              "search; removed rows still surface as neighbors; equal " +
+              "counts with changed content escape this probe). Rebuild the " +
+              "artifact with knn_index on the current snapshot"))
+        // geometry pricing for the stored route reads the ARTIFACT's
+        // geometry (the declaration may omit it) — the per-query re-rank
+        // fraction is paid whether the index is stored or rebuilt
+        val geom = meta.method match {
+          case "lsh" =>
+            val frac = meta.n_tables.get.toDouble /
+              (1L << meta.planes_per_table.get)
+            if (frac < KnnCandFracWarn) Nil
+            else Seq(graft.observe.PlanAudit.Finding("warn",
+              KnnBruteForceRegime,
+              f"knn stored lsh index at '$p' (${meta.n_tables.get} tables " +
+                f"x ${meta.planes_per_table.get} planes/table) re-ranks " +
+                f"~${frac * 100}%.0f%% of a brute-force scan's exact-cosine " +
+                "work per query — rebuild with a tighter geometry (each +1 " +
+                "planesPerTable halves the candidates) or store a " +
+                "quantized index"))
+          case "ivf" => t.nProbe match {
+            // only a DECLARED query-time nProbe is priced — the default
+            // holds the measured recall contract (nCells/3) deliberately
+            case Some(pn)
+                if pn.toDouble / meta.n_cells.get >= KnnCandFracWarn =>
+              val a = meta.n_assign.getOrElse(1)
+              Seq(graft.observe.PlanAudit.Finding("warn",
+                KnnBruteForceRegime,
+                f"knn nProbe=$pn probes ${pn * 100.0 / meta.n_cells.get}%.0f%% " +
+                  s"of the stored index's ${meta.n_cells.get} cells — with " +
+                  s"nAssign=$a the re-rank touches ~" +
+                  f"${math.min(1.0, pn.toDouble * a / meta.n_cells.get) * 100}%.0f%% " +
+                  "of the corpus per query; lower nProbe or store a " +
+                  "quantized index"))
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+        stale ++ geom
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logInfo(s"[$specId] knn index staleness preflight skipped: " +
+            s"indexPath '${t.indexPath.get}' not readable at build time " +
+            s"(${e.getClass.getSimpleName}) — the schema preflight runs " +
+            "when the stage builds")
+          Nil
+      }
     case "knn" if t.method.exists(m => m == "lsh" || m == "ivf") =>
       // geometry pricing for the approximate knn declarations (round-15
       // judge directive #4): the candidate volume each query re-ranks is
@@ -314,6 +386,12 @@ object Interpreter extends Logging {
   private val DriftUnboundedCategorical = "drift_unbounded_categorical"
   private val KnnBruteForceRegime = "knn_brute_force_regime"
 
+  /** Stored-index staleness: the artifact's meta pins the indexed corpus
+    * row count; a diverged frame count means the search runs against an
+    * index that no longer covers (or over-covers) the corpus.
+    */
+  private val KnnStaleIndex = "knn_stale_index"
+
   /** Candidate-volume warn bar for the declarative `knn` geometry check:
     * past re-ranking half the corpus per query, the index's residual
     * saving cannot cover its own machinery (hashing or train+assign, the
@@ -327,7 +405,8 @@ object Interpreter extends Logging {
     * undocumented.
     */
   val specAuditFindings: Seq[String] =
-    Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime)
+    Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
+      KnnStaleIndex)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an
@@ -419,6 +498,40 @@ object Interpreter extends Logging {
         "Build artifacts with the distinct_rollup op's stored form (or " +
         "Profile.distinctSketches) at crawl time")
     df
+  }
+
+  /** Config-grade preflight for a stored ANN index: the artifact must
+    * exist and be an index meta (readIndexMeta's own errors), the declared
+    * method must be the stored one, and any DECLARED geometry must match
+    * the artifact exactly — the artifact pins geometry; a silently
+    * divergent declaration would make the user believe they searched the
+    * index they configured. `nProbe` is deliberately unchecked (a
+    * query-time recall/scan knob, not index state).
+    */
+  private def requireIndexMeta(spark: SparkSession, path: String,
+      t: TransformOp, specId: String): graft.operators.AnnIndexMeta = {
+    val meta =
+      try graft.operators.Similarity.readIndexMeta(spark, path)
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"[$specId] ${e.getMessage}", e)
+      }
+    val declared = t.method.getOrElse("exact")
+    require(declared == meta.method,
+      s"[$specId] knn method '$declared' does not match indexPath '$path' " +
+        s"(stored method '${meta.method}') — declare method " +
+        s"'${meta.method}', or rebuild the artifact with knn_index")
+    def chk(name: String, d: Option[Int], stored: Option[Int]): Unit =
+      d.foreach(v => require(stored.contains(v),
+        s"[$specId] knn $name=$v does not match the stored index at " +
+          s"'$path' (built with ${name}=${stored.fold("none")(_.toString)})" +
+          s" — drop $name (the artifact pins it) or rebuild with knn_index"))
+    chk("nCells", t.nCells, meta.n_cells)
+    chk("nAssign", t.nAssign, meta.n_assign)
+    chk("nTables", t.nTables, meta.n_tables)
+    chk("planesPerTable", t.planesPerTable, meta.planes_per_table)
+    chk("dim", t.dim, Some(meta.dim))
+    meta
   }
 
   private[graft] def applyTransform(df: DataFrame, t: TransformOp,
@@ -915,6 +1028,36 @@ object Interpreter extends Logging {
         case Seq(g) => col(g)
         case many   => struct(many.map(col): _*)
       }) else result
+    case "knn" if t.indexPath.isDefined =>
+      // the STORED-INDEX route (X3's stored-artifact discipline): the
+      // artifact at indexPath is SELF-CONTAINED (postings carry the
+      // vectors), so the corpus frame is not trained on, hashed, or even
+      // scanned — the search cost is the probed index fraction plus the
+      // broadcast query set, at any corpus size. Declared geometry must
+      // match the artifact (the meta preflight below); nProbe stays a
+      // query-time recall/scan knob.
+      require(!df.isStreaming,
+        "knn is batch-only on the config path: the frame is the CORPUS " +
+          "side, and a per-query top-k over an unbounded corpus never " +
+          "finalizes; for streaming retrieval score arriving queries " +
+          "against a snapshot dim with graft.operators.Similarity directly")
+      val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
+      val p = resolvePath(t.indexPath.get, dataDir, specId)
+      val meta = requireIndexMeta(df.sparkSession, p, t, specId)
+      val q0 = df.sparkSession.read.parquet(
+        resolvePath(t.queryPath.get, dataDir, specId))
+      val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
+      val raw = graft.operators.Similarity.indexedTopK(queries, idC, vecC,
+        kk, p, nProbe = t.nProbe.getOrElse(0), refine = t.refine.getOrElse(4))
+      // quantized re-rank is oracle-exact → the same 6-dp rounding as the
+      // direct route; ivf/lsh stay raw (recall-contract rows)
+      val result =
+        if (meta.method == "quantized")
+          raw.select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cos"))
+        else raw
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("query_id"))
+      else result
     case "knn" =>
       // declarative similarity search: the FRAME is the corpus (the big
       // side — it stays distributed, scored map-side, reduced by the
@@ -960,6 +1103,32 @@ object Interpreter extends Logging {
       // a neighbor list is keyed by its query (aggregation-output
       // semantics, same rule as top_k's group key)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("query_id"))
+      else result
+    case "knn_index" =>
+      // the crawl-time BUILD verb (the artifact half of the stored-index
+      // loop, mirroring embedding_summary / distinct_rollup keepSketch):
+      // trains/hashes the corpus ONCE, writes the self-contained index
+      // under indexPath, and REPLACES the row set with a one-row build
+      // report. Eager by design (the write IS the op), the sanctioned
+      // posture for build-time transforms (dedup collapse, profile).
+      require(!df.isStreaming,
+        "knn_index is batch-only (it trains and stores a complete corpus " +
+          "index at crawl time; index the stored batch snapshot, not a " +
+          "stream)")
+      val vecC = t.column.get
+      // vectors stored array<float> cast to the double scoring form ONCE at
+      // build — the stored index then hash-matches the direct x3 routes
+      val corpus = df.withColumn(vecC, col(vecC).cast("array<double>"))
+      val result = graft.operators.Similarity.buildIndex(corpus,
+        t.idColumn.get, vecC, t.method.get,
+        resolvePath(t.indexPath.get, dataDir, specId),
+        nCells = t.nCells.getOrElse(0), nAssign = t.nAssign.getOrElse(2),
+        nTables = t.nTables.getOrElse(16),
+        planesPerTable = t.planesPerTable.getOrElse(4),
+        dim = t.dim.getOrElse(0), seed = t.seed.getOrElse(42L))
+      // the report row is keyed by what was built (compacted-topic
+      // semantics, same rule as profile's col_name)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
       else result
     case "contamination_screen" =>
       // the benchmark side is a BATCH parquet read even under a streaming

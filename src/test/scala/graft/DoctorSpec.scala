@@ -5,6 +5,8 @@ import java.nio.file.Files
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.col
+
 /** Preflight CLI pins: a clean multi-spec YAML passes, an intentional
   * nested-loop spec fails under --audit-fail with the rule printed, and a
   * broken config reports the validation error instead of stack-tracing.
@@ -267,6 +269,41 @@ class DoctorSpec extends SparkSuite {
       spec(""""method":"ivf","nCells":64,"nProbe":8"""))
     val (_, outIvfOk) = runDoctor(ivfOk, sf())
     assert(!outIvfOk.contains("knn_brute_force_regime"), outIvfOk)
+  }
+
+  test("knn stored-index preflight: a stale index warns with both counts named; a fresh one audits clean") {
+    // round-16 directive #1c: the staleness story — the artifact's meta
+    // pins the indexed corpus row count; a frame whose count diverged
+    // draws knn_stale_index (and planAudit:"fail" refuses the build)
+    // ivf, not quantized: the quantized candidate stage's not-equal join is
+    // the canonical nested_loop_join plan-audit fixture, and this test
+    // needs planAudit:"fail" to refuse on the STALENESS finding alone
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dir = tempDirPath("graft_doctor_knn_index").toString
+    graft.operators.Similarity.buildIndex(e, "vec_id", "embedding",
+      "ivf", s"$dir/fresh", nCells = 8, nAssign = 2)
+    graft.operators.Similarity.buildIndex(e.filter(col("vec_id") < 50),
+      "vec_id", "embedding", "ivf", s"$dir/stale", nCells = 8, nAssign = 2)
+    def spec(idx: String, planAudit: String = "") =
+      s"""{"id":"knn-stored","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":5,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3","indexPath":"$idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-stored-out"}}""".stripMargin
+    val stale = write("knn_stale.json",
+      spec(s"$dir/stale", """"planAudit":"fail","""))
+    val (codeStale, outStale) = runDoctor(stale, sf())
+    assert(codeStale == 1, outStale)
+    assert(outStale.contains("knn_stale_index") &&
+      outStale.contains("50 corpus rows"), outStale)
+    val fresh = write("knn_fresh.json", spec(s"$dir/fresh", """"planAudit":"fail","""))
+    val (codeFresh, outFresh) = runDoctor(fresh, sf())
+    assert(codeFresh == 0, outFresh)
+    assert(!outFresh.contains("knn_stale_index"), outFresh)
   }
 
   test("snapshot_drift preflight probe: a dual-declared column emits BOTH findings; the flag skips the probe") {

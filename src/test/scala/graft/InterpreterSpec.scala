@@ -1071,6 +1071,86 @@ class InterpreterSpec extends SparkSuite {
       bad.getMessage.contains("sketch"), bad.getMessage)
   }
 
+  test("declarative ANN index loop: knn_index writes the artifact that knn indexPath searches") {
+    // crawl time: ONE spec trains and stores the index; query time: ONE
+    // spec searches it — no re-training, no corpus re-hash, the whole X3
+    // stored-artifact loop through config (the r44 family)
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_knn_index_loop").toString
+    val report = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"build-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","nCells":16,"nAssign":2,
+         |  "indexPath":"$dir/ivf"}],
+         |"outputTopic":{"enabled":true,"name":"index-report"}}""".stripMargin),
+      resolver).collect()
+    assert(report.length == 1 && report.head.getString(0) == "ivf" &&
+      report.head.getLong(3) == report.head.getLong(2) * 2, report.mkString)
+    val spec = (extra: String) => PipelineSpec.fromJson(
+      s"""{"id":"search-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"nProbe":6,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3",
+         |  "indexPath":"$dir/ivf"$extra}],
+         |"outputTopic":{"enabled":true,"name":"knn-from-index"}}""".stripMargin)
+    val stored = graft.pipeline.Interpreter.build(spark, spec(""), resolver)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val direct = graft.operators.Similarity.ivfTopK(e,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", 10,
+        nCells = 16, nProbe = 6, nAssign = 2)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == direct && stored.nonEmpty,
+      "config stored-index route diverged from the direct operator")
+    // declared geometry must MATCH the artifact — a silent divergence would
+    // mean searching an index other than the one configured
+    val mismatch = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec(""","nCells":32"""), resolver)
+    }
+    assert(mismatch.getMessage.contains("nCells=32") &&
+      mismatch.getMessage.contains("built with nCells=16"), mismatch.getMessage)
+    // declared method must match the stored one
+    val wrongMethod = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"wrong-method","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"knn","method":"lsh","column":"embedding",
+           |  "idColumn":"vec_id","k":10,
+           |  "queryPath":"${sf()}/embeddings.parquet",
+           |  "indexPath":"$dir/ivf"}],
+           |"outputTopic":{"enabled":true,"name":"wrong-method-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(wrongMethod.getMessage.contains("stored method 'ivf'"),
+      wrongMethod.getMessage)
+    // staleness: a frame that diverged from the indexed corpus count draws
+    // the warn finding (buildAudited surfaces it; planAudit:"fail" would
+    // refuse)
+    val staleSpec = PipelineSpec.fromJson(
+      s"""{"id":"stale-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3",
+         |  "indexPath":"$dir/ivf_stale"}],
+         |"outputTopic":{"enabled":true,"name":"stale-out"}}""".stripMargin)
+    graft.operators.Similarity.buildIndex(
+      e.filter(col("vec_id") < 100), "vec_id", "embedding", "ivf",
+      s"$dir/ivf_stale", nCells = 8, nAssign = 2)
+    val (_, findings) = graft.pipeline.Interpreter.buildAudited(
+      spark, staleSpec, resolver)
+    assert(findings.exists(f => f.rule == "knn_stale_index" &&
+        f.detail.contains("100 corpus rows")),
+      s"expected the staleness finding, got: ${findings.map(_.detail)}")
+  }
+
   test("sketchPath leg excludes NULL dims on both sides (no vanished+newborn double-report)") {
     // a null-dim cell identical on both sides used to double-report —
     // vanished (new=0) AND newborn (old=0) — because driftFromSketches

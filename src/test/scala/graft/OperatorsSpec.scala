@@ -963,6 +963,61 @@ class OperatorsSpec extends SparkSuite {
     assert(r16x3 >= r16x4, "widening buckets must not lower recall on this data")
   }
 
+  test("stored ANN index: indexedTopK == the direct path for all three methods (stored == rebuilt)") {
+    // the X3 stored-artifact discipline: every index ingredient (int8
+    // codes, k-means training, hyperplane generation) is deterministic, so
+    // a search against the STORED index must reproduce the direct
+    // train-per-call path EXACTLY — the property the r44 accuracy contract
+    // re-checks at every SF
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_index").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    val qRep = Similarity.buildIndex(e, "vec_id", "embedding", "quantized",
+      s"$base/quant")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+        s"$base/quant", refine = 4)) ==
+      rows(Similarity.quantizedTopK(e, q, "vec_id", "embedding", 10, refine = 4)),
+      "stored quantized index diverged from the direct path")
+    // the build report verifies the write: quantized postings are 1:1
+    val qr = qRep.head()
+    assert(qr.getString(0) == "quantized" && qr.getInt(1) == 64 &&
+      qr.getLong(2) == qr.getLong(3), qr.toString)
+
+    val iRep = Similarity.buildIndex(e, "vec_id", "embedding", "ivf",
+      s"$base/ivf", nCells = 16, nAssign = 2)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+        s"$base/ivf", nProbe = 6)) ==
+      rows(Similarity.ivfTopK(e, q, "vec_id", "embedding", 10,
+        nCells = 16, nProbe = 6, nAssign = 2)),
+      "stored ivf index diverged from the direct path")
+    assert(iRep.head().getLong(3) == iRep.head().getLong(2) * 2,
+      "ivf multi-assignment must emit exactly nAssign postings per row")
+
+    Similarity.buildIndex(e, "vec_id", "embedding", "lsh", s"$base/lsh",
+      nTables = 16, planesPerTable = 4)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+        s"$base/lsh")) ==
+      rows(Similarity.lshTopK(e, q, "vec_id", "embedding", 10, 64,
+        nTables = 16, planesPerTable = 4)),
+      "stored lsh index diverged from the direct path")
+
+    // meta round-trips the geometry (the knn preflight's reference)
+    val meta = Similarity.readIndexMeta(spark, s"$base/ivf")
+    assert(meta.method == "ivf" && meta.n_cells.contains(16) &&
+      meta.n_assign.contains(2) && meta.dim == 64 &&
+      meta.vectors.exists(_.length == 16), meta.toString)
+    // a non-index path is refused with the build hint named
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.readIndexMeta(spark, s"${sf()}/embeddings.parquet")
+    }
+    assert(bad.getMessage.contains("knn_index"), bad.getMessage)
+  }
+
   test("LSH ANN emits each (query, neighbor) at most once and at most k rows per query") {
     // a pair can collide in several tables — the distinct-pairs heap must
     // collapse it inside the partial aggregate

@@ -200,6 +200,21 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           nCells = if (method == "ivf") Some(8) else None)))
     }
 
+  property("valid knn_index analyzes (all three storable methods)") =
+    // knn_index is EAGER by design (the write is the op) — each case
+    // trains/writes a real index over the sf0.001 fixture, so this
+    // property also covers the build side end to end
+    Prop.forAll(Gen.oneOf("quantized", "ivf", "lsh")) { method =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_knn_index").toString
+      analyzes(simple("fz-knn-index", "embeddings", TransformOp(
+        op = "knn_index", method = Some(method),
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some(s"$dir/idx"),
+        nCells = if (method == "ivf") Some(8) else None,
+        dim = if (method == "lsh") Some(64) else None)))
+    }
+
   property("valid resample analyzes (whole-second grid)") =
     Prop.forAll(Gen.oneOf("30 seconds", "5 minutes", "1 hour"),
         // a cap BELOW the fixture's densest grid correctly fails loudly (the
@@ -576,6 +591,27 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "knn nonpositive nProbe" -> te(TransformOp(op = "knn",
         column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
         queryPath = Some(embParquet), method = Some("ivf"), nProbe = Some(0))),
+      "knn_index without indexPath" -> te(TransformOp(op = "knn_index",
+        method = Some("quantized"), column = Some("embedding"),
+        idColumn = Some("vec_id"))),
+      "knn_index without method" -> te(TransformOp(op = "knn_index",
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some("/nowhere/idx"))),
+      "knn_index method=exact (nothing to store)" -> te(TransformOp(
+        op = "knn_index", method = Some("exact"),
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some("/nowhere/idx"))),
+      "knn_index ivf without nCells (the artifact pins geometry)" -> te(
+        TransformOp(op = "knn_index", method = Some("ivf"),
+          column = Some("embedding"), idColumn = Some("vec_id"),
+          indexPath = Some("/nowhere/idx"))),
+      "knn_index lsh without dim" -> te(TransformOp(op = "knn_index",
+        method = Some("lsh"), column = Some("embedding"),
+        idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"))),
+      "knn method=exact with indexPath (the scan is the plan)" -> te(
+        TransformOp(op = "knn", column = Some("embedding"),
+          idColumn = Some("vec_id"), k = Some(5),
+          queryPath = Some(embParquet), indexPath = Some("/nowhere/idx"))),
       "snapshot_drift without comparePath" -> te(TransformOp(
         op = "snapshot_drift", numericColumns = Seq("value"))),
       "snapshot_drift without any columns" -> te(TransformOp(
