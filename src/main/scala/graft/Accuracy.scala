@@ -404,6 +404,31 @@ object Accuracy {
       0.85, recall >= 0.85))
   }
 
+  private def checkQuantileDrift: Check = (spark, dir) => {
+    // the declarative quantilePath drift route (r45): each side's stored-
+    // sketch estimates vs that side's exact order statistics, per cell —
+    // the same ±1%-of-rank contract as every X26 row, old and new side
+    // each reported as one aggregated metric
+    val got = Queries.all("r45_spec_drift_quantile")(spark, dir)
+    def estOf(valueCol: String): DataFrame =
+      got.groupBy(col("category").as("event_type"))
+        .agg(max(when(col("metric") === "p50", col(valueCol))).as("p50"),
+          max(when(col("metric") === "p90", col(valueCol))).as("p90"))
+    val ev = events(spark, dir)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    def sideMetric(scope: String, raw: DataFrame, est: DataFrame): Metric = {
+      val devs = rankDeviations(raw, Seq("event_type"), "value", est, qs)
+      val nCells = raw.select("event_type").distinct().count()
+      Metric("quantile_rank_slack_ratio", scope,
+        if (devs.isEmpty) Double.NaN else devs.map(slackRatio).max, nCells,
+        1.0, devs.nonEmpty && devs.forall(_._4) && devs.size.toLong == nCells)
+    }
+    Seq(
+      sideMetric("old_side", ev.filter(col("user_id") < 8),
+        estOf("old_value")),
+      sideMetric("new_side", ev, estOf("new_value")))
+  }
+
   private def checkKnnIndexStored: Check = (spark, dir) => {
     // the r44 stored-IVF contract: (1) the search against the STORED index
     // reproduces the rebuilt train-per-call path EXACTLY (every index
@@ -518,6 +543,7 @@ object Accuracy {
     "x3_ann_ivf" -> annRecall("x3_ann_ivf"),
     "x3_ann_lsh" -> annRecall("x3_ann_lsh"),
     "r44_spec_knn_ivf_stored" -> checkKnnIndexStored,
+    "r45_spec_drift_quantile" -> checkQuantileDrift,
     "x5_pack" -> packMetrics("x5_pack"),
     "r31_spec_pack" -> packMetrics("r31_spec_pack"),
     "x5_fingerprint" -> checkFingerprint)
@@ -649,6 +675,17 @@ object Accuracy {
       s"""SELECT 'recall_at_10_vs_exact' AS metric, '__all__' AS scope,
          |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
          |  CAST(0.85 AS DOUBLE) AS bound, true AS pass""".stripMargin,
+    // quantilePath drift sides: n_ref is each side's exact distinct cell
+    // count (old side = the user_id<8 slice standing in for crawl N)
+    "r45_spec_drift_quantile" ->
+      """SELECT 'quantile_rank_slack_ratio' AS metric, 'old_side' AS scope,
+        |  (SELECT count(DISTINCT event_type) FROM events
+        |   WHERE user_id < 8) AS n_ref,
+        |  CAST(1.0 AS DOUBLE) AS bound, true AS pass
+        |UNION ALL
+        |SELECT 'quantile_rank_slack_ratio', 'new_side',
+        |  (SELECT count(DISTINCT event_type) FROM events),
+        |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "r44_spec_knn_ivf_stored" ->
       s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,
          |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,

@@ -672,6 +672,35 @@ object Queries {
         "old_value", "new_value", "delta")
   }
 
+  /** Declarative quantile-table drift — the `quantilePath` route through
+    * pure config, Verify-visible: crawl N's stored X26 quantile-sketch
+    * table (the low-user-id population, the deterministic stand-in for an
+    * older crawl) answers per-cell p50/p90 drift against the incoming
+    * snapshot without rescanning old raw data — percentile movement is
+    * the first drift signal, and unlike the histogram leg this needs no
+    * declared bins. The values are centroid-sketch estimates, so the row
+    * is an ACCURACY CONTRACT (each side's estimate within rank slack vs
+    * exact order statistics — Accuracy.checkQuantileDrift), not a
+    * hash-match.
+    */
+  def r45SpecDriftQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Profile.quantileSketches(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$base/event_qsketches.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"drift-from-quantiles","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/event_qsketches.parquet",
+         |  "groupColumns":["event_type"],"column":"value",
+         |  "quantiles":[0.5, 0.9]}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-quantiles-out"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta")
+  }
+
   /** Declarative STORED ANN index — the r44 family's hash-exact member:
     * crawl time builds the quantized index artifact through config
     * (knn_index writes int8 codes + vectors under indexPath), query time
@@ -3861,6 +3890,7 @@ object Queries {
     "r43_spec_drift_sketch" -> r43SpecDriftSketch _,
     "r44_spec_knn_index" -> r44SpecKnnIndex _,
     "r44_spec_knn_ivf_stored" -> r44SpecKnnIvfStored _,
+    "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -595,6 +595,15 @@ case class TransformOp(
     // by the embedding leg at all
     newSummaryPath: Option[String] = None,
     sketchPath: Option[String] = None,
+    // quantilePath points a PERCENTILE drift leg at the OLD snapshot's
+    // stored mergeable quantile-sketch table (the X26 artifact —
+    // quantile_rollup's keepSketch form), declared with groupColumns (the
+    // sketch dims) + column (the measure on the new snapshot) + quantiles
+    // — emits one row per (dimension cell, quantile) without declared
+    // bins or a rescan of old raw data; a cell present on one side only
+    // reports the missing side (and delta) as NULL, which VIOLATES a
+    // declared gate bound rather than fabricating a 0
+    quantilePath: Option[String] = None,
     // stored ANN index (X3's stored-artifact discipline): knn_index WRITES
     // the artifact at indexPath at crawl time (method picks what is
     // stored: quantized int8 codes / trained ivf cells / lsh buckets, all
@@ -909,10 +918,11 @@ case class TransformOp(
     case "snapshot_drift" =>
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
           heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
-          embeddingColumns.nonEmpty || sketchPath.isDefined,
+          embeddingColumns.nonEmpty || sketchPath.isDefined ||
+          quantilePath.isDefined,
         s"[$where] snapshot_drift requires numericColumns, " +
           "categoricalColumns, heavyHitterColumns, histograms, " +
-          "embeddingColumns and/or sketchPath")
+          "embeddingColumns, sketchPath and/or quantilePath")
       // comparePath (the OLD snapshot's raw parquet) is needed only by the
       // legs that RESCAN it; a drift declared purely against stored
       // artifacts (summaryPath / sketchPath) never touches old raw data —
@@ -954,6 +964,17 @@ case class TransformOp(
           s"[$where] snapshot_drift sketchPath (the stored distinct-" +
             "sketch table) requires groupColumns (the sketch dimensions) " +
             "and column (the counted item on the new snapshot)")
+      }
+      quantilePath.foreach { _ =>
+        require(groupColumns.nonEmpty && column.isDefined,
+          s"[$where] snapshot_drift quantilePath (the stored quantile-" +
+            "sketch table) requires groupColumns (the sketch dimensions) " +
+            "and column (the measure on the new snapshot)")
+        require(quantiles.nonEmpty,
+          s"[$where] snapshot_drift quantilePath requires quantiles " +
+            "(the percentiles to compare)")
+        require(numericQuantiles.forall(q => q >= 0.0 && q <= 1.0),
+          s"[$where] snapshot_drift quantiles must be fractions in [0, 1]")
       }
       histograms.foreach { h =>
         require(h.column.nonEmpty,

@@ -587,6 +587,43 @@ object Drift extends Logging {
     * relative drift. Cells present in only one snapshot report the other
     * side as 0 (newborn/vanished cells ARE drift, not join losses).
     */
+  /** Percentile drift from the STORED mergeable quantile-sketch tables of
+    * two snapshots (the X26 artifact — [[Profile.quantileSketches]] /
+    * `quantile_rollup keepSketch`): per dimension cell, each side's
+    * sketches roll up to the requested quantile estimates and the deltas
+    * are emitted one row per (cell, quantile) — p50/p95/p99 movement is
+    * the first drift signal a feature pipeline watches, and the stored
+    * sketches answer it without declared bins or a rescan (the histogram
+    * leg needs both). Raw data is never touched.
+    *
+    * Output: (dims..., metric = p50-style label, old_value, new_value,
+    * delta), estimate accuracy the X26 contract (±1% of rank at the
+    * default 256 centroids, re-checked per SF by the r45 accuracy row).
+    * A cell present in only ONE snapshot reports the missing side (and
+    * the delta) as NULL — a quantile of an absent population has no
+    * value, and under a declared gate bound a NULL delta VIOLATES
+    * ([[gated]]'s convention), so a vanished or newborn cell fails a
+    * percentile gate loudly instead of fabricating a 0.
+    */
+  def driftFromQuantileSketches(oldSketches: DataFrame, newSketches: DataFrame,
+      dims: Seq[String], quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty, "driftFromQuantileSketches needs quantiles")
+    val labels = quantiles.map(graft.functions.QuantileSketch.colName)
+    def side(sk: DataFrame, prefix: String): DataFrame =
+      Profile.rollupQuantiles(sk, dims, quantiles)
+        .select(dims.map(col) ++ labels.map(l => col(l).as(s"$prefix$l")): _*)
+    val j = side(oldSketches, "__o_").join(side(newSketches, "__n_"),
+      dims, "full_outer")
+    val rows = array(labels.map { l =>
+      struct(lit(l).as("metric"),
+        col(s"__o_$l").as("old_value"), col(s"__n_$l").as("new_value"),
+        (col(s"__n_$l") - col(s"__o_$l")).as("delta"))
+    }: _*)
+    j.select(dims.map(col) :+ explode(rows).as("p"): _*)
+      .select(dims.map(col) ++ Seq(col("p.metric"), col("p.old_value"),
+        col("p.new_value"), col("p.delta")): _*)
+  }
+
   def driftFromSketches(oldSketches: DataFrame, newSketches: DataFrame,
       dims: Seq[String]): DataFrame = {
     val o = Profile.rollupDistinct(oldSketches, dims)

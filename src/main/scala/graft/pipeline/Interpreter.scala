@@ -500,6 +500,24 @@ object Interpreter extends Logging {
     df
   }
 
+  /** Same config-grade preflight for a stored QUANTILE-sketch table
+    * ([[graft.operators.Profile.quantileSketches]] / `quantile_rollup
+    * keepSketch` shape): every declared dimension plus the qsketch/n_rows
+    * payload must be present.
+    */
+  private def readQuantileArtifact(spark: SparkSession, path: String,
+      dims: Seq[String], specId: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = (dims ++ Seq("qsketch", "n_rows")).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[$specId] quantilePath '$path' is not a quantile-sketch table for " +
+        s"dims ${dims.mkString(", ")}: missing column(s) " +
+        s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
+        "Build artifacts with the quantile_rollup op's keepSketch form " +
+        "(or Profile.quantileSketches) at crawl time")
+    df
+  }
+
   /** Config-grade preflight for a stored ANN index: the artifact must
     * exist and be an index meta (readIndexMeta's own errors), the declared
     * method must be the stored one, and any DECLARED geometry must match
@@ -870,8 +888,32 @@ object Interpreter extends Logging {
             (col("new_distinct") - col("old_distinct"))
               .cast(DoubleType).as("delta"))
       }
+      // quantilePath: percentile drift from the OLD snapshot's STORED
+      // mergeable quantile-sketch table (the X26 artifact) vs the new
+      // snapshot's one-scan sketches — one gated row per (cell, quantile);
+      // same null-dim exclusion as the sketch leg, same reshape to the
+      // report's category'd row shape so bounds compose (gate keys like
+      // "value.p95"). A cell on one side only keeps NULL values/delta —
+      // under a bound that VIOLATES (gated's null-delta rule), the honest
+      // outcome for a percentile of an absent population
+      val quantLeg = t.quantilePath.map { p =>
+        val noNullDims: Column =
+          t.groupColumns.map(col(_).isNotNull).reduce(_ && _)
+        val oldSk = readQuantileArtifact(df.sparkSession,
+          resolvePath(p, dataDir, specId), t.groupColumns, specId)
+          .filter(noNullDims)
+        val newSk = graft.operators.Profile.quantileSketches(
+          df.filter(noNullDims), t.groupColumns, t.column.get)
+        graft.operators.Drift.driftFromQuantileSketches(
+            oldSk, newSk, t.groupColumns, t.numericQuantiles)
+          .select(lit(t.column.get).as("col_name"), col("metric"),
+            concat_ws("/", t.groupColumns.map(c =>
+              col(c).cast(StringType)): _*).as("category"),
+            col("old_value"), col("new_value"), col("delta"))
+      }
       val flat = report.toSeq ++ embeds
-      val withCat = heavy ++ hist ++ embedsCat ++ sketchLeg.toSeq
+      val withCat = heavy ++ hist ++ embedsCat ++ sketchLeg.toSeq ++
+        quantLeg.toSeq
       val combined =
         if (withCat.isEmpty) flat.reduce(_.unionByName(_))
         else (flat.map(_.withColumn("category", lit(null).cast("string"))
@@ -1021,8 +1063,23 @@ object Interpreter extends Logging {
           "every + watermark for the windowed streaming form")
       val sk = graft.operators.Profile.quantileSketches(
         df, t.groupColumns, t.column.get)
-      val result = graft.operators.Profile.rollupQuantiles(
-        sk, t.groupColumns, t.numericQuantiles)
+      // keepSketch → the STORED X26 artifact form (mirrors
+      // distinct_rollup's): the mergeable centroid sketch stays in the
+      // output (the windowed form's convention), so the written table
+      // feeds Profile.rollupQuantiles coarser rollups and snapshot_drift's
+      // quantilePath leg without ever rescanning this snapshot
+      val result =
+        if (t.keepSketch) {
+          val qs = t.numericQuantiles
+          val withEst = sk.withColumn("__est",
+            graft.functions.QuantileSketch.estimateSketch(col("qsketch"), qs))
+          val qCols = qs.zipWithIndex.map { case (q, i) =>
+            col("__est").getItem(i).as(graft.functions.QuantileSketch.colName(q))
+          }
+          withEst.select(t.groupColumns.map(col) ++
+            (col("qsketch") +: qCols) :+ col("n_rows"): _*)
+        } else graft.operators.Profile.rollupQuantiles(
+          sk, t.groupColumns, t.numericQuantiles)
       // an aggregation's output key IS the group key (same rule as top_k)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, t.groupColumns match {
         case Seq(g) => col(g)

@@ -1226,6 +1226,95 @@ class InterpreterSpec extends SparkSuite {
     assert(drift.forall(r => r.getDouble(3) == 8.0), drift.mkString("; "))
   }
 
+  test("declarative quantile-artifact loop: quantile_rollup keepSketch writes the X26 table that snapshot_drift quantilePath consumes") {
+    // crawl N: ONE spec builds the stored quantile-sketch table; crawl
+    // N+1: ONE spec answers per-cell percentile drift from it — the X26
+    // analogue of the keepSketch/sketchPath loop, no Scala
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_quantile_loop").toString
+    spark.read.parquet(s"${sf()}/events.parquet")
+      .filter(col("user_id") < 8)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val crawl = graft.pipeline.Interpreter.values(
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        """{"id":"crawl-quantiles","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+          |"transform":[{"op":"quantile_rollup","groupColumns":["event_type"],
+          |  "column":"value","quantiles":[0.5, 0.9],"keepSketch":true}],
+          |"outputTopic":{"enabled":true,"name":"crawl-quantiles-out"}}""".stripMargin),
+        new ParquetSourceResolver(dir, TestdataCatalog)))
+    assert(crawl.columns.toSeq ==
+      Seq("event_type", "qsketch", "p50", "p90", "n_rows"))
+    crawl.write.mode("overwrite").parquet(s"$dir/qsketches.parquet")
+    val drift = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"drift-from-quantiles","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$dir/qsketches.parquet",
+         |  "groupColumns":["event_type"],"column":"value",
+         |  "quantiles":[0.5, 0.9]}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-quantiles-out"}}""".stripMargin),
+      resolver).collect()
+    // one row per (cell, quantile), every metric a pNN label, values real
+    val cells = drift.map(_.getString(2)).distinct
+    assert(drift.nonEmpty && drift.length == cells.length * 2,
+      drift.mkString("; "))
+    assert(drift.forall(r => Set("p50", "p90")(r.getString(1))),
+      drift.mkString("; "))
+    // the old side equals the stored artifact's own estimates exactly
+    // (rollupQuantiles over one stored cell is deterministic)
+    val stored = graft.operators.Profile.rollupQuantiles(
+        spark.read.parquet(s"$dir/qsketches.parquet"),
+        Seq("event_type"), Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    drift.foreach { r =>
+      val (p50, p90) = stored(r.getString(2))
+      val want = if (r.getString(1) == "p50") p50 else p90
+      assert(r.getDouble(3) == want,
+        s"old-side ${r.getString(2)}/${r.getString(1)} diverged from the artifact")
+    }
+    // IDENTICAL snapshots → zero delta on every row, so a zero-bound gate
+    // holds; the same gate violates once the new side drifts
+    val same = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"quantile-gate-same","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$dir/qsketches.parquet",
+         |  "groupColumns":["event_type"],"column":"value",
+         |  "quantiles":[0.5, 0.9],
+         |  "maxAbsDelta":{"p50":0,"p90":0}}],
+         |"outputTopic":{"enabled":true,"name":"quantile-gate-out"}}""".stripMargin),
+      new ParquetSourceResolver(dir, TestdataCatalog)).collect()
+    assert(same.nonEmpty && same.forall(_.getBoolean(6)))
+    val e = intercept[Exception] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"quantile-gate-drift","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "quantilePath":"$dir/qsketches.parquet",
+           |  "groupColumns":["event_type"],"column":"value",
+           |  "quantiles":[0.5, 0.9],
+           |  "maxAbsDelta":{"p50":0,"p90":0}}],
+           |"outputTopic":{"enabled":true,"name":"quantile-gate-out2"}}""".stripMargin),
+        resolver).collect()
+    }
+    assert(e.getMessage.contains("drift gate violated"), e.getMessage)
+    // a non-artifact parquet is refused with the keepSketch fix named
+    val bad = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"quantile-bad","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "quantilePath":"${sf()}/events.parquet",
+           |  "groupColumns":["event_type"],"column":"value",
+           |  "quantiles":[0.5]}],
+           |"outputTopic":{"enabled":true,"name":"quantile-bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(bad.getMessage.contains("not a quantile-sketch table") &&
+      bad.getMessage.contains("keepSketch"), bad.getMessage)
+  }
+
   test("summaryPath refuses a WINDOWED artifact (silent double-count) and names the merge fix") {
     val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
     val dir = tempDirPath("graft_windowed_artifact").toString

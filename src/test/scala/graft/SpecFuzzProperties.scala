@@ -629,6 +629,19 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "snapshot_drift sketchPath without groupColumns/column" -> te(
         TransformOp(op = "snapshot_drift",
           sketchPath = Some("/nowhere/sketches.parquet"))),
+      "snapshot_drift quantilePath without groupColumns/column" -> te(
+        TransformOp(op = "snapshot_drift",
+          quantilePath = Some("/nowhere/qsketches.parquet"),
+          quantiles = Seq(0.5))),
+      "snapshot_drift quantilePath without quantiles" -> te(
+        TransformOp(op = "snapshot_drift",
+          quantilePath = Some("/nowhere/qsketches.parquet"),
+          groupColumns = Seq("event_type"), column = Some("value"))),
+      "snapshot_drift quantilePath with out-of-range quantile" -> te(
+        TransformOp(op = "snapshot_drift",
+          quantilePath = Some("/nowhere/qsketches.parquet"),
+          groupColumns = Seq("event_type"), column = Some("value"),
+          quantiles = Seq(1.5))),
       "snapshot_drift rescanning leg without comparePath (artifact legs alone may omit it)" ->
         te(TransformOp(op = "snapshot_drift",
           summaryPath = Some("/nowhere/summary.parquet"),
