@@ -794,6 +794,38 @@ object Queries {
         col("n"))
   }
 
+  /** WINDOWED drift MONITOR (batch-read-back form): per tumbling day, the
+    * four embedding-drift metrics of that day's slice against the STORED
+    * baseline summary (the 8-cluster subset's artifact, built at "crawl
+    * time") — the declaration that also streams as ONE VectorSumAgg
+    * stateful aggregation + a broadcast baseline join (stream-built ==
+    * batch-built across a restart is pinned in StreamRunnerSpec). Event
+    * times are synthesized deterministically from vec_id (the
+    * x29_embed_summary_window arithmetic); the DuckDB oracle recomputes
+    * the identical per-window metrics from raw data.
+    */
+  def x29WindowedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val art = s"${artifactBase(dir)}/embed_baseline.parquet"
+    graft.operators.Drift.embeddingSummary(
+        spark.read.parquet(s"$dir/embeddings.parquet").filter(col("label") < 8),
+        "embedding")
+      .write.mode("overwrite").parquet(art)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("ts", expr("TIMESTAMP '2024-01-01 00:00:00' + " +
+        "make_interval(0, 0, 0, 0, CAST(vec_id % 48 AS INT), 0, 0)"))
+    Interpreter.applyTransform(e,
+        graft.config.TransformOp(op = "snapshot_drift",
+          summaryPath = Some(art), embeddingColumns = Seq("embedding"),
+          timeColumn = Some("ts"), every = Some("1 day")),
+        None, "x29-windowed-drift")
+      // 6-dp on the compared values (the artifact-row discipline of
+      // r41/r42): below that, per-window sums differ only by partial-
+      // aggregation order between Spark and DuckDB
+      .select(col("window_start"), col("col_name"), col("metric"),
+        zr6(col("old_value")).as("old_value"),
+        zr6(col("new_value")).as("new_value"), col("delta"))
+  }
+
   /** X29 heavy-hitter drift: per-key frequency drift for the heavy keys of
     * a categorical column, Misra–Gries candidates + exact broadcast
     * recount per snapshot — the form that scales to UNBOUNDED key spaces
@@ -2710,6 +2742,77 @@ object Queries {
        |  CASE WHEN round(sqrt(agg.d2), 6) = 0 THEN 0.0
        |       ELSE round(sqrt(agg.d2), 6) END FROM agg""".stripMargin
 
+  /** Oracle for the windowed drift monitor's batch-read-back form
+    * (x29_windowed_drift): per tumbling day (the synthesized vec_id%48
+    * event times), the four embedding-drift metrics of that day's slice
+    * against the label<8 baseline — the same conventions as
+    * [[embedDriftOracleSql]] with a window grouping, 6-dp rounding on
+    * every compared value (per-window sums are partial-aggregation-order
+    * sensitive below that).
+    */
+  private val embedDriftWindowedOracleSql: String =
+    """WITH b AS (SELECT embedding AS e FROM embeddings
+      |           WHERE label < 8 AND embedding IS NOT NULL),
+      |be AS (SELECT unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+      |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM b),
+      |bd AS (SELECT i, sum(v) AS s, sum(nrm) AS nrmsum, count(*)::DOUBLE AS cnt
+      |       FROM be GROUP BY i),
+      |n AS (SELECT time_bucket(INTERVAL '1 day',
+      |               TIMESTAMP '2024-01-01 00:00:00'
+      |               + (vec_id % 48) * INTERVAL '1 hour') AS w, embedding AS e
+      |      FROM embeddings WHERE embedding IS NOT NULL),
+      |ne AS (SELECT w, unnest(e)::DOUBLE AS v, unnest(range(len(e))) AS i,
+      |         sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nrm FROM n),
+      |nd AS (SELECT w, i, sum(v) AS s, sum(nrm) AS nrmsum,
+      |         count(*)::DOUBLE AS cnt FROM ne GROUP BY w, i),
+      |j AS (SELECT nd.w, coalesce(bd.s, 0) AS os, nd.s AS ns,
+      |             coalesce(bd.nrmsum, 0) AS onrm, nd.nrmsum AS nnrm,
+      |             coalesce(bd.cnt, 0) AS ocnt, nd.cnt AS ncnt
+      |      FROM nd LEFT JOIN bd USING (i)),
+      |t AS (SELECT w, coalesce(max(ocnt), 0) AS onc, coalesce(max(ncnt), 0) AS nnc,
+      |             coalesce(max(onrm), 0) AS onrm, coalesce(max(nnrm), 0) AS nnrm
+      |      FROM j GROUP BY w),
+      |agg AS (SELECT w,
+      |   coalesce(sum((CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END) *
+      |                (ns / t.nnc)), 0) AS dot,
+      |   coalesce(sum(pow(CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END, 2)), 0) AS o2,
+      |   coalesce(sum(pow(ns / t.nnc, 2)), 0) AS n2,
+      |   coalesce(sum(pow((ns / t.nnc) -
+      |                (CASE WHEN t.onc = 0 THEN 0.0 ELSE os / t.onc END), 2)), 0) AS d2
+      |   FROM j JOIN t USING (w) GROUP BY w),
+      |z AS (SELECT t.w, t.onc, t.nnc, t.onrm, t.nnrm,
+      |             agg.dot, agg.o2, agg.n2, agg.d2 FROM t JOIN agg USING (w))
+      |SELECT w AS window_start, 'embedding' AS col_name,
+      |  'row_count' AS metric,
+      |  CASE WHEN round(onc, 6) = 0 THEN 0.0 ELSE round(onc, 6) END AS old_value,
+      |  CASE WHEN round(nnc, 6) = 0 THEN 0.0 ELSE round(nnc, 6) END AS new_value,
+      |  CASE WHEN round(nnc - onc, 6) = 0 THEN 0.0 ELSE round(nnc - onc, 6) END AS delta
+      |FROM z
+      |UNION ALL SELECT w, 'embedding', 'mean_norm',
+      |  CASE WHEN round(CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END, 6) = 0 THEN 0.0
+      |       ELSE round(CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END, 6) END,
+      |  CASE WHEN round(nnrm / nnc, 6) = 0 THEN 0.0 ELSE round(nnrm / nnc, 6) END,
+      |  CASE WHEN round((nnrm / nnc) -
+      |         (CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END), 6) = 0 THEN 0.0
+      |       ELSE round((nnrm / nnc) -
+      |         (CASE WHEN onc = 0 THEN 0.0 ELSE onrm / onc END), 6) END
+      |FROM z
+      |UNION ALL SELECT w, 'embedding', 'centroid_shift',
+      |  CASE WHEN round(sqrt(o2), 6) = 0 THEN 0.0 ELSE round(sqrt(o2), 6) END,
+      |  CASE WHEN round(sqrt(n2), 6) = 0 THEN 0.0 ELSE round(sqrt(n2), 6) END,
+      |  CASE WHEN round(CASE WHEN o2 = 0 AND n2 = 0 THEN 0.0
+      |            WHEN o2 = 0 OR n2 = 0 THEN 2.0
+      |            ELSE 1.0 - dot / (sqrt(o2) * sqrt(n2)) END, 6) = 0 THEN 0.0
+      |       ELSE round(CASE WHEN o2 = 0 AND n2 = 0 THEN 0.0
+      |            WHEN o2 = 0 OR n2 = 0 THEN 2.0
+      |            ELSE 1.0 - dot / (sqrt(o2) * sqrt(n2)) END, 6) END
+      |FROM z
+      |UNION ALL SELECT w, 'embedding', 'centroid_l2',
+      |  CASE WHEN round(sqrt(o2), 6) = 0 THEN 0.0 ELSE round(sqrt(o2), 6) END,
+      |  CASE WHEN round(sqrt(n2), 6) = 0 THEN 0.0 ELSE round(sqrt(n2), 6) END,
+      |  CASE WHEN round(sqrt(d2), 6) = 0 THEN 0.0 ELSE round(sqrt(d2), 6) END
+      |FROM z""".stripMargin
+
   /** Oracle for the embedding_summary ARTIFACT rows (r41 one-shot build,
     * r42 declarative shard merge — linearity makes both equal this direct
     * computation): per-dimension value sums + norm sum + count over
@@ -3438,6 +3541,9 @@ object Queries {
         |  CASE WHEN round(sum(nrm), 6) = 0 THEN 0.0 ELSE round(sum(nrm), 6) END AS norm_sum,
         |  count(*)::DOUBLE AS n
         |FROM ee GROUP BY 1, 2""".stripMargin,
+    // the windowed drift MONITOR's batch-read-back form: per-day metrics
+    // vs the stored label<8 baseline, identical conventions windowed
+    "x29_windowed_drift" -> embedDriftWindowedOracleSql,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -3887,6 +3993,7 @@ object Queries {
     "r41_spec_embed_summary" -> r41SpecEmbedSummary _,
     "r42_spec_merge_summaries" -> r42SpecMergeSummaries _,
     "x29_embed_summary_window" -> x29EmbedSummaryWindow _,
+    "x29_windowed_drift" -> x29WindowedDrift _,
     "r43_spec_drift_sketch" -> r43SpecDriftSketch _,
     "r44_spec_knn_index" -> r44SpecKnnIndex _,
     "r44_spec_knn_ivf_stored" -> r44SpecKnnIvfStored _,

@@ -37,6 +37,10 @@ object ScalingBench {
     "x14_training_pipeline",
     "x2_jaccard_pairs",
     "x2_jaccard_capped",
+    // round-17 addition: the cap-diagnostics twin (dropped-posting
+    // accounting rides the same df-capped join) — closes the X2 family's
+    // sf10 table next to x2_jaccard_capped
+    "x2_capped_buckets",
     "x2_embed_dup",
     "x2_dedup_collapse",
     "q21_sole_blame",

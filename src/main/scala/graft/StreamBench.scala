@@ -125,6 +125,20 @@ object StreamBench {
         "RocksDBStateStoreProvider"),
       "hdfs_heap" -> ("org.apache.spark.sql.execution.streaming.state." +
         "HDFSBackedStateStoreProvider"))
+    // stored baseline for the windowed drift MONITOR topology: a 16-dim
+    // summary artifact built once from a synthetic static frame (the same
+    // vector synthesis as the streaming side — the monitor's cost is the
+    // VectorSumAgg fold + the broadcast dim-array join either way)
+    val driftBaseline = {
+      val r = spark.range(256).select(
+        (col("id") % 97).cast("double").as("value"),
+        (col("id") % 13).as("user_id"))
+      val emb = array((0 until 16).map(i =>
+        sin(col("value") * (i + 1) + col("user_id"))): _*)
+      graft.operators.Drift.embeddingSummary(r.withColumn("emb", emb), "emb")
+        .cache()
+    }
+    driftBaseline.count()
     val legs = providers.map { case (label, cls) =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
       System.err.println(s"[streambench] provider: $label ($cls)")
@@ -155,6 +169,18 @@ object StreamBench {
           graft.operators.Drift.embeddingSummaryWindowed(
             df.withColumn("emb", emb).withWatermark("ts", "1 hour"),
             "emb", None, window(col("ts"), "1 hour"))
+        },
+        topology("windowed_drift") { df =>
+          // the round-17 monitor: ONE VectorSumAgg stateful aggregation
+          // per window cell (state = 16 doubles + 2 scalars per cell, vs
+          // embed_summary's 16 ROWS per cell) + the broadcast baseline
+          // join and metric math — the per-event cost this row measures
+          val emb = array((0 until 16).map(i =>
+            sin(col("value") * (i + 1) + col("user_id"))): _*)
+          graft.operators.Drift.windowedEmbeddingDrift(
+            df.withColumn("emb", emb).withWatermark("ts", "1 hour"),
+            "emb", None, window(col("ts"), "1 hour"), driftBaseline,
+            Map("centroid_shift" -> 0.5), Map.empty)
         })
       s""""$label":{"provider_class":"$cls",${results.mkString(",")}}"""
     }

@@ -923,6 +923,30 @@ case class TransformOp(
         s"[$where] snapshot_drift requires numericColumns, " +
           "categoricalColumns, heavyHitterColumns, histograms, " +
           "embeddingColumns, sketchPath and/or quantilePath")
+      // WINDOWED form (timeColumn + every [+ watermark on a stream]): the
+      // per-window drift MONITOR — evaluates each (window, stratum?) cell
+      // against a STORED baseline summary. The baseline must be an
+      // artifact (a windowed monitor rescanning old raw data per window
+      // is exactly what the artifact discipline forbids), and v1 monitors
+      // the embedding leg only: the scalar/categorical legs' windowed
+      // twins are the windowed sketch ops (distinct_rollup /
+      // quantile_rollup / heavy_hitters), which already stream.
+      if (validateWindowDecl(where)) {
+        require(summaryPath.isDefined && embeddingColumns.nonEmpty,
+          s"[$where] windowed snapshot_drift (the per-window drift " +
+            "monitor) requires summaryPath (the stored baseline " +
+            "embedding_summary artifact) and embeddingColumns — the " +
+            "monitor compares each window cell against the stored " +
+            "baseline, never against raw old data")
+        require(numericColumns.isEmpty && categoricalColumns.isEmpty &&
+            heavyHitterColumns.isEmpty && histograms.isEmpty &&
+            sketchPath.isEmpty && quantilePath.isEmpty &&
+            newSummaryPath.isEmpty,
+          s"[$where] windowed snapshot_drift monitors the embedding leg " +
+            "only — for windowed scalar/categorical signals use the " +
+            "windowed sketch ops (distinct_rollup / quantile_rollup / " +
+            "heavy_hitters), which maintain their own per-window tables")
+      }
       // comparePath (the OLD snapshot's raw parquet) is needed only by the
       // legs that RESCAN it; a drift declared purely against stored
       // artifacts (summaryPath / sketchPath) never touches old raw data —

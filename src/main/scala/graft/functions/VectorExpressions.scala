@@ -762,6 +762,114 @@ case class PairCosine(left: Expression, right: Expression, table: VectorTable)
     copy(left = l, right = r)
 }
 
+/** Mutable elementwise-sum state for [[VectorSumAgg]]: a dense double
+  * array grown to the widest vector seen (posexplode semantics — each
+  * vector contributes to the indices it has), plus the contributing-row
+  * count so an all-null group can eval to null instead of a zero vector.
+  */
+final class VecSumBuffer(var sums: Array[Double], var n: Long) {
+  def add(v: ArrayData, isFloat: Boolean): Unit = {
+    val len = v.numElements()
+    if (sums == null) sums = new Array[Double](len)
+    else if (len > sums.length) sums = java.util.Arrays.copyOf(sums, len)
+    var i = 0
+    while (i < len) {
+      sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      i += 1
+    }
+    n += 1
+  }
+  def mergeIn(o: VecSumBuffer): Unit = {
+    if (o.sums != null) {
+      if (sums == null) sums = o.sums.clone()
+      else {
+        if (o.sums.length > sums.length)
+          sums = java.util.Arrays.copyOf(sums, o.sums.length)
+        var i = 0
+        while (i < o.sums.length) { sums(i) += o.sums(i); i += 1 }
+      }
+    }
+    n += o.n
+  }
+}
+
+/** Per-dimension elementwise SUM of an array column as ONE native
+  * [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]
+  * — the aggregate that lets the windowed drift monitor (X29 streaming
+  * form) be a SINGLE stateful aggregation per (window, stratum) cell:
+  * Spark refuses chained streaming aggregations, so the dim-row
+  * posexplode shape (groupBy window,stratum,i, then a second fold across
+  * dims) cannot stream; this folds the whole vector straight into cell
+  * state. State per cell = dim doubles (+8 bytes), exactly the artifact
+  * row the cell emits. Null inputs are skipped; vectors of differing
+  * length contribute to the indices they have (posexplode semantics —
+  * callers filter to clean uniform vectors anyway, the embedding-column
+  * contract). Same update/merge/serialize skeleton as
+  * [[QuantileSketchBuild]].
+  */
+case class VectorSumAgg(child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[VecSumBuffer]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def prettyName: String = "vec_sum"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double>, got ${other.sql}")
+    }
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer(null, 0L)
+
+  override def update(b: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[ArrayData], isFloat)
+    b
+  }
+
+  override def merge(b: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
+    b.mergeIn(other); b
+  }
+
+  override def eval(b: VecSumBuffer): Any =
+    if (b.sums == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(b.sums)
+
+  override def serialize(b: VecSumBuffer): Array[Byte] = {
+    val len = if (b.sums == null) -1 else b.sums.length
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 * math.max(0, len))
+    bb.putInt(len); bb.putLong(b.n)
+    if (len > 0) b.sums.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val len = bb.getInt; val n = bb.getLong
+    if (len < 0) new VecSumBuffer(null, n)
+    else {
+      val a = new Array[Double](len)
+      var i = 0
+      while (i < len) { a(i) = bb.getDouble; i += 1 }
+      new VecSumBuffer(a, n)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): VectorSumAgg =
+    copy(child = c)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
@@ -779,4 +887,6 @@ object VectorFunctions {
   def quantized_cos(a: Column, b: Column): Column = c(QuantizedCosine(e(a), e(b)))
   def pair_cosine(id1: Column, id2: Column, table: VectorTable): Column =
     c(PairCosine(e(id1), e(id2), table))
+  def vec_sum(v: Column): Column =
+    c(VectorSumAgg(e(v)).toAggregateExpression())
 }

@@ -548,27 +548,54 @@ object Drift extends Logging {
     * violated gate with zero runner-specific plumbing; the error message
     * names the column, metric, delta, and bound.
     */
-  def gated(report: DataFrame, absBounds: Map[String, Double],
-      relBounds: Map[String, Double]): DataFrame = {
-    if (absBounds.isEmpty && relBounds.isEmpty) return report
-    def boundFor(bs: Map[String, Double]): Column =
-      if (bs.isEmpty) lit(null).cast("double")
-      else {
-        val m = map(bs.toSeq.flatMap { case (k, v) =>
-          Seq(lit(k), lit(v)) }: _*)
-        coalesce(element_at(m, concat(col("col_name"), lit("."), col("metric"))),
-          element_at(m, col("metric")))
-      }
-    val absB = boundFor(absBounds); val relB = boundFor(relBounds)
-    // a NULL comparison result must read as violation, not fall through
-    // `when` to pass — spell the null case out on both legs
+  /** Bound lookup shared by [[gated]] and [[flagged]]: the row's matching
+    * bound from a `"<col_name>.<metric>"` / bare `"<metric>"` keyed map
+    * (most specific wins), or a null-typed column when the map is empty.
+    */
+  private def boundFor(bs: Map[String, Double]): Column =
+    if (bs.isEmpty) lit(null).cast("double")
+    else {
+      val m = map(bs.toSeq.flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
+      coalesce(element_at(m, concat(col("col_name"), lit("."), col("metric"))),
+        element_at(m, col("metric")))
+    }
+
+  /** The violation PREDICATE shared by [[gated]] (raise) and [[flagged]]
+    * (boolean column): a row violates when a matching bound exists and its
+    * |delta| exceeds it — or its delta (or, for relative bounds, its
+    * old_value) is NULL, because a metric that can't be computed must not
+    * silently pass its gate.
+    */
+  private def violation(absB: Column, relB: Column): Column = {
     val absViol = absB.isNotNull && (col("delta").isNull ||
       abs(col("delta")) > absB)
     val relViol = relB.isNotNull && (col("delta").isNull ||
       col("old_value").isNull ||
       abs(col("delta")) > relB * greatest(abs(col("old_value")), lit(1e-12)))
+    absViol || relViol
+  }
+
+  /** The MONITOR form of [[gated]]: appends the same `pass` column but
+    * never raises — a streaming drift monitor cannot usefully throw
+    * mid-batch (the exception kills the query, not the offending window),
+    * so violations surface as `pass = false` rows for the sink/alerting
+    * side to route. The batch twin of a windowed declaration uses this
+    * same form, keeping stream-built == batch-built testable.
+    */
+  def flagged(report: DataFrame, absBounds: Map[String, Double],
+      relBounds: Map[String, Double]): DataFrame = {
+    if (absBounds.isEmpty && relBounds.isEmpty) return report
     report.withColumn("pass",
-      when(absViol || relViol, raise_error(concat(
+      !violation(boundFor(absBounds), boundFor(relBounds)))
+  }
+
+  def gated(report: DataFrame, absBounds: Map[String, Double],
+      relBounds: Map[String, Double]): DataFrame = {
+    if (absBounds.isEmpty && relBounds.isEmpty) return report
+    val absB = boundFor(absBounds); val relB = boundFor(relBounds)
+    report.withColumn("pass",
+      when(violation(absB, relB), raise_error(concat(
         lit("drift gate violated: "), col("col_name"), lit("/"), col("metric"),
         // a NULL delta is itself a violation (see absViol/relViol above) —
         // coalesce it like the bound legs, or the whole concat nulls out
@@ -587,6 +614,132 @@ object Drift extends Logging {
     * relative drift. Cells present in only one snapshot report the other
     * side as 0 (newborn/vanished cells ARE drift, not join losses).
     */
+  /** WINDOWED embedding-drift MONITOR — the form that EVALUATES drift per
+    * (tumbling/sliding/session window, stratum?) cell against a STORED
+    * baseline [[embeddingSummary]] artifact, on a stream or on batch
+    * (identical grouping → stream-built == batch-built, pinned across a
+    * restart in StreamRunnerSpec). The windowed `embedding_summary` op
+    * MAINTAINS the artifact incrementally; this op CLOSES the loop: each
+    * window cell's four drift metrics (row_count / mean_norm /
+    * centroid_shift / centroid_l2, the [[embeddingDrift]] conventions)
+    * emit as update-mode rows the moment the cell refreshes — the live
+    * "did this hour's crawl slice drift from the baseline" signal, without
+    * ever rescanning the baseline corpus.
+    *
+    * Streaming shape: Spark refuses chained stateful aggregations, so the
+    * cell summary is ONE [[graft.functions.VectorSumAgg]] aggregation per
+    * (window, stratum) — per-dimension sums fold straight into cell state
+    * (dim doubles per cell) — and everything after it is stateless: a
+    * stream-static LEFT join against the ≤ groups-row reshaped baseline
+    * (broadcast; a stratum missing from the baseline is NEWBORN — old side
+    * zero, centroid_shift 2.0 — not a dropped row) and array-expression
+    * metric math. Bounds surface as a `pass` COLUMN ([[flagged]] — a
+    * stream cannot usefully raise mid-batch), never an exception.
+    *
+    * `baseline` must be an [[embeddingSummary]] artifact, grouped iff
+    * `groupBy` is declared (callers preflight — the Interpreter reuses the
+    * summaryPath schema check). `win` is the window expression (the caller
+    * owns watermarking, same contract as [[embeddingSummaryWindowed]]).
+    */
+  def windowedEmbeddingDrift(df: DataFrame, c: String,
+      groupBy: Option[String], win: Column, baseline: DataFrame,
+      absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+    val grouped = groupBy.isDefined
+    // baseline reshape (batch side, ≤ groups × dim rows in, ≤ groups rows
+    // out): one row per stratum carrying the dim sums as an i-ordered
+    // array + the norm sum and count (constant per stratum in the
+    // artifact, so max() just picks them). struct array_sort orders by the
+    // first field — i — ascending.
+    val bk = if (grouped) Seq(col("category")) else Nil
+    val baseRe = baseline.groupBy(bk: _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("dim_sum")))),
+          x => x.getField("dim_sum")).as("__bdims"),
+        max(col("norm_sum")).as("__bnorm"),
+        max(col("n")).as("__bn"))
+    val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
+    // same row hygiene as summaryCore: null strata out (the null-stratum
+    // convention), vectors with null/NaN elements out (they would poison
+    // the sums; their absence still moves row_count)
+    val clean = groupBy.fold(df)(gc => df.filter(col(gc).isNotNull))
+      .filter(col(c).isNotNull &&
+        !exists(col(c), x => x.isNull || isnan(x.cast("double"))))
+      .select((win.as("__w") +: g) :+ col(c).cast("array<double>").as("__e"): _*)
+      .withColumn("__nrm", sqrt(aggregate(col("__e"), lit(0.0),
+        (a, x) => a + x * x)))
+    val cellKeys = col("__w") +: (if (grouped) Seq(col("category")) else Nil)
+    val agg = clean.groupBy(cellKeys: _*)
+      .agg(graft.functions.VectorFunctions.vec_sum(col("__e")).as("__dims"),
+        sum(col("__nrm")).as("__nnrm"),
+        count(lit(1)).cast("double").as("__nn"))
+    // grouped: a broadcast equi LEFT join on the stratum (≤ groups rows).
+    // global: the baseline is exactly ONE row, so it rides in as LITERALS
+    // collected once at build time — a constant-key join would fold to a
+    // BroadcastNestedLoopJoin `on true` (the shape the plan audit exists
+    // to flag), and literals keep the whole post-aggregation monitor a
+    // map-side projection. The collect is ≤ dim doubles of a stored batch
+    // artifact; an EMPTY artifact degrades to the zero baseline (every
+    // cell newborn — the freq_l1 empty-side convention).
+    val joined =
+      if (grouped) agg.join(broadcast(baseRe), Seq("category"), "left")
+      else {
+        val r = baseRe.select(col("__bdims"), col("__bnorm"), col("__bn"))
+          .collect().headOption
+        val (bdSeq, bnorm, bn) = r
+          .map(x => (x.getSeq[Double](0), x.getDouble(1), x.getDouble(2)))
+          .getOrElse((Seq.empty[Double], 0.0, 0.0))
+        agg.withColumn("__bdims", typedLit(bdSeq))
+          .withColumn("__bnorm", lit(bnorm)).withColumn("__bn", lit(bn))
+      }
+    // metric math over the two dim arrays — per-cell scalar work. A cell
+    // with no baseline row (newborn stratum) reads old side as empty/zero.
+    val on = coalesce(col("__bn"), lit(0.0))
+    val bd = coalesce(col("__bdims"),
+      org.apache.spark.sql.functions.array().cast("array<double>"))
+    val nn = col("__nn")
+    def foldSum(arr: Column): Column = aggregate(arr, lit(0.0), (a, x) => a + x)
+    val o2 = when(on === 0, lit(0.0))
+      .otherwise(foldSum(transform(bd, b => (b / on) * (b / on))))
+    val n2 = foldSum(transform(col("__dims"), v => (v / nn) * (v / nn)))
+    val dot = when(on === 0, lit(0.0))
+      .otherwise(foldSum(zip_with(bd, col("__dims"),
+        (b, v) => (b / on) * (v / nn))))
+    val d2 = when(on === 0, n2)
+      .otherwise(foldSum(zip_with(bd, col("__dims"),
+        (b, v) => ((v / nn) - (b / on)) * ((v / nn) - (b / on)))))
+    def zround(x: Column): Column =
+      when(round(x, 6) === 0, lit(0.0)).otherwise(round(x, 6))
+    val meanNormO = when(on === 0, lit(0.0))
+      .otherwise(coalesce(col("__bnorm"), lit(0.0)) / on)
+    val meanNormN = col("__nnrm") / nn
+    val shift = when(o2 === 0 && n2 === 0, lit(0.0))
+      .when(o2 === 0 || n2 === 0, lit(2.0))
+      .otherwise(lit(1.0) - dot / (sqrt(o2) * sqrt(n2)))
+    val rows = array(
+      struct(lit("row_count").as("metric"), on.as("old_value"),
+        nn.as("new_value"), zround(nn - on).as("delta")),
+      struct(lit("mean_norm").as("metric"), meanNormO.as("old_value"),
+        meanNormN.as("new_value"), zround(meanNormN - meanNormO).as("delta")),
+      struct(lit("centroid_shift").as("metric"), sqrt(o2).as("old_value"),
+        sqrt(n2).as("new_value"), zround(shift).as("delta")),
+      struct(lit("centroid_l2").as("metric"), sqrt(o2).as("old_value"),
+        sqrt(n2).as("new_value"), zround(sqrt(d2)).as("delta")))
+    val gk = if (grouped) Seq(col("category")) else Nil
+    // n_new (the cell's new-side row count) rides on EVERY metric row: it
+    // only grows as a cell absorbs rows, so it is the last-write-wins
+    // version column a snapshot sink needs — the same convention as the
+    // sketch tables' n_rows (a refreshed cell's rows must beat their
+    // stored predecessors even when the metric itself moved down)
+    val exploded = joined
+      .select((col("__w.start").as("window_start") +: gk) ++
+        Seq(nn.as("n_new"), explode(rows).as("p")): _*)
+      .select(Seq(col("window_start"), lit(c).as("col_name"),
+        col("p.metric")) ++ gk ++ Seq(col("p.old_value"),
+        col("p.new_value"), col("p.delta"), col("n_new")): _*)
+    flagged(exploded, absBounds, relBounds)
+  }
+
   /** Percentile drift from the STORED mergeable quantile-sketch tables of
     * two snapshots (the X26 artifact — [[Profile.quantileSketches]] /
     * `quantile_rollup keepSketch`): per dimension cell, each side's

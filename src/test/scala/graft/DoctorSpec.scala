@@ -271,6 +271,32 @@ class DoctorSpec extends SparkSuite {
     assert(!outIvfOk.contains("knn_brute_force_regime"), outIvfOk)
   }
 
+  test("windowed-state pricing: a slide far under the window warns with both multipliers; a sane slide audits clean") {
+    // round-16 directive #5: DEPLOY's live-cells formula as a build-time
+    // finding — a 1-hour window sliding every 30 seconds with a 2-hour
+    // watermark keeps (2h + 1h)/30s = 360 window generations live per dims
+    // cell and writes each event into 120 cells; 15-minute slide (12
+    // generations) is the designed regime and must not warn
+    def spec(slide: String, planAudit: String = "") =
+      s"""{"id":"win-state","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |$planAudit
+         |"transform":[{"op":"distinct_rollup","groupColumns":["event_type"],
+         |  "column":"user_id","timeColumn":"ts","every":"1 hour",
+         |  "watermark":"2 hours","slide":"$slide"}],
+         |"outputTopic":{"enabled":true,"name":"win-state-out"}}""".stripMargin
+    val bad = write("win_state_bad.json",
+      spec("30 seconds", """"planAudit":"fail","""))
+    val (codeBad, outBad) = runDoctor(bad, sf())
+    assert(codeBad == 1, outBad)
+    assert(outBad.contains("windowed_state_amplification") &&
+      outBad.contains("360") && outBad.contains("120"), outBad)
+    val ok = write("win_state_ok.json", spec("15 minutes", """"planAudit":"fail","""))
+    val (codeOk, outOk) = runDoctor(ok, sf())
+    assert(codeOk == 0, outOk)
+    assert(!outOk.contains("windowed_state_amplification"), outOk)
+  }
+
   test("knn stored-index preflight: a stale index warns with both counts named; a fresh one audits clean") {
     // round-16 directive #1c: the staleness story — the artifact's meta
     // pins the indexed corpus row count; a frame whose count diverged

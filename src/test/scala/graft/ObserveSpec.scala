@@ -92,6 +92,9 @@ class ObserveSpec extends SparkSuite {
       "x3_sql_knn" -> knnScan,
       "r28_spec_knn" -> knnScan,
       "r28_spec_knn_quantized" -> knnScan,
+      // the stored-index quantized route: the same scan class, sketch
+      // column read from the knn_index artifact
+      "r44_spec_knn_index" -> knnScan,
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

@@ -271,6 +271,10 @@ class PlanSpec extends SparkSuite {
       // expression (map-side projections, no join at all)
       "x3_knn_exact", "x3_knn_quantized", "x3_sql_knn",
       "r28_spec_knn", "r28_spec_knn_quantized",
+      // the stored-index quantized route: the same corpus-sized × broadcast-
+      // query-set not-equal scan as x3_knn_quantized, reading the int8
+      // sketch from the knn_index artifact instead of quantizing per call
+      "r44_spec_knn_index",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

@@ -290,6 +290,12 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       .write.mode("overwrite").parquet(s"$dir/summary_global.parquet")
     graft.operators.Drift.embeddingSummary(e, "embedding", Some("label"))
       .write.mode("overwrite").parquet(s"$dir/summary_grouped.parquet")
+    // a timestamped embeddings twin for the WINDOWED drift monitor (the
+    // real embeddings fixture carries no event time)
+    e.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "TIMESTAMP '2024-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, CAST(vec_id % 48 AS INT), 0, 0)"))
+      .write.mode("overwrite").parquet(s"$dir/emb_ts.parquet")
     dir.toString
   }
 
@@ -317,6 +323,21 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           summaryPath = Some(s"$artifactDir/$art.parquet"),
           embeddingColumns = Seq("embedding"),
           embeddingGroupBy = if (grouped) Some("label") else None)))
+    }
+
+  property("valid snapshot_drift windowed monitor analyzes (tumbling / sliding; bounds optional)") =
+    Prop.forAll(Gen.oneOf(Option.empty[String], Some("30 minutes")),
+        Gen.oneOf(false, true)) { (slide, bounded) =>
+      val res = new ParquetSourceResolver(artifactDir, TestdataCatalog)
+      val spec = simple("fz-windowed-drift", "emb_ts",
+        TransformOp(op = "snapshot_drift",
+          summaryPath = Some(s"$artifactDir/summary_global.parquet"),
+          embeddingColumns = Seq("embedding"),
+          timeColumn = Some("ts"), every = Some("1 hour"), slide = slide,
+          maxAbsDelta = if (bounded) Some(Map("centroid_shift" -> 0.5))
+            else None))
+      val df = Interpreter.build(spark, spec, res)
+      Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
     }
 
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
@@ -629,6 +650,18 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "snapshot_drift sketchPath without groupColumns/column" -> te(
         TransformOp(op = "snapshot_drift",
           sketchPath = Some("/nowhere/sketches.parquet"))),
+      "windowed snapshot_drift without summaryPath (the monitor needs a stored baseline)" ->
+        te(TransformOp(op = "snapshot_drift",
+          comparePath = Some("<dataDir>/embeddings.parquet"),
+          embeddingColumns = Seq("embedding"),
+          timeColumn = Some("ts"), every = Some("1 hour"))),
+      "windowed snapshot_drift with a scalar leg (embedding leg only)" ->
+        te(TransformOp(op = "snapshot_drift",
+          summaryPath = Some("/nowhere/summary.parquet"),
+          embeddingColumns = Seq("embedding"),
+          numericColumns = Seq("value"),
+          comparePath = Some("<dataDir>/events.parquet"),
+          timeColumn = Some("ts"), every = Some("1 hour"))),
       "snapshot_drift quantilePath without groupColumns/column" -> te(
         TransformOp(op = "snapshot_drift",
           quantilePath = Some("/nowhere/qsketches.parquet"),

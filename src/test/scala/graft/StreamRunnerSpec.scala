@@ -921,6 +921,71 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("windowed snapshot_drift MONITOR: per-window drift vs a stored baseline streams, " +
+      "equals the batch build across a restart, and flags violations as pass=false rows") {
+    // the X29 loop CLOSED on a stream: the stored baseline artifact is the
+    // old side, each (window) cell evaluates the four embedding-drift
+    // metrics the moment it refreshes (ONE VectorSumAgg stateful agg +
+    // a broadcast baseline join), and declared bounds surface as a pass
+    // COLUMN — a violating window must keep the query alive and mark its
+    // rows, never throw mid-batch
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_wdrift")
+    // baseline: two unit vectors, centroid (0.5, 0.5) — "crawl time"
+    graft.operators.Drift.embeddingSummary(
+        Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "emb"), "emb")
+      .write.mode("overwrite").parquet(s"$base/baseline")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"wdrift","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "summaryPath":"$base/baseline","embeddingColumns":["emb"],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours",
+         |  "maxAbsDelta":{"centroid_shift":0.5}}],
+         |"outputTopic":{"enabled":true,"name":"wdrift-out"}}""".stripMargin)
+    val cols = Seq("vec_id", "ts", "emb")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "metric"), Seq("n_new"), s"$base/ckpt")
+    // 10:00 cell tracks the baseline (shift small, passes); batch2 lands a
+    // late row back into 10:00 ACROSS the restart and opens an 11:00 cell
+    // pointing the other way (shift > 0.5 — the violating window)
+    val batch1 = Seq(
+      (1L, t(10, 5), Seq(1f, 0f)), (2L, t(10, 15), Seq(0f, 1f)))
+    val batch2 = Seq(
+      (3L, t(10, 40), Seq(1f, 1f)), (4L, t(11, 10), Seq(-1f, 0.2f)))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "col_name", "metric", "old_value",
+          "new_value", "delta", "n_new", "pass")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7))).toSet
+      val got = rows(spark.read.parquet(s"$base/table"))
+      val want = rows(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // the violating window flags, the tracking window passes — and the
+      // query survived to deliver both
+      val byCell = got.groupBy(r => (r._1, r._3))
+      assert(byCell((t(11, 0), "centroid_shift")).forall(!_._8),
+        s"the 11:00 shift must violate: $got")
+      assert(byCell((t(10, 0), "centroid_shift")).forall(_._8),
+        s"the 10:00 shift must pass: $got")
+      // the late 10:40 row was absorbed into the recovered 10:00 cell
+      assert(byCell((t(10, 0), "row_count")).forall(_._5 == 3.0), s"$got")
+    } finally q2.stop()
+  }
+
   test("windowed quantile_rollup: stream-maintained sketch table equals the " +
       "batch build across a checkpoint restart (X26 streaming maintenance)") {
     val ss = spark
