@@ -98,7 +98,13 @@ object ScalingBench {
     "x29_drift_heavy",
     // round-16 addition: the windowed summary-artifact build — cells are
     // (day × dim), so the claim is scan-bound like the drift legs
-    "x29_embed_summary_window")
+    "x29_embed_summary_window",
+    // round-17 additions: the windowed drift MONITOR (one VectorSumAgg
+    // buffer per day cell + literal baseline — must track the scan like
+    // the summary build it replaces) and the quantilePath drift route
+    // (two sketch passes + a ≤ cells-row rollup join — scan-bound)
+    "x29_windowed_drift",
+    "r45_spec_drift_quantile")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
