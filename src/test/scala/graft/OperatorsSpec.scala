@@ -786,6 +786,42 @@ class OperatorsSpec extends SparkSuite {
     assert(cats == Set("a"), s"null stratum leaked into the report: $cats")
   }
 
+  test("grouped windowed drift monitor: per-stratum cells match the snapshot form; a newborn stratum flags maximal shift (X29)") {
+    // the grouped monitor's batch form against a baseline built from the
+    // 8-cluster subset: for any single window holding ALL the data, each
+    // (window, label) cell must equal embeddingDriftByGroup's row for that
+    // label computed over the same populations — and labels 8/9 (absent
+    // from the baseline) are NEWBORN: old side 0, centroid_shift 2.0,
+    // pass=false under a shift bound while surviving labels pass
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+    val oldSide = emb.filter(col("label") < 8)
+    val baseline = graft.operators.Drift.embeddingSummary(
+      oldSide, "embedding", Some("label"))
+    val out = graft.operators.Drift.windowedEmbeddingDrift(
+        emb, "embedding", Some("label"),
+        org.apache.spark.sql.functions.window(col("ts"), "1 day"), baseline,
+        Map("centroid_shift" -> 0.5), Map.empty)
+      .collect().map(r => (r.getString(2), r.getString(3)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getBoolean(8))).toMap
+    val want = graft.operators.Drift.embeddingDriftByGroup(
+        oldSide, emb, "embedding", "label")
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out.keySet == want.keySet, s"cell sets diverged: ${out.keySet}")
+    want.foreach { case (k, (o, n, d)) =>
+      val (go, gn, gd, _) = out(k)
+      assert(go == o && gn == n && gd == d, s"cell $k diverged: " +
+        s"monitor ($go,$gn,$gd) vs snapshot form ($o,$n,$d)")
+    }
+    for (l <- Seq("8", "9")) {
+      assert(out(("centroid_shift", l))._3 == 2.0 && !out(("centroid_shift", l))._4,
+        s"newborn $l must flag maximal shift: ${out(("centroid_shift", l))}")
+    }
+    assert((0 to 7).forall(l => out(("centroid_shift", l.toString))._4),
+      "surviving strata must pass the shift bound")
+  }
+
   test("drift gate: a violated bound fails evaluation with a named violation; specific keys win (X29)") {
     val oldDf = spark.createDataFrame((0 until 1000)
       .map(i => (i, Some(if (i % 4 == 0) "a" else "b"))))
