@@ -670,10 +670,11 @@ case class TransformOp(
 
   /** Microseconds of `s` when it parses as a positive, month-free duration
     * (months are irregular — a tumbling window or watermark must be a
-    * fixed span); None otherwise. The ONE parse both the positivity and
-    * the slide-divisibility checks read from.
+    * fixed span); None otherwise (including the legal ZERO watermark). The
+    * ONE parse the positivity and slide-divisibility checks — and the
+    * Interpreter's windowed-state pricing — all read from.
     */
-  private def durationMicros(s: String): Option[Long] =
+  private[graft] def durationMicros(s: String): Option[Long] =
     try {
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))
@@ -957,8 +958,8 @@ case class TransformOp(
       require(comparePath.isDefined || !rescans,
         s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
           "parquet; the frame is the NEW snapshot) — only a purely " +
-          "artifact-backed declaration (summaryPath / sketchPath legs " +
-          "alone) may omit it")
+          "artifact-backed declaration (summaryPath / sketchPath / " +
+          "quantilePath legs alone) may omit it")
       // the converse trap: comparePath on a purely artifact-backed
       // declaration is NEVER read (the artifact legs are the whole point),
       // so a user declaring both would believe old raw data is being
@@ -966,7 +967,8 @@ case class TransformOp(
       require(comparePath.isEmpty || rescans,
         s"[$where] snapshot_drift comparePath is declared but NO leg " +
           "rescans old raw data (every declared leg is artifact-backed " +
-          "via summaryPath / sketchPath) — the path would never be read. " +
+          "via summaryPath / sketchPath / quantilePath) — the path " +
+          "would never be read. " +
           "Drop comparePath, or declare a rescanning leg " +
           "(numericColumns / categoricalColumns / heavyHitterColumns / " +
           "histograms, or embeddingColumns without summaryPath)")

@@ -764,10 +764,11 @@ case class PairCosine(left: Expression, right: Expression, table: VectorTable)
 
 /** Mutable elementwise-sum state for [[VectorSumAgg]]: a dense double
   * array grown to the widest vector seen (posexplode semantics — each
-  * vector contributes to the indices it has), plus the contributing-row
-  * count so an all-null group can eval to null instead of a zero vector.
+  * vector contributes to the indices it has); null until the first
+  * non-null input, which is how an all-null group evals to null instead
+  * of a zero vector.
   */
-final class VecSumBuffer(var sums: Array[Double], var n: Long) {
+final class VecSumBuffer(var sums: Array[Double]) {
   def add(v: ArrayData, isFloat: Boolean): Unit = {
     val len = v.numElements()
     if (sums == null) sums = new Array[Double](len)
@@ -777,9 +778,8 @@ final class VecSumBuffer(var sums: Array[Double], var n: Long) {
       sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
       i += 1
     }
-    n += 1
   }
-  def mergeIn(o: VecSumBuffer): Unit = {
+  def mergeIn(o: VecSumBuffer): Unit =
     if (o.sums != null) {
       if (sums == null) sums = o.sums.clone()
       else {
@@ -789,8 +789,6 @@ final class VecSumBuffer(var sums: Array[Double], var n: Long) {
         while (i < o.sums.length) { sums(i) += o.sums(i); i += 1 }
       }
     }
-    n += o.n
-  }
 }
 
 /** Per-dimension elementwise SUM of an array column as ONE native
@@ -826,7 +824,7 @@ case class VectorSumAgg(child: Expression,
     }
   private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer(null, 0L)
+  override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer(null)
 
   override def update(b: VecSumBuffer, input: InternalRow): VecSumBuffer = {
     val v = child.eval(input)
@@ -844,21 +842,21 @@ case class VectorSumAgg(child: Expression,
 
   override def serialize(b: VecSumBuffer): Array[Byte] = {
     val len = if (b.sums == null) -1 else b.sums.length
-    val bb = java.nio.ByteBuffer.allocate(12 + 8 * math.max(0, len))
-    bb.putInt(len); bb.putLong(b.n)
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * math.max(0, len))
+    bb.putInt(len)
     if (len > 0) b.sums.foreach(bb.putDouble)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val len = bb.getInt; val n = bb.getLong
-    if (len < 0) new VecSumBuffer(null, n)
+    val len = bb.getInt
+    if (len < 0) new VecSumBuffer(null)
     else {
       val a = new Array[Double](len)
       var i = 0
       while (i < len) { a(i) = bb.getDouble; i += 1 }
-      new VecSumBuffer(a, n)
+      new VecSumBuffer(a)
     }
   }
 

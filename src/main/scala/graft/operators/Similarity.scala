@@ -404,10 +404,16 @@ object Similarity extends Logging {
           s"buildIndex nAssign must be in [1, nCells], got $nAssign")
         val cents = kmeansCentroids(corpus.select(col(idCol), col(vecCol)),
           idCol, vecCol, nCells).map(_.toSeq).toSeq
-        // kmeans yields min(nCells, distinct sample vectors) — store what
-        // was actually trained (the ivfTopK clamp convention)
-        AnnIndexMeta("ivf", theDim, n, Some(cents.length),
-          Some(math.min(nAssign, cents.length)), None, None, None, Some(cents))
+        // meta stores the DECLARED geometry (what the user asked for and
+        // what a consuming knn's preflight compares against); the trained
+        // state speaks for itself via vectors.length. kmeans may clamp to
+        // fewer centroids on a degenerate corpus — storing the clamped
+        // numbers would (a) fail the preflight against the very values the
+        // user declared and (b) make indexedTopK's auto-nProbe derive from
+        // the clamped count where ivfTopK derives from the declared one,
+        // breaking stored == rebuilt
+        AnnIndexMeta("ivf", theDim, n, Some(nCells),
+          Some(nAssign), None, None, None, Some(cents))
       case "lsh" =>
         require(nTables >= 1 && planesPerTable >= 1 && planesPerTable <= 31,
           "buildIndex method=lsh needs nTables >= 1 and planesPerTable in [1, 31]")
@@ -421,14 +427,28 @@ object Similarity extends Logging {
           "has no index to store — the scan is the plan)")
     }
     val idxDir = s"$indexPath/index.parquet"
+    // REBUILD crash ordering: retract the meta BEFORE touching postings —
+    // from this instant the path reads as "no index here" (readIndexMeta
+    // fails loudly), so a build killed at ANY point can never leave an old
+    // meta paired with new postings (old centroids resolving cells against
+    // a new partition domain would return silently wrong neighbors). The
+    // meta is re-written LAST below; an in-place rebuild is therefore
+    // destructive while it runs — build to a fresh path and swap for
+    // zero-downtime republishes.
+    val metaHadoopPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.parquet")
+    metaHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(metaHadoopPath, true)
     method match {
       case "quantized" =>
         c.select(col("id"), VectorFunctions.quantize_vec(col("vec")).as("q"),
             col("vec"))
           .write.mode("overwrite").parquet(idxDir)
       case "ivf" =>
+        // assignment clamps to the trained centroid count exactly like
+        // ivfTopK (fewer cells than declared just means probing all of them)
+        val assignN = math.min(meta.n_assign.get, meta.vectors.get.length)
         val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
-            col("vec"), meta.vectors.get, meta.n_assign.get)))
+            col("vec"), meta.vectors.get, assignN)))
           .select(col("cell"), col("id"), col("vec"))
           .write.mode("overwrite")
         (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("cell") else w)
@@ -520,8 +540,12 @@ object Similarity extends Logging {
       case "ivf" =>
         val cents = meta.vectors.get.map(_.toSeq)
         val kk = cents.length
+        // auto-nProbe derives from the DECLARED nCells (meta.n_cells) then
+        // clamps to the trained count — the exact arithmetic ivfTopK runs,
+        // so stored == rebuilt holds even when kmeans clamped the grid
         val probeN = math.min(
-          if (nProbe > 0) nProbe else math.max(4, math.ceil(kk / 3.0).toInt), kk)
+          if (nProbe > 0) nProbe
+          else math.max(4, math.ceil(meta.n_cells.get / 3.0).toInt), kk)
         val probed = q.withColumn("cell",
             explode(VectorFunctions.nearest_cells(col("qv"), cents, probeN)))
           .select(col("query_id"), col("qv"), col("cell"))
@@ -551,9 +575,15 @@ object Similarity extends Logging {
 }
 
 /** Geometry + provenance of a stored ANN index (ONE parquet row under
-  * `indexPath/meta.parquet`). `vectors` carries the data-dependent state
-  * whose reuse is the artifact's whole point — trained centroids (ivf) or
-  * generated hyperplanes (lsh); absent for quantized (the int8 codes in the
+  * `indexPath/meta.parquet`). `n_cells`/`n_assign`/`n_tables`/
+  * `planes_per_table`/`seed` are the DECLARED geometry — what the user
+  * asked for, what a consuming knn's preflight compares declared values
+  * against, and what auto-sizing arithmetic derives from; the trained
+  * state's actual extent speaks for itself via `vectors.length` (kmeans
+  * may clamp below the declared nCells on a degenerate corpus).
+  * `vectors` carries the data-dependent state whose reuse is the
+  * artifact's whole point — trained centroids (ivf) or generated
+  * hyperplanes (lsh); absent for quantized (the int8 codes in the
   * postings ARE the state). `n_rows` is the indexed corpus row count, the
   * staleness reference the knn preflight compares against.
   */

@@ -129,15 +129,6 @@ object Interpreter extends Logging {
     * planAudit gate composes it, and the operator still runs (its own
     * runtime warning names the same trap).
     */
-  /** Month-free duration → microseconds for the windowed-state pricing;
-    * spec.validate has already guaranteed these parse positive.
-    */
-  private def micros(s: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    iv.days * 86_400_000_000L + iv.microseconds
-  }
-
   private def specAudit(df: DataFrame, t: TransformOp,
       dataDir: Option[String], specId: String)
       : Seq[graft.observe.PlanAudit.Finding] = t.op match {
@@ -155,9 +146,13 @@ object Interpreter extends Logging {
         !t.windowType.contains("session") &&
         Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
           "embedding_summary", "snapshot_drift")(op) =>
-      val everyUs = micros(t.every.get)
-      val slideUs = t.slide.map(micros).getOrElse(everyUs)
-      val wmUs = t.watermark.map(micros).getOrElse(0L)
+      // ONE duration parse (TransformOp.durationMicros — the same one the
+      // validator's positivity/divisibility checks read); spec.validate has
+      // guaranteed every/slide parse positive, and a declared ZERO
+      // watermark legitimately parses to None → 0
+      val everyUs = t.durationMicros(t.every.get).get
+      val slideUs = t.slide.flatMap(t.durationMicros).getOrElse(everyUs)
+      val wmUs = t.watermark.flatMap(t.durationMicros).getOrElse(0L)
       val generations = (wmUs + everyUs).toDouble / slideUs
       val cellsPerEvent = everyUs.toDouble / slideUs
       if (generations <= WindowGenerationsWarn) Nil
@@ -597,6 +592,13 @@ object Interpreter extends Logging {
     chk("nTables", t.nTables, meta.n_tables)
     chk("planesPerTable", t.planesPerTable, meta.planes_per_table)
     chk("dim", t.dim, Some(meta.dim))
+    // seed is geometry too: an lsh index searched with different
+    // hyperplanes than the user believes pins it is the same silent
+    // divergence as a wrong nTables
+    t.seed.foreach(v => require(meta.seed.contains(v),
+      s"[$specId] knn seed=$v does not match the stored index at '$path' " +
+        s"(built with seed=${meta.seed.fold("none")(_.toString)}) — drop " +
+        "seed (the artifact pins it) or rebuild with knn_index"))
     meta
   }
 
@@ -1227,7 +1229,8 @@ object Interpreter extends Logging {
         case "lsh" =>
           graft.operators.Similarity.lshTopK(corpus, queries, idC, vecC, kk,
             dim = t.dim.get, nTables = t.nTables.getOrElse(16),
-            planesPerTable = t.planesPerTable.getOrElse(4))
+            planesPerTable = t.planesPerTable.getOrElse(4),
+            seed = t.seed.getOrElse(42L))
       }
       // a neighbor list is keyed by its query (aggregation-output
       // semantics, same rule as top_k's group key)

@@ -1054,6 +1054,59 @@ class OperatorsSpec extends SparkSuite {
     assert(bad.getMessage.contains("knn_index"), bad.getMessage)
   }
 
+  test("stored ANN index degenerate cases: clamped kmeans keeps stored == rebuilt; a killed rebuild reads as no-index") {
+    // (1) a corpus with fewer distinct vectors than the declared nCells:
+    // kmeans clamps the trained grid, and BOTH routes must derive their
+    // auto-nProbe from the DECLARED nCells then clamp — deriving from the
+    // clamped count made stored != rebuilt here (round-17 review)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 2)
+    val base = tempDirPath("graft_ann_degenerate").toString
+    graft.operators.Similarity.buildIndex(e, "vec_id", "embedding", "ivf",
+      s"$base/tiny", nCells = 16, nAssign = 2)
+    val meta = graft.operators.Similarity.readIndexMeta(spark, s"$base/tiny")
+    assert(meta.n_cells.contains(16) && meta.vectors.exists(_.length <= 8),
+      s"meta must pin the DECLARED geometry: $meta")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(graft.operators.Similarity.indexedTopK(q, "vec_id",
+        "embedding", 5, s"$base/tiny")) ==
+      rows(graft.operators.Similarity.ivfTopK(e, q, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 0, nAssign = 2)),
+      "clamped-grid stored route diverged from the direct path")
+    // (2) the rebuild crash window: the meta is retracted BEFORE postings
+    // are touched, so any point of death leaves "no index here" — never an
+    // old meta over new postings (silently wrong neighbors)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$base/tiny/meta.parquet")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaPath, true) // what a killed rebuild leaves behind
+    val dead = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.readIndexMeta(spark, s"$base/tiny")
+    }
+    assert(dead.getMessage.contains("no readable meta.parquet"), dead.getMessage)
+  }
+
+  test("windowed drift monitor vs an EMPTY baseline artifact: every cell newborn, no crash") {
+    // a zero-row summary still yields one null global-aggregate row — the
+    // monitor must degrade to the zero baseline (row_count old 0, shift
+    // 2.0), not NPE at build (round-17 review)
+    val ss = spark
+    import ss.implicits._
+    val empty = graft.operators.Drift.embeddingSummary(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "emb"), "emb")
+    val data = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"),
+      Seq(1f, 0f))).toDF("vec_id", "ts", "emb")
+    val out = graft.operators.Drift.windowedEmbeddingDrift(
+        data, "emb", None,
+        org.apache.spark.sql.functions.window(col("ts"), "1 day"), empty)
+      .collect().map(r => r.getString(2) -> (r.getDouble(3), r.getDouble(5))).toMap
+    assert(out("row_count") == (0.0, 1.0) && out("centroid_shift")._2 == 2.0,
+      s"empty baseline must read as all-newborn: $out")
+  }
+
   test("LSH ANN emits each (query, neighbor) at most once and at most k rows per query") {
     // a pair can collide in several tables — the distinct-pairs heap must
     // collapse it inside the partial aggregate
