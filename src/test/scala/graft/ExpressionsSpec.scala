@@ -117,6 +117,40 @@ class ExpressionsSpec extends SparkSuite {
     assert(!nc.isNullAt(0) && nc.getSeq[Long](0).sorted == Seq(0L, 1L))
   }
 
+  test("vec_sum aggregates per-dimension sums; nulls skipped; ragged vectors contribute their indices; all-null group is null") {
+    val ss = spark
+    import ss.implicits._
+    // mixed lengths + a null: posexplode semantics — each vector adds to
+    // the indices it has, the null row adds nothing
+    val df = Seq(
+      (1L, Some(Seq(1.0, 2.0))),
+      (1L, Some(Seq(10.0, 20.0, 30.0))),
+      (1L, None: Option[Seq[Double]]),
+      (2L, None: Option[Seq[Double]])).toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(graft.functions.VectorFunctions.vec_sum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)).toMap
+    assert(out(1L).contains(Seq(11.0, 22.0, 30.0)), out.toString)
+    assert(out(2L).isEmpty, "an all-null group must eval to null, not zeros")
+    // float input path (the storage element type) sums in double
+    val f = Seq((Seq(1.5f, 2.5f)), (Seq(0.5f, 0.5f))).toDF("v")
+      .agg(graft.functions.VectorFunctions.vec_sum(col("v")).as("s"))
+      .head().getSeq[Double](0)
+    assert(f == Seq(2.0, 3.0), f.toString)
+    // merge across partitions agrees with the single-partition fold
+    val big = spark.range(0, 1000, 1, 8)
+      .select((col("id") % 3).as("g"),
+        array(col("id").cast("double"), lit(1.0)).as("v"))
+    val merged = big.groupBy("g")
+      .agg(graft.functions.VectorFunctions.vec_sum(col("v")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val want = (0L to 2L).map(g => g ->
+      Seq((0L until 1000L).filter(_ % 3 == g).map(_.toDouble).sum,
+        (0L until 1000L).count(_ % 3 == g).toDouble)).toMap
+    assert(merged == want, s"partial-merge diverged: $merged")
+  }
+
   test("GraftExtensions injects every builder into SparkSessionExtensions without error") {
     // the spark.sql.extensions path a CLUSTER user configures — a bad
     // ExpressionInfo or FunctionIdentifier construction would throw at
