@@ -701,6 +701,38 @@ object Queries {
         "old_value", "new_value", "delta")
   }
 
+  /** Declarative INCREMENTAL near-dup screen (X2's stored-artifact route
+    * through pure config): publish time writes the corpus's shingle_index
+    * artifact (here the low-doc-id 4/5, the deterministic stand-in for
+    * the existing history); ingest time screens the new batch against it
+    * via dedup_near `historyPath` — the history is never re-tokenized,
+    * and the result hash-matches the x2_incremental_novel oracle because
+    * the stored shingle sets are exactly what jaccardPairsBetween builds
+    * internally. The new batch rides in as its own stored table (the r42
+    * artifact-as-source-topic pattern — an ingest batch IS its own table).
+    */
+  def r46SpecIncrementalScreen(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$base/doc_shingles.parquet")
+    docs.filter(col("doc_id") >= cut)
+      .write.mode("overwrite").parquet(s"$base/docs_new.parquet")
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"incremental-screen","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard",
+         |  "column":"text","idColumn":"doc_id",
+         |  "shingleSize":3,"threshold":0.8,
+         |  "historyPath":"$base/doc_shingles.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"novel-docs"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, spec,
+        new ParquetSourceResolver(base, TestdataCatalog)))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Declarative STORED ANN index — the r44 family's hash-exact member:
     * crawl time builds the quantized index artifact through config
     * (knn_index writes int8 codes + vectors under indexPath), query time
@@ -3833,6 +3865,10 @@ object Queries {
       // so reading the int8 sketch from the knn_index artifact instead of
       // quantizing per call still hash-matches the exact oracle
       ("r44_spec_knn_index" -> oracles0("x3_knn_exact")) +
+      // the stored-shingle incremental screen reproduces the from-raw
+      // cross-snapshot novelty filter exactly (the artifact IS the frame
+      // jaccardPairsBetween builds internally)
+      ("r46_spec_incremental_screen" -> oracles0("x2_incremental_novel")) +
       // declarative resample / profile must hash-match their code paths
       // (r29_spec_quantiles is rows-only: sketch estimates, rank-pinned)
       ("r29_spec_resample" -> oracles0("x20_resample")) +
@@ -3998,6 +4034,7 @@ object Queries {
     "r44_spec_knn_index" -> r44SpecKnnIndex _,
     "r44_spec_knn_ivf_stored" -> r44SpecKnnIvfStored _,
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
+    "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -614,7 +614,15 @@ case class TransformOp(
     // query-time knob. seed pins the lsh hyperplane generation.
     indexPath: Option[String] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    seed: Option[Long] = None) {
+    seed: Option[Long] = None,
+    // incremental near-dup screening (X2's stored-artifact discipline):
+    // historyPath points dedup_near (method=jaccard, batch) at the
+    // CORPUS's stored shingle_index artifact — the frame is the NEW
+    // ingest batch, screened for novelty against the history without
+    // re-tokenizing it; the artifact's shingle_size column must match the
+    // declared shingleSize (preflighted — mismatched shingle widths never
+    // collide, which would silently read as "everything is novel")
+    historyPath: Option[String] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -757,6 +765,11 @@ case class TransformOp(
       require(Set("jaccard", "embedding")(dm),
         s"[$where] dedup_near method '$dm' unknown " +
           "(supported: jaccard, embedding)")
+      require(historyPath.isEmpty || dm == "jaccard",
+        s"[$where] dedup_near historyPath (the stored shingle_index " +
+          "artifact) is the exact-Jaccard incremental screen — " +
+          "method=embedding has its own stored artifact (the knn_index " +
+          "machinery); drop historyPath or declare method=jaccard")
       if (dm == "embedding") {
         // column is the vector column; dim drives the hyperplane matrix
         require(dim.exists(_ >= 1),
@@ -774,6 +787,13 @@ case class TransformOp(
         require(maxBucketDocs.forall(_ >= 1),
           s"[$where] dedup_near maxBucketDocs must be >= 1")
       }
+    case "shingle_index" =>
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] shingle_index requires column (the text) and idColumn")
+      require(shingleSize.exists(_ >= 1),
+        s"[$where] shingle_index requires shingleSize >= 1 (the artifact " +
+          "pins it — the consuming dedup_near screen must declare the " +
+          "same width)")
     case "chunk" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] chunk requires column and idColumn")

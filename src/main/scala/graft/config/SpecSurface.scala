@@ -19,7 +19,8 @@ object SpecSurface {
     * Interpreter executes). Order is the documentation order.
     */
   val transformOps: Seq[String] = Seq(
-    "dedup_exact", "quality_filter", "redact_pii", "dedup_near", "chunk",
+    "dedup_exact", "quality_filter", "redact_pii", "dedup_near",
+    "shingle_index", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index", "resample",
     "profile",

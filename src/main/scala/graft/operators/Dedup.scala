@@ -262,6 +262,42 @@ object Dedup extends Logging {
     newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
   }
 
+  /** The STORED form of [[shingleFrame]] — the X2 history artifact the
+    * declarative incremental screen consumes (`shingle_index` op →
+    * dedup_near `historyPath`): the (id, sh, n) frame plus a constant
+    * `shingle_size` column pinning the geometry IN the artifact (the knn
+    * index's meta discipline folded into the frame itself, so any sink
+    * carries it and the consuming declaration can be refused on a
+    * mismatched shingleSize instead of silently screening with foreign
+    * shingles — hashed shingles of different widths never collide
+    * meaningfully, so a mismatch reads as "everything is novel").
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame =
+    shingleFrame(docs, idCol, textCol, shingleSize, tokenize)
+      .withColumn("shingle_size", lit(shingleSize))
+
+  /** [[incrementalNovel]] against a PREPARED history frame (a stored
+    * [[shingleIndex]] read back, `shingle_size` dropped — or any
+    * [[shingleFrame]]-shaped storage-backed frame): only the NEW batch is
+    * tokenized here; the history corpus is never re-shingled — at 100 TB
+    * the history is tokenized ONCE at publish time, not once per ingest
+    * cycle (the same build-once-reuse economics as the stored ANN index).
+    * Ids must be disjoint across batch and history.
+    */
+  def incrementalNovelPrepared(newDocs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int, threshold: Double,
+      oldFrame: DataFrame,
+      tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
+    val newPrepped = registerCache(
+      shingleFrame(newDocs, idCol, textCol, shingleSize, tokenize)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dup = jaccardPairsBetweenPrepared(newPrepped, oldFrame, threshold)
+      .select(col("new_id"))
+    newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
+  }
+
   /** Prefix-filtered all-pairs Jaccard join over a `(id, sh, n)` frame of
     * SORTED distinct shingle-hash arrays (the caller persists it — four
     * subtrees below read it).

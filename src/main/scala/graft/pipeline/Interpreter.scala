@@ -561,6 +561,36 @@ object Interpreter extends Logging {
     df
   }
 
+  /** Config-grade preflight for a stored [[graft.operators.Dedup.shingleIndex]]
+    * artifact: the shingle-frame columns must be present, and the
+    * artifact's pinned `shingle_size` must equal the declared one —
+    * hashed shingles of different widths never meaningfully collide, so a
+    * mismatch would silently screen NOTHING (every doc "novel"). An empty
+    * artifact (no rows to read the pin from) legitimately screens against
+    * an empty history.
+    */
+  private def readShingleArtifact(spark: SparkSession, path: String,
+      declared: Int, specId: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = Seq("id", "sh", "n", "shingle_size")
+      .filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[$specId] historyPath '$path' is not a shingle_index artifact: " +
+        s"missing column(s) ${missing.mkString(", ")} (found: " +
+        s"${df.columns.mkString(", ")}). Build the history artifact with " +
+        "the shingle_index op (or Dedup.shingleIndex) at publish time")
+    df.select("shingle_size").limit(1).collect().headOption.foreach { r =>
+      val stored = r.getInt(0)
+      require(stored == declared,
+        s"[$specId] dedup_near shingleSize=$declared does not match " +
+          s"historyPath '$path' (built with shingle_size=$stored) — " +
+          "declare shingleSize=" + stored + ", or rebuild the artifact " +
+          "with shingle_index (mismatched shingle widths never collide: " +
+          "the screen would silently pass everything as novel)")
+    }
+    df
+  }
+
   /** Config-grade preflight for a stored ANN index: the artifact must
     * exist and be an index meta (readIndexMeta's own errors), the declared
     * method must be the stored one, and any DECLARED geometry must match
@@ -634,6 +664,10 @@ object Interpreter extends Logging {
         "streaming dedup_near supports method=jaccard only (the embedding " +
           "path's multi-table hyperplane index and exact-route decision " +
           "are batch constructs); dedup the stored batch snapshot instead")
+      require(t.historyPath.isEmpty,
+        "streaming dedup_near keeps its own keyed-state LSH history — " +
+          "historyPath (the stored shingle_index screen) is the BATCH " +
+          "incremental form; screen the stored ingest batch instead")
       // same EXPLICIT unbounded-state posture as streaming dedup_exact —
       // and the commitment here is heavier: the LSH index holds
       // 8 + 8*numHashes bytes PER DOC (signature + id), not one Boolean
@@ -669,6 +703,18 @@ object Interpreter extends Logging {
       if (df.columns.contains(KeyCol))
         matches.withColumn(KeyCol, col(t.idColumn.get))
       else matches
+    case "dedup_near" if t.historyPath.isDefined =>
+      // the INCREMENTAL screen (X2's stored-artifact route): the frame is
+      // the NEW ingest batch, historyPath the corpus's stored shingle_index
+      // — only the batch is tokenized; the history is never re-shingled
+      // (the knn indexPath economics for text dedup). Row-PRESERVING: the
+      // novel survivors pass through with their record key.
+      val p = resolvePath(t.historyPath.get, dataDir, specId)
+      val hist = readShingleArtifact(df.sparkSession, p, t.shingleSize.get,
+        specId)
+      graft.operators.Dedup.incrementalNovelPrepared(df, t.idColumn.get,
+        t.column.get, t.shingleSize.get, t.threshold.get,
+        hist.drop("shingle_size"))
     case "dedup_near" =>
       // the frame feeds pair generation AND the representative anti-join —
       // persist it for the double consumption (the x14 measured win) and
@@ -689,6 +735,22 @@ object Interpreter extends Logging {
           t.idColumn.get, t.column.get,
           shingleSize = t.shingleSize.get, threshold = t.threshold.get)
       graft.operators.Dedup.keepRepresentatives(persisted, t.idColumn.get, pairs)
+    case "shingle_index" =>
+      // the crawl/publish-time BUILD verb of the incremental-screen loop
+      // (embedding_summary's REPLACE-the-rows convention): the row set
+      // becomes the (id, sh, n, shingle_size) history artifact — sink it
+      // next to the corpus and every later ingest batch screens against
+      // it via dedup_near historyPath without re-tokenizing the history
+      require(!df.isStreaming,
+        "shingle_index is batch-only (it snapshots a complete corpus's " +
+          "shingle sets; the streaming ingest screen is dedup_near's " +
+          "keyed-state form)")
+      val result = graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
+        t.column.get, t.shingleSize.get)
+      // one artifact row per doc — keyed by the doc id (compacted-topic
+      // semantics)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("id"))
+      else result
     case "chunk" =>
       graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
         t.size.get, t.stride.get, carryCols = keyCarry(df))

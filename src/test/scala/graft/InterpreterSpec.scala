@@ -1071,6 +1071,66 @@ class InterpreterSpec extends SparkSuite {
       bad.getMessage.contains("sketch"), bad.getMessage)
   }
 
+  test("declarative incremental-screen loop: shingle_index writes the artifact that dedup_near historyPath consumes") {
+    // publish time: ONE spec snapshots the corpus's shingle sets; ingest
+    // time: ONE spec screens the new batch for novelty against it — the
+    // history is never re-tokenized (r46 family)
+    val dir = tempDirPath("graft_shingle_loop").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1L) * 4L / 5L
+    docs.filter(col("doc_id") < cut)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") >= cut)
+      .write.mode("overwrite").parquet(s"$dir/docs_new.parquet")
+    val res = new ParquetSourceResolver(dir, TestdataCatalog)
+    val art = graft.pipeline.Interpreter.values(
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        """{"id":"publish-shingles","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+          |"transform":[{"op":"shingle_index","column":"text",
+          |  "idColumn":"doc_id","shingleSize":3}],
+          |"outputTopic":{"enabled":true,"name":"shingle-artifact"}}""".stripMargin),
+        res))
+    assert(art.columns.toSeq == Seq("id", "sh", "n", "shingle_size"))
+    art.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+    def screen(extra: String) = PipelineSpec.fromJson(
+      s"""{"id":"screen-batch","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard","column":"text",
+         |  "idColumn":"doc_id","threshold":0.8,
+         |  "historyPath":"$dir/shingles.parquet"$extra}],
+         |"outputTopic":{"enabled":true,"name":"novel-out"}}""".stripMargin)
+    val novel = graft.pipeline.Interpreter.build(spark,
+        screen(""","shingleSize":3"""), res)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = graft.operators.Dedup.incrementalNovel(
+        docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut),
+        "doc_id", "text", shingleSize = 3, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel == direct && novel.nonEmpty,
+      s"stored-history screen kept ${novel.size}, direct ${direct.size}")
+    // a mismatched shingle width is refused with both values named — it
+    // would silently pass EVERYTHING as novel
+    val mismatch = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, screen(""","shingleSize":5"""), res)
+    }
+    assert(mismatch.getMessage.contains("shingleSize=5") &&
+      mismatch.getMessage.contains("shingle_size=3"), mismatch.getMessage)
+    // a non-artifact parquet is refused with the build hint named
+    val bad = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"screen-bad","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"dedup_near","method":"jaccard","column":"text",
+           |  "idColumn":"doc_id","shingleSize":3,"threshold":0.8,
+           |  "historyPath":"$dir/docs_new.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"screen-bad-out"}}""".stripMargin),
+        res)
+    }
+    assert(bad.getMessage.contains("not a shingle_index artifact"),
+      bad.getMessage)
+  }
+
   test("declarative ANN index loop: knn_index writes the artifact that knn indexPath searches") {
     // crawl time: ONE spec trains and stores the index; query time: ONE
     // spec searches it — no re-training, no corpus re-hash, the whole X3

@@ -200,6 +200,25 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           nCells = if (method == "ivf") Some(8) else None)))
     }
 
+  property("valid shingle_index analyzes; the stored artifact screens via dedup_near historyPath") =
+    Prop.forAll(Gen.chooseNum(2, 4)) { k =>
+      // build half the loop per case: the artifact frame analyzes, and a
+      // screen declaration against a real stored artifact builds too
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_shingles").toString
+      graft.operators.Dedup.shingleIndex(
+          spark.read.parquet(docsParquet), "doc_id", "text", k)
+        .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      analyzes(simple("fz-shingle-screen", "documents",
+        TransformOp(op = "dedup_near", method = Some("jaccard"),
+          column = Some("text"), idColumn = Some("doc_id"),
+          shingleSize = Some(k), threshold = Some(0.8),
+          historyPath = Some(s"$dir/shingles.parquet")))) &&
+      analyzes(simple("fz-shingle-index", "documents",
+        TransformOp(op = "shingle_index", column = Some("text"),
+          idColumn = Some("doc_id"), shingleSize = Some(k))))
+    }
+
   property("valid knn_index analyzes (all three storable methods)") =
     // knn_index is EAGER by design (the write is the op) — each case
     // trains/writes a real index over the sf0.001 fixture, so this
@@ -612,6 +631,14 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "knn nonpositive nProbe" -> te(TransformOp(op = "knn",
         column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
         queryPath = Some(embParquet), method = Some("ivf"), nProbe = Some(0))),
+      "shingle_index without shingleSize (the artifact pins it)" -> te(
+        TransformOp(op = "shingle_index", column = Some("text"),
+          idColumn = Some("doc_id"))),
+      "dedup_near historyPath with method=embedding (jaccard-only screen)" ->
+        te(TransformOp(op = "dedup_near", method = Some("embedding"),
+          column = Some("embedding"), idColumn = Some("vec_id"),
+          dim = Some(64), threshold = Some(0.8),
+          historyPath = Some("/nowhere/shingles.parquet"))),
       "knn_index without indexPath" -> te(TransformOp(op = "knn_index",
         method = Some("quantized"), column = Some("embedding"),
         idColumn = Some("vec_id"))),
