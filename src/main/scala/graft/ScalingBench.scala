@@ -104,7 +104,11 @@ object ScalingBench {
     // the summary build it replaces) and the quantilePath drift route
     // (two sketch passes + a ≤ cells-row rollup join — scan-bound)
     "x29_windowed_drift",
-    "r45_spec_drift_quantile")
+    "r45_spec_drift_quantile",
+    // round-17 addition: the stored-history incremental screen — new-batch
+    // tokenize + cross-set prefix join against the artifact; the history
+    // side is a scan, so the ratio must track the data
+    "r46_spec_incremental_screen")
 
   def main(args: Array[String]): Unit = {
     val sfSmall = args.lift(0).getOrElse("/root/testdata/sf0.1")
