@@ -105,9 +105,14 @@ object ScalingBench {
     // (two sketch passes + a ≤ cells-row rollup join — scan-bound)
     "x29_windowed_drift",
     "r45_spec_drift_quantile",
-    // round-17 addition: the stored-history incremental screen — new-batch
-    // tokenize + cross-set prefix join against the artifact; the history
-    // side is a scan, so the ratio must track the data
+    // round-17 addition: the incremental-screen LOOP — by the fixture-
+    // rebuild discipline the timed query REBUILDS the shingle artifact
+    // each call, so this row measures publish (history tokenize + write)
+    // PLUS the screen (new-batch tokenize + cross-set prefix join), both
+    // of which must track the data; a regression isolated to the screen's
+    // join hides behind the publish term here — the screen path's own
+    // linearity rides the same prefixVerifiedPairs machinery that
+    // x2_jaccard_pairs scales above
     "r46_spec_incremental_screen")
 
   def main(args: Array[String]): Unit = {

@@ -775,7 +775,12 @@ final class VecSumBuffer(var sums: Array[Double]) {
     else if (len > sums.length) sums = java.util.Arrays.copyOf(sums, len)
     var i = 0
     while (i < len) {
-      sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      // null ELEMENTS skip their index — exactly posexplode + sum(v)
+      // semantics (sum skips nulls); without the guard the behavior
+      // forked by physical row format (GenericArrayData NPE'd,
+      // UnsafeArrayData silently added 0.0)
+      if (!v.isNullAt(i))
+        sums(i) += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
       i += 1
     }
   }

@@ -579,8 +579,27 @@ object Interpreter extends Logging {
         s"missing column(s) ${missing.mkString(", ")} (found: " +
         s"${df.columns.mkString(", ")}). Build the history artifact with " +
         "the shingle_index op (or Dedup.shingleIndex) at publish time")
-    df.select("shingle_size").limit(1).collect().headOption.foreach { r =>
-      val stored = r.getInt(0)
+    // the pin is checked over the artifact's DISTINCT widths, not one
+    // sampled row: the natural publish loop APPENDS each ingest's novel
+    // shingles, and one mis-widthed append would otherwise hide behind a
+    // lucky sample while its rows silently never collide. Cast-tolerant
+    // (a hand-built artifact may carry BIGINT or null shingle_size —
+    // those must surface as this config error, not a ClassCastException).
+    val widths = df.select(col("shingle_size").cast("int").as("w"))
+      .distinct().limit(3).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    require(!widths.contains(None),
+      s"[$specId] historyPath '$path' carries null (or non-numeric) " +
+        "shingle_size values — the artifact's width pin is unreadable; " +
+        "rebuild it with the shingle_index op")
+    val distinctW = widths.flatten.toSeq.sorted
+    require(distinctW.size <= 1,
+      s"[$specId] historyPath '$path' mixes shingle widths " +
+        s"(${distinctW.mkString(", ")}) — an appended publish used a " +
+        "different shingleSize, and its rows can never collide with the " +
+        "batch's shingles (they would silently screen as novel). Rebuild " +
+        "the artifact at one width")
+    distinctW.headOption.foreach { stored =>
       require(stored == declared,
         s"[$specId] dedup_near shingleSize=$declared does not match " +
           s"historyPath '$path' (built with shingle_size=$stored) — " +

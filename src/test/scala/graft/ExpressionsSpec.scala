@@ -133,6 +133,16 @@ class ExpressionsSpec extends SparkSuite {
         Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Double]].toSeq)).toMap
     assert(out(1L).contains(Seq(11.0, 22.0, 30.0)), out.toString)
     assert(out(2L).isEmpty, "an all-null group must eval to null, not zeros")
+    // null ELEMENTS skip their index (posexplode + sum(v) semantics) —
+    // and identically across physical row formats (GenericArrayData from
+    // a local Seq vs UnsafeArrayData after an exchange used to diverge)
+    val withNullElems = Seq(
+      (Seq[java.lang.Double](1.0, null)), (Seq[java.lang.Double](2.0, 5.0)))
+      .toDF("v").withColumn("v", col("v").cast("array<double>"))
+    val ne = withNullElems
+      .agg(graft.functions.VectorFunctions.vec_sum(col("v")).as("s"))
+      .head().getSeq[Double](0)
+    assert(ne == Seq(3.0, 5.0), s"null elements must skip their index: $ne")
     // float input path (the storage element type) sums in double
     val f = Seq((Seq(1.5f, 2.5f)), (Seq(0.5f, 0.5f))).toDF("v")
       .agg(graft.functions.VectorFunctions.vec_sum(col("v")).as("s"))

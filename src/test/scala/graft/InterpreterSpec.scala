@@ -1129,6 +1129,25 @@ class InterpreterSpec extends SparkSuite {
     }
     assert(bad.getMessage.contains("not a shingle_index artifact"),
       bad.getMessage)
+    // a MIXED-width artifact (a mis-widthed append into the publish loop)
+    // is refused even when a lucky sample would have matched the declared
+    // width — the foreign-width rows would silently screen as novel
+    spark.read.parquet(s"$dir/shingles.parquet")
+      .unionByName(graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text", 5))
+      .write.mode("overwrite").parquet(s"$dir/shingles_mixed.parquet")
+    val mixed = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"screen-mixed","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"dedup_near","method":"jaccard","column":"text",
+           |  "idColumn":"doc_id","shingleSize":3,"threshold":0.8,
+           |  "historyPath":"$dir/shingles_mixed.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"screen-mixed-out"}}""".stripMargin),
+        res)
+    }
+    assert(mixed.getMessage.contains("mixes shingle widths") &&
+      mixed.getMessage.contains("3, 5"), mixed.getMessage)
   }
 
   test("declarative ANN index loop: knn_index writes the artifact that knn indexPath searches") {
