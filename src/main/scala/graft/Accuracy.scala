@@ -462,6 +462,95 @@ object Accuracy {
         0.85, recall >= 0.85))
   }
 
+  private def ranked3(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def checkKnnLshStored: Check = (spark, dir) => {
+    // the r47 stored-LSH contract, mirroring r44's ivf row: (1) the search
+    // against the STORED index reproduces the hash-per-call path EXACTLY
+    // (hyperplanes are seed-pinned and data-independent); (2) recall@10 vs
+    // the exact sibling holds the 0.85 x3 bound; (3) the same exactness
+    // survives INCREMENTAL maintenance — build-half + append-half ==
+    // the full-corpus direct path (the r47 append contract's lsh member;
+    // quantized's is the r47_spec_knn_append hash oracle, ivf's the
+    // r47_spec_knn_ivf_append row).
+    val stored = ranked3(Queries.all("r47_spec_knn_lsh_stored")(spark, dir))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val rebuilt = ranked3(graft.operators.Similarity.lshTopK(
+      e, q, "vec_id", "embedding", 10, dim = 64,
+      nTables = 16, planesPerTable = 4))
+    val exact = Queries.all("x3_knn_exact")(spark, dir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree =
+      if (rebuilt.isEmpty) 0.0
+      else stored.intersect(rebuilt).size.toDouble / stored.union(rebuilt).size
+    val storedPairs = stored.map(t => (t._1, t._3))
+    val recall =
+      if (exact.isEmpty) 0.0
+      else storedPairs.intersect(exact).size.toDouble / exact.size
+    val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+    val base = s"${Queries.artifactBase(dir)}/lsh_append_check"
+    graft.operators.Similarity.buildIndex(e.filter(col("vec_id") < cut),
+      "vec_id", "embedding", "lsh", base,
+      nTables = 16, planesPerTable = 4, dim = 64)
+    graft.operators.Similarity.appendIndex(e.filter(col("vec_id") >= cut),
+      "vec_id", "embedding", base)
+    val appended = ranked3(graft.operators.Similarity.indexedTopK(
+      q, "vec_id", "embedding", 10, base))
+    val aAgree =
+      if (rebuilt.isEmpty) 0.0
+      else appended.intersect(rebuilt).size.toDouble /
+        appended.union(rebuilt).size
+    Seq(
+      Metric("stored_equals_rebuilt", "__all__", agree, exact.size.toLong,
+        1.0, stored.nonEmpty && stored == rebuilt),
+      Metric("recall_at_10_vs_exact", "__all__", recall, exact.size.toLong,
+        0.85, recall >= 0.85),
+      Metric("appended_equals_rebuilt", "__all__", aAgree, exact.size.toLong,
+        1.0, appended.nonEmpty && appended == rebuilt))
+  }
+
+  private def checkKnnIvfAppend: Check = (spark, dir) => {
+    // the r47 ivf append contract: the appended index keeps the ORIGINAL
+    // half-corpus centroids (no retraining — the artifact's whole point),
+    // so (1) at the default probe fraction recall@10 vs exact must still
+    // hold the 0.85 contract (partial-probe recall is the one quantity
+    // centroid quality can move), and (2) probing ALL cells must recover
+    // the exact neighbor set EXACTLY (assignment covers every appended
+    // row; a lost row would surface here regardless of centroid quality).
+    val got = Queries.all("r47_spec_knn_ivf_append")(spark, dir)
+    val gotPairs = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDf = Queries.all("x3_knn_exact")(spark, dir)
+    val exact = exactDf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall =
+      if (exact.isEmpty) 0.0
+      else gotPairs.intersect(exact).size.toDouble / exact.size
+    val base = s"${Queries.artifactBase(dir)}/knn_ivf_app"
+    val meta = graft.operators.Similarity.readIndexMeta(spark, base)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val probedAll = ranked3(graft.operators.Similarity.indexedTopK(
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", 10, base,
+      nProbe = meta.n_cells.get))
+    val exactRanked = ranked3(exactDf)
+    val fullAgree =
+      if (exactRanked.isEmpty) 0.0
+      else probedAll.intersect(exactRanked).size.toDouble /
+        probedAll.union(exactRanked).size
+    Seq(
+      Metric("recall_at_10_vs_exact", "ivf_appended", recall,
+        exact.size.toLong, 0.85, recall >= 0.85),
+      Metric("probed_all_equals_exact", "__all__", fullAgree,
+        exact.size.toLong, 1.0,
+        probedAll.nonEmpty && probedAll == exactRanked))
+  }
+
   // ------------------------------------------------- packing / fingerprint
 
   private def packMetrics(queryName: String): Check = (spark, dir) => {
@@ -543,6 +632,8 @@ object Accuracy {
     "x3_ann_ivf" -> annRecall("x3_ann_ivf"),
     "x3_ann_lsh" -> annRecall("x3_ann_lsh"),
     "r44_spec_knn_ivf_stored" -> checkKnnIndexStored,
+    "r47_spec_knn_lsh_stored" -> checkKnnLshStored,
+    "r47_spec_knn_ivf_append" -> checkKnnIvfAppend,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
     "x5_pack" -> packMetrics("x5_pack"),
     "r31_spec_pack" -> packMetrics("r31_spec_pack"),
@@ -694,6 +785,26 @@ object Accuracy {
          |SELECT 'recall_at_10_vs_exact', '__all__',
          |  ${countOf(Queries.oracles("x3_knn_exact"))},
          |  CAST(0.85 AS DOUBLE), true""".stripMargin,
+    "r47_spec_knn_lsh_stored" ->
+      s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,
+         |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
+         |  CAST(1.0 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'recall_at_10_vs_exact', '__all__',
+         |  ${countOf(Queries.oracles("x3_knn_exact"))},
+         |  CAST(0.85 AS DOUBLE), true
+         |UNION ALL
+         |SELECT 'appended_equals_rebuilt', '__all__',
+         |  ${countOf(Queries.oracles("x3_knn_exact"))},
+         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    "r47_spec_knn_ivf_append" ->
+      s"""SELECT 'recall_at_10_vs_exact' AS metric, 'ivf_appended' AS scope,
+         |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
+         |  CAST(0.85 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'probed_all_equals_exact', '__all__',
+         |  ${countOf(Queries.oracles("x3_knn_exact"))},
+         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "x5_pack" -> packOracle,
     "r31_spec_pack" -> packOracle,
     "x5_fingerprint" ->

@@ -563,7 +563,7 @@ object Queries {
     * the corpus scan that produces them) so stale content from an older
     * engine version can never poison a run.
     */
-  private def artifactBase(dir: String): String = {
+  private[graft] def artifactBase(dir: String): String = {
     val safe = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_artifacts", safe)
@@ -801,6 +801,126 @@ object Queries {
   private[graft] def ivfCellsFor(spark: SparkSession, dir: String): Int = {
     val n = math.max(1L, spark.read.parquet(s"$dir/embeddings.parquet").count())
     math.min(1024, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** Declarative INCREMENTAL index maintenance (r47, the round-17
+    * directive-#1 loop through pure config): crawl N builds the quantized
+    * index over the low-id half (knn_index, the half riding in as its own
+    * stored table — the r42/r46 pattern); crawl N+1 appends the new half
+    * (knn_index_append — assigned with the STORED codes, no retraining,
+    * one new posting generation, meta committed last); the stored-route
+    * search then hash-matches the x3 exact oracle over the FULL corpus —
+    * int8 codes are per-row state, so appended == rebuilt EXACTLY here.
+    * The ivf/lsh appended contracts are Accuracy.checkKnnAppend's rows.
+    */
+  def r47SpecKnnAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+    e.filter(col("vec_id") < cut)
+      .write.mode("overwrite").parquet(s"$base/emb_old.parquet")
+    e.filter(col("vec_id") >= cut)
+      .write.mode("overwrite").parquet(s"$base/emb_new.parquet")
+    def fromBase(json: String): DataFrame =
+      Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    fromBase(
+      s"""{"id":"build-index-crawl-n","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_old","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_app"}],
+         |"outputTopic":{"enabled":true,"name":"index-report"}}""".stripMargin)
+    fromBase(
+      s"""{"id":"append-crawl-n1","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_new","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_append",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_app"}],
+         |"outputTopic":{"enabled":true,"name":"append-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-appended-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_app"}],
+         |"outputTopic":{"enabled":true,"name":"knn-appended-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Declarative INCREMENTAL ivf maintenance (r47's accuracy-contract
+    * member): build over the low-id half with the √n geometry, append the
+    * new half with the STORED centroids (no retraining), search at the
+    * default probe fraction. Accuracy.checkKnnIvfAppend pins the 0.85
+    * recall contract AND that probing all cells recovers the exact
+    * neighbor set (no appended row can be lost, whatever the centroid
+    * quality) at every SF.
+    */
+  def r47SpecKnnIvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+    e.filter(col("vec_id") < cut)
+      .write.mode("overwrite").parquet(s"$base/emb_ivf_old.parquet")
+    e.filter(col("vec_id") >= cut)
+      .write.mode("overwrite").parquet(s"$base/emb_ivf_new.parquet")
+    val cells = ivfCellsFor(spark, dir)
+    def fromBase(json: String): DataFrame =
+      Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    fromBase(
+      s"""{"id":"build-ivf-crawl-n","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_ivf_old","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
+         |  "indexPath":"$base/knn_ivf_app"}],
+         |"outputTopic":{"enabled":true,"name":"ivf-index-report"}}""".stripMargin)
+    fromBase(
+      s"""{"id":"append-ivf-crawl-n1","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_ivf_new","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_append",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_ivf_app"}],
+         |"outputTopic":{"enabled":true,"name":"ivf-append-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-appended-ivf","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_ivf_app"}],
+         |"outputTopic":{"enabled":true,"name":"knn-ivf-appended-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Declarative stored LSH index — the r47 family's third stored-route
+    * contract member (quantized has the r44 hash-match, ivf the r44 recall
+    * row): hyperplanes are seed-pinned and data-independent, so stored ==
+    * rebuilt is EXACT (Accuracy.checkKnnLshStored pins it alongside the
+    * 0.85 recall contract at every SF).
+    */
+  def r47SpecKnnLshStored(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-lsh-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"lsh","column":"embedding",
+         |  "idColumn":"vec_id","dim":64,"nTables":16,"planesPerTable":4,
+         |  "indexPath":"$base/knn_lsh"}],
+         |"outputTopic":{"enabled":true,"name":"lsh-index-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-lsh-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"lsh","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_lsh"}],
+         |"outputTopic":{"enabled":true,"name":"knn-lsh-stored-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** WINDOWED embedding_summary (the incrementally-maintained drift
@@ -3865,6 +3985,10 @@ object Queries {
       // so reading the int8 sketch from the knn_index artifact instead of
       // quantizing per call still hash-matches the exact oracle
       ("r44_spec_knn_index" -> oracles0("x3_knn_exact")) +
+      // the APPENDED quantized index keeps the exact re-rank contract too:
+      // int8 codes are per-row state, so build-half + append-half search-
+      // matches the full-corpus exact oracle rank for rank
+      ("r47_spec_knn_append" -> oracles0("x3_knn_exact")) +
       // the stored-shingle incremental screen reproduces the from-raw
       // cross-snapshot novelty filter exactly (the artifact IS the frame
       // jaccardPairsBetween builds internally)
@@ -4033,6 +4157,9 @@ object Queries {
     "r43_spec_drift_sketch" -> r43SpecDriftSketch _,
     "r44_spec_knn_index" -> r44SpecKnnIndex _,
     "r44_spec_knn_ivf_stored" -> r44SpecKnnIvfStored _,
+    "r47_spec_knn_append" -> r47SpecKnnAppend _,
+    "r47_spec_knn_ivf_append" -> r47SpecKnnIvfAppend _,
+    "r47_spec_knn_lsh_stored" -> r47SpecKnnLshStored _,
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
     "x21_heavy_hitters" -> x21HeavyHitters _,

@@ -794,6 +794,17 @@ case class TransformOp(
         s"[$where] shingle_index requires shingleSize >= 1 (the artifact " +
           "pins it — the consuming dedup_near screen must declare the " +
           "same width)")
+    case "shingle_index_append" =>
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] shingle_index_append requires column (the text) and " +
+          "idColumn")
+      require(shingleSize.exists(_ >= 1),
+        s"[$where] shingle_index_append requires shingleSize >= 1 (must " +
+          "match the stored artifact's pinned width — preflighted at build)")
+      require(historyPath.isDefined,
+        s"[$where] shingle_index_append requires historyPath (the stored " +
+          "shingle_index artifact to extend; to START an artifact use " +
+          "shingle_index and sink its rows)")
     case "chunk" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] chunk requires column and idColumn")
@@ -936,6 +947,17 @@ case class TransformOp(
           s"[$where] knn_index planesPerTable must be in [1, 31] (Int " +
             "bucket packing)")
       }
+    case "knn_index_append" =>
+      require(column.isDefined && idColumn.isDefined && indexPath.isDefined,
+        s"[$where] knn_index_append requires column (the vector), idColumn " +
+          "and indexPath (the stored artifact to extend)")
+      require(method.isEmpty && nCells.isEmpty && nAssign.isEmpty &&
+          nTables.isEmpty && planesPerTable.isEmpty && dim.isEmpty &&
+          seed.isEmpty,
+        s"[$where] knn_index_append takes no method or geometry — the " +
+          "stored artifact pins them (new rows are assigned with the " +
+          "STORED centroids/hyperplanes/codes, never retrained; to change " +
+          "geometry rebuild with knn_index)")
     case "snapshot_drift" =>
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
           heavyHitterColumns.nonEmpty || histograms.nonEmpty ||

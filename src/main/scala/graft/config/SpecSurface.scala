@@ -20,9 +20,10 @@ object SpecSurface {
     */
   val transformOps: Seq[String] = Seq(
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near",
-    "shingle_index", "chunk",
+    "shingle_index", "shingle_index_append", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
-    "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index", "resample",
+    "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index",
+    "knn_index_append", "resample",
     "profile",
     "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
     "embedding_summary", "merge_embedding_summaries")

@@ -290,12 +290,18 @@ object Dedup extends Logging {
       textCol: String, shingleSize: Int, threshold: Double,
       oldFrame: DataFrame,
       tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
+    // the batch frame is consumed twice — the shingle build AND the
+    // left_anti survivor join — so persist it like the general dedup_near
+    // route does: an upstream chain (filters, transforms) would otherwise
+    // recompute fully on the second scan (round-17 ADVICE)
+    val newCached = registerCache(
+      newDocs.persist(StorageLevel.MEMORY_AND_DISK))
     val newPrepped = registerCache(
-      shingleFrame(newDocs, idCol, textCol, shingleSize, tokenize)
+      shingleFrame(newCached, idCol, textCol, shingleSize, tokenize)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val dup = jaccardPairsBetweenPrepared(newPrepped, oldFrame, threshold)
       .select(col("new_id"))
-    newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
+    newCached.join(dup, newCached(idCol) === dup("new_id"), "left_anti")
   }
 
   /** Prefix-filtered all-pairs Jaccard join over a `(id, sh, n)` frame of

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -390,7 +390,12 @@ object Similarity extends Logging {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val theDim =
       if (dim > 0) dim
-      else c.select(size(col("vec")).as("d")).head().getInt(0)
+      else c.select(size(col("vec")).as("d")).limit(1).collect().headOption
+        .map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          "buildIndex: corpus is empty and dim is undeclared — declare dim " +
+            "(the embedding width) or index a non-empty snapshot " +
+            "(round-17 ADVICE: the size probe has no row to read)"))
     val n = c.count()
     val meta: AnnIndexMeta = method match {
       case "quantized" =>
@@ -434,36 +439,15 @@ object Similarity extends Logging {
     // a new partition domain would return silently wrong neighbors). The
     // meta is re-written LAST below; an in-place rebuild is therefore
     // destructive while it runs — build to a fresh path and swap for
-    // zero-downtime republishes.
-    val metaHadoopPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.parquet")
-    metaHadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(metaHadoopPath, true)
-    method match {
-      case "quantized" =>
-        c.select(col("id"), VectorFunctions.quantize_vec(col("vec")).as("q"),
-            col("vec"))
-          .write.mode("overwrite").parquet(idxDir)
-      case "ivf" =>
-        // assignment clamps to the trained centroid count exactly like
-        // ivfTopK (fewer cells than declared just means probing all of them)
-        val assignN = math.min(meta.n_assign.get, meta.vectors.get.length)
-        val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
-            col("vec"), meta.vectors.get, assignN)))
-          .select(col("cell"), col("id"), col("vec"))
-          .write.mode("overwrite")
-        (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("cell") else w)
-          .parquet(idxDir)
-      case "lsh" =>
-        val w = c.select(col("id"), col("vec"),
-            posexplode(VectorFunctions.sign_buckets(col("vec"),
-              meta.vectors.get, planesPerTable)).as(Seq("tbl", "bucket")))
-          .select(col("tbl"), col("bucket"), col("id"), col("vec"))
-          .write.mode("overwrite")
-        (if (nTables.toLong * (1L << planesPerTable) <= MaxPartitionedCells)
-           w.partitionBy("tbl", "bucket")
-         else w)
-          .parquet(idxDir)
+    // zero-downtime republishes. The staged meta_next (a crashed append's
+    // swap file) is retracted too — left behind, it would pair a STALE
+    // meta with the fresh postings through readIndexMeta's recovery read.
+    val hc = spark.sparkContext.hadoopConfiguration
+    Seq(s"$indexPath/meta.parquet", s"$indexPath/meta_next.parquet").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hc).delete(hp, true)
     }
+    writePostings(c, meta, gen = 0, idxDir, overwrite = true)
     // meta LAST: a killed build leaves postings without meta, which reads
     // as "no index here" (readIndexMeta fails loudly) instead of a silent
     // half-index — the same crash-ordering discipline as the sink compactor
@@ -480,26 +464,214 @@ object Similarity extends Logging {
     */
   private val MaxPartitionedCells = 4096L
 
+  /** Method-specific posting write shared by [[buildIndex]] (gen 0,
+    * overwrite) and [[appendIndex]] (gen g+1, append): assign each row to
+    * its cells/buckets with the META's pinned geometry and write under the
+    * generation partition. `gen` is ALWAYS the FIRST partition column —
+    * that is the append crash-ordering lever: a generation only becomes
+    * visible when the meta's `generation` advances to it (readers filter
+    * `gen <= meta.generation`), and a crashed append's orphaned
+    * half-written generation is retracted by deleting ONE top-level
+    * `gen=N` directory before the retry. The cell/bucket partitioning
+    * (the DPP pruning lever) nests under it unchanged.
+    */
+  private def writePostings(c: DataFrame, meta: AnnIndexMeta, gen: Int,
+      idxDir: String, overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    val g = lit(gen).as("gen")
+    meta.method match {
+      case "quantized" =>
+        c.select(g, col("id"), VectorFunctions.quantize_vec(col("vec")).as("q"),
+            col("vec"))
+          .write.mode(mode).partitionBy("gen").parquet(idxDir)
+      case "ivf" =>
+        // assignment clamps to the trained centroid count exactly like
+        // ivfTopK (fewer cells than declared just means probing all of them)
+        val assignN = math.min(meta.n_assign.get, meta.vectors.get.length)
+        val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
+            col("vec"), meta.vectors.get, assignN)))
+          .select(g, col("cell"), col("id"), col("vec"))
+          .write.mode(mode)
+        (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("gen", "cell")
+         else w.partitionBy("gen"))
+          .parquet(idxDir)
+      case "lsh" =>
+        val ppt = meta.planes_per_table.get
+        val w = c.select(col("id"), col("vec"),
+            posexplode(VectorFunctions.sign_buckets(col("vec"),
+              meta.vectors.get, ppt)).as(Seq("tbl", "bucket")))
+          .select(g, col("tbl"), col("bucket"), col("id"), col("vec"))
+          .write.mode(mode)
+        (if (meta.n_tables.get.toLong * (1L << ppt) <= MaxPartitionedCells)
+           w.partitionBy("gen", "tbl", "bucket")
+         else w.partitionBy("gen"))
+          .parquet(idxDir)
+    }
+  }
+
+  /** INCREMENTAL index maintenance — append a batch of NEW vectors to a
+    * stored [[buildIndex]] artifact without retraining or touching the
+    * existing postings (the round-17 headline gap: the stored index was
+    * the last full-corpus recompute in a daily ingest loop; the
+    * reference's registry state is likewise incremental by design —
+    * KTableRegistry.java:41-50 absorbs new records into a KTable, never
+    * rebuilding from topic origin). The new rows are assigned with the
+    * STORED geometry (meta pins centroids/hyperplanes/codes — no
+    * retraining, so existing neighbors are bit-stable), written as ONE new
+    * posting generation (a directory-local write: the hive layout means
+    * only the new rows' cells' directories under `gen=N` are created), and
+    * the meta is committed LAST with the advanced `generation` and
+    * `n_rows`.
+    *
+    * Crash contract (pinned in OperatorsSpec):
+    *  - killed ANYWHERE before the meta commit → the OLD index reads
+    *    bit-identically (readers fence postings at `gen <= generation`,
+    *    so the orphaned half-generation is invisible);
+    *  - a RETRY first retracts orphan generations (one directory delete)
+    *    — an append is therefore idempotent under kill/retry, never
+    *    duplicating postings;
+    *  - the meta commit itself is a two-file swap ([[swapMeta]]) whose
+    *    every window reads as either the old or the new committed meta.
+    *
+    * Semantics per method: quantized/lsh appended == full-rebuild EXACTLY
+    * (per-row codes / data-independent hyperplanes); ivf keeps the stored
+    * centroids, so appended == rebuild-with-same-geometry exactly, while a
+    * retrained rebuild may shift cells — the recall contract (r47) is the
+    * accuracy gate there. Returns a one-row report; `index_rows` is
+    * recounted from the committed generations, verifying the write landed.
+    */
+  def appendIndex(newRows: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): DataFrame = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    // complete (or retract) a predecessor append's crashed meta swap first
+    finishMetaSwap(spark, indexPath)
+    val meta = readIndexMeta(spark, indexPath)
+    val idxDir = s"$indexPath/index.parquet"
+    val postings = spark.read.parquet(idxDir)
+    require(postings.columns.contains("gen"),
+      s"appendIndex: the index at '$indexPath' predates the generation " +
+        "layout (no gen partition) — rebuild it once with knn_index; " +
+        "appends commit through generations")
+    // appended postings must match the stored column types exactly or the
+    // parquet read would mix schemas (e.g. array<float> vs array<double>)
+    val c = newRows.select(
+      col(idCol).cast(postings.schema("id").dataType).as("id"),
+      col(vecCol).cast(postings.schema("vec").dataType).as("vec"))
+    c.select(size(col("vec")).as("d")).limit(1).collect().headOption.foreach {
+      r => require(r.getInt(0) == meta.dim,
+        s"appendIndex: new rows carry dim ${r.getInt(0)} but the index at " +
+          s"'$indexPath' pins dim ${meta.dim}")
+    }
+    val newGen = meta.generation + 1
+    // retract a crashed predecessor's orphan generations (invisible to
+    // readers, but a blind re-append would duplicate them at commit)
+    deleteGensAbove(spark, idxDir, meta.generation)
+    val n = c.count()
+    writePostings(c, meta, newGen, idxDir, overwrite = false)
+    val updated = meta.copy(n_rows = meta.n_rows + n, generation = newGen)
+    swapMeta(spark, indexPath, updated)
+    val idxRows = spark.read.parquet(idxDir)
+      .filter(col("gen") <= newGen).count()
+    logInfo(s"appendIndex committed gen $newGen at $indexPath: +$n corpus " +
+      s"rows -> ${updated.n_rows} total ($idxRows index rows)")
+    Seq((meta.method, meta.dim, n, updated.n_rows, idxRows))
+      .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
+  }
+
+  private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  /** Delete posting generation directories ABOVE the committed generation —
+    * a crashed append's orphans. Readers never see them (the gen fence),
+    * but a RETRY would duplicate them the moment its own meta commits, so
+    * every append retracts first.
+    */
+  private def deleteGensAbove(spark: SparkSession, idxDir: String,
+      g: Int): Unit = {
+    val p = hpath(idxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen=") &&
+          scala.util.Try(name.stripPrefix("gen=").toInt).toOption.exists(_ > g))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Two-file meta commit for appends: write the updated meta to
+    * `meta_next.parquet`, delete `meta.parquet`, rename the swap file into
+    * place. The swap file is only ever written AFTER its generation's
+    * postings committed, so every crash window reads consistently:
+    * before the swap write lands → old meta (new gen invisible); swap
+    * written, old meta still present → old meta still authoritative-
+    * and-correct, the next append (or [[finishMetaSwap]]) completes the
+    * promotion; old meta deleted, rename pending → [[readIndexMeta]]
+    * falls back to the committed swap file — never "no index".
+    */
+  private def swapMeta(spark: SparkSession, indexPath: String,
+      m: AnnIndexMeta): Unit = {
+    import spark.implicits._
+    val fs = hpath(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(m).toDS().write.mode("overwrite").parquet(s"$indexPath/meta_next.parquet")
+    fs.delete(hpath(s"$indexPath/meta.parquet"), true)
+    fs.rename(hpath(s"$indexPath/meta_next.parquet"),
+      hpath(s"$indexPath/meta.parquet"))
+  }
+
+  /** Recovery half of [[swapMeta]], run at the top of every append: a
+    * READABLE swap file always supersedes (its postings committed before
+    * it was written) — complete the promotion; an unreadable one is a
+    * crashed swap WRITE — retract it, `meta.parquet` stays authoritative.
+    */
+  private def finishMetaSwap(spark: SparkSession, indexPath: String): Unit = {
+    val fs = hpath(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = hpath(s"$indexPath/meta_next.parquet")
+    if (!fs.exists(next)) return
+    val readable = scala.util.Try(
+      spark.read.parquet(next.toString).count() > 0).getOrElse(false)
+    if (readable) {
+      fs.delete(hpath(s"$indexPath/meta.parquet"), true)
+      fs.rename(next, hpath(s"$indexPath/meta.parquet"))
+    } else fs.delete(next, true)
+  }
+
   /** Read a stored index's meta row; fails with a build-the-artifact hint
     * when `indexPath` holds no readable [[AnnIndexMeta]].
     */
   def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): AnnIndexMeta = {
     import spark.implicits._
-    val df =
+    val df0 =
       try spark.read.parquet(s"$indexPath/meta.parquet")
       catch {
-        case scala.util.control.NonFatal(e) => throw new IllegalArgumentException(
-          s"indexPath '$indexPath' has no readable meta.parquet — build " +
-            "the artifact with the knn_index op (or Similarity.buildIndex) " +
-            s"at crawl time (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+        case scala.util.control.NonFatal(e) =>
+          // recovery read: the append commit's one residual window (old
+          // meta deleted, swap-file rename pending) leaves only
+          // meta_next.parquet — which is only ever written AFTER its
+          // generation's postings committed, so reading it is reading the
+          // NEW committed index, never a half-state
+          try spark.read.parquet(s"$indexPath/meta_next.parquet")
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              throw new IllegalArgumentException(
+                s"indexPath '$indexPath' has no readable meta.parquet — " +
+                  "build the artifact with the knn_index op (or " +
+                  "Similarity.buildIndex) at crawl time " +
+                  s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
+          }
       }
     val need = Seq("method", "dim", "n_rows", "vectors")
-    val missing = need.filterNot(df.columns.contains)
+    val missing = need.filterNot(df0.columns.contains)
     require(missing.isEmpty,
       s"indexPath '$indexPath' meta.parquet is not an ANN index meta: " +
         s"missing column(s) ${missing.mkString(", ")} (found: " +
-        s"${df.columns.mkString(", ")})")
+        s"${df0.columns.mkString(", ")})")
+    // a pre-generation-era meta (no `generation` column) reads as gen 0 —
+    // its whole (flat) posting set is the one committed generation
+    val df = if (df0.columns.contains("generation")) df0
+      else df0.withColumn("generation", lit(0))
     df.as[AnnIndexMeta].head()
   }
 
@@ -516,7 +688,16 @@ object Similarity extends Logging {
       indexPath: String, nProbe: Int = 0, refine: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
-    val index = spark.read.parquet(s"$indexPath/index.parquet")
+    // committed-generation fence: postings above the meta's generation are
+    // a crashed append's orphans and stay invisible until their meta
+    // commits (gen is the FIRST partition column, so the fence is static
+    // partition pruning, not a data scan). A pre-generation-era index (no
+    // gen column) reads whole.
+    val index0 = spark.read.parquet(s"$indexPath/index.parquet")
+    val index =
+      if (index0.columns.contains("gen"))
+        index0.filter(col("gen") <= meta.generation).drop("gen")
+      else index0
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     meta.method match {
@@ -590,4 +771,9 @@ object Similarity extends Logging {
 case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     n_cells: Option[Int], n_assign: Option[Int], n_tables: Option[Int],
     planes_per_table: Option[Int], seed: Option[Long],
-    vectors: Option[Seq[Seq[Double]]])
+    vectors: Option[Seq[Seq[Double]]],
+    // the COMMITTED posting generation — the append crash-ordering fence:
+    // readers only see postings with gen <= generation, so a build is gen 0
+    // and every Similarity.appendIndex commit advances it by one; a meta
+    // without the column (pre-append-era artifact) reads as 0
+    generation: Int = 0)

@@ -220,8 +220,10 @@ object Interpreter extends Logging {
               s"but this frame has $n — the stored index does not cover the " +
               "frame (rows added since the build are invisible to the " +
               "search; removed rows still surface as neighbors; equal " +
-              "counts with changed content escape this probe). Rebuild the " +
-              "artifact with knn_index on the current snapshot"))
+              "counts with changed content escape this probe). Append the " +
+              "new rows with knn_index_append (no retraining, directory-" +
+              "local write), or rebuild with knn_index on the current " +
+              "snapshot"))
         // geometry pricing for the stored route reads the ARTIFACT's
         // geometry (the declaration may omit it) — the per-query re-rank
         // fraction is paid whether the index is stored or rebuilt
@@ -240,18 +242,31 @@ object Interpreter extends Logging {
                 "quantized index"))
           case "ivf" => t.nProbe match {
             // only a DECLARED query-time nProbe is priced — the default
-            // holds the measured recall contract (nCells/3) deliberately
-            case Some(pn)
-                if pn.toDouble / meta.n_cells.get >= KnnCandFracWarn =>
-              val a = meta.n_assign.getOrElse(1)
-              Seq(graft.observe.PlanAudit.Finding("warn",
-                KnnBruteForceRegime,
-                f"knn nProbe=$pn probes ${pn * 100.0 / meta.n_cells.get}%.0f%% " +
-                  s"of the stored index's ${meta.n_cells.get} cells — with " +
-                  s"nAssign=$a the re-rank touches ~" +
-                  f"${math.min(1.0, pn.toDouble * a / meta.n_cells.get) * 100}%.0f%% " +
-                  "of the corpus per query; lower nProbe or store a " +
-                  "quantized index"))
+            // holds the measured recall contract (nCells/3) deliberately.
+            // The fraction is priced against the TRAINED cell count
+            // (meta.vectors — kmeans may have clamped below the declared
+            // nCells on a degenerate corpus), so the warning never
+            // under-states the re-rank (round-17 ADVICE)
+            case Some(pn) =>
+              val trained = meta.vectors.fold(meta.n_cells.get)(_.length)
+              if (pn.toDouble / trained < KnnCandFracWarn) Nil
+              else {
+                val a = meta.n_assign.getOrElse(1)
+                val cellNote =
+                  if (trained < meta.n_cells.get)
+                    s"$trained trained cells (kmeans clamped the declared " +
+                      s"${meta.n_cells.get})"
+                  else s"${meta.n_cells.get} cells"
+                Seq(graft.observe.PlanAudit.Finding("warn",
+                  KnnBruteForceRegime,
+                  f"knn nProbe=$pn probes " +
+                    f"${math.min(1.0, pn.toDouble / trained) * 100}%.0f%% " +
+                    s"of the stored index's $cellNote — with " +
+                    s"nAssign=$a the re-rank touches ~" +
+                    f"${math.min(1.0, pn.toDouble * a / trained) * 100}%.0f%% " +
+                    "of the corpus per query; lower nProbe or store a " +
+                    "quantized index"))
+              }
             case _ => Nil
           }
           case _ => Nil
@@ -601,7 +616,7 @@ object Interpreter extends Logging {
         "the artifact at one width")
     distinctW.headOption.foreach { stored =>
       require(stored == declared,
-        s"[$specId] dedup_near shingleSize=$declared does not match " +
+        s"[$specId] declared shingleSize=$declared does not match " +
           s"historyPath '$path' (built with shingle_size=$stored) — " +
           "declare shingleSize=" + stored + ", or rebuild the artifact " +
           "with shingle_index (mismatched shingle widths never collide: " +
@@ -770,6 +785,42 @@ object Interpreter extends Logging {
       // semantics)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("id"))
       else result
+    case "shingle_index_append" =>
+      // the INCREMENTAL-MAINTENANCE verb of the screen loop (knn_index_
+      // append's text analogue): appends the batch's (id, sh, n,
+      // shingle_size) rows to the STORED history artifact — the history is
+      // never re-tokenized, and the daily loop becomes screen (dedup_near
+      // historyPath) → publish survivors → shingle_index_append them.
+      // Eager like knn_index (the write IS the op); REPLACES the row set
+      // with a one-row report. Crash/retry contract: the append job
+      // commits atomically through the output committer (a killed job's
+      // task files stay under _temporary, invisible to readers), and a
+      // DOUBLE append is verdict-invariant by construction — duplicated
+      // history rows only widen the candidate join, whose matches feed a
+      // left_anti (pinned in OperatorsSpec) — so retry-after-crash is safe
+      // without a meta swap.
+      require(!df.isStreaming,
+        "shingle_index_append is batch-only (it extends the stored corpus " +
+          "history with a completed ingest batch; the streaming ingest " +
+          "screen is dedup_near's keyed-state form)")
+      val p = resolvePath(t.historyPath.get, dataDir, specId)
+      // the artifact must exist and pin the SAME width — appending foreign-
+      // width shingles would poison the artifact into the mixed-width
+      // config error on every later read
+      readShingleArtifact(df.sparkSession, p, t.shingleSize.get, specId)
+      val batch = graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
+        t.column.get, t.shingleSize.get)
+      batch.write.mode("append").parquet(p)
+      val histDocs = df.sparkSession.read.parquet(p).count()
+      val appended = df.count()
+      logInfo(s"[$specId] shingle_index_append: +$appended docs -> " +
+        s"$histDocs history rows at $p")
+      import df.sparkSession.implicits._
+      val report = Seq((t.shingleSize.get, appended, histDocs))
+        .toDF("shingle_size", "appended_docs", "history_docs")
+      if (df.columns.contains(KeyCol))
+        report.withColumn(KeyCol, col("shingle_size"))
+      else report
     case "chunk" =>
       graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
         t.size.get, t.stride.get, carryCols = keyCarry(df))
@@ -1341,6 +1392,22 @@ object Interpreter extends Logging {
         dim = t.dim.getOrElse(0), seed = t.seed.getOrElse(42L))
       // the report row is keyed by what was built (compacted-topic
       // semantics, same rule as profile's col_name)
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
+      else result
+    case "knn_index_append" =>
+      // the INCREMENTAL-MAINTENANCE verb of the stored-index loop: the
+      // frame is the NEW ingest batch's vectors, assigned with the STORED
+      // geometry (no retraining — meta pins centroids/hyperplanes/codes)
+      // and committed as one new posting generation, meta last
+      // (Similarity.appendIndex owns the crash ordering). Eager like
+      // knn_index; REPLACES the row set with a one-row append report.
+      require(!df.isStreaming,
+        "knn_index_append is batch-only (it extends a stored corpus index " +
+          "with a completed ingest batch; append the stored batch " +
+          "snapshot, not a stream)")
+      val result = graft.operators.Similarity.appendIndex(df,
+        t.idColumn.get, t.column.get,
+        resolvePath(t.indexPath.get, dataDir, specId))
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
       else result
     case "contamination_screen" =>

@@ -332,6 +332,36 @@ class DoctorSpec extends SparkSuite {
     assert(!outFresh.contains("knn_stale_index"), outFresh)
   }
 
+  test("staleness-then-append: knn_index_append on the missing rows clears the stale-index refusal") {
+    // the round-17 gap closed: the staleness preflight used to detect the
+    // diverged corpus while offering only a full rebuild; the append verb
+    // is the cheap remedy, and this fixture walks the whole loop —
+    // refused stale → append the delta → the SAME spec passes
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dir = tempDirPath("graft_doctor_knn_append").toString
+    graft.operators.Similarity.buildIndex(e.filter(col("vec_id") < 50),
+      "vec_id", "embedding", "ivf", s"$dir/idx", nCells = 8, nAssign = 2)
+    val specJson =
+      s"""{"id":"knn-stale-append","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"planAudit":"fail",
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":5,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3","indexPath":"$dir/idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-stale-append-out"}}""".stripMargin
+    val f = write("knn_stale_append.json", specJson)
+    val (codeStale, outStale) = runDoctor(f, sf())
+    assert(codeStale == 1 && outStale.contains("knn_stale_index") &&
+      outStale.contains("knn_index_append"), outStale)
+    graft.operators.Similarity.appendIndex(e.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", s"$dir/idx")
+    val (codeAfter, outAfter) = runDoctor(f, sf())
+    assert(codeAfter == 0, outAfter)
+    assert(!outAfter.contains("knn_stale_index"), outAfter)
+  }
+
   test("snapshot_drift preflight probe: a dual-declared column emits BOTH findings; the flag skips the probe") {
     // round-15 ADVICE pair: (1) a column declared under BOTH
     // categoricalColumns and embeddingGroupBy used to be probed once but

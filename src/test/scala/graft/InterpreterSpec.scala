@@ -1230,6 +1230,86 @@ class InterpreterSpec extends SparkSuite {
       s"expected the staleness finding, got: ${findings.map(_.detail)}")
   }
 
+  test("knn_index_append config path: report commits the batch; the stored knn route then sees the appended rows") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cut = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val dir = tempDirPath("graft_interp_knn_append").toString
+    graft.operators.Similarity.buildIndex(e.filter(col("vec_id") <= cut),
+      "vec_id", "embedding", "quantized", s"$dir/idx")
+    val report = graft.pipeline.Interpreter.applyTransform(
+      e.filter(col("vec_id") > cut),
+      graft.config.TransformOp(op = "knn_index_append",
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some(s"$dir/idx")),
+      None, "t-append").head()
+    assert(report.getString(0) == "quantized" &&
+      report.getLong(3) == e.count(), report.toString)
+    // the config-path stored search over the appended index == the direct
+    // quantized scan over the FULL corpus (the append closed the gap the
+    // staleness preflight would have flagged)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val out = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"knn-after-append","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3","indexPath":"$dir/idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-after-append-out"}}""".stripMargin),
+      new ParquetSourceResolver(sf(), TestdataCatalog))
+    val direct = graft.operators.Similarity.quantizedTopK(e,
+      e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+    assert(rows(out) == rows(direct) && rows(out).nonEmpty,
+      "stored route over the appended index diverged from the full-corpus scan")
+  }
+
+  test("shingle_index_append: appended history screens == from-raw; double append is verdict-invariant; foreign width refused") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val top = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val (cutA, cutB) = (top * 3 / 5, top * 4 / 5)
+    val hist = docs.filter(col("doc_id") < cutA)
+    val mid = docs.filter(col("doc_id") >= cutA && col("doc_id") < cutB)
+    val batch = docs.filter(col("doc_id") >= cutB)
+    val dir = tempDirPath("graft_interp_shingle_append").toString
+    val p = s"$dir/shingles.parquet"
+    graft.operators.Dedup.shingleIndex(hist, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(p)
+    def append(df: org.apache.spark.sql.DataFrame, width: Int = 3) =
+      graft.pipeline.Interpreter.applyTransform(df,
+        graft.config.TransformOp(op = "shingle_index_append",
+          column = Some("text"), idColumn = Some("doc_id"),
+          shingleSize = Some(width), historyPath = Some(p)),
+        None, "t-shingle-append")
+    val rep = append(mid).head()
+    assert(rep.getInt(0) == 3 && rep.getLong(1) == mid.count() &&
+      rep.getLong(2) == hist.count() + mid.count(), rep.toString)
+    def screen(): Set[Long] = graft.pipeline.Interpreter.applyTransform(batch,
+        graft.config.TransformOp(op = "dedup_near", method = Some("jaccard"),
+          column = Some("text"), idColumn = Some("doc_id"),
+          shingleSize = Some(3), threshold = Some(0.8),
+          historyPath = Some(p)),
+        None, "t-screen")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = screen()
+    val fromRaw = graft.operators.Dedup.incrementalNovel(batch,
+        docs.filter(col("doc_id") < cutB), "doc_id", "text", 3, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == fromRaw && batch.count() > 0,
+      "appended history diverged from the from-raw incremental screen")
+    // retry-after-crash safety: a DOUBLE append must not change any verdict
+    // (duplicated history rows only widen the candidate join, whose matches
+    // feed a left_anti)
+    append(mid)
+    assert(screen() == survivors, "double append changed screen verdicts")
+    // appending a foreign width is refused before it poisons the artifact
+    val bad = intercept[IllegalArgumentException] { append(mid, width = 4) }
+    assert(bad.getMessage.contains("shingleSize=4") &&
+      bad.getMessage.contains("shingle_size=3"), bad.getMessage)
+  }
+
   test("sketchPath leg excludes NULL dims on both sides (no vanished+newborn double-report)") {
     // a null-dim cell identical on both sides used to double-report —
     // vanished (new=0) AND newborn (old=0) — because driftFromSketches

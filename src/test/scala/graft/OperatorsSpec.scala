@@ -1089,6 +1089,127 @@ class OperatorsSpec extends SparkSuite {
     assert(dead.getMessage.contains("no readable meta.parquet"), dead.getMessage)
   }
 
+  test("appendIndex: appended == full rebuild (quantized exact, lsh exact, ivf probed-all exact); report verifies the commit") {
+    // the X3 incremental-maintenance contract (round-17 directive #1):
+    // appending a batch with the STORED geometry must reproduce the full
+    // rebuild wherever the index state is data-independent — per-row int8
+    // codes (quantized) and seeded hyperplanes (lsh) — and for ivf, whose
+    // centroids stay the ORIGINAL training's, probing every cell must
+    // still recover the exact neighbor set (assignment covers the corpus;
+    // only recall-at-partial-probe depends on centroid quality, which the
+    // r47 accuracy row bounds at every SF)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cut = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val oldHalf = e.filter(col("vec_id") <= cut)
+    val newHalf = e.filter(col("vec_id") > cut)
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_append").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    Similarity.buildIndex(oldHalf, "vec_id", "embedding", "quantized", s"$base/q_inc")
+    val rep = Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/q_inc").head()
+    assert(rep.getString(0) == "quantized" && rep.getLong(2) == newHalf.count() &&
+      rep.getLong(3) == e.count() && rep.getLong(4) == e.count(), rep.toString)
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/q_full")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q_inc")) ==
+      rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q_full")),
+      "quantized appended index diverged from the full rebuild")
+    val m = Similarity.readIndexMeta(spark, s"$base/q_inc")
+    assert(m.generation == 1 && m.n_rows == e.count(), m.toString)
+
+    Similarity.buildIndex(oldHalf, "vec_id", "embedding", "lsh", s"$base/l_inc",
+      nTables = 8, planesPerTable = 4)
+    Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/l_inc")
+    Similarity.buildIndex(e, "vec_id", "embedding", "lsh", s"$base/l_full",
+      nTables = 8, planesPerTable = 4)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/l_inc")) ==
+      rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/l_full")),
+      "lsh appended index diverged from the full rebuild (hyperplanes are seed-pinned)")
+
+    Similarity.buildIndex(oldHalf, "vec_id", "embedding", "ivf", s"$base/i_inc",
+      nCells = 8, nAssign = 2)
+    Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/i_inc")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+        s"$base/i_inc", nProbe = 8)) ==
+      rows(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 10)),
+      "ivf appended index probed at ALL cells must recover the exact neighbors")
+  }
+
+  test("appendIndex crash windows: an uncommitted generation is invisible; kill/retry is idempotent; the meta swap never reads half-state") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cut = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val oldHalf = e.filter(col("vec_id") <= cut)
+    val newHalf = e.filter(col("vec_id") > cut)
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_append_crash").toString
+    val ss = spark
+    import ss.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    Similarity.buildIndex(oldHalf, "vec_id", "embedding", "quantized", s"$base/idx")
+    val preMeta = Similarity.readIndexMeta(spark, s"$base/idx")
+    val preRows = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx"))
+    Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/idx")
+    val committed = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx"))
+    assert(committed != preRows, "fixture must actually change the neighbor set")
+
+    // (1) kill BEFORE the meta commit: gen-1 postings exist but the meta
+    // still says generation 0 — the old index must read bit-identically
+    // (the gen fence is static partition pruning, not trust)
+    Seq(preMeta).toDS().write.mode("overwrite").parquet(s"$base/idx/meta.parquet")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      preRows, "an uncommitted posting generation leaked into the search")
+    // (2) RETRY after the kill: the orphan generation is retracted first,
+    // so the re-append commits exactly once — no duplicated postings
+    Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/idx")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      committed, "kill/retry must converge to the committed append")
+    val m = Similarity.readIndexMeta(spark, s"$base/idx")
+    assert(m.n_rows == e.count() && m.generation == 1, m.toString)
+    // no duplicate postings: quantized is 1:1 row-to-posting within the fence
+    val visible = spark.read.parquet(s"$base/idx/index.parquet")
+      .filter(col("gen") <= m.generation)
+    assert(visible.count() == e.count() &&
+      visible.select("id").distinct().count() == e.count(),
+      "retry duplicated postings")
+
+    // (3) the meta-swap residual window (old meta deleted, rename pending):
+    // only meta_next.parquet exists — readIndexMeta must read the COMMITTED
+    // swap file, never "no index"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/idx/meta.parquet"),
+      new org.apache.hadoop.fs.Path(s"$base/idx/meta_next.parquet")))
+    val recovered = Similarity.readIndexMeta(spark, s"$base/idx")
+    assert(recovered.generation == 1 && recovered.n_rows == e.count(),
+      recovered.toString)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      committed, "the swap window must read as the committed index")
+    // the next append completes the promotion and commits generation 2
+    Similarity.appendIndex(e.limit(0), "vec_id", "embedding", s"$base/idx")
+    val promoted = Similarity.readIndexMeta(spark, s"$base/idx")
+    assert(promoted.generation == 2 && promoted.n_rows == e.count(),
+      promoted.toString)
+
+    // (4) a pre-generation-era index (no gen column) refuses append with
+    // the rebuild hint instead of corrupting the layout
+    val flat = s"$base/flat"
+    spark.read.parquet(s"$base/idx/index.parquet").drop("gen")
+      .write.mode("overwrite").parquet(s"$flat/index.parquet")
+    Seq(preMeta).toDS().write.mode("overwrite").parquet(s"$flat/meta.parquet")
+    val old = intercept[IllegalArgumentException] {
+      Similarity.appendIndex(newHalf, "vec_id", "embedding", flat)
+    }
+    assert(old.getMessage.contains("rebuild it once with knn_index"),
+      old.getMessage)
+  }
+
   test("windowed drift monitor vs an EMPTY baseline artifact: every cell newborn, no crash") {
     // a zero-row summary still yields one null global-aggregate row — the
     // monitor must degrade to the zero baseline (row_count old 0, shift

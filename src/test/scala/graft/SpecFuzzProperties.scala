@@ -234,6 +234,41 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         dim = if (method == "lsh") Some(64) else None)))
     }
 
+  property("valid knn_index_append analyzes (extends a stored index, all methods)") =
+    // eager like knn_index: the case builds a real index over the low-id
+    // half and the append declaration commits the rest as generation 1
+    Prop.forAll(Gen.oneOf("quantized", "ivf", "lsh")) { method =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_knn_append").toString
+      graft.operators.Similarity.buildIndex(
+        spark.read.parquet(embParquet).filter("vec_id < 30")
+          .selectExpr("vec_id", "cast(embedding as array<double>) as embedding"),
+        "vec_id", "embedding", method, s"$dir/idx",
+        nCells = if (method == "ivf") 8 else 0,
+        dim = if (method == "lsh") 64 else 0)
+      analyzes(simple("fz-knn-append", "embeddings", TransformOp(
+        op = "knn_index_append",
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some(s"$dir/idx"))))
+    }
+
+  property("valid shingle_index_append analyzes (extends a stored artifact)") =
+    Prop.forAll(Gen.chooseNum(2, 4)) { k =>
+      // eager like shingle_index_append's contract: the case publishes a
+      // real artifact over the low-id half, the append declaration extends
+      // it with the batch's rows at the SAME pinned width
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_shingle_append").toString
+      graft.operators.Dedup.shingleIndex(
+          spark.read.parquet(docsParquet).filter("doc_id < 30"),
+          "doc_id", "text", k)
+        .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      analyzes(simple("fz-shingle-append", "documents",
+        TransformOp(op = "shingle_index_append", column = Some("text"),
+          idColumn = Some("doc_id"), shingleSize = Some(k),
+          historyPath = Some(s"$dir/shingles.parquet"))))
+    }
+
   property("valid resample analyzes (whole-second grid)") =
     Prop.forAll(Gen.oneOf("30 seconds", "5 minutes", "1 hour"),
         // a cap BELOW the fixture's densest grid correctly fails loudly (the
@@ -642,6 +677,16 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "knn_index without indexPath" -> te(TransformOp(op = "knn_index",
         method = Some("quantized"), column = Some("embedding"),
         idColumn = Some("vec_id"))),
+      "knn_index_append without indexPath" -> te(TransformOp(
+        op = "knn_index_append", column = Some("embedding"),
+        idColumn = Some("vec_id"))),
+      "knn_index_append with declared geometry (the artifact pins it)" ->
+        te(TransformOp(op = "knn_index_append", column = Some("embedding"),
+          idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"),
+          nCells = Some(8))),
+      "shingle_index_append without historyPath" -> te(TransformOp(
+        op = "shingle_index_append", column = Some("text"),
+        idColumn = Some("doc_id"), shingleSize = Some(3))),
       "knn_index without method" -> te(TransformOp(op = "knn_index",
         column = Some("embedding"), idColumn = Some("vec_id"),
         indexPath = Some("/nowhere/idx"))),
