@@ -429,6 +429,46 @@ object Accuracy {
       sideMetric("new_side", ev, estOf("new_value")))
   }
 
+  private def checkQuantileMonitor: Check = (spark, dir) => {
+    // the windowed quantilePath monitor (r48): the NEW side's per-(window,
+    // event_type) cell estimates and the OLD side's stored-baseline
+    // percentiles each sit within the X26 ±1%-of-rank bound of their own
+    // population's exact order statistics
+    val got = Queries.all("r48_spec_quantile_monitor")(spark, dir)
+    val ev = events(spark, dir)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val newEst = got.groupBy(col("window_start"),
+        col("category").as("event_type"))
+      .agg(max(when(col("metric") === "p50", col("new_value"))).as("p50"),
+        max(when(col("metric") === "p90", col("new_value"))).as("p90"))
+    val rawW = ev.withColumn("window_start", date_trunc("hour", col("ts")))
+    val newDevs = rankDeviations(rawW, Seq("window_start", "event_type"),
+      "value", newEst, qs)
+    val nNewCells = rawW.select("window_start", "event_type")
+      .distinct().count()
+    // old estimates are constant per category across windows (max() just
+    // picks the one value); a category absent from the baseline slice has
+    // NULL old rows, which max() skips and the slice join never sees
+    val oldEst = got.groupBy(col("category").as("event_type"))
+      .agg(max(when(col("metric") === "p50", col("old_value"))).as("p50"),
+        max(when(col("metric") === "p90", col("old_value"))).as("p90"))
+    val oldRaw = ev.filter(col("user_id") < 8)
+    val oldDevs = rankDeviations(oldRaw, Seq("event_type"), "value",
+      oldEst, qs)
+    val nOldCells = oldRaw.select("event_type").distinct().count()
+    Seq(
+      Metric("quantile_rank_slack_ratio", "old_side",
+        if (oldDevs.isEmpty) Double.NaN else oldDevs.map(slackRatio).max,
+        nOldCells, 1.0,
+        oldDevs.nonEmpty && oldDevs.forall(_._4) &&
+          oldDevs.size.toLong == nOldCells),
+      Metric("quantile_rank_slack_ratio", "new_side",
+        if (newDevs.isEmpty) Double.NaN else newDevs.map(slackRatio).max,
+        nNewCells, 1.0,
+        newDevs.nonEmpty && newDevs.forall(_._4) &&
+          newDevs.size.toLong == nNewCells))
+  }
+
   private def checkKnnIndexStored: Check = (spark, dir) => {
     // the r44 stored-IVF contract: (1) the search against the STORED index
     // reproduces the rebuilt train-per-call path EXACTLY (every index
@@ -635,6 +675,7 @@ object Accuracy {
     "r47_spec_knn_lsh_stored" -> checkKnnLshStored,
     "r47_spec_knn_ivf_append" -> checkKnnIvfAppend,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
+    "r48_spec_quantile_monitor" -> checkQuantileMonitor,
     "x5_pack" -> packMetrics("x5_pack"),
     "r31_spec_pack" -> packMetrics("r31_spec_pack"),
     "x5_fingerprint" -> checkFingerprint)
@@ -776,6 +817,19 @@ object Accuracy {
         |UNION ALL
         |SELECT 'quantile_rank_slack_ratio', 'new_side',
         |  (SELECT count(DISTINCT event_type) FROM events),
+        |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    // windowed quantilePath monitor cells: old side = the slice's distinct
+    // categories, new side = distinct (hour, event_type) window cells
+    "r48_spec_quantile_monitor" ->
+      """SELECT 'quantile_rank_slack_ratio' AS metric, 'old_side' AS scope,
+        |  (SELECT count(DISTINCT event_type) FROM events
+        |   WHERE user_id < 8) AS n_ref,
+        |  CAST(1.0 AS DOUBLE) AS bound, true AS pass
+        |UNION ALL
+        |SELECT 'quantile_rank_slack_ratio', 'new_side',
+        |  (SELECT count(*) FROM (SELECT DISTINCT
+        |     date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+        |     FROM events) __c),
         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "r44_spec_knn_ivf_stored" ->
       s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,

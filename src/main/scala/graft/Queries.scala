@@ -923,6 +923,77 @@ object Queries {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Declarative SCALAR summary artifact (X29's numeric-leg build verb,
+    * r48): one long-shape row per (dims cell, column) with the linear
+    * state every exact numeric drift metric derives from — DuckDB-exact
+    * (counts strict; sums at the float tier's 6-significant-digit
+    * quantization, the embedding-summary precedent).
+    */
+  def r48SpecScalarSummary(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"scalar-summary","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"scalar_summary","columns":["value"],
+        |  "groupColumns":["event_type"]}],
+        |"outputTopic":{"enabled":true,"name":"scalar-summary-out"}}""".stripMargin)
+      .select(col("event_type"), col("col_name"), col("n_rows"),
+        col("n_nonnull"), zr6(col("sum")).as("sum"),
+        zr6(col("sumsq")).as("sumsq"), col("min"), col("max"))
+
+  /** WINDOWED SCALAR drift MONITOR (r48, the round-17 directive-#2a spec
+    * twin): per tumbling hour and event_type, the six exact numeric
+    * metrics of that window's slice against the STORED scalar_summary
+    * baseline (the user_id<8 slice standing in for crawl N) — the
+    * declaration that also streams as ONE native stateful aggregation +
+    * a broadcast baseline join (stream==batch across a restart pinned in
+    * StreamRunnerSpec). DuckDB recomputes the identical per-window
+    * metrics from raw data — exact, not an estimate.
+    */
+  def r48SpecScalarMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Drift.scalarSummary(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$base/event_stats.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"scalar-monitor","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$base/event_stats.parquet",
+         |  "numericColumns":["value"],"groupColumns":["event_type"],
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"scalar-monitor-out"}}""".stripMargin)
+      .select(col("window_start"), col("col_name"), col("metric"),
+        col("category"), zr6(col("old_value")).as("old_value"),
+        zr6(col("new_value")).as("new_value"), col("delta"), col("n_new"))
+  }
+
+  /** WINDOWED PERCENTILE drift MONITOR (r48, directive #2b): per tumbling
+    * hour and event_type, p50/p90 of that window's slice (one mergeable
+    * sketch per cell — the X26 aggregate riding streaming state) against
+    * the STORED quantile-sketch table's per-cell percentiles. Estimates →
+    * accuracy-contract row (both sides' rank slack within the ±1%-of-rank
+    * X26 bound, per cell, at every SF — Accuracy.checkQuantileMonitor).
+    */
+  def r48SpecQuantileMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Profile.quantileSketches(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$base/event_qsk_monitor.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"quantile-monitor","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/event_qsk_monitor.parquet",
+         |  "groupColumns":["event_type"],"column":"value",
+         |  "quantiles":[0.5, 0.9],
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"quantile-monitor-out"}}""".stripMargin)
+      .select("window_start", "col_name", "metric", "category",
+        "old_value", "new_value", "delta", "n_new")
+  }
+
   /** WINDOWED embedding_summary (the incrementally-maintained drift
     * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
     * day, the declaration that also streams as one stateful aggregation
@@ -3696,6 +3767,64 @@ object Queries {
     // the windowed drift MONITOR's batch-read-back form: per-day metrics
     // vs the stored label<8 baseline, identical conventions windowed
     "x29_windowed_drift" -> embedDriftWindowedOracleSql,
+    // the scalar-summary ARTIFACT rows: plain grouped sums (linearity is
+    // the point — the same aggregation backs the windowed maintained form)
+    "r48_spec_scalar_summary" ->
+      """SELECT event_type, 'value' AS col_name,
+        |  count(*) AS n_rows, count(value) AS n_nonnull,
+        |  CASE WHEN round(sum(value), 6) = 0 THEN 0.0
+        |       ELSE round(sum(value), 6) END AS "sum",
+        |  CASE WHEN round(sum(value * value), 6) = 0 THEN 0.0
+        |       ELSE round(sum(value * value), 6) END AS sumsq,
+        |  min(value) AS "min", max(value) AS "max"
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+    // the windowed SCALAR drift monitor: per (hour, event_type) cell, the
+    // six exact numeric metrics vs the stored user_id<8 baseline — the
+    // identical sum-derived formulas (stddev is the textbook sample form
+    // with the negative-variance clamp), NULL for a side that cannot
+    // compute (absent baseline cell, < 2 rows for stddev)
+    "r48_spec_scalar_monitor" ->
+      """WITH n AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w,
+        |         event_type, count(*) AS n, count(value) AS nn,
+        |         sum(value) AS s, sum(value * value) AS sq,
+        |         min(value) AS mn, max(value) AS mx
+        |       FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT event_type, count(*) AS n, count(value) AS nn,
+        |        sum(value) AS s, sum(value * value) AS sq,
+        |        min(value) AS mn, max(value) AS mx
+        |      FROM events WHERE event_type IS NOT NULL AND user_id < 8
+        |      GROUP BY 1),
+        |j AS (SELECT n.w, n.event_type, n.n, n.nn, n.s, n.sq, n.mn, n.mx,
+        |        o.n AS bn, o.nn AS bnn, o.s AS bs, o.sq AS bsq,
+        |        o.mn AS bmn, o.mx AS bmx
+        |      FROM n LEFT JOIN o USING (event_type)),
+        |m AS (SELECT w, event_type, ms.metric, n,
+        |    CASE ms.metric
+        |      WHEN 'row_count' THEN CAST(bn AS DOUBLE)
+        |      WHEN 'null_rate' THEN CASE WHEN bn = 0 THEN NULL
+        |        ELSE (bn - bnn) / CAST(bn AS DOUBLE) END
+        |      WHEN 'mean' THEN CASE WHEN bnn = 0 THEN NULL ELSE bs / bnn END
+        |      WHEN 'stddev' THEN CASE WHEN bnn < 2 THEN NULL
+        |        ELSE sqrt(greatest((bsq - bs * bs / bnn) / (bnn - 1), 0.0)) END
+        |      WHEN 'min' THEN bmn ELSE bmx END AS ov,
+        |    CASE ms.metric
+        |      WHEN 'row_count' THEN CAST(n AS DOUBLE)
+        |      WHEN 'null_rate' THEN (n - nn) / CAST(n AS DOUBLE)
+        |      WHEN 'mean' THEN CASE WHEN nn = 0 THEN NULL ELSE s / nn END
+        |      WHEN 'stddev' THEN CASE WHEN nn < 2 THEN NULL
+        |        ELSE sqrt(greatest((sq - s * s / nn) / (nn - 1), 0.0)) END
+        |      WHEN 'min' THEN mn ELSE mx END AS nv
+        |  FROM j, (SELECT unnest(['row_count', 'null_rate', 'mean',
+        |                          'stddev', 'min', 'max']) AS metric) ms)
+        |SELECT w AS window_start, 'value' AS col_name, metric,
+        |  CAST(event_type AS VARCHAR) AS category,
+        |  CASE WHEN round(ov, 6) = 0 THEN 0.0 ELSE round(ov, 6) END AS old_value,
+        |  CASE WHEN round(nv, 6) = 0 THEN 0.0 ELSE round(nv, 6) END AS new_value,
+        |  CASE WHEN round(nv - ov, 6) = 0 THEN 0.0
+        |       ELSE round(nv - ov, 6) END AS delta,
+        |  CAST(n AS DOUBLE) AS n_new
+        |FROM m""".stripMargin,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
     // fixture; the violation path is exception-pinned in InterpreterSpec
@@ -4160,6 +4289,9 @@ object Queries {
     "r47_spec_knn_append" -> r47SpecKnnAppend _,
     "r47_spec_knn_ivf_append" -> r47SpecKnnIvfAppend _,
     "r47_spec_knn_lsh_stored" -> r47SpecKnnLshStored _,
+    "r48_spec_scalar_summary" -> r48SpecScalarSummary _,
+    "r48_spec_scalar_monitor" -> r48SpecScalarMonitor _,
+    "r48_spec_quantile_monitor" -> r48SpecQuantileMonitor _,
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
     "x21_heavy_hitters" -> x21HeavyHitters _,

@@ -604,6 +604,15 @@ case class TransformOp(
     // reports the missing side (and delta) as NULL, which VIOLATES a
     // declared gate bound rather than fabricating a 0
     quantilePath: Option[String] = None,
+    // statsPath points the WINDOWED scalar drift monitor at a stored
+    // scalar_summary artifact (the numeric legs' baseline — long-shape
+    // rows of n_rows/n_nonnull/sum/sumsq/min/max per (dims, column)),
+    // declared with numericColumns (+ groupColumns, the artifact dims):
+    // each (window, dims) cell's row_count / null_rate / mean / stddev /
+    // min / max evaluate against the stored baseline as the cell
+    // refreshes. Windowed-monitor-only — the batch numeric leg reads raw
+    // old data via comparePath
+    statsPath: Option[String] = None,
     // stored ANN index (X3's stored-artifact discipline): knn_index WRITES
     // the artifact at indexPath at crawl time (method picks what is
     // stored: quantized int8 codes / trained ivf cells / lsh buckets, all
@@ -894,13 +903,27 @@ case class TransformOp(
         s"[$where] quantile_rollup quantiles must be fractions in [0, 1]")
       validateWindowDecl(where)
     case "knn" =>
-      require(column.isDefined && idColumn.isDefined && queryPath.isDefined,
-        s"[$where] knn requires column (the vector), idColumn and queryPath")
+      require(column.isDefined && idColumn.isDefined,
+        s"[$where] knn requires column (the vector) and idColumn")
+      require(queryPath.isDefined || indexPath.isDefined,
+        s"[$where] knn requires queryPath (the batch query artifact; the " +
+          "frame is the corpus) — or indexPath ALONE for the query-frame " +
+          "route, where the frame IS the query set (batch or streaming) " +
+          "scored against the stored index")
       require(k.exists(_ >= 1), s"[$where] knn requires k >= 1")
       val m = method.getOrElse("exact")
       require(Set("exact", "quantized", "ivf", "lsh")(m),
         s"[$where] knn method '$m' unknown " +
           "(supported: exact, quantized, ivf, lsh)")
+      // the windowed declaration belongs to the query-frame stored-index
+      // route (it keys the per-query heaps by window so streaming state
+      // evicts); on the corpus-frame route it would be silently ignored
+      require(timeColumn.isEmpty ||
+          (indexPath.isDefined && queryPath.isEmpty),
+        s"[$where] knn windowed form (timeColumn + every) belongs to the " +
+          "query-frame stored-index route — declare indexPath and drop " +
+          "queryPath (the frame is then the query set)")
+      validateWindowDecl(where)
       // with indexPath the stored artifact carries dim (and all geometry) —
       // a declared dim is then an optional cross-check against the meta
       if (m == "lsh" && indexPath.isEmpty) require(dim.exists(_ >= 1),
@@ -962,41 +985,89 @@ case class TransformOp(
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
           heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
           embeddingColumns.nonEmpty || sketchPath.isDefined ||
-          quantilePath.isDefined,
+          quantilePath.isDefined || statsPath.isDefined,
         s"[$where] snapshot_drift requires numericColumns, " +
           "categoricalColumns, heavyHitterColumns, histograms, " +
-          "embeddingColumns, sketchPath and/or quantilePath")
+          "embeddingColumns, sketchPath, quantilePath and/or statsPath")
       // WINDOWED form (timeColumn + every [+ watermark on a stream]): the
       // per-window drift MONITOR — evaluates each (window, stratum?) cell
-      // against a STORED baseline summary. The baseline must be an
-      // artifact (a windowed monitor rescanning old raw data per window
-      // is exactly what the artifact discipline forbids), and v1 monitors
-      // the embedding leg only: the scalar/categorical legs' windowed
-      // twins are the windowed sketch ops (distinct_rollup /
-      // quantile_rollup / heavy_hitters), which already stream.
-      if (validateWindowDecl(where)) {
-        require(summaryPath.isDefined && embeddingColumns.nonEmpty,
+      // against a STORED baseline artifact (a windowed monitor rescanning
+      // old raw data per window is exactly what the artifact discipline
+      // forbids). Three legs, one per baseline kind: summaryPath (the
+      // embedding leg), statsPath (the scalar leg — count/null_rate/mean/
+      // stddev/min/max per cell), quantilePath (the percentile leg over
+      // the stored X26 sketch table). Exactly ONE baseline per
+      // declaration — each leg's row shape and state layout differ, and a
+      // pipeline monitoring several legs declares several transforms.
+      val windowed = validateWindowDecl(where)
+      if (windowed) {
+        val declaredBaselines = Seq(
+          "summaryPath" -> summaryPath.isDefined,
+          "statsPath" -> statsPath.isDefined,
+          "quantilePath" -> quantilePath.isDefined).filter(_._2).map(_._1)
+        require(declaredBaselines.size == 1,
           s"[$where] windowed snapshot_drift (the per-window drift " +
-            "monitor) requires summaryPath (the stored baseline " +
-            "embedding_summary artifact) and embeddingColumns — the " +
-            "monitor compares each window cell against the stored " +
-            "baseline, never against raw old data")
-        require(numericColumns.isEmpty && categoricalColumns.isEmpty &&
-            heavyHitterColumns.isEmpty && histograms.isEmpty &&
-            sketchPath.isEmpty && quantilePath.isEmpty &&
-            newSummaryPath.isEmpty,
-          s"[$where] windowed snapshot_drift monitors the embedding leg " +
-            "only — for windowed scalar/categorical signals use the " +
-            "windowed sketch ops (distinct_rollup / quantile_rollup / " +
-            "heavy_hitters), which maintain their own per-window tables")
+            "monitor) requires exactly ONE stored baseline — summaryPath " +
+            "(embedding leg), statsPath (scalar leg) or quantilePath " +
+            "(percentile leg); the monitor compares each window cell " +
+            "against a stored artifact, never against raw old data " +
+            s"(declared: ${if (declaredBaselines.isEmpty) "none"
+              else declaredBaselines.mkString(", ")})")
+        require(categoricalColumns.isEmpty && heavyHitterColumns.isEmpty &&
+            histograms.isEmpty && sketchPath.isEmpty &&
+            newSummaryPath.isEmpty && comparePath.isEmpty,
+          s"[$where] windowed snapshot_drift monitors exactly its " +
+            "baseline's leg — categorical/heavy-hitter/histogram legs, " +
+            "sketchPath, newSummaryPath and comparePath belong to the " +
+            "batch form (for windowed categorical signals use the " +
+            "windowed sketch ops, which maintain their own tables)")
+        declaredBaselines.head match {
+          case "summaryPath" =>
+            require(embeddingColumns.nonEmpty && numericColumns.isEmpty,
+              s"[$where] windowed snapshot_drift with summaryPath is the " +
+                "EMBEDDING monitor — declare embeddingColumns (and no " +
+                "numericColumns; the scalar monitor is statsPath)")
+          case "statsPath" =>
+            require(numericColumns.nonEmpty,
+              s"[$where] windowed snapshot_drift with statsPath is the " +
+                "SCALAR monitor — declare numericColumns (the measures; " +
+                "groupColumns are the artifact dims, may be empty for a " +
+                "global baseline)")
+            require(embeddingColumns.isEmpty && embeddingGroupBy.isEmpty,
+              s"[$where] windowed snapshot_drift with statsPath takes no " +
+                "embedding leg (that monitor is summaryPath); strata ride " +
+                "groupColumns, the artifact dims")
+          case _ =>
+            require(column.isDefined && groupColumns.nonEmpty,
+              s"[$where] windowed snapshot_drift with quantilePath is the " +
+                "PERCENTILE monitor — declare column (the measure) and " +
+                "groupColumns (the stored sketch table's dims)")
+            require(quantiles.nonEmpty &&
+                numericQuantiles.forall(q => q >= 0.0 && q <= 1.0),
+              s"[$where] windowed snapshot_drift with quantilePath " +
+                "requires quantiles (fractions in [0, 1])")
+            require(embeddingColumns.isEmpty && numericColumns.isEmpty,
+              s"[$where] windowed snapshot_drift with quantilePath takes " +
+                "no embedding or scalar leg (those monitors are " +
+                "summaryPath / statsPath)")
+        }
       }
+      // statsPath is the WINDOWED scalar monitor's baseline only — the
+      // batch numeric leg reads raw old data via comparePath (the stored
+      // no-rescan form of a batch numeric compare is a follow-up; refusing
+      // beats silently ignoring the path)
+      require(statsPath.isEmpty || windowed,
+        s"[$where] snapshot_drift statsPath is the windowed scalar " +
+          "monitor's baseline — declare timeColumn + every (+ watermark " +
+          "on a stream), or use comparePath for the batch numeric leg")
       // comparePath (the OLD snapshot's raw parquet) is needed only by the
       // legs that RESCAN it; a drift declared purely against stored
       // artifacts (summaryPath / sketchPath) never touches old raw data —
       // that is the point of the artifact discipline
-      val rescans = numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
+      val rescans = !windowed && (numericColumns.nonEmpty ||
+        categoricalColumns.nonEmpty ||
         heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
-        (embeddingColumns.nonEmpty && summaryPath.isEmpty)
+        (embeddingColumns.nonEmpty && summaryPath.isEmpty))
       require(comparePath.isDefined || !rescans,
         s"[$where] snapshot_drift requires comparePath (the OLD snapshot " +
           "parquet; the frame is the NEW snapshot) — only a purely " +
@@ -1072,6 +1143,14 @@ case class TransformOp(
             s"[$where] snapshot_drift $which bound '$k' must be >= 0, got $v")
         }
       }
+    case "scalar_summary" =>
+      require(columns.nonEmpty,
+        s"[$where] scalar_summary requires columns (the numeric measures " +
+          "to summarize); optional groupColumns strata the artifact")
+      require(columns.distinct == columns,
+        s"[$where] scalar_summary columns has duplicates: " +
+          columns.diff(columns.distinct).distinct.mkString(", "))
+      validateWindowDecl(where)
     case "embedding_summary" =>
       require(column.isDefined,
         s"[$where] embedding_summary requires column (the vector to " +

@@ -26,7 +26,7 @@ object SpecSurface {
     "knn_index_append", "resample",
     "profile",
     "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
-    "embedding_summary", "merge_embedding_summaries")
+    "scalar_summary", "embedding_summary", "merge_embedding_summaries")
 
   /** knn method family members (PipelineSpec knn validation). */
   val knnMethods: Seq[String] = Seq("exact", "quantized", "ivf", "lsh")

@@ -780,6 +780,197 @@ object Drift extends Logging {
         col("p.new_value"), col("p.delta")): _*)
   }
 
+  // ------------------------------------------------ scalar-summary artifact
+
+  /** Gate-granularity rounding shared by the monitors: 6 decimals with the
+    * negative-zero normalization (below 1e-6 a delta is summation-order
+    * noise, and DuckDB's round() emits -0.0 for tiny negatives, which
+    * hashes differently from 0.0).
+    */
+  private def zround6(x: Column): Column =
+    when(round(x, 6) === 0, lit(0.0)).otherwise(round(x, 6))
+
+  /** Per-snapshot SCALAR summary artifact — the numeric legs' analogue of
+    * [[embeddingSummary]]: one row per ((dims...) cell ×) declared column
+    * carrying everything the exact numeric drift metrics derive from, in
+    * LINEAR (exactly mergeable) form — `n_rows` (the cell's total row
+    * count), `n_nonnull`, `sum`, `sumsq`, `min`, `max`. row_count /
+    * null_rate / mean / stddev / min / max between any two snapshots (or
+    * any window of one) then cost a KB-sized artifact read, never a
+    * rescan. NULL dims cells are excluded (the null-stratum convention);
+    * merge across shards/crawls is [[mergeScalarSummaries]] (plain
+    * sums + min/max — exact, like the embedding summary's fold).
+    */
+  def scalarSummary(df: DataFrame, cols: Seq[String],
+      dims: Seq[String]): DataFrame =
+    scalarSummaryCore(df, cols, dims, None)
+
+  /** WINDOWED form of [[scalarSummary]] — the incrementally-maintained
+    * numeric summary table: one stateful aggregation per (tumbling window,
+    * dims...) cell on a watermarked stream (native count/sum/min/max —
+    * nothing custom rides the state store), the identical grouping on
+    * batch. Same maintained-table pattern as the X25/X26 sketch tables.
+    */
+  def scalarSummaryWindowed(df: DataFrame, cols: Seq[String],
+      dims: Seq[String], win: Column): DataFrame =
+    scalarSummaryCore(df, cols, dims, Some(win))
+
+  private def scalarSummaryCore(df: DataFrame, cols: Seq[String],
+      dims: Seq[String], win: Option[Column]): DataFrame = {
+    require(cols.nonEmpty, "scalarSummary needs at least one column")
+    val strat =
+      if (dims.isEmpty) df
+      else df.filter(dims.map(col(_).isNotNull).reduce(_ && _))
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      val d = col(c).cast("double")
+      Seq(count(col(c)).as(s"__nn_$c"), sum(d).as(s"__sum_$c"),
+        sum(d * d).as(s"__sq_$c"), min(d).as(s"__min_$c"),
+        max(d).as(s"__max_$c"))
+    }
+    val keys = win.map(_.as("__w")).toSeq ++ dims.map(col)
+    val one = strat.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    // explode to the LONG shape (one row per column) AFTER the aggregation
+    // — a stateless projection, so the streaming form stays one stateful agg
+    val rows = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"__nn_$c").as("n_nonnull"),
+        col(s"__sum_$c").as("sum"), col(s"__sq_$c").as("sumsq"),
+        col(s"__min_$c").as("min"), col(s"__max_$c").as("max"))
+    }
+    val outKeys =
+      win.map(_ => col("__w.start").as("window_start")).toSeq ++ dims.map(col)
+    val outNames = win.map(_ => "window_start").toSeq ++ dims
+    one.select(outKeys ++ Seq(col("__n").as("n_rows"),
+        explode(array(rows: _*)).as("p")): _*)
+      .select(outNames.map(col) ++ Seq(
+        col("p.col_name").as("col_name"), col("n_rows"), col("p.n_nonnull"),
+        col("p.sum"), col("p.sumsq"), col("p.min"), col("p.max")): _*)
+  }
+
+  /** Merge [[scalarSummary]] artifacts (shards, daily crawls, window cells
+    * with the window column dropped) by summation — the summary is linear,
+    * so the fold is EXACT, mirroring [[mergeEmbeddingSummaries]].
+    */
+  def mergeScalarSummaries(parts: DataFrame, dims: Seq[String]): DataFrame =
+    parts.groupBy((dims :+ "col_name").map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nonnull")).as("n_nonnull"),
+        sum(col("sum")).as("sum"), sum(col("sumsq")).as("sumsq"),
+        min(col("min")).as("min"), max(col("max")).as("max"))
+
+  /** WINDOWED SCALAR drift MONITOR — the numeric-column analogue of
+    * [[windowedEmbeddingDrift]] (round-17 directive #2a): each (window,
+    * dims...) cell's row_count / null_rate / mean / stddev / min / max
+    * evaluate against a STORED [[scalarSummary]] baseline the moment the
+    * cell refreshes. Streaming shape: the cell summary is ONE stateful
+    * aggregation (all native aggs); everything after is stateless — a
+    * broadcast LEFT join against the ≤ cells × cols baseline rows on
+    * (dims, col_name) and per-row metric math. A cell/column absent from
+    * the baseline reads NULL on the old side (and a NULL delta VIOLATES a
+    * declared bound — the quantile-leg newborn convention: a percentile or
+    * mean of an absent population must gate loudly, not fabricate 0).
+    * Bounds surface as a `pass` COLUMN ([[flagged]]); `n_new` (the cell's
+    * total row count) rides every metric row as the last-write-wins
+    * version column. Deltas are gate quantities → 6-dp rounded.
+    */
+  def windowedScalarDrift(df: DataFrame, cols: Seq[String], dims: Seq[String],
+      win: Column, baseline: DataFrame,
+      absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+    val cells = scalarSummaryCore(df, cols, dims, Some(win))
+    val b = baseline.select((dims :+ "col_name").map(col) ++ Seq(
+      col("n_rows").as("__bn"), col("n_nonnull").as("__bnn"),
+      col("sum").as("__bsum"), col("sumsq").as("__bsq"),
+      col("min").as("__bmin"), col("max").as("__bmax")): _*)
+    val joined = cells.join(broadcast(b), dims :+ "col_name", "left")
+    // the same six metrics (and formulas) as driftReport's numeric leg,
+    // derived from sums — stddev is the textbook sample form with a
+    // negative-variance clamp (pure rounding artifact); a side with no
+    // rows (or < 2 for stddev) reports NULL, never a fabricated 0
+    def stats(n: Column, nn: Column, s: Column, sq: Column,
+        mn: Column, mx: Column): Seq[(String, Column)] = Seq(
+      "row_count" -> n.cast("double"),
+      "null_rate" -> when(n === 0, lit(null).cast("double"))
+        .otherwise((n - nn) / n),
+      "mean" -> when(nn === 0, lit(null).cast("double")).otherwise(s / nn),
+      "stddev" -> when(nn < 2, lit(null).cast("double"))
+        .otherwise(sqrt(greatest((sq - s * s / nn) / (nn - 1), lit(0.0)))),
+      "min" -> mn,
+      "max" -> mx)
+    val newStats = stats(col("n_rows"), col("n_nonnull"), col("sum"),
+      col("sumsq"), col("min"), col("max"))
+    val oldStats = stats(col("__bn"), col("__bnn"), col("__bsum"),
+      col("__bsq"), col("__bmin"), col("__bmax"))
+    val rows = array(newStats.zip(oldStats).map { case ((m, nv), (_, ov)) =>
+      struct(lit(m).as("metric"), ov.as("old_value"), nv.as("new_value"),
+        zround6(nv - ov).as("delta"))
+    }: _*)
+    val cat: Column =
+      if (dims.isEmpty) lit(null).cast("string")
+      else concat_ws("/", dims.map(c => col(c).cast("string")): _*)
+    val exploded = joined.select(col("window_start"), col("col_name"),
+        cat.as("category"), col("n_rows").cast("double").as("n_new"),
+        explode(rows).as("p"))
+      .select(col("window_start"), col("col_name"), col("p.metric"),
+        col("category"), col("p.old_value"), col("p.new_value"),
+        col("p.delta"), col("n_new"))
+    flagged(exploded, absBounds, relBounds)
+  }
+
+  /** WINDOWED PERCENTILE drift MONITOR — the quantilePath leg live
+    * (round-17 directive #2b): each (window, dims...) cell builds ONE
+    * mergeable quantile sketch (the X26 aggregate already rides streaming
+    * state), estimates the declared percentiles statelessly, and compares
+    * them against the STORED quantile-sketch table's per-cell estimates —
+    * one row per (cell, quantile), accuracy the X26 ±1%-of-rank contract
+    * on BOTH sides. Old raw data is never touched; a cell absent from the
+    * baseline reports NULL old/delta (VIOLATES under a bound — the
+    * newborn convention). Same streaming shape as the scalar monitor: one
+    * stateful agg, then a broadcast baseline join and projections.
+    */
+  def windowedQuantileDrift(df: DataFrame, valueCol: String,
+      dims: Seq[String], win: Column, oldSketches: DataFrame,
+      quantiles: Seq[Double],
+      absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+    require(dims.nonEmpty, "windowedQuantileDrift needs dimension columns " +
+      "(the stored sketch table's dims)")
+    require(quantiles.nonEmpty, "windowedQuantileDrift needs quantiles")
+    val labels = quantiles.map(graft.functions.QuantileSketch.colName)
+    val noNull = dims.map(col(_).isNotNull).reduce(_ && _)
+    val g = df.filter(noNull)
+      .groupBy(win.as("__w") +: dims.map(col): _*)
+      .agg(graft.functions.QuantileSketch.sketch(
+          col(valueCol).cast("double")).as("__qs"),
+        count(col(valueCol)).as("__n"))
+    // materialize the estimate array ONCE per cell (the windowed
+    // quantile_rollup CSE note), then fan out per-quantile columns
+    val withEst = g.withColumn("__est",
+      graft.functions.QuantileSketch.estimateSketch(col("__qs"), quantiles))
+    val newSide = withEst.select(
+      (col("__w.start").as("window_start") +: dims.map(col)) ++
+        (col("__n") +: labels.zipWithIndex.map { case (l, i) =>
+          col("__est").getItem(i).as(s"__n_$l") }): _*)
+    val oldEst = Profile.rollupQuantiles(
+      oldSketches.filter(noNull), dims, quantiles)
+    val b = oldEst.select(dims.map(col) ++
+      labels.map(l => col(l).as(s"__o_$l")): _*)
+    val joined = newSide.join(broadcast(b), dims, "left")
+    val rows = array(labels.map { l =>
+      struct(lit(l).as("metric"), col(s"__o_$l").as("old_value"),
+        col(s"__n_$l").as("new_value"),
+        (col(s"__n_$l") - col(s"__o_$l")).as("delta"))
+    }: _*)
+    val cat = concat_ws("/", dims.map(c => col(c).cast(
+      org.apache.spark.sql.types.StringType)): _*)
+    val exploded = joined.select(col("window_start"),
+        lit(valueCol).as("col_name"), cat.as("category"),
+        col("__n").cast("double").as("n_new"), explode(rows).as("p"))
+      .select(col("window_start"), col("col_name"), col("p.metric"),
+        col("category"), col("p.old_value"), col("p.new_value"),
+        col("p.delta"), col("n_new"))
+    flagged(exploded, absBounds, relBounds)
+  }
+
   def driftFromSketches(oldSketches: DataFrame, newSketches: DataFrame,
       dims: Seq[String]): DataFrame = {
     val o = Profile.rollupDistinct(oldSketches, dims)

@@ -335,15 +335,24 @@ object Similarity extends Logging {
     * several cells/tables INSIDE the partial aggregate (no dedup exchange
     * over the corpus-sized scored relation).
     */
-  private def rankRows(scored: DataFrame, k: Int, distinct: Boolean): DataFrame = {
+  private def rankRows(scored: DataFrame, k: Int, distinct: Boolean,
+      win: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val top =
       if (distinct) graft.functions.TopK.topkDistinct(col("cos"), col("neighbor_id"), k)
       else graft.functions.TopK.topk(col("cos"), col("neighbor_id"), k)
-    scored.groupBy(col("query_id"))
+    // the optional window key is the STREAMING state lever: cells finalize
+    // and evict past the watermark instead of one per-query heap living
+    // forever; on batch the same grouping makes stream == batch testable
+    val keys = win.map(_.as("__w")).toSeq :+ col("query_id")
+    val lead = win.map(_ => col("__w.start").as("window_start")).toSeq :+
+      col("query_id")
+    val leadNames = win.map(_ => "window_start").toSeq :+ "query_id"
+    scored.groupBy(keys: _*)
       .agg(top.as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "p")))
-      .select(col("query_id"), (col("rank0") + 1).cast("int").as("rank"),
-        col("p._2").as("neighbor_id"), col("p._1").as("cos"))
+      .select(lead :+ posexplode(col("top")).as(Seq("rank0", "p")): _*)
+      .select(leadNames.map(col) ++ Seq(
+        (col("rank0") + 1).cast("int").as("rank"),
+        col("p._2").as("neighbor_id"), col("p._1").as("cos")): _*)
   }
 
   /** Build and STORE an ANN index artifact under `indexPath` — the X3
@@ -685,7 +694,8 @@ object Similarity extends Logging {
     * OperatorsSpec and the r44 accuracy contract.
     */
   def indexedTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      indexPath: String, nProbe: Int = 0, refine: Int = 4): DataFrame = {
+      indexPath: String, nProbe: Int = 0, refine: Int = 4,
+      win: Option[(String, org.apache.spark.sql.Column)] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
     // committed-generation fence: postings above the meta's generation are
@@ -698,10 +708,28 @@ object Similarity extends Logging {
       if (index0.columns.contains("gen"))
         index0.filter(col("gen") <= meta.generation).drop("gen")
       else index0
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+    // STREAMING query frames are first-class for ivf/lsh (the stored
+    // artifact makes streaming retrieval a stream-static join + ONE
+    // stateful top-k aggregation): the broadcast hint stays off the stream
+    // side (Spark broadcasts the static side of a stream-static join on
+    // its own sizing), and `win` — (timeColumn, window expression), the
+    // caller owns watermarking — keys the heap by (window, query) so cells
+    // finalize and evict instead of living forever. quantized is refused
+    // on a stream: its propose-then-re-rank is TWO chained aggregations.
+    val streaming = queries.isStreaming
+    val hint: DataFrame => DataFrame =
+      if (streaming) identity else (df: DataFrame) => broadcast(df)
+    val winCarry = win.map { case (ts, _) => col(ts) }.toSeq
+    val winExpr = win.map(_._2)
+    val q = queries.select(Seq(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")) ++ winCarry: _*)
     meta.method match {
       case "quantized" =>
+        require(!streaming && win.isEmpty,
+          "indexedTopK over a quantized index is batch-only and unwindowed " +
+            "(the int8 propose + exact re-rank is two chained " +
+            "aggregations, which a stream cannot run) — store an ivf or " +
+            "lsh index for streaming retrieval")
         val qq = q.withColumn("qq", VectorFunctions.quantize_vec(col("qv")))
         val cands = index.select(col("id").as("neighbor_id"), col("q").as("cq"))
           .join(broadcast(qq.select(col("query_id"), col("qq"))),
@@ -729,26 +757,27 @@ object Similarity extends Logging {
           else math.max(4, math.ceil(meta.n_cells.get / 3.0).toInt), kk)
         val probed = q.withColumn("cell",
             explode(VectorFunctions.nearest_cells(col("qv"), cents, probeN)))
-          .select(col("query_id"), col("qv"), col("cell"))
+          .select(Seq(col("query_id"), col("qv"), col("cell")) ++ winCarry: _*)
         val scored = index
           .select(col("cell"), col("id").as("neighbor_id"),
             col("vec").cast("array<double>").as("cv"))
-          .join(broadcast(probed), Seq("cell"))
+          .join(hint(probed), Seq("cell"))
           .filter(col("neighbor_id") =!= col("query_id"))
           .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-        rankRows(scored, k, distinct = meta.n_assign.exists(_ > 1))
+        rankRows(scored, k, distinct = meta.n_assign.exists(_ > 1),
+          win = winExpr)
       case "lsh" =>
         val planes = meta.vectors.get.map(_.toSeq)
-        val qb = q.select(col("query_id"), col("qv"),
+        val qb = q.select(Seq(col("query_id"), col("qv")) ++ winCarry ++ Seq(
           posexplode(VectorFunctions.sign_buckets(col("qv"), planes,
-            meta.planes_per_table.get)).as(Seq("tbl", "bucket")))
+            meta.planes_per_table.get)).as(Seq("tbl", "bucket"))): _*)
         val scored = index
           .select(col("tbl"), col("bucket"), col("id").as("neighbor_id"),
             col("vec").cast("array<double>").as("cv"))
-          .join(broadcast(qb), Seq("tbl", "bucket"))
+          .join(hint(qb), Seq("tbl", "bucket"))
           .filter(col("neighbor_id") =!= col("query_id"))
           .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-        rankRows(scored, k, distinct = true)
+        rankRows(scored, k, distinct = true, win = winExpr)
       case other => throw new IllegalArgumentException(
         s"indexPath '$indexPath' stores unknown method '$other'")
     }

@@ -205,6 +205,12 @@ object Interpreter extends Logging {
       // counts with changed content still escape — the finding says so.
       val probeOn = df.sparkSession.conf
         .get("spark.graft.preflightProbe", "true").toBoolean
+      // the staleness probe compares the CORPUS frame against the meta —
+      // it only applies to the batch queryPath route (in the query-frame
+      // route the frame is the QUERY stream/batch, not the corpus; and a
+      // streaming frame cannot be counted)
+      val stalenessApplies = probeOn && t.queryPath.isDefined &&
+        !df.isStreaming
       if (!probeOn) {
         logInfo(s"[$specId] knn index staleness preflight skipped " +
           "(spark.graft.preflightProbe=false)")
@@ -212,18 +218,21 @@ object Interpreter extends Logging {
       } else try {
         val p = resolvePath(t.indexPath.get, dataDir, specId)
         val meta = graft.operators.Similarity.readIndexMeta(df.sparkSession, p)
-        val n = df.count()
         val stale =
-          if (n == meta.n_rows) Nil
-          else Seq(graft.observe.PlanAudit.Finding("warn", KnnStaleIndex,
-            s"knn indexPath '$p' was built over ${meta.n_rows} corpus rows " +
-              s"but this frame has $n — the stored index does not cover the " +
-              "frame (rows added since the build are invisible to the " +
-              "search; removed rows still surface as neighbors; equal " +
-              "counts with changed content escape this probe). Append the " +
-              "new rows with knn_index_append (no retraining, directory-" +
-              "local write), or rebuild with knn_index on the current " +
-              "snapshot"))
+          if (!stalenessApplies) Nil
+          else {
+            val n = df.count()
+            if (n == meta.n_rows) Nil
+            else Seq(graft.observe.PlanAudit.Finding("warn", KnnStaleIndex,
+              s"knn indexPath '$p' was built over ${meta.n_rows} corpus rows " +
+                s"but this frame has $n — the stored index does not cover the " +
+                "frame (rows added since the build are invisible to the " +
+                "search; removed rows still surface as neighbors; equal " +
+                "counts with changed content escape this probe). Append the " +
+                "new rows with knn_index_append (no retraining, directory-" +
+                "local write), or rebuild with knn_index on the current " +
+                "snapshot"))
+          }
         // geometry pricing for the stored route reads the ARTIFACT's
         // geometry (the declaration may omit it) — the per-query re-rank
         // fraction is paid whether the index is stored or rebuilt
@@ -573,6 +582,24 @@ object Interpreter extends Logging {
         s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
         "Build artifacts with the quantile_rollup op's keepSketch form " +
         "(or Profile.quantileSketches) at crawl time")
+    df
+  }
+
+  /** Same config-grade preflight for a stored SCALAR-summary artifact
+    * ([[graft.operators.Drift.scalarSummary]] shape): every declared
+    * dimension plus the long-shape payload columns must be present.
+    */
+  private def readStatsArtifact(spark: SparkSession, path: String,
+      dims: Seq[String], specId: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val missing = (dims ++ Seq("col_name", "n_rows", "n_nonnull", "sum",
+      "sumsq", "min", "max")).filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"[$specId] statsPath '$path' is not a scalar-summary artifact for " +
+        s"dims ${dims.mkString(", ")}: missing column(s) " +
+        s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
+        "Build artifacts with the scalar_summary op (or " +
+        "Drift.scalarSummary) at crawl time")
     df
   }
 
@@ -991,16 +1018,55 @@ object Interpreter extends Logging {
       // the identical flagged table (stream==batch pinned in
       // StreamRunnerSpec; the batch-read-back form is oracle-checked).
       val (src, win) = eventWindow(df, t)
-      val grouped = t.embeddingGroupBy.isDefined
-      val baseline = readSummaryArtifact(df.sparkSession,
-        resolvePath(t.summaryPath.get, dataDir, specId), grouped, specId)
-      val result = graft.operators.Drift.windowedEmbeddingDrift(
-        src, t.embeddingColumns.head, t.embeddingGroupBy, win, baseline,
-        t.numericMaxAbsDelta, t.numericMaxRelDelta)
-      // cell identity: (window, stratum?, col_name, metric)
-      windowedKey(result, df,
-        t.embeddingGroupBy.map(_ => "category").toSeq ++
-          Seq("col_name", "metric"))
+      if (t.summaryPath.isDefined) {
+        // EMBEDDING monitor (summaryPath — the original windowed form)
+        val grouped = t.embeddingGroupBy.isDefined
+        val baseline = readSummaryArtifact(df.sparkSession,
+          resolvePath(t.summaryPath.get, dataDir, specId), grouped, specId)
+        val result = graft.operators.Drift.windowedEmbeddingDrift(
+          src, t.embeddingColumns.head, t.embeddingGroupBy, win, baseline,
+          t.numericMaxAbsDelta, t.numericMaxRelDelta)
+        // cell identity: (window, stratum?, col_name, metric)
+        windowedKey(result, df,
+          t.embeddingGroupBy.map(_ => "category").toSeq ++
+            Seq("col_name", "metric"))
+      } else if (t.statsPath.isDefined) {
+        // SCALAR monitor (statsPath — round-17 directive #2a): each
+        // (window, dims) cell's count/null_rate/mean/stddev/min/max vs the
+        // stored scalar_summary artifact; one native stateful agg, then a
+        // broadcast baseline join — the windowedEmbeddingDrift conventions
+        // (pass COLUMN, n_new version, NULL-old newborn cells)
+        val p = resolvePath(t.statsPath.get, dataDir, specId)
+        val baseline = readStatsArtifact(df.sparkSession, p,
+          t.groupColumns, specId)
+        // a declared column absent from the artifact would make EVERY cell
+        // read NULL-old — almost certainly a typo, and silent without a
+        // declared bound; refuse at build like the geometry pins
+        val present = baseline.select("col_name").distinct()
+          .collect().map(_.getString(0)).toSet
+        val absent = t.numericColumns.filterNot(present)
+        require(absent.isEmpty,
+          s"[$specId] statsPath '$p' carries no rows for declared " +
+            s"numericColumns ${absent.mkString(", ")} (artifact columns: " +
+            s"${present.toSeq.sorted.mkString(", ")}) — rebuild the " +
+            "artifact with scalar_summary over those columns, or drop them")
+        val result = graft.operators.Drift.windowedScalarDrift(
+          src, t.numericColumns, t.groupColumns, win, baseline,
+          t.numericMaxAbsDelta, t.numericMaxRelDelta)
+        windowedKey(result, df, Seq("col_name", "category", "metric"))
+      } else {
+        // PERCENTILE monitor (quantilePath — round-17 directive #2b): each
+        // (window, dims) cell's sketch estimates vs the stored X26 table's
+        // per-cell percentiles; accuracy is the ±1%-of-rank contract on
+        // both sides
+        val oldSk = readQuantileArtifact(df.sparkSession,
+          resolvePath(t.quantilePath.get, dataDir, specId),
+          t.groupColumns, specId)
+        val result = graft.operators.Drift.windowedQuantileDrift(
+          src, t.column.get, t.groupColumns, win, oldSk, t.numericQuantiles,
+          t.numericMaxAbsDelta, t.numericMaxRelDelta)
+        windowedKey(result, df, Seq("col_name", "category", "metric"))
+      }
     case "snapshot_drift" =>
       require(!df.isStreaming,
         "snapshot_drift is batch-only (it compares two complete corpus " +
@@ -1166,6 +1232,33 @@ object Interpreter extends Logging {
           case None    => col("i")
         })
       else result
+    case "scalar_summary" if t.timeColumn.isDefined =>
+      // WINDOWED form — the incrementally-maintained NUMERIC summary table
+      // (the scalar analogue of windowed embedding_summary, same linearity
+      // argument): one native stateful aggregation per (window, dims) cell,
+      // long-shape rows per declared column, exactly mergeable
+      val (src, win) = eventWindow(df, t)
+      val result = graft.operators.Drift.scalarSummaryWindowed(
+        src, t.columns, t.groupColumns, win)
+      windowedKey(result, df, t.groupColumns :+ "col_name")
+    case "scalar_summary" =>
+      require(!df.isStreaming,
+        "global scalar_summary is batch-only (one artifact per complete " +
+          "snapshot); declare timeColumn + every + watermark for the " +
+          "windowed streaming form (an incrementally-maintained summary " +
+          "table)")
+      // the crawl-time artifact step for the NUMERIC drift legs: REPLACES
+      // the row set with the ≤ cells × columns long-shape summary — sink it
+      // to parquet and later windowed snapshot_drift monitors answer via
+      // statsPath without rescanning this snapshot
+      val result = graft.operators.Drift.scalarSummary(
+        df, t.columns, t.groupColumns)
+      if (df.columns.contains(KeyCol))
+        result.withColumn(KeyCol, t.groupColumns match {
+          case Seq() => col("col_name")
+          case dims  => struct((dims :+ "col_name").map(col): _*)
+        })
+      else result
     case "merge_embedding_summaries" =>
       require(!df.isStreaming,
         "merge_embedding_summaries is batch-only (it folds stored " +
@@ -1291,6 +1384,45 @@ object Interpreter extends Logging {
         case Seq(g) => col(g)
         case many   => struct(many.map(col): _*)
       }) else result
+    case "knn" if t.indexPath.isDefined && t.queryPath.isEmpty =>
+      // QUERY-FRAME route against the STORED index (the streaming
+      // retrieval leg — round-17 directive #6 — and its batch twin): with
+      // no queryPath, the FRAME is the query set. The artifact is
+      // self-contained, so arriving queries score through a stream-static
+      // join (the index is never re-trained or re-hashed per batch) and
+      // ONE stateful top-k aggregation; the windowed declaration keys
+      // heaps by (window, query) so state finalizes and evicts past the
+      // watermark.
+      val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
+      val p = resolvePath(t.indexPath.get, dataDir, specId)
+      val meta = requireIndexMeta(df.sparkSession, p, t, specId)
+      require(!df.isStreaming || meta.method != "quantized",
+        "streaming knn supports stored ivf/lsh indexes only — quantized " +
+          "is the propose-then-re-rank form (TWO chained aggregations, " +
+          "which a stream cannot run); store an ivf or lsh index for " +
+          "streaming retrieval")
+      val (src, win) =
+        if (t.timeColumn.isDefined) {
+          val (s, w) = eventWindow(df, t)
+          (s, Some((t.timeColumn.get, w)))
+        } else {
+          require(!df.isStreaming || t.unboundedOk,
+            "streaming knn holds one top-k heap per DISTINCT query id in " +
+              "state forever without a window — declare timeColumn + " +
+              "every + watermark (cells finalize and evict past the " +
+              "watermark) or unboundedOk:true to acknowledge the " +
+              "commitment")
+          (df, None)
+        }
+      val queries = src.withColumn(vecC, col(vecC).cast("array<double>"))
+      val result = graft.operators.Similarity.indexedTopK(queries, idC,
+        vecC, kk, p, nProbe = t.nProbe.getOrElse(0),
+        refine = t.refine.getOrElse(4), win = win)
+      if (!df.columns.contains(KeyCol)) result
+      else result.withColumn(KeyCol, win match {
+        case Some(_) => struct(col("window_start"), col("query_id"))
+        case None    => col("query_id")
+      })
     case "knn" if t.indexPath.isDefined =>
       // the STORED-INDEX route (X3's stored-artifact discipline): the
       // artifact at indexPath is SELF-CONTAINED (postings carry the
@@ -1300,10 +1432,11 @@ object Interpreter extends Logging {
       // match the artifact (the meta preflight below); nProbe stays a
       // query-time recall/scan knob.
       require(!df.isStreaming,
-        "knn is batch-only on the config path: the frame is the CORPUS " +
-          "side, and a per-query top-k over an unbounded corpus never " +
-          "finalizes; for streaming retrieval score arriving queries " +
-          "against a snapshot dim with graft.operators.Similarity directly")
+        "knn with queryPath is batch-only: the frame is the CORPUS side, " +
+          "and a per-query top-k over an unbounded corpus never finalizes; " +
+          "for streaming retrieval declare indexPath WITHOUT queryPath — " +
+          "the frame is then the query stream, scored against the stored " +
+          "index (with timeColumn + every + watermark so heap state evicts)")
       val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
       val p = resolvePath(t.indexPath.get, dataDir, specId)
       val meta = requireIndexMeta(df.sparkSession, p, t, specId)
@@ -1328,10 +1461,11 @@ object Interpreter extends Logging {
       // parquet artifact read once at build time (same second-frame
       // pattern as contamination_screen's benchPath) and broadcast.
       require(!df.isStreaming,
-        "knn is batch-only on the config path: the frame is the CORPUS " +
-          "side, and a per-query top-k over an unbounded corpus never " +
-          "finalizes; for streaming retrieval score arriving queries " +
-          "against a snapshot dim with graft.operators.Similarity directly")
+        "knn with queryPath is batch-only: the frame is the CORPUS side, " +
+          "and a per-query top-k over an unbounded corpus never finalizes; " +
+          "for streaming retrieval declare indexPath WITHOUT queryPath — " +
+          "the frame is then the query stream, scored against the stored " +
+          "index (with timeColumn + every + watermark so heap state evicts)")
       val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
       // vectors are stored array<float> (4-byte storage form); score in
       // double like every x3 query so the config path hash-matches them

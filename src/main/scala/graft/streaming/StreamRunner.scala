@@ -55,7 +55,8 @@ object StreamRunner extends Logging {
     case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
       t.windowType.contains("session") &&
       Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
-        "embedding_summary", "snapshot_drift").contains(t.op)) => OutputMode.Append()
+        "embedding_summary", "scalar_summary", "snapshot_drift",
+        "knn").contains(t.op)) => OutputMode.Append()
     // the windowed sketch/top-k transform family is a stateful aggregation
     // whose emission is a per-cell changelog (each micro-batch refreshes
     // the touched (window, dims) cells; the snapshot sink upserts them).
@@ -64,7 +65,8 @@ object StreamRunner extends Logging {
     // maintained-table semantics these ops declare.
     case _ if spec.transform.exists(t => t.timeColumn.isDefined &&
       Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
-        "embedding_summary", "snapshot_drift").contains(t.op)) => OutputMode.Update()
+        "embedding_summary", "scalar_summary", "snapshot_drift",
+        "knn").contains(t.op)) => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 

@@ -166,6 +166,19 @@ class DoctorSpec extends SparkSuite {
     val (codeHi, outHi) = runDoctor(hi, "testdata_sf1")
     assert(codeHi == 0, outHi)
     assert(!outHi.contains("lsh_low_threshold_regime"), outHi)
+    // the sf10 combination — the x2_embed_dup scaling row's regime (the
+    // one superlinear row of the sf10 rung for two rounds): at 200k
+    // vectors × threshold 0.4 the declarative preflight REFUSES the build
+    // before the collapse loop burns anything (round-17 directive #7: the
+    // measured regime is now a fenced fixture, not a silent scale-killer;
+    // BASELINE/DEPLOY document it as the accepted gated regime). Cheap:
+    // fail-mode specAudit fires from the size statistic, pre-execution.
+    if (Files.isDirectory(java.nio.file.Paths.get("testdata_sf10"))) {
+      val sf10 = write("embed_low_sf10.json", spec(0.4, """"planAudit":"fail","""))
+      val (code10, out10) = runDoctor(sf10, "testdata_sf10")
+      assert(code10 == 1, out10)
+      assert(out10.contains("lsh_low_threshold_regime"), out10)
+    }
   }
 
   test("Doctor: snapshot_drift over an identifier-like categorical warns at preflight; a bounded enum audits clean") {

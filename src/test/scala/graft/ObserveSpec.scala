@@ -95,6 +95,9 @@ class ObserveSpec extends SparkSuite {
       // the stored-index quantized route: the same scan class, sketch
       // column read from the knn_index artifact
       "r44_spec_knn_index" -> knnScan,
+      // the APPENDED quantized index searched through the same route
+      // (postings now span two committed generations)
+      "r47_spec_knn_append" -> knnScan,
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

@@ -1210,6 +1210,40 @@ class OperatorsSpec extends SparkSuite {
       old.getMessage)
   }
 
+  test("scalar summary: merge identity (sharded == one-shot) and windowed cells fold to the global artifact") {
+    // linearity is the artifact's contract: per-shard summaries (and the
+    // windowed table with its window column dropped) must fold EXACTLY to
+    // the one-shot build — same pin as the embedding summary's
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    def keyOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("col_name"), col("n_rows"),
+        col("n_nonnull"), round(col("sum"), 6), round(col("sumsq"), 6),
+        col("min"), col("max"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSet
+    val direct = keyOf(graft.operators.Drift.scalarSummary(
+      ev, Seq("value"), Seq("event_type")))
+    val parts = Seq(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 =!= 0))
+      .map(graft.operators.Drift.scalarSummary(_, Seq("value"), Seq("event_type")))
+      .reduce(_.unionByName(_))
+    val merged = keyOf(graft.operators.Drift.mergeScalarSummaries(
+      parts, Seq("event_type")))
+    assert(merged == direct && direct.nonEmpty,
+      s"sharded merge $merged != one-shot $direct")
+    // windowed cells (hourly) fold to the same global artifact
+    val windowed = graft.pipeline.Interpreter.applyTransform(ev,
+      graft.config.TransformOp(op = "scalar_summary", columns = Seq("value"),
+        groupColumns = Seq("event_type"), timeColumn = Some("ts"),
+        every = Some("1 hour")),
+      None, "t-scalar-win")
+    val fromCells = keyOf(graft.operators.Drift.mergeScalarSummaries(
+      windowed.drop("window_start"), Seq("event_type")))
+    assert(fromCells == direct,
+      s"windowed fold $fromCells != one-shot $direct")
+  }
+
   test("windowed drift monitor vs an EMPTY baseline artifact: every cell newborn, no crash") {
     // a zero-row summary still yields one null global-aggregate row — the
     // monitor must degrade to the zero baseline (row_count old 0, shift

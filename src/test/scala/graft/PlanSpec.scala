@@ -275,6 +275,10 @@ class PlanSpec extends SparkSuite {
       // query-set not-equal scan as x3_knn_quantized, reading the int8
       // sketch from the knn_index artifact instead of quantizing per call
       "r44_spec_knn_index",
+      // the APPENDED quantized index searched through the same route —
+      // identical not-equal candidate scan, postings now spanning two
+      // committed generations
+      "r47_spec_knn_append",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

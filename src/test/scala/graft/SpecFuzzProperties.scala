@@ -350,8 +350,35 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         "TIMESTAMP '2024-01-01 00:00:00' + " +
           "make_interval(0, 0, 0, 0, CAST(vec_id % 48 AS INT), 0, 0)"))
       .write.mode("overwrite").parquet(s"$dir/emb_ts.parquet")
+    // baselines for the scalar / percentile windowed monitors
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    graft.operators.Drift.scalarSummary(ev, Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/stats_grouped.parquet")
+    graft.operators.Drift.scalarSummary(ev, Seq("value"), Nil)
+      .write.mode("overwrite").parquet(s"$dir/stats_global.parquet")
+    graft.operators.Profile.quantileSketches(ev, Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$dir/qsketches.parquet")
+    // a stored ivf index for the query-frame knn route
+    graft.operators.Similarity.buildIndex(
+      e.selectExpr("vec_id", "cast(embedding as array<double>) as embedding"),
+      "vec_id", "embedding", "ivf", s"$dir/ivf_idx", nCells = 8, nAssign = 2)
     dir.toString
   }
+
+  property("valid knn query-frame route analyzes (stored index; plain / windowed)") =
+    Prop.forAll(Gen.oneOf(false, true)) { windowed =>
+      val res = new ParquetSourceResolver(artifactDir, TestdataCatalog)
+      val spec = simple("fz-knn-qframe",
+        if (windowed) "emb_ts" else "embeddings",
+        TransformOp(op = "knn", method = Some("ivf"),
+          column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
+          indexPath = Some(s"$artifactDir/ivf_idx"),
+          timeColumn = if (windowed) Some("ts") else None,
+          every = if (windowed) Some("1 hour") else None))
+      val df = Interpreter.build(spark, spec,
+        if (windowed) res else resolver)
+      Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
+    }
 
   property("valid embedding_summary analyzes (global / grouped)") =
     Prop.forAll(Gen.option(Gen.const("label"))) { g =>
@@ -392,6 +419,42 @@ object SpecFuzzProperties extends Properties("specfuzz") {
             else None))
       val df = Interpreter.build(spark, spec, res)
       Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
+    }
+
+  property("valid scalar_summary analyzes (global / grouped / windowed)") =
+    Prop.forAll(Gen.oneOf(Seq.empty[String], Seq("event_type")),
+        Gen.oneOf(false, true)) { (dims, windowed) =>
+      analyzes(simple("fz-scalar-summary", "events",
+        TransformOp(op = "scalar_summary", columns = Seq("value"),
+          groupColumns = dims,
+          timeColumn = if (windowed) Some("ts") else None,
+          every = if (windowed) Some("1 hour") else None)))
+    }
+
+  property("valid snapshot_drift windowed scalar monitor analyzes (statsPath; global / grouped baseline)") =
+    Prop.forAll(Gen.oneOf(false, true), Gen.oneOf(false, true)) {
+      (grouped, bounded) =>
+        val art = if (grouped) "stats_grouped" else "stats_global"
+        analyzes(simple("fz-scalar-monitor", "events",
+          TransformOp(op = "snapshot_drift",
+            statsPath = Some(s"$artifactDir/$art.parquet"),
+            numericColumns = Seq("value"),
+            groupColumns = if (grouped) Seq("event_type") else Nil,
+            timeColumn = Some("ts"), every = Some("1 hour"),
+            maxAbsDelta = if (bounded) Some(Map("value.mean" -> 100.0))
+              else None)))
+    }
+
+  property("valid snapshot_drift windowed quantile monitor analyzes (quantilePath)") =
+    Prop.forAll(Gen.oneOf(false, true)) { bounded =>
+      analyzes(simple("fz-quantile-monitor", "events",
+        TransformOp(op = "snapshot_drift",
+          quantilePath = Some(s"$artifactDir/qsketches.parquet"),
+          groupColumns = Seq("event_type"), column = Some("value"),
+          quantiles = Seq(0.5, 0.9),
+          timeColumn = Some("ts"), every = Some("1 hour"),
+          maxAbsDelta = if (bounded) Some(Map("value.p50" -> 1000.0))
+            else None)))
     }
 
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
@@ -599,8 +662,16 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         outputTopic = Some(OutputTopic(enabled = true, name = "same")),
         branches = Seq(BranchSpec("doc_id > 0",
           OutputTopic(enabled = true, name = "same")))),
-      // transform.op rules — one per op's validation class
-      "unknown transform op" -> t(TransformOp(op = "transmogrify")),
+      // transform.op rules — one per op's validation class (split into a
+      // second method: the single Seq outgrew the JVM 64KB method limit)
+      "unknown transform op" -> t(TransformOp(op = "transmogrify"))) ++
+    invalidTransformSpecs(t, te)
+  }
+
+  private def invalidTransformSpecs(
+      t: TransformOp => PipelineSpec,
+      te: TransformOp => PipelineSpec): Seq[(String, PipelineSpec)] = {
+    Seq(
       "dedup_exact without tieBreak" -> t(TransformOp(op = "dedup_exact",
         dupColumns = Seq("lang"))),
       "quality_filter without thresholds" -> t(TransformOp(op = "quality_filter",
@@ -705,6 +776,13 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         TransformOp(op = "knn", column = Some("embedding"),
           idColumn = Some("vec_id"), k = Some(5),
           queryPath = Some(embParquet), indexPath = Some("/nowhere/idx"))),
+      "knn windowed form with queryPath (belongs to the query-frame route)" ->
+        te(TransformOp(op = "knn", method = Some("ivf"),
+          column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5),
+          queryPath = Some(embParquet), indexPath = Some("/nowhere/idx"),
+          timeColumn = Some("ts"), every = Some("1 hour"))),
+      "knn without queryPath or indexPath" -> te(TransformOp(op = "knn",
+        column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5))),
       "snapshot_drift without comparePath" -> te(TransformOp(
         op = "snapshot_drift", numericColumns = Seq("value"))),
       "snapshot_drift without any columns" -> te(TransformOp(
@@ -722,18 +800,35 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "snapshot_drift sketchPath without groupColumns/column" -> te(
         TransformOp(op = "snapshot_drift",
           sketchPath = Some("/nowhere/sketches.parquet"))),
-      "windowed snapshot_drift without summaryPath (the monitor needs a stored baseline)" ->
+      "windowed snapshot_drift without a stored baseline (the monitor never rescans raw old data)" ->
         te(TransformOp(op = "snapshot_drift",
           comparePath = Some("<dataDir>/embeddings.parquet"),
           embeddingColumns = Seq("embedding"),
           timeColumn = Some("ts"), every = Some("1 hour"))),
-      "windowed snapshot_drift with a scalar leg (embedding leg only)" ->
+      "windowed snapshot_drift with TWO baselines (one leg per declaration)" ->
+        te(TransformOp(op = "snapshot_drift",
+          summaryPath = Some("/nowhere/summary.parquet"),
+          statsPath = Some("/nowhere/stats.parquet"),
+          embeddingColumns = Seq("embedding"),
+          numericColumns = Seq("value"),
+          timeColumn = Some("ts"), every = Some("1 hour"))),
+      "windowed snapshot_drift summaryPath with a scalar leg mixed in" ->
         te(TransformOp(op = "snapshot_drift",
           summaryPath = Some("/nowhere/summary.parquet"),
           embeddingColumns = Seq("embedding"),
           numericColumns = Seq("value"),
-          comparePath = Some("<dataDir>/events.parquet"),
           timeColumn = Some("ts"), every = Some("1 hour"))),
+      "batch snapshot_drift with statsPath (the windowed monitor's baseline)" ->
+        te(TransformOp(op = "snapshot_drift",
+          statsPath = Some("/nowhere/stats.parquet"),
+          numericColumns = Seq("value"),
+          comparePath = Some("<dataDir>/events.parquet"))),
+      "windowed snapshot_drift statsPath without numericColumns" ->
+        te(TransformOp(op = "snapshot_drift",
+          statsPath = Some("/nowhere/stats.parquet"),
+          timeColumn = Some("ts"), every = Some("1 hour"))),
+      "scalar_summary without columns" -> te(TransformOp(
+        op = "scalar_summary", groupColumns = Seq("event_type"))),
       "snapshot_drift quantilePath without groupColumns/column" -> te(
         TransformOp(op = "snapshot_drift",
           quantilePath = Some("/nowhere/qsketches.parquet"),

@@ -986,6 +986,219 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("windowed SCALAR drift monitor: streams vs a stored scalar_summary baseline, " +
+      "equals the batch build across a restart, and flags violations (incl. a newborn stratum) as pass=false") {
+    // round-17 directive #2a closed on a stream: per (window, stratum)
+    // cell the six exact numeric metrics evaluate against the stored
+    // baseline (ONE native stateful agg + a broadcast baseline join); a
+    // violating window and a stratum ABSENT from the baseline (NULL old →
+    // NULL delta under a bound) both mark rows, never throw
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_wscalar")
+    // baseline: cat a mean 15 over 2 rows — "crawl time"
+    graft.operators.Drift.scalarSummary(
+        Seq((1L, "a", 10.0), (2L, "a", 20.0)).toDF("event_id", "cat", "v"),
+        Seq("v"), Seq("cat"))
+      .write.mode("overwrite").parquet(s"$base/baseline")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"wscalar","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$base/baseline",
+         |  "numericColumns":["v"],"groupColumns":["cat"],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours",
+         |  "maxAbsDelta":{"v.mean":10}}],
+         |"outputTopic":{"enabled":true,"name":"wscalar-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "cat", "v")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "category", "metric"),
+      Seq("n_new"), s"$base/ckpt")
+    // 10:00/a tracks the baseline mean (15 — passes); batch2 lands a late
+    // row back into 10:00 ACROSS the restart, opens the violating 11:00/a
+    // cell (mean 50, |delta| 35 > 10), and a NEWBORN stratum c (absent
+    // from the baseline → NULL old/delta, violates the mean bound)
+    val batch1 = Seq(
+      (1L, t(10, 5), "a", 12.0), (2L, t(10, 15), "a", 18.0))
+    val batch2 = Seq(
+      (3L, t(10, 40), "a", 15.0), (4L, t(11, 10), "a", 50.0),
+      (5L, t(11, 20), "c", 5.0))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "col_name", "metric", "category",
+          "old_value", "new_value", "delta", "n_new", "pass")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getString(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          r.getDouble(7), r.getBoolean(8))).toSet
+      val got = rows(spark.read.parquet(s"$base/table"))
+      val want = rows(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      val byCell = got.groupBy(r => (r._1, r._3, r._4))
+      // tracking window passes, violating window flags, newborn stratum
+      // violates through the NULL-delta rule with old side NULL
+      assert(byCell((t(10, 0), "mean", "a")).forall(_._9), s"$got")
+      assert(byCell((t(11, 0), "mean", "a")).forall(!_._9), s"$got")
+      val newborn = byCell((t(11, 0), "mean", "c"))
+      assert(newborn.forall(r => !r._9 && r._5.isEmpty && r._7.isEmpty),
+        s"newborn stratum must violate with NULL old/delta: $got")
+      // unbounded metrics pass everywhere (row_count has no declared bound)
+      assert(byCell((t(11, 0), "row_count", "a")).forall(_._9), s"$got")
+      // the late 10:40 row was absorbed into the recovered 10:00 cell
+      assert(byCell((t(10, 0), "row_count", "a")).forall(_._6.contains(3.0)),
+        s"$got")
+      // and the absorbed cell's mean stayed within bounds (12+18+15)/3 = 15
+      assert(byCell((t(10, 0), "mean", "a")).forall(_._6.contains(15.0)), s"$got")
+    } finally q2.stop()
+  }
+
+  test("windowed PERCENTILE drift monitor: streams vs a stored quantile-sketch table, " +
+      "equals the batch build across a restart, and flags the violating window as pass=false") {
+    // round-17 directive #2b closed on a stream: per (window, stratum)
+    // cell ONE mergeable sketch (the X26 aggregate riding streaming
+    // state) estimates the declared percentiles against the stored
+    // table's per-cell values; tiny cells keep the t-digest lossless, so
+    // stream==batch is exact here
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_wquant")
+    graft.operators.Profile.quantileSketches(
+        Seq((1L, "a", 40.0), (2L, "a", 50.0), (3L, "a", 60.0))
+          .toDF("event_id", "cat", "v"),
+        Seq("cat"), "v")
+      .write.mode("overwrite").parquet(s"$base/baseline")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"wquant","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/baseline",
+         |  "groupColumns":["cat"],"column":"v","quantiles":[0.5],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours",
+         |  "maxAbsDelta":{"v.p50":100}}],
+         |"outputTopic":{"enabled":true,"name":"wquant-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "cat", "v")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "category", "metric"),
+      Seq("n_new"), s"$base/ckpt")
+    // 10:00/a tracks the baseline p50 (~50); batch2 lands a late row back
+    // into 10:00 ACROSS the restart and opens 11:00/a at ~550 (violating)
+    val batch1 = Seq(
+      (1L, t(10, 5), "a", 40.0), (2L, t(10, 15), "a", 60.0))
+    val batch2 = Seq(
+      (3L, t(10, 40), "a", 50.0),
+      (4L, t(11, 5), "a", 500.0), (5L, t(11, 10), "a", 600.0))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "col_name", "metric", "category",
+          "old_value", "new_value", "delta", "n_new", "pass")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+          r.getString(3), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)),
+          r.getDouble(7), r.getBoolean(8))).toSet
+      val got = rows(spark.read.parquet(s"$base/table"))
+      val want = rows(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      val byCell = got.groupBy(r => (r._1, r._3, r._4))
+      assert(byCell((t(10, 0), "p50", "a")).forall(_._9), s"$got")
+      assert(byCell((t(11, 0), "p50", "a")).forall(!_._9), s"$got")
+      // the late 10:40 row was absorbed: the recovered 10:00 sketch now
+      // holds 3 points and its exact median is 50
+      assert(byCell((t(10, 0), "p50", "a"))
+          .forall(r => r._8 == 3.0 && r._6.contains(50.0)), s"$got")
+    } finally q2.stop()
+  }
+
+  test("STREAMING knn against the stored index: query stream == batch twin across " +
+      "a restart; unwindowed streaming needs an explicit unboundedOk") {
+    // round-17 directive #6: the stored artifact makes streaming retrieval
+    // a stream-static join (arriving queries probe the self-contained
+    // postings — no training, no corpus re-hash) + ONE stateful top-k
+    // aggregation keyed by (window, query) so heap state finalizes and
+    // evicts past the watermark. nCells=2 with the default probe fraction
+    // probes EVERY cell, so results are exact and deterministic.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_sknn")
+    val corpus = Seq(
+      (100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)),
+      (102L, Seq(-1f, 0f)), (103L, Seq(0f, -1f)))
+      .toDF("vec_id", "emb")
+      .selectExpr("vec_id", "cast(emb as array<double>) as emb")
+    graft.operators.Similarity.buildIndex(corpus, "vec_id", "emb", "ivf",
+      s"$base/idx", nCells = 2, nAssign = 2)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](ss, 2)
+    def specJson(windowDecl: String) =
+      s"""{"id":"sknn","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"emb",
+         |  "idColumn":"vec_id","k":2,"indexPath":"$base/idx"$windowDecl}],
+         |"outputTopic":{"enabled":true,"name":"sknn-out"}}""".stripMargin
+    val spec = PipelineSpec.fromJson(specJson(
+      ""","timeColumn":"ts","every":"1 hour","watermark":"2 hours""""))
+    val cols = Seq("vec_id", "ts", "emb")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "query_id", "rank"),
+      Seq("cos"), s"$base/ckpt")
+    val batch1 = Seq((1L, t(10, 5), Seq(1f, 0.1f)))
+    // batch2 lands a late query back into 10:00 ACROSS the restart and
+    // opens an 11:00 window pointing the other way
+    val batch2 = Seq(
+      (2L, t(10, 40), Seq(0f, 1f)), (3L, t(11, 10), Seq(-1f, -0.1f)))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("window_start"), col("query_id"), col("rank"),
+          col("neighbor_id"), round(col("cos"), 6).as("cos"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val got = rows(spark.read.parquet(s"$base/table"))
+      val want = rows(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // the late 10:40 query was scored inside the recovered 10:00 window
+      assert(got.exists(r => r._1 == t(10, 0) && r._2 == 2L &&
+        r._3 == 1 && r._4 == 101L), s"$got")
+      // 11:10's nearest neighbor is the opposite pole
+      assert(got.exists(r => r._1 == t(11, 0) && r._2 == 3L &&
+        r._3 == 1 && r._4 == 102L), s"$got")
+    } finally q2.stop()
+    // the unwindowed streaming form is an EXPLICIT unbounded-state
+    // commitment (one heap per distinct query id, forever)
+    val bare = PipelineSpec.fromJson(specJson(""))
+    val refused = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, bare, mem)
+    }
+    assert(refused.getMessage.contains("unboundedOk"), refused.getMessage)
+    val acknowledged = PipelineSpec.fromJson(specJson(""","unboundedOk":true"""))
+    assert(graft.pipeline.Interpreter.build(spark, acknowledged, mem)
+      .isStreaming)
+  }
+
   test("windowed quantile_rollup: stream-maintained sketch table equals the " +
       "batch build across a checkpoint restart (X26 streaming maintenance)") {
     val ss = spark
