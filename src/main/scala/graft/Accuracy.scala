@@ -416,7 +416,10 @@ object Accuracy {
           max(when(col("metric") === "p90", col(valueCol))).as("p90"))
     val ev = events(spark, dir)
     val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
-    def sideMetric(scope: String, raw: DataFrame, est: DataFrame): Metric = {
+    def sideMetric(scope: String, raw0: DataFrame, est: DataFrame): Metric = {
+      // NULL dims are excluded by the drift leg (and ignored by the
+      // oracle's count(DISTINCT)) — exclude them here too (round-18 review)
+      val raw = raw0.filter(col("event_type").isNotNull)
       val devs = rankDeviations(raw, Seq("event_type"), "value", est, qs)
       val nCells = raw.select("event_type").distinct().count()
       Metric("quantile_rank_slack_ratio", scope,
@@ -435,7 +438,11 @@ object Accuracy {
     // percentiles each sit within the X26 ±1%-of-rank bound of their own
     // population's exact order statistics
     val got = Queries.all("r48_spec_quantile_monitor")(spark, dir)
-    val ev = events(spark, dir)
+    // NULL dims are excluded by the monitor (the null-stratum convention) —
+    // exclude them from the raw frames and cell counts too, or a fixture
+    // with NULL event_type rows would false-fail the cells==devs pins
+    // (round-18 review)
+    val ev = events(spark, dir).filter(col("event_type").isNotNull)
     val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
     val newEst = got.groupBy(col("window_start"),
         col("category").as("event_type"))
@@ -829,7 +836,7 @@ object Accuracy {
         |SELECT 'quantile_rank_slack_ratio', 'new_side',
         |  (SELECT count(*) FROM (SELECT DISTINCT
         |     date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
-        |     FROM events) __c),
+        |     FROM events WHERE event_type IS NOT NULL) __c),
         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "r44_spec_knn_ivf_stored" ->
       s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,

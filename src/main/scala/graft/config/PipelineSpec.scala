@@ -923,6 +923,14 @@ case class TransformOp(
         s"[$where] knn windowed form (timeColumn + every) belongs to the " +
           "query-frame stored-index route — declare indexPath and drop " +
           "queryPath (the frame is then the query set)")
+      // quantized's propose-then-re-rank is TWO chained aggregations — the
+      // windowed (and streaming) form cannot run it; refuse here with a
+      // config-grade message instead of deep inside indexedTopK
+      require(timeColumn.isEmpty || !method.contains("quantized"),
+        s"[$where] knn windowed form supports stored ivf/lsh indexes only " +
+          "— quantized's int8-propose + exact-re-rank is two chained " +
+          "aggregations (a batch construct); drop timeColumn or store an " +
+          "ivf/lsh index")
       validateWindowDecl(where)
       // with indexPath the stored artifact carries dim (and all geometry) —
       // a declared dim is then an optional cross-check against the meta

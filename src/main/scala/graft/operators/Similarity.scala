@@ -567,23 +567,59 @@ object Similarity extends Logging {
     val c = newRows.select(
       col(idCol).cast(postings.schema("id").dataType).as("id"),
       col(vecCol).cast(postings.schema("vec").dataType).as("vec"))
-    c.select(size(col("vec")).as("d")).limit(1).collect().headOption.foreach {
-      r => require(r.getInt(0) == meta.dim,
-        s"appendIndex: new rows carry dim ${r.getInt(0)} but the index at " +
-          s"'$indexPath' pins dim ${meta.dim}")
+    // ONE batch-sized agg computes the count, the batch's order-independent
+    // content SIGNATURE (retry identity — see below), and the dim preflight
+    // bounds (min == max == meta.dim over non-null vectors: a mixed-width
+    // or foreign-width batch is refused loudly instead of writing malformed
+    // postings; a batch whose vectors are all NULL skips the pin like the
+    // build's own probe would)
+    // bit_xor, not sum: an id-hash SUM overflows long under ANSI mode;
+    // xor is order-independent and overflow-free (a within-batch id
+    // duplicated an even number of times cancels, but the row count keeps
+    // the signature distinct)
+    val probe = c.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)).as("h"),
+      min(when(col("vec").isNotNull, size(col("vec")))).as("lo"),
+      max(when(col("vec").isNotNull, size(col("vec")))).as("hi")).head()
+    val n = probe.getLong(0)
+    if (!probe.isNullAt(2))
+      require(probe.getInt(2) == meta.dim && probe.getInt(3) == meta.dim,
+        s"appendIndex: new rows carry dims ${probe.getInt(2)}..${probe.getInt(3)} " +
+          s"but the index at '$indexPath' pins dim ${meta.dim}")
+    // RETRY IDENTITY: the one crash window the generation fence alone
+    // cannot disambiguate is "postings AND swap file committed, promotion
+    // pending" — finishMetaSwap above completes that commit, so a blind
+    // re-append of the same batch would then DUPLICATE it. The meta records
+    // the last committed batch's signature (count ⊕ id-hash sum); a retry
+    // of that exact batch reads as already-committed and no-ops. (Two
+    // deliberate, consecutive appends of a bit-identical id set are
+    // indistinguishable from a retry by design — give rows fresh ids.)
+    val sig = probe.getLong(1) * 31L + n
+    if (n > 0 && meta.batch_sig.contains(sig)) {
+      logWarning(s"appendIndex: batch signature matches the LAST committed " +
+        s"append at $indexPath — treating as a retry of a completed append " +
+        "(no-op)")
+      return Seq((meta.method, meta.dim, 0L, meta.n_rows, 0L))
+        .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
     }
     val newGen = meta.generation + 1
     // retract a crashed predecessor's orphan generations (invisible to
     // readers, but a blind re-append would duplicate them at commit)
     deleteGensAbove(spark, idxDir, meta.generation)
-    val n = c.count()
     writePostings(c, meta, newGen, idxDir, overwrite = false)
-    val updated = meta.copy(n_rows = meta.n_rows + n, generation = newGen)
+    // an EMPTY append commits a generation but identifies no batch — keep
+    // the previous signature so the retry identity of the last REAL batch
+    // survives an interleaved empty commit
+    val updated = meta.copy(n_rows = meta.n_rows + n, generation = newGen,
+      batch_sig = if (n > 0) Some(sig) else meta.batch_sig)
     swapMeta(spark, indexPath, updated)
-    val idxRows = spark.read.parquet(idxDir)
-      .filter(col("gen") <= newGen).count()
+    // the write-landed recount reads ONLY the new generation's directory —
+    // O(batch), never O(accumulated index) (round-18 review): the
+    // maintenance path's cost must track the appended volume
+    val idxRows = scala.util.Try(
+      spark.read.parquet(s"$idxDir/gen=$newGen").count()).getOrElse(0L)
     logInfo(s"appendIndex committed gen $newGen at $indexPath: +$n corpus " +
-      s"rows -> ${updated.n_rows} total ($idxRows index rows)")
+      s"rows -> ${updated.n_rows} total ($idxRows new index rows)")
     Seq((meta.method, meta.dim, n, updated.n_rows, idxRows))
       .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
   }
@@ -678,9 +714,12 @@ object Similarity extends Logging {
         s"missing column(s) ${missing.mkString(", ")} (found: " +
         s"${df0.columns.mkString(", ")})")
     // a pre-generation-era meta (no `generation` column) reads as gen 0 —
-    // its whole (flat) posting set is the one committed generation
-    val df = if (df0.columns.contains("generation")) df0
+    // its whole (flat) posting set is the one committed generation; the
+    // batch signature likewise backfills absent (no append committed)
+    val df1 = if (df0.columns.contains("generation")) df0
       else df0.withColumn("generation", lit(0))
+    val df = if (df1.columns.contains("batch_sig")) df1
+      else df1.withColumn("batch_sig", lit(null).cast("long"))
     df.as[AnnIndexMeta].head()
   }
 
@@ -805,4 +844,8 @@ case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     // readers only see postings with gen <= generation, so a build is gen 0
     // and every Similarity.appendIndex commit advances it by one; a meta
     // without the column (pre-append-era artifact) reads as 0
-    generation: Int = 0)
+    generation: Int = 0,
+    // content signature of the LAST committed append batch (count ⊕ id-hash
+    // sum) — the retry-identity record that makes appendIndex idempotent
+    // across the post-commit crash window (see appendIndex); None on builds
+    batch_sig: Option[Long] = None)

@@ -838,6 +838,10 @@ object Interpreter extends Logging {
       val batch = graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
         t.column.get, t.shingleSize.get)
       batch.write.mode("append").parquet(p)
+      // the write-landed verification stays O(batch)+O(#files): the batch
+      // count scans the batch once, and the post-append history count is a
+      // parquet FOOTER count (row-group metadata, no data scan) — the
+      // append never pays an accumulated-history data pass
       val histDocs = df.sparkSession.read.parquet(p).count()
       val appended = df.count()
       logInfo(s"[$specId] shingle_index_append: +$appended docs -> " +
@@ -1418,10 +1422,13 @@ object Interpreter extends Logging {
       val result = graft.operators.Similarity.indexedTopK(queries, idC,
         vecC, kk, p, nProbe = t.nProbe.getOrElse(0),
         refine = t.refine.getOrElse(4), win = win)
+      // the record key carries RANK (the top_k precedent): k rows per
+      // query must survive compacted-topic last-write-wins semantics —
+      // keyed by query alone, 9 of 10 neighbors would silently collapse
       if (!df.columns.contains(KeyCol)) result
       else result.withColumn(KeyCol, win match {
-        case Some(_) => struct(col("window_start"), col("query_id"))
-        case None    => col("query_id")
+        case Some(_) => struct(col("window_start"), col("query_id"), col("rank"))
+        case None    => struct(col("query_id"), col("rank"))
       })
     case "knn" if t.indexPath.isDefined =>
       // the STORED-INDEX route (X3's stored-artifact discipline): the

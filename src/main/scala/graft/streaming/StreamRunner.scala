@@ -67,6 +67,13 @@ object StreamRunner extends Logging {
       Set("top_k", "heavy_hitters", "distinct_rollup", "quantile_rollup",
         "embedding_summary", "scalar_summary", "snapshot_drift",
         "knn").contains(t.op)) => OutputMode.Update()
+    // UNWINDOWED streaming knn (the unboundedOk escape hatch): an
+    // unwatermarked per-query top-k aggregation — Append would reject it
+    // at start exactly like unbounded dedup_exact; its emission is a
+    // per-query changelog, so Update (round-18 review)
+    case _ if spec.transform.exists(t => t.op == "knn" &&
+      t.indexPath.isDefined && t.queryPath.isEmpty &&
+      t.timeColumn.isEmpty) => OutputMode.Update()
     case _ => OutputMode.Append()
   }
 

@@ -1111,8 +1111,10 @@ class OperatorsSpec extends SparkSuite {
 
     Similarity.buildIndex(oldHalf, "vec_id", "embedding", "quantized", s"$base/q_inc")
     val rep = Similarity.appendIndex(newHalf, "vec_id", "embedding", s"$base/q_inc").head()
+    // index_rows is the NEW generation's posting count (the O(batch)
+    // write-landed recount — quantized is 1:1 row-to-posting)
     assert(rep.getString(0) == "quantized" && rep.getLong(2) == newHalf.count() &&
-      rep.getLong(3) == e.count() && rep.getLong(4) == e.count(), rep.toString)
+      rep.getLong(3) == e.count() && rep.getLong(4) == newHalf.count(), rep.toString)
     Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/q_full")
     assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q_inc")) ==
       rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q_full")),
@@ -1197,7 +1199,27 @@ class OperatorsSpec extends SparkSuite {
     assert(promoted.generation == 2 && promoted.n_rows == e.count(),
       promoted.toString)
 
-    // (4) a pre-generation-era index (no gen column) refuses append with
+    // (4) the POST-COMMIT crash window (round-18 review): postings AND the
+    // swap file committed, promotion pending — the retry must recognize
+    // the batch as already committed (the meta's batch signature) and
+    // NO-OP instead of duplicating it as a fresh generation
+    val committedMeta = Similarity.readIndexMeta(spark, s"$base/idx")
+    assert(committedMeta.batch_sig.isDefined, committedMeta.toString)
+    Seq(committedMeta).toDS().write.mode("overwrite")
+      .parquet(s"$base/idx/meta_next.parquet")
+    Seq(preMeta).toDS().write.mode("overwrite")
+      .parquet(s"$base/idx/meta.parquet")
+    val retryRep = Similarity.appendIndex(newHalf, "vec_id", "embedding",
+      s"$base/idx").head()
+    assert(retryRep.getLong(2) == 0L,
+      s"post-commit retry must no-op, not duplicate: $retryRep")
+    val afterRetry = Similarity.readIndexMeta(spark, s"$base/idx")
+    assert(afterRetry.n_rows == e.count() && afterRetry.generation == 2,
+      afterRetry.toString)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      committed, "post-commit retry changed the search results")
+
+    // (5) a pre-generation-era index (no gen column) refuses append with
     // the rebuild hint instead of corrupting the layout
     val flat = s"$base/flat"
     spark.read.parquet(s"$base/idx/index.parquet").drop("gen")

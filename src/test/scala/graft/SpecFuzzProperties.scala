@@ -783,6 +783,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           timeColumn = Some("ts"), every = Some("1 hour"))),
       "knn without queryPath or indexPath" -> te(TransformOp(op = "knn",
         column = Some("embedding"), idColumn = Some("vec_id"), k = Some(5))),
+      "knn windowed quantized (two chained aggregations)" -> te(TransformOp(
+        op = "knn", method = Some("quantized"), column = Some("embedding"),
+        idColumn = Some("vec_id"), k = Some(5),
+        indexPath = Some("/nowhere/idx"),
+        timeColumn = Some("ts"), every = Some("1 hour"))),
       "snapshot_drift without comparePath" -> te(TransformOp(
         op = "snapshot_drift", numericColumns = Seq("value"))),
       "snapshot_drift without any columns" -> te(TransformOp(

@@ -1194,9 +1194,24 @@ class StreamRunnerSpec extends SparkSuite {
       graft.pipeline.Interpreter.build(spark, bare, mem)
     }
     assert(refused.getMessage.contains("unboundedOk"), refused.getMessage)
+    // the acknowledged form must actually START and produce results — an
+    // unwatermarked aggregation under Append mode would be rejected at
+    // start, so the runner routes it to Update like unbounded dedup_exact
+    // (round-18 review: the old pin stopped at .isStreaming)
     val acknowledged = PipelineSpec.fromJson(specJson(""","unboundedOk":true"""))
-    assert(graft.pipeline.Interpreter.build(spark, acknowledged, mem)
-      .isStreaming)
+    val input2 = MemoryStream[(Long, java.sql.Timestamp, Seq[Float])](ss, 2)
+    val mem2 = eventsResolver(input2.toDF().toDF(cols: _*))
+    val q3 = StreamRunner.startSnapshotSink(spark, acknowledged, mem2,
+      s"$base/table_unbounded", Seq("query_id", "rank"), Seq("cos"),
+      s"$base/ckpt_unbounded")
+    try {
+      input2.addData(batch1: _*); q3.processAllAvailable()
+      val got = spark.read.parquet(s"$base/table_unbounded")
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 1, 100L), (1L, 2, 101L)),
+        s"unboundedOk streaming knn produced $got")
+    } finally q3.stop()
   }
 
   test("windowed quantile_rollup: stream-maintained sketch table equals the " +
