@@ -994,6 +994,115 @@ object Queries {
         "old_value", "new_value", "delta", "n_new")
   }
 
+  /** BATCH scalar drift from the STORED artifact (r49 — the numeric leg's
+    * no-rescan form, closing the follow-up the windowed monitor left
+    * open): the old snapshot's scalar_summary artifact (the user_id<8
+    * slice standing in for crawl N) answers per-(cell, metric) numeric
+    * drift against the incoming snapshot — old raw data never rescanned,
+    * and the groupColumns form gives per-stratum rows the rescanning leg
+    * does not have. DuckDB recomputes the identical sum-derived metrics
+    * from raw data — exact at the 6-dp gate granularity.
+    */
+  def r49SpecDriftStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Drift.scalarSummary(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$base/event_stats_batch.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"drift-from-stats","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$base/event_stats_batch.parquet",
+         |  "numericColumns":["value"],"groupColumns":["event_type"]}],
+         |"outputTopic":{"enabled":true,"name":"drift-from-stats-out"}}""".stripMargin)
+      .select(col("col_name"), col("metric"), col("category"),
+        zr6(col("old_value")).as("old_value"),
+        zr6(col("new_value")).as("new_value"), col("delta"))
+  }
+
+  /** Spec-level merge_scalar_summaries (the scalar artifact's MAINTENANCE
+    * verb, mirroring r42's embedding merge): two shard summaries written
+    * at crawl time, stored as one dataset, declaratively folded by exact
+    * summation — the merged artifact equals the one-shot global summary,
+    * which is what the oracle computes from raw data.
+    */
+  def r49SpecMergeStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    graft.operators.Drift.scalarSummary(
+        ev.filter(col("user_id") % 2 === 0), Seq("value"), Seq("event_type"))
+      .unionByName(graft.operators.Drift.scalarSummary(
+        ev.filter(col("user_id") % 2 =!= 0), Seq("value"), Seq("event_type")))
+      .write.mode("overwrite").parquet(s"$base/event_stats_shards.parquet")
+    val spec = PipelineSpec.fromJson(
+      """{"id":"merge-stats","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"event_stats_shards","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"merge_scalar_summaries"}],
+         |"outputTopic":{"enabled":true,"name":"merged-stats"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, spec,
+        new ParquetSourceResolver(base, TestdataCatalog)))
+      .select(col("event_type"), col("col_name"), col("n_rows"),
+        col("n_nonnull"), zr6(col("sum")).as("sum"),
+        zr6(col("sumsq")).as("sumsq"), col("min"), col("max"))
+  }
+
+  /** Compaction closes the append lifecycle (r49): build the quantized
+    * index over the first third of the corpus, append the remaining two
+    * thirds as TWO posting generations, declaratively FOLD them with
+    * knn_index_compact (a pure copy — nothing re-assigned or re-ranked),
+    * then search the compacted index: rank-for-rank hash-match against
+    * the full-corpus exact oracle — the strongest "compaction lost,
+    * duplicated and moved nothing" statement a row can make.
+    */
+  def r49SpecKnnCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val hi = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val (c1, c2) = (hi / 3L, 2L * hi / 3L)
+    e.filter(col("vec_id") < c1)
+      .write.mode("overwrite").parquet(s"$base/emb_cmp_a.parquet")
+    e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
+      .write.mode("overwrite").parquet(s"$base/emb_cmp_b.parquet")
+    e.filter(col("vec_id") >= c2)
+      .write.mode("overwrite").parquet(s"$base/emb_cmp_c.parquet")
+    def fromBase(json: String): DataFrame =
+      Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    fromBase(
+      s"""{"id":"build-cmp-crawl-n","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_cmp_a","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_cmp"}],
+         |"outputTopic":{"enabled":true,"name":"cmp-index-report"}}""".stripMargin)
+    Seq("emb_cmp_b", "emb_cmp_c").foreach { t =>
+      fromBase(
+        s"""{"id":"append-cmp-$t","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"$t","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"knn_index_append",
+           |  "column":"embedding","idColumn":"vec_id",
+           |  "indexPath":"$base/knn_cmp"}],
+           |"outputTopic":{"enabled":true,"name":"cmp-append-report"}}""".stripMargin)
+    }
+    fromBase(
+      s"""{"id":"compact-cmp","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"emb_cmp_a","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_compact",
+         |  "indexPath":"$base/knn_cmp"}],
+         |"outputTopic":{"enabled":true,"name":"cmp-compact-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-from-compacted-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_cmp"}],
+         |"outputTopic":{"enabled":true,"name":"knn-compacted-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** WINDOWED embedding_summary (the incrementally-maintained drift
     * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
     * day, the declaration that also streams as one stateful aggregation
@@ -3805,14 +3914,14 @@ object Queries {
         |      WHEN 'null_rate' THEN CASE WHEN bn = 0 THEN NULL
         |        ELSE (bn - bnn) / CAST(bn AS DOUBLE) END
         |      WHEN 'mean' THEN CASE WHEN bnn = 0 THEN NULL ELSE bs / bnn END
-        |      WHEN 'stddev' THEN CASE WHEN bnn < 2 THEN NULL
+        |      WHEN 'stddev' THEN CASE WHEN bnn IS NULL OR bnn < 2 THEN NULL
         |        ELSE sqrt(greatest((bsq - bs * bs / bnn) / (bnn - 1), 0.0)) END
         |      WHEN 'min' THEN bmn ELSE bmx END AS ov,
         |    CASE ms.metric
         |      WHEN 'row_count' THEN CAST(n AS DOUBLE)
         |      WHEN 'null_rate' THEN (n - nn) / CAST(n AS DOUBLE)
         |      WHEN 'mean' THEN CASE WHEN nn = 0 THEN NULL ELSE s / nn END
-        |      WHEN 'stddev' THEN CASE WHEN nn < 2 THEN NULL
+        |      WHEN 'stddev' THEN CASE WHEN nn IS NULL OR nn < 2 THEN NULL
         |        ELSE sqrt(greatest((sq - s * s / nn) / (nn - 1), 0.0)) END
         |      WHEN 'min' THEN mn ELSE mx END AS nv
         |  FROM j, (SELECT unnest(['row_count', 'null_rate', 'mean',
@@ -3824,6 +3933,51 @@ object Queries {
         |  CASE WHEN round(nv - ov, 6) = 0 THEN 0.0
         |       ELSE round(nv - ov, 6) END AS delta,
         |  CAST(n AS DOUBLE) AS n_new
+        |FROM m""".stripMargin,
+    // the BATCH stored scalar leg (r49): the same sum-derived metrics,
+    // windowless, FULL-joined on the stratum so a vanished or newborn
+    // cell surfaces with NULLs on its absent side
+    "r49_spec_drift_stats" ->
+      """WITH n AS (SELECT event_type, count(*) AS n, count(value) AS nn,
+        |        sum(value) AS s, sum(value * value) AS sq,
+        |        min(value) AS mn, max(value) AS mx
+        |      FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |o AS (SELECT event_type, count(*) AS n, count(value) AS nn,
+        |        sum(value) AS s, sum(value * value) AS sq,
+        |        min(value) AS mn, max(value) AS mx
+        |      FROM events WHERE event_type IS NOT NULL AND user_id < 8
+        |      GROUP BY 1),
+        |j AS (SELECT coalesce(n.event_type, o.event_type) AS event_type,
+        |        n.n AS n, n.nn AS nn, n.s AS s, n.sq AS sq,
+        |        n.mn AS mn, n.mx AS mx,
+        |        o.n AS bn, o.nn AS bnn, o.s AS bs, o.sq AS bsq,
+        |        o.mn AS bmn, o.mx AS bmx
+        |      FROM o FULL JOIN n ON o.event_type = n.event_type),
+        |m AS (SELECT event_type, ms.metric,
+        |    CASE ms.metric
+        |      WHEN 'row_count' THEN CAST(bn AS DOUBLE)
+        |      WHEN 'null_rate' THEN CASE WHEN bn = 0 THEN NULL
+        |        ELSE (bn - bnn) / CAST(bn AS DOUBLE) END
+        |      WHEN 'mean' THEN CASE WHEN bnn = 0 THEN NULL ELSE bs / bnn END
+        |      WHEN 'stddev' THEN CASE WHEN bnn IS NULL OR bnn < 2 THEN NULL
+        |        ELSE sqrt(greatest((bsq - bs * bs / bnn) / (bnn - 1), 0.0)) END
+        |      WHEN 'min' THEN bmn ELSE bmx END AS ov,
+        |    CASE ms.metric
+        |      WHEN 'row_count' THEN CAST(n AS DOUBLE)
+        |      WHEN 'null_rate' THEN CASE WHEN n = 0 THEN NULL
+        |        ELSE (n - nn) / CAST(n AS DOUBLE) END
+        |      WHEN 'mean' THEN CASE WHEN nn = 0 THEN NULL ELSE s / nn END
+        |      WHEN 'stddev' THEN CASE WHEN nn IS NULL OR nn < 2 THEN NULL
+        |        ELSE sqrt(greatest((sq - s * s / nn) / (nn - 1), 0.0)) END
+        |      WHEN 'min' THEN mn ELSE mx END AS nv
+        |  FROM j, (SELECT unnest(['row_count', 'null_rate', 'mean',
+        |                          'stddev', 'min', 'max']) AS metric) ms)
+        |SELECT 'value' AS col_name, metric,
+        |  CAST(event_type AS VARCHAR) AS category,
+        |  CASE WHEN round(ov, 6) = 0 THEN 0.0 ELSE round(ov, 6) END AS old_value,
+        |  CASE WHEN round(nv, 6) = 0 THEN 0.0 ELSE round(nv, 6) END AS new_value,
+        |  CASE WHEN round(nv - ov, 6) = 0 THEN 0.0
+        |       ELSE round(nv - ov, 6) END AS delta
         |FROM m""".stripMargin,
     // the r36 gate twin: scalar+freq report rows (null category) unioned
     // with the heavy rows, every row pass = true — the bounds hold on the
@@ -4118,6 +4272,12 @@ object Queries {
       // int8 codes are per-row state, so build-half + append-half search-
       // matches the full-corpus exact oracle rank for rank
       ("r47_spec_knn_append" -> oracles0("x3_knn_exact")) +
+      // the COMPACTED quantized index folds the appended generations by
+      // pure copy — the exact re-rank contract survives untouched
+      ("r49_spec_knn_compact" -> oracles0("x3_knn_exact")) +
+      // the declaratively MERGED scalar shards equal the one-shot global
+      // artifact (the fold is linear), so they share its oracle
+      ("r49_spec_merge_stats" -> oracles0("r48_spec_scalar_summary")) +
       // the stored-shingle incremental screen reproduces the from-raw
       // cross-snapshot novelty filter exactly (the artifact IS the frame
       // jaccardPairsBetween builds internally)
@@ -4292,6 +4452,9 @@ object Queries {
     "r48_spec_scalar_summary" -> r48SpecScalarSummary _,
     "r48_spec_scalar_monitor" -> r48SpecScalarMonitor _,
     "r48_spec_quantile_monitor" -> r48SpecQuantileMonitor _,
+    "r49_spec_drift_stats" -> r49SpecDriftStats _,
+    "r49_spec_merge_stats" -> r49SpecMergeStats _,
+    "r49_spec_knn_compact" -> r49SpecKnnCompact _,
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
     "x21_heavy_hitters" -> x21HeavyHitters _,

@@ -604,15 +604,23 @@ case class TransformOp(
     // reports the missing side (and delta) as NULL, which VIOLATES a
     // declared gate bound rather than fabricating a 0
     quantilePath: Option[String] = None,
-    // statsPath points the WINDOWED scalar drift monitor at a stored
-    // scalar_summary artifact (the numeric legs' baseline — long-shape
-    // rows of n_rows/n_nonnull/sum/sumsq/min/max per (dims, column)),
-    // declared with numericColumns (+ groupColumns, the artifact dims):
-    // each (window, dims) cell's row_count / null_rate / mean / stddev /
-    // min / max evaluate against the stored baseline as the cell
-    // refreshes. Windowed-monitor-only — the batch numeric leg reads raw
-    // old data via comparePath
+    // statsPath points the SCALAR drift legs at a stored scalar_summary
+    // artifact (the numeric legs' baseline — long-shape rows of
+    // n_rows/n_nonnull/sum/sumsq/min/max per (dims, column)), declared
+    // with numericColumns (+ groupColumns, the artifact dims). Two forms:
+    // WINDOWED (+ timeColumn/every) it is the live scalar MONITOR — each
+    // (window, dims) cell's row_count / null_rate / mean / stddev / min /
+    // max evaluate against the baseline as the cell refreshes; BATCH it
+    // reroutes the numeric leg's OLD side to the artifact, so old raw
+    // data is never rescanned (the scalar analogue of summaryPath), with
+    // per-dims-cell rows when groupColumns are declared
     statsPath: Option[String] = None,
+    // BOTH-SIDES-STORED form of the batch scalar leg: newStatsPath
+    // supplies the NEW side's stored scalar_summary too — numeric drift
+    // between two historical crawls whose raw snapshots are gone becomes
+    // a pure artifact-vs-artifact join; the frame is not scanned by the
+    // scalar leg at all (mirrors newSummaryPath)
+    newStatsPath: Option[String] = None,
     // stored ANN index (X3's stored-artifact discipline): knn_index WRITES
     // the artifact at indexPath at crawl time (method picks what is
     // stored: quantized int8 codes / trained ivf cells / lsh buckets, all
@@ -989,6 +997,17 @@ case class TransformOp(
           "stored artifact pins them (new rows are assigned with the " +
           "STORED centroids/hyperplanes/codes, never retrained; to change " +
           "geometry rebuild with knn_index)")
+    case "knn_index_compact" =>
+      require(indexPath.isDefined,
+        s"[$where] knn_index_compact requires indexPath (the stored " +
+          "artifact whose accumulated append generations to fold)")
+      require(column.isEmpty && idColumn.isEmpty && method.isEmpty &&
+          nCells.isEmpty && nAssign.isEmpty && nTables.isEmpty &&
+          planesPerTable.isEmpty && dim.isEmpty && seed.isEmpty,
+        s"[$where] knn_index_compact takes only indexPath — it folds the " +
+          "artifact's committed posting generations into one (a pure " +
+          "copy: rows, geometry and search results are bit-identical); " +
+          "the source frame is ignored, so declare it over any topic")
     case "snapshot_drift" =>
       require(numericColumns.nonEmpty || categoricalColumns.nonEmpty ||
           heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
@@ -1023,12 +1042,13 @@ case class TransformOp(
               else declaredBaselines.mkString(", ")})")
         require(categoricalColumns.isEmpty && heavyHitterColumns.isEmpty &&
             histograms.isEmpty && sketchPath.isEmpty &&
-            newSummaryPath.isEmpty && comparePath.isEmpty,
+            newSummaryPath.isEmpty && newStatsPath.isEmpty &&
+            comparePath.isEmpty,
           s"[$where] windowed snapshot_drift monitors exactly its " +
             "baseline's leg — categorical/heavy-hitter/histogram legs, " +
-            "sketchPath, newSummaryPath and comparePath belong to the " +
-            "batch form (for windowed categorical signals use the " +
-            "windowed sketch ops, which maintain their own tables)")
+            "sketchPath, newSummaryPath/newStatsPath and comparePath " +
+            "belong to the batch form (for windowed categorical signals " +
+            "use the windowed sketch ops, which maintain their own tables)")
         declaredBaselines.head match {
           case "summaryPath" =>
             require(embeddingColumns.nonEmpty && numericColumns.isEmpty,
@@ -1060,19 +1080,29 @@ case class TransformOp(
                 "summaryPath / statsPath)")
         }
       }
-      // statsPath is the WINDOWED scalar monitor's baseline only — the
-      // batch numeric leg reads raw old data via comparePath (the stored
-      // no-rescan form of a batch numeric compare is a follow-up; refusing
-      // beats silently ignoring the path)
-      require(statsPath.isEmpty || windowed,
-        s"[$where] snapshot_drift statsPath is the windowed scalar " +
-          "monitor's baseline — declare timeColumn + every (+ watermark " +
-          "on a stream), or use comparePath for the batch numeric leg")
+      // BATCH statsPath (the round-18 stored no-rescan form of the numeric
+      // compare): reroutes the scalar leg's OLD side to the artifact —
+      // numericColumns are the measures, groupColumns the artifact dims
+      // (empty = the global report shape; non-empty = per-cell rows the
+      // rescanning form does not have)
+      if (!windowed && statsPath.isDefined) {
+        require(numericColumns.nonEmpty,
+          s"[$where] batch snapshot_drift with statsPath is the stored " +
+            "scalar leg — declare numericColumns (the measures; " +
+            "groupColumns are the artifact dims, may be empty for a " +
+            "global baseline)")
+      }
+      require(newStatsPath.isEmpty || statsPath.isDefined,
+        s"[$where] snapshot_drift newStatsPath (the NEW side's stored " +
+          "scalar summary) requires statsPath (the OLD side's) — the " +
+          "both-sides-stored form compares two artifacts; to compare a " +
+          "stored artifact against the live frame, declare statsPath alone")
       // comparePath (the OLD snapshot's raw parquet) is needed only by the
       // legs that RESCAN it; a drift declared purely against stored
-      // artifacts (summaryPath / sketchPath) never touches old raw data —
-      // that is the point of the artifact discipline
-      val rescans = !windowed && (numericColumns.nonEmpty ||
+      // artifacts (summaryPath / statsPath / sketchPath) never touches old
+      // raw data — that is the point of the artifact discipline
+      val rescans = !windowed && (
+        (numericColumns.nonEmpty && statsPath.isEmpty) ||
         categoricalColumns.nonEmpty ||
         heavyHitterColumns.nonEmpty || histograms.nonEmpty ||
         (embeddingColumns.nonEmpty && summaryPath.isEmpty))
@@ -1088,11 +1118,12 @@ case class TransformOp(
       require(comparePath.isEmpty || rescans,
         s"[$where] snapshot_drift comparePath is declared but NO leg " +
           "rescans old raw data (every declared leg is artifact-backed " +
-          "via summaryPath / sketchPath / quantilePath) — the path " +
-          "would never be read. " +
+          "via summaryPath / statsPath / sketchPath / quantilePath) — " +
+          "the path would never be read. " +
           "Drop comparePath, or declare a rescanning leg " +
-          "(numericColumns / categoricalColumns / heavyHitterColumns / " +
-          "histograms, or embeddingColumns without summaryPath)")
+          "(numericColumns without statsPath / categoricalColumns / " +
+          "heavyHitterColumns / histograms, or embeddingColumns without " +
+          "summaryPath)")
       summaryPath.foreach { _ =>
         require(embeddingColumns.size == 1,
           s"[$where] snapshot_drift summaryPath routes the embedding leg " +
@@ -1168,6 +1199,12 @@ case class TransformOp(
       // no declared fields: the frame IS the artifact union, and
       // grouped-ness is inferred from its schema (a `category` column) —
       // the Interpreter preflights that the schema is a summary's
+      ()
+    case "merge_scalar_summaries" =>
+      // no declared fields either: the frame is a UNION of scalar_summary
+      // artifacts, and the dims are inferred from its schema (every column
+      // that is not the fixed long-shape payload) — the Interpreter
+      // preflights that the payload columns are present
       ()
     case "weighted_mix" =>
       require(column.isDefined && idColumn.isDefined,

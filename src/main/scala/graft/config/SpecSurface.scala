@@ -23,10 +23,11 @@ object SpecSurface {
     "shingle_index", "shingle_index_append", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index",
-    "knn_index_append", "resample",
+    "knn_index_append", "knn_index_compact", "resample",
     "profile",
     "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
-    "scalar_summary", "embedding_summary", "merge_embedding_summaries")
+    "scalar_summary", "embedding_summary", "merge_embedding_summaries",
+    "merge_scalar_summaries")
 
   /** knn method family members (PipelineSpec knn validation). */
   val knnMethods: Seq[String] = Seq("exact", "quantized", "ivf", "lsh")

@@ -857,6 +857,78 @@ object Drift extends Logging {
         sum(col("sum")).as("sum"), sum(col("sumsq")).as("sumsq"),
         min(col("min")).as("min"), max(col("max")).as("max"))
 
+  /** The six exact numeric drift metrics derived from a [[scalarSummary]]
+    * row's linear state — the same formulas (and names) as driftReport's
+    * numeric leg: stddev is the textbook sample form with a
+    * negative-variance clamp (pure rounding artifact); a side with no
+    * rows (or < 2 for stddev) reports NULL, never a fabricated 0 — and an
+    * ABSENT side's all-NULL inputs degrade every metric to NULL through
+    * the same expressions (a NULL delta VIOLATES a declared gate bound,
+    * the newborn/vanished-cell convention).
+    */
+  private def sumDerivedStats(n: Column, nn: Column, s: Column, sq: Column,
+      mn: Column, mx: Column): Seq[(String, Column)] = Seq(
+    "row_count" -> n.cast("double"),
+    "null_rate" -> when(n === 0, lit(null).cast("double"))
+      .otherwise((n - nn) / n),
+    "mean" -> when(nn === 0, lit(null).cast("double")).otherwise(s / nn),
+    // the guard must be the POSITIVE condition (nn >= 2 → compute): the
+    // inverted `when(nn < 2, null).otherwise(...)` form routes an ABSENT
+    // side's NULL nn into the otherwise branch, where greatest(NULL, 0.0)
+    // SKIPS the null (Spark/SQL semantics) and fabricates stddev 0.0 —
+    // caught by the vanished-cell hand-check; the negative-variance clamp
+    // itself is a pure rounding artifact and stays
+    "stddev" -> when(nn >= 2,
+      sqrt(greatest((sq - s * s / nn) / (nn - 1), lit(0.0)))),
+    "min" -> mn,
+    "max" -> mx)
+
+  /** BATCH scalar drift from STORED [[scalarSummary]] artifacts — the
+    * numeric legs' no-rescan form (the scalar analogue of
+    * [[embeddingDriftFromSummaries]], closing the follow-up the windowed
+    * monitor left open): old side always a stored artifact, new side a
+    * stored artifact or the frame's own one-scan summary, so drift
+    * between any two snapshots costs a KB-sized artifact join. With
+    * `dims` empty the output is the exact report's flat shape
+    * (col_name, metric, old_value, new_value, delta); with dims it adds
+    * the report's `category` column (the "/"-joined cell label) — one
+    * row set per (cell, column, metric), a stratified numeric drift the
+    * rescanning leg does not offer. FULL outer on (dims, col_name): a
+    * vanished or newborn cell/column surfaces with NULL on its absent
+    * side (NULL delta → VIOLATES a declared gate bound). Deltas are gate
+    * quantities → 6-dp rounded; values stay raw.
+    */
+  def scalarDriftFromSummaries(oldSum: DataFrame, newSum: DataFrame,
+      dims: Seq[String]): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select((dims :+ "col_name").map(col) ++ Seq(
+        col("n_rows").as(s"${p}n"), col("n_nonnull").as(s"${p}nn"),
+        col("sum").as(s"${p}s"), col("sumsq").as(s"${p}sq"),
+        col("min").as(s"${p}mn"), col("max").as(s"${p}mx")): _*)
+    // USING-join on (dims, col_name) coalesces the keys, so a one-sided
+    // cell keeps its identity columns
+    val j = side(oldSum, "__o_").join(side(newSum, "__n_"),
+      dims :+ "col_name", "full_outer")
+    val oldStats = sumDerivedStats(col("__o_n"), col("__o_nn"), col("__o_s"),
+      col("__o_sq"), col("__o_mn"), col("__o_mx"))
+    val newStats = sumDerivedStats(col("__n_n"), col("__n_nn"), col("__n_s"),
+      col("__n_sq"), col("__n_mn"), col("__n_mx"))
+    val rows = array(newStats.zip(oldStats).map { case ((m, nv), (_, ov)) =>
+      struct(lit(m).as("metric"), ov.as("old_value"), nv.as("new_value"),
+        zround6(nv - ov).as("delta"))
+    }: _*)
+    val lead: Seq[Column] =
+      if (dims.isEmpty) Seq(col("col_name"))
+      else Seq(col("col_name"), concat_ws("/",
+        dims.map(c => col(c).cast("string")): _*).as("category"))
+    val leadNames = if (dims.isEmpty) Seq("col_name")
+      else Seq("col_name", "category")
+    j.select(lead :+ explode(rows).as("p"): _*)
+      .select(leadNames.map(col).take(1) ++ Seq(col("p.metric")) ++
+        leadNames.drop(1).map(col) ++ Seq(col("p.old_value"),
+        col("p.new_value"), col("p.delta")): _*)
+  }
+
   /** WINDOWED SCALAR drift MONITOR — the numeric-column analogue of
     * [[windowedEmbeddingDrift]] (round-17 directive #2a): each (window,
     * dims...) cell's row_count / null_rate / mean / stddev / min / max
@@ -882,23 +954,9 @@ object Drift extends Logging {
       col("sum").as("__bsum"), col("sumsq").as("__bsq"),
       col("min").as("__bmin"), col("max").as("__bmax")): _*)
     val joined = cells.join(broadcast(b), dims :+ "col_name", "left")
-    // the same six metrics (and formulas) as driftReport's numeric leg,
-    // derived from sums — stddev is the textbook sample form with a
-    // negative-variance clamp (pure rounding artifact); a side with no
-    // rows (or < 2 for stddev) reports NULL, never a fabricated 0
-    def stats(n: Column, nn: Column, s: Column, sq: Column,
-        mn: Column, mx: Column): Seq[(String, Column)] = Seq(
-      "row_count" -> n.cast("double"),
-      "null_rate" -> when(n === 0, lit(null).cast("double"))
-        .otherwise((n - nn) / n),
-      "mean" -> when(nn === 0, lit(null).cast("double")).otherwise(s / nn),
-      "stddev" -> when(nn < 2, lit(null).cast("double"))
-        .otherwise(sqrt(greatest((sq - s * s / nn) / (nn - 1), lit(0.0)))),
-      "min" -> mn,
-      "max" -> mx)
-    val newStats = stats(col("n_rows"), col("n_nonnull"), col("sum"),
-      col("sumsq"), col("min"), col("max"))
-    val oldStats = stats(col("__bn"), col("__bnn"), col("__bsum"),
+    val newStats = sumDerivedStats(col("n_rows"), col("n_nonnull"),
+      col("sum"), col("sumsq"), col("min"), col("max"))
+    val oldStats = sumDerivedStats(col("__bn"), col("__bnn"), col("__bsum"),
       col("__bsq"), col("__bmin"), col("__bmax"))
     val rows = array(newStats.zip(oldStats).map { case ((m, nv), (_, ov)) =>
       struct(lit(m).as("metric"), ov.as("old_value"), nv.as("new_value"),

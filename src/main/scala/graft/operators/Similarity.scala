@@ -604,8 +604,12 @@ object Similarity extends Logging {
     }
     val newGen = meta.generation + 1
     // retract a crashed predecessor's orphan generations (invisible to
-    // readers, but a blind re-append would duplicate them at commit)
+    // readers, but a blind re-append would duplicate them at commit), and
+    // finish a completed-but-uncleaned compaction's stale-gen removal
+    // (invisible too — base_gen fences them — but they hold disk forever
+    // otherwise)
     deleteGensAbove(spark, idxDir, meta.generation)
+    deleteGensBelow(spark, idxDir, meta.base_gen)
     writePostings(c, meta, newGen, idxDir, overwrite = false)
     // an EMPTY append commits a generation but identifies no batch — keep
     // the previous signature so the retry identity of the last REAL batch
@@ -624,6 +628,102 @@ object Similarity extends Logging {
       .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
   }
 
+  /** Fold a stored index's accumulated posting generations back into ONE —
+    * the maintenance verb that completes the append lifecycle (every
+    * [[appendIndex]] adds a generation; each probed cell then reads one
+    * small file PER GENERATION, so a daily-append year degrades listing
+    * and scan granularity ~365× even though total bytes are unchanged —
+    * the LSM compaction argument). A PURE COPY: committed rows ride
+    * through with their stored cells/buckets/codes (nothing is
+    * re-assigned, re-trained or re-quantized), repartitioned on the
+    * layout columns so each cell's accumulated small files land as one —
+    * search results are bit-identical before and after, pinned in tests.
+    *
+    * Crash contract (the [[appendIndex]] discipline, extended downward):
+    *  - the consolidated copy is written as generation `generation + 1` —
+    *    invisible until its meta commits (the gen <= generation fence);
+    *    killed before the commit, the OLD index reads bit-identically and
+    *    the next maintenance verb retracts the orphan;
+    *  - the meta commit ([[swapMeta]]) advances `generation` AND
+    *    `base_gen` to the new generation together, so the folded
+    *    duplicates below it become invisible ATOMICALLY with the copy
+    *    becoming visible;
+    *  - the folded directories are deleted AFTER the commit; killed
+    *    mid-cleanup they stay invisible (base_gen fences them) and every
+    *    later append/compact sweeps them ([[deleteGensBelow]]).
+    *
+    * A single-generation index (or a retry landing after a completed
+    * compaction) is a no-op — nothing to fold. `n_rows`, geometry and
+    * `batch_sig` (the append retry identity) are preserved.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    // complete (or retract) a predecessor maintenance verb's crashed swap
+    finishMetaSwap(spark, indexPath)
+    val meta = readIndexMeta(spark, indexPath)
+    val idxDir = s"$indexPath/index.parquet"
+    if (meta.base_gen == meta.generation) {
+      // one committed generation (also: a pre-generation-era flat index,
+      // which reads as gen 0, or a retry landing after a completed
+      // compaction) — nothing to fold
+      logInfo(s"compactIndex: index at $indexPath holds one committed " +
+        s"generation (gen ${meta.generation}) — nothing to fold")
+      return Seq((meta.method, meta.dim, meta.n_rows, 0, meta.generation))
+        .toDF("method", "dim", "corpus_rows", "folded_generations",
+          "generation")
+    }
+    val newGen = meta.generation + 1
+    // retract a crashed predecessor's orphans above the committed range
+    // and an earlier compaction's uncleaned duplicates below it — BEFORE
+    // the file listing below, so the copy job never references a file the
+    // retract just deleted (and the consolidated copy folds exactly the
+    // committed range once)
+    deleteGensAbove(spark, idxDir, meta.generation)
+    deleteGensBelow(spark, idxDir, meta.base_gen)
+    val postings0 = spark.read.parquet(idxDir)
+    require(postings0.columns.contains("gen"),
+      s"compactIndex: the index at '$indexPath' carries no gen partition " +
+        s"but its meta spans generations ${meta.base_gen}..${meta.generation}" +
+        " — the artifact is corrupt; rebuild with knn_index")
+    val live = postings0.filter(col("gen") >= meta.base_gen &&
+      col("gen") <= meta.generation).drop("gen")
+    val g = lit(newGen).as("gen")
+    meta.method match {
+      case "quantized" =>
+        // flat layout: read-coalescing packs the accumulated small files
+        // into maxPartitionBytes-sized tasks, which IS the compaction
+        live.select(g, col("id"), col("q"), col("vec"))
+          .write.mode("append").partitionBy("gen").parquet(idxDir)
+      case "ivf" =>
+        val w = live.select(g, col("cell"), col("id"), col("vec"))
+          .repartition(col("cell"))
+          .write.mode("append")
+        (if (meta.n_cells.get <= MaxPartitionedCells)
+           w.partitionBy("gen", "cell")
+         else w.partitionBy("gen")).parquet(idxDir)
+      case "lsh" =>
+        val w = live.select(g, col("tbl"), col("bucket"), col("id"),
+            col("vec"))
+          .repartition(col("tbl"), col("bucket"))
+          .write.mode("append")
+        (if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
+            <= MaxPartitionedCells)
+           w.partitionBy("gen", "tbl", "bucket")
+         else w.partitionBy("gen")).parquet(idxDir)
+    }
+    val folded = meta.generation - meta.base_gen + 1
+    val updated = meta.copy(generation = newGen, base_gen = newGen)
+    swapMeta(spark, indexPath, updated)
+    // cleanup AFTER the commit — a crash here leaves invisible duplicates
+    // for the next maintenance verb's sweep, never a half-visible index
+    deleteGensBelow(spark, idxDir, newGen)
+    logInfo(s"compactIndex folded $folded generations at $indexPath into " +
+      s"gen $newGen (${meta.n_rows} corpus rows)")
+    Seq((meta.method, meta.dim, meta.n_rows, folded, newGen))
+      .toDF("method", "dim", "corpus_rows", "folded_generations",
+        "generation")
+  }
+
   private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
 
   /** Delete posting generation directories ABOVE the committed generation —
@@ -632,13 +732,25 @@ object Similarity extends Logging {
     * every append retracts first.
     */
   private def deleteGensAbove(spark: SparkSession, idxDir: String,
-      g: Int): Unit = {
+      g: Int): Unit = deleteGensWhere(spark, idxDir, _ > g)
+
+  /** Delete posting generation directories BELOW the live floor — a
+    * completed compaction's folded duplicates. Readers never see them
+    * (the base_gen fence); every maintenance verb sweeps them so a
+    * compaction killed between meta commit and cleanup doesn't hold the
+    * folded copies' disk forever.
+    */
+  private def deleteGensBelow(spark: SparkSession, idxDir: String,
+      g: Int): Unit = deleteGensWhere(spark, idxDir, _ < g)
+
+  private def deleteGensWhere(spark: SparkSession, idxDir: String,
+      cond: Int => Boolean): Unit = {
     val p = hpath(idxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("gen=") &&
-          scala.util.Try(name.stripPrefix("gen=").toInt).toOption.exists(_ > g))
+          scala.util.Try(name.stripPrefix("gen=").toInt).toOption.exists(cond))
         fs.delete(st.getPath, true)
     }
   }
@@ -718,8 +830,11 @@ object Similarity extends Logging {
     // batch signature likewise backfills absent (no append committed)
     val df1 = if (df0.columns.contains("generation")) df0
       else df0.withColumn("generation", lit(0))
-    val df = if (df1.columns.contains("batch_sig")) df1
+    val df2 = if (df1.columns.contains("batch_sig")) df1
       else df1.withColumn("batch_sig", lit(null).cast("long"))
+    // pre-compaction-era meta: the whole committed range is live
+    val df = if (df2.columns.contains("base_gen")) df2
+      else df2.withColumn("base_gen", lit(0))
     df.as[AnnIndexMeta].head()
   }
 
@@ -738,14 +853,16 @@ object Similarity extends Logging {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
     // committed-generation fence: postings above the meta's generation are
-    // a crashed append's orphans and stay invisible until their meta
-    // commits (gen is the FIRST partition column, so the fence is static
-    // partition pruning, not a data scan). A pre-generation-era index (no
-    // gen column) reads whole.
+    // a crashed append's orphans, postings below base_gen a completed
+    // compaction's not-yet-cleaned duplicates — both stay invisible (gen
+    // is the FIRST partition column, so the fence is static partition
+    // pruning, not a data scan). A pre-generation-era index (no gen
+    // column) reads whole.
     val index0 = spark.read.parquet(s"$indexPath/index.parquet")
     val index =
       if (index0.columns.contains("gen"))
-        index0.filter(col("gen") <= meta.generation).drop("gen")
+        index0.filter(col("gen") >= meta.base_gen &&
+          col("gen") <= meta.generation).drop("gen")
       else index0
     // STREAMING query frames are first-class for ivf/lsh (the stored
     // artifact makes streaming retrieval a stream-static join + ONE
@@ -848,4 +965,11 @@ case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     // content signature of the LAST committed append batch (count ⊕ id-hash
     // sum) — the retry-identity record that makes appendIndex idempotent
     // across the post-commit crash window (see appendIndex); None on builds
-    batch_sig: Option[Long] = None)
+    batch_sig: Option[Long] = None,
+    // the LOWEST live posting generation — compaction's fence: a
+    // [[Similarity.compactIndex]] folds gens [base_gen, generation] into
+    // one new generation and commits meta with base_gen == generation ==
+    // that new gen, so the folded (now duplicate) generations below it
+    // stay invisible to readers even before their directories are
+    // physically cleaned up. Builds and pre-compaction metas read as 0
+    base_gen: Int = 0)

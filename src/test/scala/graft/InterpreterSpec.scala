@@ -1531,6 +1531,141 @@ class InterpreterSpec extends SparkSuite {
       e.getMessage.contains("[merge-bad]"), e.getMessage)
   }
 
+  test("batch statsPath drift: both-sides-stored == frame-scanned; a WINDOWED artifact is refused naming merge_scalar_summaries; the fix works") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_batch_stats").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    graft.operators.Drift.scalarSummary(
+        ev.filter(col("user_id") < 8), Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/old_stats.parquet")
+    graft.operators.Drift.scalarSummary(ev, Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/new_stats.parquet")
+    def drift(extra: String): Map[(String, String), Double] =
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"batch-stats","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "statsPath":"$dir/old_stats.parquet",$extra
+           |  "numericColumns":["value"],"groupColumns":["event_type"]}],
+           |"outputTopic":{"enabled":true,"name":"batch-stats-out"}}""".stripMargin),
+        resolver).collect()
+        .filter(r => !r.isNullAt(5))
+        .map(r => (r.getString(2), r.getString(1)) -> r.getDouble(5)).toMap
+    val scanned = drift("")
+    val stored = drift(s""""newStatsPath":"$dir/new_stats.parquet",""")
+    assert(scanned == stored && scanned.nonEmpty,
+      s"both-sides-stored diverged from the frame-scanned route:\n$scanned\nvs\n$stored")
+    // a WINDOWED scalar_summary artifact is refused with the merge fix named
+    graft.pipeline.Interpreter.applyTransform(ev,
+        graft.config.TransformOp(op = "scalar_summary", columns = Seq("value"),
+          groupColumns = Seq("event_type"), timeColumn = Some("ts"),
+          every = Some("1 hour")),
+        None, "t-win-stats")
+      .write.mode("overwrite").parquet(s"$dir/win_stats.parquet")
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"windowed-as-stats","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "statsPath":"$dir/win_stats.parquet",
+           |  "numericColumns":["value"],"groupColumns":["event_type"]}],
+           |"outputTopic":{"enabled":true,"name":"bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(err.getMessage.contains("WINDOWED") &&
+      err.getMessage.contains("merge_scalar_summaries"), err.getMessage)
+    // the named fix WORKS: folding the window cells reproduces the global
+    // artifact, and drifting against it equals the direct stored route
+    val mergeSpec = PipelineSpec.fromJson(
+      """{"id":"fold-stats","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"win_stats","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"merge_scalar_summaries"}],
+        |"outputTopic":{"enabled":true,"name":"fold-out"}}""".stripMargin)
+    graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
+        .build(spark, mergeSpec, new ParquetSourceResolver(dir, TestdataCatalog)))
+      .write.mode("overwrite").parquet(s"$dir/folded_stats.parquet")
+    val viaFolded = graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"drift-via-folded","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$dir/folded_stats.parquet",
+         |  "numericColumns":["value"],"groupColumns":["event_type"]}],
+         |"outputTopic":{"enabled":true,"name":"ok-out"}}""".stripMargin),
+      resolver).collect()
+      .filter(r => !r.isNullAt(5))
+      .map(r => (r.getString(2), r.getString(1)) -> r.getDouble(5)).toMap
+    // folded == whole-corpus baseline; the frame is the same corpus → 0
+    assert(viaFolded.values.forall(math.abs(_) < 1e-6), viaFolded.toString)
+    // a declared column with no artifact rows is refused at build
+    val absent = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"absent-col","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"snapshot_drift",
+           |  "statsPath":"$dir/old_stats.parquet",
+           |  "numericColumns":["no_such_measure"],
+           |  "groupColumns":["event_type"]}],
+           |"outputTopic":{"enabled":true,"name":"bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(absent.getMessage.contains("no rows for declared numericColumns"),
+      absent.getMessage)
+  }
+
+  test("shingle width pin side cache: written on first healthy read, invisible to plain reads, invalidated by an out-of-band append") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_shingle_pin").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    graft.operators.Dedup.shingleIndex(docs.filter(col("doc_id") < 50),
+        "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/hist.parquet")
+    def screen(width: Int): Unit =
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"pin-screen","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"dedup_near","method":"jaccard",
+           |  "column":"text","idColumn":"doc_id","shingleSize":$width,
+           |  "threshold":0.8,"historyPath":"$dir/hist.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"pin-out"}}""".stripMargin),
+        resolver)
+    screen(3)
+    val pin = new java.io.File(s"$dir/hist.parquet/_pin.parquet")
+    assert(pin.isDirectory, "first healthy read must write the pin cache")
+    val pinned = spark.read.parquet(pin.toString).head()
+    assert(pinned.getAs[Int]("shingle_size") == 3, pinned.toString)
+    // the underscore prefix hides the cache from plain parquet reads of
+    // the artifact — the columns (and row count) are unchanged
+    val plain = spark.read.parquet(s"$dir/hist.parquet")
+    assert(plain.columns.toSet ==
+      Set("id", "sh", "n", "shingle_size"), plain.columns.mkString(", "))
+    // a cache HIT still enforces the declared-width match
+    val wrong = intercept[IllegalArgumentException] { screen(4) }
+    assert(wrong.getMessage.contains("does not match"), wrong.getMessage)
+    // an OUT-OF-BAND mis-widthed append changes the listing signature →
+    // the stale pin is bypassed, the re-scan sees the mixed widths, and
+    // the config error fires (the pin must never mask corruption)
+    graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 60),
+        "doc_id", "text", 4)
+      .write.mode("append").parquet(s"$dir/hist.parquet")
+    val mixed = intercept[IllegalArgumentException] { screen(3) }
+    assert(mixed.getMessage.contains("mixes shingle widths"), mixed.getMessage)
+  }
+
+  test("merge_scalar_summaries: a non-artifact source frame is refused with the missing columns named") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        """{"id":"merge-stats-bad","processingMode":"SIMPLE_STREAM",
+          |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+          |"transform":[{"op":"merge_scalar_summaries"}],
+          |"outputTopic":{"enabled":true,"name":"merge-stats-bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(e.getMessage.contains("not a scalar_summary artifact union") &&
+      e.getMessage.contains("[merge-stats-bad]"), e.getMessage)
+  }
+
   test("<dataDir> against a resolver with no filesystem base fails at build with the spec-id prefix") {
     // the portability placeholder's failure mode (e.g. a Kafka-bound spec):
     // a prefixed IllegalArgumentException at build, per the global error

@@ -98,6 +98,9 @@ class ObserveSpec extends SparkSuite {
       // the APPENDED quantized index searched through the same route
       // (postings now span two committed generations)
       "r47_spec_knn_append" -> knnScan,
+      // the COMPACTED quantized index — same route again, postings folded
+      // back into one generation by the pure-copy compactor
+      "r49_spec_knn_compact" -> knnScan,
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

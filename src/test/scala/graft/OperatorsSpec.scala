@@ -1232,6 +1232,130 @@ class OperatorsSpec extends SparkSuite {
       old.getMessage)
   }
 
+  test("compactIndex: fold is a pure copy (search bit-identical, all methods); meta pins; stale generations stay invisible and get swept") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val hi = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val (c1, c2) = (hi / 3, 2 * hi / 3)
+    val (a, b, c) = (e.filter(col("vec_id") < c1),
+      e.filter(col("vec_id") >= c1 && col("vec_id") < c2),
+      e.filter(col("vec_id") >= c2))
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_compact").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def genDirs(idx: String): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/index.parquet"))
+        .map(_.getPath.getName).filter(_.startsWith("gen=")).toSet
+
+    // quantized: three generations -> one; search results bit-identical
+    Similarity.buildIndex(a, "vec_id", "embedding", "quantized", s"$base/q")
+    Similarity.appendIndex(b, "vec_id", "embedding", s"$base/q")
+    Similarity.appendIndex(c, "vec_id", "embedding", s"$base/q")
+    val preMeta = Similarity.readIndexMeta(spark, s"$base/q")
+    assert(preMeta.generation == 2 && preMeta.base_gen == 0, preMeta.toString)
+    val pre = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q"))
+    val rep = Similarity.compactIndex(spark, s"$base/q").head()
+    assert(rep.getString(0) == "quantized" && rep.getLong(2) == e.count() &&
+      rep.getInt(3) == 3 && rep.getInt(4) == 3, rep.toString)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      pre, "compaction changed the quantized search results")
+    val m = Similarity.readIndexMeta(spark, s"$base/q")
+    assert(m.generation == 3 && m.base_gen == 3 && m.n_rows == e.count() &&
+      m.batch_sig == preMeta.batch_sig,
+      s"meta pins broken (n_rows/batch_sig must survive the fold): $m")
+    // the folded directories are physically gone; no duplicated postings
+    assert(genDirs(s"$base/q") == Set("gen=3"), genDirs(s"$base/q").toString)
+    val visible = spark.read.parquet(s"$base/q/index.parquet")
+    assert(visible.count() == e.count() &&
+      visible.select("id").distinct().count() == e.count(),
+      "the consolidated copy lost or duplicated postings")
+    // retry after a completed compaction is a no-op
+    val rep2 = Similarity.compactIndex(spark, s"$base/q").head()
+    assert(rep2.getInt(3) == 0, s"retry must fold nothing: $rep2")
+
+    // a STALE duplicate below base_gen (a compaction killed mid-cleanup)
+    // stays invisible to the search, and the next maintenance verb sweeps it
+    val idxP = new org.apache.hadoop.fs.Path(s"$base/q/index.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$idxP/gen=3"), fs,
+      new org.apache.hadoop.fs.Path(s"$idxP/gen=0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(genDirs(s"$base/q") == Set("gen=0", "gen=3"))
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      pre, "a stale pre-base generation leaked into the search")
+    Similarity.appendIndex(e.limit(0), "vec_id", "embedding", s"$base/q")
+    assert(!genDirs(s"$base/q").contains("gen=0"),
+      "the next append must sweep pre-base stale generations")
+
+    // ivf: compacted == pre-compaction at every probe depth that matters
+    // (probe-all == exact — the copy moved no posting to a different cell)
+    Similarity.buildIndex(a, "vec_id", "embedding", "ivf", s"$base/i",
+      nCells = 8, nAssign = 2)
+    Similarity.appendIndex(b, "vec_id", "embedding", s"$base/i")
+    Similarity.appendIndex(c, "vec_id", "embedding", s"$base/i")
+    val preIvf = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/i", nProbe = 8))
+    Similarity.compactIndex(spark, s"$base/i")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+        s"$base/i", nProbe = 8)) == preIvf,
+      "compaction changed the ivf search results")
+    assert(preIvf == rows(Similarity.bruteForceTopK(e, q, "vec_id",
+        "embedding", 10)),
+      "compacted ivf probed at ALL cells must still recover the exact neighbors")
+
+    // lsh: same bit-identity through the (tbl, bucket) layout
+    Similarity.buildIndex(a, "vec_id", "embedding", "lsh", s"$base/l",
+      nTables = 8, planesPerTable = 4)
+    Similarity.appendIndex(b, "vec_id", "embedding", s"$base/l")
+    Similarity.appendIndex(c, "vec_id", "embedding", s"$base/l")
+    val preLsh = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/l"))
+    Similarity.compactIndex(spark, s"$base/l")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/l")) ==
+      preLsh, "compaction changed the lsh search results")
+  }
+
+  test("compactIndex crash window: an uncommitted consolidated generation is invisible; the retry folds exactly once") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cut = e.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_compact_crash").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Similarity.buildIndex(e.filter(col("vec_id") <= cut), "vec_id",
+      "embedding", "quantized", s"$base/idx")
+    Similarity.appendIndex(e.filter(col("vec_id") > cut), "vec_id",
+      "embedding", s"$base/idx")
+    val preMeta = Similarity.readIndexMeta(spark, s"$base/idx")
+    val pre = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx"))
+    // kill-BEFORE-the-meta-commit state, constructed exactly: the
+    // consolidated copy (gen 2 = the committed postings re-written) exists
+    // but the meta still reads generation 1 / base_gen 0 — searching with
+    // the orphan present must NOT double-count (the gen fence)
+    val committed = spark.read.parquet(s"$base/idx/index.parquet")
+      .filter(col("gen") <= preMeta.generation).drop("gen")
+    committed.withColumn("gen", lit(preMeta.generation + 1))
+      .write.mode("append").partitionBy("gen").parquet(s"$base/idx/index.parquet")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      pre, "an uncommitted consolidated generation leaked into the search")
+    // the retry retracts the orphan and folds exactly once
+    val rep = Similarity.compactIndex(spark, s"$base/idx").head()
+    assert(rep.getInt(3) == 2, s"retry must fold the two committed gens: $rep")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/idx")) ==
+      pre, "kill/retry compaction changed the search results")
+    val m = Similarity.readIndexMeta(spark, s"$base/idx")
+    val vis = spark.read.parquet(s"$base/idx/index.parquet")
+      .filter(col("gen") >= m.base_gen && col("gen") <= m.generation)
+    assert(vis.count() == e.count() &&
+      vis.select("id").distinct().count() == e.count(),
+      "kill/retry compaction lost or duplicated postings")
+  }
+
   test("scalar summary: merge identity (sharded == one-shot) and windowed cells fold to the global artifact") {
     // linearity is the artifact's contract: per-shard summaries (and the
     // windowed table with its window column dropped) must fold EXACTLY to
@@ -1264,6 +1388,54 @@ class OperatorsSpec extends SparkSuite {
       windowed.drop("window_start"), Seq("event_type")))
     assert(fromCells == direct,
       s"windowed fold $fromCells != one-shot $direct")
+  }
+
+  test("scalarDriftFromSummaries: hand-checked metrics, vanished/newborn cells read NULL, flat vs grouped shapes") {
+    val ss = spark
+    import ss.implicits._
+    // old: cell A = {1, 3, null}; cell B = {10}. new: cell A = {2, 4};
+    // cell C = {7} (B vanished, C newborn)
+    val oldRaw = Seq(("A", Some(1.0)), ("A", Some(3.0)), ("A", None),
+      ("B", Some(10.0))).toDF("g", "v")
+    val newRaw = Seq(("A", Some(2.0)), ("A", Some(4.0)), ("C", Some(7.0)))
+      .toDF("g", "v")
+    val oldSum = graft.operators.Drift.scalarSummary(oldRaw, Seq("v"), Seq("g"))
+    val newSum = graft.operators.Drift.scalarSummary(newRaw, Seq("v"), Seq("g"))
+    val out = graft.operators.Drift
+      .scalarDriftFromSummaries(oldSum, newSum, Seq("g"))
+    assert(out.columns.toSeq == Seq("col_name", "metric", "category",
+      "old_value", "new_value", "delta"), out.columns.mkString(", "))
+    def cell(cat: String, metric: String): (Option[Double], Option[Double], Option[Double]) = {
+      val r = out.filter(col("category") === cat && col("metric") === metric).head()
+      def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (g(3), g(4), g(5))
+    }
+    // cell A: mean 2 -> 3, null_rate 1/3 -> 0, stddev sqrt(2) both sides
+    assert(cell("A", "mean") == (Some(2.0), Some(3.0), Some(1.0)))
+    assert(cell("A", "row_count") == (Some(3.0), Some(2.0), Some(-1.0)))
+    val (onr, nnr, dnr) = cell("A", "null_rate")
+    assert(math.abs(onr.get - 1.0 / 3) < 1e-9 && nnr.contains(0.0) &&
+      math.abs(dnr.get + 1.0 / 3) < 1e-6, s"null_rate $onr $nnr $dnr")
+    val (osd, nsd, _) = cell("A", "stddev")
+    assert(math.abs(osd.get - math.sqrt(2)) < 1e-9 &&
+      math.abs(nsd.get - math.sqrt(2)) < 1e-9)
+    // vanished cell B: new side NULL throughout, delta NULL (violates a gate)
+    assert(cell("B", "mean") == (Some(10.0), None, None))
+    assert(cell("B", "row_count") == (Some(1.0), None, None))
+    // stddev of a 1-row side is NULL even where the side exists
+    assert(cell("B", "stddev") == (None, None, None))
+    // newborn cell C: old side NULL throughout
+    assert(cell("C", "mean") == (None, Some(7.0), None))
+    assert(cell("C", "max") == (None, Some(7.0), None))
+    // flat shape (no dims): no category column, same metric math globally
+    val outFlat = graft.operators.Drift.scalarDriftFromSummaries(
+      graft.operators.Drift.scalarSummary(oldRaw, Seq("v"), Nil),
+      graft.operators.Drift.scalarSummary(newRaw, Seq("v"), Nil), Nil)
+    assert(outFlat.columns.toSeq == Seq("col_name", "metric",
+      "old_value", "new_value", "delta"))
+    val flatMean = outFlat.filter(col("metric") === "mean").head()
+    assert(math.abs(flatMean.getDouble(2) - 14.0 / 3) < 1e-9 &&
+      math.abs(flatMean.getDouble(3) - 13.0 / 3) < 1e-9)
   }
 
   test("windowed drift monitor vs an EMPTY baseline artifact: every cell newborn, no crash") {

@@ -279,6 +279,9 @@ class PlanSpec extends SparkSuite {
       // identical not-equal candidate scan, postings now spanning two
       // committed generations
       "r47_spec_knn_append",
+      // the COMPACTED quantized index: the same not-equal candidate scan
+      // over the folded single-generation postings
+      "r49_spec_knn_compact",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

@@ -457,6 +457,46 @@ object SpecFuzzProperties extends Properties("specfuzz") {
             else None)))
     }
 
+  property("valid snapshot_drift batch statsPath route analyzes (global / grouped; both-sides-stored optional)") =
+    Prop.forAll(Gen.oneOf(false, true), Gen.oneOf(false, true)) {
+      (grouped, bothStored) =>
+        val art = if (grouped) "stats_grouped" else "stats_global"
+        analyzes(simple("fz-drift-stats", "events",
+          TransformOp(op = "snapshot_drift",
+            statsPath = Some(s"$artifactDir/$art.parquet"),
+            newStatsPath =
+              if (bothStored) Some(s"$artifactDir/$art.parquet") else None,
+            numericColumns = Seq("value"),
+            groupColumns = if (grouped) Seq("event_type") else Nil)))
+    }
+
+  property("valid merge_scalar_summaries analyzes (global / grouped shards)") =
+    Prop.forAll(Gen.oneOf("stats_global", "stats_grouped")) { t =>
+      val res = new ParquetSourceResolver(artifactDir, TestdataCatalog)
+      val spec = simple("fz-merge-stats", t,
+        TransformOp(op = "merge_scalar_summaries"))
+      val df = Interpreter.build(spark, spec, res)
+      Prop(df.queryExecution.analyzed.schema.nonEmpty) :| s"spec ${spec.id}"
+    }
+
+  property("valid knn_index_compact analyzes (single-gen no-op and post-append fold)") =
+    Prop.forAll(Gen.oneOf(false, true)) { appended =>
+      // eager like knn_index: the case builds a real index (and optionally
+      // a second posting generation) and the compact declaration folds it
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_knn_compact").toString
+      val e = spark.read.parquet(embParquet)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+      graft.operators.Similarity.buildIndex(e.filter("vec_id < 30"),
+        "vec_id", "embedding", "quantized", s"$dir/idx")
+      if (appended)
+        graft.operators.Similarity.appendIndex(
+          e.filter("vec_id >= 30 and vec_id < 40"), "vec_id", "embedding",
+          s"$dir/idx")
+      analyzes(simple("fz-knn-compact", "embeddings", TransformOp(
+        op = "knn_index_compact", indexPath = Some(s"$dir/idx"))))
+    }
+
   property("valid transform CHAINS analyze (filter + multiple ops in order)") =
     Prop.forAll(Gen.chooseNum(10L, 50L), Gen.chooseNum(20, 60)) { (mt, size) =>
       val spec = simple("fz-chain", "documents",
@@ -755,6 +795,21 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         te(TransformOp(op = "knn_index_append", column = Some("embedding"),
           idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"),
           nCells = Some(8))),
+      "knn_index_compact without indexPath" ->
+        te(TransformOp(op = "knn_index_compact")),
+      "knn_index_compact with declared geometry (it only folds)" ->
+        te(TransformOp(op = "knn_index_compact",
+          indexPath = Some("/nowhere/idx"), nCells = Some(8))),
+      "snapshot_drift newStatsPath without statsPath" ->
+        te(TransformOp(op = "snapshot_drift", numericColumns = Seq("value"),
+          newStatsPath = Some("/nowhere/stats.parquet"))),
+      "snapshot_drift batch statsPath without numericColumns" ->
+        te(TransformOp(op = "snapshot_drift",
+          statsPath = Some("/nowhere/stats.parquet"))),
+      "snapshot_drift comparePath never read (statsPath covers the only leg)" ->
+        te(TransformOp(op = "snapshot_drift", numericColumns = Seq("value"),
+          statsPath = Some("/nowhere/stats.parquet"),
+          comparePath = Some("/nowhere/old.parquet"))),
       "shingle_index_append without historyPath" -> te(TransformOp(
         op = "shingle_index_append", column = Some("text"),
         idColumn = Some("doc_id"), shingleSize = Some(3))),
@@ -787,7 +842,14 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         op = "knn", method = Some("quantized"), column = Some("embedding"),
         idColumn = Some("vec_id"), k = Some(5),
         indexPath = Some("/nowhere/idx"),
-        timeColumn = Some("ts"), every = Some("1 hour"))),
+        timeColumn = Some("ts"), every = Some("1 hour")))) ++
+    invalidDriftSpecs(t, te)
+  }
+
+  private def invalidDriftSpecs(
+      t: TransformOp => PipelineSpec,
+      te: TransformOp => PipelineSpec): Seq[(String, PipelineSpec)] = {
+    Seq(
       "snapshot_drift without comparePath" -> te(TransformOp(
         op = "snapshot_drift", numericColumns = Seq("value"))),
       "snapshot_drift without any columns" -> te(TransformOp(
@@ -823,11 +885,6 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           embeddingColumns = Seq("embedding"),
           numericColumns = Seq("value"),
           timeColumn = Some("ts"), every = Some("1 hour"))),
-      "batch snapshot_drift with statsPath (the windowed monitor's baseline)" ->
-        te(TransformOp(op = "snapshot_drift",
-          statsPath = Some("/nowhere/stats.parquet"),
-          numericColumns = Seq("value"),
-          comparePath = Some("<dataDir>/events.parquet"))),
       "windowed snapshot_drift statsPath without numericColumns" ->
         te(TransformOp(op = "snapshot_drift",
           statsPath = Some("/nowhere/stats.parquet"),
