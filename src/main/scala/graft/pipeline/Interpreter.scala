@@ -280,7 +280,21 @@ object Interpreter extends Logging {
           }
           case _ => Nil
         }
-        stale ++ geom
+        // fragmentation advisory — closed-form from the meta's generation
+        // fence, no data probe: live generations = one per append since
+        // the last build/compaction
+        val liveGens = meta.generation - meta.base_gen + 1
+        val frag =
+          if (liveGens < KnnFragmentedGensWarn) Nil
+          else Seq(graft.observe.PlanAudit.Finding("warn", KnnFragmentedIndex,
+            s"knn indexPath '$p' spans $liveGens committed posting " +
+              "generations (one per append since the last build or " +
+              "compaction) — each probed cell reads one file set per " +
+              "generation, so listing and scan granularity degrade with " +
+              "every append at unchanged total bytes. Fold them with " +
+              "knn_index_compact (a pure copy: search results are " +
+              "bit-identical before and after)"))
+        stale ++ frag ++ geom
       } catch {
         case scala.util.control.NonFatal(e) =>
           logInfo(s"[$specId] knn index staleness preflight skipped: " +
@@ -450,6 +464,17 @@ object Interpreter extends Logging {
     */
   private val KnnStaleIndex = "knn_stale_index"
 
+  /** Stored-index fragmentation: every append commits one posting
+    * generation, and each probed cell then reads one file set PER live
+    * generation — listing and scan granularity degrade linearly with
+    * appends at unchanged total bytes. Past this many live generations
+    * (a week of daily appends) the maintenance loop owes a
+    * knn_index_compact. Closed-form from the meta (generation −
+    * base_gen + 1), no data probe.
+    */
+  private val KnnFragmentedGensWarn = 8
+  private val KnnFragmentedIndex = "knn_fragmented_index"
+
   /** Windowed-state pricing: past ~32 live window generations per dims
     * cell the declaration reads as a sliding-window mis-sizing (a 1-hour
     * window with a 2-hour watermark is 3 generations; 32 means slide is
@@ -473,7 +498,7 @@ object Interpreter extends Logging {
     */
   val specAuditFindings: Seq[String] =
     Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
-      KnnStaleIndex, WindowedStateAmplification)
+      KnnStaleIndex, KnnFragmentedIndex, WindowedStateAmplification)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an

@@ -375,6 +375,49 @@ class DoctorSpec extends SparkSuite {
     assert(!outAfter.contains("knn_stale_index"), outAfter)
   }
 
+  test("fragmented-then-compact: 8 live posting generations draw knn_fragmented_index; knn_index_compact clears the refusal") {
+    // the compaction advisory closes the append lifecycle the way the
+    // append verb closed staleness: the meta's generation fence prices
+    // fragmentation closed-form (liveGens = generation − base_gen + 1, no
+    // data probe), the finding names knn_index_compact, and running it
+    // folds the generations and clears the refusal — results unchanged
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val hi = e.agg(org.apache.spark.sql.functions.max(col("vec_id")))
+      .head.getLong(0) + 1L
+    val step = math.max(1L, hi / 8L)
+    val dir = tempDirPath("graft_doctor_knn_compact").toString
+    graft.operators.Similarity.buildIndex(e.filter(col("vec_id") < step),
+      "vec_id", "embedding", "ivf", s"$dir/idx", nCells = 8, nAssign = 2)
+    (1 until 8).foreach { i =>
+      val lo = i * step
+      val hiB = if (i == 7) hi else (i + 1) * step
+      graft.operators.Similarity.appendIndex(
+        e.filter(col("vec_id") >= lo && col("vec_id") < hiB),
+        "vec_id", "embedding", s"$dir/idx")
+    }
+    val specJson =
+      s"""{"id":"knn-fragmented","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"planAudit":"fail",
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":5,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3","indexPath":"$dir/idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-fragmented-out"}}""".stripMargin
+    val f = write("knn_fragmented.json", specJson)
+    val (codeFrag, outFrag) = runDoctor(f, sf())
+    assert(codeFrag == 1 && outFrag.contains("knn_fragmented_index") &&
+      outFrag.contains("knn_index_compact") && outFrag.contains("8 committed"),
+      outFrag)
+    // staleness must NOT also fire — the appends covered the whole corpus
+    assert(!outFrag.contains("knn_stale_index"), outFrag)
+    graft.operators.Similarity.compactIndex(spark, s"$dir/idx")
+    val (codeAfter, outAfter) = runDoctor(f, sf())
+    assert(codeAfter == 0, outAfter)
+    assert(!outAfter.contains("knn_fragmented_index"), outAfter)
+  }
+
   test("snapshot_drift preflight probe: a dual-declared column emits BOTH findings; the flag skips the probe") {
     // round-15 ADVICE pair: (1) a column declared under BOTH
     // categoricalColumns and embeddingGroupBy used to be probed once but
