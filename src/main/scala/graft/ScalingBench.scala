@@ -118,6 +118,13 @@ object ScalingBench {
     "r47_spec_knn_append",
     "r48_spec_scalar_monitor",
     "r48_spec_quantile_monitor",
+    // round-18 second-half additions: the full compaction lifecycle
+    // (build third + append two thirds + FOLD + search — the fold is a
+    // posting rewrite, so the row must track total index bytes, i.e.
+    // ≈ data ratio), and the batch stored scalar leg (one frame summary
+    // + a KB-artifact full-outer join — scan-bound)
+    "r49_spec_knn_compact",
+    "r49_spec_drift_stats",
     // round-17 addition: the incremental-screen LOOP — by the fixture-
     // rebuild discipline the timed query REBUILDS the shingle artifact
     // each call, so this row measures publish (history tokenize + write)

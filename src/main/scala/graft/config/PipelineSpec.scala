@@ -1016,6 +1016,12 @@ case class TransformOp(
         s"[$where] snapshot_drift requires numericColumns, " +
           "categoricalColumns, heavyHitterColumns, histograms, " +
           "embeddingColumns, sketchPath, quantilePath and/or statsPath")
+      // a duplicated measure would alias the same agg twice and die in an
+      // ambiguous-column AnalysisException deep in the report build —
+      // refuse at config grade like scalar_summary does
+      require(numericColumns.distinct == numericColumns,
+        s"[$where] snapshot_drift numericColumns has duplicates: " +
+          numericColumns.diff(numericColumns.distinct).distinct.mkString(", "))
       // WINDOWED form (timeColumn + every [+ watermark on a stream]): the
       // per-window drift MONITOR — evaluates each (window, stratum?) cell
       // against a STORED baseline artifact (a windowed monitor rescanning

@@ -712,6 +712,18 @@ object Similarity extends Logging {
          else w.partitionBy("gen")).parquet(idxDir)
     }
     val folded = meta.generation - meta.base_gen + 1
+    // write-landed check BEFORE the point of no return: the consolidated
+    // copy must hold exactly the live posting count (both are parquet
+    // footer counts — no data scan). A mismatch aborts with the orphan
+    // generation still invisible and the OLD index fully intact.
+    val liveRows = live.count()
+    val copiedRows = scala.util.Try(
+      spark.read.parquet(s"$idxDir/gen=$newGen").count()).getOrElse(-1L)
+    require(copiedRows == liveRows,
+      s"compactIndex: consolidated generation holds $copiedRows postings " +
+        s"but the committed range holds $liveRows — aborting before the " +
+        "meta commit (the old index reads unchanged; the orphan gen=" +
+        s"$newGen is retracted by the next maintenance verb)")
     val updated = meta.copy(generation = newGen, base_gen = newGen)
     swapMeta(spark, indexPath, updated)
     // cleanup AFTER the commit — a crash here leaves invisible duplicates

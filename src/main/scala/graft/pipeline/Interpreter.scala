@@ -589,7 +589,34 @@ object Interpreter extends Logging {
         s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
         "Build artifacts with the distinct_rollup op's stored form (or " +
         "Profile.distinctSketches) at crawl time")
+    // n_distinct is the keepSketch form's own estimate column — a VALUE,
+    // not a dim (one per cell, multiplies nothing)
+    requireArtifactDims(df, "sketchPath", path, dims,
+      Seq("sketch", "n_rows"), specId, benign = _ == "n_distinct")
     df
+  }
+
+  /** An artifact carrying dims BEYOND the declared ones holds several rows
+    * per declared cell — joined as a baseline, every one of them matches,
+    * silently DUPLICATING each drift/monitor row (and splitting the old
+    * side's mass across the duplicates). Refuse at config grade: the fix
+    * is declaring the same groupColumns the artifact was built with, or
+    * folding the extra dims out with the family's merge/rollup verb.
+    */
+  private def requireArtifactDims(df: DataFrame, what: String, path: String,
+      dims: Seq[String], payload: Seq[String], specId: String,
+      benign: String => Boolean = _ => false): Unit = {
+    val extras = df.columns.filterNot(c =>
+      dims.contains(c) || payload.contains(c) || c == KeyCol || benign(c))
+    require(extras.isEmpty,
+      s"[$specId] $what '$path' carries dimension column(s) beyond the " +
+        s"declared groupColumns [${dims.mkString(", ")}]: " +
+        s"${extras.mkString(", ")} — joined as a baseline the artifact " +
+        "would match several rows per declared cell and silently " +
+        "duplicate every output row. Declare the same groupColumns the " +
+        "artifact was built with, or fold the extra dims out first " +
+        "(merge/rollup over the coarser dims — the artifacts are " +
+        "mergeable by design)")
   }
 
   /** Same config-grade preflight for a stored QUANTILE-sketch table
@@ -607,6 +634,11 @@ object Interpreter extends Logging {
         s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
         "Build artifacts with the quantile_rollup op's keepSketch form " +
         "(or Profile.quantileSketches) at crawl time")
+    // pNN / pNN_N columns are the keepSketch form's own estimated
+    // percentiles (QuantileSketch.colName labels) — values, not dims
+    requireArtifactDims(df, "quantilePath", path, dims,
+      Seq("qsketch", "n_rows"), specId,
+      benign = c => c.matches("p\\d+(_\\d+)?"))
     df
   }
 
@@ -634,6 +666,9 @@ object Interpreter extends Logging {
         s"${missing.mkString(", ")} (found: ${df.columns.mkString(", ")}). " +
         "Build artifacts with the scalar_summary op (or " +
         "Drift.scalarSummary) at crawl time")
+    requireArtifactDims(df, "statsPath", path, dims,
+      Seq("col_name", "n_rows", "n_nonnull", "sum", "sumsq", "min", "max"),
+      specId)
     df
   }
 

@@ -1652,6 +1652,73 @@ class InterpreterSpec extends SparkSuite {
     assert(mixed.getMessage.contains("mixes shingle widths"), mixed.getMessage)
   }
 
+  test("artifact-dims mismatch: a baseline built with MORE dims than declared is refused (stats / quantile / sketch)") {
+    // the silent failure this guard closes: an artifact with extra dims
+    // holds several rows per declared cell — the baseline join would match
+    // all of them and duplicate every drift/monitor row
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_artifact_dims").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    graft.operators.Drift.scalarSummary(ev, Seq("value"), Seq("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/stats_grouped.parquet")
+    graft.operators.Profile.quantileSketches(ev, Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$dir/qsk_grouped.parquet")
+    graft.operators.Profile.distinctSketches(ev, Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(s"$dir/hll_grouped.parquet")
+    def refused(transform: String): String =
+      intercept[IllegalArgumentException] {
+        graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+          s"""{"id":"dims-mismatch","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+             |"transform":[$transform],
+             |"outputTopic":{"enabled":true,"name":"dims-bad-out"}}""".stripMargin),
+          resolver)
+      }.getMessage
+    // batch statsPath declared GLOBAL against the grouped artifact
+    val m1 = refused(
+      s"""{"op":"snapshot_drift","statsPath":"$dir/stats_grouped.parquet",
+         |"numericColumns":["value"]}""".stripMargin)
+    assert(m1.contains("beyond the declared groupColumns") &&
+      m1.contains("event_type"), m1)
+    // windowed scalar monitor, same mismatch
+    val m2 = refused(
+      s"""{"op":"snapshot_drift","statsPath":"$dir/stats_grouped.parquet",
+         |"numericColumns":["value"],"timeColumn":"ts","every":"1 hour"}""".stripMargin)
+    assert(m2.contains("beyond the declared groupColumns"), m2)
+    // quantilePath with a COARSER declared dim set than the artifact's
+    // (groupColumns must be non-empty for the quantile leg, so mismatch
+    // via a different single dim)
+    graft.operators.Profile.quantileSketches(
+        ev.withColumn("src", col("event_type")),
+        Seq("event_type", "src"), "value")
+      .write.mode("overwrite").parquet(s"$dir/qsk_two_dims.parquet")
+    val m3 = refused(
+      s"""{"op":"snapshot_drift","quantilePath":"$dir/qsk_two_dims.parquet",
+         |"groupColumns":["event_type"],"column":"value",
+         |"quantiles":[0.5]}""".stripMargin)
+    assert(m3.contains("beyond the declared groupColumns") &&
+      m3.contains("src"), m3)
+    // sketchPath, same rule
+    graft.operators.Profile.distinctSketches(
+        ev.withColumn("src", col("event_type")),
+        Seq("event_type", "src"), "user_id")
+      .write.mode("overwrite").parquet(s"$dir/hll_two_dims.parquet")
+    val m4 = refused(
+      s"""{"op":"snapshot_drift","sketchPath":"$dir/hll_two_dims.parquet",
+         |"groupColumns":["event_type"],"column":"user_id"}""".stripMargin)
+    assert(m4.contains("beyond the declared groupColumns") &&
+      m4.contains("src"), m4)
+    // the MATCHING declarations still build
+    graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"dims-ok","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$dir/stats_grouped.parquet",
+         |  "numericColumns":["value"],"groupColumns":["event_type"]}],
+         |"outputTopic":{"enabled":true,"name":"dims-ok-out"}}""".stripMargin),
+      resolver)
+  }
+
   test("merge_scalar_summaries: a non-artifact source frame is refused with the missing columns named") {
     val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
     val e = intercept[IllegalArgumentException] {

@@ -810,6 +810,10 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         te(TransformOp(op = "snapshot_drift", numericColumns = Seq("value"),
           statsPath = Some("/nowhere/stats.parquet"),
           comparePath = Some("/nowhere/old.parquet"))),
+      "snapshot_drift duplicate numericColumns" ->
+        te(TransformOp(op = "snapshot_drift",
+          numericColumns = Seq("value", "value"),
+          comparePath = Some("/nowhere/old.parquet"))),
       "shingle_index_append without historyPath" -> te(TransformOp(
         op = "shingle_index_append", column = Some("text"),
         idColumn = Some("doc_id"), shingleSize = Some(3))),
