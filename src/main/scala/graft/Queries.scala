@@ -733,6 +733,55 @@ object Queries {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** The shingle history's full maintenance lifecycle (r50,
+    * knn compaction's text analogue): publish the first 3/5 as the
+    * artifact, APPEND the next fifth declaratively, FOLD the accumulated
+    * file sets with shingle_index_compact (a pure layout rewrite), then
+    * screen the last fifth against the folded history — the verdicts
+    * hash-match the same from-raw oracle as r46, proving the append and
+    * the fold changed nothing the screen can see.
+    */
+  def r50SpecShingleCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hi = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val (c1, c2) = (hi * 3L / 5L, hi * 4L / 5L)
+    graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") < c1), "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$base/doc_shingles_cmp.parquet")
+    docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+      .write.mode("overwrite").parquet(s"$base/docs_mid.parquet")
+    docs.filter(col("doc_id") >= c2)
+      .write.mode("overwrite").parquet(s"$base/docs_new2.parquet")
+    def fromBase(json: String): DataFrame =
+      Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    fromBase(
+      s"""{"id":"append-publish-2","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_mid","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_append","column":"text",
+         |  "idColumn":"doc_id","shingleSize":3,
+         |  "historyPath":"$base/doc_shingles_cmp.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"append-report-2"}}""".stripMargin)
+    fromBase(
+      s"""{"id":"compact-history","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_mid","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_compact",
+         |  "historyPath":"$base/doc_shingles_cmp.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"compact-report"}}""".stripMargin)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"screen-after-compact","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_new2","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard",
+         |  "column":"text","idColumn":"doc_id",
+         |  "shingleSize":3,"threshold":0.8,
+         |  "historyPath":"$base/doc_shingles_cmp.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"novel-after-compact"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, spec,
+        new ParquetSourceResolver(base, TestdataCatalog)))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Declarative STORED ANN index — the r44 family's hash-exact member:
     * crawl time builds the quantized index artifact through config
     * (knn_index writes int8 codes + vectors under indexPath), query time
@@ -4282,6 +4331,9 @@ object Queries {
       // cross-snapshot novelty filter exactly (the artifact IS the frame
       // jaccardPairsBetween builds internally)
       ("r46_spec_incremental_screen" -> oracles0("x2_incremental_novel")) +
+      // the appended-then-COMPACTED history screens identically: the fold
+      // is a pure layout rewrite, so the same from-raw oracle holds
+      ("r50_spec_shingle_compact" -> oracles0("x2_incremental_novel")) +
       // declarative resample / profile must hash-match their code paths
       // (r29_spec_quantiles is rows-only: sketch estimates, rank-pinned)
       ("r29_spec_resample" -> oracles0("x20_resample")) +
@@ -4457,6 +4509,7 @@ object Queries {
     "r49_spec_knn_compact" -> r49SpecKnnCompact _,
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
+    "r50_spec_shingle_compact" -> r50SpecShingleCompact _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

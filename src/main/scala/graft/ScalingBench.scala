@@ -125,6 +125,10 @@ object ScalingBench {
     // + a KB-artifact full-outer join — scan-bound)
     "r49_spec_knn_compact",
     "r49_spec_drift_stats",
+    // the shingle-history compaction lifecycle (publish + append + FOLD +
+    // screen — the fold is a full artifact rewrite, so the row must track
+    // total history bytes ≈ data ratio, like the knn compactor)
+    "r50_spec_shingle_compact",
     // round-17 addition: the incremental-screen LOOP — by the fixture-
     // rebuild discipline the timed query REBUILDS the shingle artifact
     // each call, so this row measures publish (history tokenize + write)

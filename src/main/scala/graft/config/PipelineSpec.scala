@@ -822,6 +822,15 @@ case class TransformOp(
         s"[$where] shingle_index_append requires historyPath (the stored " +
           "shingle_index artifact to extend; to START an artifact use " +
           "shingle_index and sink its rows)")
+    case "shingle_index_compact" =>
+      require(historyPath.isDefined,
+        s"[$where] shingle_index_compact requires historyPath (the stored " +
+          "artifact whose accumulated append files to fold)")
+      require(column.isEmpty && idColumn.isEmpty && shingleSize.isEmpty,
+        s"[$where] shingle_index_compact takes only historyPath — it " +
+          "rewrites the artifact's file layout (rows, widths and screen " +
+          "verdicts are bit-identical); the source frame is ignored, so " +
+          "declare it over any topic")
     case "chunk" =>
       require(column.isDefined && idColumn.isDefined,
         s"[$where] chunk requires column and idColumn")

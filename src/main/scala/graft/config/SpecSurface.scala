@@ -20,7 +20,7 @@ object SpecSurface {
     */
   val transformOps: Seq[String] = Seq(
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near",
-    "shingle_index", "shingle_index_append", "chunk",
+    "shingle_index", "shingle_index_append", "shingle_index_compact", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index",
     "knn_index_append", "knn_index_compact", "resample",

@@ -1014,6 +1014,54 @@ object Interpreter extends Logging {
       if (df.columns.contains(KeyCol))
         report.withColumn(KeyCol, col("shingle_size"))
       else report
+    case "shingle_index_compact" =>
+      // the screen loop's CLOSING maintenance verb (knn_index_compact's
+      // text analogue): every shingle_index_append adds a file set, so the
+      // screen's history scan degrades to one small file per publish —
+      // fold them with the snapshot compactor's staging+aside rewrite
+      // (rows, widths and screen verdicts are bit-identical; the rewrite
+      // sorts by id so per-doc row groups stay contiguous). The width pin
+      // is preflighted from the artifact's OWN pin (no declared width —
+      // there are no new rows), and the side cache is refreshed over the
+      // folded layout. REPLACES the row set with a one-row report.
+      require(!df.isStreaming,
+        "shingle_index_compact is batch-only (it rewrites a stored " +
+          "artifact's file layout; run it between publish rounds)")
+      val spark = df.sparkSession
+      val p = resolvePath(t.historyPath.get, dataDir, specId)
+      val hist = spark.read.parquet(p)
+      val missingCols = Seq("id", "sh", "n", "shingle_size")
+        .filterNot(hist.columns.contains)
+      require(missingCols.isEmpty,
+        s"[$specId] historyPath '$p' is not a shingle_index artifact: " +
+          s"missing column(s) ${missingCols.mkString(", ")} (found: " +
+          s"${hist.columns.mkString(", ")})")
+      val widths = shinglePinWidths(spark, p, hist)
+      require(widths.size == 1 && widths.head.isDefined,
+        s"[$specId] historyPath '$p' carries mixed or unreadable shingle " +
+          s"widths (${widths.map(_.fold("null")(_.toString)).mkString(", ")})" +
+          " — compacting would bake the corruption in; rebuild the " +
+          "artifact at one width with shingle_index first")
+      val width = widths.head.get
+      val fsP = new org.apache.hadoop.fs.Path(p)
+      val fsH = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def dataFileCount: Long = fsH.listStatus(fsP).count(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val filesBefore = dataFileCount
+      val rows = graft.sinks.BatchSink.compactSnapshot(spark, p,
+        sortCols = Seq("id"))
+      // the rewrite replaced the file set — refresh the width-pin cache
+      // over the folded layout so later builds stay at side-file cost
+      readShingleArtifact(spark, p, width, specId)
+      val filesAfter = dataFileCount
+      logInfo(s"[$specId] shingle_index_compact: $filesBefore -> " +
+        s"$filesAfter files, $rows rows at $p")
+      import spark.implicits._
+      val report = Seq((width, rows, filesBefore, filesAfter))
+        .toDF("shingle_size", "history_rows", "files_before", "files_after")
+      if (df.columns.contains(KeyCol))
+        report.withColumn(KeyCol, col("shingle_size"))
+      else report
     case "chunk" =>
       graft.operators.TextAnalysis.chunk(df, t.idColumn.get, t.column.get,
         t.size.get, t.stride.get, carryCols = keyCarry(df))

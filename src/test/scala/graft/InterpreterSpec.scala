@@ -1719,6 +1719,72 @@ class InterpreterSpec extends SparkSuite {
       resolver)
   }
 
+  test("shingle_index_compact: folds appended file sets, screen verdicts unchanged, pin refreshed; mixed-width refused") {
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_shingle_compact").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    graft.operators.Dedup.shingleIndex(docs.filter(col("doc_id") < 30),
+        "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/hist.parquet")
+    // two appends -> three file sets
+    Seq((30L, 50L), (50L, 70L)).foreach { case (lo, hiB) =>
+      graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hiB),
+          "doc_id", "text", 3)
+        .write.mode("append").parquet(s"$dir/hist.parquet")
+    }
+    docs.filter(col("doc_id") >= 70)
+      .write.mode("overwrite").parquet(s"$dir/docs_new.parquet")
+    def screen(): Set[Long] =
+      graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, PipelineSpec.fromJson(
+          s"""{"id":"cmp-screen","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
+             |"transform":[{"op":"dedup_near","method":"jaccard",
+             |  "column":"text","idColumn":"doc_id","shingleSize":3,
+             |  "threshold":0.8,"historyPath":"$dir/hist.parquet"}],
+             |"outputTopic":{"enabled":true,"name":"cmp-out"}}""".stripMargin),
+        new ParquetSourceResolver(dir, TestdataCatalog)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def files(): Int = new java.io.File(s"$dir/hist.parquet").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    val before = screen()
+    val filesBefore = files()
+    assert(filesBefore >= 3, s"fixture must fragment the layout: $filesBefore")
+    val rep = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
+      .build(spark, PipelineSpec.fromJson(
+        s"""{"id":"cmp-fold","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"shingle_index_compact",
+           |  "historyPath":"$dir/hist.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"fold-out"}}""".stripMargin),
+        resolver)).head()
+    assert(rep.getAs[Int]("shingle_size") == 3 &&
+      rep.getAs[Long]("files_before") == filesBefore &&
+      rep.getAs[Long]("files_after") < filesBefore, rep.toString)
+    assert(files() == rep.getAs[Long]("files_after"))
+    // the folded history screens identically, and the pin cache is fresh
+    assert(screen() == before, "compaction changed the screen verdicts")
+    assert(new java.io.File(s"$dir/hist.parquet/_pin.parquet").isDirectory,
+      "compaction must refresh the width-pin side cache")
+    // a mixed-width artifact is refused rather than baked in
+    graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") >= 70 && col("doc_id") < 80),
+        "doc_id", "text", 4)
+      .write.mode("append").parquet(s"$dir/hist.parquet")
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"cmp-bad","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"shingle_index_compact",
+           |  "historyPath":"$dir/hist.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"bad-out"}}""".stripMargin),
+        resolver)
+    }
+    assert(err.getMessage.contains("mixed or unreadable"), err.getMessage)
+  }
+
   test("merge_scalar_summaries: a non-artifact source frame is refused with the missing columns named") {
     val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
     val e = intercept[IllegalArgumentException] {

@@ -269,6 +269,21 @@ object SpecFuzzProperties extends Properties("specfuzz") {
           historyPath = Some(s"$dir/shingles.parquet"))))
     }
 
+  property("valid shingle_index_compact analyzes (folds a stored artifact's files)") =
+    Prop.forAll(Gen.chooseNum(2, 4)) { k =>
+      // eager like the other maintenance verbs: the case publishes a real
+      // artifact and the compact declaration folds its file layout
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_shingle_compact").toString
+      graft.operators.Dedup.shingleIndex(
+          spark.read.parquet(docsParquet).filter("doc_id < 30"),
+          "doc_id", "text", k)
+        .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      analyzes(simple("fz-shingle-compact", "documents",
+        TransformOp(op = "shingle_index_compact",
+          historyPath = Some(s"$dir/shingles.parquet"))))
+    }
+
   property("valid resample analyzes (whole-second grid)") =
     Prop.forAll(Gen.oneOf("30 seconds", "5 minutes", "1 hour"),
         // a cap BELOW the fixture's densest grid correctly fails loudly (the
@@ -817,6 +832,11 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "shingle_index_append without historyPath" -> te(TransformOp(
         op = "shingle_index_append", column = Some("text"),
         idColumn = Some("doc_id"), shingleSize = Some(3))),
+      "shingle_index_compact without historyPath" -> te(TransformOp(
+        op = "shingle_index_compact")),
+      "shingle_index_compact with a declared width (the artifact pins it)" ->
+        te(TransformOp(op = "shingle_index_compact", shingleSize = Some(3),
+          historyPath = Some("/nowhere/shingles.parquet"))),
       "knn_index without method" -> te(TransformOp(op = "knn_index",
         column = Some("embedding"), idColumn = Some("vec_id"),
         indexPath = Some("/nowhere/idx"))),
