@@ -139,6 +139,29 @@ object StreamBench {
         .cache()
     }
     driftBaseline.count()
+    // stored baselines for the round-18 SCALAR and PERCENTILE monitors:
+    // built from the real events fixture (the production shape — a KB of
+    // baseline rows broadcast against the stream)
+    val eventsBatch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val scalarBaseline = graft.operators.Drift.scalarSummary(
+      eventsBatch, Seq("value"), Seq("event_type")).cache()
+    scalarBaseline.count()
+    val qskBaseline = graft.operators.Profile.quantileSketches(
+      eventsBatch, Seq("event_type"), "value").cache()
+    qskBaseline.count()
+    // stored ANN index for the STREAMING-knn topology (round 18): events
+    // carry no vectors, so a deterministic 16-dim corpus is synthesized
+    // and indexed ONCE at "crawl time" — the topology then measures the
+    // per-event cost of the stream-static probe join + the (window, query)
+    // top-k heap, which is the operator's whole streaming surface
+    val knnIdx = Files.createTempDirectory("graft_streambench_knn")
+      .resolve("idx").toString
+    val knnCorpus = spark.range(2048).select(col("id").as("vec_id"),
+      array((0 until 16).map(i =>
+        sin(col("id") * (i + 1) / 7.0)): _*).as("emb"))
+    graft.operators.Similarity.buildIndex(knnCorpus, "vec_id", "emb",
+      "ivf", knnIdx, nCells = 16, nAssign = 2)
     val legs = providers.map { case (label, cls) =>
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
       System.err.println(s"[streambench] provider: $label ($cls)")
@@ -181,6 +204,36 @@ object StreamBench {
             df.withColumn("emb", emb).withWatermark("ts", "1 hour"),
             "emb", None, window(col("ts"), "1 hour"), driftBaseline,
             Map("centroid_shift" -> 0.5), Map.empty)
+        },
+        topology("scalar_monitor") { df =>
+          // the round-18 scalar monitor: all-native per-cell aggs + the
+          // broadcast baseline join — the cheapest monitor leg (state =
+          // six scalars per (window, event_type) cell)
+          graft.operators.Drift.windowedScalarDrift(
+            df.withWatermark("ts", "1 hour"), Seq("value"),
+            Seq("event_type"), window(col("ts"), "1 hour"), scalarBaseline,
+            Map("value.mean" -> 1e9), Map.empty)
+        },
+        topology("quantile_monitor") { df =>
+          // the round-18 percentile monitor: ONE mergeable quantile-sketch
+          // aggregate per cell riding streaming state, estimates compared
+          // against the stored X26 table per refresh
+          graft.operators.Drift.windowedQuantileDrift(
+            df.withWatermark("ts", "1 hour"), "value", Seq("event_type"),
+            window(col("ts"), "1 hour"), qskBaseline, Seq(0.5, 0.9),
+            Map.empty, Map.empty)
+        },
+        topology("streaming_knn") { df =>
+          // the round-18 streaming retrieval leg: arriving events become
+          // 16-dim query vectors probing the STORED ivf index (stream-
+          // static join, no training or corpus scan) with one top-k heap
+          // per (window, query) evicting past the watermark
+          val qv = array((0 until 16).map(i =>
+            sin(col("value") * (i + 1) + col("user_id"))): _*)
+          graft.operators.Similarity.indexedTopK(
+            df.withColumn("qv", qv).withWatermark("ts", "1 hour"),
+            "event_id", "qv", 5, knnIdx,
+            win = Some(("ts", window(col("ts"), "1 hour"))))
         })
       s""""$label":{"provider_class":"$cls",${results.mkString(",")}}"""
     }
