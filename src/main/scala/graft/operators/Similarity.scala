@@ -665,7 +665,15 @@ object Similarity extends Logging {
     if (meta.base_gen == meta.generation) {
       // one committed generation (also: a pre-generation-era flat index,
       // which reads as gen 0, or a retry landing after a completed
-      // compaction) — nothing to fold
+      // compaction) — nothing to fold, but STILL sweep a predecessor's
+      // leftovers: a compaction killed between its meta commit and its
+      // cleanup leaves invisible duplicates below base_gen (and a crashed
+      // consolidation an orphan above generation) that the natural retry
+      // — re-running this very verb — must remove (round-18 review: the
+      // early return used to skip the sweep, holding ~2x the index's disk
+      // on a compacted index that receives no further appends)
+      deleteGensAbove(spark, idxDir, meta.generation)
+      deleteGensBelow(spark, idxDir, meta.base_gen)
       logInfo(s"compactIndex: index at $indexPath holds one committed " +
         s"generation (gen ${meta.generation}) — nothing to fold")
       return Seq((meta.method, meta.dim, meta.n_rows, 0, meta.generation))

@@ -754,29 +754,9 @@ object Interpreter extends Logging {
     */
   private def shinglePinWidths(spark: SparkSession, path: String,
       df: DataFrame): Seq[Option[Int]] = {
-    val hc = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(hc)
-    // listing signature over the DATA files (hidden `_`/`.` path segments
-    // excluded — the pin itself, _SUCCESS, checkpoints): recursive, so
-    // partitioned hand-built layouts change it too. The listing is the
-    // same metadata walk the parquet read does anyway — never a data scan.
-    def signature(): (Long, Long, Long) = {
-      val it = fs.listFiles(root, true)
-      var n = 0L; var bytes = 0L; var mt = 0L
-      val rootUri = root.toUri.getPath
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
-        val hidden = rel.split('/').exists(s =>
-          s.startsWith("_") || s.startsWith("."))
-        if (st.isFile && !hidden) {
-          n += 1; bytes += st.getLen; mt = math.max(mt, st.getModificationTime)
-        }
-      }
-      (n, bytes, mt)
-    }
-    val sig = signature()
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = shinglePinSignature(fs, root)
     val pinPath = s"$path/_pin.parquet"
     // existence-check before the read: a missing pin is the NORMAL first-
     // build state, not worth the datasource resolver's logged stack trace
@@ -798,16 +778,56 @@ object Interpreter extends Logging {
         // cache only the HEALTHY verdict (exactly one non-null width) —
         // best-effort: a read-only artifact location just skips the cache
         widths match {
-          case Seq(Some(w)) => scala.util.Try {
-            import spark.implicits._
-            Seq((sig._1, sig._2, sig._3, w))
-              .toDF("n_files", "total_bytes", "max_mtime", "shingle_size")
-              .coalesce(1).write.mode("overwrite").parquet(pinPath)
-          }
-          case _ => ()
+          case Seq(Some(w)) => writeShinglePin(spark, path, w)
+          case _            => ()
         }
         widths
     }
+  }
+
+  /** Listing signature over the artifact's DATA files (hidden `_`/`.`
+    * path segments excluded — the pin itself, _SUCCESS, checkpoints):
+    * recursive, so partitioned hand-built layouts change it too. The
+    * listing is the same metadata walk the parquet read does anyway —
+    * never a data scan.
+    */
+  private def shinglePinSignature(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+    val it = fs.listFiles(root, true)
+    var n = 0L; var bytes = 0L; var mt = 0L
+    val rootUri = root.toUri.getPath
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+      val hidden = rel.split('/').exists(s =>
+        s.startsWith("_") || s.startsWith("."))
+      if (st.isFile && !hidden) {
+        n += 1; bytes += st.getLen; mt = math.max(mt, st.getModificationTime)
+      }
+    }
+    (n, bytes, mt)
+  }
+
+  /** Write the width-pin side cache for a KNOWN-healthy width — an
+    * O(#files) listing plus a one-row write, never a data scan. Used by
+    * the maintenance verbs after they change the layout (the append
+    * verified the batch width against the pin BEFORE writing; the
+    * compactor rewrites rows unchanged), and by the probe's own
+    * cache-miss path. Best-effort: a read-only artifact location just
+    * skips the cache.
+    */
+  private def writeShinglePin(spark: SparkSession, path: String,
+      width: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sig = shinglePinSignature(fs, root)
+    scala.util.Try {
+      import spark.implicits._
+      Seq((sig._1, sig._2, sig._3, width))
+        .toDF("n_files", "total_bytes", "max_mtime", "shingle_size")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_pin.parquet")
+    }
+    ()
   }
 
   /** Config-grade preflight for a stored ANN index: the artifact must
@@ -996,10 +1016,13 @@ object Interpreter extends Logging {
       val batch = graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
         t.column.get, t.shingleSize.get)
       batch.write.mode("append").parquet(p)
-      // refresh the width-pin side cache over the grown artifact (the
-      // append changed the listing signature): one column scan here keeps
-      // every later pipeline build's preflight at side-file cost
-      readShingleArtifact(df.sparkSession, p, t.shingleSize.get, specId)
+      // re-pin the width over the grown artifact: the pre-append preflight
+      // verified the batch width equals the stored pin, so the post-append
+      // width set is unchanged by construction — the refresh is an
+      // O(#files) listing + one-row write (round-18 review: re-reading
+      // the artifact here would have paid an accumulated-history column
+      // scan on every append)
+      writeShinglePin(df.sparkSession, p, t.shingleSize.get)
       // the write-landed verification stays O(batch)+O(#files): the batch
       // count scans the batch once, and the post-append history count is a
       // parquet FOOTER count (row-group metadata, no data scan) — the
@@ -1048,12 +1071,17 @@ object Interpreter extends Logging {
       def dataFileCount: Long = fsH.listStatus(fsP).count(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       val filesBefore = dataFileCount
-      val rows = graft.sinks.BatchSink.compactSnapshot(spark, p,
-        sortCols = Seq("id"))
-      // the rewrite replaced the file set — refresh the width-pin cache
-      // over the folded layout so later builds stay at side-file cost
-      readShingleArtifact(spark, p, width, specId)
+      graft.sinks.BatchSink.compactSnapshot(spark, p, sortCols = Seq("id"))
+      // the rewrite replaced the file set — re-pin the width over the
+      // folded layout (the width is UNCHANGED by a rewrite, so this is a
+      // listing + one-row write, not a rescan) so later builds stay at
+      // side-file cost
+      writeShinglePin(spark, p, width)
       val filesAfter = dataFileCount
+      // the report's row count is a parquet FOOTER count over the folded
+      // layout (compactSnapshot's own return value is the number of files
+      // it removed — a different quantity)
+      val rows = spark.read.parquet(p).count()
       logInfo(s"[$specId] shingle_index_compact: $filesBefore -> " +
         s"$filesAfter files, $rows rows at $p")
       import spark.implicits._

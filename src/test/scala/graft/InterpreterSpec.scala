@@ -1752,6 +1752,7 @@ class InterpreterSpec extends SparkSuite {
     val before = screen()
     val filesBefore = files()
     assert(filesBefore >= 3, s"fixture must fragment the layout: $filesBefore")
+    val histRows = spark.read.parquet(s"$dir/hist.parquet").count()
     val rep = graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
       .build(spark, PipelineSpec.fromJson(
         s"""{"id":"cmp-fold","processingMode":"SIMPLE_STREAM",
@@ -1761,6 +1762,7 @@ class InterpreterSpec extends SparkSuite {
            |"outputTopic":{"enabled":true,"name":"fold-out"}}""".stripMargin),
         resolver)).head()
     assert(rep.getAs[Int]("shingle_size") == 3 &&
+      rep.getAs[Long]("history_rows") == histRows &&
       rep.getAs[Long]("files_before") == filesBefore &&
       rep.getAs[Long]("files_after") < filesBefore, rep.toString)
     assert(files() == rep.getAs[Long]("files_after"))

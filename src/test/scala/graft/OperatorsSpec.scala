@@ -1278,15 +1278,24 @@ class OperatorsSpec extends SparkSuite {
     assert(rep2.getInt(3) == 0, s"retry must fold nothing: $rep2")
 
     // a STALE duplicate below base_gen (a compaction killed mid-cleanup)
-    // stays invisible to the search, and the next maintenance verb sweeps it
+    // stays invisible to the search, and BOTH maintenance verbs sweep it —
+    // including the no-op compact retry, the natural rerun after that kill
     val idxP = new org.apache.hadoop.fs.Path(s"$base/q/index.parquet")
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(s"$idxP/gen=3"), fs,
-      new org.apache.hadoop.fs.Path(s"$idxP/gen=0"), false,
-      spark.sparkContext.hadoopConfiguration)
+    def fakeStale(): Unit = {
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$idxP/gen=3"), fs,
+        new org.apache.hadoop.fs.Path(s"$idxP/gen=0"), false,
+        spark.sparkContext.hadoopConfiguration)
+      ()
+    }
+    fakeStale()
     assert(genDirs(s"$base/q") == Set("gen=0", "gen=3"))
     assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
       pre, "a stale pre-base generation leaked into the search")
+    val repRetry = Similarity.compactIndex(spark, s"$base/q").head()
+    assert(repRetry.getInt(3) == 0 && !genDirs(s"$base/q").contains("gen=0"),
+      "the no-op compact retry must sweep pre-base stale generations")
+    fakeStale()
     Similarity.appendIndex(e.limit(0), "vec_id", "embedding", s"$base/q")
     assert(!genDirs(s"$base/q").contains("gen=0"),
       "the next append must sweep pre-base stale generations")
