@@ -595,6 +595,11 @@ case class TransformOp(
     // by the embedding leg at all
     newSummaryPath: Option[String] = None,
     sketchPath: Option[String] = None,
+    // BOTH-SIDES-STORED form of the distinct-count leg: newSketchPath
+    // supplies the NEW side's stored X25 sketch table too — n_distinct
+    // drift between two historical crawls is a pure sketch-merge join;
+    // the frame is not scanned by this leg at all (mirrors newStatsPath)
+    newSketchPath: Option[String] = None,
     // quantilePath points a PERCENTILE drift leg at the OLD snapshot's
     // stored mergeable quantile-sketch table (the X26 artifact —
     // quantile_rollup's keepSketch form), declared with groupColumns (the
@@ -604,6 +609,11 @@ case class TransformOp(
     // reports the missing side (and delta) as NULL, which VIOLATES a
     // declared gate bound rather than fabricating a 0
     quantilePath: Option[String] = None,
+    // BOTH-SIDES-STORED form of the percentile leg: newQuantilePath
+    // supplies the NEW side's stored X26 quantile-sketch table too —
+    // percentile drift between two historical crawls is a pure
+    // sketch-rollup join; the frame is not scanned by this leg at all
+    newQuantilePath: Option[String] = None,
     // statsPath points the SCALAR drift legs at a stored scalar_summary
     // artifact (the numeric legs' baseline — long-shape rows of
     // n_rows/n_nonnull/sum/sumsq/min/max per (dims, column)), declared
@@ -1058,12 +1068,14 @@ case class TransformOp(
         require(categoricalColumns.isEmpty && heavyHitterColumns.isEmpty &&
             histograms.isEmpty && sketchPath.isEmpty &&
             newSummaryPath.isEmpty && newStatsPath.isEmpty &&
+            newSketchPath.isEmpty && newQuantilePath.isEmpty &&
             comparePath.isEmpty,
           s"[$where] windowed snapshot_drift monitors exactly its " +
             "baseline's leg — categorical/heavy-hitter/histogram legs, " +
-            "sketchPath, newSummaryPath/newStatsPath and comparePath " +
-            "belong to the batch form (for windowed categorical signals " +
-            "use the windowed sketch ops, which maintain their own tables)")
+            "sketchPath, the new*Path both-sides-stored forms and " +
+            "comparePath belong to the batch form (for windowed " +
+            "categorical signals use the windowed sketch ops, which " +
+            "maintain their own tables)")
         declaredBaselines.head match {
           case "summaryPath" =>
             require(embeddingColumns.nonEmpty && numericColumns.isEmpty,
@@ -1112,6 +1124,16 @@ case class TransformOp(
           "scalar summary) requires statsPath (the OLD side's) — the " +
           "both-sides-stored form compares two artifacts; to compare a " +
           "stored artifact against the live frame, declare statsPath alone")
+      require(newSketchPath.isEmpty || sketchPath.isDefined,
+        s"[$where] snapshot_drift newSketchPath (the NEW side's stored " +
+          "sketch table) requires sketchPath (the OLD side's) — the " +
+          "both-sides-stored form compares two artifacts; to sketch the " +
+          "live frame, declare sketchPath alone")
+      require(newQuantilePath.isEmpty || quantilePath.isDefined,
+        s"[$where] snapshot_drift newQuantilePath (the NEW side's stored " +
+          "quantile-sketch table) requires quantilePath (the OLD side's) " +
+          "— the both-sides-stored form compares two artifacts; to sketch " +
+          "the live frame, declare quantilePath alone")
       // comparePath (the OLD snapshot's raw parquet) is needed only by the
       // legs that RESCAN it; a drift declared purely against stored
       // artifacts (summaryPath / statsPath / sketchPath) never touches old

@@ -1385,8 +1385,16 @@ object Interpreter extends Logging {
         val oldSk = readSketchArtifact(df.sparkSession,
           resolvePath(p, dataDir, specId), t.groupColumns, specId)
           .filter(noNullDims)
-        val newSk = graft.operators.Profile.distinctSketches(
-          df.filter(noNullDims), t.groupColumns, t.column.get)
+        // newSketchPath → the BOTH-SIDES-STORED form: n_distinct drift
+        // between two historical crawls' X25 tables — the frame is not
+        // scanned by this leg at all (the newSummaryPath convention)
+        val newSk = t.newSketchPath match {
+          case Some(np0) => readSketchArtifact(df.sparkSession,
+            resolvePath(np0, dataDir, specId), t.groupColumns, specId)
+            .filter(noNullDims)
+          case None => graft.operators.Profile.distinctSketches(
+            df.filter(noNullDims), t.groupColumns, t.column.get)
+        }
         graft.operators.Drift.driftFromSketches(oldSk, newSk, t.groupColumns)
           .select(lit(t.column.get).as("col_name"),
             lit("n_distinct").as("metric"),
@@ -1411,8 +1419,15 @@ object Interpreter extends Logging {
         val oldSk = readQuantileArtifact(df.sparkSession,
           resolvePath(p, dataDir, specId), t.groupColumns, specId)
           .filter(noNullDims)
-        val newSk = graft.operators.Profile.quantileSketches(
-          df.filter(noNullDims), t.groupColumns, t.column.get)
+        // newQuantilePath → both-sides-stored: percentile drift between
+        // two historical crawls' X26 tables, no frame scan in this leg
+        val newSk = t.newQuantilePath match {
+          case Some(np0) => readQuantileArtifact(df.sparkSession,
+            resolvePath(np0, dataDir, specId), t.groupColumns, specId)
+            .filter(noNullDims)
+          case None => graft.operators.Profile.quantileSketches(
+            df.filter(noNullDims), t.groupColumns, t.column.get)
+        }
         graft.operators.Drift.driftFromQuantileSketches(
             oldSk, newSk, t.groupColumns, t.numericQuantiles)
           .select(lit(t.column.get).as("col_name"), col("metric"),

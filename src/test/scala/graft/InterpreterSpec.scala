@@ -1787,6 +1787,56 @@ class InterpreterSpec extends SparkSuite {
     assert(err.getMessage.contains("mixed or unreadable"), err.getMessage)
   }
 
+  test("both-sides-stored sketch and quantile legs equal the frame-scanned routes (neither raw snapshot touched)") {
+    // the matrix-completing forms (round 18): newSketchPath /
+    // newQuantilePath supply the NEW side's stored table, and the report
+    // must equal the frame-scanned declaration — the sketch columns
+    // parquet-round-trip byte-identically, so the estimates agree exactly
+    val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
+    val dir = tempDirPath("graft_both_stored").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    graft.operators.Profile.distinctSketches(
+        ev.filter(col("user_id") < 8), Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(s"$dir/hll_old.parquet")
+    graft.operators.Profile.distinctSketches(ev, Seq("event_type"), "user_id")
+      .write.mode("overwrite").parquet(s"$dir/hll_new.parquet")
+    graft.operators.Profile.quantileSketches(
+        ev.filter(col("user_id") < 8), Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$dir/qsk_old.parquet")
+    graft.operators.Profile.quantileSketches(ev, Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(s"$dir/qsk_new.parquet")
+    def run(transform: String): Map[(String, String), Double] =
+      graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, PipelineSpec.fromJson(
+          s"""{"id":"both-stored","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+             |"transform":[$transform],
+             |"outputTopic":{"enabled":true,"name":"both-out"}}""".stripMargin),
+        resolver)).collect()
+        .filter(r => !r.isNullAt(5))
+        .map(r => (r.getString(2), r.getString(1)) -> r.getDouble(5)).toMap
+    val sketchScanned = run(
+      s"""{"op":"snapshot_drift","sketchPath":"$dir/hll_old.parquet",
+         |"groupColumns":["event_type"],"column":"user_id"}""".stripMargin)
+    val sketchStored = run(
+      s"""{"op":"snapshot_drift","sketchPath":"$dir/hll_old.parquet",
+         |"newSketchPath":"$dir/hll_new.parquet",
+         |"groupColumns":["event_type"],"column":"user_id"}""".stripMargin)
+    assert(sketchScanned == sketchStored && sketchScanned.nonEmpty,
+      s"sketch both-stored diverged:\n$sketchScanned\nvs\n$sketchStored")
+    val quantScanned = run(
+      s"""{"op":"snapshot_drift","quantilePath":"$dir/qsk_old.parquet",
+         |"groupColumns":["event_type"],"column":"value",
+         |"quantiles":[0.5,0.9]}""".stripMargin)
+    val quantStored = run(
+      s"""{"op":"snapshot_drift","quantilePath":"$dir/qsk_old.parquet",
+         |"newQuantilePath":"$dir/qsk_new.parquet",
+         |"groupColumns":["event_type"],"column":"value",
+         |"quantiles":[0.5,0.9]}""".stripMargin)
+    assert(quantScanned == quantStored && quantScanned.nonEmpty,
+      s"quantile both-stored diverged:\n$quantScanned\nvs\n$quantStored")
+  }
+
   test("merge_scalar_summaries: a non-artifact source frame is refused with the missing columns named") {
     val resolver = new ParquetSourceResolver(sf(), TestdataCatalog)
     val e = intercept[IllegalArgumentException] {

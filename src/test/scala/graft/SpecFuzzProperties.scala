@@ -829,6 +829,18 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         te(TransformOp(op = "snapshot_drift",
           numericColumns = Seq("value", "value"),
           comparePath = Some("/nowhere/old.parquet"))),
+      "snapshot_drift newSketchPath without sketchPath" ->
+        te(TransformOp(op = "snapshot_drift",
+          groupColumns = Seq("event_type"), column = Some("user_id"),
+          numericColumns = Seq("value"),
+          comparePath = Some("<dataDir>/events.parquet"),
+          newSketchPath = Some("/nowhere/sketches.parquet"))),
+      "snapshot_drift newQuantilePath without quantilePath" ->
+        te(TransformOp(op = "snapshot_drift",
+          groupColumns = Seq("event_type"), column = Some("value"),
+          numericColumns = Seq("value"),
+          comparePath = Some("<dataDir>/events.parquet"),
+          newQuantilePath = Some("/nowhere/qsketches.parquet"))),
       "shingle_index_append without historyPath" -> te(TransformOp(
         op = "shingle_index_append", column = Some("text"),
         idColumn = Some("doc_id"), shingleSize = Some(3))),
