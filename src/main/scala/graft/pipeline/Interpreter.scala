@@ -776,9 +776,15 @@ object Interpreter extends Logging {
           .distinct().limit(3).collect().toSeq.map(r =>
             if (r.isNullAt(0)) None else Some(r.getInt(0)))
         // cache only the HEALTHY verdict (exactly one non-null width) —
-        // best-effort: a read-only artifact location just skips the cache
+        // best-effort: a read-only artifact location just skips the cache.
+        // The stored signature is the one captured BEFORE the width scan
+        // (round-18 review): re-listing here would pair the scanned width
+        // with a signature that postdates it, so an out-of-band foreign-
+        // width append landing DURING the scan would be masked forever —
+        // with the pre-scan signature that append changes the listing and
+        // the next build re-scans
         widths match {
-          case Seq(Some(w)) => writeShinglePin(spark, path, w)
+          case Seq(Some(w)) => writeShinglePin(spark, path, w, Some(sig))
           case _            => ()
         }
         widths
@@ -812,15 +818,18 @@ object Interpreter extends Logging {
     * O(#files) listing plus a one-row write, never a data scan. Used by
     * the maintenance verbs after they change the layout (the append
     * verified the batch width against the pin BEFORE writing; the
-    * compactor rewrites rows unchanged), and by the probe's own
-    * cache-miss path. Best-effort: a read-only artifact location just
-    * skips the cache.
+    * compactor rewrites rows unchanged — both list fresh, their layout
+    * being settled under the single-maintainer rule), and by the probe's
+    * cache-miss path, which passes the signature it captured BEFORE its
+    * width scan so a concurrent out-of-band write invalidates rather
+    * than hides. Best-effort: a read-only artifact location just skips
+    * the cache.
     */
   private def writeShinglePin(spark: SparkSession, path: String,
-      width: Int): Unit = {
+      width: Int, preSig: Option[(Long, Long, Long)] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val sig = shinglePinSignature(fs, root)
+    val sig = preSig.getOrElse(shinglePinSignature(fs, root))
     scala.util.Try {
       import spark.implicits._
       Seq((sig._1, sig._2, sig._3, width))
@@ -1052,6 +1061,19 @@ object Interpreter extends Logging {
           "artifact's file layout; run it between publish rounds)")
       val spark = df.sparkSession
       val p = resolvePath(t.historyPath.get, dataDir, specId)
+      // crash recovery BEFORE the first read (round-18 review): a
+      // predecessor compaction killed between compactSnapshot's two
+      // renames leaves only '<p>.old' — the retry (re-running this verb)
+      // must restore it, and compactSnapshot's own preamble can only do
+      // that if the preflight reads don't fail on the missing path first
+      locally {
+        val cur = new org.apache.hadoop.fs.Path(p)
+        val aside = new org.apache.hadoop.fs.Path(p + ".old")
+        val rfs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!rfs.exists(cur) && rfs.exists(aside))
+          require(rfs.rename(aside, cur),
+            s"[$specId] cannot restore $aside to $cur")
+      }
       val hist = spark.read.parquet(p)
       val missingCols = Seq("id", "sh", "n", "shingle_size")
         .filterNot(hist.columns.contains)
@@ -1060,12 +1082,17 @@ object Interpreter extends Logging {
           s"missing column(s) ${missingCols.mkString(", ")} (found: " +
           s"${hist.columns.mkString(", ")})")
       val widths = shinglePinWidths(spark, p, hist)
-      require(widths.size == 1 && widths.head.isDefined,
+      // an EMPTY artifact (zero rows, no width to pin) is a healthy state
+      // readShingleArtifact blesses — compact it like anything else and
+      // report shingle_size 0 (round-18 review: it used to be refused as
+      // "mixed widths ()", a false corruption diagnosis that would fail a
+      // scheduled maintenance pipeline on every run)
+      require(widths.size <= 1 && !widths.contains(None),
         s"[$specId] historyPath '$p' carries mixed or unreadable shingle " +
           s"widths (${widths.map(_.fold("null")(_.toString)).mkString(", ")})" +
           " — compacting would bake the corruption in; rebuild the " +
           "artifact at one width with shingle_index first")
-      val width = widths.head.get
+      val width = widths.headOption.flatten.getOrElse(0)
       val fsP = new org.apache.hadoop.fs.Path(p)
       val fsH = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       def dataFileCount: Long = fsH.listStatus(fsP).count(s => s.isFile &&
@@ -1075,8 +1102,8 @@ object Interpreter extends Logging {
       // the rewrite replaced the file set — re-pin the width over the
       // folded layout (the width is UNCHANGED by a rewrite, so this is a
       // listing + one-row write, not a rescan) so later builds stay at
-      // side-file cost
-      writeShinglePin(spark, p, width)
+      // side-file cost; an empty artifact has no width to pin
+      if (width > 0) writeShinglePin(spark, p, width)
       val filesAfter = dataFileCount
       // the report's row count is a parquet FOOTER count over the folded
       // layout (compactSnapshot's own return value is the number of files

@@ -1770,6 +1770,39 @@ class InterpreterSpec extends SparkSuite {
     assert(screen() == before, "compaction changed the screen verdicts")
     assert(new java.io.File(s"$dir/hist.parquet/_pin.parquet").isDirectory,
       "compaction must refresh the width-pin side cache")
+    // the ASIDE-ONLY crash state (killed between compactSnapshot's two
+    // renames): the retry — re-running the verb — must restore the
+    // artifact before its preflight reads, then compact normally
+    val histF = new java.io.File(s"$dir/hist.parquet")
+    assert(histF.renameTo(new java.io.File(s"$dir/hist.parquet.old")))
+    graft.pipeline.Interpreter.values(graft.pipeline.Interpreter
+      .build(spark, PipelineSpec.fromJson(
+        s"""{"id":"cmp-recover","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"shingle_index_compact",
+           |  "historyPath":"$dir/hist.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"recover-out"}}""".stripMargin),
+        resolver)).head()
+    assert(histF.isDirectory &&
+      !new java.io.File(s"$dir/hist.parquet.old").exists(),
+      "the retry must restore the aside-only crash state")
+    assert(screen() == before,
+      "the recovered artifact must screen identically")
+    // an EMPTY artifact (a healthy state the screen blesses) compacts as
+    // a no-width no-op report instead of a false corruption refusal
+    graft.operators.Dedup.shingleIndex(docs.filter(lit(false)),
+        "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/empty.parquet")
+    val repEmpty = graft.pipeline.Interpreter.values(graft.pipeline
+      .Interpreter.build(spark, PipelineSpec.fromJson(
+        s"""{"id":"cmp-empty","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"shingle_index_compact",
+           |  "historyPath":"$dir/empty.parquet"}],
+           |"outputTopic":{"enabled":true,"name":"empty-out"}}""".stripMargin),
+        resolver)).head()
+    assert(repEmpty.getAs[Int]("shingle_size") == 0 &&
+      repEmpty.getAs[Long]("history_rows") == 0L, repEmpty.toString)
     // a mixed-width artifact is refused rather than baked in
     graft.operators.Dedup.shingleIndex(
         docs.filter(col("doc_id") >= 70 && col("doc_id") < 80),
