@@ -598,6 +598,44 @@ object Accuracy {
         probedAll.nonEmpty && probedAll == exactRanked))
   }
 
+  private def checkKnnIvfDelete: Check = (spark, dir) => {
+    // the r51 ivf deletion contract: the tombstoned index keeps its
+    // trained centroids (nothing is retrained or rewritten), so (1)
+    // recall@10 vs the exact-MINUS-DELETED oracle holds the 0.85 bound at
+    // the default probe fraction, (2) NO deleted id ever surfaces — the
+    // hard correctness half: a ghost neighbor is a takedown violation,
+    // not a recall miss — and (3) probing ALL cells recovers the
+    // exact-minus-deleted set EXACTLY (the anti-join loses nothing else).
+    val gotRanked = ranked3(Queries.all("r51_spec_knn_ivf_delete")(spark, dir))
+    val gotPairs = gotRanked.map(t => (t._1, t._3))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+    val exactRanked = ranked3(graft.operators.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 10 =!= 7), q, "vec_id", "embedding", 10))
+    val exact = exactRanked.map(t => (t._1, t._3))
+    val recall =
+      if (exact.isEmpty) 0.0
+      else gotPairs.intersect(exact).size.toDouble / exact.size
+    val ghosts = gotPairs.count(_._2 % 10 == 7)
+    val base = s"${Queries.artifactBase(dir)}/knn_del_ivf"
+    val meta = graft.operators.Similarity.readIndexMeta(spark, base)
+    val probedAll = ranked3(graft.operators.Similarity.indexedTopK(
+      q, "vec_id", "embedding", 10, base, nProbe = meta.n_cells.get))
+    val fullAgree =
+      if (exactRanked.isEmpty) 0.0
+      else probedAll.intersect(exactRanked).size.toDouble /
+        probedAll.union(exactRanked).size
+    Seq(
+      Metric("recall_at_10_vs_exact", "ivf_deleted", recall,
+        exact.size.toLong, 0.85, recall >= 0.85),
+      Metric("no_deleted_neighbors", "__all__", ghosts.toDouble,
+        exact.size.toLong, 0.0, gotRanked.nonEmpty && ghosts == 0),
+      Metric("probed_all_equals_exact", "__all__", fullAgree,
+        exact.size.toLong, 1.0,
+        probedAll.nonEmpty && probedAll == exactRanked))
+  }
+
   // ------------------------------------------------- packing / fingerprint
 
   private def packMetrics(queryName: String): Check = (spark, dir) => {
@@ -681,6 +719,7 @@ object Accuracy {
     "r44_spec_knn_ivf_stored" -> checkKnnIndexStored,
     "r47_spec_knn_lsh_stored" -> checkKnnLshStored,
     "r47_spec_knn_ivf_append" -> checkKnnIvfAppend,
+    "r51_spec_knn_ivf_delete" -> checkKnnIvfDelete,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
     "r48_spec_quantile_monitor" -> checkQuantileMonitor,
     "x5_pack" -> packMetrics("x5_pack"),
@@ -865,6 +904,18 @@ object Accuracy {
          |UNION ALL
          |SELECT 'probed_all_equals_exact', '__all__',
          |  ${countOf(Queries.oracles("x3_knn_exact"))},
+         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    "r51_spec_knn_ivf_delete" ->
+      s"""SELECT 'recall_at_10_vs_exact' AS metric, 'ivf_deleted' AS scope,
+         |  ${countOf(Queries.oracles("r51_spec_knn_delete"))} AS n_ref,
+         |  CAST(0.85 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'no_deleted_neighbors', '__all__',
+         |  ${countOf(Queries.oracles("r51_spec_knn_delete"))},
+         |  CAST(0.0 AS DOUBLE), true
+         |UNION ALL
+         |SELECT 'probed_all_equals_exact', '__all__',
+         |  ${countOf(Queries.oracles("r51_spec_knn_delete"))},
          |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "x5_pack" -> packOracle,
     "r31_spec_pack" -> packOracle,

@@ -1152,6 +1152,128 @@ object Queries {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Declarative ARTIFACT ROW DELETION (r51 — the round-18 directive-#1
+    * verb, closing the one remaining full-corpus recompute): crawl time
+    * builds the quantized index; a takedown batch (every tenth id, riding
+    * in as its own stored table — the r42/r46 pattern) commits ONE
+    * tombstone generation via knn_index_delete; the stored-route search
+    * then hash-matches the REBUILD-WITHOUT-THOSE-ROWS exact oracle —
+    * no posting was touched, rewritten, or retrained, yet the deleted
+    * rows are gone from every result. The ivf recall contract is
+    * Accuracy.checkKnnIvfDelete's row; delete → compact → search
+    * bit-identity and the crash pins live in OperatorsSpec.
+    */
+  def r51SpecKnnDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$base/takedown.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"build-del-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_del"}],
+         |"outputTopic":{"enabled":true,"name":"del-index-report"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"takedown-batch","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_delete","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_del"}],
+         |"outputTopic":{"enabled":true,"name":"del-report"}}""".stripMargin),
+      new ParquetSourceResolver(base, TestdataCatalog)))
+    runSpec(spark, dir,
+      s"""{"id":"knn-after-delete","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_del"}],
+         |"outputTopic":{"enabled":true,"name":"knn-del-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Declarative ivf deletion (r51's accuracy-contract member): build with
+    * the √n geometry, tombstone every tenth id, search at the default
+    * probe fraction. Accuracy.checkKnnIvfDelete pins recall@10 vs the
+    * exact-minus-deleted oracle, that NO deleted id ever surfaces, and
+    * that probing all cells recovers the exact-minus-deleted set EXACTLY
+    * — at every SF.
+    */
+  def r51SpecKnnIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$base/takedown_ivf.parquet")
+    val cells = ivfCellsFor(spark, dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-del-ivf","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
+         |  "indexPath":"$base/knn_del_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"del-ivf-report"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"takedown-ivf","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown_ivf","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_delete","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_del_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"del-ivf-rep"}}""".stripMargin),
+      new ParquetSourceResolver(base, TestdataCatalog)))
+    runSpec(spark, dir,
+      s"""{"id":"knn-after-ivf-delete","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_del_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"knn-del-ivf-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Declarative SHINGLE-HISTORY RETRACTION (r51's text member): publish
+    * the low-id 4/5 as the history, RETRACT every third published doc
+    * (the takedown list riding in as its own stored table), then screen
+    * the last fifth — the verdicts hash-match the from-raw oracle
+    * computed over the history WITHOUT the retracted docs, proving a
+    * retracted doc can no longer suppress an arrival (as if never
+    * published). The physical drop + clear lives in
+    * shingle_index_compact (InterpreterSpec pins the full lifecycle).
+    */
+  def r51SpecShingleRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    graft.operators.Dedup.shingleIndex(
+        docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$base/doc_shingles_rt.parquet")
+    docs.filter(col("doc_id") < cut && col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/docs_takedown.parquet")
+    docs.filter(col("doc_id") >= cut)
+      .write.mode("overwrite").parquet(s"$base/docs_new_rt.parquet")
+    def fromBase(json: String): DataFrame =
+      Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    fromBase(
+      s"""{"id":"retract-takedown","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_takedown","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_retract","idColumn":"doc_id",
+         |  "historyPath":"$base/doc_shingles_rt.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"retract-report"}}""".stripMargin)
+    fromBase(
+      s"""{"id":"screen-after-retract","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"docs_new_rt","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard",
+         |  "column":"text","idColumn":"doc_id",
+         |  "shingleSize":3,"threshold":0.8,
+         |  "historyPath":"$base/doc_shingles_rt.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"novel-after-retract"}}""".stripMargin)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** WINDOWED embedding_summary (the incrementally-maintained drift
     * artifact, batch-read-back form): one ≤ dim-row summary per tumbling
     * day, the declaration that also streams as one stateful aggregation
@@ -3544,6 +3666,30 @@ object Queries {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id >= (SELECT c FROM cut)
         |  AND doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
+    // the x2_incremental_novel walk with the RETRACTED history docs (every
+    // third id below the cut) excluded from the old side — the screen
+    // must behave as if they were never published
+    "r51_spec_shingle_retract" ->
+      """WITH cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+        |n AS (SELECT id, len(s) AS n FROM sh),
+        |posts AS (SELECT id, unnest(s) AS tok FROM sh),
+        |dup AS (
+        |  SELECT DISTINCT p.new_id FROM (
+        |    SELECT a.id AS new_id, b.id AS old_id, count(*) AS inter
+        |    FROM posts a JOIN posts b ON a.tok = b.tok
+        |    WHERE a.id >= (SELECT c FROM cut) AND b.id < (SELECT c FROM cut)
+        |      AND b.id % 3 <> 0
+        |    GROUP BY 1, 2) p
+        |  JOIN n n1 ON p.new_id = n1.id JOIN n n2 ON p.old_id = n2.id
+        |  WHERE p.inter::DOUBLE / (n1.n + n2.n - p.inter) >= 0.8)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id >= (SELECT c FROM cut)
+        |  AND doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
     "x2_dedup_collapse" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id AS id,
@@ -3639,6 +3785,19 @@ object Queries {
         |                    c.vec_id ASC) AS rank
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    // the rebuild-without-those-rows exact top-k: the corpus side excludes
+    // the tombstoned ids (every tenth), the query side is the external
+    // query list (independent of deletion)
+    "r51_spec_knn_delete" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7)
         |WHERE rank <= 10""".stripMargin,
     "x4_multimodal" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
@@ -4510,6 +4669,9 @@ object Queries {
     "r45_spec_drift_quantile" -> r45SpecDriftQuantile _,
     "r46_spec_incremental_screen" -> r46SpecIncrementalScreen _,
     "r50_spec_shingle_compact" -> r50SpecShingleCompact _,
+    "r51_spec_knn_delete" -> r51SpecKnnDelete _,
+    "r51_spec_knn_ivf_delete" -> r51SpecKnnIvfDelete _,
+    "r51_spec_shingle_retract" -> r51SpecShingleRetract _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

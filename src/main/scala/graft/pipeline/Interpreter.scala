@@ -294,7 +294,21 @@ object Interpreter extends Logging {
               "every append at unchanged total bytes. Fold them with " +
               "knn_index_compact (a pure copy: search results are " +
               "bit-identical before and after)"))
-        stale ++ frag ++ geom
+        // pending-deletion advisory — same closed-form discipline on the
+        // tombstone fence: every search pays the anti-join until a
+        // compact physically drops the deleted rows
+        val tombGens = meta.tomb_gen - meta.tomb_base + 1
+        val tombs =
+          if (tombGens < KnnTombstoneGensWarn) Nil
+          else Seq(graft.observe.PlanAudit.Finding("warn",
+            KnnPendingTombstones,
+            s"knn indexPath '$p' carries $tombGens active tombstone " +
+              "generations (one per knn_index_delete since the last " +
+              "compaction) — every search anti-joins the accumulated " +
+              "takedown set, and the deleted rows still hold their disk. " +
+              "Fold with knn_index_compact (it physically drops " +
+              "tombstoned postings and clears the set)"))
+        stale ++ frag ++ tombs ++ geom
       } catch {
         case scala.util.control.NonFatal(e) =>
           logInfo(s"[$specId] knn index staleness preflight skipped: " +
@@ -475,6 +489,17 @@ object Interpreter extends Logging {
   private val KnnFragmentedGensWarn = 8
   private val KnnFragmentedIndex = "knn_fragmented_index"
 
+  /** Stored-index pending deletions: every knn_index_delete commits one
+    * tombstone generation that EVERY search anti-joins until a
+    * knn_index_compact physically drops the deleted rows and clears the
+    * set — a per-query broadcast tax, and `n_rows` drift vs the disk
+    * footprint. Past this many active tombstone generations the
+    * maintenance loop owes a compact. Closed-form from the meta
+    * (tomb_gen − tomb_base + 1), no data probe.
+    */
+  private val KnnTombstoneGensWarn = 4
+  private val KnnPendingTombstones = "knn_pending_tombstones"
+
   /** Windowed-state pricing: past ~32 live window generations per dims
     * cell the declaration reads as a sliding-window mis-sizing (a 1-hour
     * window with a 2-hour watermark is 3 generations; 32 means slide is
@@ -498,7 +523,8 @@ object Interpreter extends Logging {
     */
   val specAuditFindings: Seq[String] =
     Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
-      KnnStaleIndex, KnnFragmentedIndex, WindowedStateAmplification)
+      KnnStaleIndex, KnnFragmentedIndex, KnnPendingTombstones,
+      WindowedStateAmplification)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an
@@ -791,27 +817,61 @@ object Interpreter extends Logging {
     }
   }
 
-  /** Listing signature over the artifact's DATA files (hidden `_`/`.`
-    * path segments excluded — the pin itself, _SUCCESS, checkpoints):
-    * recursive, so partitioned hand-built layouts change it too. The
-    * listing is the same metadata walk the parquet read does anyway —
-    * never a data scan.
+  /** Recursive listing of the artifact's DATA files (hidden `_`/`.` path
+    * segments excluded — the pin itself, _SUCCESS, checkpoints) as
+    * (relative path, length, mtime) rows: the same metadata walk the
+    * parquet read does anyway — never a data scan.
     */
-  private def shinglePinSignature(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+  private def shingleDataListing(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[(String, Long, Long)] = {
     val it = fs.listFiles(root, true)
-    var n = 0L; var bytes = 0L; var mt = 0L
+    val out = Seq.newBuilder[(String, Long, Long)]
     val rootUri = root.toUri.getPath
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
       val hidden = rel.split('/').exists(s =>
         s.startsWith("_") || s.startsWith("."))
-      if (st.isFile && !hidden) {
-        n += 1; bytes += st.getLen; mt = math.max(mt, st.getModificationTime)
-      }
+      if (st.isFile && !hidden)
+        out += ((rel, st.getLen, st.getModificationTime))
     }
-    (n, bytes, mt)
+    out.result()
+  }
+
+  /** The pin's listing signature, folded from [[shingleDataListing]]:
+    * (file count, total bytes, max mtime).
+    */
+  private def shingleListingSig(
+      listing: Seq[(String, Long, Long)]): (Long, Long, Long) =
+    (listing.size.toLong, listing.map(_._2).sum,
+      if (listing.isEmpty) 0L else listing.map(_._3).max)
+
+  private def shinglePinSignature(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): (Long, Long, Long) =
+    shingleListingSig(shingleDataListing(fs, root))
+
+  /** The append-window race check (round-18 ADVICE): given the data-file
+    * listings bracketing a NON-EMPTY append write, decide whether the
+    * delta is exactly that one write job's own files. Spark stamps every
+    * file of one write job with one job UUID (`part-NNNNN-<uuid>...`), so
+    * the delta is "ours alone" iff no pre-existing file vanished, at
+    * least one file is new, every new file parses, and all new files
+    * share ONE UUID. Anything else means an out-of-band writer raced the
+    * window and the width pin must be invalidated, not refreshed.
+    * Returns (foreignDetected, human note).
+    */
+  private[graft] def appendRaceVerdict(before: Seq[String],
+      after: Seq[String]): (Boolean, String) = {
+    val beforeSet = before.toSet
+    val newFiles = after.filterNot(beforeSet)
+    val removed = beforeSet -- after.toSet
+    val uuidRe = "part-\\d+-([0-9a-fA-F-]{36})".r
+    val uuids = newFiles.map(f =>
+      uuidRe.findFirstMatchIn(f.split('/').last).map(_.group(1)))
+    val foreign = removed.nonEmpty || newFiles.isEmpty ||
+      uuids.exists(_.isEmpty) || uuids.flatten.distinct.size > 1
+    (foreign, s"${removed.size} removed, ${newFiles.size} new across " +
+      s"${uuids.flatten.distinct.size} write jobs")
   }
 
   /** Write the width-pin side cache for a KNOWN-healthy width — an
@@ -837,6 +897,22 @@ object Interpreter extends Logging {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_pin.parquet")
     }
     ()
+  }
+
+  /** The shingle artifact's PENDING-RETRACTION set (`_tombstones.parquet`
+    * — underscore-prefixed, so plain parquet reads of the artifact ignore
+    * it, exactly like the width pin): distinct ids committed by
+    * shingle_index_retract, KILLED from every screen by an anti-join
+    * until shingle_index_compact physically drops their rows and clears
+    * the file. None = no retractions pending.
+    */
+  private def shingleTombstones(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val tp = new org.apache.hadoop.fs.Path(s"$path/_tombstones.parquet")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp))
+      Some(spark.read.parquet(tp.toString).select("id").distinct())
+    else None
   }
 
   /** Config-grade preflight for a stored ANN index: the artifact must
@@ -960,9 +1036,14 @@ object Interpreter extends Logging {
       val p = resolvePath(t.historyPath.get, dataDir, specId)
       val hist = readShingleArtifact(df.sparkSession, p, t.shingleSize.get,
         specId)
+      // pending retractions (shingle_index_retract) are anti-joined out of
+      // the history — a retracted doc can no longer suppress a novel
+      // arrival, exactly as if its rows were already physically dropped
+      val screened = shingleTombstones(df.sparkSession, p)
+        .fold(hist)(tb => hist.join(broadcast(tb), Seq("id"), "left_anti"))
       graft.operators.Dedup.incrementalNovelPrepared(df, t.idColumn.get,
         t.column.get, t.shingleSize.get, t.threshold.get,
-        hist.drop("shingle_size"))
+        screened.drop("shingle_size"))
     case "dedup_near" =>
       // the frame feeds pair generation AND the representative anti-join —
       // persist it for the double consumption (the x14 measured win) and
@@ -1021,17 +1102,68 @@ object Interpreter extends Logging {
       // the artifact must exist and pin the SAME width — appending foreign-
       // width shingles would poison the artifact into the mixed-width
       // config error on every later read
-      readShingleArtifact(df.sparkSession, p, t.shingleSize.get, specId)
-      val batch = graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
-        t.column.get, t.shingleSize.get)
-      batch.write.mode("append").parquet(p)
+      val histForAppend = readShingleArtifact(df.sparkSession, p,
+        t.shingleSize.get, specId)
+      // a batch id with a PENDING retraction is refused loudly: its
+      // appended rows would be silently re-killed by the tombstone at
+      // every screen and physically dropped at the next compact — the
+      // exact data loss a re-publisher would never notice. Compact first
+      // (it clears the retractions), then re-publish.
+      shingleTombstones(df.sparkSession, p).foreach { tb =>
+        val pending = df.select(col(t.idColumn.get)
+            .cast(histForAppend.schema("id").dataType).as("id"))
+          .join(broadcast(tb), Seq("id"), "left_semi").distinct().count()
+        require(pending == 0L,
+          s"[$specId] shingle_index_append: $pending batch id(s) have a " +
+            s"PENDING retraction at '$p' (shingle_index_retract tombstoned " +
+            "them) — appending them now would be silently screened away " +
+            "and physically dropped at the next compact. Run " +
+            "shingle_index_compact first (it drops the retracted rows and " +
+            "clears the tombstones), then re-publish")
+      }
+      val batch = graft.operators.Dedup.registerCache(
+        graft.operators.Dedup.shingleIndex(df, t.idColumn.get,
+          t.column.get, t.shingleSize.get)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val fsRoot = new org.apache.hadoop.fs.Path(p)
+      val fsA = fsRoot.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
       // re-pin the width over the grown artifact: the pre-append preflight
       // verified the batch width equals the stored pin, so the post-append
       // width set is unchanged by construction — the refresh is an
       // O(#files) listing + one-row write (round-18 review: re-reading
       // the artifact here would have paid an accumulated-history column
-      // scan on every append)
-      writeShinglePin(df.sparkSession, p, t.shingleSize.get)
+      // scan on every append). The refresh must not MASK an out-of-band
+      // foreign-width append landing in the write window (round-18
+      // ADVICE: a post-write blind re-list would fold the foreign files
+      // into the fresh signature forever): the pre/post listings bracket
+      // the write, and the delta must be exactly this job's own files —
+      // Spark stamps every file of one write job with one job UUID
+      // (part-NNNNN-<uuid>...), so a second UUID among the new files, a
+      // vanished pre-existing file, or an unparseable name means a
+      // foreign writer raced the append; the pin is then INVALIDATED
+      // (deleted) so the next build re-scans the width column once and
+      // re-caches through the probe's pre-scan-signature rule.
+      val before = shingleDataListing(fsA, fsRoot)
+      // an EMPTY batch appends nothing — skip the write (the single-UUID
+      // rule below needs "our job wrote >= 1 file" to hold, which only a
+      // non-empty batch guarantees) and leave the still-valid pin alone
+      val batchRows = batch.count()
+      if (batchRows > 0) {
+        batch.write.mode("append").parquet(p)
+        val after = shingleDataListing(fsA, fsRoot)
+        val (foreign, raceNote) = Interpreter.appendRaceVerdict(
+          before.map(_._1), after.map(_._1))
+        if (foreign) {
+          logWarning(s"[$specId] shingle_index_append: the artifact at " +
+            s"'$p' changed by more than this append's own files " +
+            s"($raceNote) — an out-of-band " +
+            "writer raced the append; invalidating the width-pin cache " +
+            "so the next build re-verifies the width from the data")
+          fsA.delete(new org.apache.hadoop.fs.Path(s"$p/_pin.parquet"), true)
+        } else writeShinglePin(df.sparkSession, p, t.shingleSize.get,
+          Some(shingleListingSig(after)))
+      }
       // the write-landed verification stays O(batch)+O(#files): the batch
       // count scans the batch once, and the post-append history count is a
       // parquet FOOTER count (row-group metadata, no data scan) — the
@@ -1045,6 +1177,62 @@ object Interpreter extends Logging {
         .toDF("shingle_size", "appended_docs", "history_docs")
       if (df.columns.contains(KeyCol))
         report.withColumn(KeyCol, col("shingle_size"))
+      else report
+    case "shingle_index_retract" =>
+      // the REMOVAL verb of the screen loop (knn_index_delete's text
+      // analogue — the reference's compacted-topic null-payload deletion):
+      // the frame is the id list to retract (a takedown/opt-out batch);
+      // the verb appends the distinct ids to the artifact's
+      // `_tombstones.parquet` side file (hidden from plain reads like the
+      // width pin, so the pin's listing signature is untouched), every
+      // screen anti-joins the set, and the next shingle_index_compact
+      // physically drops the rows and clears the file. Crash/retry
+      // contract: the append commits atomically through the output
+      // committer, and a DOUBLE retract is verdict-invariant (the
+      // anti-join ignores duplicates) — `retracted_docs` counts ids with
+      // live not-yet-tombstoned history rows, so a committed retract's
+      // retry reports 0. A retracted id stays dead until a compact clears
+      // the set (shingle_index_append refuses pending ids loudly);
+      // re-publish after the compact. REPLACES the row set with a
+      // one-row report.
+      require(!df.isStreaming,
+        "shingle_index_retract is batch-only (it commits a completed " +
+          "takedown batch's tombstones; retract the stored id list, not " +
+          "a stream)")
+      val spark = df.sparkSession
+      val p = resolvePath(t.historyPath.get, dataDir, specId)
+      val hist = spark.read.parquet(p)
+      val missingRt = Seq("id", "sh", "n", "shingle_size")
+        .filterNot(hist.columns.contains)
+      require(missingRt.isEmpty,
+        s"[$specId] historyPath '$p' is not a shingle_index artifact: " +
+          s"missing column(s) ${missingRt.mkString(", ")} (found: " +
+          s"${hist.columns.mkString(", ")})")
+      val ids = graft.operators.Dedup.registerCache(
+        df.select(col(t.idColumn.get)
+            .cast(hist.schema("id").dataType).as("id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val batchN = ids.count()
+      // newly retracted = batch ids with >= 1 history row, minus already-
+      // tombstoned ones — an id-column-pruned scan, never the shingles
+      val liveMatched = hist.select("id")
+        .join(broadcast(ids), Seq("id"), "left_semi").distinct()
+      val newly = shingleTombstones(spark, p)
+        .fold(liveMatched)(tb =>
+          liveMatched.join(broadcast(tb), Seq("id"), "left_anti"))
+      val retracted = newly.count()
+      if (batchN > 0)
+        ids.write.mode("append").parquet(s"$p/_tombstones.parquet")
+      val tombTotal = shingleTombstones(spark, p).fold(0L)(_.count())
+      val histRows = spark.read.parquet(p).count()
+      logInfo(s"[$specId] shingle_index_retract: $batchN batch ids, " +
+        s"$retracted newly retracted -> $tombTotal pending tombstones " +
+        s"over $histRows history rows at $p")
+      import spark.implicits._
+      val report = Seq((retracted, tombTotal, histRows))
+        .toDF("retracted_docs", "tombstone_docs", "history_rows")
+      if (df.columns.contains(KeyCol))
+        report.withColumn(KeyCol, col("retracted_docs"))
       else report
     case "shingle_index_compact" =>
       // the screen loop's CLOSING maintenance verb (knn_index_compact's
@@ -1098,17 +1286,51 @@ object Interpreter extends Logging {
       def dataFileCount: Long = fsH.listStatus(fsP).count(s => s.isFile &&
         !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
       val filesBefore = dataFileCount
-      graft.sinks.BatchSink.compactSnapshot(spark, p, sortCols = Seq("id"))
-      // the rewrite replaced the file set — re-pin the width over the
-      // folded layout (the width is UNCHANGED by a rewrite, so this is a
-      // listing + one-row write, not a rescan) so later builds stay at
-      // side-file cost; an empty artifact has no width to pin
-      if (width > 0) writeShinglePin(spark, p, width)
+      shingleTombstones(spark, p) match {
+        case Some(tombs) =>
+          // PENDING RETRACTIONS: the fold must physically drop the
+          // tombstoned rows, so compactSnapshot's healthy-layout no-op
+          // (file count already small enough) must not apply — run the
+          // same staging+aside swap protocol with the anti-join inside
+          // the rewrite. The artifact directory swap carries
+          // `_tombstones.parquet` into the deleted aside, so the
+          // retraction set clears ATOMICALLY with the drop becoming
+          // visible; killed between the renames, the aside-restore
+          // preamble above brings back the OLD artifact WITH its
+          // tombstones and the retry re-runs the drop.
+          val aside = new org.apache.hadoop.fs.Path(p + ".old")
+          val staging = new org.apache.hadoop.fs.Path(p + ".staging")
+          if (fsH.exists(aside)) fsH.delete(aside, true)
+          if (fsH.exists(staging)) fsH.delete(staging, true)
+          val bytes = fsH.listStatus(fsP).filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".")).map(_.getLen).sum
+          val needed = math.max(1L,
+            (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+          hist.join(broadcast(tombs), Seq("id"), "left_anti")
+            .repartitionByRange(needed, col("id"))
+            .sortWithinPartitions("id")
+            .write.mode("overwrite").parquet(staging.toString)
+          require(fsH.rename(fsP, aside), s"[$specId] cannot move $p aside")
+          require(fsH.rename(staging, fsP),
+            s"[$specId] cannot install $staging as $p")
+          fsH.delete(aside, true)
+          ()
+        case None =>
+          graft.sinks.BatchSink.compactSnapshot(spark, p, sortCols = Seq("id"))
+          ()
+      }
       val filesAfter = dataFileCount
       // the report's row count is a parquet FOOTER count over the folded
       // layout (compactSnapshot's own return value is the number of files
       // it removed — a different quantity)
       val rows = spark.read.parquet(p).count()
+      // the rewrite replaced the file set — re-pin the width over the
+      // folded layout (the width is UNCHANGED by a rewrite, so this is a
+      // listing + one-row write, not a rescan) so later builds stay at
+      // side-file cost; an artifact emptied by the drop (or empty to
+      // begin with) has no width to pin
+      if (width > 0 && rows > 0) writeShinglePin(spark, p, width)
       logInfo(s"[$specId] shingle_index_compact: $filesBefore -> " +
         s"$filesAfter files, $rows rows at $p")
       import spark.implicits._
@@ -1895,6 +2117,23 @@ object Interpreter extends Logging {
           "posting layout; run it between ingest rounds)")
       val result = graft.operators.Similarity.compactIndex(df.sparkSession,
         resolvePath(t.indexPath.get, dataDir, specId))
+      if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
+      else result
+    case "knn_index_delete" =>
+      // the REMOVAL verb of the stored-index loop (takedown/opt-out/
+      // post-hoc dedup pruning — the reference's compacted-topic null-
+      // payload deletion, TopicProvisioner.java:37-43): the frame is the
+      // id list to remove; ONE tombstone generation commits under the
+      // existing fence (Similarity.deleteIndex owns the crash ordering),
+      // searches anti-join it, and the next knn_index_compact physically
+      // drops the rows and clears the set. Eager like the other
+      // maintenance verbs; REPLACES the row set with a one-row report.
+      require(!df.isStreaming,
+        "knn_index_delete is batch-only (it commits a completed takedown " +
+          "batch's tombstone generation; delete the stored id list, not " +
+          "a stream)")
+      val result = graft.operators.Similarity.deleteIndex(df,
+        t.idColumn.get, resolvePath(t.indexPath.get, dataDir, specId))
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
       else result
     case "contamination_screen" =>

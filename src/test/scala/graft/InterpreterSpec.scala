@@ -1652,6 +1652,162 @@ class InterpreterSpec extends SparkSuite {
     assert(mixed.getMessage.contains("mixes shingle widths"), mixed.getMessage)
   }
 
+  test("appendRaceVerdict: the post-append pin refresh only trusts a single-job delta (round-18 ADVICE)") {
+    import graft.pipeline.Interpreter.appendRaceVerdict
+    def part(n: Int, uuid: String) =
+      f"part-$n%05d-$uuid-c000.snappy.parquet"
+    val u1 = "11111111-2222-3333-4444-555555555555"
+    val u2 = "99999999-8888-7777-6666-555555555555"
+    val pre = Seq(part(0, u1))
+    // our own write (one job UUID, possibly several part files) is clean
+    assert(!appendRaceVerdict(pre, pre ++ Seq(part(0, u2)))._1)
+    assert(!appendRaceVerdict(pre,
+      pre ++ Seq(part(0, u2), part(1, u2)))._1)
+    // a second write job landing in the window is foreign
+    val two = appendRaceVerdict(pre, pre ++ Seq(part(0, u2),
+      part(0, "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee")))
+    assert(two._1 && two._2.contains("2 write jobs"), two.toString)
+    // a vanished pre-existing file (an out-of-band compaction) is foreign
+    assert(appendRaceVerdict(pre, Seq(part(0, u2)))._1)
+    // a write that produced nothing visible is foreign (the caller only
+    // runs the check for a non-empty batch, which must write >= 1 file)
+    assert(appendRaceVerdict(pre, pre)._1)
+    // an unparseable new file name (a hand-copied artifact) is foreign
+    assert(appendRaceVerdict(pre, pre :+ "data_handmade.parquet")._1)
+    // partitioned layouts compare leaf names
+    assert(!appendRaceVerdict(Seq(s"w=3/${part(0, u1)}"),
+      Seq(s"w=3/${part(0, u1)}", s"w=3/${part(0, u2)}"))._1)
+  }
+
+  test("shingle_index_append: an empty batch skips the write and keeps the pin; a normal append re-pins the grown layout") {
+    val dir = tempDirPath("graft_shingle_append_pin").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    graft.operators.Dedup.shingleIndex(docs.filter(col("doc_id") < 40),
+        "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/hist.parquet")
+    docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    docs.filter(col("doc_id") < 0)
+      .write.mode("overwrite").parquet(s"$dir/none.parquet")
+    def append(src: String): Unit =
+      graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, PipelineSpec.fromJson(
+          s"""{"id":"app-pin","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"$src","keyClass":"java.lang.Long"},
+             |"transform":[{"op":"shingle_index_append","column":"text",
+             |  "idColumn":"doc_id","shingleSize":3,
+             |  "historyPath":"$dir/hist.parquet"}],
+             |"outputTopic":{"enabled":true,"name":"app-out"}}""".stripMargin),
+        new ParquetSourceResolver(dir, TestdataCatalog))).collect()
+    def pinRow() = spark.read.parquet(s"$dir/hist.parquet/_pin.parquet").head()
+    def dataFiles(): Seq[java.io.File] =
+      new java.io.File(s"$dir/hist.parquet").listFiles().toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    append("batch")
+    val pinned = pinRow()
+    assert(pinned.getAs[Int]("shingle_size") == 3, pinned.toString)
+    // the stored signature matches the POST-append listing exactly —
+    // the next build's cache check is a pin hit, no width re-scan
+    val listed = dataFiles()
+    assert(pinned.getAs[Long]("n_files") == listed.size.toLong &&
+      pinned.getAs[Long]("total_bytes") == listed.map(_.length).sum,
+      pinned.toString)
+    // an EMPTY batch skips the write entirely: layout and pin untouched
+    val namesBefore = listed.map(_.getName).toSet
+    append("none")
+    assert(dataFiles().map(_.getName).toSet == namesBefore,
+      "an empty append must not touch the artifact layout")
+    assert(pinRow().getAs[Long]("n_files") == namesBefore.size.toLong)
+  }
+
+  test("shingle_index_retract: retracted docs stop screening; compact drops them and clears tombstones; pending append refused") {
+    val dir = tempDirPath("graft_shingle_retract").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
+    val histDocs = docs.filter(col("doc_id") < cut)
+    val retractedDocs = histDocs.filter(col("doc_id") % 3 === 0)
+    graft.operators.Dedup.shingleIndex(histDocs, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$dir/hist.parquet")
+    retractedDocs.write.mode("overwrite").parquet(s"$dir/takedown.parquet")
+    docs.filter(col("doc_id") >= cut)
+      .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    def run(json: String) =
+      graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, PipelineSpec.fromJson(json),
+        new ParquetSourceResolver(dir, TestdataCatalog)))
+    def screen(): Set[Long] = run(
+      s"""{"id":"rt-screen","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"batch","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard",
+         |  "column":"text","idColumn":"doc_id","shingleSize":3,
+         |  "threshold":0.8,"historyPath":"$dir/hist.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"rt-out"}}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def retract() = run(
+      s"""{"id":"rt-retract","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_retract","idColumn":"doc_id",
+         |  "historyPath":"$dir/hist.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"rt-report"}}""".stripMargin)
+      .head()
+    // the from-raw expected survivors against the SHRUNK history — the
+    // rebuild-without-those-rows oracle
+    val expected = graft.operators.Dedup.incrementalNovelPrepared(
+        docs.filter(col("doc_id") >= cut), "doc_id", "text", 3, 0.8,
+        graft.operators.Dedup.shingleIndex(
+          histDocs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 3)
+          .drop("shingle_size"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val before = screen()
+    val rep = retract()
+    assert(rep.getAs[Long]("retracted_docs") == retractedDocs.count(),
+      rep.toString)
+    assert(screen() == expected,
+      "the screen must behave as if retracted docs were never published")
+    assert(before != expected,
+      "fixture sanity: retraction must change at least one verdict")
+    // idempotent: the committed retract's retry matches nothing live
+    assert(retract().getAs[Long]("retracted_docs") == 0L)
+    // appending a pending-retracted id is refused loudly
+    val refusal = intercept[IllegalArgumentException] { run(
+      s"""{"id":"rt-append","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_append","column":"text",
+         |  "idColumn":"doc_id","shingleSize":3,
+         |  "historyPath":"$dir/hist.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"rt-app"}}""".stripMargin) }
+    assert(refusal.getMessage.contains("PENDING retraction"),
+      refusal.getMessage)
+    // compact physically drops the rows and clears the tombstone file
+    val preRows = spark.read.parquet(s"$dir/hist.parquet").count()
+    val crep = run(
+      s"""{"id":"rt-compact","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"batch","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_compact",
+         |  "historyPath":"$dir/hist.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"rt-cmp"}}""".stripMargin)
+      .head()
+    assert(crep.getAs[Long]("history_rows") < preRows, crep.toString)
+    assert(!new java.io.File(s"$dir/hist.parquet/_tombstones.parquet").exists(),
+      "compact must clear the tombstone side file")
+    assert(spark.read.parquet(s"$dir/hist.parquet")
+      .join(retractedDocs.select(col("doc_id").as("id")), Seq("id"), "left_semi")
+      .count() == 0L, "compact must physically drop retracted rows")
+    assert(screen() == expected,
+      "retract -> compact -> screen must be verdict-identical")
+    // after the compact cleared the set, the retracted ids may re-publish
+    run(
+      s"""{"id":"rt-republish","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"shingle_index_append","column":"text",
+         |  "idColumn":"doc_id","shingleSize":3,
+         |  "historyPath":"$dir/hist.parquet"}],
+         |"outputTopic":{"enabled":true,"name":"rt-rep2"}}""".stripMargin)
+    assert(screen() == before,
+      "re-publish after compact must restore the original verdicts")
+  }
+
   test("artifact-dims mismatch: a baseline built with MORE dims than declared is refused (stats / quantile / sketch)") {
     // the silent failure this guard closes: an artifact with extra dims
     // holds several rows per declared cell — the baseline join would match

@@ -101,6 +101,9 @@ class ObserveSpec extends SparkSuite {
       // the COMPACTED quantized index — same route again, postings folded
       // back into one generation by the pure-copy compactor
       "r49_spec_knn_compact" -> knnScan,
+      // the TOMBSTONED quantized index — same route, live postings now
+      // anti-joined against the broadcast takedown set
+      "r51_spec_knn_delete" -> knnScan,
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

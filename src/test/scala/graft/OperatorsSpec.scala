@@ -1365,6 +1365,139 @@ class OperatorsSpec extends SparkSuite {
       "kill/retry compaction lost or duplicated postings")
   }
 
+  test("deleteIndex: tombstoned rows vanish from search; delete is idempotent; compact drops them physically; re-append revives") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val gone = e.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+    val kept = e.filter(col("vec_id") < 100 || col("vec_id") >= 130)
+    val base = tempDirPath("graft_ann_delete").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exactKept = rows(Similarity.bruteForceTopK(kept, q, "vec_id",
+      "embedding", 10))
+    val exactFull = rows(Similarity.bruteForceTopK(e, q, "vec_id",
+      "embedding", 10))
+    assert(exactKept != exactFull,
+      "fixture must make the deleted rows visible in the top-k")
+
+    // quantized: post-delete search == rebuild-without-those-rows oracle
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/q")
+    val rep = Similarity.deleteIndex(gone, "vec_id", s"$base/q").head()
+    assert(rep.getLong(2) == gone.count() &&
+      rep.getLong(3) == e.count() - gone.count() && rep.getInt(4) == 0,
+      rep.toString)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      exactKept, "deleted rows still surfaced as neighbors")
+    // idempotent across the commit: the retry matches nothing live
+    val rep2 = Similarity.deleteIndex(gone, "vec_id", s"$base/q").head()
+    assert(rep2.getLong(2) == 0L &&
+      rep2.getLong(3) == e.count() - gone.count(),
+      s"a committed delete's retry must adjust nothing: $rep2")
+    // an ORPHAN tombstone generation (a crashed delete) stays invisible
+    gone.select(col("vec_id").as("id")).withColumn("gen", lit(9))
+      .withColumn("upto", lit(99))
+      .write.mode("append").partitionBy("gen")
+      .parquet(s"$base/q/tombstones.parquet")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      exactKept, "an uncommitted tombstone generation changed the search")
+    // compact DROPS the tombstoned rows physically and clears the set
+    val crep = Similarity.compactIndex(spark, s"$base/q").head()
+    assert(crep.getLong(2) == e.count() - gone.count(), crep.toString)
+    val m = Similarity.readIndexMeta(spark, s"$base/q")
+    assert(m.tomb_gen < m.tomb_base, s"compact must clear tombstones: $m")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$base/q/tombstones.parquet")) ||
+      fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$base/q/tombstones.parquet")).forall(s =>
+          !s.getPath.getName.startsWith("gen=")),
+      "compact must sweep the committed tombstone directories")
+    val vis = spark.read.parquet(s"$base/q/index.parquet")
+    assert(vis.count() == e.count() - gone.count() &&
+      vis.select("id").distinct().count() == e.count() - gone.count(),
+      "the fold must physically exclude tombstoned postings")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      exactKept, "delete -> compact -> search must be bit-identical")
+    // RE-APPEND after deletion: the tombstones' upto fence (and here the
+    // physical drop) means the revived rows are live again — compacted-
+    // topic last-write-wins, not a permanent ban
+    Similarity.appendIndex(gone, "vec_id", "embedding", s"$base/q")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q")) ==
+      exactFull, "re-appended rows must be searchable again")
+    assert(Similarity.readIndexMeta(spark, s"$base/q").n_rows == e.count())
+
+    // re-append WITHOUT an intervening compact: tombstones kill only
+    // postings up to their recorded generation, so the new generation's
+    // postings survive the anti-join
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/q2")
+    Similarity.deleteIndex(gone, "vec_id", s"$base/q2")
+    Similarity.appendIndex(gone, "vec_id", "embedding", s"$base/q2")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/q2")) ==
+      exactFull, "the upto fence must revive re-appended ids pre-compact")
+
+    // ivf probed at all cells and lsh: deleted rows vanish there too
+    Similarity.buildIndex(e, "vec_id", "embedding", "ivf", s"$base/i",
+      nCells = 8, nAssign = 2)
+    Similarity.deleteIndex(gone, "vec_id", s"$base/i")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/i", nProbe = 8)) == exactKept,
+      "ivf probed at all cells must equal the exact-minus-deleted oracle")
+    Similarity.buildIndex(e, "vec_id", "embedding", "lsh", s"$base/l",
+      nTables = 8, planesPerTable = 4)
+    val preLsh = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/l"))
+    Similarity.deleteIndex(gone, "vec_id", s"$base/l")
+    val postLsh = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/l"))
+    assert(postLsh.forall { case (_, _, n) =>
+      n < 100L || n >= 130L }, "lsh search surfaced a deleted neighbor")
+    Similarity.compactIndex(spark, s"$base/l")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/l")) == postLsh, "lsh delete -> compact changed the search")
+    // (no preLsh != postLsh sanity: lsh's bucketed top-10 may legitimately
+    // never have surfaced the deleted ids — the no-deleted-neighbor and
+    // compact-bit-identity asserts above are the contract)
+    assert(preLsh.nonEmpty && postLsh.nonEmpty)
+  }
+
+  test("deleteIndex: deleting every posting folds to a readable empty generation (round-18 ADVICE recoverability)") {
+    // the committed range then holds ZERO live postings — the old
+    // compaction wrote no gen directory, recounted -1, and aborted on
+    // every retry; the empty fold now writes a schema-only marker leaf
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val half = e.limit(50)
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_delete_all").toString
+    def lifecycle(method: String, nCells: Int, dim: Int): Unit = {
+      val p = s"$base/$method"
+      Similarity.buildIndex(half, "vec_id", "embedding", method, p,
+        nCells = nCells, dim = dim)
+      Similarity.deleteIndex(half, "vec_id", p)
+      val rep = Similarity.compactIndex(spark, p).head()
+      assert(rep.getLong(2) == 0L, s"$method: $rep")
+      val m = Similarity.readIndexMeta(spark, p)
+      assert(m.n_rows == 0L && m.base_gen == m.generation &&
+        m.tomb_gen < m.tomb_base, s"$method: $m")
+      // the folded-empty index READS (the marker leaf) and searches to
+      // zero rows — the true corpus state, not an error
+      assert(Similarity.indexedTopK(q, "vec_id", "embedding", 5, p)
+        .count() == 0L, s"$method: empty index must search to zero rows")
+      // idempotent retry
+      assert(Similarity.compactIndex(spark, p).head().getInt(3) == 0)
+      // and the lifecycle continues: append new rows, search finds them
+      Similarity.appendIndex(half, "vec_id", "embedding", p)
+      assert(Similarity.indexedTopK(q, "vec_id", "embedding", 5, p)
+        .count() > 0L, s"$method: post-empty append must be searchable")
+    }
+    lifecycle("quantized", 0, 0)
+    lifecycle("ivf", 8, 0)
+    lifecycle("lsh", 0, 64)
+  }
+
   test("scalar summary: merge identity (sharded == one-shot) and windowed cells fold to the global artifact") {
     // linearity is the artifact's contract: per-shard summaries (and the
     // windowed table with its window column dropped) must fold EXACTLY to

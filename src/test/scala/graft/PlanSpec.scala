@@ -282,6 +282,9 @@ class PlanSpec extends SparkSuite {
       // the COMPACTED quantized index: the same not-equal candidate scan
       // over the folded single-generation postings
       "r49_spec_knn_compact",
+      // the TOMBSTONED quantized index: the same candidate scan with the
+      // broadcast takedown anti-join applied to the live postings
+      "r51_spec_knn_delete",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

@@ -252,6 +252,24 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         indexPath = Some(s"$dir/idx"))))
     }
 
+  property("valid knn_index_delete analyzes (tombstones a stored index, all methods)") =
+    // eager like the other maintenance verbs: the case builds a real
+    // index and the delete declaration commits the frame's ids as a
+    // tombstone generation
+    Prop.forAll(Gen.oneOf("quantized", "ivf", "lsh")) { method =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_knn_delete").toString
+      graft.operators.Similarity.buildIndex(
+        spark.read.parquet(embParquet).filter("vec_id < 30")
+          .selectExpr("vec_id", "cast(embedding as array<double>) as embedding"),
+        "vec_id", "embedding", method, s"$dir/idx",
+        nCells = if (method == "ivf") 8 else 0,
+        dim = if (method == "lsh") 64 else 0)
+      analyzes(simple("fz-knn-delete", "embeddings", TransformOp(
+        op = "knn_index_delete", idColumn = Some("vec_id"),
+        indexPath = Some(s"$dir/idx"))))
+    }
+
   property("valid shingle_index_append analyzes (extends a stored artifact)") =
     Prop.forAll(Gen.chooseNum(2, 4)) { k =>
       // eager like shingle_index_append's contract: the case publishes a
@@ -266,6 +284,22 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       analyzes(simple("fz-shingle-append", "documents",
         TransformOp(op = "shingle_index_append", column = Some("text"),
           idColumn = Some("doc_id"), shingleSize = Some(k),
+          historyPath = Some(s"$dir/shingles.parquet"))))
+    }
+
+  property("valid shingle_index_retract analyzes (tombstones a stored artifact)") =
+    Prop.forAll(Gen.chooseNum(2, 4)) { k =>
+      // eager like the other maintenance verbs: the case publishes a real
+      // artifact and the retract declaration tombstones the frame's ids
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fz_shingle_retract").toString
+      graft.operators.Dedup.shingleIndex(
+          spark.read.parquet(docsParquet).filter("doc_id < 30"),
+          "doc_id", "text", k)
+        .write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+      analyzes(simple("fz-shingle-retract", "documents",
+        TransformOp(op = "shingle_index_retract",
+          idColumn = Some("doc_id"),
           historyPath = Some(s"$dir/shingles.parquet"))))
     }
 
@@ -809,6 +843,22 @@ object SpecFuzzProperties extends Properties("specfuzz") {
       "knn_index_append with declared geometry (the artifact pins it)" ->
         te(TransformOp(op = "knn_index_append", column = Some("embedding"),
           idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"),
+          nCells = Some(8))),
+      "shingle_index_retract without historyPath" -> te(TransformOp(
+        op = "shingle_index_retract", idColumn = Some("doc_id"))),
+      "shingle_index_retract without idColumn" -> te(TransformOp(
+        op = "shingle_index_retract", historyPath = Some("/tmp/hist"))),
+      "shingle_index_retract with declared width (ids only)" ->
+        te(TransformOp(op = "shingle_index_retract",
+          idColumn = Some("doc_id"), historyPath = Some("/tmp/hist"),
+          shingleSize = Some(3))),
+      "knn_index_delete without indexPath" -> te(TransformOp(
+        op = "knn_index_delete", idColumn = Some("vec_id"))),
+      "knn_index_delete without idColumn" -> te(TransformOp(
+        op = "knn_index_delete", indexPath = Some("/tmp/idx"))),
+      "knn_index_delete with declared geometry (ids only)" ->
+        te(TransformOp(op = "knn_index_delete", idColumn = Some("vec_id"),
+          indexPath = Some("/tmp/idx"), method = Some("ivf"),
           nCells = Some(8))),
       "knn_index_compact without indexPath" ->
         te(TransformOp(op = "knn_index_compact")),
