@@ -476,6 +476,41 @@ object Accuracy {
           newDevs.size.toLong == nNewCells))
   }
 
+  private def checkQuantileMonitorGlobal: Check = (spark, dir) => {
+    // the GLOBAL (dims-empty) windowed percentile monitor (r52 — the
+    // round-18 VERDICT #5 lift): cells are windows alone, the baseline is
+    // the ONE-row global sketch rollup; both sides hold the X26
+    // ±1%-of-rank contract against their populations' exact order
+    // statistics. The global form has no null-stratum exclusion (there
+    // is no stratum), so the raw frames are unfiltered.
+    val got = Queries.all("r52_spec_quantile_monitor_global")(spark, dir)
+    val ev = events(spark, dir)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    val newEst = got.groupBy(col("window_start"))
+      .agg(max(when(col("metric") === "p50", col("new_value"))).as("p50"),
+        max(when(col("metric") === "p90", col("new_value"))).as("p90"))
+    val rawW = ev.withColumn("window_start", date_trunc("hour", col("ts")))
+    val newDevs = rankDeviations(rawW, Seq("window_start"), "value",
+      newEst, qs)
+    val nNewCells = rawW.select("window_start").distinct().count()
+    // ONE global old cell: attach via a constant key
+    val oldEst = got.agg(
+        max(when(col("metric") === "p50", col("old_value"))).as("p50"),
+        max(when(col("metric") === "p90", col("old_value"))).as("p90"))
+      .withColumn("__g", lit(1))
+    val oldRaw = ev.filter(col("user_id") < 8).withColumn("__g", lit(1))
+    val oldDevs = rankDeviations(oldRaw, Seq("__g"), "value", oldEst, qs)
+    Seq(
+      Metric("quantile_rank_slack_ratio", "old_side",
+        if (oldDevs.isEmpty) Double.NaN else oldDevs.map(slackRatio).max,
+        1L, 1.0, oldDevs.size == 1 && oldDevs.forall(_._4)),
+      Metric("quantile_rank_slack_ratio", "new_side",
+        if (newDevs.isEmpty) Double.NaN else newDevs.map(slackRatio).max,
+        nNewCells, 1.0,
+        newDevs.nonEmpty && newDevs.forall(_._4) &&
+          newDevs.size.toLong == nNewCells))
+  }
+
   private def checkKnnIndexStored: Check = (spark, dir) => {
     // the r44 stored-IVF contract: (1) the search against the STORED index
     // reproduces the rebuilt train-per-call path EXACTLY (every index
@@ -636,6 +671,53 @@ object Accuracy {
         probedAll.nonEmpty && probedAll == exactRanked))
   }
 
+  private def checkKnnFiltered: Check = (spark, dir) => {
+    // the r52 filtered-ivf contract: candidateFilter runs INSIDE the
+    // candidate stage with nProbe widened by 1/selectivity, so (1) every
+    // query still returns a FULL k (the k contract — the whole point of
+    // filtering inside rather than post-filtering the results), (2) no
+    // filtered-out neighbor leaks, (3) recall@10 vs the FILTERED-corpus
+    // exact oracle holds the 0.85 bound, and (4) probing all cells
+    // recovers the filtered exact set exactly.
+    val got = Queries.all("r52_spec_knn_filtered_ivf")(spark, dir)
+    val gotRanked = ranked3(got)
+    val gotPairs = gotRanked.map(t => (t._1, t._3))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 5)
+    val exactRanked = ranked3(graft.operators.Similarity.bruteForceTopK(
+      e.filter(col("label") < 4), q, "vec_id", "embedding", 10))
+    val exact = exactRanked.map(t => (t._1, t._3))
+    val recall =
+      if (exact.isEmpty) 0.0
+      else gotPairs.intersect(exact).size.toDouble / exact.size
+    val allowed = e.filter(col("label") < 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val leaks = gotPairs.count { case (_, n) => !allowed.contains(n) }
+    val perQueryFullK = gotRanked.groupBy(_._1).forall(_._2.size == 10)
+    val base = s"${Queries.artifactBase(dir)}/knn_attr_ivf"
+    val meta = graft.operators.Similarity.readIndexMeta(spark, base)
+    val probedAll = ranked3(graft.operators.Similarity.indexedTopK(
+      q, "vec_id", "embedding", 10, base, nProbe = meta.n_cells.get,
+      candidateFilter = Some("label < 4")))
+    val fullAgree =
+      if (exactRanked.isEmpty) 0.0
+      else probedAll.intersect(exactRanked).size.toDouble /
+        probedAll.union(exactRanked).size
+    Seq(
+      Metric("recall_at_10_vs_exact", "ivf_filtered", recall,
+        exact.size.toLong, 0.85, recall >= 0.85),
+      Metric("k_contract_full_results", "__all__",
+        if (perQueryFullK) 1.0 else 0.0, exact.size.toLong, 1.0,
+        gotRanked.nonEmpty && perQueryFullK),
+      Metric("no_filtered_out_neighbors", "__all__", leaks.toDouble,
+        exact.size.toLong, 0.0, gotRanked.nonEmpty && leaks == 0),
+      Metric("probed_all_equals_exact", "__all__", fullAgree,
+        exact.size.toLong, 1.0,
+        probedAll.nonEmpty && probedAll == exactRanked))
+  }
+
   // ------------------------------------------------- packing / fingerprint
 
   private def packMetrics(queryName: String): Check = (spark, dir) => {
@@ -720,8 +802,10 @@ object Accuracy {
     "r47_spec_knn_lsh_stored" -> checkKnnLshStored,
     "r47_spec_knn_ivf_append" -> checkKnnIvfAppend,
     "r51_spec_knn_ivf_delete" -> checkKnnIvfDelete,
+    "r52_spec_knn_filtered_ivf" -> checkKnnFiltered,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
     "r48_spec_quantile_monitor" -> checkQuantileMonitor,
+    "r52_spec_quantile_monitor_global" -> checkQuantileMonitorGlobal,
     "x5_pack" -> packMetrics("x5_pack"),
     "r31_spec_pack" -> packMetrics("r31_spec_pack"),
     "x5_fingerprint" -> checkFingerprint)
@@ -877,6 +961,16 @@ object Accuracy {
         |     date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
         |     FROM events WHERE event_type IS NOT NULL) __c),
         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    // the GLOBAL windowed percentile monitor: one old-side cell (the
+    // whole baseline slice), one new-side cell per distinct event hour
+    "r52_spec_quantile_monitor_global" ->
+      """SELECT 'quantile_rank_slack_ratio' AS metric, 'old_side' AS scope,
+        |  1 AS n_ref, CAST(1.0 AS DOUBLE) AS bound, true AS pass
+        |UNION ALL
+        |SELECT 'quantile_rank_slack_ratio', 'new_side',
+        |  (SELECT count(DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |   FROM events),
+        |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "r44_spec_knn_ivf_stored" ->
       s"""SELECT 'stored_equals_rebuilt' AS metric, '__all__' AS scope,
          |  ${countOf(Queries.oracles("x3_knn_exact"))} AS n_ref,
@@ -916,6 +1010,22 @@ object Accuracy {
          |UNION ALL
          |SELECT 'probed_all_equals_exact', '__all__',
          |  ${countOf(Queries.oracles("r51_spec_knn_delete"))},
+         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    "r52_spec_knn_filtered_ivf" ->
+      s"""SELECT 'recall_at_10_vs_exact' AS metric, 'ivf_filtered' AS scope,
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))} AS n_ref,
+         |  CAST(0.85 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'k_contract_full_results', '__all__',
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))},
+         |  CAST(1.0 AS DOUBLE), true
+         |UNION ALL
+         |SELECT 'no_filtered_out_neighbors', '__all__',
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))},
+         |  CAST(0.0 AS DOUBLE), true
+         |UNION ALL
+         |SELECT 'probed_all_equals_exact', '__all__',
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))},
          |  CAST(1.0 AS DOUBLE), true""".stripMargin,
     "x5_pack" -> packOracle,
     "r31_spec_pack" -> packOracle,

@@ -1043,6 +1043,31 @@ object Queries {
         "old_value", "new_value", "delta", "n_new")
   }
 
+  /** GLOBAL windowed percentile monitor (r52 — the round-18 VERDICT-#5
+    * lift): dims-empty quantilePath monitoring, the corpus-wide p50/p90
+    * per tumbling hour against a ONE-row global baseline sketch — no
+    * dummy stratum needed. Estimates → accuracy-contract row (both
+    * sides within the X26 ±1%-of-rank bound —
+    * Accuracy.checkQuantileMonitorGlobal).
+    */
+  def r52SpecQuantileMonitorGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Profile.quantileSketches(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Nil, "value")
+      .write.mode("overwrite").parquet(s"$base/event_qsk_global.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"quantile-monitor-global","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/event_qsk_global.parquet",
+         |  "column":"value","quantiles":[0.5, 0.9],
+         |  "timeColumn":"ts","every":"1 hour"}],
+         |"outputTopic":{"enabled":true,"name":"quantile-monitor-global-out"}}""".stripMargin)
+      .select("window_start", "col_name", "metric", "category",
+        "old_value", "new_value", "delta", "n_new")
+  }
+
   /** BATCH scalar drift from the STORED artifact (r49 — the numeric leg's
     * no-rescan form, closing the follow-up the windowed monitor left
     * open): the old snapshot's scalar_summary artifact (the user_id<8
@@ -1272,6 +1297,89 @@ object Queries {
          |  "historyPath":"$base/doc_shingles_rt.parquet"}],
          |"outputTopic":{"enabled":true,"name":"novel-after-retract"}}""".stripMargin)
       .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Declarative ATTRIBUTE-FILTERED stored search (r52 — the round-18
+    * directive-#2 verb): crawl time builds the quantized index WITH
+    * attributeColumns (label rides every posting as a parquet-pushdown
+    * predicate surface); query time declares candidateFilter "label < 4"
+    * — the filter runs INSIDE the candidate stage, so the int8 propose
+    * only ever sees filtered postings and the exact re-rank returns a
+    * FULL k among the filtered corpus: the row hash-matches the
+    * filtered-corpus exact oracle. The ivf widening contract is
+    * Accuracy.checkKnnFiltered's row.
+    */
+  def r52SpecKnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-attr-index","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "attributeColumns":["label"],
+         |  "indexPath":"$base/knn_attr"}],
+         |"outputTopic":{"enabled":true,"name":"attr-index-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-filtered","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "candidateFilter":"label < 4",
+         |  "indexPath":"$base/knn_attr"}],
+         |"outputTopic":{"enabled":true,"name":"knn-filtered-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** The DIRECT-route twin of [[r52SpecKnnFiltered]]: no stored index —
+    * the frame is the corpus, candidateFilter narrows it before the exact
+    * scan. Same oracle (the filter composes with every method; exact
+    * stays exact on the filtered corpus).
+    */
+  def r52SpecKnnFilteredExact(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"knn-filtered-direct","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"knn","method":"exact","column":"embedding",
+        |  "idColumn":"vec_id","k":10,
+        |  "queryPath":"<dataDir>/embeddings.parquet",
+        |  "queryFilter":"vec_id < 5",
+        |  "candidateFilter":"label < 4"}],
+        |"outputTopic":{"enabled":true,"name":"knn-filtered-direct-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+
+  /** Declarative filtered ivf search (r52's accuracy-contract member):
+    * the stored ivf index carries the label attribute; candidateFilter
+    * "label < 4" (~40%% selectivity) WIDENS nProbe by 1/selectivity so
+    * the probed cells still surface the unfiltered candidate volume.
+    * Accuracy.checkKnnFiltered pins: every query returns a FULL k, no
+    * filtered-out neighbor leaks, recall@10 vs the filtered-corpus exact
+    * oracle holds 0.85, and probing all cells recovers it exactly — at
+    * every SF.
+    */
+  def r52SpecKnnFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    val cells = ivfCellsFor(spark, dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-attr-ivf","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
+         |  "attributeColumns":["label"],
+         |  "indexPath":"$base/knn_attr_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"attr-ivf-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-filtered-ivf","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"ivf","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "candidateFilter":"label < 4",
+         |  "indexPath":"$base/knn_attr_ivf"}],
+         |"outputTopic":{"enabled":true,"name":"knn-filtered-ivf-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** WINDOWED embedding_summary (the incrementally-maintained drift
@@ -3786,6 +3894,18 @@ object Queries {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // the filtered-corpus exact top-k: the corpus side narrows to the
+    // candidateFilter's predicate, the query side stays the external list
+    "r52_spec_knn_filtered" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label < 4)
+        |WHERE rank <= 10""".stripMargin,
     // the rebuild-without-those-rows exact top-k: the corpus side excludes
     // the tombstoned ids (every tenth), the query side is the external
     // query list (independent of deletion)
@@ -4486,6 +4606,9 @@ object Queries {
       // the declaratively MERGED scalar shards equal the one-shot global
       // artifact (the fold is linear), so they share its oracle
       ("r49_spec_merge_stats" -> oracles0("r48_spec_scalar_summary")) +
+      // the DIRECT filtered route narrows the corpus before the exact
+      // scan — the same filtered-corpus oracle as the stored route
+      ("r52_spec_knn_filtered_exact" -> oracles0("r52_spec_knn_filtered")) +
       // the stored-shingle incremental screen reproduces the from-raw
       // cross-snapshot novelty filter exactly (the artifact IS the frame
       // jaccardPairsBetween builds internally)
@@ -4672,6 +4795,10 @@ object Queries {
     "r51_spec_knn_delete" -> r51SpecKnnDelete _,
     "r51_spec_knn_ivf_delete" -> r51SpecKnnIvfDelete _,
     "r51_spec_shingle_retract" -> r51SpecShingleRetract _,
+    "r52_spec_knn_filtered" -> r52SpecKnnFiltered _,
+    "r52_spec_knn_filtered_exact" -> r52SpecKnnFilteredExact _,
+    "r52_spec_knn_filtered_ivf" -> r52SpecKnnFilteredIvf _,
+    "r52_spec_quantile_monitor_global" -> r52SpecQuantileMonitorGlobal _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -132,6 +132,15 @@ object ScalingBench {
     "r51_spec_knn_delete",
     "r51_spec_knn_ivf_delete",
     "r51_spec_shingle_retract",
+    // attribute-filtered search: build-with-attributes + the filtered
+    // candidate scan (the filter prunes the posting scan, so the search
+    // half should track the FILTERED volume)
+    "r52_spec_knn_filtered",
+    "r52_spec_knn_filtered_ivf",
+    // the global (dims-empty) percentile monitor: one sketch cell per
+    // window + a one-row broadcast baseline — scan-bound like the
+    // grouped monitor
+    "r52_spec_quantile_monitor_global",
     // the shingle-history compaction lifecycle (publish + append + FOLD +
     // screen — the fold is a full artifact rewrite, so the row must track
     // total history bytes ≈ data ratio, like the knn compactor)

@@ -473,6 +473,20 @@ case class TransformOp(
     method: Option[String] = None,
     queryPath: Option[String] = None,
     queryFilter: Option[String] = None,
+    // ATTRIBUTE-FILTERED search: candidateFilter is a SQL predicate over
+    // CORPUS metadata ("top-k among docs where lang='en'") applied INSIDE
+    // the candidate stage — never a post-filter of the k results, so the
+    // k contract survives. On the direct route it filters the corpus
+    // frame; on the stored route it runs over the index's stored
+    // attributeColumns (parquet-pushdown), with guarantee-k routing: a
+    // near-empty filtered corpus falls back to an exact scan of the
+    // filtered postings, and ivf widens nProbe by 1/selectivity
+    candidateFilter: Option[String] = None,
+    // knn_index build-time declaration: metadata columns stored alongside
+    // every posting — the candidateFilter predicate surface of the stored
+    // route (the artifact pins them; a filter referencing an unstored
+    // column is refused with a rebuild hint)
+    attributeColumns: Seq[String] = Nil,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
     refine: Option[Int] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Integer])
@@ -984,6 +998,10 @@ case class TransformOp(
         "nTables" -> nTables, "planesPerTable" -> planesPerTable).foreach {
         case (n, v) => require(v.forall(_ >= 1), s"[$where] knn $n must be >= 1")
       }
+      require(attributeColumns.isEmpty,
+        s"[$where] knn takes no attributeColumns — they are a knn_index " +
+          "BUILD-time declaration (the artifact pins what is stored); " +
+          "declare candidateFilter here to predicate on them")
     case "knn_index" =>
       require(column.isDefined && idColumn.isDefined && indexPath.isDefined,
         s"[$where] knn_index requires column (the vector), idColumn and " +
@@ -1015,13 +1033,24 @@ case class TransformOp(
           s"[$where] knn_index planesPerTable must be in [1, 31] (Int " +
             "bucket packing)")
       }
+      require(candidateFilter.isEmpty,
+        s"[$where] knn_index takes no candidateFilter — it is a SEARCH-" +
+          "time knob (declare it on the consuming knn); declare " +
+          "attributeColumns here to store the predicate surface")
+      val reservedAttr = Seq("id", "vec", "q", "gen", "cell", "tbl", "bucket")
+        .filter(attributeColumns.contains)
+      require(reservedAttr.isEmpty,
+        s"[$where] knn_index attributeColumns may not use reserved index " +
+          s"column name(s) ${reservedAttr.mkString(", ")}")
+      require(attributeColumns.distinct == attributeColumns,
+        s"[$where] knn_index attributeColumns has duplicates")
     case "knn_index_append" =>
       require(column.isDefined && idColumn.isDefined && indexPath.isDefined,
         s"[$where] knn_index_append requires column (the vector), idColumn " +
           "and indexPath (the stored artifact to extend)")
       require(method.isEmpty && nCells.isEmpty && nAssign.isEmpty &&
           nTables.isEmpty && planesPerTable.isEmpty && dim.isEmpty &&
-          seed.isEmpty,
+          seed.isEmpty && attributeColumns.isEmpty && candidateFilter.isEmpty,
         s"[$where] knn_index_append takes no method or geometry — the " +
           "stored artifact pins them (new rows are assigned with the " +
           "STORED centroids/hyperplanes/codes, never retrained; to change " +
@@ -1115,10 +1144,12 @@ case class TransformOp(
                 "embedding leg (that monitor is summaryPath); strata ride " +
                 "groupColumns, the artifact dims")
           case _ =>
-            require(column.isDefined && groupColumns.nonEmpty,
+            require(column.isDefined,
               s"[$where] windowed snapshot_drift with quantilePath is the " +
-                "PERCENTILE monitor — declare column (the measure) and " +
-                "groupColumns (the stored sketch table's dims)")
+                "PERCENTILE monitor — declare column (the measure); " +
+                "groupColumns are the stored sketch table's dims, and may " +
+                "be empty for a GLOBAL baseline (corpus-wide percentiles " +
+                "per window)")
             require(quantiles.nonEmpty &&
                 numericQuantiles.forall(q => q >= 0.0 && q <= 1.0),
               s"[$where] windowed snapshot_drift with quantilePath " +
@@ -1203,10 +1234,14 @@ case class TransformOp(
             "and column (the counted item on the new snapshot)")
       }
       quantilePath.foreach { _ =>
-        require(groupColumns.nonEmpty && column.isDefined,
+        // the WINDOWED monitor supports the dims-empty GLOBAL form (cells
+        // are windows alone against a one-row global baseline); the batch
+        // leg's full-outer cell join needs at least one dimension
+        require((windowed || groupColumns.nonEmpty) && column.isDefined,
           s"[$where] snapshot_drift quantilePath (the stored quantile-" +
-            "sketch table) requires groupColumns (the sketch dimensions) " +
-            "and column (the measure on the new snapshot)")
+            "sketch table) requires groupColumns (the sketch dimensions; " +
+            "the windowed monitor form may leave them empty for a global " +
+            "baseline) and column (the measure on the new snapshot)")
         require(quantiles.nonEmpty,
           s"[$where] snapshot_drift quantilePath requires quantiles " +
             "(the percentiles to compare)")

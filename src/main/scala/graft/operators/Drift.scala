@@ -990,11 +990,17 @@ object Drift extends Logging {
       quantiles: Seq[Double],
       absBounds: Map[String, Double] = Map.empty,
       relBounds: Map[String, Double] = Map.empty): DataFrame = {
-    require(dims.nonEmpty, "windowedQuantileDrift needs dimension columns " +
-      "(the stored sketch table's dims)")
     require(quantiles.nonEmpty, "windowedQuantileDrift needs quantiles")
     val labels = quantiles.map(graft.functions.QuantileSketch.colName)
-    val noNull = dims.map(col(_).isNotNull).reduce(_ && _)
+    // dims may be EMPTY — the GLOBAL percentile monitor (a corpus-wide
+    // p95 per window against a global baseline; round-18 VERDICT #5):
+    // cells are windows alone, the baseline is the one-row global rollup,
+    // and the join degenerates to a broadcast one-row attach that still
+    // LEFT-joins (condition-form) so a missing baseline reads NULL-old
+    // (the newborn convention), never drops the cell
+    val noNull =
+      if (dims.isEmpty) lit(true)
+      else dims.map(col(_).isNotNull).reduce(_ && _)
     val g = df.filter(noNull)
       .groupBy(win.as("__w") +: dims.map(col): _*)
       .agg(graft.functions.QuantileSketch.sketch(
@@ -1012,14 +1018,19 @@ object Drift extends Logging {
       oldSketches.filter(noNull), dims, quantiles)
     val b = oldEst.select(dims.map(col) ++
       labels.map(l => col(l).as(s"__o_$l")): _*)
-    val joined = newSide.join(broadcast(b), dims, "left")
+    val joined =
+      if (dims.isEmpty) newSide.join(broadcast(b), lit(true), "left")
+      else newSide.join(broadcast(b), dims, "left")
     val rows = array(labels.map { l =>
       struct(lit(l).as("metric"), col(s"__o_$l").as("old_value"),
         col(s"__n_$l").as("new_value"),
         (col(s"__n_$l") - col(s"__o_$l")).as("delta"))
     }: _*)
-    val cat = concat_ws("/", dims.map(c => col(c).cast(
-      org.apache.spark.sql.types.StringType)): _*)
+    // the scalar monitor's convention: NULL category for the global form
+    val cat: Column =
+      if (dims.isEmpty) lit(null).cast("string")
+      else concat_ws("/", dims.map(c => col(c).cast(
+        org.apache.spark.sql.types.StringType)): _*)
     val exploded = joined.select(col("window_start"),
         lit(valueCol).as("col_name"), cat.as("category"),
         col("__n").cast("double").as("n_new"), explode(rows).as("p"))

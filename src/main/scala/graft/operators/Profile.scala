@@ -129,7 +129,8 @@ object Profile {
     */
   def quantileSketches(df: DataFrame, dims: Seq[String], valueCol: String,
       maxCentroids: Int = 256): DataFrame = {
-    require(dims.nonEmpty, "quantileSketches needs at least one dimension")
+    // dims may be empty: the GLOBAL one-row sketch table (the baseline of
+    // the global windowed percentile monitor)
     df.groupBy(dims.map(col): _*)
       .agg(graft.functions.QuantileSketch.sketch(
           col(valueCol).cast("double"), maxCentroids).as("qsketch"),

@@ -393,10 +393,18 @@ object Similarity extends Logging {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       method: String, indexPath: String, nCells: Int = 0, nAssign: Int = 2,
       nTables: Int = 16, planesPerTable: Int = 4, dim: Int = 0,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, attributeColumns: Seq[String] = Nil): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // attribute columns ride the postings as plain data columns (metadata
+    // the search can predicate on — candidateFilter); reserved layout
+    // names would collide with the index's own columns
+    val reserved = Set("id", "vec", "q", "gen", "cell", "tbl", "bucket")
+    require(attributeColumns.forall(a => !reserved.contains(a)),
+      s"buildIndex attributeColumns may not use reserved index column " +
+        s"names (${reserved.mkString(", ")})")
+    val c = corpus.select(col(idCol).as("id") +: col(vecCol).as("vec") +:
+      attributeColumns.map(col): _*)
     val theDim =
       if (dim > 0) dim
       else c.select(size(col("vec")).as("d")).limit(1).collect().headOption
@@ -406,7 +414,7 @@ object Similarity extends Logging {
             "(the embedding width) or index a non-empty snapshot " +
             "(round-17 ADVICE: the size probe has no row to read)"))
     val n = c.count()
-    val meta: AnnIndexMeta = method match {
+    val meta0: AnnIndexMeta = method match {
       case "quantized" =>
         AnnIndexMeta("quantized", theDim, n, None, None, None, None, None, None)
       case "ivf" =>
@@ -440,6 +448,8 @@ object Similarity extends Logging {
         s"buildIndex method '$other' unknown (quantized, ivf, lsh; exact " +
           "has no index to store — the scan is the plan)")
     }
+    val meta = meta0.copy(attr_cols =
+      if (attributeColumns.nonEmpty) Some(attributeColumns) else None)
     val idxDir = s"$indexPath/index.parquet"
     // REBUILD crash ordering: retract the meta BEFORE touching postings —
     // from this instant the path reads as "no index here" (readIndexMeta
@@ -476,6 +486,14 @@ object Similarity extends Logging {
     */
   private val MaxPartitionedCells = 4096L
 
+  /** Filtered-search fallback bar (× k): a candidateFilter matching at
+    * most this many distinct corpus rows routes to an EXACT scan of the
+    * filtered postings — at that size the scan costs less than one probe
+    * batch and the k/recall contracts hold trivially, where widened
+    * probes could still run dry.
+    */
+  private[operators] val ExactFallbackFactor = 4L
+
   /** Method-specific posting write shared by [[buildIndex]] (gen 0,
     * overwrite) and [[appendIndex]] (gen g+1, append): assign each row to
     * its cells/buckets with the META's pinned geometry and write under the
@@ -491,10 +509,14 @@ object Similarity extends Logging {
       idxDir: String, overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     val g = lit(gen).as("gen")
+    // declared attribute columns ride every posting as plain data columns
+    // (the candidateFilter predicate surface — parquet-pushdown-able)
+    val attrs = meta.attr_cols.getOrElse(Nil).map(col)
     meta.method match {
       case "quantized" =>
-        c.select(g, col("id"), VectorFunctions.quantize_vec(col("vec")).as("q"),
-            col("vec"))
+        c.select(g +: col("id") +:
+            VectorFunctions.quantize_vec(col("vec")).as("q") +:
+            col("vec") +: attrs: _*)
           .write.mode(mode).partitionBy("gen").parquet(idxDir)
       case "ivf" =>
         // assignment clamps to the trained centroid count exactly like
@@ -502,17 +524,18 @@ object Similarity extends Logging {
         val assignN = math.min(meta.n_assign.get, meta.vectors.get.length)
         val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
             col("vec"), meta.vectors.get, assignN)))
-          .select(g, col("cell"), col("id"), col("vec"))
+          .select(g +: col("cell") +: col("id") +: col("vec") +: attrs: _*)
           .write.mode(mode)
         (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("gen", "cell")
          else w.partitionBy("gen"))
           .parquet(idxDir)
       case "lsh" =>
         val ppt = meta.planes_per_table.get
-        val w = c.select(col("id"), col("vec"),
+        val w = c.select(col("id") +: col("vec") +:
             posexplode(VectorFunctions.sign_buckets(col("vec"),
-              meta.vectors.get, ppt)).as(Seq("tbl", "bucket")))
-          .select(g, col("tbl"), col("bucket"), col("id"), col("vec"))
+              meta.vectors.get, ppt)).as(Seq("tbl", "bucket")) +: attrs: _*)
+          .select(g +: col("tbl") +: col("bucket") +: col("id") +:
+            col("vec") +: attrs: _*)
           .write.mode(mode)
         (if (meta.n_tables.get.toLong * (1L << ppt) <= MaxPartitionedCells)
            w.partitionBy("gen", "tbl", "bucket")
@@ -566,10 +589,21 @@ object Similarity extends Logging {
         "layout (no gen partition) — rebuild it once with knn_index; " +
         "appends commit through generations")
     // appended postings must match the stored column types exactly or the
-    // parquet read would mix schemas (e.g. array<float> vs array<double>)
+    // parquet read would mix schemas (e.g. array<float> vs array<double>);
+    // declared attribute columns must arrive with the batch — an appended
+    // row without them would read NULL under every candidateFilter
+    val attrCols = meta.attr_cols.getOrElse(Nil)
+    val missingAttrs = attrCols.filterNot(newRows.columns.contains)
+    require(missingAttrs.isEmpty,
+      s"appendIndex: the index at '$indexPath' stores attribute column(s) " +
+        s"${attrCols.mkString(", ")} but the batch lacks " +
+        s"${missingAttrs.mkString(", ")} — appended rows would read NULL " +
+        "under every candidateFilter; supply the columns or rebuild " +
+        "without attributeColumns")
     val c = newRows.select(
-      col(idCol).cast(postings.schema("id").dataType).as("id"),
-      col(vecCol).cast(postings.schema("vec").dataType).as("vec"))
+      col(idCol).cast(postings.schema("id").dataType).as("id") +:
+      col(vecCol).cast(postings.schema("vec").dataType).as("vec") +:
+      attrCols.map(a => col(a).cast(postings.schema(a).dataType).as(a)): _*)
     // ONE batch-sized agg computes the count, the batch's order-independent
     // content SIGNATURE (retry identity — see below), and the dim preflight
     // bounds (min == max == meta.dim over non-null vectors: a mixed-width
@@ -719,22 +753,24 @@ object Similarity extends Logging {
     // a search over it returns zero rows, which IS the corpus state.
     val liveRows = live.count()
     val g = lit(newGen).as("gen")
+    val attrs = meta.attr_cols.getOrElse(Nil).map(col)
     meta.method match {
       case "quantized" =>
         // flat layout: read-coalescing packs the accumulated small files
         // into maxPartitionBytes-sized tasks, which IS the compaction
-        live.select(g, col("id"), col("q"), col("vec"))
+        live.select(g +: col("id") +: col("q") +: col("vec") +: attrs: _*)
           .write.mode("append").partitionBy("gen").parquet(idxDir)
       case "ivf" =>
-        val w = live.select(g, col("cell"), col("id"), col("vec"))
+        val w = live.select(g +: col("cell") +: col("id") +: col("vec") +:
+            attrs: _*)
           .repartition(col("cell"))
           .write.mode("append")
         (if (meta.n_cells.get <= MaxPartitionedCells)
            w.partitionBy("gen", "cell")
          else w.partitionBy("gen")).parquet(idxDir)
       case "lsh" =>
-        val w = live.select(g, col("tbl"), col("bucket"), col("id"),
-            col("vec"))
+        val w = live.select(g +: col("tbl") +: col("bucket") +: col("id") +:
+            col("vec") +: attrs: _*)
           .repartition(col("tbl"), col("bucket"))
           .write.mode("append")
         (if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
@@ -752,18 +788,21 @@ object Similarity extends Logging {
         !hpath(s"$idxDir/gen=$newGen").getFileSystem(
           spark.sparkContext.hadoopConfiguration)
           .exists(hpath(s"$idxDir/gen=$newGen"))) {
+      val attrNames = meta.attr_cols.getOrElse(Nil)
       val (leaf, dataCols) = meta.method match {
         case "quantized" =>
-          (s"$idxDir/gen=$newGen", Seq("id", "q", "vec"))
+          (s"$idxDir/gen=$newGen", Seq("id", "q", "vec") ++ attrNames)
         case "ivf" =>
           if (meta.n_cells.get <= MaxPartitionedCells)
-            (s"$idxDir/gen=$newGen/cell=0", Seq("id", "vec"))
-          else (s"$idxDir/gen=$newGen", Seq("cell", "id", "vec"))
+            (s"$idxDir/gen=$newGen/cell=0", Seq("id", "vec") ++ attrNames)
+          else (s"$idxDir/gen=$newGen", Seq("cell", "id", "vec") ++ attrNames)
         case "lsh" =>
           if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
               <= MaxPartitionedCells)
-            (s"$idxDir/gen=$newGen/tbl=0/bucket=0", Seq("id", "vec"))
-          else (s"$idxDir/gen=$newGen", Seq("tbl", "bucket", "id", "vec"))
+            (s"$idxDir/gen=$newGen/tbl=0/bucket=0",
+              Seq("id", "vec") ++ attrNames)
+          else (s"$idxDir/gen=$newGen",
+            Seq("tbl", "bucket", "id", "vec") ++ attrNames)
       }
       live.select(dataCols.map(col): _*).limit(0)
         .write.mode("overwrite").parquet(leaf)
@@ -1028,8 +1067,11 @@ object Similarity extends Logging {
     // pre-deletion-era meta: no tombstones committed (tomb_gen < tomb_base)
     val df4 = if (df3.columns.contains("tomb_gen")) df3
       else df3.withColumn("tomb_gen", lit(-1))
-    val df = if (df4.columns.contains("tomb_base")) df4
+    val df5 = if (df4.columns.contains("tomb_base")) df4
       else df4.withColumn("tomb_base", lit(0))
+    // pre-attribute-era meta: vectors-only postings
+    val df = if (df5.columns.contains("attr_cols")) df5
+      else df5.withColumn("attr_cols", lit(null).cast("array<string>"))
     df.as[AnnIndexMeta].head()
   }
 
@@ -1044,7 +1086,8 @@ object Similarity extends Logging {
     */
   def indexedTopK(queries: DataFrame, idCol: String, vecCol: String, k: Int,
       indexPath: String, nProbe: Int = 0, refine: Int = 4,
-      win: Option[(String, org.apache.spark.sql.Column)] = None): DataFrame = {
+      win: Option[(String, org.apache.spark.sql.Column)] = None,
+      candidateFilter: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
     // committed-generation fence: postings above the meta's generation are
@@ -1054,7 +1097,44 @@ object Similarity extends Logging {
     // pruning, not a data scan). A pre-generation-era index (no gen
     // column) reads whole. Active tombstones ([[deleteIndex]]) are
     // anti-joined out map-side (a broadcast of the takedown set).
-    val index = livePostings(spark, indexPath, meta)
+    val live = livePostings(spark, indexPath, meta)
+    // ATTRIBUTE-FILTERED search (candidateFilter): the predicate runs over
+    // the stored attribute columns INSIDE the candidate stage (pushed to
+    // the posting scan), never as a post-filter of the k results — so the
+    // k contract survives filtering. Guarantee-k routing: a filter
+    // matching almost nothing makes every probed cell run dry, so (a) a
+    // tiny filtered corpus (<= k × ExactFallbackFactor distinct rows)
+    // falls back to an EXACT scan of the filtered postings — full recall
+    // at negligible cost, and (b) ivf widens nProbe by 1/selectivity
+    // (clamped to all cells) so the probed cells still surface ~the
+    // unfiltered candidate volume. lsh has no query-time widening dial —
+    // below the fallback bar it goes exact; above it the thinned buckets
+    // are the documented recall trade.
+    val (index, selectivity): (DataFrame, Option[(Long, Long)]) =
+      candidateFilter match {
+        case None => (live, None)
+        case Some(f) =>
+          val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(f).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.name
+            }.distinct
+          val attrs = meta.attr_cols.getOrElse(Nil)
+          // the corpus id is always stored — `id` is a legal reference
+          val missing = refs.filterNot(n => attrs.contains(n) || n == "id")
+          require(missing.isEmpty,
+            s"candidateFilter references column(s) ${missing.mkString(", ")} " +
+              s"the index at '$indexPath' does not store — rebuild with " +
+              s"knn_index attributeColumns (stored: " +
+              s"${if (attrs.isEmpty) "none" else attrs.mkString(", ")})")
+          val filtered = live.filter(expr(f))
+          // routing price: ONE pushed-down (id, attrs)-column scan counts
+          // the filtered corpus; the live total is the meta's maintained
+          // n_rows — no unfiltered scan
+          (filtered, Some((filtered.select("id").distinct().count(),
+            math.max(1L, meta.n_rows))))
+      }
+    val exactFallback = selectivity.exists(_._1 <= k.toLong * ExactFallbackFactor)
     // STREAMING query frames are first-class for ivf/lsh (the stored
     // artifact makes streaming retrieval a stream-static join + ONE
     // stateful top-k aggregation): the broadcast hint stays off the stream
@@ -1070,6 +1150,26 @@ object Similarity extends Logging {
     val winExpr = win.map(_._2)
     val q = queries.select(Seq(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv")) ++ winCarry: _*)
+    if (exactFallback) {
+      // the filtered corpus is tiny — scan it exactly (full recall, the
+      // honest k guarantee; the scan is k × ExactFallbackFactor rows ×
+      // the broadcast query set, a rounding error next to any probe).
+      // Postings may carry one row per (cell|table) assignment — dedupe
+      // on id before scoring so no neighbor double-counts.
+      require(!streaming || meta.method != "quantized",
+        "indexedTopK over a quantized index is batch-only — store an ivf " +
+          "or lsh index for streaming retrieval")
+      logInfo(s"indexedTopK: candidateFilter matches only " +
+        s"${selectivity.get._1} of ${selectivity.get._2} corpus rows at " +
+        s"$indexPath — exact scan of the filtered postings " +
+        s"(<= ${k.toLong * ExactFallbackFactor} row fallback bar)")
+      val c = index.select(col("id").as("neighbor_id"),
+          col("vec").cast("array<double>").as("cv"))
+        .dropDuplicates("neighbor_id")
+      val scored = c.join(hint(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
+      return rankRows(scored, k, distinct = false, win = winExpr)
+    }
     meta.method match {
       case "quantized" =>
         require(!streaming && win.isEmpty,
@@ -1098,10 +1198,25 @@ object Similarity extends Logging {
         val kk = cents.length
         // auto-nProbe derives from the DECLARED nCells (meta.n_cells) then
         // clamps to the trained count — the exact arithmetic ivfTopK runs,
-        // so stored == rebuilt holds even when kmeans clamped the grid
-        val probeN = math.min(
+        // so stored == rebuilt holds even when kmeans clamped the grid.
+        // A candidateFilter WIDENS the probe count by 1/selectivity
+        // (clamped to all cells): each probed cell surfaces only ~sel of
+        // its postings, so probing base/sel cells restores the unfiltered
+        // candidate volume — the k contract and the recall contract both
+        // ride on candidate volume, not cell count.
+        val baseProbe =
           if (nProbe > 0) nProbe
-          else math.max(4, math.ceil(meta.n_cells.get / 3.0).toInt), kk)
+          else math.max(4, math.ceil(meta.n_cells.get / 3.0).toInt)
+        val widened = selectivity.fold(baseProbe) { case (nf, nl) =>
+          val sel = math.max(nf.toDouble / nl, 1.0 / kk)
+          math.ceil(baseProbe / sel).toInt
+        }
+        if (widened > baseProbe)
+          logInfo(s"indexedTopK: candidateFilter selectivity " +
+            f"${selectivity.get._1.toDouble / selectivity.get._2}%.3f " +
+            s"widened nProbe $baseProbe -> ${math.min(widened, kk)} " +
+            s"of $kk cells at $indexPath")
+        val probeN = math.min(widened, kk)
         val probed = q.withColumn("cell",
             explode(VectorFunctions.nearest_cells(col("qv"), cents, probeN)))
           .select(Seq(col("query_id"), col("qv"), col("cell")) ++ winCarry: _*)
@@ -1170,4 +1285,9 @@ case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     // tomb_base = tomb_gen + 1). tomb_gen < tomb_base = no active
     // tombstones; builds and pre-deletion metas read as (-1, 0)
     tomb_gen: Int = -1,
-    tomb_base: Int = 0)
+    tomb_base: Int = 0,
+    // ATTRIBUTE columns stored alongside every posting (plain data
+    // columns — the candidateFilter predicate surface, parquet-pushdown-
+    // able at search time). None = the index carries vectors only and
+    // filtered search is unavailable (rebuild with attributeColumns)
+    attr_cols: Option[Seq[String]] = None)

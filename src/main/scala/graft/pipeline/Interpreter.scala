@@ -308,7 +308,42 @@ object Interpreter extends Logging {
               "takedown set, and the deleted rows still hold their disk. " +
               "Fold with knn_index_compact (it physically drops " +
               "tombstoned postings and clears the set)"))
-        stale ++ frag ++ tombs ++ geom
+        // filtered-search selectivity pricing: ONE pushed-down
+        // (id, attrs)-column scan of the stored postings (the same eager
+        // class as the staleness count, behind the same probe flag);
+        // pathological selectivity is named BEFORE the search pays for it
+        val filterSel = t.candidateFilter match {
+          case Some(f) if meta.attr_cols.exists(_.nonEmpty) =>
+            val idx0 = df.sparkSession.read.parquet(s"$p/index.parquet")
+            val matched = idx0.filter(expr(f)).select("id").distinct().count()
+            val total = math.max(1L, meta.n_rows)
+            val sel = matched.toDouble / total
+            val kk = t.k.getOrElse(10)
+            if (sel >= KnnFilterSelWarn) Nil
+            else {
+              val route =
+                if (matched <= kk.toLong * 4) "the search falls back to " +
+                  "an exact scan of the filtered postings (full recall — " +
+                  "but the index bought nothing)"
+                else if (meta.method == "ivf") "ivf widens nProbe by " +
+                  "1/selectivity toward a full-index scan"
+                else if (meta.method == "lsh") "lsh buckets thin by the " +
+                  "same factor and queries can return FEWER than k rows " +
+                  "(no query-time widening dial)"
+                else "the quantized sketch scan reads the whole index to " +
+                  "keep ~nothing"
+              Seq(graft.observe.PlanAudit.Finding("warn",
+                KnnFilterLowSelectivity,
+                f"knn candidateFilter '$f' matches $matched of $total " +
+                  f"stored corpus rows (selectivity ${sel * 100}%.1f%%) at " +
+                  s"'$p' — $route. For a standing filter this selective, " +
+                  "build a PER-CATEGORY index over the filtered corpus " +
+                  "(knn_index on the filtered snapshot), or declare " +
+                  "method=exact over the filtered frame"))
+            }
+          case _ => Nil
+        }
+        stale ++ frag ++ tombs ++ filterSel ++ geom
       } catch {
         case scala.util.control.NonFatal(e) =>
           logInfo(s"[$specId] knn index staleness preflight skipped: " +
@@ -500,6 +535,15 @@ object Interpreter extends Logging {
   private val KnnTombstoneGensWarn = 4
   private val KnnPendingTombstones = "knn_pending_tombstones"
 
+  /** Filtered-search selectivity bar: a candidateFilter matching under
+    * this fraction of the stored corpus makes the index machinery work
+    * against itself — ivf widens probes toward a full scan, lsh buckets
+    * thin toward under-k results — and a per-category index (or
+    * method=exact over the filtered corpus) is the honest declaration.
+    */
+  private val KnnFilterSelWarn = 0.1
+  private val KnnFilterLowSelectivity = "knn_filter_low_selectivity"
+
   /** Windowed-state pricing: past ~32 live window generations per dims
     * cell the declaration reads as a sliding-window mis-sizing (a 1-hour
     * window with a 2-hour watermark is 3 generations; 32 means slide is
@@ -524,7 +568,7 @@ object Interpreter extends Logging {
   val specAuditFindings: Seq[String] =
     Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
       KnnStaleIndex, KnnFragmentedIndex, KnnPendingTombstones,
-      WindowedStateAmplification)
+      KnnFilterLowSelectivity, WindowedStateAmplification)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an
@@ -953,6 +997,26 @@ object Interpreter extends Logging {
       s"[$specId] knn seed=$v does not match the stored index at '$path' " +
         s"(built with seed=${meta.seed.fold("none")(_.toString)}) — drop " +
         "seed (the artifact pins it) or rebuild with knn_index"))
+    // a candidateFilter can only predicate on STORED attribute columns —
+    // surface the coverage gap as a config error here (with the [id]
+    // prefix), not from inside the search build
+    t.candidateFilter.foreach { f =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(f).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }.distinct
+      val attrs = meta.attr_cols.getOrElse(Nil)
+      // the corpus id is always stored — `id` is a legal reference
+      val missing = refs.filterNot(n => attrs.contains(n) || n == "id")
+      require(missing.isEmpty,
+        s"[$specId] knn candidateFilter references column(s) " +
+          s"${missing.mkString(", ")} the stored index at '$path' does " +
+          s"not carry (stored attributeColumns: " +
+          s"${if (attrs.isEmpty) "none" else attrs.mkString(", ")}) — " +
+          "rebuild the artifact with knn_index attributeColumns covering " +
+          "the predicate")
+    }
     meta
   }
 
@@ -1976,7 +2040,8 @@ object Interpreter extends Logging {
       val queries = src.withColumn(vecC, col(vecC).cast("array<double>"))
       val result = graft.operators.Similarity.indexedTopK(queries, idC,
         vecC, kk, p, nProbe = t.nProbe.getOrElse(0),
-        refine = t.refine.getOrElse(4), win = win)
+        refine = t.refine.getOrElse(4), win = win,
+        candidateFilter = t.candidateFilter)
       // the record key carries RANK (the top_k precedent): k rows per
       // query must survive compacted-topic last-write-wins semantics —
       // keyed by query alone, 9 of 10 neighbors would silently collapse
@@ -2006,7 +2071,8 @@ object Interpreter extends Logging {
         resolvePath(t.queryPath.get, dataDir, specId))
       val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
       val raw = graft.operators.Similarity.indexedTopK(queries, idC, vecC,
-        kk, p, nProbe = t.nProbe.getOrElse(0), refine = t.refine.getOrElse(4))
+        kk, p, nProbe = t.nProbe.getOrElse(0), refine = t.refine.getOrElse(4),
+        candidateFilter = t.candidateFilter)
       // quantized re-rank is oracle-exact → the same 6-dp rounding as the
       // direct route; ivf/lsh stay raw (recall-contract rows)
       val result =
@@ -2030,8 +2096,14 @@ object Interpreter extends Logging {
           "index (with timeColumn + every + watermark so heap state evicts)")
       val idC = t.idColumn.get; val vecC = t.column.get; val kk = t.k.get
       // vectors are stored array<float> (4-byte storage form); score in
-      // double like every x3 query so the config path hash-matches them
-      val corpus = df.withColumn(vecC, col(vecC).cast("array<double>"))
+      // double like every x3 query so the config path hash-matches them.
+      // candidateFilter pre-filters the CORPUS side (the frame carries its
+      // metadata columns here, no stored attributes needed): the filter
+      // composes with every method — exact/quantized stay oracle-exact on
+      // the filtered corpus, ivf trains+probes the filtered population
+      // (same recall contract, smaller cells), lsh buckets it
+      val corpus0 = df.withColumn(vecC, col(vecC).cast("array<double>"))
+      val corpus = t.candidateFilter.fold(corpus0)(f => corpus0.filter(expr(f)))
       val q0 = df.sparkSession.read.parquet(resolvePath(t.queryPath.get, dataDir, specId))
       val queries = t.queryFilter.fold(q0)(f => q0.filter(expr(f)))
         .withColumn(vecC, col(vecC).cast("array<double>"))
@@ -2085,7 +2157,8 @@ object Interpreter extends Logging {
         nCells = t.nCells.getOrElse(0), nAssign = t.nAssign.getOrElse(2),
         nTables = t.nTables.getOrElse(16),
         planesPerTable = t.planesPerTable.getOrElse(4),
-        dim = t.dim.getOrElse(0), seed = t.seed.getOrElse(42L))
+        dim = t.dim.getOrElse(0), seed = t.seed.getOrElse(42L),
+        attributeColumns = t.attributeColumns)
       // the report row is keyed by what was built (compacted-topic
       // semantics, same rule as profile's col_name)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))

@@ -104,6 +104,15 @@ class ObserveSpec extends SparkSuite {
       // the TOMBSTONED quantized index — same route, live postings now
       // anti-joined against the broadcast takedown set
       "r51_spec_knn_delete" -> knnScan,
+      // the ATTRIBUTE-FILTERED quantized index — same route, the filter
+      // pushed into the posting scan before the candidate stage
+      "r52_spec_knn_filtered" -> knnScan,
+      // the direct filtered exact route: the same corpus × broadcast-
+      // query scan over the pre-filtered frame
+      "r52_spec_knn_filtered_exact" -> knnScan,
+      // the GLOBAL percentile monitor: a condition-form left join against
+      // the ONE-row broadcast global baseline (the q11/q15 one-row cross)
+      "r52_spec_quantile_monitor_global" -> Set("nested_loop_join"),
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

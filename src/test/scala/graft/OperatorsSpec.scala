@@ -1463,6 +1463,95 @@ class OperatorsSpec extends SparkSuite {
     assert(preLsh.nonEmpty && postLsh.nonEmpty)
   }
 
+  test("indexedTopK candidateFilter: filter inside the candidate stage == exact over the filtered corpus; widening, fallback, k contract") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_filter").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exactFiltered = rows(Similarity.bruteForceTopK(
+      e.filter(col("label") < 4), q, "vec_id", "embedding", 10))
+    assert(exactFiltered != rows(Similarity.bruteForceTopK(e, q, "vec_id",
+      "embedding", 10)), "fixture: the filter must change the top-k")
+
+    // reserved attribute names refused at build
+    val bad = intercept[IllegalArgumentException] {
+      Similarity.buildIndex(e.withColumn("cell", col("label")), "vec_id",
+        "embedding", "quantized", s"$base/bad",
+        attributeColumns = Seq("cell"))
+    }
+    assert(bad.getMessage.contains("reserved"), bad.getMessage)
+
+    // quantized + filter: exact on the filtered corpus (the int8 propose
+    // runs over filtered postings only; the re-rank is exact) — and the
+    // attribute columns survive append and compact
+    val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+    Similarity.buildIndex(e.filter(col("vec_id") < cut), "vec_id",
+      "embedding", "quantized", s"$base/q", attributeColumns = Seq("label"))
+    Similarity.appendIndex(e.filter(col("vec_id") >= cut), "vec_id",
+      "embedding", s"$base/q")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/q", candidateFilter = Some("label < 4"))) == exactFiltered,
+      "quantized filtered search must equal the filtered-corpus exact oracle")
+    Similarity.compactIndex(spark, s"$base/q")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/q", candidateFilter = Some("label < 4"))) == exactFiltered,
+      "attributes must survive compaction")
+    // an append batch LACKING a stored attribute column is refused
+    val noAttr = intercept[IllegalArgumentException] {
+      Similarity.appendIndex(e.drop("label").limit(5), "vec_id",
+        "embedding", s"$base/q")
+    }
+    assert(noAttr.getMessage.contains("lacks"), noAttr.getMessage)
+
+    // EXACT FALLBACK: a filter matching <= k*4 distinct rows routes to
+    // the exact scan of the filtered postings — full recall guaranteed
+    val tiny = "label = 3 AND id % 2 = 0"
+    val tinyCorpus = e.filter(expr("label = 3 AND vec_id % 2 = 0"))
+    val nTiny = tinyCorpus.count()
+    assert(nTiny > 0 && nTiny <= 40, s"fixture: tiny filter matched $nTiny")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/q", candidateFilter = Some(tiny))) ==
+      rows(Similarity.bruteForceTopK(tinyCorpus, q, "vec_id",
+        "embedding", 10)),
+      "the tiny-filter fallback must equal the exact scan")
+
+    // ivf + filter: widened probes keep the k contract and the recall
+    // contract vs the FILTERED exact oracle; probed-all == filtered exact
+    Similarity.buildIndex(e, "vec_id", "embedding", "ivf", s"$base/i",
+      nCells = 16, nAssign = 2, attributeColumns = Seq("label"))
+    val ivfF = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/i", candidateFilter = Some("label < 4"))
+    val perQuery = ivfF.groupBy("query_id").count().collect()
+      .map(r => r.getLong(1)).toSet
+    assert(perQuery == Set(10L),
+      s"the k contract must survive filtering: got counts $perQuery")
+    val ivfPairs = rows(ivfF).map(t => (t._1, t._3))
+    val exactPairs = exactFiltered.map(t => (t._1, t._3))
+    val recall = ivfPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.85, s"filtered ivf recall $recall")
+    val allowedIds = e.filter(col("label") < 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfPairs.nonEmpty &&
+      ivfPairs.forall { case (_, n) => allowedIds.contains(n) },
+      "no filtered-out neighbor may leak into the results")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/i", nProbe = 16, candidateFilter = Some("label < 4"))) ==
+      exactFiltered, "probed-all filtered ivf must equal the filtered exact")
+
+    // a filter referencing an UNSTORED column is refused with the hint
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/n")
+    val uncovered = intercept[IllegalArgumentException] {
+      Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/n",
+        candidateFilter = Some("label < 4")).collect()
+    }
+    assert(uncovered.getMessage.contains("does not store"),
+      uncovered.getMessage)
+  }
+
   test("deleteIndex: deleting every posting folds to a readable empty generation (round-18 ADVICE recoverability)") {
     // the committed range then holds ZERO live postings — the old
     // compaction wrote no gen directory, recounted -1, and aborted on

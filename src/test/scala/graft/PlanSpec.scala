@@ -285,6 +285,13 @@ class PlanSpec extends SparkSuite {
       // the TOMBSTONED quantized index: the same candidate scan with the
       // broadcast takedown anti-join applied to the live postings
       "r51_spec_knn_delete",
+      // the ATTRIBUTE-FILTERED routes: the same candidate scan over the
+      // filter-pruned postings (stored) / pre-filtered frame (direct)
+      "r52_spec_knn_filtered", "r52_spec_knn_filtered_exact",
+      // the GLOBAL percentile monitor attaches its ONE-row broadcast
+      // baseline via a condition-form left join (the q11/q15 one-row
+      // cross shape — a BNLJ against exactly one row)
+      "r52_spec_quantile_monitor_global",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

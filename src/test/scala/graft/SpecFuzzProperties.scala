@@ -844,6 +844,18 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         te(TransformOp(op = "knn_index_append", column = Some("embedding"),
           idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"),
           nCells = Some(8))),
+      "knn attributeColumns (a build-time declaration)" -> te(TransformOp(
+        op = "knn", column = Some("embedding"), idColumn = Some("vec_id"),
+        k = Some(10), queryPath = Some("/tmp/q"),
+        attributeColumns = Seq("label"))),
+      "knn_index candidateFilter (a search-time knob)" -> te(TransformOp(
+        op = "knn_index", method = Some("quantized"),
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some("/tmp/idx"), candidateFilter = Some("label < 4"))),
+      "knn_index attributeColumns with a reserved name" -> te(TransformOp(
+        op = "knn_index", method = Some("quantized"),
+        column = Some("embedding"), idColumn = Some("vec_id"),
+        indexPath = Some("/tmp/idx"), attributeColumns = Seq("gen"))),
       "shingle_index_retract without historyPath" -> te(TransformOp(
         op = "shingle_index_retract", idColumn = Some("doc_id"))),
       "shingle_index_retract without idColumn" -> te(TransformOp(

@@ -1126,6 +1126,63 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("GLOBAL (dims-empty) windowed percentile monitor: streams vs the one-row " +
+      "global baseline, equals the batch build across a restart") {
+    // round-18 VERDICT #5: the corpus-wide percentile monitor without a
+    // dummy stratum — cells are windows alone, the baseline join is a
+    // condition-form broadcast left join against ONE row, category NULL
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_wquantg")
+    graft.operators.Profile.quantileSketches(
+        Seq((1L, 40.0), (2L, 50.0), (3L, 60.0)).toDF("event_id", "v"),
+        Nil, "v")
+      .write.mode("overwrite").parquet(s"$base/baseline")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"wquantg","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/baseline",
+         |  "column":"v","quantiles":[0.5],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours",
+         |  "maxAbsDelta":{"v.p50":100}}],
+         |"outputTopic":{"enabled":true,"name":"wquantg-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "v")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec,
+      mem, s"$base/table", Seq("window_start", "metric"),
+      Seq("n_new"), s"$base/ckpt")
+    val batch1 = Seq((1L, t(10, 5), 40.0), (2L, t(10, 15), 60.0))
+    val batch2 = Seq((3L, t(10, 40), 50.0),
+      (4L, t(11, 5), 500.0), (5L, t(11, 10), 600.0))
+    val q1 = start()
+    try { input.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(batch2: _*); q2.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("window_start", "metric", "category", "old_value",
+          "new_value", "n_new", "pass")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          r.getDouble(5), r.getBoolean(6))).toSet
+      val got = rows(spark.read.parquet(s"$base/table"))
+      val want = rows(graft.pipeline.Interpreter.values(
+        graft.pipeline.Interpreter.build(spark, spec,
+          eventsResolver(spark.createDataFrame(batch1 ++ batch2).toDF(cols: _*)))))
+      assert(got.nonEmpty && got == want,
+        s"stream-built $got != batch-built $want")
+      // the global form carries NULL category; 10:00 (median 50 after the
+      // late absorb) passes against the baseline's ~50; 11:00 violates
+      assert(got.forall(_._3.isEmpty), s"category must be NULL: $got")
+      val byW = got.groupBy(_._1)
+      assert(byW(t(10, 0)).forall(r => r._7 && r._6 == 3.0), s"$got")
+      assert(byW(t(11, 0)).forall(!_._7), s"$got")
+    } finally q2.stop()
+  }
+
   test("STREAMING knn against the stored index: query stream == batch twin across " +
       "a restart; unwindowed streaming needs an explicit unboundedOk") {
     // round-17 directive #6: the stored artifact makes streaming retrieval
