@@ -281,6 +281,21 @@ object Queries {
          |"filter":"value > 100 AND event_type = 'purchase'",
          |"outputTopic":{"enabled":true,"name":"events-filtered"}}""".stripMargin)
 
+  /** The STAGE-ORDERED filter op (r53 — vs the spec-level `filter` field,
+    * which applies after every transform): the same predicate as
+    * r21_filter, declared as a transform stage — proving the two forms
+    * agree where their placement cannot differ (a single filter). Its
+    * real use is ordering: an ingest-batch cut ahead of a maintenance
+    * verb, a serving view ahead of a knn (examples/daily_maintenance.yml).
+    */
+  def r53SpecFilterStage(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"filter-stage","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"filter",
+         |  "expression":"value > 100 AND event_type = 'purchase'"}],
+         |"outputTopic":{"enabled":true,"name":"filter-stage-out"}}""".stripMargin)
+
   /** Spec-level TRANSFORM stage (round-7): the x14 pipeline's quality-filter
     * stage plus exact dedup, driven entirely from JSON config — the
     * reference's config-first essence (AggregationDefinition.java:7-130)
@@ -4609,6 +4624,10 @@ object Queries {
       // the DIRECT filtered route narrows the corpus before the exact
       // scan — the same filtered-corpus oracle as the stored route
       ("r52_spec_knn_filtered_exact" -> oracles0("r52_spec_knn_filtered")) +
+      // the stage-ordered filter op applies the same predicate as the
+      // spec-level filter field — same oracle (a single filter cannot
+      // observe its own placement)
+      ("r53_spec_filter_stage" -> oracles0("r21_filter")) +
       // the stored-shingle incremental screen reproduces the from-raw
       // cross-snapshot novelty filter exactly (the artifact IS the frame
       // jaccardPairsBetween builds internally)
@@ -4799,6 +4818,7 @@ object Queries {
     "r52_spec_knn_filtered_exact" -> r52SpecKnnFilteredExact _,
     "r52_spec_knn_filtered_ivf" -> r52SpecKnnFilteredIvf _,
     "r52_spec_quantile_monitor_global" -> r52SpecQuantileMonitorGlobal _,
+    "r53_spec_filter_stage" -> r53SpecFilterStage _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

@@ -786,6 +786,13 @@ case class TransformOp(
   }
 
   private def validateOp(where: String): Unit = op match {
+    case "filter" =>
+      require(expression.isDefined,
+        s"[$where] filter requires expression (a SQL predicate over the " +
+          "stage's columns). The transform-stage form filters BEFORE the " +
+          "following stages (an ingest-batch cut ahead of a maintenance " +
+          "verb, a serving view ahead of a knn); the spec-level `filter` " +
+          "field applies AFTER every transform")
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
         s"[$where] dedup_exact requires dupColumns and tieBreak")

@@ -1022,6 +1022,12 @@ object Interpreter extends Logging {
 
   private[graft] def applyTransform(df: DataFrame, t: TransformOp,
       dataDir: Option[String], specId: String): DataFrame = t.op match {
+    case "filter" =>
+      // the STAGE-ordered predicate (vs the spec-level `filter` field,
+      // which applies after every transform): an ingest-batch cut ahead
+      // of a maintenance verb, a serving view ahead of a knn. Row-
+      // preserving, streaming-legal, and Catalyst pushes it into the scan
+      df.filter(expr(t.expression.get))
     case "dedup_exact" if df.isStreaming =>
       // the unbounded-state commitment must be EXPLICIT (round-8 judge):
       // either bound it with a TTL or acknowledge it with unboundedOk

@@ -103,6 +103,21 @@ class DoctorSpec extends SparkSuite {
       .map(_.toString).filter(p => p.endsWith(".yml") || p.endsWith(".yaml"))
       .toSeq.sorted
     assert(fixtures.nonEmpty, "no example fixtures found under examples/")
+    // daily_maintenance.yml assumes crawl-time artifacts exist (its header
+    // names them); the prep stands in for the crawl jobs so the fixture
+    // can run its whole maintenance loop end to end at preflight
+    locally {
+      val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") < 400), "doc_id", "text", 3)
+        .write.mode("overwrite")
+        .parquet("/tmp/graft_examples/dm/doc_shingles")
+      graft.operators.Drift.scalarSummary(
+          spark.read.parquet(s"${sf()}/events.parquet")
+            .filter(col("user_id") < 8), Seq("value"), Seq("event_type"))
+        .write.mode("overwrite")
+        .parquet("/tmp/graft_examples/dm/event_stats")
+    }
     fixtures.foreach { p =>
       if (p.endsWith(".warn.yml") || p.endsWith(".warn.yaml")) {
         val (code, out) = runDoctor(p, sf())

@@ -252,6 +252,13 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         indexPath = Some(s"$dir/idx"))))
     }
 
+  property("valid filter analyzes (stage-ordered predicate)") =
+    Prop.forAll(Gen.oneOf("value > 100", "event_type = 'purchase'",
+        "user_id % 2 = 0 AND value IS NOT NULL")) { e =>
+      analyzes(simple("fz-filter", "events",
+        TransformOp(op = "filter", expression = Some(e))))
+    }
+
   property("valid knn_index_delete analyzes (tombstones a stored index, all methods)") =
     // eager like the other maintenance verbs: the case builds a real
     // index and the delete declaration commits the frame's ids as a
@@ -844,6 +851,7 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         te(TransformOp(op = "knn_index_append", column = Some("embedding"),
           idColumn = Some("vec_id"), indexPath = Some("/nowhere/idx"),
           nCells = Some(8))),
+      "filter without expression" -> te(TransformOp(op = "filter")),
       "knn attributeColumns (a build-time declaration)" -> te(TransformOp(
         op = "knn", column = Some("embedding"), idColumn = Some("vec_id"),
         k = Some(10), queryPath = Some("/tmp/q"),

@@ -1126,6 +1126,93 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("monitor baseline refresh: an IN-PLACE overwrite mid-stream FAILS the " +
+      "next micro-batch; the restart reprocesses it against the refreshed baseline") {
+    // round-18 VERDICT #4: at 100 TB the monitor runs for months across
+    // weekly merge_scalar_summaries refreshes — whether a swapped baseline
+    // artifact takes effect at the next micro-batch or needs a restart was
+    // untested. THIS pins the actual contract, which is harsher than
+    // "restart required": the stream-static join caches the baseline's
+    // FILE INDEX at query start, so an in-place overwrite (which deletes
+    // the old part files) makes the next micro-batch FAIL with
+    // FAILED_READ_FILE — it never silently serves either baseline. The
+    // recovery is exactly a restart: the failed batch's offsets were
+    // logged before execution, so the restarted query REPROCESSES that
+    // batch against the refreshed baseline and the monitor self-heals.
+    // Production cadence (DEPLOY): pair every in-place refresh with a
+    // monitor restart — or write the new baseline to a fresh path and
+    // restart onto it for a failure-free swap.
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_wrefresh")
+    def writeBaseline(mean: Double): Unit =
+      graft.operators.Drift.scalarSummary(
+          Seq((1L, "a", mean - 5.0), (2L, "a", mean + 5.0))
+            .toDF("event_id", "cat", "v"),
+          Seq("v"), Seq("cat"))
+        .write.mode("overwrite").parquet(s"$base/baseline")
+    writeBaseline(15.0)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"wrefresh","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$base/baseline",
+         |  "numericColumns":["v"],"groupColumns":["cat"],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours"}],
+         |"outputTopic":{"enabled":true,"name":"wrefresh-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "cat", "v")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    def start() = StreamRunner.startSnapshotSink(spark, spec, mem,
+      s"$base/table", Seq("window_start", "category", "metric"),
+      Seq("n_new"), s"$base/ckpt")
+    def oldMeanAt(w: java.sql.Timestamp): Option[Any] = {
+      val r = spark.read.parquet(s"$base/table")
+        .filter(col("metric") === "mean" && col("window_start") === w)
+        .select("old_value").collect()
+      assert(r.length == 1, r.mkString(", "))
+      Option(r.head.get(0))
+    }
+    val q1 = start()
+    try {
+      input.addData((1L, t(10, 5), "a", 15.0)); q1.processAllAvailable()
+      assert(oldMeanAt(t(10, 0)).contains(15.0),
+        "the 10:00 cell must read the start-time baseline")
+      // REFRESH the artifact IN PLACE mid-stream (the weekly merge
+      // landing) and land another window WITHOUT restarting: the cached
+      // file index references the deleted part files — the batch FAILS
+      // loudly (never a silent half-baseline)
+      writeBaseline(100.0)
+      input.addData((2L, t(11, 5), "a", 15.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      def chain(e: Throwable): Seq[String] =
+        if (e == null) Nil else e.toString +: chain(e.getCause)
+      assert(chain(ex).exists(m => m.contains("FAILED_READ_FILE") ||
+        m.contains("FileNotFoundException")),
+        s"PINNED CONTRACT CHANGED: the in-place overwrite used to fail " +
+          s"the batch with FAILED_READ_FILE, got: ${chain(ex).mkString(" <- ")}")
+    } finally q1.stop()
+    // the RESTART self-heals: the failed batch's offsets were logged, so
+    // it REPROCESSES against the refreshed baseline
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(oldMeanAt(t(11, 0)).contains(100.0),
+        "the restarted monitor must reprocess the failed batch against " +
+          "the refreshed baseline")
+      input.addData((3L, t(12, 5), "a", 15.0)); q2.processAllAvailable()
+      assert(oldMeanAt(t(12, 0)).contains(100.0),
+        "post-restart cells must read the refreshed baseline")
+      // the pre-refresh cell keeps its emitted value (last-write-wins per
+      // cell; nothing rewrites 10:00)
+      assert(oldMeanAt(t(10, 0)).contains(15.0),
+        "pre-refresh cells must keep their emitted baseline values")
+    } finally q2.stop()
+  }
+
   test("GLOBAL (dims-empty) windowed percentile monitor: streams vs the one-row " +
       "global baseline, equals the batch build across a restart") {
     // round-18 VERDICT #5: the corpus-wide percentile monitor without a
