@@ -150,6 +150,47 @@ class DoctorSpec extends SparkSuite {
     }
   }
 
+  test("Doctor: pending tombstones and low-selectivity candidateFilters are priced at preflight") {
+    // the round-19 maintenance advisories fire from the meta / one
+    // attr-column scan BEFORE the search pays: an index carrying 4+
+    // active tombstone generations owes a compact, and a standing filter
+    // under 10% selectivity should become a per-category index
+    val base = tempDir("graft_doctor_advice")
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding",
+        "label")
+    graft.operators.Similarity.buildIndex(e, "vec_id", "embedding",
+      "quantized", s"$base/idx", attributeColumns = Seq("label"))
+    (0 until 4).foreach { i =>
+      graft.operators.Similarity.deleteIndex(
+        e.filter(col("vec_id") % 101 === i), "vec_id", s"$base/idx")
+    }
+    def spec(extra: String) = write(s"knn_adv${extra.hashCode}.json",
+      s"""{"id":"knn-advice","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3"$extra,
+         |  "indexPath":"$base/idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-advice-out"}}""".stripMargin)
+    val (c1, o1) = runDoctor(spec(""), sf())
+    assert(c1 == 0, o1)
+    assert(o1.contains("knn_pending_tombstones") &&
+      o1.contains("knn_index_compact"), o1)
+    // a SELECTIVE standing filter (~5% of the corpus) draws the
+    // selectivity advisory naming the per-category-index remedy
+    val (c2, o2) = runDoctor(
+      spec(""","candidateFilter":"label = 0 AND id % 2 = 0""""), sf())
+    assert(c2 == 0, o2)
+    assert(o2.contains("knn_filter_low_selectivity") &&
+      o2.contains("PER-CATEGORY"), o2)
+    // a healthy-selectivity filter (~40%) does NOT draw it
+    val (c3, o3) = runDoctor(
+      spec(""","candidateFilter":"label < 4""""), sf())
+    assert(c3 == 0 && !o3.contains("knn_filter_low_selectivity"), o3)
+  }
+
   test("Doctor: low-threshold embedding dedup over a large corpus warns at preflight; design regime passes") {
     // the one remaining 100 TB trap of round 13, now config-visible: a
     // dedup_near method=embedding declaration is priced through the LSH
