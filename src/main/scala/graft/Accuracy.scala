@@ -432,6 +432,35 @@ object Accuracy {
       sideMetric("new_side", ev, estOf("new_value")))
   }
 
+  private def checkQuantileDriftGlobal: Check = (spark, dir) => {
+    // the BATCH quantilePath leg's GLOBAL (dims-empty) form (r53 — the
+    // round-19 symmetry lift): one row per quantile between the two
+    // crawls' one-row global rollups; each side within the X26
+    // ±1%-of-rank bound of its own population's exact order statistics
+    val got = Queries.all("r53_spec_drift_quantile_global")(spark, dir)
+    val ev = events(spark, dir)
+    val qs = Seq(0.5 -> "p50", 0.9 -> "p90")
+    def estOf(valueCol: String): DataFrame =
+      got.agg(max(when(col("metric") === "p50", col(valueCol))).as("p50"),
+          max(when(col("metric") === "p90", col(valueCol))).as("p90"))
+        .withColumn("__g", lit(1))
+    def sideMetric(scope: String, raw: DataFrame, est: DataFrame): Metric = {
+      val devs = rankDeviations(raw.withColumn("__g", lit(1)), Seq("__g"),
+        "value", est, qs)
+      Metric("quantile_rank_slack_ratio", scope,
+        if (devs.isEmpty) Double.NaN else devs.map(slackRatio).max, 1L,
+        1.0, devs.size == 1 && devs.forall(_._4))
+    }
+    val catNull = got.filter(col("category").isNotNull).count()
+    Seq(
+      sideMetric("old_side", ev.filter(col("user_id") < 8),
+        estOf("old_value")),
+      sideMetric("new_side", ev, estOf("new_value")),
+      // the global form carries NULL category (the monitors' convention)
+      Metric("category_is_null", "__all__", catNull.toDouble, 1L, 0.0,
+        got.count() > 0 && catNull == 0))
+  }
+
   private def checkQuantileMonitor: Check = (spark, dir) => {
     // the windowed quantilePath monitor (r48): the NEW side's per-(window,
     // event_type) cell estimates and the OLD side's stored-baseline
@@ -804,6 +833,7 @@ object Accuracy {
     "r51_spec_knn_ivf_delete" -> checkKnnIvfDelete,
     "r52_spec_knn_filtered_ivf" -> checkKnnFiltered,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
+    "r53_spec_drift_quantile_global" -> checkQuantileDriftGlobal,
     "r48_spec_quantile_monitor" -> checkQuantileMonitor,
     "r52_spec_quantile_monitor_global" -> checkQuantileMonitorGlobal,
     "x5_pack" -> packMetrics("x5_pack"),
@@ -961,6 +991,17 @@ object Accuracy {
         |     date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
         |     FROM events WHERE event_type IS NOT NULL) __c),
         |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    // the GLOBAL batch percentile drift: exactly one cell per side, plus
+    // the NULL-category convention pin
+    "r53_spec_drift_quantile_global" ->
+      """SELECT 'quantile_rank_slack_ratio' AS metric, 'old_side' AS scope,
+        |  1 AS n_ref, CAST(1.0 AS DOUBLE) AS bound, true AS pass
+        |UNION ALL
+        |SELECT 'quantile_rank_slack_ratio', 'new_side',
+        |  1, CAST(1.0 AS DOUBLE), true
+        |UNION ALL
+        |SELECT 'category_is_null', '__all__',
+        |  1, CAST(0.0 AS DOUBLE), true""".stripMargin,
     // the GLOBAL windowed percentile monitor: one old-side cell (the
     // whole baseline slice), one new-side cell per distinct event hour
     "r52_spec_quantile_monitor_global" ->

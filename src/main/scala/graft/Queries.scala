@@ -281,6 +281,31 @@ object Queries {
          |"filter":"value > 100 AND event_type = 'purchase'",
          |"outputTopic":{"enabled":true,"name":"events-filtered"}}""".stripMargin)
 
+  /** GLOBAL batch percentile drift (r53 — the dims-empty quantilePath
+    * form, closing the last global/grouped asymmetry): corpus-wide
+    * p50/p90 drift between the stored crawl-N sketch (one global row) and
+    * the incoming snapshot — no dims declared, category NULL, one row per
+    * quantile. Estimates → accuracy-contract row
+    * (Accuracy.checkQuantileDriftGlobal: both sides within the X26
+    * ±1%-of-rank bound, at every SF).
+    */
+  def r53SpecDriftQuantileGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    graft.operators.Profile.quantileSketches(
+        spark.read.parquet(s"$dir/events.parquet").filter(col("user_id") < 8),
+        Nil, "value")
+      .write.mode("overwrite").parquet(s"$base/event_qsk_gbatch.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"drift-quantile-global","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "quantilePath":"$base/event_qsk_gbatch.parquet",
+         |  "column":"value","quantiles":[0.5, 0.9]}],
+         |"outputTopic":{"enabled":true,"name":"drift-quantile-global-out"}}""".stripMargin)
+      .select("col_name", "metric", "category",
+        "old_value", "new_value", "delta")
+  }
+
   /** The STAGE-ORDERED filter op (r53 — vs the spec-level `filter` field,
     * which applies after every transform): the same predicate as
     * r21_filter, declared as a transform stage — proving the two forms
@@ -4819,6 +4844,7 @@ object Queries {
     "r52_spec_knn_filtered_ivf" -> r52SpecKnnFilteredIvf _,
     "r52_spec_quantile_monitor_global" -> r52SpecQuantileMonitorGlobal _,
     "r53_spec_filter_stage" -> r53SpecFilterStage _,
+    "r53_spec_drift_quantile_global" -> r53SpecDriftQuantileGlobal _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

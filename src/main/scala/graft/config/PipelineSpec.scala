@@ -617,7 +617,9 @@ case class TransformOp(
     // quantilePath points a PERCENTILE drift leg at the OLD snapshot's
     // stored mergeable quantile-sketch table (the X26 artifact —
     // quantile_rollup's keepSketch form), declared with groupColumns (the
-    // sketch dims) + column (the measure on the new snapshot) + quantiles
+    // sketch dims; may be EMPTY for the GLOBAL form — corpus-wide
+    // percentiles, category NULL) + column (the measure on the new
+    // snapshot) + quantiles
     // — emits one row per (dimension cell, quantile) without declared
     // bins or a rescan of old raw data; a cell present on one side only
     // reports the missing side (and delta) as NULL, which VIOLATES a
@@ -1241,14 +1243,14 @@ case class TransformOp(
             "and column (the counted item on the new snapshot)")
       }
       quantilePath.foreach { _ =>
-        // the WINDOWED monitor supports the dims-empty GLOBAL form (cells
-        // are windows alone against a one-row global baseline); the batch
-        // leg's full-outer cell join needs at least one dimension
-        require((windowed || groupColumns.nonEmpty) && column.isDefined,
+        // groupColumns may be EMPTY on both forms — the GLOBAL percentile
+        // drift (windowed: cells are windows alone; batch: one row per
+        // quantile between the two crawls' one-row global rollups)
+        require(column.isDefined,
           s"[$where] snapshot_drift quantilePath (the stored quantile-" +
-            "sketch table) requires groupColumns (the sketch dimensions; " +
-            "the windowed monitor form may leave them empty for a global " +
-            "baseline) and column (the measure on the new snapshot)")
+            "sketch table) requires column (the measure on the new " +
+            "snapshot); groupColumns are the sketch dimensions and may " +
+            "be empty for a GLOBAL baseline")
         require(quantiles.nonEmpty,
           s"[$where] snapshot_drift quantilePath requires quantiles " +
             "(the percentiles to compare)")

@@ -768,8 +768,16 @@ object Drift extends Logging {
     def side(sk: DataFrame, prefix: String): DataFrame =
       Profile.rollupQuantiles(sk, dims, quantiles)
         .select(dims.map(col) ++ labels.map(l => col(l).as(s"$prefix$l")): _*)
-    val j = side(oldSketches, "__o_").join(side(newSketches, "__n_"),
-      dims, "full_outer")
+    // dims may be EMPTY — the GLOBAL form (corpus-wide percentile drift
+    // between two crawls): each side's global rollup is EXACTLY one row
+    // (a global aggregation emits one row even over an empty sketch set,
+    // with NULL estimates — preserving the missing-side semantics), so
+    // the degenerate full-outer is a one-row × one-row cross
+    val j =
+      if (dims.isEmpty)
+        side(oldSketches, "__o_").crossJoin(side(newSketches, "__n_"))
+      else side(oldSketches, "__o_").join(side(newSketches, "__n_"),
+        dims, "full_outer")
     val rows = array(labels.map { l =>
       struct(lit(l).as("metric"),
         col(s"__o_$l").as("old_value"), col(s"__n_$l").as("new_value"),

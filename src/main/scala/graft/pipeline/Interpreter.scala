@@ -1733,8 +1733,11 @@ object Interpreter extends Logging {
       // under a bound that VIOLATES (gated's null-delta rule), the honest
       // outcome for a percentile of an absent population
       val quantLeg = t.quantilePath.map { p =>
+        // dims-empty = the GLOBAL form (no null-stratum exclusion — there
+        // is no stratum)
         val noNullDims: Column =
-          t.groupColumns.map(col(_).isNotNull).reduce(_ && _)
+          if (t.groupColumns.isEmpty) lit(true)
+          else t.groupColumns.map(col(_).isNotNull).reduce(_ && _)
         val oldSk = readQuantileArtifact(df.sparkSession,
           resolvePath(p, dataDir, specId), t.groupColumns, specId)
           .filter(noNullDims)
@@ -1747,11 +1750,16 @@ object Interpreter extends Logging {
           case None => graft.operators.Profile.quantileSketches(
             df.filter(noNullDims), t.groupColumns, t.column.get)
         }
+        // NULL category for the global form (the monitors' convention —
+        // concat_ws over zero dims would fabricate an empty-string stratum)
+        val cat =
+          if (t.groupColumns.isEmpty) lit(null).cast(StringType)
+          else concat_ws("/", t.groupColumns.map(c =>
+            col(c).cast(StringType)): _*)
         graft.operators.Drift.driftFromQuantileSketches(
             oldSk, newSk, t.groupColumns, t.numericQuantiles)
           .select(lit(t.column.get).as("col_name"), col("metric"),
-            concat_ws("/", t.groupColumns.map(c =>
-              col(c).cast(StringType)): _*).as("category"),
+            cat.as("category"),
             col("old_value"), col("new_value"), col("delta"))
       }
       // statsPath: the NUMERIC leg's stored no-rescan form — old side
