@@ -747,6 +747,42 @@ object Accuracy {
         probedAll.nonEmpty && probedAll == exactRanked))
   }
 
+  private def checkKnnFilteredLsh: Check = (spark, dir) => {
+    // the filtered-search family's lsh member (r53): lsh has no
+    // query-time widening dial, so the contract is STRUCTURAL instead of
+    // a recall bound — hyperplanes are data-independent, so the filtered
+    // STORED route must equal lshTopK over the FILTERED corpus
+    // bit-exactly (same buckets, same heap tie-break), and no
+    // filtered-out neighbor may leak. Recall vs the filtered exact oracle
+    // is thereby exactly the plain-lsh recall ON that sub-corpus — the
+    // documented bucket-thinning trade, not an extra loss.
+    val gotRanked = ranked3(Queries.all("r53_spec_knn_filtered_lsh")(spark, dir))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 5)
+    val rebuilt = ranked3(graft.operators.Similarity.lshTopK(
+      e.filter(col("label") < 4), q, "vec_id", "embedding", 10, dim = 64,
+      nTables = 16, planesPerTable = 4))
+    val agree =
+      if (rebuilt.isEmpty) 0.0
+      else gotRanked.intersect(rebuilt).size.toDouble /
+        gotRanked.union(rebuilt).size
+    val allowed = e.filter(col("label") < 4).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val leaks = gotRanked.count { case (_, _, n) => !allowed.contains(n) }
+    // n_ref is the filtered EXACT top-k cardinality (the r52 oracle's
+    // count — SQL-recomputable), not the lsh result count (bucket misses
+    // make that data-dependent in a way DuckDB cannot mirror)
+    val exactN = ranked3(graft.operators.Similarity.bruteForceTopK(
+      e.filter(col("label") < 4), q, "vec_id", "embedding", 10)).size.toLong
+    Seq(
+      Metric("filtered_stored_equals_filtered_rebuilt", "__all__", agree,
+        exactN, 1.0, gotRanked.nonEmpty && gotRanked == rebuilt),
+      Metric("no_filtered_out_neighbors", "__all__", leaks.toDouble,
+        exactN, 0.0, gotRanked.nonEmpty && leaks == 0))
+  }
+
   // ------------------------------------------------- packing / fingerprint
 
   private def packMetrics(queryName: String): Check = (spark, dir) => {
@@ -832,6 +868,7 @@ object Accuracy {
     "r47_spec_knn_ivf_append" -> checkKnnIvfAppend,
     "r51_spec_knn_ivf_delete" -> checkKnnIvfDelete,
     "r52_spec_knn_filtered_ivf" -> checkKnnFiltered,
+    "r53_spec_knn_filtered_lsh" -> checkKnnFilteredLsh,
     "r45_spec_drift_quantile" -> checkQuantileDrift,
     "r53_spec_drift_quantile_global" -> checkQuantileDriftGlobal,
     "r48_spec_quantile_monitor" -> checkQuantileMonitor,
@@ -1068,6 +1105,15 @@ object Accuracy {
          |SELECT 'probed_all_equals_exact', '__all__',
          |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))},
          |  CAST(1.0 AS DOUBLE), true""".stripMargin,
+    "r53_spec_knn_filtered_lsh" ->
+      s"""SELECT 'filtered_stored_equals_filtered_rebuilt' AS metric,
+         |  '__all__' AS scope,
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))} AS n_ref,
+         |  CAST(1.0 AS DOUBLE) AS bound, true AS pass
+         |UNION ALL
+         |SELECT 'no_filtered_out_neighbors', '__all__',
+         |  ${countOf(Queries.oracles("r52_spec_knn_filtered"))},
+         |  CAST(0.0 AS DOUBLE), true""".stripMargin,
     "x5_pack" -> packOracle,
     "r31_spec_pack" -> packOracle,
     "x5_fingerprint" ->

@@ -1083,6 +1083,37 @@ object Queries {
         "old_value", "new_value", "delta", "n_new")
   }
 
+  /** Declarative filtered lsh search (r53, the filtered-search family's
+    * lsh member): the stored lsh index carries the label attribute;
+    * candidateFilter thins the buckets (lsh has no query-time widening
+    * dial — the documented trade). Hyperplanes are data-independent, so
+    * the filtered stored route equals lshTopK OVER THE FILTERED CORPUS
+    * exactly — Accuracy.checkKnnFilteredLsh pins that equality, plus
+    * no-leak, at every SF.
+    */
+  def r53SpecKnnFilteredLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-attr-lsh","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"lsh","column":"embedding",
+         |  "idColumn":"vec_id","dim":64,"nTables":16,"planesPerTable":4,
+         |  "attributeColumns":["label"],
+         |  "indexPath":"$base/knn_attr_lsh"}],
+         |"outputTopic":{"enabled":true,"name":"attr-lsh-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-filtered-lsh","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"lsh","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "candidateFilter":"label < 4",
+         |  "indexPath":"$base/knn_attr_lsh"}],
+         |"outputTopic":{"enabled":true,"name":"knn-filtered-lsh-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** GLOBAL windowed percentile monitor (r52 — the round-18 VERDICT-#5
     * lift): dims-empty quantilePath monitoring, the corpus-wide p50/p90
     * per tumbling hour against a ONE-row global baseline sketch — no
@@ -4845,6 +4876,7 @@ object Queries {
     "r52_spec_quantile_monitor_global" -> r52SpecQuantileMonitorGlobal _,
     "r53_spec_filter_stage" -> r53SpecFilterStage _,
     "r53_spec_drift_quantile_global" -> r53SpecDriftQuantileGlobal _,
+    "r53_spec_knn_filtered_lsh" -> r53SpecKnnFilteredLsh _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

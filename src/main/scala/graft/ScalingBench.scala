@@ -141,6 +141,12 @@ object ScalingBench {
     // window + a one-row broadcast baseline — scan-bound like the
     // grouped monitor
     "r52_spec_quantile_monitor_global",
+    // the global batch percentile drift: one sketch per side, one-row
+    // cross — scan-bound like the grouped r45 row
+    "r53_spec_drift_quantile_global",
+    // the filtered lsh search: build-with-attributes + the thinned
+    // bucket scan (the filter prunes the posting scan)
+    "r53_spec_knn_filtered_lsh",
     // the shingle-history compaction lifecycle (publish + append + FOLD +
     // screen — the fold is a full artifact rewrite, so the row must track
     // total history bytes ≈ data ratio, like the knn compactor)

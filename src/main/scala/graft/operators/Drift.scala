@@ -775,7 +775,8 @@ object Drift extends Logging {
     // the degenerate full-outer is a one-row × one-row cross
     val j =
       if (dims.isEmpty)
-        side(oldSketches, "__o_").crossJoin(side(newSketches, "__n_"))
+        side(oldSketches, "__o_")
+          .crossJoin(broadcast(side(newSketches, "__n_")))
       else side(oldSketches, "__o_").join(side(newSketches, "__n_"),
         dims, "full_outer")
     val rows = array(labels.map { l =>

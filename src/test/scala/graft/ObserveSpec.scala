@@ -113,6 +113,9 @@ class ObserveSpec extends SparkSuite {
       // the GLOBAL percentile monitor: a condition-form left join against
       // the ONE-row broadcast global baseline (the q11/q15 one-row cross)
       "r52_spec_quantile_monitor_global" -> Set("nested_loop_join"),
+      // the GLOBAL batch percentile drift: the one-row x one-row
+      // broadcast cross of the two global sketch rollups
+      "r53_spec_drift_quantile_global" -> Set("nested_loop_join"),
       // one-row broadcast scalar crosses (corpus average / max-revenue row,
       // PLANS.md q11/q15) — a BNLJ against exactly one row is the designed
       // no-self-join shape

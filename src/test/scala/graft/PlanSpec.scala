@@ -292,6 +292,9 @@ class PlanSpec extends SparkSuite {
       // baseline via a condition-form left join (the q11/q15 one-row
       // cross shape — a BNLJ against exactly one row)
       "r52_spec_quantile_monitor_global",
+      // the GLOBAL batch percentile drift: a one-row x one-row broadcast
+      // cross of the two global rollups — the same sanctioned shape
+      "r53_spec_drift_quantile_global",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it
