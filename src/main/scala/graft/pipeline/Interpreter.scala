@@ -166,6 +166,42 @@ object Interpreter extends Logging {
           "vs the tumbling baseline (DEPLOY.md: live cells ~= dims cells " +
           "x generations, one aggregation buffer each). Widen slide or " +
           "every, or shrink the watermark (the eviction horizon)"))
+    case "dedup_near" if t.historyPath.isDefined && !df.isStreaming =>
+      // pending-retraction advisory for the stored-history screen — the
+      // knn_pending_tombstones discipline on the text side: every screen
+      // anti-joins the `_tombstones` set, and retracted rows hold their
+      // disk until a shingle_index_compact drops them. NORMAL between
+      // weekly compacts, so the bar is a retraction set reaching 10% of
+      // the history's rows (one small side-file read + a parquet footer
+      // count, behind the same probe flag as the knn staleness count).
+      val probeOn = df.sparkSession.conf
+        .get("spark.graft.preflightProbe", "true").toBoolean
+      if (!probeOn) Nil
+      else try {
+        val p = resolvePath(t.historyPath.get, dataDir, specId)
+        shingleTombstones(df.sparkSession, p) match {
+          case Some(tb) =>
+            val tombs = tb.count()
+            val histRows = math.max(1L,
+              df.sparkSession.read.parquet(p).count())
+            if (tombs == 0L || tombs * 10 < histRows) Nil
+            else Seq(graft.observe.PlanAudit.Finding("warn",
+              ShinglePendingRetractions,
+              s"historyPath '$p' carries $tombs pending retraction(s) " +
+                f"against $histRows history rows (${tombs * 100.0 / histRows}%.0f%%)" +
+                " — every screen anti-joins the set, re-publishing any of " +
+                "those ids is refused, and the rows hold their disk. Fold " +
+                "with shingle_index_compact (it physically drops the " +
+                "retracted rows and clears the set)"))
+          case None => Nil
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logInfo(s"[$specId] shingle retraction preflight skipped: " +
+            s"historyPath not readable at build time " +
+            s"(${e.getClass.getSimpleName})")
+          Nil
+      }
     case "dedup_near" if t.method.contains("embedding") && !df.isStreaming =>
       // corpus estimate from the optimizer's size statistic (compressed
       // bytes / packed vector width — a LOWER bound, the conservative
@@ -544,6 +580,14 @@ object Interpreter extends Logging {
   private val KnnFilterSelWarn = 0.1
   private val KnnFilterLowSelectivity = "knn_filter_low_selectivity"
 
+  /** Stored-history pending retractions (the knn tombstone advisory's
+    * text-side twin): shingle_index_retract tombstones accumulate in the
+    * `_tombstones` side file until a shingle_index_compact drops the rows
+    * and clears the set — every screen pays the anti-join meanwhile.
+    * Fires when the set reaches 10% of the history's rows.
+    */
+  private val ShinglePendingRetractions = "shingle_pending_retractions"
+
   /** Windowed-state pricing: past ~32 live window generations per dims
     * cell the declaration reads as a sliding-window mis-sizing (a 1-hour
     * window with a 2-hour watermark is 3 generations; 32 means slide is
@@ -568,7 +612,8 @@ object Interpreter extends Logging {
   val specAuditFindings: Seq[String] =
     Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
       KnnStaleIndex, KnnFragmentedIndex, KnnPendingTombstones,
-      KnnFilterLowSelectivity, WindowedStateAmplification)
+      KnnFilterLowSelectivity, ShinglePendingRetractions,
+      WindowedStateAmplification)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an

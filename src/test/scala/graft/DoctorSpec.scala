@@ -191,6 +191,34 @@ class DoctorSpec extends SparkSuite {
     assert(c3 == 0 && !o3.contains("knn_filter_low_selectivity"), o3)
   }
 
+  test("Doctor: a heavy pending-retraction set on the screen's history warns at preflight") {
+    // the knn tombstone advisory's text twin: a retraction set at 10% of
+    // the history's rows prices the per-screen anti-join + held disk and
+    // names the compact
+    val base = tempDir("graft_doctor_retract")
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    graft.operators.Dedup.shingleIndex(docs.filter(col("doc_id") < 100),
+        "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(s"$base/hist")
+    def screenSpec = write("retract_screen.json",
+      s"""{"id":"rt-screen","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"documents","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"dedup_near","method":"jaccard",
+         |  "column":"text","idColumn":"doc_id","shingleSize":3,
+         |  "threshold":0.8,"historyPath":"$base/hist"}],
+         |"outputTopic":{"enabled":true,"name":"rt-out"}}""".stripMargin)
+    // no retractions -> clean
+    val (c0, o0) = runDoctor(screenSpec, sf(), "--audit-fail")
+    assert(c0 == 0 && !o0.contains("shingle_pending_retractions"), o0)
+    // retract ~a third of the history -> the advisory fires
+    docs.filter(col("doc_id") < 30).select(col("doc_id").as("id"))
+      .write.mode("append").parquet(s"$base/hist/_tombstones.parquet")
+    val (c1, o1) = runDoctor(screenSpec, sf())
+    assert(c1 == 0, o1)
+    assert(o1.contains("shingle_pending_retractions") &&
+      o1.contains("shingle_index_compact"), o1)
+  }
+
   test("Doctor: low-threshold embedding dedup over a large corpus warns at preflight; design regime passes") {
     // the one remaining 100 TB trap of round 13, now config-visible: a
     // dedup_near method=embedding declaration is priced through the LSH
