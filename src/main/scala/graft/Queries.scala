@@ -1114,6 +1114,139 @@ object Queries {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Shared chain of the two MASS-DELETION contract rows (r54 — the
+    * round-19 directive-#1 verb hardening): build the quantized index,
+    * tombstone 40% OF THE CORPUS in one takedown batch (the GDPR-scale /
+    * licensing-purge shape the broadcast screen could not survive at
+    * 100 TB), then search through the stored route. `barRows` pins the
+    * tombstone broadcast bar for the search build: the default (None)
+    * keeps the 40% set under the bar → the BROADCAST anti-join route;
+    * Some(0) forces every tombstone set past the bar → the SHUFFLE
+    * anti-join route. Both rows hash-match the same
+    * rebuild-without-those-rows exact oracle — route choice is a plan
+    * shape, never a result.
+    */
+  private def knnMassDeleteChain(spark: SparkSession, dir: String,
+      tag: String, barRows: Option[Long]): DataFrame = {
+    val base = artifactBase(dir)
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 5 < 2).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$base/takedown_$tag.parquet")
+    runSpec(spark, dir,
+      s"""{"id":"build-mass-$tag","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_mass_$tag"}],
+         |"outputTopic":{"enabled":true,"name":"mass-index-report"}}""".stripMargin)
+    Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
+      s"""{"id":"takedown-mass-$tag","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"takedown_$tag","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index_delete","idColumn":"vec_id",
+         |  "indexPath":"$base/knn_mass_$tag"}],
+         |"outputTopic":{"enabled":true,"name":"mass-del-report"}}""".stripMargin),
+      new ParquetSourceResolver(base, TestdataCatalog)))
+    // the broadcast-vs-shuffle decision is baked in at PLAN BUILD (the
+    // livePostings cost rule reads the conf then), so pinning the conf
+    // around the spec build is enough — execution later in Verify/Bench
+    // keeps the chosen route
+    barRows.foreach(b =>
+      spark.conf.set("spark.graft.knn.tombBroadcastMaxRows", b.toString))
+    try runSpec(spark, dir,
+      s"""{"id":"knn-after-mass-$tag","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "indexPath":"$base/knn_mass_$tag"}],
+         |"outputTopic":{"enabled":true,"name":"knn-mass-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+    finally barRows.foreach(_ =>
+      spark.conf.unset("spark.graft.knn.tombBroadcastMaxRows"))
+  }
+
+  /** Mass deletion through the SHUFFLE anti-join route (the broadcast bar
+    * forced to 0): the scale-survival half of the r54 contract — a
+    * takedown set too big to broadcast still serves exact answers.
+    */
+  def r54SpecKnnMassDelete(spark: SparkSession, dir: String): DataFrame =
+    knnMassDeleteChain(spark, dir, "shuf", Some(0L))
+
+  /** The same mass deletion through the default BROADCAST route (the 40%
+    * set stays under the 1M-row bar at test SFs): both routes hash-match
+    * the same rebuild-minus oracle.
+    */
+  def r54SpecKnnMassDeleteBcast(spark: SparkSession, dir: String): DataFrame =
+    knnMassDeleteChain(spark, dir, "bcast", None)
+
+  /** PER-CATEGORY index family (r54 — round-19 directive #2, the
+    * `knn_filter_low_selectivity` advisory's named remedy automated):
+    * crawl time builds the quantized family partitioned on `label`
+    * (one routed sub-index per category under `attr=<value>/`); query
+    * time declares the equality candidateFilter `label = 3` — the search
+    * ROUTES to the label-3 sub-index (full recall over the category's own
+    * postings, no probe widening, no selectivity scan, advisory stood
+    * down) and hash-matches the filtered-corpus exact oracle.
+    */
+  def r54SpecKnnPerCategory(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-category-family","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "attributeColumns":["label"],
+         |  "partitionByAttribute":"label",
+         |  "indexPath":"$base/knn_family"}],
+         |"outputTopic":{"enabled":true,"name":"family-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-per-category","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "candidateFilter":"label = 3",
+         |  "indexPath":"$base/knn_family"}],
+         |"outputTopic":{"enabled":true,"name":"knn-category-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** R16 STRICT parse mode (r54 — round-19 directive #3): the parse_json
+    * stage under FAILFAST — the reference's throw posture
+    * (JsonStringToObjectMapper.java:46-55) — over the clean events feed.
+    * Same oracle as the lenient r16 row: on well-formed input the posture
+    * changes nothing (the InterpreterSpec corrupt-fixture pins prove the
+    * postures DIVERGE exactly on malformed input).
+    */
+  def r54SpecJsonStrict(spark: SparkSession, dir: String): DataFrame =
+    runSpec(spark, dir,
+      """{"id":"json-strict","processingMode":"SIMPLE_STREAM",
+        |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+        |"transform":[{"op":"parse_json","column":"props",
+        |  "jsonSchema":"k INT","outputField":"props_v",
+        |  "parseMode":"FAILFAST"}],
+        |"outputTopic":{"enabled":true,"name":"json-strict-out"}}""".stripMargin)
+      .select(col("event_id"), col("props_v.k").as("prop_k"))
+
+  /** The DLQ posture's clean-data twin (r54): malformed rows would be
+    * dropped and dead-lettered to dlqPath, but on the well-formed feed the
+    * output is identical to the lenient row — and the dead-letter
+    * directory holds zero payloads.
+    */
+  def r54SpecJsonDlq(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"json-dlq","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"parse_json","column":"props",
+         |  "jsonSchema":"k INT","outputField":"props_v",
+         |  "parseMode":"DLQ","dlqPath":"$base/json_dlq"}],
+         |"outputTopic":{"enabled":true,"name":"json-dlq-out"}}""".stripMargin)
+      .select(col("event_id"), col("props_v.k").as("prop_k"))
+  }
+
   /** GLOBAL windowed percentile monitor (r52 — the round-18 VERDICT-#5
     * lift): dims-empty quantilePath monitoring, the corpus-wide p50/p90
     * per tumbling hour against a ONE-row global baseline sketch — no
@@ -3990,6 +4123,31 @@ object Queries {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.vec_id % 10 <> 7)
         |WHERE rank <= 10""".stripMargin,
+    // the MASS-deletion rebuild-minus oracle (40% of the corpus gone):
+    // shared by the shuffle-route and broadcast-route rows — route choice
+    // is a plan shape, never a result
+    "r54_spec_knn_mass_delete" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.vec_id % 5 >= 2)
+        |WHERE rank <= 10""".stripMargin,
+    // the per-category ROUTED search: exact top-k among the label-3
+    // category only (the sub-index's whole corpus)
+    "r54_spec_knn_per_category" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label = 3)
+        |WHERE rank <= 10""".stripMargin,
     "x4_multimodal" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_hash
@@ -4641,6 +4799,14 @@ object Queries {
   // exact top-k (recall of the candidate stage is pinned in OperatorsSpec).
   val oracles: Map[String, String] =
     oracles0 + ("x2_jaccard_capped" -> oracles0("x2_jaccard_pairs")) +
+      // the mass-delete BROADCAST-route row shares the shuffle-route
+      // row's rebuild-minus oracle (route choice is a plan shape)
+      ("r54_spec_knn_mass_delete_bcast" ->
+        oracles0("r54_spec_knn_mass_delete")) +
+      // the strict and DLQ parse postures must be invisible on clean
+      // input — the lenient r16 row's oracle verbatim
+      ("r54_spec_json_strict" -> oracles0("r16_json_parse")) +
+      ("r54_spec_json_dlq" -> oracles0("r16_json_parse")) +
       // the spec-driven training pipeline must hash-match the code-path x14
       ("r22_spec_training" -> oracles0("x14_training_pipeline")) +
       ("x3_knn_quantized" -> oracles0("x3_knn_exact")) +
@@ -4877,6 +5043,11 @@ object Queries {
     "r53_spec_filter_stage" -> r53SpecFilterStage _,
     "r53_spec_drift_quantile_global" -> r53SpecDriftQuantileGlobal _,
     "r53_spec_knn_filtered_lsh" -> r53SpecKnnFilteredLsh _,
+    "r54_spec_knn_mass_delete" -> r54SpecKnnMassDelete _,
+    "r54_spec_knn_mass_delete_bcast" -> r54SpecKnnMassDeleteBcast _,
+    "r54_spec_knn_per_category" -> r54SpecKnnPerCategory _,
+    "r54_spec_json_strict" -> r54SpecJsonStrict _,
+    "r54_spec_json_dlq" -> r54SpecJsonDlq _,
     "x21_heavy_hitters" -> x21HeavyHitters _,
     "x22_pii_redact" -> x22PiiRedact _,
     "x23_repetition" -> x23Repetition _,

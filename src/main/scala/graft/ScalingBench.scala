@@ -147,6 +147,16 @@ object ScalingBench {
     // the filtered lsh search: build-with-attributes + the thinned
     // bucket scan (the filter prunes the posting scan)
     "r53_spec_knn_filtered_lsh",
+    // round-20 additions: the MASS-deletion lifecycle (build + one
+    // 40%-of-corpus tombstone commit + the size-aware anti-joined
+    // search) through the forced-shuffle route — the broadcast twin
+    // shares the cost class, so only the shuffle row rides the rungs
+    "r54_spec_knn_mass_delete",
+    // the per-category family: V sub-index builds (each a pushed-down
+    // category scan) + the ROUTED search (sub-corpus scan only) — the
+    // build half dominates and should track total corpus bytes × ~2
+    // (top index + the category partition of the same rows)
+    "r54_spec_knn_per_category",
     // the shingle-history compaction lifecycle (publish + append + FOLD +
     // screen — the fold is a full artifact rewrite, so the row must track
     // total history bytes ≈ data ratio, like the knn compactor)

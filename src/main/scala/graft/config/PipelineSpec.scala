@@ -665,7 +665,40 @@ case class TransformOp(
     // re-tokenizing it; the artifact's shingle_size column must match the
     // declared shingleSize (preflighted — mismatched shingle widths never
     // collide, which would silently read as "everything is novel")
-    historyPath: Option[String] = None) {
+    historyPath: Option[String] = None,
+    // parse_json (R16's strict-mode surface): jsonSchema is the parsed
+    // struct's DDL ("k INT, name STRING"), outputField the struct column
+    // appended; parseMode picks the malformed-input posture — PERMISSIVE
+    // (default; malformed → null fields, the reference's lenient-Jackson
+    // analogue), FAILFAST (throw on first malformed record — the
+    // reference's JsonStringToObjectMapper throw posture), or DLQ
+    // (malformed rows are DROPPED from the output and their raw payloads
+    // written to dlqPath — the reference's named-but-unimplemented
+    // dead-letter alternative; batch-only)
+    jsonSchema: Option[String] = None,
+    parseMode: Option[String] = None,
+    dlqPath: Option[String] = None,
+    // knn_index per-category family: build one routed sub-index per
+    // distinct value of this attribute column (must be listed in
+    // attributeColumns; bounded cardinality) — a consuming knn whose
+    // candidateFilter is the equality `<attr> = <value>` routes to the
+    // sub-index: full recall, no probe widening
+    partitionByAttribute: Option[String] = None,
+    // compaction grace window (knn_index_compact / shingle_index_compact):
+    // the folded layout outlives the commit — knn generation directories
+    // stay in place (invisible behind the base_gen fence, but an in-flight
+    // reader that listed them finishes instead of failing on a missing
+    // file); the shingle artifact's previous snapshot is retained as the
+    // `<path>.old` aside. The NEXT maintenance verb's sweep reclaims both
+    retainFolded: Boolean = false,
+    // windowed snapshot_drift monitors: how the STORED baseline is bound.
+    // Absent (default) = read once at query start (the pinned contract:
+    // an in-place overwrite mid-stream fails the next micro-batch;
+    // restart reprocesses against the refreshed values). "perBatch" =
+    // the foreachBatch re-read form — the baseline artifact is re-read
+    // at every micro-batch, so a weekly merge_* fold lands WITHOUT a
+    // monitor restart; start via StreamRunner.startRefreshingMonitor
+    baselineRefresh: Option[String] = None) {
 
   /** Weight maps cross Jackson with their values boxed by JSON token type
     * (a literal `1` arrives as java.lang.Integer inside the erased Map) —
@@ -795,6 +828,27 @@ case class TransformOp(
           "following stages (an ingest-batch cut ahead of a maintenance " +
           "verb, a serving view ahead of a knn); the spec-level `filter` " +
           "field applies AFTER every transform")
+    case "parse_json" =>
+      require(column.isDefined && jsonSchema.isDefined && outputField.isDefined,
+        s"[$where] parse_json requires column (the JSON string), " +
+          "jsonSchema (the parsed struct's DDL, e.g. \"k INT, name STRING\") " +
+          "and outputField (the struct column appended)")
+      jsonSchema.foreach { ddl =>
+        val ok = scala.util.Try(
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)).isSuccess
+        require(ok, s"[$where] parse_json jsonSchema '$ddl' is not valid " +
+          "struct DDL (example: \"k INT, name STRING\")")
+      }
+      require(parseMode.forall(Set("PERMISSIVE", "FAILFAST", "DLQ")),
+        s"[$where] parse_json parseMode '${parseMode.getOrElse("")}' unknown " +
+          "(PERMISSIVE — malformed input parses to null fields, the " +
+          "reference's lenient default; FAILFAST — throw on the first " +
+          "malformed record; DLQ — drop malformed rows from the output and " +
+          "write their raw payloads to dlqPath)")
+      require(parseMode.contains("DLQ") == dlqPath.isDefined,
+        s"[$where] parse_json dlqPath and parseMode=DLQ go together: DLQ " +
+          "needs the dead-letter directory, and a declared dlqPath under " +
+          "any other mode would silently never be written")
     case "dedup_exact" =>
       require(dupColumns.nonEmpty && tieBreak.isDefined,
         s"[$where] dedup_exact requires dupColumns and tieBreak")
@@ -1053,6 +1107,11 @@ case class TransformOp(
           s"column name(s) ${reservedAttr.mkString(", ")}")
       require(attributeColumns.distinct == attributeColumns,
         s"[$where] knn_index attributeColumns has duplicates")
+      require(partitionByAttribute.forall(attributeColumns.contains),
+        s"[$where] knn_index partitionByAttribute " +
+          s"'${partitionByAttribute.getOrElse("")}' must be one of " +
+          "attributeColumns (the routed equality filter predicates on the " +
+          "stored attribute)")
     case "knn_index_append" =>
       require(column.isDefined && idColumn.isDefined && indexPath.isDefined,
         s"[$where] knn_index_append requires column (the vector), idColumn " +
@@ -1112,6 +1171,16 @@ case class TransformOp(
       // declaration — each leg's row shape and state layout differ, and a
       // pipeline monitoring several legs declares several transforms.
       val windowed = validateWindowDecl(where)
+      require(baselineRefresh.isEmpty || windowed,
+        s"[$where] snapshot_drift baselineRefresh is a WINDOWED-monitor " +
+          "knob (how the live monitor binds its stored baseline); the " +
+          "batch form re-reads artifacts on every run already")
+      require(baselineRefresh.forall(_ == "perBatch"),
+        s"[$where] snapshot_drift baselineRefresh " +
+          s"'${baselineRefresh.getOrElse("")}' unknown — the one supported " +
+          "mode is \"perBatch\" (re-read the stored baseline every " +
+          "micro-batch via StreamRunner.startRefreshingMonitor); omit the " +
+          "field for the default read-once-at-start binding")
       if (windowed) {
         val declaredBaselines = Seq(
           "summaryPath" -> summaryPath.isDefined,

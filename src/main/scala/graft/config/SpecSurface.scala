@@ -19,7 +19,7 @@ object SpecSurface {
     * Interpreter executes). Order is the documentation order.
     */
   val transformOps: Seq[String] = Seq(
-    "filter",
+    "filter", "parse_json",
     "dedup_exact", "quality_filter", "redact_pii", "dedup_near",
     "shingle_index", "shingle_index_append", "shingle_index_retract",
     "shingle_index_compact", "chunk",

@@ -601,166 +601,17 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nAssign:
     copy(child = newChild)
 }
 
-/** Driver-built id → vector table for [[PairCosine]]: open-addressing
-  * long→slot map over flat storage, O(1) content-digest equality.
-  *
-  * Status: measurement-harness code ([[graft.ProbeMp3]]), NOT on any
-  * operator path. It was built to test the hypothesis that the embed-dup
-  * broadcast-branch verify paid join-machinery overhead per raw candidate;
-  * the operator-level A/B REFUTED that (see ProbeMp3's scaladoc — Spark's
-  * LongHashedRelation broadcast probe on a dense long key is already a
-  * primitive array index with zero-copy packed-byte vector reads, and this
-  * table's single-threaded driver collect costs more than the
-  * executor-parallel broadcast build it would replace). Kept so the
-  * decision stays reproducible; reach for it only if a future verify shape
-  * genuinely cannot route through a broadcast join.
-  *
-  * Equality/hashCode go through the precomputed content digest so Catalyst
-  * tree compares (semanticEquals, canonicalization) never walk the data.
-  */
-final class VectorTable private (keys: Array[Long], slotOf: Array[Int],
-    mask: Int, vecs: Array[Array[Double]], val digest: Long)
-    extends Serializable {
-  def size: Int = vecs.length
-  def lookup(id: Long): Array[Double] = {
-    var i = (VectorTable.mix(id) & mask).toInt
-    while (true) {
-      val s = slotOf(i)
-      if (s < 0) return null
-      if (keys(i) == id) return vecs(s)
-      i = (i + 1) & mask
-    }
-    null // unreachable
-  }
-  override def hashCode: Int = digest.toInt
-  override def equals(o: Any): Boolean = o match {
-    case t: VectorTable => digest == t.digest && size == t.size
-    case _ => false
-  }
-}
-
-object VectorTable {
-  private[functions] def mix(id: Long): Long = {
-    // murmur3 finalizer — ids are often dense, raw modulo would cluster
-    var h = id
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33; h
-  }
-
-  /** Build from (id, vector) rows; duplicate ids are rejected loudly. */
-  def apply(rows: Array[(Long, Array[Double])]): VectorTable = {
-    val n = rows.length
-    require(n > 0, "VectorTable: empty input")
-    var cap = 1
-    while (cap < 2 * n) cap <<= 1
-    val mask = cap - 1
-    val keys = new Array[Long](cap)
-    val slotOf = Array.fill(cap)(-1)
-    val vecs = new Array[Array[Double]](n)
-    var digest = 1125899906842597L
-    var s = 0
-    while (s < n) {
-      val (id, v) = rows(s)
-      vecs(s) = v
-      var i = (mix(id) & mask).toInt
-      while (slotOf(i) >= 0) {
-        require(keys(i) != id, s"VectorTable: duplicate id $id")
-        i = (i + 1) & mask
-      }
-      keys(i) = id; slotOf(i) = s
-      // order-independent digest: sum of per-row hashes, so construction
-      // order (a parallel collect's partition order) never changes equality
-      var rowH = mix(id)
-      var j = 0
-      while (j < v.length) {
-        rowH = rowH * 31 + java.lang.Double.hashCode(v(j)); j += 1
-      }
-      digest += mix(rowH)
-      s += 1
-    }
-    new VectorTable(keys, slotOf, mask, vecs, digest)
-  }
-}
-
-/** Exact cosine between the vectors two id columns point at in a driver-
-  * built [[VectorTable]] — the fused form of
-  * `join(broadcast(vecs), "id1").join(broadcast(vecs), "id2")
-  * .select(cosine_sim(v1, v2))`. Null when either id is absent.
-  *
-  * The kernel replicates [[CosineSimilarity]]'s accumulation order
-  * bit-for-bit (single pass, dot/na/nb in doubles, dot/sqrt(na·nb)), so a
-  * verify stage switched between the join form and this form makes
-  * IDENTICAL threshold decisions (ProbeMp3 pins the symmetric diff at 0).
-  *
-  * Status: probe-only — the operator keeps the join form; see
-  * [[VectorTable]] / [[graft.ProbeMp3]] for the measurement that rejected
-  * this as a Dedup verify replacement.
-  */
-case class PairCosine(left: Expression, right: Expression, table: VectorTable)
-    extends BinaryExpression {
-  override def prettyName: String = "pair_cosine"
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (bigint, bigint), got " +
-        s"${left.dataType.sql}, ${right.dataType.sql}")
-
-  /** Table accessor for generated code (the expression itself is the
-    * reference object, so codegen reaches the table through it).
-    */
-  def lookup(id: Long): Array[Double] = table.lookup(id)
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = table.lookup(l.asInstanceOf[Long])
-    val b = table.lookup(r.asInstanceOf[Long])
-    if (a == null || b == null || a.length != b.length) null
-    else {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = a.length
-      while (i < n) {
-        val x = a(i); val y = b(i)
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-    }
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // the hot loop is INLINED into the generated code over primitive
-    // double[]s — two virtual lookup calls per row but zero boxing and no
-    // per-candidate megamorphic compute() call (the boxed-Object form
-    // measured 3 s slower than the two-BroadcastHashJoin verify it was
-    // meant to replace; this form beats it)
-    val self = ctx.addReferenceObj("pairCosine", this, classOf[PairCosine].getName)
-    nullSafeCodeGen(ctx, ev, (l, r) => {
-      val a = ctx.freshName("a"); val b = ctx.freshName("b")
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      s"""
-         |double[] $a = $self.lookup($l);
-         |double[] $b = $self.lookup($r);
-         |if ($a == null || $b == null || $a.length != $b.length) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  int $n = $a.length;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $x = $a[$i]; double $y = $b[$i];
-         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
-         |  }
-         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / Math.sqrt($na * $nb);
-         |}
-       """.stripMargin
-    })
-  }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
+/* Round-20 prune: the driver-built VectorTable + fused PairCosine
+ * expression (a rejected alternative to the embed-dup verify's two
+ * BroadcastHashJoins) lived here as probe-only code since round 13.
+ * The measured decision they recorded: Spark's LongHashedRelation
+ * broadcast probe on a dense long key is already a primitive array
+ * index with zero-copy packed-byte vector reads, and the driver-side
+ * single-threaded table collect costs more than the executor-parallel
+ * broadcast build it would replace — so the operator keeps the join
+ * form, and the fused form (bit-identical cosine kernel, symmetric
+ * diff pinned at 0 before removal) was deleted with the Probe* mains.
+ */
 
 /** Mutable elementwise-sum state for [[VectorSumAgg]]: a dense double
   * array grown to the widest vector seen (posexplode semantics — each
@@ -888,8 +739,6 @@ object VectorFunctions {
     c(NearestCells(e(v), centroids, nAssign))
   def quantize_vec(v: Column): Column = c(QuantizeVec(e(v)))
   def quantized_cos(a: Column, b: Column): Column = c(QuantizedCosine(e(a), e(b)))
-  def pair_cosine(id1: Column, id2: Column, table: VectorTable): Column =
-    c(PairCosine(e(id1), e(id2), table))
   def vec_sum(v: Column): Column =
     c(VectorSumAgg(e(v)).toAggregateExpression())
 }

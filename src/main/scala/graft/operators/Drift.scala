@@ -644,8 +644,42 @@ object Drift extends Logging {
   def windowedEmbeddingDrift(df: DataFrame, c: String,
       groupBy: Option[String], win: Column, baseline: DataFrame,
       absBounds: Map[String, Double] = Map.empty,
-      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+      relBounds: Map[String, Double] = Map.empty): DataFrame =
+    windowedEmbeddingEval(windowedEmbeddingCells(df, c, groupBy, win), c,
+      groupBy.isDefined, baseline, absBounds, relBounds)
+
+  /** The embedding monitor's STATEFUL half — one VectorSumAgg per
+    * (window, stratum?) cell. Split for the `baselineRefresh: "perBatch"`
+    * runner (the [[windowedScalarCells]] note);
+    * windowedEmbeddingDrift == eval ∘ cells.
+    */
+  def windowedEmbeddingCells(df: DataFrame, c: String,
+      groupBy: Option[String], win: Column): DataFrame = {
     val grouped = groupBy.isDefined
+    val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
+    // same row hygiene as summaryCore: null strata out (the null-stratum
+    // convention), vectors with null/NaN elements out (they would poison
+    // the sums; their absence still moves row_count)
+    val clean = groupBy.fold(df)(gc => df.filter(col(gc).isNotNull))
+      .filter(col(c).isNotNull &&
+        !exists(col(c), x => x.isNull || isnan(x.cast("double"))))
+      .select((win.as("__w") +: g) :+ col(c).cast("array<double>").as("__e"): _*)
+      .withColumn("__nrm", sqrt(aggregate(col("__e"), lit(0.0),
+        (a, x) => a + x * x)))
+    val cellKeys = col("__w") +: (if (grouped) Seq(col("category")) else Nil)
+    clean.groupBy(cellKeys: _*)
+      .agg(graft.functions.VectorFunctions.vec_sum(col("__e")).as("__dims"),
+        sum(col("__nrm")).as("__nnrm"),
+        count(lit(1)).cast("double").as("__nn"))
+  }
+
+  /** The embedding monitor's STATELESS half: baseline reshape + join +
+    * the four-metric math + gate flags over a cell table.
+    */
+  def windowedEmbeddingEval(agg: DataFrame, c: String, grouped: Boolean,
+      baseline: DataFrame,
+      absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame = {
     // baseline reshape (batch side, ≤ groups × dim rows in, ≤ groups rows
     // out): one row per stratum carrying the dim sums as an i-ordered
     // array + the norm sum and count (constant per stratum in the
@@ -658,21 +692,6 @@ object Drift extends Logging {
           x => x.getField("dim_sum")).as("__bdims"),
         max(col("norm_sum")).as("__bnorm"),
         max(col("n")).as("__bn"))
-    val g = groupBy.map(gc => col(gc).cast("string").as("category")).toSeq
-    // same row hygiene as summaryCore: null strata out (the null-stratum
-    // convention), vectors with null/NaN elements out (they would poison
-    // the sums; their absence still moves row_count)
-    val clean = groupBy.fold(df)(gc => df.filter(col(gc).isNotNull))
-      .filter(col(c).isNotNull &&
-        !exists(col(c), x => x.isNull || isnan(x.cast("double"))))
-      .select((win.as("__w") +: g) :+ col(c).cast("array<double>").as("__e"): _*)
-      .withColumn("__nrm", sqrt(aggregate(col("__e"), lit(0.0),
-        (a, x) => a + x * x)))
-    val cellKeys = col("__w") +: (if (grouped) Seq(col("category")) else Nil)
-    val agg = clean.groupBy(cellKeys: _*)
-      .agg(graft.functions.VectorFunctions.vec_sum(col("__e")).as("__dims"),
-        sum(col("__nrm")).as("__nnrm"),
-        count(lit(1)).cast("double").as("__nn"))
     // grouped: a broadcast equi LEFT join on the stratum (≤ groups rows).
     // global: the baseline is exactly ONE row, so it rides in as LITERALS
     // collected once at build time — a constant-key join would fold to a
@@ -956,8 +975,34 @@ object Drift extends Logging {
   def windowedScalarDrift(df: DataFrame, cols: Seq[String], dims: Seq[String],
       win: Column, baseline: DataFrame,
       absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame =
+    windowedScalarEval(windowedScalarCells(df, cols, dims, win), dims,
+      baseline, absBounds, relBounds)
+
+  /** The scalar monitor's STATEFUL half alone — the per-(window, dims)
+    * cell summary (one native aggregation, the long col_name shape). The
+    * split exists for the `baselineRefresh: "perBatch"` runner
+    * ([[graft.streaming.StreamRunner.startRefreshingMonitor]]): the cell
+    * stream is plan-static, and [[windowedScalarEval]] (stateless) runs
+    * inside foreachBatch against a baseline re-read each batch, so a
+    * refreshed artifact (a weekly merge_scalar_summaries fold republished
+    * to a NEW path or atomically swapped) lands without a monitor
+    * restart. Composition is the identity:
+    * windowedScalarDrift == eval ∘ cells, so stream == batch holds by
+    * construction for both refresh postures.
+    */
+  def windowedScalarCells(df: DataFrame, cols: Seq[String],
+      dims: Seq[String], win: Column): DataFrame =
+    scalarSummaryCore(df, cols, dims, Some(win))
+
+  /** The scalar monitor's STATELESS half: broadcast baseline join +
+    * metric math + gate flags over a cell table ([[windowedScalarCells]]
+    * output — streaming state or a foreachBatch batch alike).
+    */
+  def windowedScalarEval(cells: DataFrame, dims: Seq[String],
+      baseline: DataFrame,
+      absBounds: Map[String, Double] = Map.empty,
       relBounds: Map[String, Double] = Map.empty): DataFrame = {
-    val cells = scalarSummaryCore(df, cols, dims, Some(win))
     val b = baseline.select((dims :+ "col_name").map(col) ++ Seq(
       col("n_rows").as("__bn"), col("n_nonnull").as("__bnn"),
       col("sum").as("__bsum"), col("sumsq").as("__bsq"),
@@ -998,7 +1043,18 @@ object Drift extends Logging {
       dims: Seq[String], win: Column, oldSketches: DataFrame,
       quantiles: Seq[Double],
       absBounds: Map[String, Double] = Map.empty,
-      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+      relBounds: Map[String, Double] = Map.empty): DataFrame =
+    windowedQuantileEval(
+      windowedQuantileCells(df, valueCol, dims, win, quantiles),
+      valueCol, dims, oldSketches, quantiles, absBounds, relBounds)
+
+  /** The percentile monitor's STATEFUL half — one mergeable quantile
+    * sketch per (window, dims) cell, estimates fanned out statelessly.
+    * Split for the `baselineRefresh: "perBatch"` runner (the
+    * [[windowedScalarCells]] note); windowedQuantileDrift == eval ∘ cells.
+    */
+  def windowedQuantileCells(df: DataFrame, valueCol: String,
+      dims: Seq[String], win: Column, quantiles: Seq[Double]): DataFrame = {
     require(quantiles.nonEmpty, "windowedQuantileDrift needs quantiles")
     val labels = quantiles.map(graft.functions.QuantileSketch.colName)
     // dims may be EMPTY — the GLOBAL percentile monitor (a corpus-wide
@@ -1019,10 +1075,24 @@ object Drift extends Logging {
     // quantile_rollup CSE note), then fan out per-quantile columns
     val withEst = g.withColumn("__est",
       graft.functions.QuantileSketch.estimateSketch(col("__qs"), quantiles))
-    val newSide = withEst.select(
+    withEst.select(
       (col("__w.start").as("window_start") +: dims.map(col)) ++
         (col("__n") +: labels.zipWithIndex.map { case (l, i) =>
           col("__est").getItem(i).as(s"__n_$l") }): _*)
+  }
+
+  /** The percentile monitor's STATELESS half: old-sketch rollup +
+    * broadcast join + per-quantile rows + gate flags over a cell table.
+    */
+  def windowedQuantileEval(cells: DataFrame, valueCol: String,
+      dims: Seq[String], oldSketches: DataFrame, quantiles: Seq[Double],
+      absBounds: Map[String, Double] = Map.empty,
+      relBounds: Map[String, Double] = Map.empty): DataFrame = {
+    val labels = quantiles.map(graft.functions.QuantileSketch.colName)
+    val noNull =
+      if (dims.isEmpty) lit(true)
+      else dims.map(col(_).isNotNull).reduce(_ && _)
+    val newSide = cells
     val oldEst = Profile.rollupQuantiles(
       oldSketches.filter(noNull), dims, quantiles)
     val b = oldEst.select(dims.map(col) ++

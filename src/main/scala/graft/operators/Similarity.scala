@@ -393,9 +393,14 @@ object Similarity extends Logging {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       method: String, indexPath: String, nCells: Int = 0, nAssign: Int = 2,
       nTables: Int = 16, planesPerTable: Int = 4, dim: Int = 0,
-      seed: Long = 42L, attributeColumns: Seq[String] = Nil): DataFrame = {
+      seed: Long = 42L, attributeColumns: Seq[String] = Nil,
+      partitionByAttribute: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(partitionByAttribute.forall(attributeColumns.contains),
+      s"buildIndex partitionByAttribute '${partitionByAttribute.getOrElse("")}'" +
+        " must be one of attributeColumns (the routed equality filter " +
+        "predicates on the stored attribute)")
     // attribute columns ride the postings as plain data columns (metadata
     // the search can predicate on — candidateFilter); reserved layout
     // names would collide with the index's own columns
@@ -463,23 +468,118 @@ object Similarity extends Logging {
     // meta with the fresh postings through readIndexMeta's recovery read.
     val hc = spark.sparkContext.hadoopConfiguration
     // a previous incarnation's tombstones die with its meta — the rebuilt
-    // index starts with no deletions (its corpus IS the truth)
+    // index starts with no deletions (its corpus IS the truth). A previous
+    // incarnation's per-category SUB-INDEXES die too (the category set is
+    // data-derived; a stale sub-directory would serve a vanished category)
+    val fs0 = hpath(indexPath).getFileSystem(hc)
     Seq(s"$indexPath/meta.parquet", s"$indexPath/meta_next.parquet",
-        tombDir(indexPath)).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hc).delete(hp, true)
-    }
+        tombDir(indexPath)).foreach(p => fs0.delete(hpath(p), true))
+    if (fs0.exists(hpath(indexPath)))
+      fs0.listStatus(hpath(indexPath)).foreach { st =>
+        if (st.getPath.getName.startsWith("attr="))
+          fs0.delete(st.getPath, true)
+      }
     writePostings(c, meta, gen = 0, idxDir, overwrite = true)
+    // PER-CATEGORY sub-index family: one self-contained sub-index per
+    // distinct attribute value, built with the SAME declared geometry under
+    // `indexPath/attr=<value>/` — the routing target for an equality
+    // candidateFilter (full recall at the sub-corpus scan cost, no probe
+    // widening). The category set must be bounded (the drift-strata
+    // discipline): each category is a directory, a meta, and a training
+    // pass, so a high-cardinality attribute is refused loudly. Each
+    // sub-build's corpus scan pushes the equality down to the source scan
+    // (partition/row-group pruning pays most of the repeat). Built BEFORE
+    // the top meta commits, so a crash mid-family still reads as "no index
+    // here". NULL-valued rows join no category (an equality filter never
+    // matches them); they stay searchable through the top index.
+    val partVals: Option[Seq[String]] = partitionByAttribute.map { a =>
+      val vals = c.filter(col(a).isNotNull)
+        .select(col(a).cast("string")).distinct()
+        .limit(MaxCategorySubIndexes + 1)
+        .collect().map(_.getString(0)).sorted.toSeq
+      require(vals.length <= MaxCategorySubIndexes,
+        s"buildIndex partitionByAttribute '$a' has more than " +
+          s"$MaxCategorySubIndexes distinct values — a per-category family " +
+          "needs a bounded category set (one sub-index per value); " +
+          "partition on a coarser attribute or drop partitionByAttribute")
+      vals.foreach { v =>
+        buildIndex(corpus.filter(col(a).cast("string") === lit(v)), idCol,
+          vecCol, method, subIndexPath(indexPath, v), nCells = nCells,
+          nAssign = nAssign, nTables = nTables,
+          planesPerTable = planesPerTable, dim = theDim, seed = seed,
+          attributeColumns = attributeColumns)
+      }
+      vals
+    }
+    val metaFinal = meta.copy(part_attr = partitionByAttribute,
+      part_values = partVals)
     // meta LAST: a killed build leaves postings without meta, which reads
     // as "no index here" (readIndexMeta fails loudly) instead of a silent
     // half-index — the same crash-ordering discipline as the sink compactor
-    Seq(meta).toDS().write.mode("overwrite").parquet(s"$indexPath/meta.parquet")
+    Seq(metaFinal).toDS().write.mode("overwrite").parquet(s"$indexPath/meta.parquet")
     val idxRows = spark.read.parquet(idxDir).count()
     logInfo(s"buildIndex wrote $method index to $indexPath: " +
-      s"$n corpus rows -> $idxRows index rows (dim $theDim)")
+      s"$n corpus rows -> $idxRows index rows (dim $theDim)" +
+      partVals.fold("")(vs => s"; per-category family of ${vs.length} " +
+        s"sub-indexes on ${partitionByAttribute.get}"))
     Seq((meta.method, meta.dim, n, idxRows))
       .toDF("method", "dim", "corpus_rows", "index_rows")
   }
+
+  /** Bounded-cardinality bar for [[buildIndex]] partitionByAttribute — one
+    * sub-index (directory + meta + training pass) per category value.
+    */
+  private[operators] val MaxCategorySubIndexes = 64
+
+  /** Directory of the per-category sub-index for `value` — URL-encoded so
+    * arbitrary category strings stay filesystem-safe.
+    */
+  private[graft] def subIndexPath(indexPath: String, value: String): String =
+    s"$indexPath/attr=${java.net.URLEncoder.encode(value, "UTF-8")}"
+
+  /** If `predicate` is exactly the equality `attr = <literal>` (either
+    * operand order), the literal's string rendering — the per-category
+    * routing key, matching [[buildIndex]]'s `cast("string")` rendering of
+    * the category values. Anything else (conjunctions, ranges, IN, other
+    * columns) is None: those fall through to the generic filtered path.
+    */
+  private[graft] def equalityValue(predicate: String,
+      attr: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def render(l: Literal): Option[String] =
+      Option(l.value).map(String.valueOf)
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)).toOption.flatMap {
+      case EqualTo(a: UnresolvedAttribute, l: Literal)
+        if a.name == attr => render(l)
+      case EqualTo(l: Literal, a: UnresolvedAttribute)
+        if a.name == attr => render(l)
+      case _ => None
+    }
+  }
+
+  /** Memoized distinct-id count of the LIVE postings matching `filter` —
+    * the filtered-search selectivity used for routing (exact fallback vs
+    * probe widening) and priced by the audit preflight. Counting over
+    * [[livePostings]] (generation-fenced, tombstone-screened) keeps the
+    * preflight's predicted route consistent with the route the search
+    * actually takes (a raw read would count orphaned generations and
+    * deleted rows). The cache key pins the artifact's commit state
+    * (generation + tombstone fence), so a maintenance verb naturally
+    * invalidates, and the one pushed-down (id, attrs)-column scan is paid
+    * once per (artifact state, filter) — not once per preflight AND once
+    * per search build.
+    */
+  private val selCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int),
+      java.lang.Long]
+  private[graft] def filteredLiveIdCount(spark: SparkSession,
+      indexPath: String, meta: AnnIndexMeta, filter: String): Long =
+    selCache.computeIfAbsent(
+      (indexPath, filter, meta.generation, meta.tomb_gen, meta.tomb_base),
+      _ => livePostings(spark, indexPath, meta)
+        .filter(expr(filter)).select("id").distinct().count()).longValue()
 
   /** Directory-count bar for the index partition layout: past ~4k cell
     * directories the filesystem metadata cost outweighs pruning.
@@ -582,6 +682,17 @@ object Similarity extends Logging {
     // complete (or retract) a predecessor append's crashed meta swap first
     finishMetaSwap(spark, indexPath)
     val meta = readIndexMeta(spark, indexPath)
+    // a per-category family's top and sub indexes must stay the SAME
+    // corpus: appending to the top alone would leave every routed
+    // (equality-filtered) search blind to the new rows. Until the family
+    // grows an append protocol, the honest posture is a loud refusal —
+    // rebuild the family (knn_index is the one verb that derives the
+    // category set from the data)
+    require(meta.part_attr.isEmpty,
+      s"appendIndex: the index at '$indexPath' is a per-category family " +
+        s"(partitionByAttribute=${meta.part_attr.getOrElse("")}) — appends " +
+        "would desynchronize the routed sub-indexes from the top index; " +
+        "rebuild the family with knn_index on the extended snapshot")
     val idxDir = s"$indexPath/index.parquet"
     val postings = spark.read.parquet(idxDir)
     require(postings.columns.contains("gen"),
@@ -692,12 +803,30 @@ object Similarity extends Logging {
     * A single-generation index (or a retry landing after a completed
     * compaction) is a no-op — nothing to fold. `n_rows`, geometry and
     * `batch_sig` (the append retry identity) are preserved.
+    *
+    * `retainFolded` is the IN-FLIGHT-READER grace window: with it set,
+    * the folded generation directories OUTLIVE the meta commit (they stay
+    * invisible — the `base_gen` fence — but a long-running query that
+    * listed its files before the commit can still read them to
+    * completion instead of failing on a missing file). The NEXT
+    * maintenance verb's sweep ([[deleteGensBelow]] at the top of every
+    * append/delete/compact — a compact retry included) reclaims the disk;
+    * schedule compaction runs as that sweep cadence.
+    *
+    * On a PER-CATEGORY family the compact CASCADES to every sub-index
+    * (same retention posture); the report row is the top index's.
     */
-  def compactIndex(spark: SparkSession, indexPath: String): DataFrame = {
+  def compactIndex(spark: SparkSession, indexPath: String,
+      retainFolded: Boolean = false): DataFrame = {
     import spark.implicits._
     // complete (or retract) a predecessor maintenance verb's crashed swap
     finishMetaSwap(spark, indexPath)
     val meta = readIndexMeta(spark, indexPath)
+    // per-category family: fold every sub-index first (their report rows
+    // are subsumed — the family compacts as one maintenance action)
+    meta.part_values.getOrElse(Nil).foreach { v =>
+      compactIndex(spark, subIndexPath(indexPath, v), retainFolded)
+    }
     val idxDir = s"$indexPath/index.parquet"
     val tombP = tombDir(indexPath)
     val tombsActive = meta.tomb_gen >= meta.tomb_base
@@ -823,12 +952,21 @@ object Similarity extends Logging {
     // the folded duplicates and the physically-dropped deleted rows turn
     // invisible atomically with the consolidated copy becoming visible
     val updated = meta.copy(generation = newGen, base_gen = newGen,
-      tomb_base = meta.tomb_gen + 1)
+      tomb_base = meta.tomb_gen + 1, tomb_rows = 0L)
     swapMeta(spark, indexPath, updated)
     // cleanup AFTER the commit — a crash here leaves invisible duplicates
-    // for the next maintenance verb's sweep, never a half-visible index
-    deleteGensBelow(spark, idxDir, newGen)
-    deleteGensBelow(spark, tombP, meta.tomb_gen + 1)
+    // for the next maintenance verb's sweep, never a half-visible index.
+    // With retainFolded the cleanup is DEFERRED to that same sweep by
+    // design: in-flight readers that listed the folded files before the
+    // commit read them to completion instead of failing mid-query
+    if (retainFolded) {
+      logInfo(s"compactIndex: retainFolded — folded generations below gen " +
+        s"$newGen at $indexPath outlive this commit (invisible to new " +
+        "readers; the next maintenance verb's sweep reclaims the disk)")
+    } else {
+      deleteGensBelow(spark, idxDir, newGen)
+      deleteGensBelow(spark, tombP, meta.tomb_gen + 1)
+    }
     logInfo(s"compactIndex folded $folded generations at $indexPath into " +
       s"gen $newGen (${meta.n_rows} corpus rows" +
       (if (tombsActive) s"; dropped + cleared tombstone generations " +
@@ -864,13 +1002,21 @@ object Similarity extends Logging {
     * fence `tomb_base <= gen <= tomb_gen`); the retry retracts orphans
     * first; the meta commit is the same two-file swap. The verb is
     * idempotent ACROSS the commit too, without a signature: `deleted_rows`
-    * counts ids with >= 1 live not-yet-tombstoned posting, so a retry of
-    * a committed delete matches nothing and adjusts `n_rows` by zero (the
-    * duplicate tombstone rows only widen the anti-join's broadcast).
+    * counts live not-yet-tombstoned postings, so a retry of a committed
+    * delete matches nothing and adjusts `n_rows` by zero (the duplicate
+    * tombstone rows only widen the anti-join set).
+    *
+    * On a PER-CATEGORY family ([[buildIndex]] partitionByAttribute) the
+    * delete CASCADES to every sub-index (a routed search must never serve
+    * a deleted row); the report row is the top index's.
     *
     * Returns a one-row report (method, dim, deleted_rows, corpus_rows,
     * tombstone_gen); `deleted_rows` is computed from a column-pruned
-    * (id, gen) scan of the index — never the corpus, never the vectors.
+    * (id, gen) scan of the index — never the corpus, never the vectors —
+    * and counts CORPUS rows (live matched postings over the method's
+    * per-row posting multiplicity), the same unit build/append increment
+    * `n_rows` by, so the bookkeeping stays consistent even when the
+    * corpus carried duplicate ids.
     */
   def deleteIndex(ids: DataFrame, idCol: String, indexPath: String): DataFrame = {
     val spark = ids.sparkSession
@@ -901,38 +1047,80 @@ object Similarity extends Logging {
       // posting-generation sweep, on the tombstone directory
       deleteGensAbove(spark, tombP, meta.tomb_gen)
       deleteGensBelow(spark, tombP, meta.tomb_base)
-      // ids with >= 1 LIVE posting (gen-fenced, not already tombstoned):
-      // the n_rows adjustment and the retry-idempotence in one count — a
-      // column-pruned scan of (id, gen), vectors never read
-      val removed = livePostings(spark, indexPath, meta)
+      // LIVE postings matching the batch (gen-fenced, not already
+      // tombstoned), in CORPUS-row units: each corpus row produced exactly
+      // `mult` posting rows (the method's assignment multiplicity), so
+      // matched-posting-rows / mult is the n_rows adjustment — exact even
+      // when the corpus carried duplicate ids, where a distinct-id count
+      // would drift against build/append's raw-row increments. A
+      // column-pruned scan of (id, gen); vectors never read.
+      val mult = postingMultiplicity(meta)
+      val matchedPostings = livePostings(spark, indexPath, meta)
         .select("id").join(broadcast(d), Seq("id"), "left_semi")
-        .distinct().count()
+        .count()
+      val removed = matchedPostings / mult
       val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
       d.select(lit(newTombGen).as("gen"), col("id"),
           lit(meta.generation).as("upto"))
         .write.mode("append").partitionBy("gen").parquet(tombP)
       val updated = meta.copy(n_rows = meta.n_rows - removed,
-        tomb_gen = newTombGen, tomb_base = math.min(meta.tomb_base, newTombGen))
+        tomb_gen = newTombGen, tomb_base = math.min(meta.tomb_base, newTombGen),
+        tomb_rows = meta.tomb_rows + batchN)
       swapMeta(spark, indexPath, updated)
       logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
-        s"$indexPath: $batchN ids, $removed live rows removed -> " +
+        s"$indexPath: $batchN ids, $removed corpus rows removed -> " +
         s"${updated.n_rows} corpus rows")
+      // PER-CATEGORY family: cascade the takedown into every sub-index —
+      // a routed (equality-filtered) search reads ONLY its sub-index, so a
+      // tombstone committed on the top index alone would keep serving the
+      // deleted rows there. Ids absent from a sub-index no-op (matched 0).
+      meta.part_values.getOrElse(Nil).foreach { v =>
+        deleteIndex(d, "id", subIndexPath(indexPath, v))
+      }
       Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
         .toDF("method", "dim", "deleted_rows", "corpus_rows", "tombstone_gen")
     } finally { d.unpersist(); () }
   }
 
+  /** Posting rows per corpus row under the method's layout — quantized
+    * writes one, ivf one per assigned cell (clamped to the trained count,
+    * matching [[writePostings]]), lsh one per table. The unit converter
+    * between posting-row counts and the meta's corpus-row `n_rows`.
+    */
+  private def postingMultiplicity(meta: AnnIndexMeta): Long = meta.method match {
+    case "ivf" => math.min(meta.n_assign.get,
+      meta.vectors.map(_.length).getOrElse(meta.n_assign.get)).toLong
+    case "lsh" => meta.n_tables.get.toLong
+    case _     => 1L
+  }
+
   private def tombDir(indexPath: String) = s"$indexPath/tombstones.parquet"
 
+  /** Row bar under which the active tombstone set is BROADCAST into the
+    * anti-join (map-side, below the exchanges — the right plan for
+    * ordinary takedown lists); above it the screen becomes a plain
+    * shuffle anti-join, because a mass takedown (a GDPR-scale batch, a
+    * licensing purge of a large corpus share) between compactions would
+    * otherwise ship an arbitrarily large broadcast to every executor on
+    * EVERY search — a driver/executor OOM at 100 TB, not a slowdown.
+    * 1M (id, upto) rows ≈ 16 MB serialized, comfortably inside default
+    * executor headroom. Query-time-overridable (it is a plan-shape knob,
+    * not artifact state) via `spark.graft.knn.tombBroadcastMaxRows`.
+    */
+  private val TombBroadcastMaxRows = 1_000_000L
+
   /** The postings a reader may see: gen-fenced to the committed range and
-    * anti-joined against the ACTIVE tombstone set (broadcast — takedown
-    * lists are small, and compaction folds them away). A tombstone kills
-    * only postings with gen <= its `upto` (the posting generation
-    * committed when the delete ran), so re-appended ids stay live. A
+    * anti-joined against the ACTIVE tombstone set. The anti-join is
+    * SIZE-AWARE (the meta's `tomb_rows` bookkeeping — closed-form, no
+    * probe job): broadcast below [[TombBroadcastMaxRows]], plain shuffle
+    * anti-join above it, so a mass takedown degrades to one extra
+    * exchange instead of an unbounded broadcast. A tombstone kills only
+    * postings with gen <= its `upto` (the posting generation committed
+    * when the delete ran), so re-appended ids stay live. A
     * pre-generation-era flat index reads as gen 0. The `gen` column is
     * dropped on the way out.
     */
-  private def livePostings(spark: SparkSession, indexPath: String,
+  private[graft] def livePostings(spark: SparkSession, indexPath: String,
       meta: AnnIndexMeta): DataFrame = {
     val index0 = spark.read.parquet(s"$indexPath/index.parquet")
     val withGen =
@@ -943,10 +1131,20 @@ object Similarity extends Logging {
     val screened =
       if (meta.tomb_gen < meta.tomb_base) fenced
       else {
-        val tombs = spark.read.parquet(tombDir(indexPath))
+        val bar = spark.conf.getOption("spark.graft.knn.tombBroadcastMaxRows")
+          .map(_.toLong).getOrElse(TombBroadcastMaxRows)
+        val tombs0 = spark.read.parquet(tombDir(indexPath))
           .filter(col("gen") >= meta.tomb_base && col("gen") <= meta.tomb_gen)
           .select(col("id").as("__tid"), col("upto").as("__tupto"))
-        fenced.join(broadcast(tombs),
+        val tombs =
+          if (meta.tomb_rows <= bar) broadcast(tombs0)
+          else {
+            logInfo(s"livePostings: ${meta.tomb_rows} active tombstone rows " +
+              s"at $indexPath exceed the broadcast bar ($bar) — shuffle " +
+              "anti-join route (compact to fold the set away)")
+            tombs0
+          }
+        fenced.join(tombs,
           fenced("id") === col("__tid") && fenced("gen") <= col("__tupto"),
           "left_anti")
       }
@@ -1070,8 +1268,16 @@ object Similarity extends Logging {
     val df5 = if (df4.columns.contains("tomb_base")) df4
       else df4.withColumn("tomb_base", lit(0))
     // pre-attribute-era meta: vectors-only postings
-    val df = if (df5.columns.contains("attr_cols")) df5
+    val df6 = if (df5.columns.contains("attr_cols")) df5
       else df5.withColumn("attr_cols", lit(null).cast("array<string>"))
+    // pre-round-20 meta: no tombstone row bookkeeping (reads as 0 — the
+    // old unconditional-broadcast behavior) and no per-category family
+    val df7 = if (df6.columns.contains("tomb_rows")) df6
+      else df6.withColumn("tomb_rows", lit(0L))
+    val df8 = if (df7.columns.contains("part_attr")) df7
+      else df7.withColumn("part_attr", lit(null).cast("string"))
+    val df = if (df8.columns.contains("part_values")) df8
+      else df8.withColumn("part_values", lit(null).cast("array<string>"))
     df.as[AnnIndexMeta].head()
   }
 
@@ -1090,6 +1296,22 @@ object Similarity extends Logging {
       candidateFilter: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
+    // PER-CATEGORY ROUTING: on a partitioned family, a candidateFilter that
+    // is exactly the equality `part_attr = <value>` routes to that value's
+    // sub-index — full recall over the category's own (unthinned) cells,
+    // NO probe widening, no selectivity scan. A value the family has no
+    // sub-index for (or any non-equality predicate) falls through to the
+    // generic filtered path below — over the top index, which always
+    // coexists with the family.
+    for (a <- meta.part_attr; f <- candidateFilter; v <- equalityValue(f, a)) {
+      if (meta.part_values.exists(_.contains(v))) {
+        logInfo(s"indexedTopK: candidateFilter '$f' routes to per-category " +
+          s"sub-index ${subIndexPath(indexPath, v)}")
+        return indexedTopK(queries, idCol, vecCol, k,
+          subIndexPath(indexPath, v), nProbe = nProbe, refine = refine,
+          win = win, candidateFilter = None)
+      }
+    }
     // committed-generation fence: postings above the meta's generation are
     // a crashed append's orphans, postings below base_gen a completed
     // compaction's not-yet-cleaned duplicates — both stay invisible (gen
@@ -1130,8 +1352,12 @@ object Similarity extends Logging {
           val filtered = live.filter(expr(f))
           // routing price: ONE pushed-down (id, attrs)-column scan counts
           // the filtered corpus; the live total is the meta's maintained
-          // n_rows — no unfiltered scan
-          (filtered, Some((filtered.select("id").distinct().count(),
+          // n_rows — no unfiltered scan. The count is MEMOIZED per
+          // (indexPath, filter, generation fences) — the Doctor/audit
+          // preflight measures the same selectivity, so a preflighted
+          // standing filter pays the scan once per artifact generation,
+          // not once per search build
+          (filtered, Some((filteredLiveIdCount(spark, indexPath, meta, f),
             math.max(1L, meta.n_rows))))
       }
     val exactFallback = selectivity.exists(_._1 <= k.toLong * ExactFallbackFactor)
@@ -1163,12 +1389,16 @@ object Similarity extends Logging {
         s"${selectivity.get._1} of ${selectivity.get._2} corpus rows at " +
         s"$indexPath — exact scan of the filtered postings " +
         s"(<= ${k.toLong * ExactFallbackFactor} row fallback bar)")
+      // postings may carry one row per (cell|table) assignment — and an id
+      // re-appended with a DIFFERENT vector carries several distinct rows.
+      // The distinct-pairs heap keeps the MAX-scoring copy per neighbor
+      // (deterministic, and the same collapse rule as the ivf/lsh routes),
+      // where a dropDuplicates would keep an arbitrary one
       val c = index.select(col("id").as("neighbor_id"),
-          col("vec").cast("array<double>").as("cv"))
-        .dropDuplicates("neighbor_id")
+        col("vec").cast("array<double>").as("cv"))
       val scored = c.join(hint(q), col("neighbor_id") =!= col("query_id"))
         .withColumn("cos", VectorFunctions.cosine_sim(col("qv"), col("cv")))
-      return rankRows(scored, k, distinct = false, win = winExpr)
+      return rankRows(scored, k, distinct = true, win = winExpr)
     }
     meta.method match {
       case "quantized" =>
@@ -1290,4 +1520,23 @@ case class AnnIndexMeta(method: String, dim: Int, n_rows: Long,
     // columns — the candidateFilter predicate surface, parquet-pushdown-
     // able at search time). None = the index carries vectors only and
     // filtered search is unavailable (rebuild with attributeColumns)
-    attr_cols: Option[Seq[String]] = None)
+    attr_cols: Option[Seq[String]] = None,
+    // ACTIVE tombstone row count (accumulated batch sizes since the last
+    // compaction; cleared with the tombstone fence) — the closed-form
+    // input to the broadcast-vs-shuffle anti-join cost rule in
+    // [[Similarity.livePostings]] and the `knn_tombstone_fraction`
+    // advisory: a mass takedown must not be BROADCAST into every search
+    // (driver/executor OOM at scale), and past ~10% of the corpus the
+    // anti-join tax says compact. Pre-round-20 metas read as 0 (their
+    // takedown sets were broadcast unconditionally — the old behavior)
+    tomb_rows: Long = 0L,
+    // PER-CATEGORY sub-index family ([[Similarity.buildIndex]]
+    // partitionByAttribute): `part_attr` names the attribute column the
+    // family is partitioned on; `part_values` pins the category values a
+    // sub-index exists for (string-rendered — the directory names under
+    // `indexPath/attr=<urlencoded value>/`). A search whose
+    // candidateFilter is the equality `part_attr = <value>` routes to
+    // that sub-index: full recall at the sub-corpus's scan cost, no
+    // probe widening. None = a plain single index
+    part_attr: Option[String] = None,
+    part_values: Option[Seq[String]] = None)

@@ -119,6 +119,81 @@ object Interpreter extends Logging {
     (out, specFindings.toSeq)
   }
 
+  /** Build a windowed snapshot_drift monitor spec in its
+    * `baselineRefresh: "perBatch"` form: the STATEFUL cell stream
+    * (plan-static — one native aggregation per (window, dims) cell) plus
+    * a stateless EVALUATOR that RE-READS the stored baseline on every
+    * call. [[graft.streaming.StreamRunner.startRefreshingMonitor]] runs
+    * the evaluator inside foreachBatch, so a refreshed baseline (the
+    * weekly merge_scalar_summaries / merge_embedding_summaries fold,
+    * atomically republished) lands WITHOUT a monitor restart — closing
+    * the operational gap the read-once binding pins (an in-place baseline
+    * overwrite fails the next micro-batch; restart reprocesses). The
+    * baseline is preflighted here too, so a broken artifact fails at
+    * build, not on the first micro-batch; the per-call re-read repeats
+    * the schema checks so a broken REFRESH fails loudly mid-stream.
+    * Composition is the identity (windowed*Drift == eval ∘ cells), so
+    * stream == batch holds for both refresh postures by construction.
+    * The monitor must be the spec's LAST transform; `spec.filter` applies
+    * to the evaluated rows.
+    */
+  def buildRefreshingMonitor(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver): (DataFrame, DataFrame => DataFrame) = {
+    spec.validate()
+    val t = spec.transform.lastOption.getOrElse(throw
+      new IllegalArgumentException(s"[${spec.id}] buildRefreshingMonitor " +
+        "needs a transform chain ending in the windowed snapshot_drift"))
+    require(t.op == "snapshot_drift" && t.timeColumn.isDefined &&
+        t.baselineRefresh.contains("perBatch"),
+      s"[${spec.id}] buildRefreshingMonitor serves ONLY the windowed " +
+        "snapshot_drift with baselineRefresh: \"perBatch\" as the final " +
+        "transform — every other spec starts through the ordinary entry " +
+        "points")
+    val head = spec.copy(transform = spec.transform.dropRight(1),
+      filter = None, planAudit = None)
+    val built = build(spark, head, sources)
+    val (src, win) = eventWindow(built, t)
+    val specId = spec.id
+    val dataDir = sources.dataDir
+    val post: DataFrame => DataFrame = out =>
+      spec.filter.fold(out)(f => out.filter(expr(f)))
+    if (t.statsPath.isDefined) {
+      val p = resolvePath(t.statsPath.get, dataDir, specId)
+      def baseline(): DataFrame = {
+        val b = readStatsArtifact(spark, p, t.groupColumns, specId)
+        requireStatsCover(b, t.numericColumns, p, specId)
+        b
+      }
+      baseline()
+      (graft.operators.Drift.windowedScalarCells(src, t.numericColumns,
+        t.groupColumns, win),
+        (batch: DataFrame) => post(graft.operators.Drift.windowedScalarEval(
+          batch, t.groupColumns, baseline(), t.numericMaxAbsDelta,
+          t.numericMaxRelDelta)))
+    } else if (t.quantilePath.isDefined) {
+      val p = resolvePath(t.quantilePath.get, dataDir, specId)
+      def baseline(): DataFrame =
+        readQuantileArtifact(spark, p, t.groupColumns, specId)
+      baseline()
+      (graft.operators.Drift.windowedQuantileCells(src, t.column.get,
+        t.groupColumns, win, t.numericQuantiles),
+        (batch: DataFrame) => post(graft.operators.Drift.windowedQuantileEval(
+          batch, t.column.get, t.groupColumns, baseline(),
+          t.numericQuantiles, t.numericMaxAbsDelta, t.numericMaxRelDelta)))
+    } else {
+      val grouped = t.embeddingGroupBy.isDefined
+      val p = resolvePath(t.summaryPath.get, dataDir, specId)
+      def baseline(): DataFrame =
+        readSummaryArtifact(spark, p, grouped, specId)
+      baseline()
+      (graft.operators.Drift.windowedEmbeddingCells(src,
+        t.embeddingColumns.head, t.embeddingGroupBy, win),
+        (batch: DataFrame) => post(graft.operators.Drift.windowedEmbeddingEval(
+          batch, t.embeddingColumns.head, grouped, baseline(),
+          t.numericMaxAbsDelta, t.numericMaxRelDelta)))
+    }
+  }
+
   /** Config-detectable scale findings for one transform declaration — the
     * refuse-before-burn check for traps the plan audit cannot see (round-14
     * directive #1). Today: the low-threshold embedding-LSH regime, priced
@@ -344,14 +419,45 @@ object Interpreter extends Logging {
               "takedown set, and the deleted rows still hold their disk. " +
               "Fold with knn_index_compact (it physically drops " +
               "tombstoned postings and clears the set)"))
+        // mass-deletion advisory — closed-form from the meta's tombstone
+        // ROW bookkeeping: past the fraction bar the anti-join screen is
+        // corpus-scale (the search survives — livePostings flips it to the
+        // shuffle route past the broadcast bar — but every query pays an
+        // exchange the compact would erase)
+        val totalEver = meta.n_rows + meta.tomb_rows
+        val tombFrac =
+          if (meta.tomb_rows == 0L || totalEver <= 0L ||
+              meta.tomb_rows.toDouble / totalEver < KnnTombstoneFracWarn) Nil
+          else Seq(graft.observe.PlanAudit.Finding("warn",
+            KnnTombstoneFraction,
+            f"knn indexPath '$p' holds ${meta.tomb_rows} active tombstone " +
+              f"rows against ${meta.n_rows} live corpus rows (" +
+              f"${meta.tomb_rows * 100.0 / totalEver}%.0f%% of the indexed " +
+              "set deleted since the last compaction) — every search " +
+              "screens a takedown set comparable to the corpus (shuffle " +
+              "anti-join past the broadcast bar), and the deleted rows " +
+              "hold their disk. Run knn_index_compact now (it physically " +
+              "drops tombstoned postings and clears the set)"))
         // filtered-search selectivity pricing: ONE pushed-down
-        // (id, attrs)-column scan of the stored postings (the same eager
-        // class as the staleness count, behind the same probe flag);
-        // pathological selectivity is named BEFORE the search pays for it
+        // (id, attrs)-column scan of the LIVE postings (fenced +
+        // tombstone-screened — the same relation the search routes on),
+        // MEMOIZED per artifact state so the search build reuses this very
+        // count (the same eager class as the staleness count, behind the
+        // same probe flag); pathological selectivity is named BEFORE the
+        // search pays for it. An equality filter a per-category sub-index
+        // covers routes there instead — full recall, no widening — so the
+        // advisory stands down.
         val filterSel = t.candidateFilter match {
+          case Some(f) if meta.part_attr.exists(a =>
+              graft.operators.Similarity.equalityValue(f, a).exists(v =>
+                meta.part_values.exists(_.contains(v)))) =>
+            logInfo(s"[$specId] knn candidateFilter '$f' is covered by a " +
+              s"per-category sub-index at '$p' — routed search, no " +
+              "selectivity pricing needed")
+            Nil
           case Some(f) if meta.attr_cols.exists(_.nonEmpty) =>
-            val idx0 = df.sparkSession.read.parquet(s"$p/index.parquet")
-            val matched = idx0.filter(expr(f)).select("id").distinct().count()
+            val matched = graft.operators.Similarity.filteredLiveIdCount(
+              df.sparkSession, p, meta, f)
             val total = math.max(1L, meta.n_rows)
             val sel = matched.toDouble / total
             val kk = t.k.getOrElse(10)
@@ -379,7 +485,7 @@ object Interpreter extends Logging {
             }
           case _ => Nil
         }
-        stale ++ frag ++ tombs ++ filterSel ++ geom
+        stale ++ frag ++ tombs ++ tombFrac ++ filterSel ++ geom
       } catch {
         case scala.util.control.NonFatal(e) =>
           logInfo(s"[$specId] knn index staleness preflight skipped: " +
@@ -571,6 +677,17 @@ object Interpreter extends Logging {
   private val KnnTombstoneGensWarn = 4
   private val KnnPendingTombstones = "knn_pending_tombstones"
 
+  /** Mass-deletion bar: past this fraction of the corpus sitting in the
+    * ACTIVE tombstone set, every search drags a takedown screen comparable
+    * to the corpus itself — the anti-join flips to the shuffle route
+    * (correct but an extra exchange per search) and the disk holds the
+    * deleted rows besides. The maintenance loop owes a knn_index_compact
+    * NOW, not at the generation-count cadence. Closed-form from the meta
+    * (tomb_rows vs n_rows + tomb_rows), no data probe.
+    */
+  private val KnnTombstoneFracWarn = 0.10
+  private val KnnTombstoneFraction = "knn_tombstone_fraction"
+
   /** Filtered-search selectivity bar: a candidateFilter matching under
     * this fraction of the stored corpus makes the index machinery work
     * against itself — ivf widens probes toward a full scan, lsh buckets
@@ -612,8 +729,8 @@ object Interpreter extends Logging {
   val specAuditFindings: Seq[String] =
     Seq(LshLowThresholdRegime, DriftUnboundedCategorical, KnnBruteForceRegime,
       KnnStaleIndex, KnnFragmentedIndex, KnnPendingTombstones,
-      KnnFilterLowSelectivity, ShinglePendingRetractions,
-      WindowedStateAmplification)
+      KnnTombstoneFraction, KnnFilterLowSelectivity,
+      ShinglePendingRetractions, WindowedStateAmplification)
 
   /** Candidate-per-row warn bar for [[specAudit]]: 8× the sized design
     * occupancy's candidate load (L=16 tables × 64 occupancy / 2) — an
@@ -1004,6 +1121,33 @@ object Interpreter extends Logging {
     else None
   }
 
+  /** Size-aware id-set join against a shingle artifact's tombstone set (or
+    * a takedown batch): broadcast below the byte bar — a map-side screen
+    * below the exchanges, the right plan for ordinary takedown lists — and
+    * a plain shuffle join above it, so a MASS retraction (a GDPR-scale
+    * batch between compactions) degrades to one extra exchange instead of
+    * an unbounded broadcast OOM on every screen (the knn livePostings cost
+    * rule, on the text side). The bar reads the id side's optimizer size
+    * statistic (parquet file bytes — no probe job); 32 MB ≈ 4M long ids.
+    * Override via `spark.graft.shingleTombBroadcastMaxBytes`.
+    */
+  private def sizeAwareIdJoin(left: DataFrame, ids: DataFrame,
+      joinType: String): DataFrame = {
+    val bar = BigInt(left.sparkSession.conf
+      .getOption("spark.graft.shingleTombBroadcastMaxBytes")
+      .map(_.toLong).getOrElse(32L << 20))
+    val sz = ids.queryExecution.optimizedPlan.stats.sizeInBytes
+    val right =
+      if (sz <= bar) broadcast(ids)
+      else {
+        logInfo(s"sizeAwareIdJoin: id set is ~$sz bytes (> broadcast bar " +
+          s"$bar) — shuffle ${joinType} route (compact to fold the " +
+          "tombstones away)")
+        ids
+      }
+    left.join(right, Seq("id"), joinType)
+  }
+
   /** Config-grade preflight for a stored ANN index: the artifact must
     * exist and be an index meta (readIndexMeta's own errors), the declared
     * method must be the stored one, and any DECLARED geometry must match
@@ -1073,6 +1217,55 @@ object Interpreter extends Logging {
       // of a maintenance verb, a serving view ahead of a knn. Row-
       // preserving, streaming-legal, and Catalyst pushes it into the scan
       df.filter(expr(t.expression.get))
+    case "parse_json" =>
+      // R16's JSON-string → object boundary as a declarable stage, with
+      // the reference's BOTH postures: lenient (JsonStringToObjectMapper's
+      // Jackson-default analogue — malformed input parses to null fields)
+      // and strict (its throw posture, SerdeFactory.java:208 —
+      // from_json mode=FAILFAST raises on the first malformed record at
+      // execution time), plus the reference's named-but-unimplemented
+      // dead-letter alternative (SerdeFactory.java:204-207): DLQ drops
+      // malformed rows from the output and writes their raw payloads to
+      // dlqPath — an eager batch side-write (a stream cannot fork an
+      // eager reject sink; declare FAILFAST or PERMISSIVE there).
+      // Row-preserving under PERMISSIVE/FAILFAST; DLQ drops only rejects.
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(t.jsonSchema.get)
+      val src = col(t.column.get)
+      val out = t.outputField.get
+      t.parseMode.getOrElse("PERMISSIVE") match {
+        case "FAILFAST" =>
+          df.withColumn(out,
+            from_json(src, schema, Map("mode" -> "FAILFAST")))
+        case "DLQ" =>
+          require(!df.isStreaming,
+            "parse_json parseMode=DLQ is batch-only (the dead-letter " +
+              "side-write is an eager second sink a streaming stage " +
+              "cannot fork); declare FAILFAST or PERMISSIVE on a stream")
+          // reject detection via the parser's own corrupt-record channel
+          // (PERMISSIVE parses a malformed record to a struct with NULL
+          // fields, indistinguishable from a legitimately-null document
+          // by value inspection); the sentinel field is stripped from the
+          // survivors' struct. A NULL input is not a reject (nothing to
+          // parse — from_json returns a null struct and the sentinel
+          // reads null through it).
+          val corrupt = "__graft_corrupt"
+          val widened = schema.add(corrupt,
+            org.apache.spark.sql.types.StringType)
+          val parsed = df.withColumn(out, from_json(src, widened,
+            Map("columnNameOfCorruptRecord" -> corrupt)))
+          val isReject = col(out).getField(corrupt).isNotNull
+          val dlq = resolvePath(t.dlqPath.get, dataDir, specId)
+          parsed.filter(isReject)
+            .select(src.cast("string").as("payload"))
+            .write.mode("append").parquet(dlq)
+          logInfo(s"[$specId] parse_json: dead-lettered rejects to $dlq")
+          parsed.filter(!isReject).withColumn(out,
+            when(col(out).isNotNull, struct(
+              schema.fieldNames.toSeq.map(f => col(out).getField(f).as(f)): _*)))
+        case _ =>
+          df.withColumn(out, from_json(src, schema))
+      }
     case "dedup_exact" if df.isStreaming =>
       // the unbounded-state commitment must be EXPLICIT (round-8 judge):
       // either bound it with a TTL or acknowledge it with unboundedOk
@@ -1155,7 +1348,7 @@ object Interpreter extends Logging {
       // the history — a retracted doc can no longer suppress a novel
       // arrival, exactly as if its rows were already physically dropped
       val screened = shingleTombstones(df.sparkSession, p)
-        .fold(hist)(tb => hist.join(broadcast(tb), Seq("id"), "left_anti"))
+        .fold(hist)(tb => sizeAwareIdJoin(hist, tb, "left_anti"))
       graft.operators.Dedup.incrementalNovelPrepared(df, t.idColumn.get,
         t.column.get, t.shingleSize.get, t.threshold.get,
         screened.drop("shingle_size"))
@@ -1225,9 +1418,9 @@ object Interpreter extends Logging {
       // exact data loss a re-publisher would never notice. Compact first
       // (it clears the retractions), then re-publish.
       shingleTombstones(df.sparkSession, p).foreach { tb =>
-        val pending = df.select(col(t.idColumn.get)
-            .cast(histForAppend.schema("id").dataType).as("id"))
-          .join(broadcast(tb), Seq("id"), "left_semi").distinct().count()
+        val pending = sizeAwareIdJoin(df.select(col(t.idColumn.get)
+            .cast(histForAppend.schema("id").dataType).as("id")),
+          tb, "left_semi").distinct().count()
         require(pending == 0L,
           s"[$specId] shingle_index_append: $pending batch id(s) have a " +
             s"PENDING retraction at '$p' (shingle_index_retract tombstoned " +
@@ -1330,11 +1523,10 @@ object Interpreter extends Logging {
       val batchN = ids.count()
       // newly retracted = batch ids with >= 1 history row, minus already-
       // tombstoned ones — an id-column-pruned scan, never the shingles
-      val liveMatched = hist.select("id")
-        .join(broadcast(ids), Seq("id"), "left_semi").distinct()
+      val liveMatched = sizeAwareIdJoin(hist.select("id"), ids, "left_semi")
+        .distinct()
       val newly = shingleTombstones(spark, p)
-        .fold(liveMatched)(tb =>
-          liveMatched.join(broadcast(tb), Seq("id"), "left_anti"))
+        .fold(liveMatched)(tb => sizeAwareIdJoin(liveMatched, tb, "left_anti"))
       val retracted = newly.count()
       if (batchN > 0)
         ids.write.mode("append").parquet(s"$p/_tombstones.parquet")
@@ -1422,17 +1614,21 @@ object Interpreter extends Logging {
               !s.getPath.getName.startsWith(".")).map(_.getLen).sum
           val needed = math.max(1L,
             (bytes + (128L << 20) - 1) / (128L << 20)).toInt
-          hist.join(broadcast(tombs), Seq("id"), "left_anti")
+          sizeAwareIdJoin(hist, tombs, "left_anti")
             .repartitionByRange(needed, col("id"))
             .sortWithinPartitions("id")
             .write.mode("overwrite").parquet(staging.toString)
           require(fsH.rename(fsP, aside), s"[$specId] cannot move $p aside")
           require(fsH.rename(staging, fsP),
             s"[$specId] cannot install $staging as $p")
-          fsH.delete(aside, true)
+          // retainFolded: the pre-compaction artifact (WITH its tombstone
+          // side file) outlives the swap as `<p>.old` — a recovery /
+          // slow-reader grace window; the next compact's preamble sweeps it
+          if (!t.retainFolded) fsH.delete(aside, true)
           ()
         case None =>
-          graft.sinks.BatchSink.compactSnapshot(spark, p, sortCols = Seq("id"))
+          graft.sinks.BatchSink.compactSnapshot(spark, p, sortCols = Seq("id"),
+            retainAside = t.retainFolded)
           ()
       }
       val filesAfter = dataFileCount
@@ -1623,6 +1819,17 @@ object Interpreter extends Logging {
       // mid-batch — and the batch twin of the same declaration produces
       // the identical flagged table (stream==batch pinned in
       // StreamRunnerSpec; the batch-read-back form is oracle-checked).
+      // perBatch baseline binding needs the foreachBatch split — the
+      // ordinary build would bake the baseline read into the static plan,
+      // silently giving the read-once semantics the declaration opted out
+      // of. Batch runs re-read artifacts per run anyway, so the knob is
+      // only meaningful (and only refused) on a stream.
+      require(!df.isStreaming || !t.baselineRefresh.contains("perBatch"),
+        s"[$specId] snapshot_drift baselineRefresh: \"perBatch\" on a " +
+          "stream must start through StreamRunner.startRefreshingMonitor " +
+          "(the foreachBatch form that re-reads the baseline each " +
+          "micro-batch); the ordinary entry points bind the baseline once " +
+          "at query start")
       val (src, win) = eventWindow(df, t)
       if (t.summaryPath.isDefined) {
         // EMBEDDING monitor (summaryPath — the original windowed form)
@@ -2217,7 +2424,8 @@ object Interpreter extends Logging {
         nTables = t.nTables.getOrElse(16),
         planesPerTable = t.planesPerTable.getOrElse(4),
         dim = t.dim.getOrElse(0), seed = t.seed.getOrElse(42L),
-        attributeColumns = t.attributeColumns)
+        attributeColumns = t.attributeColumns,
+        partitionByAttribute = t.partitionByAttribute)
       // the report row is keyed by what was built (compacted-topic
       // semantics, same rule as profile's col_name)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
@@ -2248,7 +2456,8 @@ object Interpreter extends Logging {
         "knn_index_compact is batch-only (it rewrites a stored artifact's " +
           "posting layout; run it between ingest rounds)")
       val result = graft.operators.Similarity.compactIndex(df.sparkSession,
-        resolvePath(t.indexPath.get, dataDir, specId))
+        resolvePath(t.indexPath.get, dataDir, specId),
+        retainFolded = t.retainFolded)
       if (df.columns.contains(KeyCol)) result.withColumn(KeyCol, col("method"))
       else result
     case "knn_index_delete" =>

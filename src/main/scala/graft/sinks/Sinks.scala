@@ -438,7 +438,8 @@ object BatchSink extends org.apache.spark.internal.Logging {
       partitionCols: Seq[String] = Nil,
       targetBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil,
-      zOrderCols: Seq[String] = Nil): Long = {
+      zOrderCols: Seq[String] = Nil,
+      retainAside: Boolean = false): Long = {
     import org.apache.hadoop.fs.{Path => HPath}
     require(targetBytes >= 1, "targetBytes must be positive")
     require(sortCols.isEmpty || zOrderCols.isEmpty,
@@ -484,7 +485,11 @@ object BatchSink extends org.apache.spark.internal.Logging {
         .write.mode("overwrite").parquet(staging.toString)
       require(fs.rename(cur, aside), s"cannot move $cur aside")
       require(fs.rename(staging, cur), s"cannot install $staging as $cur")
-      fs.delete(aside, true)
+      // retainAside: the pre-compaction snapshot outlives the swap as
+      // `<path>.old` (a grace window for recovery / slow readers pointed
+      // at it); the NEXT compaction's preamble sweeps it. Flat stores
+      // only — the partitioned path swaps per-slice.
+      if (!retainAside) fs.delete(aside, true)
       files.length - dataFiles(cur).length
     } else {
       // partitioned store: per-directory compaction, same recovery preamble

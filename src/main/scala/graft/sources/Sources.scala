@@ -85,7 +85,18 @@ class ParquetSourceResolver(dir: String, val catalog: SchemaCatalog) extends Sou
   * parquet resolver.
   */
 class JsonSourceResolver(dir: String, val catalog: SchemaCatalog,
-    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+    schemas: Map[String, org.apache.spark.sql.types.StructType],
+    // the deserialization-failure posture at the source boundary (R16):
+    // "PERMISSIVE" (default) is the lenient Jackson analogue — malformed
+    // records read as null fields (SerdeFactory.java:30); "FAILFAST"
+    // matches the reference's throw posture (JsonStringToObjectMapper
+    // .java:46-55 / SerdeFactory.java:208) — the read RAISES on the first
+    // malformed record instead of silently nulling a corrupt ingest
+    parseMode: String = "PERMISSIVE") extends SourceResolver {
+  require(Set("PERMISSIVE", "FAILFAST")(parseMode),
+    s"JsonSourceResolver parseMode '$parseMode' unknown (PERMISSIVE — " +
+      "malformed records read as null fields; FAILFAST — the read raises " +
+      "on the first malformed record)")
   override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
@@ -94,9 +105,11 @@ class JsonSourceResolver(dir: String, val catalog: SchemaCatalog,
   override def stream(spark: SparkSession, topic: TopicConfig): DataFrame = {
     val schema = schemas.getOrElse(topic.name,
       throw new IllegalArgumentException(s"no schema declared for JSON topic ${topic.name}"))
-    // lenient Jackson posture (SerdeFactory.java:30): unknown fields dropped
-    // by the schema projection, missing/malformed fields → null (PERMISSIVE)
+    // default posture: lenient Jackson (SerdeFactory.java:30) — unknown
+    // fields dropped by the schema projection, missing/malformed fields →
+    // null (PERMISSIVE); FAILFAST opts into the reference's throw posture
     spark.read.schema(schema)
+      .option("mode", parseMode)
       // Spark's default JSON timestamp format is millisecond-precision —
       // a dump written with it silently truncates micros. Dumps must be
       // written with the same microsecond format (JsonSourceResolver
@@ -131,7 +144,12 @@ object JsonSourceResolver {
   * timestamps round-trip at microsecond precision via the shared format.
   */
 class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
-    schemas: Map[String, org.apache.spark.sql.types.StructType]) extends SourceResolver {
+    schemas: Map[String, org.apache.spark.sql.types.StructType],
+    // same deserialization-failure posture dial as [[JsonSourceResolver]]
+    parseMode: String = "PERMISSIVE") extends SourceResolver {
+  require(Set("PERMISSIVE", "FAILFAST")(parseMode),
+    s"CsvSourceResolver parseMode '$parseMode' unknown (PERMISSIVE or " +
+      "FAILFAST)")
   override def dataDir: Option[String] = Some(dir)
   private val tables = TrieMap.empty[String, DataFrame]
 
@@ -143,7 +161,7 @@ class CsvSourceResolver(dir: String, val catalog: SchemaCatalog,
     spark.read.schema(schema)
       .option("header", "true")
       .option("timestampFormat", JsonSourceResolver.TimestampFormat)
-      .option("mode", "PERMISSIVE")
+      .option("mode", parseMode)
       .csv(path(topic.name))
   }
 

@@ -134,6 +134,39 @@ object StreamRunner extends Logging {
       w.trigger(Trigger.ProcessingTime("500 milliseconds"))
     else w
 
+  /** Run a windowed snapshot_drift monitor declared with
+    * `baselineRefresh: "perBatch"`: the stateful cell stream is
+    * plan-static ([[graft.pipeline.Interpreter.buildRefreshingMonitor]]),
+    * and every micro-batch's refreshed cells are evaluated against a
+    * FRESH read of the stored baseline inside foreachBatch — a weekly
+    * merge fold republished to the baseline path lands on the NEXT batch,
+    * no monitor restart. Evaluated rows APPEND to `path` as a parquet
+    * changelog: each refreshed cell re-emits its metric rows, versioned
+    * by `n_new` (the monitor's last-write-wins convention — readers take
+    * the max-n_new row per (window_start, col_name, metric, category), or
+    * read the log as the audit trail it is). Because the artifact is
+    * re-read per batch, refreshes must be atomic swaps or new-path
+    * republishes, same as every stored-artifact consumer — but unlike the
+    * read-once binding, an in-place overwrite here breaks ONE batch at
+    * worst, not the query (the next batch reads the settled files).
+    */
+  def startRefreshingMonitor(spark: SparkSession, spec: PipelineSpec,
+      sources: SourceResolver, path: String,
+      checkpoint: String): StreamingQuery = {
+    requireNoBranches(spec, "startRefreshingMonitor")
+    val (cells, eval) = graft.pipeline.Interpreter
+      .buildRefreshingMonitor(spark, spec, sources)
+    applyTrigger(spec, cells.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          eval(batch).write.mode("append").parquet(path)
+        ()
+      })
+      .start()
+  }
+
   /** Run a spec to an in-memory sink (tests / debugging). */
   def startMemory(spark: SparkSession, spec: PipelineSpec, sources: SourceResolver,
       queryName: String): StreamingQuery = {

@@ -191,6 +191,62 @@ class DoctorSpec extends SparkSuite {
     assert(c3 == 0 && !o3.contains("knn_filter_low_selectivity"), o3)
   }
 
+  test("Doctor: a MASS takedown prices knn_tombstone_fraction at preflight; " +
+      "a per-category family stands the selectivity advisory down") {
+    // round-20: (a) the tombstone-ROW fraction advisory — closed-form from
+    // the meta — demands a compact NOW when the active takedown set passes
+    // ~10% of the indexed rows (the generation-count advisory alone would
+    // sleep through one giant batch); (b) partitionByAttribute is the
+    // low-selectivity advisory's named remedy AUTOMATED, so an equality
+    // filter a sub-index covers must NOT draw the advisory — the search
+    // routes, full recall, no widening
+    val base = tempDir("graft_doctor_mass")
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding",
+        "label")
+    graft.operators.Similarity.buildIndex(e, "vec_id", "embedding",
+      "quantized", s"$base/mass", attributeColumns = Seq("label"))
+    graft.operators.Similarity.deleteIndex(
+      e.filter(col("vec_id") % 5 < 2), "vec_id", s"$base/mass")
+    def spec(idx: String, extra: String) = write(s"knn_m${(idx + extra).hashCode}.json",
+      s"""{"id":"knn-mass","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,
+         |  "queryPath":"${sf()}/embeddings.parquet",
+         |  "queryFilter":"vec_id < 3"$extra,
+         |  "indexPath":"$base/$idx"}],
+         |"outputTopic":{"enabled":true,"name":"knn-mass-out"}}""".stripMargin)
+    val (c1, o1) = runDoctor(spec("mass", ""), sf())
+    assert(c1 == 0, o1)
+    assert(o1.contains("knn_tombstone_fraction") &&
+      o1.contains("knn_index_compact"), o1)
+    // ONE tombstone generation — the count advisory must NOT be the one
+    // carrying the warning (it needs 4+); the fraction advisory is
+    assert(!o1.contains("knn_pending_tombstones"), o1)
+    // a compact folds the set away and the advisory stands down
+    graft.operators.Similarity.compactIndex(spark, s"$base/mass")
+    val (c2, o2) = runDoctor(spec("mass", ""), sf())
+    assert(c2 == 0 && !o2.contains("knn_tombstone_fraction"), o2)
+    // per-category family on a robustly-selective attribute (~5% per
+    // value): the equality filter ROUTES to the sub-index, so it draws NO
+    // advisory — while the identical filter on a plain (non-partitioned)
+    // index carrying the same attribute still prices under the 10% bar
+    val e2 = e.withColumn("grp",
+      org.apache.spark.sql.functions.expr("vec_id % 20"))
+    graft.operators.Similarity.buildIndex(e2, "vec_id", "embedding",
+      "quantized", s"$base/fam", attributeColumns = Seq("grp"),
+      partitionByAttribute = Some("grp"))
+    graft.operators.Similarity.buildIndex(e2, "vec_id", "embedding",
+      "quantized", s"$base/plainb", attributeColumns = Seq("grp"))
+    val (c4, o4) = runDoctor(
+      spec("fam", ""","candidateFilter":"grp = 3""""), sf())
+    assert(c4 == 0 && !o4.contains("knn_filter_low_selectivity"), o4)
+    val (c5, o5) = runDoctor(
+      spec("plainb", ""","candidateFilter":"grp = 3""""), sf())
+    assert(c5 == 0 && o5.contains("knn_filter_low_selectivity"), o5)
+  }
+
   test("Doctor: a heavy pending-retraction set on the screen's history warns at preflight") {
     // the knn tombstone advisory's text twin: a retraction set at 10% of
     // the history's rows prices the per-screen anti-join + held disk and

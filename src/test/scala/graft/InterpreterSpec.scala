@@ -2154,4 +2154,50 @@ class InterpreterSpec extends SparkSuite {
       assert(spark.read.parquet(p).count() > 0, s"$p must hold rows")
     }
   }
+
+  test("parse_json postures on a corrupt feed: PERMISSIVE nulls the malformed row, " +
+      "FAILFAST raises (the reference's throw posture), DLQ drops it and dead-letters the payload") {
+    // round-19 VERDICT #3 (the one missing §2A R16 half): the reference
+    // THROWS on malformed input (JsonStringToObjectMapper.java:46-55) where
+    // the lenient default silently nulls; DLQ is its named-but-
+    // unimplemented dead-letter alternative (SerdeFactory.java:204-207).
+    // A NULL input is not a reject under any posture (nothing to parse).
+    val ss = spark
+    import ss.implicits._
+    val base = tempDir("graft_parsejson")
+    Seq((1L, """{"k": 7}"""), (2L, """{"k": """),
+        (3L, null.asInstanceOf[String]))
+      .toDF("event_id", "props")
+      .write.mode("overwrite").parquet(s"$base/raw.parquet")
+    def run(posture: String): org.apache.spark.sql.DataFrame =
+      graft.pipeline.Interpreter.values(graft.pipeline.Interpreter.build(
+        spark, PipelineSpec.fromJson(
+          s"""{"id":"pj","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"raw","keyClass":"java.lang.Long"},
+             |"transform":[{"op":"parse_json","column":"props",
+             |  "jsonSchema":"k INT","outputField":"v"$posture}],
+             |"outputTopic":{"enabled":true,"name":"pj-out"}}""".stripMargin),
+        new ParquetSourceResolver(base, TestdataCatalog)))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Any])] =
+      df.select(col("event_id"), col("v.k")).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    // lenient (default): the malformed row rides through with null fields
+    assert(rows(run("")) ==
+      Set((1L, Some(7)), (2L, None), (3L, None)))
+    // strict: the query RAISES at execution on the malformed record
+    val thrown = intercept[Throwable] {
+      run(""","parseMode":"FAILFAST"""").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(thrown).exists(m => m.contains("Malformed") ||
+      m.contains("FAILFAST")), chain(thrown).mkString(" | "))
+    // DLQ: the malformed row is DROPPED from the output (the null input
+    // is not — nothing to parse) and its raw payload is dead-lettered
+    assert(rows(run(s""","parseMode":"DLQ","dlqPath":"$base/dlq"""")) ==
+      Set((1L, Some(7)), (3L, None)))
+    val dlq = spark.read.parquet(s"$base/dlq").as[String].collect().toSeq
+    assert(dlq == Seq("""{"k": """), dlq.toString)
+  }
 }

@@ -107,6 +107,14 @@ class ObserveSpec extends SparkSuite {
       // the ATTRIBUTE-FILTERED quantized index — same route, the filter
       // pushed into the posting scan before the candidate stage
       "r52_spec_knn_filtered" -> knnScan,
+      // the MASS-TOMBSTONED quantized index (both anti-join routes:
+      // shuffle past the broadcast bar, broadcast under it) — same
+      // corpus × broadcast-query scan class downstream of the screen
+      "r54_spec_knn_mass_delete" -> knnScan,
+      "r54_spec_knn_mass_delete_bcast" -> knnScan,
+      // the PER-CATEGORY routed search — the same quantized scan class,
+      // over the label-3 sub-index's postings
+      "r54_spec_knn_per_category" -> knnScan,
       // the direct filtered exact route: the same corpus × broadcast-
       // query scan over the pre-filtered frame
       "r52_spec_knn_filtered_exact" -> knnScan,

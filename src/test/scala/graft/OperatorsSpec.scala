@@ -2228,5 +2228,225 @@ class OperatorsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("mass deletion: the tombstone screen is size-aware — shuffle anti-join past the " +
+      "broadcast bar, broadcast under it, SAME results either way (rebuild-minus exact)") {
+    // round-19 VERDICT #1: a GDPR-scale takedown between compactions must
+    // not ship an unbounded broadcast to every executor on every search.
+    // Route choice is a plan shape, never a result: both routes hash the
+    // rebuild-without-those-rows oracle. The plan pin disables Spark's
+    // auto-broadcast so the two routes are unambiguous: under the bar the
+    // EXPLICIT broadcast() hint forces a BroadcastHashJoin LeftAnti even
+    // at threshold -1; past the bar no hint is planted and the anti-join
+    // plans as a shuffle join (at real scale Spark's own sizing governs).
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val gone = e.filter(col("vec_id") % 5 < 2) // 40% of the corpus
+    val kept = e.filter(col("vec_id") % 5 >= 2)
+    val base = tempDirPath("graft_ann_mass").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val oracle = rows(Similarity.bruteForceTopK(kept, q, "vec_id",
+      "embedding", 10))
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized", s"$base/m")
+    Similarity.deleteIndex(gone, "vec_id", s"$base/m")
+    val meta = Similarity.readIndexMeta(spark, s"$base/m")
+    assert(meta.tomb_rows == gone.count(),
+      s"tomb_rows must track the takedown set: $meta")
+    def search() = Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/m")
+    // the pin reads the ANTI-join lines only: the query-set broadcasts
+    // (explicit hints by design) stay BroadcastHashJoin on both routes
+    def antiLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("LeftAnti")).toSeq
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // BROADCAST route (default bar 1M rows): the hint survives threshold -1
+      val bcast = search()
+      val bLines = antiLines(bcast)
+      assert(bLines.nonEmpty && bLines.forall(_.contains("BroadcastHashJoin")),
+        bcast.queryExecution.executedPlan.toString)
+      assert(rows(bcast) == oracle, "broadcast route diverged from oracle")
+      // SHUFFLE route (bar forced to 0): no hint on the screen — with
+      // auto-broadcast off the anti-join plans as a plain shuffle join
+      spark.conf.set("spark.graft.knn.tombBroadcastMaxRows", "0")
+      val shuf = search()
+      val sLines = antiLines(shuf)
+      assert(sLines.nonEmpty && sLines.forall(!_.contains("BroadcastHashJoin")),
+        shuf.queryExecution.executedPlan.toString)
+      assert(rows(shuf) == oracle, "shuffle route diverged from oracle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.unset("spark.graft.knn.tombBroadcastMaxRows")
+    }
+    // compact clears the bookkeeping with the fence
+    Similarity.compactIndex(spark, s"$base/m")
+    assert(Similarity.readIndexMeta(spark, s"$base/m").tomb_rows == 0L)
+  }
+
+  test("compactIndex retainFolded: folded generation directories outlive the commit " +
+      "(in-flight readers keep their file lists); the next maintenance verb sweeps them") {
+    // round-19 VERDICT #4: the DEPLOY caveat ("compaction can fail
+    // in-flight readers; retry") turned into a declared grace window
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_retain").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hi = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    Similarity.buildIndex(e.filter(col("vec_id") < hi / 2), "vec_id",
+      "embedding", "quantized", s"$base/r")
+    Similarity.appendIndex(e.filter(col("vec_id") >= hi / 2), "vec_id",
+      "embedding", s"$base/r")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens: Set[String] = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$base/r/index.parquet")).map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).toSet
+    assert(gens == Set("gen=0", "gen=1"))
+    // an in-flight reader's file list, captured BEFORE the compact
+    val preFiles = spark.read.parquet(s"$base/r/index.parquet")
+      .inputFiles.toSet
+    val pre = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/r"))
+    Similarity.compactIndex(spark, s"$base/r", retainFolded = true)
+    // the folded generations OUTLIVE the commit: every pre-compaction file
+    // is still present and readable (the in-flight query finishes), while
+    // new readers fence to the consolidated generation and match exactly
+    assert(gens == Set("gen=0", "gen=1", "gen=2"), gens.toString)
+    assert(preFiles.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "retainFolded must keep the pre-compaction file list readable")
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/r")) == pre)
+    // the NEXT maintenance verb (a compact retry here) sweeps the retained
+    // directories — the declared reclamation cadence
+    Similarity.compactIndex(spark, s"$base/r")
+    assert(gens == Set("gen=2"), gens.toString)
+    assert(rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10, s"$base/r")) == pre)
+  }
+
+  test("per-category index family: an equality candidateFilter routes to the sub-index " +
+      "(exact recall, no widening); other predicates fall through; append refuses; delete cascades") {
+    // round-19 VERDICT #2: the knn_filter_low_selectivity advisory's
+    // named remedy automated
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"),
+        col("label"))
+    val q = e.filter(col("vec_id") < 3).drop("label")
+    val base = tempDirPath("graft_ann_family").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    Similarity.buildIndex(e, "vec_id", "embedding", "quantized",
+      s"$base/f", attributeColumns = Seq("label"),
+      partitionByAttribute = Some("label"))
+    val meta = Similarity.readIndexMeta(spark, s"$base/f")
+    assert(meta.part_attr.contains("label") &&
+      meta.part_values.exists(_.contains("1")), meta.toString)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    meta.part_values.get.foreach { v =>
+      val sub = Similarity.readIndexMeta(spark,
+        Similarity.subIndexPath(s"$base/f", v))
+      assert(sub.method == "quantized" && sub.part_attr.isEmpty, sub.toString)
+    }
+    // ROUTED equality: exact recall over the category — the sub-index is
+    // the category's whole corpus, scanned like any quantized index
+    val routed = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label = 1"))
+    assert(rows(routed) == rows(Similarity.bruteForceTopK(
+      e.filter(col("label") === 1), q, "vec_id", "embedding", 10)))
+    // NON-equality predicates fall through to the generic filtered path
+    // over the top index — still exact against the filtered oracle
+    val ranged = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label <= 1"))
+    assert(rows(ranged) == rows(Similarity.bruteForceTopK(
+      e.filter(col("label") <= 1), q, "vec_id", "embedding", 10)))
+    // a value the family has no sub-index for: zero matches, zero rows
+    assert(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label = 999")).count() == 0L)
+    // append refuses on a family (it would desynchronize routed searches)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendIndex(e.limit(1), "vec_id", "embedding", s"$base/f")
+    }
+    assert(err.getMessage.contains("per-category family"), err.getMessage)
+    // delete CASCADES to every sub-index: the routed search must never
+    // serve a deleted row
+    val victim = e.filter(col("label") === 1).select(col("vec_id")).limit(3)
+    val victimIds = victim.collect().map(_.getLong(0)).toSet
+    Similarity.deleteIndex(victim, "vec_id", s"$base/f")
+    val afterDel = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label = 1")))
+    assert(afterDel == rows(Similarity.bruteForceTopK(
+      e.filter(col("label") === 1 && !col("vec_id").isin(victimIds.toSeq: _*)),
+      q, "vec_id", "embedding", 10)),
+      "routed search served a deleted row (cascade failed)")
+    // a REBUILD clears stale sub-indexes (the category set is data-derived)
+    Similarity.buildIndex(e.filter(col("label") < 2), "vec_id", "embedding",
+      "quantized", s"$base/f", attributeColumns = Seq("label"),
+      partitionByAttribute = Some("label"))
+    val meta2 = Similarity.readIndexMeta(spark, s"$base/f")
+    assert(meta2.part_values.contains(Seq("0", "1")), meta2.toString)
+    val subDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/f"))
+      .map(_.getPath.getName).filter(_.startsWith("attr=")).toSet
+    assert(subDirs == Set("attr=0", "attr=1"),
+      s"stale sub-indexes must die with the rebuild: $subDirs")
+  }
+
+  test("deleteIndex bookkeeping on a duplicate-id corpus: n_rows stays in corpus-row " +
+      "units (matched postings over the method multiplicity)") {
+    // round-19 ADVICE: build/append increment n_rows by raw row counts;
+    // a distinct-id delete decrement would drift the staleness and
+    // selectivity denominators on any corpus with duplicate ids
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") < 50)
+    val corpus = e.union(e) // every id twice
+    val base = tempDirPath("graft_ann_dup").toString
+    Similarity.buildIndex(corpus, "vec_id", "embedding", "ivf", s"$base/d",
+      nCells = 4, nAssign = 2)
+    assert(Similarity.readIndexMeta(spark, s"$base/d").n_rows == 100L)
+    val rep = Similarity.deleteIndex(
+      e.filter(col("vec_id") < 10).select("vec_id"), "vec_id", s"$base/d").head()
+    // 10 ids × 2 corpus rows each — NOT 10 (the distinct-id drift)
+    assert(rep.getLong(2) == 20L, rep.toString)
+    assert(Similarity.readIndexMeta(spark, s"$base/d").n_rows == 80L)
+  }
+
+  test("exact-fallback determinism: an id re-appended with a different vector keeps " +
+      "its MAX-scoring copy (the ivf/lsh collapse rule), never an arbitrary posting") {
+    // round-19 ADVICE: the fallback's dropDuplicates kept an arbitrary
+    // row per id — nondeterministic, and divergent from the main routes
+    val ss = spark
+    import ss.implicits._
+    val base = tempDirPath("graft_ann_fallback").toString
+    val corpus = Seq(
+      (1L, Seq(0.0, 1.0, 0.0, 0.0), 7),
+      (2L, Seq(0.6, 0.8, 0.0, 0.0), 7),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0), 5))
+      .toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    Similarity.buildIndex(corpus, "vec_id", "embedding", "quantized",
+      s"$base/fb", attributeColumns = Seq("label"))
+    // re-append id 1 with a DIFFERENT vector (no intervening delete):
+    // both postings are live; the collapse must keep the max-cos copy
+    Similarity.appendIndex(
+      Seq((1L, Seq(1.0, 0.0, 0.0, 0.0), 7)).toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<double>")),
+      "vec_id", "embedding", s"$base/fb")
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    // label = 7 matches 2 distinct ids <= k×4 — the exact-fallback route
+    val got = Similarity.indexedTopK(q, "vec_id", "embedding", 2,
+        s"$base/fb", candidateFilter = Some("label = 7"))
+      .select("rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getInt(0), r.getLong(1), round6(r.getDouble(2)))).toSet
+    // neighbor 1's max-cos copy is the re-appended unit-x vector (cos 1),
+    // not the build's orthogonal original (cos 0)
+    assert(got == Set((1, 1L, 1.0), (2, 2L, 0.6)), got.toString)
+  }
+
   private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
 }

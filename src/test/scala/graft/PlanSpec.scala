@@ -295,6 +295,12 @@ class PlanSpec extends SparkSuite {
       // the GLOBAL batch percentile drift: a one-row x one-row broadcast
       // cross of the two global rollups — the same sanctioned shape
       "r53_spec_drift_quantile_global",
+      // the MASS-TOMBSTONED quantized index (shuffle and broadcast
+      // anti-join routes) and the PER-CATEGORY routed search: the same
+      // candidate scan class downstream of the tombstone screen / over
+      // the sub-index's postings
+      "r54_spec_knn_mass_delete", "r54_spec_knn_mass_delete_bcast",
+      "r54_spec_knn_per_category",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it

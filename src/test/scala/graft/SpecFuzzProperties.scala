@@ -259,6 +259,14 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         TransformOp(op = "filter", expression = Some(e))))
     }
 
+  property("valid parse_json analyzes (lenient and strict postures)") =
+    Prop.forAll(Gen.oneOf[Option[String]](None, Some("PERMISSIVE"),
+        Some("FAILFAST"))) { mode =>
+      analyzes(simple("fz-parse", "events", TransformOp(op = "parse_json",
+        column = Some("props"), jsonSchema = Some("k INT"),
+        outputField = Some("props_v"), parseMode = mode)))
+    }
+
   property("valid knn_index_delete analyzes (tombstones a stored index, all methods)") =
     // eager like the other maintenance verbs: the case builds a real
     // index and the delete declaration commits the frame's ids as a
@@ -949,7 +957,37 @@ object SpecFuzzProperties extends Properties("specfuzz") {
         idColumn = Some("vec_id"), k = Some(5),
         indexPath = Some("/nowhere/idx"),
         timeColumn = Some("ts"), every = Some("1 hour")))) ++
+    invalidParseAndFamilySpecs(t, te) ++
     invalidDriftSpecs(t, te)
+  }
+
+  // round-20 op/field rules, in a third method — the single Seq outgrew
+  // the JVM 64KB method limit twice already
+  private def invalidParseAndFamilySpecs(
+      t: TransformOp => PipelineSpec,
+      te: TransformOp => PipelineSpec): Seq[(String, PipelineSpec)] = {
+    Seq(
+      "parse_json without jsonSchema" -> t(TransformOp(op = "parse_json",
+        column = Some("props"), outputField = Some("v"))),
+      "parse_json malformed jsonSchema DDL" -> t(TransformOp(
+        op = "parse_json", column = Some("props"),
+        jsonSchema = Some("k INT,"), outputField = Some("v"))),
+      "parse_json unknown parseMode" -> t(TransformOp(op = "parse_json",
+        column = Some("props"), jsonSchema = Some("k INT"),
+        outputField = Some("v"), parseMode = Some("LENIENTISH"))),
+      "parse_json dlqPath without DLQ mode" -> t(TransformOp(
+        op = "parse_json", column = Some("props"),
+        jsonSchema = Some("k INT"), outputField = Some("v"),
+        parseMode = Some("FAILFAST"), dlqPath = Some("/tmp/dlq"))),
+      "parse_json DLQ mode without dlqPath" -> t(TransformOp(
+        op = "parse_json", column = Some("props"),
+        jsonSchema = Some("k INT"), outputField = Some("v"),
+        parseMode = Some("DLQ"))),
+      "knn_index partitionByAttribute not in attributeColumns" -> t(
+        TransformOp(op = "knn_index", method = Some("quantized"),
+          column = Some("embedding"), idColumn = Some("vec_id"),
+          indexPath = Some("/tmp/idx"), attributeColumns = Seq("label"),
+          partitionByAttribute = Some("lang"))))
   }
 
   private def invalidDriftSpecs(

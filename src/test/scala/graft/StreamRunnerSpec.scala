@@ -1061,6 +1061,81 @@ class StreamRunnerSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("baselineRefresh perBatch: the monitor re-reads the stored baseline every " +
+      "micro-batch — a refreshed fold lands on the NEXT batch, no restart; the ordinary " +
+      "entry points refuse the streaming declaration; the batch twin ignores the knob") {
+    // round-19 directive #6: the read-once binding pins restart-required
+    // refresh; this is the foreachBatch opt-out. Batch 1 evaluates against
+    // baseline v1; the baseline is REPUBLISHED between batches (the weekly
+    // merge fold) and batch 2's cells evaluate against v2 — same running
+    // query, no restart, no FAILED_READ_FILE (nothing holds a cached file
+    // index across batches).
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = tempDir("graft_refresh")
+    def writeBaseline(rows: Seq[(Long, String, Double)]): Unit =
+      graft.operators.Drift.scalarSummary(
+          rows.toDF("event_id", "cat", "v"), Seq("v"), Seq("cat"))
+        .write.mode("overwrite").parquet(s"$base/baseline")
+    writeBaseline(Seq((1L, "a", 10.0), (2L, "a", 20.0))) // v1: mean 15
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)](ss, 2)
+    val spec = PipelineSpec.fromJson(
+      s"""{"id":"refresh-monitor","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"events","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"snapshot_drift",
+         |  "statsPath":"$base/baseline",
+         |  "numericColumns":["v"],"groupColumns":["cat"],
+         |  "timeColumn":"ts","every":"1 hour","watermark":"2 hours",
+         |  "baselineRefresh":"perBatch",
+         |  "maxAbsDelta":{"v.mean":10}}],
+         |"outputTopic":{"enabled":true,"name":"refresh-out"}}""".stripMargin)
+    val cols = Seq("event_id", "ts", "cat", "v")
+    val mem = eventsResolver(input.toDF().toDF(cols: _*))
+    // the ordinary entry points must refuse (they would silently bind
+    // read-once — the exact semantics the declaration opted out of)
+    val refused = intercept[IllegalArgumentException] {
+      graft.pipeline.Interpreter.build(spark, spec, mem)
+    }
+    assert(refused.getMessage.contains("startRefreshingMonitor"), refused.getMessage)
+    val q = StreamRunner.startRefreshingMonitor(spark, spec, mem,
+      s"$base/out", s"$base/ckpt")
+    try {
+      input.addData((1L, t(10, 5), "a", 12.0), (2L, t(10, 15), "a", 18.0))
+      q.processAllAvailable()
+      // REPUBLISH the baseline mid-stream (v2: mean 40) — no restart
+      writeBaseline(Seq((1L, "a", 30.0), (2L, "a", 50.0)))
+      input.addData((3L, t(11, 10), "a", 40.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/out")
+        .filter(col("metric") === "mean")
+        .select("window_start", "old_value", "new_value", "pass")
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1),
+          r.getDouble(2), r.getBoolean(3))).toSet
+      // batch 1's 10:00 cell evaluated against v1 (old 15, new 15, pass);
+      // batch 2's 11:00 cell against the REFRESHED v2 (old 40, new 40,
+      // pass — under v1 it would have read old 15, |delta| 25 > 10, fail)
+      assert(got == Set(
+        (t(10, 0), 15.0, 15.0, true),
+        (t(11, 0), 40.0, 40.0, true)), s"$got")
+    } finally q.stop()
+    // the batch twin IGNORES the knob (a batch run re-reads artifacts per
+    // run by nature): same spec, batch resolver, evaluates against the
+    // CURRENT (v2) baseline and equals the one-shot monitor build
+    val allRows = Seq((1L, t(10, 5), "a", 12.0), (2L, t(10, 15), "a", 18.0),
+      (3L, t(11, 10), "a", 40.0))
+    val batchGot = graft.pipeline.Interpreter.values(
+      graft.pipeline.Interpreter.build(spark, spec,
+        eventsResolver(spark.createDataFrame(allRows).toDF(cols: _*))))
+      .filter(col("metric") === "mean")
+      .select("window_start", "old_value", "new_value", "pass")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1),
+        r.getDouble(2), r.getBoolean(3))).toSet
+    assert(batchGot == Set(
+      (t(10, 0), 40.0, 15.0, false),
+      (t(11, 0), 40.0, 40.0, true)), s"$batchGot")
+  }
+
   test("windowed PERCENTILE drift monitor: streams vs a stored quantile-sketch table, " +
       "equals the batch build across a restart, and flags the violating window as pass=false") {
     // round-17 directive #2b closed on a stream: per (window, stratum)
