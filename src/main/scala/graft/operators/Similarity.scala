@@ -565,21 +565,45 @@ object Similarity extends Logging {
     * [[livePostings]] (generation-fenced, tombstone-screened) keeps the
     * preflight's predicted route consistent with the route the search
     * actually takes (a raw read would count orphaned generations and
-    * deleted rows). The cache key pins the artifact's commit state
-    * (generation + tombstone fence), so a maintenance verb naturally
-    * invalidates, and the one pushed-down (id, attrs)-column scan is paid
-    * once per (artifact state, filter) — not once per preflight AND once
-    * per search build.
+    * deleted rows).
+    *
+    * The memo key is the meta FILE's listing signature (names + lengths +
+    * modification times) — every maintenance commit rewrites the meta, so
+    * appends/deletes/compacts invalidate naturally, and so does a REBUILD
+    * or a republish-and-swap at the same path (whose meta fences reset to
+    * their initial values and would alias under a fence-based key: the
+    * stale previous-corpus count could suppress the probe widening the
+    * new corpus needs). One live entry per (indexPath, filter) — a
+    * superseded incarnation's entry is REPLACED, not retained, so the
+    * cache stays bounded by the session's standing filters. The one
+    * pushed-down (id, attrs)-column scan is paid once per (incarnation,
+    * filter) — not once per preflight AND once per search build; the
+    * signature itself is one driver-side file listing.
     */
   private val selCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int, Int),
-      java.lang.Long]
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, Long)]
+  private def metaListingSig(spark: SparkSession, indexPath: String): String = {
+    val p = hpath(s"$indexPath/meta.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+  }
   private[graft] def filteredLiveIdCount(spark: SparkSession,
-      indexPath: String, meta: AnnIndexMeta, filter: String): Long =
-    selCache.computeIfAbsent(
-      (indexPath, filter, meta.generation, meta.tomb_gen, meta.tomb_base),
-      _ => livePostings(spark, indexPath, meta)
-        .filter(expr(filter)).select("id").distinct().count()).longValue()
+      indexPath: String, meta: AnnIndexMeta, filter: String): Long = {
+    val sig = metaListingSig(spark, indexPath)
+    val key = (indexPath, filter)
+    val hit = selCache.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val n = livePostings(spark, indexPath, meta)
+        .filter(expr(filter)).select("id").distinct().count()
+      selCache.put(key, (sig, n))
+      n
+    }
+  }
 
   /** Directory-count bar for the index partition layout: past ~4k cell
     * directories the filesystem metadata cost outweighs pruning.
@@ -1001,10 +1025,11 @@ object Similarity extends Logging {
     * generation above the committed `tomb_gen` is invisible (readers
     * fence `tomb_base <= gen <= tomb_gen`); the retry retracts orphans
     * first; the meta commit is the same two-file swap. The verb is
-    * idempotent ACROSS the commit too, without a signature: `deleted_rows`
-    * counts live not-yet-tombstoned postings, so a retry of a committed
-    * delete matches nothing and adjusts `n_rows` by zero (the duplicate
-    * tombstone rows only widen the anti-join set).
+    * idempotent ACROSS the commit too, without a signature: only ids with
+    * >= 1 LIVE not-yet-tombstoned posting are written (an unmatched id's
+    * tombstone could never kill anything — later appends outrank its
+    * `upto` fence), so a retry of a committed delete matches nothing and
+    * commits NOTHING — meta, tomb_rows and disk stay untouched.
     *
     * On a PER-CATEGORY family ([[buildIndex]] partitionByAttribute) the
     * delete CASCADES to every sub-index (a routed search must never serve
@@ -1053,32 +1078,63 @@ object Similarity extends Logging {
       // matched-posting-rows / mult is the n_rows adjustment — exact even
       // when the corpus carried duplicate ids, where a distinct-id count
       // would drift against build/append's raw-row increments. A
-      // column-pruned scan of (id, gen); vectors never read.
+      // column-pruned scan of (id, gen); vectors never read. NO broadcast
+      // hint on the batch side: the verb's stated use case is the mass
+      // takedown, and Spark's own sizing broadcasts a small list while a
+      // GDPR-scale batch rides a shuffle semi-join instead of OOMing the
+      // verb that exists to absorb it.
       val mult = postingMultiplicity(meta)
-      val matchedPostings = livePostings(spark, indexPath, meta)
-        .select("id").join(broadcast(d), Seq("id"), "left_semi")
-        .count()
-      val removed = matchedPostings / mult
-      val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
-      d.select(lit(newTombGen).as("gen"), col("id"),
-          lit(meta.generation).as("upto"))
-        .write.mode("append").partitionBy("gen").parquet(tombP)
-      val updated = meta.copy(n_rows = meta.n_rows - removed,
-        tomb_gen = newTombGen, tomb_base = math.min(meta.tomb_base, newTombGen),
-        tomb_rows = meta.tomb_rows + batchN)
-      swapMeta(spark, indexPath, updated)
-      logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
-        s"$indexPath: $batchN ids, $removed corpus rows removed -> " +
-        s"${updated.n_rows} corpus rows")
-      // PER-CATEGORY family: cascade the takedown into every sub-index —
-      // a routed (equality-filtered) search reads ONLY its sub-index, so a
-      // tombstone committed on the top index alone would keep serving the
-      // deleted rows there. Ids absent from a sub-index no-op (matched 0).
-      meta.part_values.getOrElse(Nil).foreach { v =>
-        deleteIndex(d, "id", subIndexPath(indexPath, v))
-      }
-      Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
-        .toDF("method", "dim", "deleted_rows", "corpus_rows", "tombstone_gen")
+      val matched = livePostings(spark, indexPath, meta)
+        .select("id").join(d, Seq("id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val matchedPostings = matched.count()
+        if (matchedPostings == 0L) {
+          // nothing live matches — commit NOTHING. A tombstone for an id
+          // with no live posting can never kill anything (later appends
+          // take higher generations than its `upto` fence), so writing the
+          // batch would only widen every search's anti-join and inflate
+          // tomb_rows for free. This is also what makes a committed
+          // delete's RETRY a true no-op: the retry re-matches nothing and
+          // leaves meta and disk untouched.
+          logInfo(s"deleteIndex: no live postings match the $batchN-id " +
+            s"batch at $indexPath — no-op (nothing to tombstone)")
+          return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
+            .toDF("method", "dim", "deleted_rows", "corpus_rows",
+              "tombstone_gen")
+        }
+        val removed = matchedPostings / mult
+        // write ONLY the matched ids (semantically identical — unmatched
+        // ids could never kill a posting — and it right-sizes the
+        // anti-join set, the tomb_rows bookkeeping, and the per-sub-index
+        // cascade's tombstone disk on a family)
+        val matchedIds = matched.distinct()
+        val matchedN = matchedIds.count()
+        val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
+        matchedIds.select(lit(newTombGen).as("gen"), col("id"),
+            lit(meta.generation).as("upto"))
+          .write.mode("append").partitionBy("gen").parquet(tombP)
+        val updated = meta.copy(n_rows = meta.n_rows - removed,
+          tomb_gen = newTombGen,
+          tomb_base = math.min(meta.tomb_base, newTombGen),
+          tomb_rows = meta.tomb_rows + matchedN)
+        swapMeta(spark, indexPath, updated)
+        logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
+          s"$indexPath: $batchN batch ids, $matchedN matched, $removed " +
+          s"corpus rows removed -> ${updated.n_rows} corpus rows")
+        // PER-CATEGORY family: cascade the takedown into every sub-index —
+        // a routed (equality-filtered) search reads ONLY its sub-index, so
+        // a tombstone committed on the top index alone would keep serving
+        // the deleted rows there. Each sub writes only ITS OWN matched ids
+        // (the matched-only write above), so the family's tombstone disk
+        // totals ~the takedown's true footprint, not batch × categories.
+        meta.part_values.getOrElse(Nil).foreach { v =>
+          deleteIndex(d, "id", subIndexPath(indexPath, v))
+        }
+        Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
+          .toDF("method", "dim", "deleted_rows", "corpus_rows",
+            "tombstone_gen")
+      } finally { matched.unpersist(); () }
     } finally { d.unpersist(); () }
   }
 

@@ -149,9 +149,22 @@ object Interpreter extends Logging {
         "snapshot_drift with baselineRefresh: \"perBatch\" as the final " +
         "transform — every other spec starts through the ordinary entry " +
         "points")
+    // the head spec KEEPS the declared planAudit gate (the pre-monitor
+    // stages' spec-level findings refuse/warn exactly as through the
+    // ordinary entry points), and the monitor stage's own findings are
+    // collected against its input frame below — dropping the declaration
+    // here would silently disarm a declared `planAudit: "fail"`
     val head = spec.copy(transform = spec.transform.dropRight(1),
-      filter = None, planAudit = None)
+      filter = None)
     val built = build(spark, head, sources)
+    val monitorFindings = specAudit(built, t, sources.dataDir, spec.id)
+    if (monitorFindings.nonEmpty) {
+      val msg = s"[${spec.id}] plan audit: " + monitorFindings
+        .map(w => s"${w.rule} (${w.detail})").mkString("; ")
+      if (spec.planAudit.contains("fail")) throw new IllegalStateException(
+        msg + " — fix the declaration or declare planAudit: \"warn\"")
+      else logWarning(msg)
+    }
     val (src, win) = eventWindow(built, t)
     val specId = spec.id
     val dataDir = sources.dataDir
@@ -1256,10 +1269,26 @@ object Interpreter extends Logging {
             Map("columnNameOfCorruptRecord" -> corrupt)))
           val isReject = col(out).getField(corrupt).isNotNull
           val dlq = resolvePath(t.dlqPath.get, dataDir, specId)
-          parsed.filter(isReject)
+          val rejects = parsed.filter(isReject)
             .select(src.cast("string").as("payload"))
-            .write.mode("append").parquet(dlq)
-          logInfo(s"[$specId] parse_json: dead-lettered rejects to $dlq")
+          // REBUILD identity: the side-write runs eagerly at plan build,
+          // and a spec builds more than once per run of its payload (a
+          // Doctor preflight, a retry) — a blind append would duplicate
+          // every reject per build. The batch lands under a content-keyed
+          // leaf (count ⊕ payload-hash xor, the appendIndex signature
+          // form) written with OVERWRITE: the same rejects re-land in
+          // place, a different batch gets its own leaf, and a clean batch
+          // writes nothing at all
+          val pr = rejects.agg(count(lit(1)).as("n"),
+            coalesce(expr("bit_xor(xxhash64(payload))"), lit(0L)).as("h"))
+            .head()
+          if (pr.getLong(0) > 0) {
+            val sig = java.lang.Long.toHexString(
+              pr.getLong(1) * 31L + pr.getLong(0))
+            rejects.write.mode("overwrite").parquet(s"$dlq/batch=$sig")
+            logInfo(s"[$specId] parse_json: dead-lettered ${pr.getLong(0)} " +
+              s"reject(s) to $dlq/batch=$sig")
+          }
           parsed.filter(!isReject).withColumn(out,
             when(col(out).isNotNull, struct(
               schema.fieldNames.toSeq.map(f => col(out).getField(f).as(f)): _*)))

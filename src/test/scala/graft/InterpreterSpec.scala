@@ -2197,7 +2197,14 @@ class InterpreterSpec extends SparkSuite {
     // is not — nothing to parse) and its raw payload is dead-lettered
     assert(rows(run(s""","parseMode":"DLQ","dlqPath":"$base/dlq"""")) ==
       Set((1L, Some(7)), (3L, None)))
-    val dlq = spark.read.parquet(s"$base/dlq").as[String].collect().toSeq
-    assert(dlq == Seq("""{"k": """), dlq.toString)
+    def dlqPayloads: Seq[String] = spark.read.parquet(s"$base/dlq")
+      .select("payload").as[String].collect().toSeq
+    assert(dlqPayloads == Seq("""{"k": """), dlqPayloads.toString)
+    // REBUILD identity: the side-write runs at plan build, so a Doctor
+    // preflight or retry builds the same spec again — the same batch's
+    // rejects must land ONCE (content-keyed overwrite leaf), never append
+    rows(run(s""","parseMode":"DLQ","dlqPath":"$base/dlq""""))
+    assert(dlqPayloads == Seq("""{"k": """),
+      s"a rebuild duplicated the dead-letter payloads: $dlqPayloads")
   }
 }
