@@ -1213,6 +1213,38 @@ object Queries {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Conjunction ROUTING on the family (r54's second member): the
+    * candidateFilter is `label = 3 AND id % 2 = 0` — the equality
+    * conjunct routes to the label-3 sub-index and the RESIDUAL rides
+    * down as the sub-search's filter (parquet-pushdown on the sub's
+    * postings), so the standing "category AND secondary predicate"
+    * shape pays only the category's scan. Hash-matches the
+    * doubly-filtered exact oracle.
+    */
+  def r54SpecKnnCategoryResidual(spark: SparkSession, dir: String): DataFrame = {
+    val base = artifactBase(dir)
+    runSpec(spark, dir,
+      s"""{"id":"build-category-family-res","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn_index","method":"quantized",
+         |  "column":"embedding","idColumn":"vec_id",
+         |  "attributeColumns":["label"],
+         |  "partitionByAttribute":"label",
+         |  "indexPath":"$base/knn_family_res"}],
+         |"outputTopic":{"enabled":true,"name":"family-res-report"}}""".stripMargin)
+    runSpec(spark, dir,
+      s"""{"id":"knn-category-residual","processingMode":"SIMPLE_STREAM",
+         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+         |"transform":[{"op":"knn","method":"quantized","column":"embedding",
+         |  "idColumn":"vec_id","k":10,"refine":4,
+         |  "queryPath":"<dataDir>/embeddings.parquet",
+         |  "queryFilter":"vec_id < 5",
+         |  "candidateFilter":"label = 3 AND id % 2 = 0",
+         |  "indexPath":"$base/knn_family_res"}],
+         |"outputTopic":{"enabled":true,"name":"knn-category-res-out"}}""".stripMargin)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** R16 STRICT parse mode (r54 — round-19 directive #3): the parse_json
     * stage under FAILFAST — the reference's throw posture
     * (JsonStringToObjectMapper.java:46-55) — over the clean events feed.
@@ -4148,6 +4180,20 @@ object Queries {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label = 3)
         |WHERE rank <= 10""".stripMargin,
+    // conjunction routing: the equality routes to the label-3 sub-index,
+    // the residual (even ids) filters inside it — the oracle is the
+    // doubly-filtered exact top-k
+    "r54_spec_knn_category_residual" ->
+      """SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |    AND c.label = 3 AND c.vec_id % 2 = 0)
+        |WHERE rank <= 10""".stripMargin,
     "x4_multimodal" ->
       """SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
         |       CAST(n_chars AS BIGINT) AS n_bytes, md5(text) AS content_hash
@@ -5046,6 +5092,7 @@ object Queries {
     "r54_spec_knn_mass_delete" -> r54SpecKnnMassDelete _,
     "r54_spec_knn_mass_delete_bcast" -> r54SpecKnnMassDeleteBcast _,
     "r54_spec_knn_per_category" -> r54SpecKnnPerCategory _,
+    "r54_spec_knn_category_residual" -> r54SpecKnnCategoryResidual _,
     "r54_spec_json_strict" -> r54SpecJsonStrict _,
     "r54_spec_json_dlq" -> r54SpecJsonDlq _,
     "x21_heavy_hitters" -> x21HeavyHitters _,

@@ -541,21 +541,53 @@ object Similarity extends Logging {
     * operand order), the literal's string rendering — the per-category
     * routing key, matching [[buildIndex]]'s `cast("string")` rendering of
     * the category values. Anything else (conjunctions, ranges, IN, other
-    * columns) is None: those fall through to the generic filtered path.
+    * columns) is None: conjunctions route through [[equalityConjunct]],
+    * the rest falls through to the generic filtered path.
     */
   private[graft] def equalityValue(predicate: String,
-      attr: String): Option[String] = {
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal}
+      attr: String): Option[String] =
+    equalityConjunct(predicate, attr).collect { case (v, None) => v }
+
+  /** Conjunction-aware routing split: when `predicate` is a conjunction
+    * (or a lone equality) containing EXACTLY ONE equality on `attr`, the
+    * equality's string-rendered value plus the RESIDUAL conjuncts' SQL
+    * (None when the equality is the whole predicate) — the per-category
+    * route for the standing "category AND secondary predicate" shape
+    * ("lang = 'en' AND quality > 0.8"): the search runs on the value's
+    * sub-index with the residual as its candidateFilter, so the category
+    * scan is pruned to the sub-index even when more predicate remains.
+    * Anything else (no equality on attr, two competing equalities, OR
+    * trees) is None — the generic filtered path over the top index is
+    * always correct.
+    */
+  private[graft] def equalityConjunct(predicate: String,
+      attr: String): Option[(String, Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
+      Expression, Literal}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def render(l: Literal): Option[String] =
-      Option(l.value).map(String.valueOf)
-    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(predicate)).toOption.flatMap {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    def attrEq(e: Expression): Option[String] = e match {
       case EqualTo(a: UnresolvedAttribute, l: Literal)
-        if a.name == attr => render(l)
+        if a.name == attr => Option(l.value).map(String.valueOf)
       case EqualTo(l: Literal, a: UnresolvedAttribute)
-        if a.name == attr => render(l)
+        if a.name == attr => Option(l.value).map(String.valueOf)
       case _ => None
+    }
+    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)).toOption.flatMap { parsed =>
+      val cs = conjuncts(parsed)
+      val (eqs, rest) = cs.partition(attrEq(_).isDefined)
+      eqs match {
+        case Seq(one) =>
+          attrEq(one).map { v =>
+            (v, if (rest.isEmpty) None
+                else Some(rest.map(_.sql).mkString(" AND ")))
+          }
+        case _ => None
+      }
     }
   }
 
@@ -1352,20 +1384,27 @@ object Similarity extends Logging {
       candidateFilter: Option[String] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = readIndexMeta(spark, indexPath)
-    // PER-CATEGORY ROUTING: on a partitioned family, a candidateFilter that
-    // is exactly the equality `part_attr = <value>` routes to that value's
-    // sub-index — full recall over the category's own (unthinned) cells,
-    // NO probe widening, no selectivity scan. A value the family has no
-    // sub-index for (or any non-equality predicate) falls through to the
-    // generic filtered path below — over the top index, which always
-    // coexists with the family.
-    for (a <- meta.part_attr; f <- candidateFilter; v <- equalityValue(f, a)) {
+    // PER-CATEGORY ROUTING: on a partitioned family, a candidateFilter
+    // that is the equality `part_attr = <value>` — alone, or as ONE
+    // conjunct of an AND chain — routes to that value's sub-index: full
+    // recall over the category's own (unthinned) cells, no probe widening
+    // on the category dimension, no top-index selectivity scan. A lone
+    // equality searches the sub-index unfiltered; a conjunction carries
+    // its RESIDUAL predicate down as the sub-search's candidateFilter
+    // (the sub-index stores the same attribute columns), so the standing
+    // "category AND secondary predicate" shape pays only the category's
+    // scan. A value the family has no sub-index for (or any
+    // non-conjunctive shape) falls through to the generic filtered path
+    // below — over the top index, which always coexists with the family.
+    for (a <- meta.part_attr; f <- candidateFilter;
+         (v, residual) <- equalityConjunct(f, a)) {
       if (meta.part_values.exists(_.contains(v))) {
         logInfo(s"indexedTopK: candidateFilter '$f' routes to per-category " +
-          s"sub-index ${subIndexPath(indexPath, v)}")
+          s"sub-index ${subIndexPath(indexPath, v)}" +
+          residual.fold("")(r => s" with residual filter '$r'"))
         return indexedTopK(queries, idCol, vecCol, k,
           subIndexPath(indexPath, v), nProbe = nProbe, refine = refine,
-          win = win, candidateFilter = None)
+          win = win, candidateFilter = residual)
       }
     }
     // committed-generation fence: postings above the meta's generation are

@@ -460,15 +460,43 @@ object Interpreter extends Logging {
         // search pays for it. An equality filter a per-category sub-index
         // covers routes there instead — full recall, no widening — so the
         // advisory stands down.
-        val filterSel = t.candidateFilter match {
-          case Some(f) if meta.part_attr.exists(a =>
-              graft.operators.Similarity.equalityValue(f, a).exists(v =>
-                meta.part_values.exists(_.contains(v)))) =>
-            logInfo(s"[$specId] knn candidateFilter '$f' is covered by a " +
-              s"per-category sub-index at '$p' — routed search, no " +
-              "selectivity pricing needed")
+        // per-category routing first: a covered equality (alone or as one
+        // conjunct) searches the sub-index, so the top-index selectivity
+        // is the wrong quantity — a LONE equality needs no pricing at all
+        // (the sub-index scan IS the filtered corpus), and a conjunction's
+        // RESIDUAL prices against the SUB-index's live postings (the very
+        // count the routed search will reuse through the memo)
+        val routed = for {
+          a <- meta.part_attr; f <- t.candidateFilter
+          vr <- graft.operators.Similarity.equalityConjunct(f, a)
+          if meta.part_values.exists(_.contains(vr._1))
+        } yield (f, vr._1, vr._2)
+        val filterSel = (routed, t.candidateFilter) match {
+          case (Some((f, v, None)), _) =>
+            logInfo(s"[$specId] knn candidateFilter '$f' is covered by the " +
+              s"per-category sub-index attr=$v at '$p' — routed search, " +
+              "no selectivity pricing needed")
             Nil
-          case Some(f) if meta.attr_cols.exists(_.nonEmpty) =>
+          case (Some((f, v, Some(residual))), _) =>
+            val subP = graft.operators.Similarity.subIndexPath(p, v)
+            val subMeta = graft.operators.Similarity.readIndexMeta(
+              df.sparkSession, subP)
+            val matched = graft.operators.Similarity.filteredLiveIdCount(
+              df.sparkSession, subP, subMeta, residual)
+            val total = math.max(1L, subMeta.n_rows)
+            val sel = matched.toDouble / total
+            if (sel >= KnnFilterSelWarn) Nil
+            else Seq(graft.observe.PlanAudit.Finding("warn",
+              KnnFilterLowSelectivity,
+              f"knn candidateFilter '$f' routes to the per-category " +
+                f"sub-index attr=$v, where its residual '$residual' " +
+                f"matches $matched of $total category rows (selectivity " +
+                f"${sel * 100}%.1f%%) — the sub-search pays the same " +
+                "widening/fallback routing as any filtered search; for a " +
+                "standing residual this selective, declare method=exact " +
+                "over the filtered frame or build the narrower snapshot " +
+                "its own index"))
+          case (None, Some(f)) if meta.attr_cols.exists(_.nonEmpty) =>
             val matched = graft.operators.Similarity.filteredLiveIdCount(
               df.sparkSession, p, meta, f)
             val total = math.max(1L, meta.n_rows)

@@ -115,6 +115,9 @@ class ObserveSpec extends SparkSuite {
       // the PER-CATEGORY routed search — the same quantized scan class,
       // over the label-3 sub-index's postings
       "r54_spec_knn_per_category" -> knnScan,
+      // conjunction routing: the same sub-index scan class, residual
+      // filter pushed into the sub's posting scan
+      "r54_spec_knn_category_residual" -> knnScan,
       // the direct filtered exact route: the same corpus × broadcast-
       // query scan over the pre-filtered frame
       "r52_spec_knn_filtered_exact" -> knnScan,

@@ -2358,12 +2358,27 @@ class OperatorsSpec extends SparkSuite {
       s"$base/f", candidateFilter = Some("label = 1"))
     assert(rows(routed) == rows(Similarity.bruteForceTopK(
       e.filter(col("label") === 1), q, "vec_id", "embedding", 10)))
+    // CONJUNCTION routing: the equality conjunct picks the sub-index, the
+    // RESIDUAL rides down as the sub-search's candidateFilter (the
+    // standing "category AND secondary predicate" shape) — exact against
+    // the doubly-filtered oracle
+    val conj = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label = 1 AND id % 2 = 0"))
+    assert(rows(conj) == rows(Similarity.bruteForceTopK(
+      e.filter(col("label") === 1 && col("vec_id") % 2 === 0),
+      q, "vec_id", "embedding", 10)))
     // NON-equality predicates fall through to the generic filtered path
     // over the top index — still exact against the filtered oracle
     val ranged = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
       s"$base/f", candidateFilter = Some("label <= 1"))
     assert(rows(ranged) == rows(Similarity.bruteForceTopK(
       e.filter(col("label") <= 1), q, "vec_id", "embedding", 10)))
+    // an OR (or a predicate with TWO competing equalities) must NOT route
+    val ored = Similarity.indexedTopK(q, "vec_id", "embedding", 10,
+      s"$base/f", candidateFilter = Some("label = 1 OR label = 2"))
+    assert(rows(ored) == rows(Similarity.bruteForceTopK(
+      e.filter(col("label") === 1 || col("label") === 2),
+      q, "vec_id", "embedding", 10)))
     // a value the family has no sub-index for: zero matches, zero rows
     assert(Similarity.indexedTopK(q, "vec_id", "embedding", 10,
       s"$base/f", candidateFilter = Some("label = 999")).count() == 0L)

@@ -300,7 +300,7 @@ class PlanSpec extends SparkSuite {
       // candidate scan class downstream of the tombstone screen / over
       // the sub-index's postings
       "r54_spec_knn_mass_delete", "r54_spec_knn_mass_delete_bcast",
-      "r54_spec_knn_per_category",
+      "r54_spec_knn_per_category", "r54_spec_knn_category_residual",
       "x3_cosine_pairs_exact", "x2_jaccard_char")
     // one planning pass per query: record who plans a BNLJ, then derive
     // both the offender list and the whitelist-staleness check from it
