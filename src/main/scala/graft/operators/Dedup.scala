@@ -50,11 +50,23 @@ object Dedup extends Logging {
 
   /** Exact dedup keeping a deterministic representative per duplicate group:
     * min tie-break column wins (X1). One shuffle, map-side combined.
+    *
+    * The ordering key extends past `tieBreak` to every ORDERABLE value
+    * column (lexicographic struct compare): a NON-unique tie-break (two
+    * copies crawled in the same second) would otherwise keep whichever
+    * row each partial aggregate encountered first — partitioning-order-
+    * dependent output. Ties now resolve by content; fully identical rows
+    * tie harmlessly. Unorderable columns (maps) sit in the payload only.
     */
   def exact(df: DataFrame, dupCols: Seq[String], tieBreak: String): DataFrame = {
     val valueCols = df.columns.filterNot(c => dupCols.contains(c)).toSeq
+    val orderKey = col(tieBreak) +: valueCols
+      .filter(c => c != tieBreak && org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(df.schema(c).dataType))
+      .map(col)
     df.groupBy(dupCols.map(col): _*)
-      .agg(min_by(struct(valueCols.map(col): _*), col(tieBreak)).as("__rep"))
+      .agg(min_by(struct(valueCols.map(col): _*), struct(orderKey: _*))
+        .as("__rep"))
       .select(dupCols.map(col) ++ valueCols.map(c => col(s"__rep.$c").as(c)): _*)
   }
 
@@ -257,9 +269,15 @@ object Dedup extends Logging {
   def incrementalNovel(newDocs: DataFrame, oldDocs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int, threshold: Double,
       tokenize: Column => Column = TextAnalysis.tokens): DataFrame = {
-    val dup = jaccardPairsBetween(newDocs, oldDocs, idCol, textCol,
+    // the batch frame is consumed twice — the pair generation AND the
+    // left_anti survivor join — so persist it like the prepared variant
+    // does: an upstream chain would otherwise recompute fully on the
+    // second scan
+    val newCached = registerCache(
+      newDocs.persist(StorageLevel.MEMORY_AND_DISK))
+    val dup = jaccardPairsBetween(newCached, oldDocs, idCol, textCol,
       shingleSize, threshold, tokenize).select(col("new_id"))
-    newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
+    newCached.join(dup, newCached(idCol) === dup("new_id"), "left_anti")
   }
 
   /** The STORED form of [[shingleFrame]] — the X2 history artifact the
@@ -1072,7 +1090,7 @@ object Dedup extends Logging {
     // "representatives" downstream, so SAY so. Oracle-gated callers compare
     // against an exact transitive closure and would fail the gate here.
     if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      logWarning(
         s"componentsFromPairs did not converge in $maxIters rounds — " +
           "labels are partial (cluster diameter exceeds maxIters); raise maxIters")
     // the final labels checkpoint stays live — it backs the returned frame;

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -38,7 +37,7 @@ import org.apache.spark.sql.functions._
   * drift or heavy-hitter deltas). Nothing here ever joins the snapshots
   * row-wise.
   */
-object Drift extends Logging {
+object Drift {
 
   /** Exact per-column drift between `oldDf` and `newDf`.
     *
@@ -61,6 +60,15 @@ object Drift extends Logging {
       numericCols: Seq[String], categoricalCols: Seq[String]): DataFrame = {
     require(numericCols.nonEmpty || categoricalCols.nonEmpty,
       "driftReport needs at least one column")
+    // a duplicated measure would alias the same agg twice and die in an
+    // ambiguous-reference AnalysisException deep in the report build —
+    // refuse at the precondition like Profile.columnStats does
+    require(numericCols.distinct == numericCols,
+      s"driftReport numericCols has duplicates: " +
+        numericCols.diff(numericCols.distinct).distinct.mkString(", "))
+    require(categoricalCols.distinct == categoricalCols,
+      s"driftReport categoricalCols has duplicates: " +
+        categoricalCols.diff(categoricalCols.distinct).distinct.mkString(", "))
 
     // one scalar-agg pass per snapshot covers BOTH column lists: the six
     // numeric metrics, and null_rate for categorical columns (their only
@@ -160,35 +168,42 @@ object Drift extends Logging {
   def heavyHitterDrift(oldDf: DataFrame, newDf: DataFrame, c: String,
       minFraction: Double, slack: Int = 2): DataFrame = {
     val k = Profile.sketchSize(minFraction, slack)
-    def side(df: DataFrame): (DataFrame, DataFrame) = {
-      val sk = df.agg(
-        graft.functions.FreqSketch.mgCandidates(col(c), k).as("__cands"),
-        count(col(c)).as("__n"))
-      val cands = sk.select(explode(col("__cands")).as("__e"))
+    def cands(df: DataFrame): DataFrame =
+      df.agg(graft.functions.FreqSketch.mgCandidates(col(c), k).as("__cands"))
+        .select(explode(col("__cands")).as("__e"))
         .select(col("__e._1").as("category"))
-      (cands, sk.select(col("__n")))
-    }
-    val (oCands, oN) = side(oldDf); val (nCands, nN) = side(newDf)
     // the candidate UNION (≤ 2k rows by construction) broadcasts to both
-    // recounts; each side's recount is one partial-aggregated count over
-    // the broadcast-pruned item stream
-    val union = oCands.unionByName(nCands).distinct()
+    // recounts; each side's recount is ONE partial-aggregated pass over
+    // the item stream that also yields the side TOTAL — non-candidates
+    // fold into a single null-category bucket (the left-join marker), the
+    // total is a window sum over the ≤ 2k+1-row counts frame, and the
+    // bucket then drops. Two raw scans per snapshot (candidates +
+    // recount) and zero one-row cross joins: the totals never cost a
+    // third count-only scan or a BroadcastNestedLoopJoin in the plan.
+    val union = cands(oldDf).unionByName(cands(newDf)).distinct()
+      .withColumn("__hit", lit(true))
     def recount(df: DataFrame): DataFrame =
       df.select(col(c).as("category")).filter(col("category").isNotNull)
-        .join(broadcast(union), "category")
-        .groupBy("category").agg(count(lit(1)).as("cnt"))
-    val joined = recount(oldDf).withColumnRenamed("cnt", "ocnt").as("o")
-      .join(recount(newDf).withColumnRenamed("cnt", "ncnt").as("n"),
+        .join(broadcast(union), Seq("category"), "left")
+        .groupBy(when(col("__hit"), col("category")).as("category"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__tot", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .filter(col("category").isNotNull)
+    val joined = recount(oldDf)
+      .withColumnRenamed("cnt", "ocnt").withColumnRenamed("__tot", "__on")
+      .join(recount(newDf)
+          .withColumnRenamed("cnt", "ncnt").withColumnRenamed("__tot", "__nn"),
         Seq("category"), "full_outer")
       .select(col("category"),
         coalesce(col("ocnt"), lit(0L)).as("ocnt"),
-        coalesce(col("ncnt"), lit(0L)).as("ncnt"))
-    // totals ride in on one-row broadcast cross joins (no scalar subquery
-    // re-scan); a side with zero non-null rows has no heavy keys and
-    // contributes fraction 0.0
-    joined.crossJoin(broadcast(oN.withColumnRenamed("__n", "__on")))
-      .crossJoin(broadcast(nN.withColumnRenamed("__n", "__nn")))
-      .filter(
+        coalesce(col("ncnt"), lit(0L)).as("ncnt"),
+        // a side absent from the join for this key (or with zero heavy
+        // candidates at all) contributes fraction 0.0 — totals coalesce
+        // to 0 and the when-guards below keep the division safe
+        coalesce(col("__on"), lit(0L)).as("__on"),
+        coalesce(col("__nn"), lit(0L)).as("__nn"))
+    joined.filter(
         (col("__on") > 0 && col("ocnt") >= ceil(lit(minFraction) * col("__on"))) ||
         (col("__nn") > 0 && col("ncnt") >= ceil(lit(minFraction) * col("__nn"))))
       .select(lit(c).as("col_name"), lit("heavy_freq").as("metric"),
@@ -291,9 +306,7 @@ object Drift extends Logging {
     val psi = aggregate(col("cells"), lit(0.0), (acc, cell) => {
       val go = greatest(oFrac(cell), lit(epsilon))
       val gn = greatest(nFrac(cell), lit(epsilon))
-      // functions.log (natural log) spelled out: the Logging trait's
-      // slf4j `log` member shadows the sql function inside this object
-      acc + (gn - go) * org.apache.spark.sql.functions.log(gn / go)
+      acc + (gn - go) * log(gn / go)
     })
     val psiStruct = struct(
       lit("psi").as("metric"), lit(null).cast("string").as("category"),
@@ -503,11 +516,6 @@ object Drift extends Logging {
     val o2 = fold(cell => om(cell) * om(cell))
     val n2 = fold(cell => nm(cell) * nm(cell))
     val d2 = fold(cell => (nm(cell) - om(cell)) * (nm(cell) - om(cell)))
-    // gate-granularity rounding: 6 decimals, negative zero normalized (the
-    // DuckDB oracle rounds identically — round() there returns -0.0 for
-    // tiny negatives, which formats differently from 0.0)
-    def zround(x: Column): Column =
-      when(round(x, 6) === 0, lit(0.0)).otherwise(round(x, 6))
     val meanNormO = when(col("__on") === 0, lit(0.0))
       .otherwise(col("__onrm") / col("__on"))
     val meanNormN = when(col("__nn") === 0, lit(0.0))
@@ -518,13 +526,13 @@ object Drift extends Logging {
     val rows = array(
       struct(lit("row_count").as("metric"), col("__on").as("old_value"),
         col("__nn").as("new_value"),
-        zround(col("__nn") - col("__on")).as("delta")),
+        zround6(col("__nn") - col("__on")).as("delta")),
       struct(lit("mean_norm").as("metric"), meanNormO.as("old_value"),
-        meanNormN.as("new_value"), zround(meanNormN - meanNormO).as("delta")),
+        meanNormN.as("new_value"), zround6(meanNormN - meanNormO).as("delta")),
       struct(lit("centroid_shift").as("metric"), sqrt(o2).as("old_value"),
-        sqrt(n2).as("new_value"), zround(shift).as("delta")),
+        sqrt(n2).as("new_value"), zround6(shift).as("delta")),
       struct(lit("centroid_l2").as("metric"), sqrt(o2).as("old_value"),
-        sqrt(n2).as("new_value"), zround(sqrt(d2)).as("delta")))
+        sqrt(n2).as("new_value"), zround6(sqrt(d2)).as("delta")))
     one.select(gk :+ explode(rows).as("p"): _*)
       .select(Seq(lit(c).as("col_name"), col("p.metric")) ++ gk ++ Seq(
         col("p.old_value"), col("p.new_value"), col("p.delta")): _*)
@@ -730,8 +738,6 @@ object Drift extends Logging {
     val d2 = when(on === 0, n2)
       .otherwise(foldSum(zip_with(bd, col("__dims"),
         (b, v) => ((v / nn) - (b / on)) * ((v / nn) - (b / on)))))
-    def zround(x: Column): Column =
-      when(round(x, 6) === 0, lit(0.0)).otherwise(round(x, 6))
     val meanNormO = when(on === 0, lit(0.0))
       .otherwise(coalesce(col("__bnorm"), lit(0.0)) / on)
     val meanNormN = col("__nnrm") / nn
@@ -740,13 +746,13 @@ object Drift extends Logging {
       .otherwise(lit(1.0) - dot / (sqrt(o2) * sqrt(n2)))
     val rows = array(
       struct(lit("row_count").as("metric"), on.as("old_value"),
-        nn.as("new_value"), zround(nn - on).as("delta")),
+        nn.as("new_value"), zround6(nn - on).as("delta")),
       struct(lit("mean_norm").as("metric"), meanNormO.as("old_value"),
-        meanNormN.as("new_value"), zround(meanNormN - meanNormO).as("delta")),
+        meanNormN.as("new_value"), zround6(meanNormN - meanNormO).as("delta")),
       struct(lit("centroid_shift").as("metric"), sqrt(o2).as("old_value"),
-        sqrt(n2).as("new_value"), zround(shift).as("delta")),
+        sqrt(n2).as("new_value"), zround6(shift).as("delta")),
       struct(lit("centroid_l2").as("metric"), sqrt(o2).as("old_value"),
-        sqrt(n2).as("new_value"), zround(sqrt(d2)).as("delta")))
+        sqrt(n2).as("new_value"), zround6(sqrt(d2)).as("delta")))
     val gk = if (grouped) Seq(col("category")) else Nil
     // n_new (the cell's new-side row count) rides on EVERY metric row: it
     // only grows as a cell absorbs rows, so it is the last-write-wins

@@ -148,13 +148,10 @@ class ObserveSpec extends SparkSuite {
       "x13_salted_join" -> Set("nested_loop_join"),
       // the exact all-pairs cosine BASELINE is brute force by definition —
       // it exists as the oracle/recall reference for the bucketed paths
-      "x3_cosine_pairs_exact" -> Set("nested_loop_join"),
-      // heavy-hitter drift: the two per-side totals ride in as ONE-ROW
-      // broadcast crosses over the ≤2k-candidate joined frame (the
-      // alternative is a scalar-subquery rescan of each snapshot) — the
-      // same designed shape as the q11/x5_tfidf scalar crosses
-      "x29_drift_heavy" -> Set("nested_loop_join"),
-      "r36_spec_drift_gate" -> Set("nested_loop_join"))
+      // (x29_drift_heavy / r36_spec_drift_gate left this map in round 20:
+      // heavyHitterDrift's totals now fold into the recount pass, so the
+      // one-row crosses are gone from the plan)
+      "x3_cosine_pairs_exact" -> Set("nested_loop_join"))
   }
 
   test("plan hygiene sweep: every registry query audits clean of unexpected warns (sf0.001)") {

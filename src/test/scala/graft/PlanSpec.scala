@@ -264,8 +264,12 @@ class PlanSpec extends SparkSuite {
     //   r36_spec_drift_gate   same crosses through the config path
     //   (x29_drift_hist needs NO cross: its totals and bin rows both come
     //    off one collect_list'd aggregate row)
+    // (x29_drift_heavy / r36_spec_drift_gate left this list in round 20:
+    // heavyHitterDrift's per-side totals now fold into the recount pass —
+    // a window sum over the tiny counts frame — so the one-row broadcast
+    // crosses are gone from the plan entirely)
     val allowedBnlj = Set("q22_no_orders", "q11_important_stock", "x5_tfidf",
-      "x13_salted_join", "x29_drift_heavy", "r36_spec_drift_gate",
+      "x13_salted_join",
       // x3_ann_ivf left this list in round 13: centroid assignment and
       // query probing now go through the NearestCells reference-object
       // expression (map-side projections, no join at all)
