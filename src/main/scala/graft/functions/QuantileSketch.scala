@@ -55,6 +55,29 @@ final class QSketchBuffer(val maxCentroids: Int) {
   }
 }
 
+object QSketchBuffer {
+  /** ONE wire format for both aggregates' shuffle buffers (build and
+    * merge previously carried verbatim copies — a drift between them
+    * would silently corrupt shuffled partials between the two operators).
+    */
+  private[functions] def serialize(b: QSketchBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
+    bb.putInt(b.items.size)
+    b.items.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
+    bb.array()
+  }
+
+  private[functions] def deserialize(bytes: Array[Byte],
+      maxCentroids: Int): QSketchBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new QSketchBuffer(maxCentroids)
+    var i = 0
+    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
+    b
+  }
+}
+
 /** The BUILD aggregate as a native Catalyst [[TypedImperativeAggregate]] —
   * the hot path (one call per raw row at 100 TB). The `udaf(Aggregator)`
   * wrapper costs ~15 µs/row in encoder traffic (measured: the sketch build
@@ -100,21 +123,11 @@ case class QuantileSketchBuild(child: Expression, maxCentroids: Int,
       InternalRow(m, w): Any }.toArray)
   }
 
-  override def serialize(b: QSketchBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
-    bb.putInt(b.items.size)
-    b.items.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
-    bb.array()
-  }
+  override def serialize(b: QSketchBuffer): Array[Byte] =
+    QSketchBuffer.serialize(b)
 
-  override def deserialize(bytes: Array[Byte]): QSketchBuffer = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val b = new QSketchBuffer(maxCentroids)
-    var i = 0
-    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer =
+    QSketchBuffer.deserialize(bytes, maxCentroids)
 
   override def withNewMutableAggBufferOffset(o: Int): QuantileSketchBuild =
     copy(mutableAggBufferOffset = o)
@@ -187,21 +200,11 @@ case class QuantileSketchMerge(child: Expression, maxCentroids: Int,
       new GenericArrayData(quantiles.map(QuantileSketch.estimate(cs, _)).toArray)
   }
 
-  override def serialize(b: QSketchBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
-    bb.putInt(b.items.size)
-    b.items.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
-    bb.array()
-  }
+  override def serialize(b: QSketchBuffer): Array[Byte] =
+    QSketchBuffer.serialize(b)
 
-  override def deserialize(bytes: Array[Byte]): QSketchBuffer = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
-    val b = new QSketchBuffer(maxCentroids)
-    var i = 0
-    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
-    b
-  }
+  override def deserialize(bytes: Array[Byte]): QSketchBuffer =
+    QSketchBuffer.deserialize(bytes, maxCentroids)
 
   override def withNewMutableAggBufferOffset(o: Int): QuantileSketchMerge =
     copy(mutableAggBufferOffset = o)
@@ -213,9 +216,19 @@ case class QuantileSketchMerge(child: Expression, maxCentroids: Int,
 
 object QuantileSketch {
 
-  /** Pack a centroid multiset into at most `maxCentroids` equi-weight
-    * buckets (weighted means, value-sorted). Stable: already-small inputs
-    * are only re-sorted, never smeared.
+  /** Pack a centroid multiset into ~`maxCentroids` equi-weight buckets
+    * (weighted means, value-sorted). Stable: already-small inputs are
+    * only re-sorted, never smeared.
+    *
+    * Size bound: a bucket flushes when the NEXT centroid would overflow
+    * the weight budget, so an input whose centroid weights sit near the
+    * budget (a merge of already-compressed sketches) can emit up to
+    * ~2 × maxCentroids buckets (each flushed bucket holds > budget/2,
+    * so count < 2·total/budget). The overshoot only ADDS resolution —
+    * estimates get finer, never coarser — at ≤ 2× the declared storage;
+    * splitting an input centroid to hit the cap exactly would smear
+    * genuine value plateaus across buckets (the heavy-tie rank bug the
+    * allEq branch below exists to prevent), so the cap stays soft.
     */
   private[graft] def compress(b: Seq[(Double, Long)], maxCentroids: Int): Seq[(Double, Long)] = {
     val sorted = b.sortBy(c => (c._1, c._2))

@@ -189,7 +189,12 @@ case class SignBuckets(child: Expression, planes: Seq[Seq[Double]],
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.sql}")
     }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted: these kernels read it once or twice PER VECTOR ELEMENT on
+  // the generated-code hot path — a dataType pattern-match per
+  // multiply-add would cost a virtual call + cast millions of times per
+  // task; the child's type is fixed for the expression's lifetime
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // planes is Seq (not Array) so case-class equality is structural — two
   // identically-parameterized SignBuckets are semanticEquals, keeping
@@ -274,7 +279,12 @@ case class QuantizeVec(child: Expression)
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.sql}")
     }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted: these kernels read it once or twice PER VECTOR ELEMENT on
+  // the generated-code hot path — a dataType pattern-match per
+  // multiply-add would cost a virtual call + cast millions of times per
+  // task; the child's type is fixed for the expression's lifetime
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   // shared by eval and generated code via addReferenceObj — one body, no
   // duplicated quantization arithmetic to drift
@@ -421,7 +431,12 @@ case class SignBucketsMultiProbe(child: Expression, planes: Seq[Seq[Double]],
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.sql}")
     }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted: these kernels read it once or twice PER VECTOR ELEMENT on
+  // the generated-code hot path — a dataType pattern-match per
+  // multiply-add would cost a virtual call + cast millions of times per
+  // task; the child's type is fixed for the expression's lifetime
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
 
@@ -533,7 +548,12 @@ case class NearestCells(child: Expression, centroids: Seq[Seq[Double]], nAssign:
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.sql}")
     }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted: these kernels read it once or twice PER VECTOR ELEMENT on
+  // the generated-code hot path — a dataType pattern-match per
+  // multiply-add would cost a virtual call + cast millions of times per
+  // task; the child's type is fixed for the expression's lifetime
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   @transient private lazy val mat: Array[Array[Double]] = centroids.map(_.toArray).toArray
 
@@ -678,7 +698,12 @@ case class VectorSumAgg(child: Expression,
       case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double>, got ${other.sql}")
     }
-  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted: these kernels read it once or twice PER VECTOR ELEMENT on
+  // the generated-code hot path — a dataType pattern-match per
+  // multiply-add would cost a virtual call + cast millions of times per
+  // task; the child's type is fixed for the expression's lifetime
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer(null)
 

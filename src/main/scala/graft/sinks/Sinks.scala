@@ -225,7 +225,7 @@ object BatchSink extends org.apache.spark.internal.Logging {
       else
         graft.sources.Tables.latestPerKey(changes, keys, orderCols)
     merged.write.mode("overwrite").parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
+    val n = footerRowCount(fs, staging, spark.sessionState.newHadoopConf())
     // swap via two renames (atomic per rename on HDFS-like filesystems;
     // object stores want a manifest-based table format instead): the old
     // snapshot is moved ASIDE, never deleted before its replacement exists,
@@ -381,7 +381,7 @@ object BatchSink extends org.apache.spark.internal.Logging {
       }
     merged.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
+    val n = footerRowCount(fs, staging, spark.sessionState.newHadoopConf())
 
     if (!fs.exists(cur)) {
       require(fs.rename(staging, cur), s"cannot install $staging as $cur")
@@ -626,6 +626,29 @@ object BatchSink extends org.apache.spark.internal.Logging {
   /** Relative paths (`a=1/b=x`) of the hive-partition leaf directories
     * exactly `depth` levels under `root`; Nil when `root` is absent.
     */
+  /** Row count of a freshly-written parquet directory from its FOOTERS —
+    * no Spark job. The upsert's per-batch return value used to pay a full
+    * read-and-count of the staged snapshot on EVERY micro-batch of every
+    * snapshot sink; the footers carry the same number for the price of a
+    * driver-side metadata read per file.
+    */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    def files(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        if (st.isDirectory) files(st.getPath)
+        else if (!st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")) Seq(st)
+        else Nil
+      }
+    files(dir).map { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   private def leafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, depth: Int): Seq[String] = {
     def recurse(p: org.apache.hadoop.fs.Path, d: Int, prefix: String): Seq[String] =

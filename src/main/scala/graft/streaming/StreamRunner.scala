@@ -159,9 +159,14 @@ object StreamRunner extends Logging {
     applyTrigger(spec, cells.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      // exactly-once: foreachBatch is at-least-once, so each batch's rows
+      // land under a `batch=<checkpointed id>` leaf with OVERWRITE — a
+      // crash-replayed batch rewrites its own leaf instead of appending
+      // phantom duplicates to the changelog. Read `path` whole; the leaf
+      // column rides along as the batch id
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          eval(batch).write.mode("append").parquet(path)
+          eval(batch).write.mode("overwrite").parquet(s"$path/batch=$batchId")
         ()
       })
       .start()
@@ -219,6 +224,16 @@ object StreamRunner extends Logging {
       s"[${spec.id}] snapshot sink declares columns absent from the built " +
         s"plan: ${missing.mkString(", ")} (plan columns: " +
         s"${planned.columns.mkString(", ")})")
+    // same start-time discipline for the z-order/partition overlap: the
+    // compactor drops partitionCols before the rewrite (they are
+    // directory-encoded), so an overlapping compactZOrderBy would launch
+    // cleanly and kill the query at its FIRST compaction batch instead
+    // (SnapshotSpec.validate guards only the spec-driven path)
+    require(compactZOrderBy.intersect(partitionCols).isEmpty,
+      s"[${spec.id}] snapshot sink compactZOrderBy cannot include " +
+        s"partitionBy columns (${compactZOrderBy.intersect(partitionCols)
+          .mkString(", ")}): they are directory-encoded constants within " +
+        "each rewritten slice")
     applyTrigger(spec, planned.writeStream
       .outputMode(outputModeFor(spec))
       .option("checkpointLocation", checkpoint)

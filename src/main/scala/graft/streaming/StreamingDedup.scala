@@ -64,6 +64,13 @@ object StreamingDedup {
     require(Option(stateTtl).exists(_.trim.nonEmpty),
       "exactFirstArrival requires a stateTtl (use Dedup.exact for the " +
         "unbounded history-wide form)")
+    // tieBreak is only read inside the per-group lambda (row.getAs), so a
+    // typo would otherwise start the query cleanly and kill it on the
+    // first non-empty group's executor task — fail at START time like
+    // every other streaming entry point's column check
+    require(df.columns.contains(tieBreak),
+      s"exactFirstArrival tieBreak '$tieBreak' is not a column of the " +
+        s"frame (columns: ${df.columns.mkString(", ")})")
     import org.apache.spark.sql.Row
     implicit val strEnc = org.apache.spark.sql.Encoders.STRING
     implicit val boolEnc = org.apache.spark.sql.Encoders.scalaBoolean
