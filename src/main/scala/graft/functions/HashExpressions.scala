@@ -30,6 +30,18 @@ object Sketches {
 case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "minhash_signature"
+  // analysis-time type guard: these are SQL-registered (GraftExtensions),
+  // so a wrong-typed argument must fail at ANALYSIS like the vector
+  // family does, not as an executor-side ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -63,6 +75,18 @@ case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
 case class HashedShingles(child: Expression, n: Int, seed: Long)
     extends UnaryExpression {
   override def prettyName: String = "hashed_shingles"
+  // analysis-time type guard: these are SQL-registered (GraftExtensions),
+  // so a wrong-typed argument must fail at ANALYSIS like the vector
+  // family does, not as an executor-side ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private val mix = 0x9E3779B97F4A7C15L
   override protected def doGenCode(
@@ -148,6 +172,17 @@ case class HashedShingles(child: Expression, n: Int, seed: Long)
 case class MinHashFromHashes(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def prettyName: String = "minhash_from_hashes"
+  // analysis-time type guard (the SQL-registered family's discipline)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> shingle hashes " +
+            s"(hashed_shingles output), got ${other.sql}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -206,6 +241,18 @@ case class MinHashFromHashes(child: Expression, numHashes: Int)
 case class SimHash64(child: Expression, seed: Long)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "simhash64"
+  // analysis-time type guard: these are SQL-registered (GraftExtensions),
+  // so a wrong-typed argument must fail at ANALYSIS like the vector
+  // family does, not as an executor-side ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> tokens, got ${other.sql}")
+    }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -239,6 +286,16 @@ case class SimHash64(child: Expression, seed: Long)
 case class RollingFingerprint(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def prettyName: String = "doc_fingerprint"
+  // analysis-time type guard (the SQL-registered family's discipline)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string document, got ${other.sql}")
+    }
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

@@ -201,4 +201,29 @@ class ExpressionsSpec extends SparkSuite {
       .head().getString(0)
     assert(got == "mail [EMAIL] or [PHONE] at [IP], ssn [SSN]", got)
   }
+
+  test("hash-sketch SQL functions refuse wrong-typed input at ANALYSIS, not mid-job") {
+    // the family is SQL-registered, so a wrong-typed argument previously
+    // passed analysis (UnaryExpression's default check) and died as an
+    // executor ClassCastException on the first row — the vector family's
+    // checkInputDataTypes discipline now applies here too
+    GraftFunctions.register(spark)
+    val bad = Seq(
+      "SELECT hashed_shingles(array(1, 2, 3), 2)",       // array<int>, not array<string>
+      "SELECT minhash_signature(array(1L), 4)",           // array<bigint> tokens
+      "SELECT simhash64(42)",                             // not an array at all
+      "SELECT minhash_from_hashes(array('a', 'b'), 4)",   // strings, not hashes
+      "SELECT doc_fingerprint(42)")                       // int, not string
+    bad.foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.contains("requires"), s"$q -> ${e.getMessage}")
+    }
+    // the well-typed forms still evaluate
+    assert(spark.sql("SELECT size(hashed_shingles(array('a','b','c'), 2)) AS n")
+      .head().getInt(0) == 2)
+    assert(spark.sql("SELECT doc_fingerprint('abc') = doc_fingerprint('abc')")
+      .head().getBoolean(0))
+  }
 }
