@@ -479,7 +479,12 @@ object Similarity extends Logging {
         if (st.getPath.getName.startsWith("attr="))
           fs0.delete(st.getPath, true)
       }
-    writePostings(c, meta, gen = 0, idxDir, overwrite = true)
+    // leaf-layout decision is made HERE, once per index (appends and
+    // compactions follow the committed depth): nest cell/bucket dirs only
+    // when the corpus is big enough to amortize them — see
+    // shouldPartitionLeaves
+    val idxRows = writePostings(c, meta, gen = 0, idxDir, overwrite = true,
+      partitionLeaves = shouldPartitionLeaves(spark, meta, n))
     // PER-CATEGORY sub-index family: one self-contained sub-index per
     // distinct attribute value, built with the SAME declared geometry under
     // `indexPath/attr=<value>/` — the routing target for an equality
@@ -517,7 +522,9 @@ object Similarity extends Logging {
     // as "no index here" (readIndexMeta fails loudly) instead of a silent
     // half-index — the same crash-ordering discipline as the sink compactor
     Seq(metaFinal).toDS().write.mode("overwrite").parquet(s"$indexPath/meta.parquet")
-    val idxRows = spark.read.parquet(idxDir).count()
+    // idxRows is the Observation-measured posting count from the write
+    // pass itself — the old full read-back count was a second pass over
+    // the entire just-written index on every build
     logInfo(s"buildIndex wrote $method index to $indexPath: " +
       s"$n corpus rows -> $idxRows index rows (dim $theDim)" +
       partVals.fold("")(vs => s"; per-category family of ${vs.length} " +
@@ -560,8 +567,8 @@ object Similarity extends Logging {
     * trees) is None — the generic filtered path over the top index is
     * always correct.
     */
-  private[graft] def equalityConjunct(predicate: String,
-      attr: String): Option[(String, Option[String])] = {
+  private[graft] def equalityConjunct(predicate: String, attr: String,
+      attrIsString: Boolean = false): Option[(String, Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
       Expression, Literal}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -569,25 +576,93 @@ object Similarity extends Logging {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    def attrEq(e: Expression): Option[String] = e match {
+    def attrEq(e: Expression): Option[(String, Boolean)] = e match {
       case EqualTo(a: UnresolvedAttribute, l: Literal)
-        if a.name == attr => Option(l.value).map(String.valueOf)
+        if a.name == attr => Option(l.value).map(v =>
+          (String.valueOf(v), l.dataType ==
+            org.apache.spark.sql.types.StringType))
       case EqualTo(l: Literal, a: UnresolvedAttribute)
-        if a.name == attr => Option(l.value).map(String.valueOf)
+        if a.name == attr => Option(l.value).map(v =>
+          (String.valueOf(v), l.dataType ==
+            org.apache.spark.sql.types.StringType))
       case _ => None
     }
-    scala.util.Try(org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(predicate)).toOption.flatMap { parsed =>
+    // the WHOLE split — parse AND residual .sql rendering — is fenced: an
+    // unresolved conjunct whose .sql throws (or renders unparseable SQL)
+    // must fall through to the always-correct generic path, never turn a
+    // working filtered search into a hard failure (round-20 ADVICE)
+    scala.util.Try {
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(predicate)
       val cs = conjuncts(parsed)
       val (eqs, rest) = cs.partition(attrEq(_).isDefined)
       eqs match {
         case Seq(one) =>
-          attrEq(one).map { v =>
-            (v, if (rest.isEmpty) None
-                else Some(rest.map(_.sql).mkString(" AND ")))
+          attrEq(one).flatMap { case (v, isStringLit) =>
+            // COERCION GUARD (round-20 ADVICE): routing matches the
+            // literal by its STRING rendering, but the generic path
+            // evaluates the equality under SQL type coercion. The two can
+            // only diverge when a NON-string literal meets a STRING
+            // attribute column ("label = 3" coercing '03' to 3 would
+            // match rows the label-'3' sub-index does not hold). A string
+            // literal, or any literal against a non-string column, routes
+            // safely: membership in the canonical part_values rendering
+            // is then exactly the coerced equality's row set.
+            if (!isStringLit && attrIsString) None
+            else Some((v, if (rest.isEmpty) None
+                else {
+                  val r = rest.map(_.sql).mkString(" AND ")
+                  // the rendered residual must itself re-parse — it
+                  // becomes the sub-search's candidateFilter verbatim
+                  org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                    .parseExpression(r)
+                  Some(r)
+                }))
           }
         case _ => None
       }
+    }.toOption.flatten
+  }
+
+  /** The routing decision both [[indexedTopK]] and the Interpreter's
+    * audit preflight share: `predicate` routes to the per-category
+    * sub-index for value `v` with an optional residual filter, under the
+    * coercion guard evaluated against the index's STORED attribute type
+    * (one driver-side schema read, memoized on the meta listing
+    * signature). Keeping preflight and search on one code path means the
+    * audit always prices the route the search actually takes.
+    */
+  private[graft] def routedConjunct(spark: SparkSession, indexPath: String,
+      meta: AnnIndexMeta, predicate: String): Option[(String, Option[String])] =
+    meta.part_attr.flatMap { a =>
+      equalityConjunct(predicate, a,
+        attrIsString = storedAttrTypeIsString(spark, indexPath, a))
+        .filter { case (v, _) => meta.part_values.exists(_.contains(v)) }
+    }
+
+  /** Whether attribute column `attr` is stored as a STRING in the index
+    * postings — one driver-side schema read (file listing + a footer, no
+    * Spark job), memoized per (indexPath, attr) on the meta listing
+    * signature so maintenance commits invalidate naturally. Unreadable
+    * schema reads as "string": the conservative direction (the guard then
+    * refuses to route non-string literals, falling back to the generic
+    * path, which is always correct).
+    */
+  private val attrTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (String, Boolean)]
+  private def storedAttrTypeIsString(spark: SparkSession, indexPath: String,
+      attr: String): Boolean = {
+    val sig = metaListingSig(spark, indexPath)
+    val key = (indexPath, attr)
+    val hit = attrTypeCache.get(key)
+    if (hit != null && hit._1 == sig) hit._2
+    else {
+      val isString = scala.util.Try(
+        spark.read.parquet(s"$indexPath/index.parquet").schema(attr)
+          .dataType == org.apache.spark.sql.types.StringType).getOrElse(true)
+      attrTypeCache.put(key, (sig, isString))
+      isString
     }
   }
 
@@ -650,6 +725,95 @@ object Similarity extends Logging {
     */
   private[operators] val ExactFallbackFactor = 4L
 
+  /** Minimum expected posting rows per leaf directory for the cell/bucket
+    * hive nesting to pay for itself (conf
+    * `spark.graft.knn.partitionMinRowsPerLeaf`). Below it, a leaf holds a
+    * metadata-dominated sliver of a file: a 2k-row lsh build used to fan
+    * out into 256 directories × ~2 files of ~60 rows, and the build spent
+    * 5 s on filesystem/commit overhead for 0.2 s of compute (r21 measured;
+    * the directory listing then taxed every read-back too). At 100 TB the
+    * same rule keeps the nesting ON — rows/leaf is enormous — so the DPP
+    * pruning lever is unchanged exactly where it matters.
+    */
+  private val PartitionMinRowsPerLeafDefault = 1024L
+  private def partitionMinRowsPerLeaf(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.knn.partitionMinRowsPerLeaf")
+      .map(_.toLong).getOrElse(PartitionMinRowsPerLeafDefault)
+
+  /** Leaf directory count of the method's hive nesting (1 = no nesting). */
+  private def leafCount(meta: AnnIndexMeta): Long = meta.method match {
+    case "ivf" => meta.n_cells.get.toLong
+    case "lsh" => meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
+    case _     => 1L
+  }
+
+  /** BUILD-time leaf-layout decision: nest cell/bucket directories only
+    * when (a) the directory count is bounded ([[MaxPartitionedCells]]) and
+    * (b) the corpus is large enough that each leaf amortizes its
+    * filesystem cost ([[partitionMinRowsPerLeaf]] expected rows). The
+    * decision is made ONCE per index (appends and compactions follow the
+    * committed layout via [[leafPartitionedOnDisk]] — parquet partition
+    * discovery requires a uniform directory depth across generations).
+    */
+  private def shouldPartitionLeaves(spark: SparkSession, meta: AnnIndexMeta,
+      corpusRows: Long): Boolean = {
+    val leaves = leafCount(meta)
+    leaves > 1L && leaves <= MaxPartitionedCells &&
+      corpusRows * postingMultiplicity(meta) >=
+        leaves * partitionMinRowsPerLeaf(spark)
+  }
+
+  /** The COMMITTED leaf layout of an existing index: whether its posting
+    * generations nest cell/bucket directories. One driver-side listing
+    * (first `gen=*` directory's children); maintenance verbs must write
+    * the same depth or partition discovery would see conflicting
+    * structures mid-crash-window.
+    */
+  private def leafPartitionedOnDisk(spark: SparkSession,
+      idxDir: String): Boolean = {
+    val p = hpath(idxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+        fs.listStatus(st.getPath).exists { ch =>
+          ch.isDirectory && {
+            val n = ch.getPath.getName
+            n.startsWith("cell=") || n.startsWith("tbl=")
+          }
+        }
+    }
+  }
+
+  /** Row count of a posting generation directory from its parquet FOOTERS
+    * — driver-side metadata reads (parallel over files), no Spark job and
+    * no data scan. The write-landed verification currency: after the
+    * leaf-layout sizing above, a generation holds O(leaves) files, so
+    * this is bounded by directory size, never by data volume.
+    */
+  private[graft] def footerRowCount(spark: SparkSession, dir: String): Long = {
+    val p = hpath(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return -1L
+    def files(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        // hidden entries (underscore/dot) are invisible to Spark's parquet
+        // reader whether files OR directories (_pin.parquet,
+        // _tombstones.parquet side artifacts) — the footer count must see
+        // exactly the reader's file set
+        if (name.startsWith("_") || name.startsWith(".")) Nil
+        else if (st.isDirectory) files(st.getPath)
+        else Seq(st)
+      }
+    import scala.jdk.CollectionConverters._
+    files(p).asJava.parallelStream().mapToLong { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum()
+  }
+
   /** Method-specific posting write shared by [[buildIndex]] (gen 0,
     * overwrite) and [[appendIndex]] (gen g+1, append): assign each row to
     * its cells/buckets with the META's pinned geometry and write under the
@@ -659,44 +823,65 @@ object Similarity extends Logging {
     * `gen <= meta.generation`), and a crashed append's orphaned
     * half-written generation is retracted by deleting ONE top-level
     * `gen=N` directory before the retry. The cell/bucket partitioning
-    * (the DPP pruning lever) nests under it unchanged.
+    * (the DPP pruning lever) nests under it when `partitionLeaves` — the
+    * build-time [[shouldPartitionLeaves]] sizing — and the postings are
+    * then REPARTITIONED on the leaf columns first (the compactIndex
+    * discipline, now applied to every posting write): each leaf lands as
+    * one task's file instead of one file PER MAP TASK per leaf, which at
+    * M map tasks × L leaves is an M×L small-file explosion (guide §6).
+    *
+    * Returns the posting row count, observed DURING the write pass
+    * (org.apache.spark.sql.Observation) — the callers' report/bookkeeping
+    * number, previously recomputed by a full read-back of the written
+    * directory (a second pass over the index at any scale).
     */
   private def writePostings(c: DataFrame, meta: AnnIndexMeta, gen: Int,
-      idxDir: String, overwrite: Boolean): Unit = {
+      idxDir: String, overwrite: Boolean, partitionLeaves: Boolean): Long = {
     val mode = if (overwrite) "overwrite" else "append"
     val g = lit(gen).as("gen")
+    val obs = org.apache.spark.sql.Observation()
+    def counted(df: DataFrame): DataFrame =
+      df.observe(obs, count(lit(1)).as("rows"))
     // declared attribute columns ride every posting as plain data columns
     // (the candidateFilter predicate surface — parquet-pushdown-able)
     val attrs = meta.attr_cols.getOrElse(Nil).map(col)
     meta.method match {
       case "quantized" =>
-        c.select(g +: col("id") +:
+        counted(c.select(g +: col("id") +:
             VectorFunctions.quantize_vec(col("vec")).as("q") +:
-            col("vec") +: attrs: _*)
+            col("vec") +: attrs: _*))
           .write.mode(mode).partitionBy("gen").parquet(idxDir)
       case "ivf" =>
         // assignment clamps to the trained centroid count exactly like
         // ivfTopK (fewer cells than declared just means probing all of them)
         val assignN = math.min(meta.n_assign.get, meta.vectors.get.length)
-        val w = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
+        val assigned = c.withColumn("cell", explode(VectorFunctions.nearest_cells(
             col("vec"), meta.vectors.get, assignN)))
           .select(g +: col("cell") +: col("id") +: col("vec") +: attrs: _*)
+        val w = counted(
+          if (partitionLeaves) assigned.repartition(col("cell")) else assigned)
           .write.mode(mode)
-        (if (meta.n_cells.get <= MaxPartitionedCells) w.partitionBy("gen", "cell")
+        (if (partitionLeaves) w.partitionBy("gen", "cell")
          else w.partitionBy("gen"))
           .parquet(idxDir)
       case "lsh" =>
         val ppt = meta.planes_per_table.get
-        val w = c.select(col("id") +: col("vec") +:
+        val posted = c.select(col("id") +: col("vec") +:
             posexplode(VectorFunctions.sign_buckets(col("vec"),
               meta.vectors.get, ppt)).as(Seq("tbl", "bucket")) +: attrs: _*)
           .select(g +: col("tbl") +: col("bucket") +: col("id") +:
             col("vec") +: attrs: _*)
+        val w = counted(
+          if (partitionLeaves) posted.repartition(col("tbl"), col("bucket"))
+          else posted)
           .write.mode(mode)
-        (if (meta.n_tables.get.toLong * (1L << ppt) <= MaxPartitionedCells)
-           w.partitionBy("gen", "tbl", "bucket")
+        (if (partitionLeaves) w.partitionBy("gen", "tbl", "bucket")
          else w.partitionBy("gen"))
           .parquet(idxDir)
+    }
+    obs.get("rows") match {
+      case n: Long => n
+      case other   => String.valueOf(other).toLong
     }
   }
 
@@ -814,18 +999,20 @@ object Similarity extends Logging {
     // otherwise)
     deleteGensAbove(spark, idxDir, meta.generation)
     deleteGensBelow(spark, idxDir, meta.base_gen)
-    writePostings(c, meta, newGen, idxDir, overwrite = false)
+    // follow the COMMITTED leaf layout (decided once at build time) —
+    // mixed directory depths across generations would break partition
+    // discovery
+    val idxRows = writePostings(c, meta, newGen, idxDir, overwrite = false,
+      partitionLeaves = leafPartitionedOnDisk(spark, idxDir))
     // an EMPTY append commits a generation but identifies no batch — keep
     // the previous signature so the retry identity of the last REAL batch
     // survives an interleaved empty commit
     val updated = meta.copy(n_rows = meta.n_rows + n, generation = newGen,
       batch_sig = if (n > 0) Some(sig) else meta.batch_sig)
     swapMeta(spark, indexPath, updated)
-    // the write-landed recount reads ONLY the new generation's directory —
-    // O(batch), never O(accumulated index) (round-18 review): the
-    // maintenance path's cost must track the appended volume
-    val idxRows = scala.util.Try(
-      spark.read.parquet(s"$idxDir/gen=$newGen").count()).getOrElse(0L)
+    // idxRows is the Observation-measured posting count from the write
+    // pass — O(batch) like the old gen-directory recount, minus the
+    // second pass over the appended generation
     logInfo(s"appendIndex committed gen $newGen at $indexPath: +$n corpus " +
       s"rows -> ${updated.n_rows} total ($idxRows new index rows)")
     Seq((meta.method, meta.dim, n, updated.n_rows, idxRows))
@@ -926,42 +1113,52 @@ object Similarity extends Logging {
     // where deleted rows are physically dropped (until here they were only
     // anti-joined away at read time)
     val live = livePostings(spark, indexPath, meta)
-    // live count BEFORE the copy: a committed range holding ZERO live
-    // postings (an empty build plus empty appends — or every posting
-    // deleted) folds to an EMPTY generation, and the partitioned copy
-    // write of an empty frame creates no gen=<newGen> directory at all,
-    // so the post-copy recount would read -1, never equal 0, and EVERY
-    // retry of the abort would fail identically (round-18 ADVICE: a
-    // scheduled maintenance pipeline on such an index could never
-    // recover). The empty fold instead writes ONE schema-only marker
-    // file below (layout-uniform), keeping the folded index readable —
-    // a search over it returns zero rows, which IS the corpus state.
-    val liveRows = live.count()
+    // liveRows is OBSERVED during the copy pass itself (the count used to
+    // be a separate full pass over the live postings BEFORE the copy —
+    // two reads of the whole index per compaction). A committed range
+    // holding ZERO live postings (an empty build plus empty appends — or
+    // every posting deleted) folds to an EMPTY generation, and the
+    // partitioned copy write of an empty frame creates no gen=<newGen>
+    // directory at all, so the landed check would read -1, never equal 0,
+    // and EVERY retry of the abort would fail identically (round-18
+    // ADVICE: a scheduled maintenance pipeline on such an index could
+    // never recover). The empty fold instead writes ONE schema-only
+    // marker file below (layout-uniform), keeping the folded index
+    // readable — a search over it returns zero rows, which IS the corpus
+    // state.
+    val partLeaves = leafPartitionedOnDisk(spark, idxDir)
+    val obs = org.apache.spark.sql.Observation()
+    def counted(df: DataFrame): DataFrame =
+      df.observe(obs, count(lit(1)).as("rows"))
     val g = lit(newGen).as("gen")
     val attrs = meta.attr_cols.getOrElse(Nil).map(col)
     meta.method match {
       case "quantized" =>
         // flat layout: read-coalescing packs the accumulated small files
         // into maxPartitionBytes-sized tasks, which IS the compaction
-        live.select(g +: col("id") +: col("q") +: col("vec") +: attrs: _*)
+        counted(live.select(g +: col("id") +: col("q") +: col("vec") +:
+            attrs: _*))
           .write.mode("append").partitionBy("gen").parquet(idxDir)
       case "ivf" =>
-        val w = live.select(g +: col("cell") +: col("id") +: col("vec") +:
+        val sel = live.select(g +: col("cell") +: col("id") +: col("vec") +:
             attrs: _*)
-          .repartition(col("cell"))
+        val w = counted(
+          if (partLeaves) sel.repartition(col("cell")) else sel)
           .write.mode("append")
-        (if (meta.n_cells.get <= MaxPartitionedCells)
-           w.partitionBy("gen", "cell")
+        (if (partLeaves) w.partitionBy("gen", "cell")
          else w.partitionBy("gen")).parquet(idxDir)
       case "lsh" =>
-        val w = live.select(g +: col("tbl") +: col("bucket") +: col("id") +:
+        val sel = live.select(g +: col("tbl") +: col("bucket") +: col("id") +:
             col("vec") +: attrs: _*)
-          .repartition(col("tbl"), col("bucket"))
+        val w = counted(
+          if (partLeaves) sel.repartition(col("tbl"), col("bucket")) else sel)
           .write.mode("append")
-        (if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
-            <= MaxPartitionedCells)
-           w.partitionBy("gen", "tbl", "bucket")
+        (if (partLeaves) w.partitionBy("gen", "tbl", "bucket")
          else w.partitionBy("gen")).parquet(idxDir)
+    }
+    val liveRows = obs.get("rows") match {
+      case n: Long => n
+      case other   => String.valueOf(other).toLong
     }
     // EMPTY fold: the partitioned writes above produced no files (dynamic
     // partitioning writes nothing for zero rows) — materialize the
@@ -978,12 +1175,11 @@ object Similarity extends Logging {
         case "quantized" =>
           (s"$idxDir/gen=$newGen", Seq("id", "q", "vec") ++ attrNames)
         case "ivf" =>
-          if (meta.n_cells.get <= MaxPartitionedCells)
+          if (partLeaves)
             (s"$idxDir/gen=$newGen/cell=0", Seq("id", "vec") ++ attrNames)
           else (s"$idxDir/gen=$newGen", Seq("cell", "id", "vec") ++ attrNames)
         case "lsh" =>
-          if (meta.n_tables.get.toLong * (1L << meta.planes_per_table.get)
-              <= MaxPartitionedCells)
+          if (partLeaves)
             (s"$idxDir/gen=$newGen/tbl=0/bucket=0",
               Seq("id", "vec") ++ attrNames)
           else (s"$idxDir/gen=$newGen",
@@ -994,11 +1190,12 @@ object Similarity extends Logging {
     }
     val folded = meta.generation - meta.base_gen + 1
     // write-landed check BEFORE the point of no return: the consolidated
-    // copy must hold exactly the live posting count (both are parquet
-    // footer counts — no data scan). A mismatch aborts with the orphan
-    // generation still invisible and the OLD index fully intact.
-    val copiedRows = scala.util.Try(
-      spark.read.parquet(s"$idxDir/gen=$newGen").count()).getOrElse(-1L)
+    // generation's parquet FOOTERS (driver-side metadata, no data scan —
+    // genuinely so now; this used to be a spark count() job re-reading
+    // the whole copy) must hold exactly the observed live posting count.
+    // A mismatch aborts with the orphan generation still invisible and
+    // the OLD index fully intact.
+    val copiedRows = footerRowCount(spark, s"$idxDir/gen=$newGen")
     require(copiedRows == liveRows,
       s"compactIndex: consolidated generation holds $copiedRows postings " +
         s"but the committed range holds $liveRows — aborting before the " +
@@ -1104,6 +1301,22 @@ object Similarity extends Logging {
       // posting-generation sweep, on the tombstone directory
       deleteGensAbove(spark, tombP, meta.tomb_gen)
       deleteGensBelow(spark, tombP, meta.tomb_base)
+      // PER-CATEGORY family: cascade the takedown into every sub-index
+      // FIRST — a routed (equality-filtered) search reads ONLY its
+      // sub-index, so a tombstone committed on the top index alone would
+      // keep serving the deleted rows there. The cascade runs BEFORE the
+      // top-index commit and UNCONDITIONALLY (even when the top matches
+      // no live posting): sub-deletes are idempotent, so a crash — or a
+      // predecessor's crash between the old post-commit cascade and its
+      // completion — is healed by simply retrying the verb, where the
+      // old ordering left the family permanently desynchronized (the
+      // top's matchedPostings==0 retry path never reached the cascade).
+      // Each sub writes only ITS OWN matched ids, so the family's
+      // tombstone disk totals ~the takedown's true footprint, not
+      // batch × categories.
+      meta.part_values.getOrElse(Nil).foreach { v =>
+        deleteIndex(d, "id", subIndexPath(indexPath, v))
+      }
       // LIVE postings matching the batch (gen-fenced, not already
       // tombstoned), in CORPUS-row units: each corpus row produced exactly
       // `mult` posting rows (the method's assignment multiplicity), so
@@ -1120,7 +1333,12 @@ object Similarity extends Logging {
         .select("id").join(d, Seq("id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val matchedPostings = matched.count()
+        // ONE aggregate materializes the persisted frame and computes both
+        // counts (posting rows AND distinct ids) — these used to be two
+        // separate jobs (count, then distinct().count())
+        val mrow = matched.agg(count(lit(1)).as("p"),
+          count_distinct(col("id")).as("d")).head()
+        val matchedPostings = mrow.getLong(0)
         if (matchedPostings == 0L) {
           // nothing live matches — commit NOTHING. A tombstone for an id
           // with no live posting can never kill anything (later appends
@@ -1141,7 +1359,7 @@ object Similarity extends Logging {
         // anti-join set, the tomb_rows bookkeeping, and the per-sub-index
         // cascade's tombstone disk on a family)
         val matchedIds = matched.distinct()
-        val matchedN = matchedIds.count()
+        val matchedN = mrow.getLong(1)
         val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
         matchedIds.select(lit(newTombGen).as("gen"), col("id"),
             lit(meta.generation).as("upto"))
@@ -1154,15 +1372,6 @@ object Similarity extends Logging {
         logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
           s"$indexPath: $batchN batch ids, $matchedN matched, $removed " +
           s"corpus rows removed -> ${updated.n_rows} corpus rows")
-        // PER-CATEGORY family: cascade the takedown into every sub-index —
-        // a routed (equality-filtered) search reads ONLY its sub-index, so
-        // a tombstone committed on the top index alone would keep serving
-        // the deleted rows there. Each sub writes only ITS OWN matched ids
-        // (the matched-only write above), so the family's tombstone disk
-        // totals ~the takedown's true footprint, not batch × categories.
-        meta.part_values.getOrElse(Nil).foreach { v =>
-          deleteIndex(d, "id", subIndexPath(indexPath, v))
-        }
         Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
           .toDF("method", "dim", "deleted_rows", "corpus_rows",
             "tombstone_gen")
@@ -1311,8 +1520,29 @@ object Similarity extends Logging {
 
   /** Read a stored index's meta row; fails with a build-the-artifact hint
     * when `indexPath` holds no readable [[AnnIndexMeta]].
+    *
+    * MEMOIZED on the meta file's listing signature (the selCache
+    * discipline): one lifecycle chain reads the same one-row meta parquet
+    * several times — the audit preflight, the search build, each
+    * maintenance verb's own re-read — and every read was a (small) spark
+    * job. The signature is a driver-side listing; every maintenance
+    * commit rewrites the meta file set (fresh part-file UUIDs), so the
+    * memo invalidates on any commit, rebuild, or republish-and-swap.
     */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnnIndexMeta)]
   def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): AnnIndexMeta = {
+    val sig = metaListingSig(spark, indexPath)
+    val hit = metaCache.get(indexPath)
+    if (hit != null && hit._1 == sig && sig != "absent") hit._2
+    else {
+      val m = readIndexMetaUncached(spark, indexPath)
+      metaCache.put(indexPath, (sig, m))
+      m
+    }
+  }
+  private def readIndexMetaUncached(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): AnnIndexMeta = {
     import spark.implicits._
     val df0 =
@@ -1396,16 +1626,14 @@ object Similarity extends Logging {
     // scan. A value the family has no sub-index for (or any
     // non-conjunctive shape) falls through to the generic filtered path
     // below — over the top index, which always coexists with the family.
-    for (a <- meta.part_attr; f <- candidateFilter;
-         (v, residual) <- equalityConjunct(f, a)) {
-      if (meta.part_values.exists(_.contains(v))) {
-        logInfo(s"indexedTopK: candidateFilter '$f' routes to per-category " +
-          s"sub-index ${subIndexPath(indexPath, v)}" +
-          residual.fold("")(r => s" with residual filter '$r'"))
-        return indexedTopK(queries, idCol, vecCol, k,
-          subIndexPath(indexPath, v), nProbe = nProbe, refine = refine,
-          win = win, candidateFilter = residual)
-      }
+    for (f <- candidateFilter;
+         (v, residual) <- routedConjunct(spark, indexPath, meta, f)) {
+      logInfo(s"indexedTopK: candidateFilter '$f' routes to per-category " +
+        s"sub-index ${subIndexPath(indexPath, v)}" +
+        residual.fold("")(r => s" with residual filter '$r'"))
+      return indexedTopK(queries, idCol, vecCol, k,
+        subIndexPath(indexPath, v), nProbe = nProbe, refine = refine,
+        win = win, candidateFilter = residual)
     }
     // committed-generation fence: postings above the meta's generation are
     // a crashed append's orphans, postings below base_gen a completed

@@ -466,10 +466,13 @@ object Interpreter extends Logging {
         // (the sub-index scan IS the filtered corpus), and a conjunction's
         // RESIDUAL prices against the SUB-index's live postings (the very
         // count the routed search will reuse through the memo)
+        // ONE code path with the search itself (Similarity.routedConjunct,
+        // coercion guard included) — the audit must price the route the
+        // search actually takes
         val routed = for {
-          a <- meta.part_attr; f <- t.candidateFilter
-          vr <- graft.operators.Similarity.equalityConjunct(f, a)
-          if meta.part_values.exists(_.contains(vr._1))
+          f <- t.candidateFilter
+          vr <- graft.operators.Similarity.routedConjunct(
+            df.sparkSession, p, meta, f)
         } yield (f, vr._1, vr._2)
         val filterSel = (routed, t.candidateFilter) match {
           case (Some((f, v, None)), _) =>
@@ -1297,26 +1300,34 @@ object Interpreter extends Logging {
             Map("columnNameOfCorruptRecord" -> corrupt)))
           val isReject = col(out).getField(corrupt).isNotNull
           val dlq = resolvePath(t.dlqPath.get, dataDir, specId)
+          // ONE evaluation of the rejects feeds the signature, the
+          // dead-letter payloads AND (via the same persisted frame) keeps
+          // them consistent with the survivor filter's view of this build
+          // (round-20 ADVICE: three separate evaluations could diverge on
+          // a nondeterministic upstream or a source mutated between jobs)
           val rejects = parsed.filter(isReject)
             .select(src.cast("string").as("payload"))
-          // REBUILD identity: the side-write runs eagerly at plan build,
-          // and a spec builds more than once per run of its payload (a
-          // Doctor preflight, a retry) — a blind append would duplicate
-          // every reject per build. The batch lands under a content-keyed
-          // leaf (count ⊕ payload-hash xor, the appendIndex signature
-          // form) written with OVERWRITE: the same rejects re-land in
-          // place, a different batch gets its own leaf, and a clean batch
-          // writes nothing at all
-          val pr = rejects.agg(count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(xxhash64(payload))"), lit(0L)).as("h"))
-            .head()
-          if (pr.getLong(0) > 0) {
-            val sig = java.lang.Long.toHexString(
-              pr.getLong(1) * 31L + pr.getLong(0))
-            rejects.write.mode("overwrite").parquet(s"$dlq/batch=$sig")
-            logInfo(s"[$specId] parse_json: dead-lettered ${pr.getLong(0)} " +
-              s"reject(s) to $dlq/batch=$sig")
-          }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            // REBUILD identity: the side-write runs eagerly at plan build,
+            // and a spec builds more than once per run of its payload (a
+            // Doctor preflight, a retry) — a blind append would duplicate
+            // every reject per build. The batch lands under a content-keyed
+            // leaf (count ⊕ payload-hash xor, the appendIndex signature
+            // form) written with OVERWRITE: the same rejects re-land in
+            // place, a different batch gets its own leaf, and a clean batch
+            // writes nothing at all
+            val pr = rejects.agg(count(lit(1)).as("n"),
+              coalesce(expr("bit_xor(xxhash64(payload))"), lit(0L)).as("h"))
+              .head()
+            if (pr.getLong(0) > 0) {
+              val sig = java.lang.Long.toHexString(
+                pr.getLong(1) * 31L + pr.getLong(0))
+              rejects.write.mode("overwrite").parquet(s"$dlq/batch=$sig")
+              logInfo(s"[$specId] parse_json: dead-lettered ${pr.getLong(0)} " +
+                s"reject(s) to $dlq/batch=$sig")
+            }
+          } finally { rejects.unpersist(); () }
           parsed.filter(!isReject).withColumn(out,
             when(col(out).isNotNull, struct(
               schema.fieldNames.toSeq.map(f => col(out).getField(f).as(f)): _*)))
@@ -1531,9 +1542,10 @@ object Interpreter extends Logging {
       }
       // the write-landed verification stays O(batch)+O(#files): the batch
       // count scans the batch once, and the post-append history count is a
-      // parquet FOOTER count (row-group metadata, no data scan) — the
-      // append never pays an accumulated-history data pass
-      val histDocs = df.sparkSession.read.parquet(p).count()
+      // parquet FOOTER count — now genuinely driver-side metadata reads
+      // (this used to be a spark count() job over the accumulated history)
+      val histDocs = graft.operators.Similarity.footerRowCount(
+        df.sparkSession, p)
       val appended = df.count()
       logInfo(s"[$specId] shingle_index_append: +$appended docs -> " +
         s"$histDocs history rows at $p")
@@ -1588,7 +1600,9 @@ object Interpreter extends Logging {
       if (batchN > 0)
         ids.write.mode("append").parquet(s"$p/_tombstones.parquet")
       val tombTotal = shingleTombstones(spark, p).fold(0L)(_.count())
-      val histRows = spark.read.parquet(p).count()
+      // footer count (driver-side metadata), not a spark count() job —
+      // same number, no history scan
+      val histRows = graft.operators.Similarity.footerRowCount(spark, p)
       logInfo(s"[$specId] shingle_index_retract: $batchN batch ids, " +
         s"$retracted newly retracted -> $tombTotal pending tombstones " +
         s"over $histRows history rows at $p")
@@ -1691,8 +1705,9 @@ object Interpreter extends Logging {
       val filesAfter = dataFileCount
       // the report's row count is a parquet FOOTER count over the folded
       // layout (compactSnapshot's own return value is the number of files
-      // it removed — a different quantity)
-      val rows = spark.read.parquet(p).count()
+      // it removed — a different quantity) — driver-side metadata, not a
+      // spark count() job
+      val rows = graft.operators.Similarity.footerRowCount(spark, p)
       // the rewrite replaced the file set — re-pin the width over the
       // folded layout (the width is UNCHANGED by a rewrite, so this is a
       // listing + one-row write, not a rescan) so later builds stay at
