@@ -12,6 +12,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Allow shuffled-hash join where its size conditions hold instead of
+      // always sorting both sides (optimization-guide §3.1/§9): the planner
+      // still gates the choice on the build side fitting a per-partition
+      // hash map, so this is a strictly-cheaper plan when taken and a no-op
+      // when not. The AQE threshold additionally rewrites an already-
+      // planned sort-merge join to shuffled-hash at runtime when every
+      // post-shuffle partition is under the advisory size — measured
+      // partition sizes, not estimates, so it scales with the data rather
+      // than the local core count.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")
       // Producers have shipped events.ts as BOTH parquet TIMESTAMP(NANOS)
       // and TIMESTAMP(MICROS) across dump generations. Spark's reader rejects

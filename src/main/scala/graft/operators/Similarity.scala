@@ -473,7 +473,9 @@ object Similarity extends Logging {
     // data-derived; a stale sub-directory would serve a vanished category)
     val fs0 = hpath(indexPath).getFileSystem(hc)
     Seq(s"$indexPath/meta.parquet", s"$indexPath/meta_next.parquet",
-        tombDir(indexPath)).foreach(p => fs0.delete(hpath(p), true))
+        tombDir(indexPath), s"$indexPath/_family_stage_postings",
+        s"$indexPath/_family_stage_meta")
+      .foreach(p => fs0.delete(hpath(p), true))
     if (fs0.exists(hpath(indexPath)))
       fs0.listStatus(hpath(indexPath)).foreach { st =>
         if (st.getPath.getName.startsWith("attr="))
@@ -498,16 +500,92 @@ object Similarity extends Logging {
     // here". NULL-valued rows join no category (an equality filter never
     // matches them); they stay searchable through the top index.
     val partVals: Option[Seq[String]] = partitionByAttribute.map { a =>
-      val vals = c.filter(col(a).isNotNull)
-        .select(col(a).cast("string")).distinct()
+      // ONE job derives the category set, each category's row count, AND
+      // each category's staging key (hex(xxhash64(value)) — filesystem-
+      // safe, and produced by the SAME expression the staged write below
+      // partitions on, so the driver's value→directory mapping and the
+      // executors' directory names cannot disagree)
+      val catRows = c.filter(col(a).isNotNull)
+        .groupBy(col(a).cast("string").as("__v"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("__v"), col("n"), hex(xxhash64(col("__v"))).as("__ap"))
         .limit(MaxCategorySubIndexes + 1)
-        .collect().map(_.getString(0)).sorted.toSeq
-      require(vals.length <= MaxCategorySubIndexes,
+        .collect()
+      require(catRows.length <= MaxCategorySubIndexes,
         s"buildIndex partitionByAttribute '$a' has more than " +
           s"$MaxCategorySubIndexes distinct values — a per-category family " +
           "needs a bounded category set (one sub-index per value); " +
           "partition on a coarser attribute or drop partitionByAttribute")
-      vals.foreach { v =>
+      val vals = catRows.map(_.getString(0)).sorted.toSeq
+      val counts = catRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val hexOf = catRows.map(r => r.getString(0) -> r.getString(2)).toMap
+      // ONE-PASS family build (quantized/lsh — per-row-deterministic
+      // posting state, so every sub-index's postings are computable from
+      // one shared corpus scan): stage ALL sub postings in one write
+      // partitioned by the category key, stage all sub metas in one more
+      // job, then rename each staged directory into its sub-index layout.
+      // The per-category loop below (kept for ivf, whose subs each train
+      // their own centroids, and for any sub large enough to want leaf
+      // directories — the staged write is flat) paid one corpus scan PLUS
+      // count/write/meta jobs PER CATEGORY: ~4 jobs × |categories| at any
+      // scale, and without attribute-partitioned source data, |categories|
+      // full corpus re-reads at 100 TB. Postings and metas are
+      // bit-equivalent to the loop's (same select lists, same geometry,
+      // same flat layout the adaptive sizing picks for sub-sized corpora).
+      val subWantsLeafDirs =
+        vals.exists(v => shouldPartitionLeaves(spark, meta, counts(v)))
+      val onePass = vals.nonEmpty && method != "ivf" && !subWantsLeafDirs &&
+        hexOf.values.toSet.size == vals.length
+      if (onePass) {
+        val stageP = s"$indexPath/_family_stage_postings"
+        val stageM = s"$indexPath/_family_stage_meta"
+        Seq(stageP, stageM).foreach(p => fs0.delete(hpath(p), true))
+        val fc = c.filter(col(a).isNotNull)
+          .withColumn("__ap", hex(xxhash64(col(a).cast("string"))))
+        val g = lit(0).as("gen")
+        val attrCols2 = attributeColumns.map(col)
+        method match {
+          case "quantized" =>
+            fc.select(col("__ap") +: g +: col("id") +:
+                VectorFunctions.quantize_vec(col("vec")).as("q") +:
+                col("vec") +: attrCols2: _*)
+              .write.mode("overwrite").partitionBy("__ap", "gen")
+              .parquet(stageP)
+          case "lsh" =>
+            val ppt = meta.planes_per_table.get
+            fc.select(col("__ap") +: col("id") +: col("vec") +:
+                posexplode(VectorFunctions.sign_buckets(col("vec"),
+                  meta.vectors.get, ppt)).as(Seq("tbl", "bucket")) +:
+                attrCols2: _*)
+              .select(col("__ap") +: g +: col("tbl") +: col("bucket") +:
+                col("id") +: col("vec") +: attrCols2: _*)
+              .write.mode("overwrite").partitionBy("__ap", "gen")
+              .parquet(stageP)
+        }
+        // one job writes every sub meta row: the category value rides
+        // temporarily in part_attr purely to derive the staging key, and
+        // is nulled in place (a sub meta is a plain single index — no
+        // part_attr/part_values)
+        val metasDf = vals.map(v => meta.copy(n_rows = counts(v),
+            part_attr = Some(v))).toDS().toDF()
+          .withColumn("__ap", hex(xxhash64(col("part_attr"))))
+          .withColumn("part_attr", lit(null).cast("string"))
+        metasDf.write.mode("overwrite").partitionBy("__ap").parquet(stageM)
+        vals.foreach { v =>
+          val sub = subIndexPath(indexPath, v)
+          fs0.delete(hpath(sub), true)
+          fs0.mkdirs(hpath(sub))
+          require(fs0.rename(hpath(s"$stageP/__ap=${hexOf(v)}"),
+              hpath(s"$sub/index.parquet")),
+            s"buildIndex: cannot install staged postings for category '$v'" +
+              s" at $sub")
+          require(fs0.rename(hpath(s"$stageM/__ap=${hexOf(v)}"),
+              hpath(s"$sub/meta.parquet")),
+            s"buildIndex: cannot install staged meta for category '$v'" +
+              s" at $sub")
+        }
+        Seq(stageP, stageM).foreach(p => fs0.delete(hpath(p), true))
+      } else vals.foreach { v =>
         buildIndex(corpus.filter(col(a).cast("string") === lit(v)), idCol,
           vecCol, method, subIndexPath(indexPath, v), nCells = nCells,
           nAssign = nAssign, nTables = nTables,

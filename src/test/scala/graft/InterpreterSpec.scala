@@ -967,9 +967,23 @@ class InterpreterSpec extends SparkSuite {
          |"transform":[{"op":"snapshot_drift",$body}],
          |"outputTopic":{"enabled":true,"name":"art-out"}}""".stripMargin)
     // GROUPED route: stored-artifact report == the rescanning grouped form
-    // (r40's oracle pins the global route; this pins the grouped one)
+    // (r40's oracle pins the global route; this pins the grouped one).
+    // Equality is at ulp-scale tolerance, not bit-exact: the metrics
+    // derive from distributed float SUMS, whose addition order follows
+    // the physical plan shape around the aggregation (join strategy, AQE
+    // coalescing), so the two routes can legitimately differ by ~1 ulp —
+    // the declared contract is the 6-decimal zr6 rounding the r40/r41
+    // oracles compare at, far above this tolerance.
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(1), r.getString(2)) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    def close(a: Double, b: Double): Boolean =
+      a == b || math.abs(a - b) <= 1e-9 * math.max(math.abs(a), math.abs(b))
+    def sameRows(x: Map[(String, String), (Double, Double, Double)],
+        y: Map[(String, String), (Double, Double, Double)]): Boolean =
+      x.keySet == y.keySet && x.forall { case (k, (a1, a2, a3)) =>
+        val (b1, b2, b3) = y(k)
+        close(a1, b1) && close(a2, b2) && close(a3, b3)
+      }
     val stored = graft.pipeline.Interpreter.build(spark, spec(
       s""""summaryPath":"$dir/grouped.parquet",
          |"embeddingColumns":["embedding"],"embeddingGroupBy":"label"""".stripMargin),
@@ -977,7 +991,8 @@ class InterpreterSpec extends SparkSuite {
     val direct = graft.operators.Drift.embeddingDriftByGroup(
         emb.filter(col("label") < 8), emb, "embedding", "label")
       .collect().map(key).toMap
-    assert(stored == direct, s"stored-artifact route diverged:\n$stored\nvs\n$direct")
+    assert(sameRows(stored, direct),
+      s"stored-artifact route diverged:\n$stored\nvs\n$direct")
     // BOTH-SIDES-STORED (newSummaryPath): two historical crawls compared
     // artifact-vs-artifact — identical rows again, and the frame's
     // embedding column is never scanned by the leg
@@ -988,7 +1003,7 @@ class InterpreterSpec extends SparkSuite {
          |"newSummaryPath":"$dir/grouped_new.parquet",
          |"embeddingColumns":["embedding"],"embeddingGroupBy":"label"""".stripMargin),
       resolver).collect().map(key).toMap
-    assert(bothStored == direct,
+    assert(sameRows(bothStored, direct),
       s"both-sides-stored route diverged:\n$bothStored\nvs\n$direct")
     // form mismatches are config-grade errors naming the fix, never an
     // unresolved-column AnalysisException from inside the dim-row join
