@@ -2463,5 +2463,65 @@ class OperatorsSpec extends SparkSuite {
     assert(got == Set((1, 1L, 1.0), (2, 2L, 0.6)), got.toString)
   }
 
+  test("posting leaf layout is scale-adaptive: flat below the rows-per-leaf bar, " +
+      "nested when the bar is forced; appends and compactions follow the committed " +
+      "layout and both routes serve identical rows (r21)") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
+    val old = e.filter(col("vec_id") < cut)
+    val neu = e.filter(col("vec_id") >= cut)
+    val q = e.filter(col("vec_id") < 3)
+    val base = tempDirPath("graft_ann_layout").toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // leaf directory names across EVERY committed generation — uniform
+    // depth is what parquet partition discovery requires
+    def leafDirs(p: String): Set[String] = {
+      val idx = new org.apache.hadoop.fs.Path(s"$p/index.parquet")
+      fs.listStatus(idx).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("gen="))
+        .flatMap(g => fs.listStatus(g).filter(_.isDirectory)
+          .map(_.getPath.getName)).toSet
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // default bar (1024 expected rows per leaf): this corpus sits far
+    // below it at 4 tables x 4 buckets -> FLAT gen-only layout
+    Similarity.buildIndex(old, "vec_id", "embedding", "lsh", s"$base/flat",
+      nTables = 4, planesPerTable = 2)
+    assert(!leafDirs(s"$base/flat").exists(_.startsWith("tbl=")),
+      s"expected flat postings below the bar: ${leafDirs(s"$base/flat")}")
+    // bar forced to 0 reproduces the always-nested (at-scale) layout
+    spark.conf.set("spark.graft.knn.partitionMinRowsPerLeaf", "0")
+    try Similarity.buildIndex(old, "vec_id", "embedding", "lsh",
+      s"$base/nested", nTables = 4, planesPerTable = 2)
+    finally spark.conf.unset("spark.graft.knn.partitionMinRowsPerLeaf")
+    assert(leafDirs(s"$base/nested").forall(_.startsWith("tbl=")) &&
+      leafDirs(s"$base/nested").nonEmpty,
+      s"expected nested postings at bar 0: ${leafDirs(s"$base/nested")}")
+    // appends FOLLOW the committed layout (no mixed depths), bar unset
+    Similarity.appendIndex(neu, "vec_id", "embedding", s"$base/flat")
+    Similarity.appendIndex(neu, "vec_id", "embedding", s"$base/nested")
+    assert(!leafDirs(s"$base/flat").exists(_.startsWith("tbl=")))
+    assert(leafDirs(s"$base/nested").forall(_.startsWith("tbl=")))
+    // identical postings -> identical candidates -> identical rows
+    val fr = rows(Similarity.indexedTopK(q, "vec_id", "embedding", 5,
+      s"$base/flat"))
+    assert(fr == rows(Similarity.indexedTopK(q, "vec_id", "embedding", 5,
+      s"$base/nested")), "flat and nested layouts must serve the same rows")
+    // compaction preserves each index's committed layout and its rows
+    Similarity.compactIndex(spark, s"$base/flat")
+    Similarity.compactIndex(spark, s"$base/nested")
+    assert(!leafDirs(s"$base/flat").exists(_.startsWith("tbl=")))
+    assert(leafDirs(s"$base/nested").forall(_.startsWith("tbl=")))
+    assert(fr == rows(Similarity.indexedTopK(q, "vec_id", "embedding", 5,
+      s"$base/flat")), "compaction must not change the flat route's rows")
+    assert(fr == rows(Similarity.indexedTopK(q, "vec_id", "embedding", 5,
+      s"$base/nested")), "compaction must not change the nested route's rows")
+  }
+
   private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
 }
