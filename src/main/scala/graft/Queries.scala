@@ -30,6 +30,26 @@ object Queries {
 
   private def resolver(dir: String) = new ParquetSourceResolver(dir, TestdataCatalog)
 
+  /** Run INDEPENDENT fixture writes concurrently (optimization guide §2.6:
+    * actions are only sequential because driver code calls them
+    * sequentially; overlapping lets the next job's tasks back-fill
+    * executors freed by the current job's tail). Used only where the
+    * writes touch disjoint output paths and share no lineage with each
+    * other — the lifecycle chains' 2–3 corpus-split fixtures. Exceptions
+    * propagate (first one wins), so a failed write still fails the query.
+    */
+  private def concurrently(tasks: (() => Unit)*): Unit = {
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = tasks.map { t =>
+      val th = new Thread(() => {
+        try t() catch { case e: Throwable => failure.compareAndSet(null, e) }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+  }
+
   private def runSpec(spark: SparkSession, dir: String, json: String): DataFrame =
     Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json), resolver(dir)))
 
@@ -755,11 +775,12 @@ object Queries {
     val base = artifactBase(dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
-    graft.operators.Dedup.shingleIndex(
-        docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
-      .write.mode("overwrite").parquet(s"$base/doc_shingles.parquet")
-    docs.filter(col("doc_id") >= cut)
-      .write.mode("overwrite").parquet(s"$base/docs_new.parquet")
+    concurrently(
+      () => graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$base/doc_shingles.parquet"),
+      () => docs.filter(col("doc_id") >= cut)
+        .write.mode("overwrite").parquet(s"$base/docs_new.parquet"))
     val spec = PipelineSpec.fromJson(
       s"""{"id":"incremental-screen","processingMode":"SIMPLE_STREAM",
          |"sourceTopic":{"name":"docs_new","keyClass":"java.lang.Long"},
@@ -786,13 +807,14 @@ object Queries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val hi = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val (c1, c2) = (hi * 3L / 5L, hi * 4L / 5L)
-    graft.operators.Dedup.shingleIndex(
-        docs.filter(col("doc_id") < c1), "doc_id", "text", 3)
-      .write.mode("overwrite").parquet(s"$base/doc_shingles_cmp.parquet")
-    docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
-      .write.mode("overwrite").parquet(s"$base/docs_mid.parquet")
-    docs.filter(col("doc_id") >= c2)
-      .write.mode("overwrite").parquet(s"$base/docs_new2.parquet")
+    concurrently(
+      () => graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") < c1), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$base/doc_shingles_cmp.parquet"),
+      () => docs.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+        .write.mode("overwrite").parquet(s"$base/docs_mid.parquet"),
+      () => docs.filter(col("doc_id") >= c2)
+        .write.mode("overwrite").parquet(s"$base/docs_new2.parquet"))
     def fromBase(json: String): DataFrame =
       Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
         new ParquetSourceResolver(base, TestdataCatalog)))
@@ -906,10 +928,11 @@ object Queries {
     val base = artifactBase(dir)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
-    e.filter(col("vec_id") < cut)
-      .write.mode("overwrite").parquet(s"$base/emb_old.parquet")
-    e.filter(col("vec_id") >= cut)
-      .write.mode("overwrite").parquet(s"$base/emb_new.parquet")
+    concurrently(
+      () => e.filter(col("vec_id") < cut)
+        .write.mode("overwrite").parquet(s"$base/emb_old.parquet"),
+      () => e.filter(col("vec_id") >= cut)
+        .write.mode("overwrite").parquet(s"$base/emb_new.parquet"))
     def fromBase(json: String): DataFrame =
       Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
         new ParquetSourceResolver(base, TestdataCatalog)))
@@ -951,10 +974,11 @@ object Queries {
     val base = artifactBase(dir)
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val cut = (e.agg(max(col("vec_id"))).head.getLong(0) + 1L) / 2L
-    e.filter(col("vec_id") < cut)
-      .write.mode("overwrite").parquet(s"$base/emb_ivf_old.parquet")
-    e.filter(col("vec_id") >= cut)
-      .write.mode("overwrite").parquet(s"$base/emb_ivf_new.parquet")
+    concurrently(
+      () => e.filter(col("vec_id") < cut)
+        .write.mode("overwrite").parquet(s"$base/emb_ivf_old.parquet"),
+      () => e.filter(col("vec_id") >= cut)
+        .write.mode("overwrite").parquet(s"$base/emb_ivf_new.parquet"))
     val cells = ivfCellsFor(spark, dir)
     def fromBase(json: String): DataFrame =
       Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
@@ -1129,16 +1153,19 @@ object Queries {
   private def knnMassDeleteChain(spark: SparkSession, dir: String,
       tag: String, barRows: Option[Long]): DataFrame = {
     val base = artifactBase(dir)
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 5 < 2).select(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$base/takedown_$tag.parquet")
-    runSpec(spark, dir,
-      s"""{"id":"build-mass-$tag","processingMode":"SIMPLE_STREAM",
-         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
-         |"transform":[{"op":"knn_index","method":"quantized",
-         |  "column":"embedding","idColumn":"vec_id",
-         |  "indexPath":"$base/knn_mass_$tag"}],
-         |"outputTopic":{"enabled":true,"name":"mass-index-report"}}""".stripMargin)
+    // takedown fixture ∥ index build: disjoint outputs, no shared
+    // lineage (§2.6)
+    concurrently(
+      () => spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 5 < 2).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$base/takedown_$tag.parquet"),
+      () => runSpec(spark, dir,
+        s"""{"id":"build-mass-$tag","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"knn_index","method":"quantized",
+           |  "column":"embedding","idColumn":"vec_id",
+           |  "indexPath":"$base/knn_mass_$tag"}],
+           |"outputTopic":{"enabled":true,"name":"mass-index-report"}}""".stripMargin))
     Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
       s"""{"id":"takedown-mass-$tag","processingMode":"SIMPLE_STREAM",
          |"sourceTopic":{"name":"takedown_$tag","keyClass":"java.lang.Long"},
@@ -1370,12 +1397,13 @@ object Queries {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val hi = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
     val (c1, c2) = (hi / 3L, 2L * hi / 3L)
-    e.filter(col("vec_id") < c1)
-      .write.mode("overwrite").parquet(s"$base/emb_cmp_a.parquet")
-    e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
-      .write.mode("overwrite").parquet(s"$base/emb_cmp_b.parquet")
-    e.filter(col("vec_id") >= c2)
-      .write.mode("overwrite").parquet(s"$base/emb_cmp_c.parquet")
+    concurrently(
+      () => e.filter(col("vec_id") < c1)
+        .write.mode("overwrite").parquet(s"$base/emb_cmp_a.parquet"),
+      () => e.filter(col("vec_id") >= c1 && col("vec_id") < c2)
+        .write.mode("overwrite").parquet(s"$base/emb_cmp_b.parquet"),
+      () => e.filter(col("vec_id") >= c2)
+        .write.mode("overwrite").parquet(s"$base/emb_cmp_c.parquet"))
     def fromBase(json: String): DataFrame =
       Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
         new ParquetSourceResolver(base, TestdataCatalog)))
@@ -1426,16 +1454,19 @@ object Queries {
     */
   def r51SpecKnnDelete(spark: SparkSession, dir: String): DataFrame = {
     val base = artifactBase(dir)
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$base/takedown.parquet")
-    runSpec(spark, dir,
-      s"""{"id":"build-del-index","processingMode":"SIMPLE_STREAM",
-         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
-         |"transform":[{"op":"knn_index","method":"quantized",
-         |  "column":"embedding","idColumn":"vec_id",
-         |  "indexPath":"$base/knn_del"}],
-         |"outputTopic":{"enabled":true,"name":"del-index-report"}}""".stripMargin)
+    // the takedown-batch fixture and the index build share no lineage
+    // (disjoint outputs, both read the source corpus) — overlap them (§2.6)
+    concurrently(
+      () => spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$base/takedown.parquet"),
+      () => runSpec(spark, dir,
+        s"""{"id":"build-del-index","processingMode":"SIMPLE_STREAM",
+           |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+           |"transform":[{"op":"knn_index","method":"quantized",
+           |  "column":"embedding","idColumn":"vec_id",
+           |  "indexPath":"$base/knn_del"}],
+           |"outputTopic":{"enabled":true,"name":"del-index-report"}}""".stripMargin))
     Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
       s"""{"id":"takedown-batch","processingMode":"SIMPLE_STREAM",
          |"sourceTopic":{"name":"takedown","keyClass":"java.lang.Long"},
@@ -1464,17 +1495,23 @@ object Queries {
     */
   def r51SpecKnnIvfDelete(spark: SparkSession, dir: String): DataFrame = {
     val base = artifactBase(dir)
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
-      .write.mode("overwrite").parquet(s"$base/takedown_ivf.parquet")
-    val cells = ivfCellsFor(spark, dir)
-    runSpec(spark, dir,
-      s"""{"id":"build-del-ivf","processingMode":"SIMPLE_STREAM",
-         |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
-         |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
-         |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
-         |  "indexPath":"$base/knn_del_ivf"}],
-         |"outputTopic":{"enabled":true,"name":"del-ivf-report"}}""".stripMargin)
+    // takedown fixture ∥ (cell sizing + build): disjoint outputs, no
+    // shared lineage (§2.6)
+    concurrently(
+      () => spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") % 10 === 7).select(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$base/takedown_ivf.parquet"),
+      () => {
+        val cells = ivfCellsFor(spark, dir)
+        runSpec(spark, dir,
+          s"""{"id":"build-del-ivf","processingMode":"SIMPLE_STREAM",
+             |"sourceTopic":{"name":"embeddings","keyClass":"java.lang.Long"},
+             |"transform":[{"op":"knn_index","method":"ivf","column":"embedding",
+             |  "idColumn":"vec_id","nCells":$cells,"nAssign":2,
+             |  "indexPath":"$base/knn_del_ivf"}],
+             |"outputTopic":{"enabled":true,"name":"del-ivf-report"}}""".stripMargin)
+        ()
+      })
     Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(
       s"""{"id":"takedown-ivf","processingMode":"SIMPLE_STREAM",
          |"sourceTopic":{"name":"takedown_ivf","keyClass":"java.lang.Long"},
@@ -1507,14 +1544,15 @@ object Queries {
     val base = artifactBase(dir)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val cut = (docs.agg(max(col("doc_id"))).head.getLong(0) + 1L) * 4L / 5L
-    graft.operators.Dedup.shingleIndex(
-        docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
-      .write.mode("overwrite").parquet(s"$base/doc_shingles_rt.parquet")
-    docs.filter(col("doc_id") < cut && col("doc_id") % 3 === 0)
-      .select(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$base/docs_takedown.parquet")
-    docs.filter(col("doc_id") >= cut)
-      .write.mode("overwrite").parquet(s"$base/docs_new_rt.parquet")
+    concurrently(
+      () => graft.operators.Dedup.shingleIndex(
+          docs.filter(col("doc_id") < cut), "doc_id", "text", 3)
+        .write.mode("overwrite").parquet(s"$base/doc_shingles_rt.parquet"),
+      () => docs.filter(col("doc_id") < cut && col("doc_id") % 3 === 0)
+        .select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/docs_takedown.parquet"),
+      () => docs.filter(col("doc_id") >= cut)
+        .write.mode("overwrite").parquet(s"$base/docs_new_rt.parquet"))
     def fromBase(json: String): DataFrame =
       Interpreter.values(Interpreter.build(spark, PipelineSpec.fromJson(json),
         new ParquetSourceResolver(base, TestdataCatalog)))

@@ -3,9 +3,13 @@ package graft.functions
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra–Gries frequent-items sketch: a bounded set of k counters whose
   * guarantee is that every item with true count > n/(k+1) is present in the
@@ -17,7 +21,7 @@ import org.apache.spark.sql.functions.udaf
   * find candidates, then recount exactly ([[graft.operators.Profile.heavyHitters]]):
   * candidates ⊇ true hitters makes the two-pass result exact, never a guess.
   *
-  * Buffer mechanics: reduce mutates ONE ArrayBuffer in place (the object
+  * Buffer mechanics: update mutates ONE ArrayBuffer in place (the object
   * aggregate keeps the deserialized buffer per partition, so in-place
   * append is legal and avoids a per-row immutable-Vector copy — measured
   * 4× on an exploded 270k-token stream), compacted at 2k entries by a
@@ -69,67 +73,124 @@ object MisraGries {
     */
   def finish(b: ArrayBuffer[(String, Long)], k: Int): Seq[(String, Long)] =
     compact(b.toSeq, k).sortBy(p => (-p._2, p._1))
-
-  private[functions] val bufEnc: Encoder[ArrayBuffer[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ArrayBuffer[(String, Long)]]()
-  private[functions] val outEnc: Encoder[Seq[(String, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
 }
 
-/** Scalar form: one item per input row (an exploded token stream). */
-class FreqSketchAggregator(k: Int)
-    extends Aggregator[String, ArrayBuffer[(String, Long)], Seq[(String, Long)]] {
-  require(k >= 1, s"sketch size k must be >= 1, got $k")
-  override def zero: ArrayBuffer[(String, Long)] = ArrayBuffer.empty
-  override def reduce(b: ArrayBuffer[(String, Long)], a: String): ArrayBuffer[(String, Long)] =
-    if (a == null) b else MisraGries.append(b, a, k)
-  override def merge(b1: ArrayBuffer[(String, Long)], b2: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] =
-    MisraGries.merge(b1, b2, k)
-  override def finish(b: ArrayBuffer[(String, Long)]): Seq[(String, Long)] =
-    MisraGries.finish(b, k)
-  override def bufferEncoder: Encoder[ArrayBuffer[(String, Long)]] = MisraGries.bufEnc
-  override def outputEncoder: Encoder[Seq[(String, Long)]] = MisraGries.outEnc
-}
-
-/** Array form: one item ARRAY per input row (e.g. a document's tokens).
-  * Same sketch, but the per-row udaf boundary cost (catalyst→JVM input
-  * conversion, buffer dispatch) is paid once per document instead of once
-  * per token — prefer this whenever the items already live in arrays.
+/** The MG summary as a native Catalyst [[TypedImperativeAggregate]] — the
+  * same port [[QuantileSketchBuild]] and [[TopKAgg]] got: this aggregate is
+  * called once per TOKEN on exploded heavy-hitter streams, and the former
+  * `udaf(Aggregator)` wrappers paid the encoder boundary (catalyst → Scala
+  * String / Seq[String] conversion plus buffer dispatch) per call. The
+  * input column may be a string (one item per row) OR an array<string>
+  * (document-shaped input — the per-row boundary paid once per document);
+  * the [[MisraGries]] kernels are unchanged, so summaries are identical.
   */
-class FreqSketchArrayAggregator(k: Int)
-    extends Aggregator[Seq[String], ArrayBuffer[(String, Long)], Seq[(String, Long)]] {
+case class FreqSketchAgg(child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(String, Long)]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
   require(k >= 1, s"sketch size k must be >= 1, got $k")
-  override def zero: ArrayBuffer[(String, Long)] = ArrayBuffer.empty
-  override def reduce(b: ArrayBuffer[(String, Long)], a: Seq[String]): ArrayBuffer[(String, Long)] =
-    if (a == null) b
-    else a.foldLeft(b)((acc, item) => if (item == null) acc else MisraGries.append(acc, item, k))
-  override def merge(b1: ArrayBuffer[(String, Long)], b2: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] =
-    MisraGries.merge(b1, b2, k)
-  override def finish(b: ArrayBuffer[(String, Long)]): Seq[(String, Long)] =
-    MisraGries.finish(b, k)
-  override def bufferEncoder: Encoder[ArrayBuffer[(String, Long)]] = MisraGries.bufEnc
-  override def outputEncoder: Encoder[Seq[(String, Long)]] = MisraGries.outEnc
+
+  override def prettyName: String = "mg_candidates"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", StringType, nullable = true),
+    StructField("_2", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string or array<string> input, got ${other.sql}")
+    }
+
+  // hoisted off the per-row path — the child's type is fixed for the
+  // expression's lifetime
+  @transient private lazy val inputIsArray =
+    child.dataType.isInstanceOf[ArrayType]
+
+  override def createAggregationBuffer(): ArrayBuffer[(String, Long)] =
+    ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[(String, Long)],
+      input: InternalRow): ArrayBuffer[(String, Long)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (inputIsArray) {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          // toString copies out of the (task-reused) scan buffer — the
+          // buffer outlives the input row
+          val s = arr.getUTF8String(i)
+          if (s != null) MisraGries.append(b, s.toString, k)
+          i += 1
+        }
+      } else MisraGries.append(b, v.asInstanceOf[UTF8String].toString, k)
+    }
+    b
+  }
+
+  override def merge(b: ArrayBuffer[(String, Long)],
+      other: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] =
+    MisraGries.merge(b, other, k)
+
+  override def eval(b: ArrayBuffer[(String, Long)]): Any =
+    new GenericArrayData(MisraGries.finish(b, k).map { case (i, c) =>
+      InternalRow(UTF8String.fromString(i), c): Any }.toArray)
+
+  override def serialize(b: ArrayBuffer[(String, Long)]): Array[Byte] = {
+    val items = b.map { case (i, c) => (UTF8String.fromString(i), c) }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + items.iterator.map(12 + _._1.numBytes()).sum)
+    bb.putInt(items.size)
+    items.foreach { case (s, c) =>
+      bb.putInt(s.numBytes()); bb.put(s.getBytes); bb.putLong(c) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new ArrayBuffer[(String, Long)](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val sb = new Array[Byte](len)
+      bb.get(sb)
+      b += ((UTF8String.fromBytes(sb).toString, bb.getLong))
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqSketchAgg =
+    copy(child = c)
 }
 
 object FreqSketch {
+  private def agg(col: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      FreqSketchAgg(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col),
+        k).toAggregateExpression())
+
   /** Column function: MG candidate summary of a string column.
     * Result: array<struct<_1: item, _2: residual count>> (count desc).
     * Residual counts UNDERestimate true counts by at most n/(k+1); use
     * them for candidate selection, not as frequencies.
     */
-  def mgCandidates(item: Column, k: Int): Column = {
-    implicit val enc: Encoder[String] = Encoders.STRING
-    udaf(new FreqSketchAggregator(k), enc).apply(item)
-  }
+  def mgCandidates(item: Column, k: Int): Column = agg(item, k)
 
   /** MG candidate summary over an array-of-strings column (one array per
     * row, typically a document's token list). Identical semantics to
     * [[mgCandidates]] over the exploded stream, ~an order of magnitude
     * cheaper on document-shaped input.
     */
-  def mgCandidatesArr(items: Column, k: Int): Column = {
-    implicit val enc: Encoder[Seq[String]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
-    udaf(new FreqSketchArrayAggregator(k), enc).apply(items)
-  }
+  def mgCandidatesArr(items: Column, k: Int): Column = agg(items, k)
 }

@@ -35,7 +35,12 @@ import org.apache.spark.sql.types._
   * with no per-row encoder work (see [[QuantileSketchBuild]]).
   */
 final class QSketchBuffer(val maxCentroids: Int) {
-  var items = new ArrayBuffer[(Double, Long)](4 * maxCentroids)
+  // starts at the default capacity and grows: one buffer lives per GROUP
+  // inside hash aggregation, and a high-cardinality build (one sketch per
+  // order key: 150k+ cells) with the old 4×cap pre-size allocated the
+  // full-buffer worst case — 8 KB of empty tuple slots — for every group
+  // whose true occupancy is a handful of rows
+  var items = new ArrayBuffer[(Double, Long)]()
   def add(v: Double): Unit = {
     items += ((v, 1L))
     if (items.size >= 4 * maxCentroids) compressNow()
@@ -50,7 +55,7 @@ final class QSketchBuffer(val maxCentroids: Int) {
   }
   def compressNow(): Unit = {
     val packed = QuantileSketch.compress(items.toSeq, maxCentroids)
-    items = new ArrayBuffer[(Double, Long)](4 * maxCentroids)
+    items = new ArrayBuffer[(Double, Long)](packed.size)
     items ++= packed
   }
 }

@@ -1367,13 +1367,11 @@ object Similarity extends Logging {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val batchN = d.count()
-      if (batchN == 0) {
-        logInfo(s"deleteIndex: empty id batch at $indexPath — no-op")
-        return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
-          .toDF("method", "dim", "deleted_rows", "corpus_rows",
-            "tombstone_gen")
-      }
+      // No up-front batch count() job: an empty batch falls through to the
+      // matchedPostings==0 no-op below (identical report frame), so the
+      // only cost of not knowing |batch| early is a harmless gen sweep —
+      // while every NON-empty delete (and each cascaded sub-delete on a
+      // family) saves one full pass over the takedown batch
       // retract a crashed predecessor's orphan tombstone generations and a
       // completed compaction's not-yet-cleaned committed ones — exactly the
       // posting-generation sweep, on the tombstone directory
@@ -1425,7 +1423,7 @@ object Similarity extends Logging {
           // tomb_rows for free. This is also what makes a committed
           // delete's RETRY a true no-op: the retry re-matches nothing and
           // leaves meta and disk untouched.
-          logInfo(s"deleteIndex: no live postings match the $batchN-id " +
+          logInfo(s"deleteIndex: no live postings match the id " +
             s"batch at $indexPath — no-op (nothing to tombstone)")
           return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
             .toDF("method", "dim", "deleted_rows", "corpus_rows",
@@ -1448,7 +1446,7 @@ object Similarity extends Logging {
           tomb_rows = meta.tomb_rows + matchedN)
         swapMeta(spark, indexPath, updated)
         logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
-          s"$indexPath: $batchN batch ids, $matchedN matched, $removed " +
+          s"$indexPath: $matchedN batch ids matched, $removed " +
           s"corpus rows removed -> ${updated.n_rows} corpus rows")
         Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
           .toDF("method", "dim", "deleted_rows", "corpus_rows",

@@ -160,7 +160,7 @@ class PlanSpec extends SparkSuite {
 
   test("grouped top-k partial-aggregates the heap; never the sort-all-rows window form (x12)") {
     val p = plan("x12_group_topk")
-    assert(p.contains("partial_topkaggregator"),
+    assert(p.contains("partial_topk"),
       "top-k heap must map-side combine before the exchange")
     assert(!p.contains("Window"), "grouped top-k fell back to a window sort")
   }
@@ -183,7 +183,7 @@ class PlanSpec extends SparkSuite {
     // their global siblings — the window column is just one more group key,
     // never an excuse for a Window sort or a raw-row exchange
     val pt = plan("r32_spec_window_topk")
-    assert(pt.contains("partial_topkaggregator"),
+    assert(pt.contains("partial_topk"),
       "windowed top-k heap must map-side combine before the exchange")
     assert(!pt.contains("Window"), "windowed top-k fell back to a window sort")
     val pd = plan("r32_spec_window_distinct")

@@ -107,21 +107,26 @@ object SketchProperties extends Properties("sketches") {
     seed <- Gen.chooseNum(Long.MinValue, Long.MaxValue) // wide: vary orderings
   } yield new scala.util.Random(seed).shuffle(base ++ dups ++ dups)
 
-  /** Run an aggregator the way Spark would: partition the input, reduce each
-    * partition from zero, then merge partials pairwise, then finish.
+  /** Run the aggregate buffer the way Spark would: partition the input,
+    * update each partition's buffer from empty, then merge partials
+    * pairwise, then finish.
     */
-  private def run(agg: graft.functions.TopKAggregator,
+  private def run(k: Int, distinctPairs: Boolean,
       input: List[(Double, Long)], parts: Int): Seq[(Double, Long)] = {
     val partials = input.grouped(math.max(1, (input.size + parts - 1) / parts))
-      .map(_.foldLeft(agg.zero)(agg.reduce)).toList
-    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      .map { chunk =>
+        val b = new graft.functions.TopKBuffer(k, distinctPairs)
+        chunk.foreach { case (s, i) => b.add(s, i) }
+        b
+      }.toList
+    val merged = new graft.functions.TopKBuffer(k, distinctPairs)
+    partials.foreach(merged.mergeIn)
+    merged.result()
   }
 
   property("topkDistinct over duplicated input == plain topk over deduped input") =
     Prop.forAll(pairGen, Gen.chooseNum(1, 8), Gen.chooseNum(1, 4)) { (pairs, k, parts) =>
-      val distinctAgg = new graft.functions.TopKAggregator(k, distinctPairs = true)
-      val plainAgg = new graft.functions.TopKAggregator(k)
-      run(distinctAgg, pairs, parts) == run(plainAgg, pairs.distinct, parts)
+      run(k, true, pairs, parts) == run(k, false, pairs.distinct, parts)
     }
 
   // ------------------------------------------------------------ quantization
@@ -192,10 +197,14 @@ object SketchProperties extends Properties("sketches") {
   private val mgParts = Gen.chooseNum(1, 5)
 
   private def mgRun(items: List[String], k: Int, nParts: Int): Seq[(String, Long)] = {
-    val agg = new graft.functions.FreqSketchAggregator(k)
+    import graft.functions.MisraGries
+    import scala.collection.mutable.ArrayBuffer
     val partials = items.grouped(math.max(1, items.size / nParts)).toList
-      .map(_.foldLeft(agg.zero)(agg.reduce))
-    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+      .map(_.foldLeft(ArrayBuffer.empty[(String, Long)])(
+        (b, i) => MisraGries.append(b, i, k)))
+    MisraGries.finish(
+      partials.foldLeft(ArrayBuffer.empty[(String, Long)])(
+        (b1, b2) => MisraGries.merge(b1, b2, k)), k)
   }
 
   property("MG summary keeps every item with count > n/(k+1), any partitioning") =
