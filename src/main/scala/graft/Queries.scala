@@ -2924,12 +2924,15 @@ object Queries {
     * jaccard is pinned exactly, not just rows-counted.
     */
   def x2JaccardChar(spark: SparkSession, dir: String): DataFrame = {
-    // the filter derives from the SAME tokenizer the join uses, so "at
-    // least one full window" can't drift from the tokenizer's
-    // normalization (the oracle filters on length of its normalized text,
-    // which equals the chars-array size by construction)
+    // the filter derives from the SAME normalization the tokenizer uses, so
+    // "at least one full window" can't drift from it (the oracle filters on
+    // length of its normalized text, which equals the chars-array size by
+    // construction) — filtering on the normalized LENGTH instead of
+    // size(chars(...)) is therefore identical, and skips materializing the
+    // per-row char array in the filter pass (the shingle pass builds it
+    // exactly once, after the filter has dropped the short rows)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(size(TextAnalysis.chars(col("text"))) >= 8)
+      .filter(length(TextAnalysis.normChars(col("text"))) >= 8)
     Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 8, threshold = 0.75,
       maxShinglePostings = 30, tokenize = TextAnalysis.chars)
   }

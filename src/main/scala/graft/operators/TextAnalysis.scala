@@ -24,10 +24,18 @@ object TextAnalysis {
     * Empty text → empty array (split("", "") would yield [""]).
     */
   def chars(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val norm = normChars(text)
     when(length(norm) === 0, array().cast("array<string>"))
       .otherwise(split(norm, ""))
   }
+
+  /** The normalization [[chars]] applies before splitting — exposed so a
+    * length predicate can be written against the normalized STRING
+    * (`length(normChars(t))` == `size(chars(t))` by construction) without
+    * materializing the char array just to count it.
+    */
+  def normChars(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** BPE-ish lexical tokens: letter runs, digit runs, or single non-space
     * symbols — the standard pre-tokenization shape (GPT-2-style) without a

@@ -270,8 +270,11 @@ object Interpreter extends Logging {
         shingleTombstones(df.sparkSession, p) match {
           case Some(tb) =>
             val tombs = tb.count()
+            // genuinely a parquet FOOTER count (driver-side metadata) —
+            // this used to be a spark count() job over the whole history
+            // artifact, on EVERY screen's preflight
             val histRows = math.max(1L,
-              df.sparkSession.read.parquet(p).count())
+              graft.operators.Similarity.footerRowCount(df.sparkSession, p))
             if (tombs == 0L || tombs * 10 < histRows) Nil
             else Seq(graft.observe.PlanAudit.Finding("warn",
               ShinglePendingRetractions,
