@@ -360,6 +360,72 @@ case class SetOverlapCount(child: Expression, set: Seq[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Count of DISTINCT common values between two SORTED `array<bigint>`
+  * columns — `size(array_intersect(a, b))` for the sorted-array frames the
+  * jaccard verification joins consume, without materializing the
+  * intersection array or building a per-pair hash set. `array_intersect`
+  * costs one OpenHashSet build + one result-array allocation per CANDIDATE
+  * PAIR; at 100 TB the verification stage evaluates this once per
+  * surviving candidate (billions), so the per-pair constant is the
+  * stage's entire compute. The two-pointer merge is allocation-free and
+  * branch-predictable (measured 0.66 → ~0.2 s on the sf0.1 81k-candidate
+  * verify stage).
+  *
+  * PRECONDITION: both arrays ascending-sorted (nulls last, as
+  * [[org.apache.spark.sql.functions.array_sort]] leaves them — every call
+  * site feeds [[graft.operators.Dedup.shingleFrame]]-shaped arrays).
+  * Duplicates are tolerated (counted once, exactly like array_intersect);
+  * a null element matches a null element on the other side, also like
+  * array_intersect. On UNSORTED input the count is wrong — this is a
+  * kernel for the operator's own frames, not a general SQL surface.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "sorted_intersect_count"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got (${l.sql}, ${r.sql})")
+    }
+
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    // merge over the non-null (sorted-first) prefixes
+    while (i < na && j < nb && !a.isNullAt(i) && !b.isNullAt(j)) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        // count each distinct value once (array_intersect dedups)
+        i += 1; j += 1
+        while (i < na && !a.isNullAt(i) && a.getLong(i) == x) i += 1
+        while (j < nb && !b.isNullAt(j) && b.getLong(j) == y) j += 1
+      }
+    }
+    // nulls sort last: the intersection holds null iff both sides carry one
+    if (i < na && j < nb && a.isNullAt(i) && b.isNullAt(j)) c += 1
+    c
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    count(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("sic", this, classOf[SortedIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.count($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Hamming distance between two 64-bit hashes (companion to SimHash64). */
 case class HammingDistance64(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
@@ -386,4 +452,6 @@ object HashFunctions {
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))
   def set_overlap_count(hashes: Column, set: Seq[Long]): Column =
     Bridge.column(SetOverlapCount(Bridge.expression(hashes), set))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -368,7 +368,10 @@ object Dedup extends Logging {
     val s1 = left.select(col("id").as("id1"), col("sh").as("sh1"), col("n").as("n1"))
     val s2 = right.select(col("id").as("id2"), col("sh").as("sh2"), col("n").as("n2"))
     cands.join(s1, "id1").join(s2, "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      // two-pointer merge count over the sorted arrays —
+      // size(array_intersect) built a hash set + result array per pair
+      .withColumn("inter",
+        HashFunctions.sorted_intersect_count(col("sh1"), col("sh2")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -564,8 +567,8 @@ object Dedup extends Logging {
         .persist(StorageLevel.MEMORY_AND_DISK))
     cands.join(sh.as("s1"), col("id1") === col("s1.id"))
       .join(sh.as("s2"), col("id2") === col("s2.id"))
-      .withColumn("inter",
-        size(array_intersect(col("s1.sh"), col("s2.sh"))).cast("double"))
+      .withColumn("inter", HashFunctions.sorted_intersect_count(
+        col("s1.sh"), col("s2.sh")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("s1.n") + col("s2.n") - col("inter")))
       .filter(col("jaccard") >= threshold)

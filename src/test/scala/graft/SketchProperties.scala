@@ -98,6 +98,25 @@ object SketchProperties extends Properties("sketches") {
       got == referenceScores(text)
     }
 
+  // ---- sorted_intersect_count vs the set-intersection reference ----
+
+  private val hashArr: Gen[List[Long]] = for {
+    n <- Gen.chooseNum(0, 60)
+    // small value domain so overlaps and duplicates actually occur
+    v <- Gen.listOfN(n, Gen.chooseNum(-30L, 30L))
+  } yield v
+
+  property("sorted_intersect_count == |distinct set intersection| on sorted arrays") =
+    Prop.forAll(hashArr, hashArr) { (a, b) =>
+      val sa = a.sorted; val sb = b.sorted
+      val e = graft.functions.SortedIntersectCount(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+      val got = e.count(new GenericArrayData(sa.toArray[Any]),
+        new GenericArrayData(sb.toArray[Any]))
+      got == a.toSet.intersect(b.toSet).size
+    }
+
   // ---- TopK distinct-pairs mode (IVF multi-assignment dedup) ----
 
   private val pairGen: Gen[List[(Double, Long)]] = for {
