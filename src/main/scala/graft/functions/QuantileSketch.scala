@@ -35,28 +35,52 @@ import org.apache.spark.sql.types._
   * with no per-row encoder work (see [[QuantileSketchBuild]]).
   */
 final class QSketchBuffer(val maxCentroids: Int) {
-  // starts at the default capacity and grows: one buffer lives per GROUP
+  // paired primitive arrays — the former ArrayBuffer[(Double, Long)] boxed
+  // one tuple per RAW VALUE on the build hot path and one per centroid on
+  // the merge path. Starts small and grows: one buffer lives per GROUP
   // inside hash aggregation, and a high-cardinality build (one sketch per
-  // order key: 150k+ cells) with the old 4×cap pre-size allocated the
-  // full-buffer worst case — 8 KB of empty tuple slots — for every group
-  // whose true occupancy is a handful of rows
-  var items = new ArrayBuffer[(Double, Long)]()
-  def add(v: Double): Unit = {
-    items += ((v, 1L))
-    if (items.size >= 4 * maxCentroids) compressNow()
+  // order key: 150k+ cells) must not pre-allocate the 4×cap worst case.
+  private[functions] var means = new Array[Double](16)
+  private[functions] var weights = new Array[Long](16)
+  private[functions] var n = 0
+
+  private def ensure(extra: Int): Unit = {
+    val need = n + extra
+    if (need > means.length) {
+      val cap = math.max(means.length * 2, need)
+      means = java.util.Arrays.copyOf(means, cap)
+      weights = java.util.Arrays.copyOf(weights, cap)
+    }
   }
+
+  def add(v: Double): Unit = addCentroid(v, 1L)
+
   def addCentroid(m: Double, w: Long): Unit = {
-    items += ((m, w))
-    if (items.size >= 4 * maxCentroids) compressNow()
+    ensure(1)
+    means(n) = m; weights(n) = w; n += 1
+    if (n >= 4 * maxCentroids) compressNow()
   }
+
   def mergeIn(other: QSketchBuffer): Unit = {
-    items ++= other.items
+    ensure(other.n)
+    System.arraycopy(other.means, 0, means, n, other.n)
+    System.arraycopy(other.weights, 0, weights, n, other.n)
+    n += other.n
     compressNow()
   }
-  def compressNow(): Unit = {
-    val packed = QuantileSketch.compress(items.toSeq, maxCentroids)
-    items = new ArrayBuffer[(Double, Long)](packed.size)
-    items ++= packed
+
+  def compressNow(): Unit =
+    n = QuantileSketch.compressInPlace(means, weights, n, maxCentroids)
+
+  /** The buffer's centroids as the tuple Seq the shared estimate/compress
+    * kernels consume — built only at EVAL time (once per finished group),
+    * never per row.
+    */
+  private[functions] def toPairs: Seq[(Double, Long)] = {
+    val out = new ArrayBuffer[(Double, Long)](n)
+    var i = 0
+    while (i < n) { out += ((means(i), weights(i))); i += 1 }
+    out.toSeq
   }
 }
 
@@ -66,19 +90,23 @@ object QSketchBuffer {
     * would silently corrupt shuffled partials between the two operators).
     */
   private[functions] def serialize(b: QSketchBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
-    bb.putInt(b.items.size)
-    b.items.foreach { case (m, w) => bb.putDouble(m); bb.putLong(w) }
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.means(i)); bb.putLong(b.weights(i)); i += 1 }
     bb.array()
   }
 
   private[functions] def deserialize(bytes: Array[Byte],
       maxCentroids: Int): QSketchBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
+    val m = bb.getInt
     val b = new QSketchBuffer(maxCentroids)
+    b.means = new Array[Double](math.max(1, m))
+    b.weights = new Array[Long](math.max(1, m))
     var i = 0
-    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < m) { b.means(i) = bb.getDouble; b.weights(i) = bb.getLong; i += 1 }
+    b.n = m
     b
   }
 }
@@ -123,7 +151,7 @@ case class QuantileSketchBuild(child: Expression, maxCentroids: Int,
   }
 
   override def eval(b: QSketchBuffer): Any = {
-    val cs = QuantileSketch.compress(b.items.toSeq, maxCentroids)
+    val cs = QuantileSketch.compress(b.toPairs, maxCentroids)
     new GenericArrayData(cs.map { case (m, w) =>
       InternalRow(m, w): Any }.toArray)
   }
@@ -198,7 +226,7 @@ case class QuantileSketchMerge(child: Expression, maxCentroids: Int,
   }
 
   override def eval(b: QSketchBuffer): Any = {
-    val cs = QuantileSketch.compress(b.items.toSeq, maxCentroids)
+    val cs = QuantileSketch.compress(b.toPairs, maxCentroids)
     if (quantiles.isEmpty)
       new GenericArrayData(cs.map { case (m, w) => InternalRow(m, w): Any }.toArray)
     else
@@ -236,27 +264,54 @@ object QuantileSketch {
     * allEq branch below exists to prevent), so the cap stays soft.
     */
   private[graft] def compress(b: Seq[(Double, Long)], maxCentroids: Int): Seq[(Double, Long)] = {
-    val sorted = b.sortBy(c => (c._1, c._2))
-    if (sorted.size <= maxCentroids) sorted
+    val ms = new Array[Double](b.size)
+    val ws = new Array[Long](b.size)
+    var i = 0
+    b.foreach { case (m, w) => ms(i) = m; ws(i) = w; i += 1 }
+    val out = compressInPlace(ms, ws, b.size, maxCentroids)
+    val res = new ArrayBuffer[(Double, Long)](out)
+    i = 0
+    while (i < out) { res += ((ms(i), ws(i))); i += 1 }
+    res.toSeq
+  }
+
+  /** The ONE pack kernel, over paired primitive arrays IN PLACE (the write
+    * pointer always trails the read pointer — every emitted bucket consumes
+    * at least one input centroid). Returns the packed length. The tuple-Seq
+    * [[compress]] delegates here, so the two forms can never drift.
+    */
+  private[graft] def compressInPlace(means: Array[Double], weights: Array[Long],
+      n: Int, maxCentroids: Int): Int = {
+    PairSort.centroid.sort(means, weights, n)
+    if (n <= maxCentroids) n
     else {
-      val total = sorted.iterator.map(_._2).sum
+      var total = 0L
+      var i = 0
+      while (i < n) { total += weights(i); i += 1 }
       val budget = math.max(1L, (total + maxCentroids - 1) / maxCentroids)
-      val out = new ArrayBuffer[(Double, Long)](maxCentroids + 1)
       // A bucket whose points all share one value must emit EXACTLY that
       // value: sum(v*w)/w drifts an ulp (48.95*3/3 = 48.95000000000001),
       // and on heavy-tie data one ulp above a plateau moves the estimate
       // past the whole plateau's rank mass (caught by the sf3 accuracy
       // sweep: r32 windowed p50 off by a full 30-row tie run).
+      var out = 0
       var sum = 0.0; var w = 0L
       var firstM = 0.0; var allEq = true
-      def flush(): Unit = { out += ((if (allEq) firstM else sum / w, w)) }
-      sorted.foreach { case (m, cw) =>
+      def flush(): Unit = {
+        means(out) = if (allEq) firstM else sum / w
+        weights(out) = w
+        out += 1
+      }
+      i = 0
+      while (i < n) {
+        val m = means(i); val cw = weights(i)
         if (w > 0 && w + cw > budget) { flush(); sum = 0.0; w = 0L; allEq = true }
         if (w == 0L) firstM = m else if (m != firstM) allEq = false
         sum += m * cw; w += cw
+        i += 1
       }
       if (w > 0) flush()
-      out.toSeq
+      out
     }
   }
 

@@ -39,45 +39,75 @@ import org.apache.spark.sql.types._
   * is identical.
   */
 final class TopKBuffer(val k: Int, val distinctPairs: Boolean) {
-  // starts empty and grows: a buffer per group lives inside hash
-  // aggregation, so pre-sizing to the 4k trim bound would allocate the
-  // worst case for every group up front
-  var items = new ArrayBuffer[(Double, Long)]()
+  // paired primitive arrays — the former ArrayBuffer[(Double, Long)] boxed
+  // one tuple per SCORED ROW (the knn search hot path). Starts small and
+  // grows: a buffer per group lives inside hash aggregation, so pre-sizing
+  // to the 4k trim bound would allocate the worst case for every group.
+  private[functions] var scores = new Array[Double](math.min(16, 4 * math.max(1, k)))
+  private[functions] var ids = new Array[Long](scores.length)
+  private[functions] var n = 0
+
+  private def ensure(extra: Int): Unit = {
+    val need = n + extra
+    if (need > scores.length) {
+      val cap = math.max(scores.length * 2, need)
+      scores = java.util.Arrays.copyOf(scores, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
+  }
 
   def add(score: Double, id: Long): Unit = {
-    items += ((score, id))
-    if (items.size >= 4 * k) items = TopKBuffer.trim(items, k, distinctPairs)
+    ensure(1)
+    scores(n) = score; ids(n) = id; n += 1
+    if (n >= 4 * k) trimInPlace()
   }
 
   def mergeIn(other: TopKBuffer): Unit = {
-    items ++= other.items
-    items = TopKBuffer.trim(items, k, distinctPairs)
+    ensure(other.n)
+    System.arraycopy(other.scores, 0, scores, n, other.n)
+    System.arraycopy(other.ids, 0, ids, n, other.n)
+    n += other.n
+    trimInPlace()
+  }
+
+  /** Compaction: sort best-first ((score desc, id asc) — [[PairSort.topK]],
+    * the exact order the former tuple Ordering imposed), collapse exact
+    * duplicate pairs in distinct mode (primitive ==, so NaN pairs never
+    * collapse — matching tuple equality), keep the k best. The surviving
+    * multiset is identical to the previous distinct-then-sorted-take form:
+    * compare-equal non-NaN pairs are bit-identical, so the unstable sort
+    * cannot change which values survive.
+    */
+  private def trimInPlace(): Unit = {
+    PairSort.topK.sort(scores, ids, n)
+    if (distinctPairs) {
+      var out = 0; var i = 0
+      while (i < n && out < k) {
+        if (out == 0 || !(scores(out - 1) == scores(i) && ids(out - 1) == ids(i))) {
+          scores(out) = scores(i); ids(out) = ids(i); out += 1
+        }
+        i += 1
+      }
+      n = out
+    } else if (n > k) n = k
   }
 
   /** Final ordered top-k (score desc, id asc), duplicates collapsed only in
-    * distinct-pairs mode.
+    * distinct-pairs mode. Non-mutating (operates on a copy).
     */
   def result(): Seq[(Double, Long)] = {
-    val d = if (distinctPairs) items.distinct else items
-    d.sorted(TopKBuffer.ord).take(k).toSeq
-  }
-}
-
-object TopKBuffer {
-  /** (score desc, id asc) — NaN scores order last (Scala's total Double
-    * order), exactly as the previous Aggregator form did.
-    */
-  val ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)](p => (-p._1, p._2))
-
-  /** Compaction: dedup exact pairs (distinct mode), then keep the k best.
-    * A ≤k survivor set is kept unsorted — only the SET matters mid-stream;
-    * [[TopKBuffer.result]] imposes the final order.
-    */
-  private[functions] def trim(b: ArrayBuffer[(Double, Long)], k: Int,
-      distinctPairs: Boolean): ArrayBuffer[(Double, Long)] = {
-    val d = if (distinctPairs) b.distinct else b
-    if (d.size <= k) d else d.sorted(ord).take(k)
+    val s = java.util.Arrays.copyOf(scores, n)
+    val d = java.util.Arrays.copyOf(ids, n)
+    PairSort.topK.sort(s, d, n)
+    val out = new ArrayBuffer[(Double, Long)](math.min(n, k))
+    var i = 0
+    while (i < n && out.size < k) {
+      if (!distinctPairs || out.isEmpty ||
+          !(out.last._1 == s(i) && out.last._2 == d(i)))
+        out += ((s(i), d(i)))
+      i += 1
+    }
+    out.toSeq
   }
 }
 
@@ -132,18 +162,22 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
       InternalRow(s, i): Any }.toArray)
 
   override def serialize(b: TopKBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.items.size)
-    bb.putInt(b.items.size)
-    b.items.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val n = bb.getInt
+    val m = bb.getInt
     val b = new TopKBuffer(k, distinctPairs)
+    b.scores = new Array[Double](math.max(1, m))
+    b.ids = new Array[Long](math.max(1, m))
     var i = 0
-    while (i < n) { b.items += ((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < m) { b.scores(i) = bb.getDouble; b.ids(i) = bb.getLong; i += 1 }
+    b.n = m
     b
   }
 
