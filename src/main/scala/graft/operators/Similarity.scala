@@ -418,10 +418,15 @@ object Similarity extends Logging {
           "buildIndex: corpus is empty and dim is undeclared — declare dim " +
             "(the embedding width) or index a non-empty snapshot " +
             "(round-17 ADVICE: the size probe has no row to read)"))
-    val n = c.count()
+    // quantized has no leaf directories (leafCount == 1), so nothing before
+    // the posting write needs the corpus row count — it is OBSERVED during
+    // the write pass instead of a separate full count() job (one pass over
+    // the corpus instead of two; ivf/lsh still need n up front for the
+    // leaf-layout sizing, and ivf pays its own training scan anyway)
+    val n0 = if (method == "quantized") -1L else c.count()
     val meta0: AnnIndexMeta = method match {
       case "quantized" =>
-        AnnIndexMeta("quantized", theDim, n, None, None, None, None, None, None)
+        AnnIndexMeta("quantized", theDim, n0, None, None, None, None, None, None)
       case "ivf" =>
         require(nCells >= 1, "buildIndex method=ivf requires nCells >= 1 — " +
           "the artifact pins geometry (ceil(sqrt(corpus rows)) is the " +
@@ -439,7 +444,7 @@ object Similarity extends Logging {
         // user declared and (b) make indexedTopK's auto-nProbe derive from
         // the clamped count where ivfTopK derives from the declared one,
         // breaking stored == rebuilt
-        AnnIndexMeta("ivf", theDim, n, Some(nCells),
+        AnnIndexMeta("ivf", theDim, n0, Some(nCells),
           Some(nAssign), None, None, None, Some(cents))
       case "lsh" =>
         require(nTables >= 1 && planesPerTable >= 1 && planesPerTable <= 31,
@@ -447,7 +452,7 @@ object Similarity extends Logging {
         val planes = (0 until nTables).flatMap { t =>
           Dedup.hyperplanes(theDim, planesPerTable, seed + t * 7919).map(_.toSeq)
         }
-        AnnIndexMeta("lsh", theDim, n, None, None, Some(nTables),
+        AnnIndexMeta("lsh", theDim, n0, None, None, Some(nTables),
           Some(planesPerTable), Some(seed), Some(planes))
       case other => throw new IllegalArgumentException(
         s"buildIndex method '$other' unknown (quantized, ivf, lsh; exact " +
@@ -485,8 +490,13 @@ object Similarity extends Logging {
     // compactions follow the committed depth): nest cell/bucket dirs only
     // when the corpus is big enough to amortize them — see
     // shouldPartitionLeaves
-    val idxRows = writePostings(c, meta, gen = 0, idxDir, overwrite = true,
-      partitionLeaves = shouldPartitionLeaves(spark, meta, n))
+    val corpusObs =
+      if (n0 < 0) Some(org.apache.spark.sql.Observation()) else None
+    val cWrite = corpusObs.fold(c)(o => c.observe(o, count(lit(1)).as("n")))
+    val idxRows = writePostings(cWrite, meta, gen = 0, idxDir,
+      overwrite = true,
+      partitionLeaves = shouldPartitionLeaves(spark, meta, n0))
+    val n = corpusObs.fold(n0)(observedOr(_, "n", 0L))
     // PER-CATEGORY sub-index family: one self-contained sub-index per
     // distinct attribute value, built with the SAME declared geometry under
     // `indexPath/attr=<value>/` — the routing target for an equality
@@ -594,7 +604,7 @@ object Similarity extends Logging {
       }
       vals
     }
-    val metaFinal = meta.copy(part_attr = partitionByAttribute,
+    val metaFinal = meta.copy(n_rows = n, part_attr = partitionByAttribute,
       part_values = partVals)
     // meta LAST: a killed build leaves postings without meta, which reads
     // as "no index here" (readIndexMeta fails loudly) instead of a silent
@@ -913,6 +923,19 @@ object Similarity extends Logging {
     * number, previously recomputed by a full read-back of the written
     * directory (a second pass over the index at any scale).
     */
+
+  /** Observation metric read with a zero-default for the AQE
+    * empty-prune window: when a runtime stage is proven EMPTY, AQE's
+    * empty-relation propagation can replace the plan subtree holding the
+    * CollectMetrics node, so the observation's metrics never surface.
+    * That prune fires only when zero rows flowed through the observed
+    * point — exactly what the default encodes — so a missing metric is
+    * always the empty answer, never a lost count.
+    */
+  private def observedOr[T](obs: org.apache.spark.sql.Observation,
+      key: String, default: T): T =
+    obs.get.get(key).fold(default)(_.asInstanceOf[T])
+
   private def writePostings(c: DataFrame, meta: AnnIndexMeta, gen: Int,
       idxDir: String, overwrite: Boolean, partitionLeaves: Boolean): Long = {
     val mode = if (overwrite) "overwrite" else "append"
@@ -957,10 +980,7 @@ object Similarity extends Logging {
          else w.partitionBy("gen"))
           .parquet(idxDir)
     }
-    obs.get("rows") match {
-      case n: Long => n
-      case other   => String.valueOf(other).toLong
-    }
+    observedOr(obs, "rows", 0L)
   }
 
   /** INCREMENTAL index maintenance — append a batch of NEW vectors to a
@@ -1034,41 +1054,6 @@ object Similarity extends Logging {
       col(idCol).cast(postings.schema("id").dataType).as("id") +:
       col(vecCol).cast(postings.schema("vec").dataType).as("vec") +:
       attrCols.map(a => col(a).cast(postings.schema(a).dataType).as(a)): _*)
-    // ONE batch-sized agg computes the count, the batch's order-independent
-    // content SIGNATURE (retry identity — see below), and the dim preflight
-    // bounds (min == max == meta.dim over non-null vectors: a mixed-width
-    // or foreign-width batch is refused loudly instead of writing malformed
-    // postings; a batch whose vectors are all NULL skips the pin like the
-    // build's own probe would)
-    // bit_xor, not sum: an id-hash SUM overflows long under ANSI mode;
-    // xor is order-independent and overflow-free (a within-batch id
-    // duplicated an even number of times cancels, but the row count keeps
-    // the signature distinct)
-    val probe = c.agg(count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)).as("h"),
-      min(when(col("vec").isNotNull, size(col("vec")))).as("lo"),
-      max(when(col("vec").isNotNull, size(col("vec")))).as("hi")).head()
-    val n = probe.getLong(0)
-    if (!probe.isNullAt(2))
-      require(probe.getInt(2) == meta.dim && probe.getInt(3) == meta.dim,
-        s"appendIndex: new rows carry dims ${probe.getInt(2)}..${probe.getInt(3)} " +
-          s"but the index at '$indexPath' pins dim ${meta.dim}")
-    // RETRY IDENTITY: the one crash window the generation fence alone
-    // cannot disambiguate is "postings AND swap file committed, promotion
-    // pending" — finishMetaSwap above completes that commit, so a blind
-    // re-append of the same batch would then DUPLICATE it. The meta records
-    // the last committed batch's signature (count ⊕ id-hash sum); a retry
-    // of that exact batch reads as already-committed and no-ops. (Two
-    // deliberate, consecutive appends of a bit-identical id set are
-    // indistinguishable from a retry by design — give rows fresh ids.)
-    val sig = probe.getLong(1) * 31L + n
-    if (n > 0 && meta.batch_sig.contains(sig)) {
-      logWarning(s"appendIndex: batch signature matches the LAST committed " +
-        s"append at $indexPath — treating as a retry of a completed append " +
-        "(no-op)")
-      return Seq((meta.method, meta.dim, 0L, meta.n_rows, 0L))
-        .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
-    }
     val newGen = meta.generation + 1
     // retract a crashed predecessor's orphan generations (invisible to
     // readers, but a blind re-append would duplicate them at commit), and
@@ -1077,11 +1062,61 @@ object Similarity extends Logging {
     // otherwise)
     deleteGensAbove(spark, idxDir, meta.generation)
     deleteGensBelow(spark, idxDir, meta.base_gen)
+    // The batch probe — count, the order-independent content SIGNATURE
+    // (retry identity, see below), and the dim preflight bounds (min ==
+    // max == meta.dim over non-null vectors) — is OBSERVED during the
+    // write pass itself: ONE job over the batch where probe-then-write was
+    // two full batch passes per append (guide §1.2). The write therefore
+    // lands BEFORE validation; on a refused or retried batch the
+    // just-written generation is retracted (one gen-directory delete, the
+    // standard orphan sweep) with the meta untouched, so the committed
+    // contract is unchanged: nothing becomes visible unless validation
+    // passed and the meta advanced. bit_xor, not sum: an id-hash SUM
+    // overflows long under ANSI mode; xor is order-independent and
+    // overflow-free (a within-batch id duplicated an even number of times
+    // cancels, but the row count keeps the signature distinct).
+    val probeObs = org.apache.spark.sql.Observation()
+    val cObserved = c.observe(probeObs, count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)).as("h"),
+      min(when(col("vec").isNotNull, size(col("vec")))).as("lo"),
+      max(when(col("vec").isNotNull, size(col("vec")))).as("hi"))
     // follow the COMMITTED leaf layout (decided once at build time) —
     // mixed directory depths across generations would break partition
     // discovery
-    val idxRows = writePostings(c, meta, newGen, idxDir, overwrite = false,
+    val idxRows = writePostings(cObserved, meta, newGen, idxDir,
+      overwrite = false,
       partitionLeaves = leafPartitionedOnDisk(spark, idxDir))
+    val n = observedOr(probeObs, "n", 0L)
+    if (observedOr[Any](probeObs, "lo", null) != null) {
+      val lo = observedOr[Any](probeObs, "lo", null).asInstanceOf[Int]
+      val hi = observedOr[Any](probeObs, "hi", null).asInstanceOf[Int]
+      if (lo != meta.dim || hi != meta.dim) {
+        // retract the orphan generation before refusing — the artifact
+        // reads exactly as it did before the verb ran
+        deleteGensAbove(spark, idxDir, meta.generation)
+        require(false,
+          s"appendIndex: new rows carry dims $lo..$hi " +
+            s"but the index at '$indexPath' pins dim ${meta.dim}")
+      }
+    }
+    // RETRY IDENTITY: the one crash window the generation fence alone
+    // cannot disambiguate is "postings AND swap file committed, promotion
+    // pending" — finishMetaSwap above completes that commit, so a blind
+    // re-append of the same batch would then DUPLICATE it. The meta records
+    // the last committed batch's signature (count ⊕ id-hash sum); a retry
+    // of that exact batch reads as already-committed, retracts the
+    // generation it just (redundantly) wrote, and no-ops. (Two deliberate,
+    // consecutive appends of a bit-identical id set are indistinguishable
+    // from a retry by design — give rows fresh ids.)
+    val sig = observedOr(probeObs, "h", 0L) * 31L + n
+    if (n > 0 && meta.batch_sig.contains(sig)) {
+      logWarning(s"appendIndex: batch signature matches the LAST committed " +
+        s"append at $indexPath — treating as a retry of a completed append " +
+        "(no-op)")
+      deleteGensAbove(spark, idxDir, meta.generation)
+      return Seq((meta.method, meta.dim, 0L, meta.n_rows, 0L))
+        .toDF("method", "dim", "appended_rows", "corpus_rows", "index_rows")
+    }
     // an EMPTY append commits a generation but identifies no batch — keep
     // the previous signature so the retry identity of the last REAL batch
     // survives an interleaved empty commit
@@ -1234,10 +1269,7 @@ object Similarity extends Logging {
         (if (partLeaves) w.partitionBy("gen", "tbl", "bucket")
          else w.partitionBy("gen")).parquet(idxDir)
     }
-    val liveRows = obs.get("rows") match {
-      case n: Long => n
-      case other   => String.valueOf(other).toLong
-    }
+    val liveRows = observedOr(obs, "rows", 0L)
     // EMPTY fold: the partitioned writes above produced no files (dynamic
     // partitioning writes nothing for zero rows) — materialize the
     // consolidated generation as ONE schema-only parquet file under a
@@ -1362,10 +1394,19 @@ object Similarity extends Logging {
       s"deleteIndex: the index at '$indexPath' predates the generation " +
         "layout (no gen partition) — rebuild it once with knn_index; " +
         "deletes commit through tombstone generations")
-    val d = ids.select(col(idCol)
+    // persist the distinct batch only when a per-category family will
+    // cascade it into every sub-index (multiple consumers); the plain
+    // single-index delete consumes it exactly once — inside the one
+    // observed tombstone-write job below — so a persist would only add a
+    // materialization pass
+    val isFamily = meta.part_values.exists(_.nonEmpty)
+    val d0 = ids.select(col(idCol)
         .cast(postings.schema("id").dataType).as("id"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d =
+      if (isFamily)
+        d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else d0
     try {
       // No up-front batch count() job: an empty batch falls through to the
       // matchedPostings==0 no-op below (identical report frame), so the
@@ -1405,54 +1446,63 @@ object Similarity extends Logging {
       // GDPR-scale batch rides a shuffle semi-join instead of OOMing the
       // verb that exists to absorb it.
       val mult = postingMultiplicity(meta)
-      val matched = livePostings(spark, indexPath, meta)
+      // ONE observed job does the whole verb's data work: the column-pruned
+      // live-postings semi-join, both counts (posting rows AND distinct
+      // ids, measured by an Observation during the pass), the distinct,
+      // and the tombstone write — where semi-join-agg then distinct-write
+      // was two jobs over a persisted matched frame. Writing before
+      // knowing matchedPostings is safe: a zero-match batch's dynamic
+      // partitioned write lands NO files (nothing for zero rows), and a
+      // non-zero write above the committed tomb_gen stays invisible until
+      // the meta commits — the standard generation fence.
+      val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
+      // two plain-count observations bracket the dedup (DISTINCT aggregates
+      // are not allowed inside observed metrics): posting rows before,
+      // distinct matched ids after
+      val pObs = org.apache.spark.sql.Observation()
+      val dObs = org.apache.spark.sql.Observation()
+      // write ONLY the matched ids (semantically identical — unmatched
+      // ids could never kill a posting — and it right-sizes the
+      // anti-join set, the tomb_rows bookkeeping, and the per-sub-index
+      // cascade's tombstone disk on a family)
+      livePostings(spark, indexPath, meta)
         .select("id").join(d, Seq("id"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        // ONE aggregate materializes the persisted frame and computes both
-        // counts (posting rows AND distinct ids) — these used to be two
-        // separate jobs (count, then distinct().count())
-        val mrow = matched.agg(count(lit(1)).as("p"),
-          count_distinct(col("id")).as("d")).head()
-        val matchedPostings = mrow.getLong(0)
-        if (matchedPostings == 0L) {
-          // nothing live matches — commit NOTHING. A tombstone for an id
-          // with no live posting can never kill anything (later appends
-          // take higher generations than its `upto` fence), so writing the
-          // batch would only widen every search's anti-join and inflate
-          // tomb_rows for free. This is also what makes a committed
-          // delete's RETRY a true no-op: the retry re-matches nothing and
-          // leaves meta and disk untouched.
-          logInfo(s"deleteIndex: no live postings match the id " +
-            s"batch at $indexPath — no-op (nothing to tombstone)")
-          return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
-            .toDF("method", "dim", "deleted_rows", "corpus_rows",
-              "tombstone_gen")
-        }
-        val removed = matchedPostings / mult
-        // write ONLY the matched ids (semantically identical — unmatched
-        // ids could never kill a posting — and it right-sizes the
-        // anti-join set, the tomb_rows bookkeeping, and the per-sub-index
-        // cascade's tombstone disk on a family)
-        val matchedIds = matched.distinct()
-        val matchedN = mrow.getLong(1)
-        val newTombGen = math.max(meta.tomb_gen + 1, meta.tomb_base)
-        matchedIds.select(lit(newTombGen).as("gen"), col("id"),
-            lit(meta.generation).as("upto"))
-          .write.mode("append").partitionBy("gen").parquet(tombP)
-        val updated = meta.copy(n_rows = meta.n_rows - removed,
-          tomb_gen = newTombGen,
-          tomb_base = math.min(meta.tomb_base, newTombGen),
-          tomb_rows = meta.tomb_rows + matchedN)
-        swapMeta(spark, indexPath, updated)
-        logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
-          s"$indexPath: $matchedN batch ids matched, $removed " +
-          s"corpus rows removed -> ${updated.n_rows} corpus rows")
-        Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
+        .observe(pObs, count(lit(1)).as("p"))
+        .distinct()
+        .observe(dObs, count(lit(1)).as("d"))
+        .select(lit(newTombGen).as("gen"), col("id"),
+          lit(meta.generation).as("upto"))
+        .write.mode("append").partitionBy("gen").parquet(tombP)
+      val matchedPostings = observedOr(pObs, "p", 0L)
+      if (matchedPostings == 0L) {
+        // nothing live matches — commit NOTHING (and nothing landed: the
+        // empty partitioned write created no gen directory). A tombstone
+        // for an id with no live posting can never kill anything (later
+        // appends take higher generations than its `upto` fence), so
+        // committing the batch would only widen every search's anti-join
+        // and inflate tomb_rows for free. This is also what makes a
+        // committed delete's RETRY a true no-op: the retry re-matches
+        // nothing and leaves meta and disk untouched.
+        logInfo(s"deleteIndex: no live postings match the id " +
+          s"batch at $indexPath — no-op (nothing to tombstone)")
+        return Seq((meta.method, meta.dim, 0L, meta.n_rows, meta.tomb_gen))
           .toDF("method", "dim", "deleted_rows", "corpus_rows",
             "tombstone_gen")
-      } finally { matched.unpersist(); () }
-    } finally { d.unpersist(); () }
+      }
+      val removed = matchedPostings / mult
+      val matchedN = observedOr(dObs, "d", 0L)
+      val updated = meta.copy(n_rows = meta.n_rows - removed,
+        tomb_gen = newTombGen,
+        tomb_base = math.min(meta.tomb_base, newTombGen),
+        tomb_rows = meta.tomb_rows + matchedN)
+      swapMeta(spark, indexPath, updated)
+      logInfo(s"deleteIndex committed tombstone gen $newTombGen at " +
+        s"$indexPath: $matchedN batch ids matched, $removed " +
+        s"corpus rows removed -> ${updated.n_rows} corpus rows")
+      Seq((meta.method, meta.dim, removed, updated.n_rows, newTombGen))
+        .toDF("method", "dim", "deleted_rows", "corpus_rows",
+          "tombstone_gen")
+    } finally { if (isFamily) d.unpersist(); () }
   }
 
   /** Posting rows per corpus row under the method's layout — quantized
