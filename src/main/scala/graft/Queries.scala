@@ -36,17 +36,30 @@ object Queries {
     * executors freed by the current job's tail). Used only where the
     * writes touch disjoint output paths and share no lineage with each
     * other — the lifecycle chains' 2–3 corpus-split fixtures. Exceptions
-    * propagate (first one wins), so a failed write still fails the query.
+    * propagate (first one wins) and the surviving siblings are INTERRUPTED
+    * the moment the failure slot is set — their Spark actions abort at the
+    * next interruptible wait instead of running a doomed query's remaining
+    * fixture writes to completion. Threads are named (graft-fixture-N) so
+    * a hung write is attributable in a thread dump.
     */
-  private def concurrently(tasks: (() => Unit)*): Unit = {
+  private[graft] def concurrently(tasks: (() => Unit)*): Unit = {
     val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    val threads = tasks.map { t =>
+    val threads = new java.util.concurrent.atomic.AtomicReference[Seq[Thread]](Nil)
+    val started = tasks.zipWithIndex.map { case (t, i) =>
       val th = new Thread(() => {
-        try t() catch { case e: Throwable => failure.compareAndSet(null, e) }
-      })
-      th.start(); th
+        try t() catch {
+          case e: Throwable =>
+            if (failure.compareAndSet(null, e))
+              threads.get().foreach { other =>
+                if (other ne Thread.currentThread()) other.interrupt()
+              }
+        }
+      }, s"graft-fixture-$i")
+      th
     }
-    threads.foreach(_.join())
+    threads.set(started)
+    started.foreach(_.start())
+    started.foreach(_.join())
     if (failure.get() != null) throw failure.get()
   }
 

@@ -736,6 +736,21 @@ object Similarity extends Logging {
     * refuses to route non-string literals, falling back to the generic
     * path, which is always correct).
     */
+  /** Size bound for the driver-side one-row memo maps (metaCache,
+    * attrTypeCache, selCache): a long-lived driver serving many index
+    * paths must not grow them forever (round-21 VERDICT). The bound is a
+    * crude clear-on-full rather than an LRU — each entry is a one-row
+    * memo whose miss costs one small job/listing, so a rare full flush is
+    * cheaper than per-hit bookkeeping.
+    */
+  private val MemoMaxEntries = 1024
+  private[graft] def cappedPut[K, V](
+      m: java.util.concurrent.ConcurrentHashMap[K, V], k: K, v: V): Unit = {
+    if (m.size >= MemoMaxEntries) m.clear()
+    m.put(k, v)
+    ()
+  }
+
   private val attrTypeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       (String, Boolean)]
@@ -749,7 +764,7 @@ object Similarity extends Logging {
       val isString = scala.util.Try(
         spark.read.parquet(s"$indexPath/index.parquet").schema(attr)
           .dataType == org.apache.spark.sql.types.StringType).getOrElse(true)
-      attrTypeCache.put(key, (sig, isString))
+      cappedPut(attrTypeCache, key, (sig, isString))
       isString
     }
   }
@@ -795,7 +810,7 @@ object Similarity extends Logging {
     else {
       val n = livePostings(spark, indexPath, meta)
         .filter(expr(filter)).select("id").distinct().count()
-      selCache.put(key, (sig, n))
+      cappedPut(selCache, key, (sig, n))
       n
     }
   }
@@ -1664,7 +1679,7 @@ object Similarity extends Logging {
     if (hit != null && hit._1 == sig && sig != "absent") hit._2
     else {
       val m = readIndexMetaUncached(spark, indexPath)
-      metaCache.put(indexPath, (sig, m))
+      cappedPut(metaCache, indexPath, (sig, m))
       m
     }
   }

@@ -273,13 +273,16 @@ object Interpreter extends Logging {
             // genuinely a parquet FOOTER count (driver-side metadata) —
             // this used to be a spark count() job over the whole history
             // artifact, on EVERY screen's preflight
-            val histRows = math.max(1L,
-              graft.operators.Similarity.footerRowCount(df.sparkSession, p))
-            if (tombs == 0L || tombs * 10 < histRows) Nil
+            val histRows =
+              graft.operators.Similarity.footerRowCount(df.sparkSession, p)
+            // -1 = history path not readable (the old spark count() threw
+            // into the NonFatal handler below) — skip the advisory rather
+            // than warn against a nonsense 1-row denominator
+            if (histRows < 0L || tombs == 0L || tombs * 10 < histRows) Nil
             else Seq(graft.observe.PlanAudit.Finding("warn",
               ShinglePendingRetractions,
               s"historyPath '$p' carries $tombs pending retraction(s) " +
-                f"against $histRows history rows (${tombs * 100.0 / histRows}%.0f%%)" +
+                f"against $histRows history rows (${tombs * 100.0 / math.max(1L, histRows)}%.0f%%)" +
                 " — every screen anti-joins the set, re-publishing any of " +
                 "those ids is refused, and the rows hold their disk. Fold " +
                 "with shingle_index_compact (it physically drops the " +
@@ -1549,7 +1552,11 @@ object Interpreter extends Logging {
       // (this used to be a spark count() job over the accumulated history)
       val histDocs = graft.operators.Similarity.footerRowCount(
         df.sparkSession, p)
-      val appended = df.count()
+      // shingleIndex is row-preserving (one (id, sh, n) row per input doc,
+      // no filter), so the already-counted batch IS the appended-docs count
+      // — the separate df.count() here was a second full pass over the
+      // batch's upstream chain per append
+      val appended = batchRows
       logInfo(s"[$specId] shingle_index_append: +$appended docs -> " +
         s"$histDocs history rows at $p")
       import df.sparkSession.implicits._

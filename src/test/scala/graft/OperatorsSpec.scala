@@ -2523,5 +2523,17 @@ class OperatorsSpec extends SparkSuite {
       s"$base/nested")), "compaction must not change the nested route's rows")
   }
 
+  test("driver memo maps stay bounded across many keys (cappedPut)") {
+    // the one-row memos (metaCache / attrTypeCache / selCache) are
+    // JVM-global — a long-lived driver serving many index paths must not
+    // grow them forever (round-21 VERDICT); cappedPut is their shared
+    // clear-on-full bound
+    val m = new java.util.concurrent.ConcurrentHashMap[String, Int]
+    (0 until 5000).foreach(i => Similarity.cappedPut(m, s"path-$i", i))
+    assert(m.size <= 1024, s"memo map grew past its bound: ${m.size}")
+    // the most recent entry always lands (a flush never loses the put)
+    assert(m.containsKey("path-4999"))
+  }
+
   private def round6(d: Double): Double = math.round(d * 1e6) / 1e6
 }
