@@ -1039,18 +1039,18 @@ object Interpreter extends Logging {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sig = shinglePinSignature(fs, root)
-    val pinPath = s"$path/_pin.parquet"
+    val pinPath = new org.apache.hadoop.fs.Path(s"$path/_pin.parquet")
     // existence-check before the read: a missing pin is the NORMAL first-
-    // build state, not worth the datasource resolver's logged stack trace
+    // build state, not worth a logged stack trace. The read itself is
+    // DRIVER-SIDE (one row of four scalars) — the previous spark.read
+    // cost a scheduled one-task job per screen/append/compact preflight
     val cached: Option[Int] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(pinPath))) None
-      else scala.util.Try {
-        val r = spark.read.parquet(pinPath)
-          .select("n_files", "total_bytes", "max_mtime", "shingle_size").head()
-        if ((r.getLong(0), r.getLong(1), r.getLong(2)) == sig)
-          Some(r.getInt(3))
-        else None
-      }.toOption.flatten
+      if (!fs.exists(pinPath)) None
+      else readShinglePinRow(fs, spark.sparkContext.hadoopConfiguration,
+        pinPath) match {
+        case Some((nf, tb, mt, w)) if (nf, tb, mt) == sig => Some(w)
+        case _ => None
+      }
     cached match {
       case Some(w) => Seq(Some(w))
       case None =>
@@ -1141,19 +1141,73 @@ object Interpreter extends Logging {
     * than hides. Best-effort: a read-only artifact location just skips
     * the cache.
     */
+  /** The pin's one-row parquet schema — written and read DRIVER-SIDE (the
+    * parquet example Group API, no Spark job): the pin is one row of four
+    * scalars, and the Spark write/read each cost a scheduled job per
+    * screen/append/compact at any scale. Field names and physical types
+    * match what the previous Spark write produced, so old pins read
+    * through the driver-side path and new pins stay readable by
+    * spark.read (the directory-with-one-part-file layout is preserved).
+    */
+  private lazy val pinSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message spark_schema { required int64 n_files; " +
+        "required int64 total_bytes; required int64 max_mtime; " +
+        "required int32 shingle_size; }")
+
   private def writeShinglePin(spark: SparkSession, path: String,
       width: Int, preSig: Option[(Long, Long, Long)] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
     val sig = preSig.getOrElse(shinglePinSignature(fs, root))
     scala.util.Try {
-      import spark.implicits._
-      Seq((sig._1, sig._2, sig._3, width))
-        .toDF("n_files", "total_bytes", "max_mtime", "shingle_size")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_pin.parquet")
+      val dirP = new org.apache.hadoop.fs.Path(s"$path/_pin.parquet")
+      fs.delete(dirP, true)
+      fs.mkdirs(dirP)
+      val f = new org.apache.hadoop.fs.Path(dirP,
+        s"part-00000-${java.util.UUID.randomUUID()}.parquet")
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(f, conf))
+        .withType(pinSchema)
+        .build()
+      try {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+          pinSchema).newGroup()
+        g.add("n_files", sig._1)
+        g.add("total_bytes", sig._2)
+        g.add("max_mtime", sig._3)
+        g.add("shingle_size", width)
+        w.write(g)
+      } finally w.close()
     }
     ()
   }
+
+  /** Driver-side read of the pin's one row (directory or bare file; old
+    * Spark-written pins included). None = absent/unreadable.
+    */
+  private def readShinglePinRow(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      pinPath: org.apache.hadoop.fs.Path): Option[(Long, Long, Long, Int)] =
+    scala.util.Try {
+      val file =
+        if (fs.getFileStatus(pinPath).isDirectory)
+          fs.listStatus(pinPath).filter(s => s.isFile && {
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }).head.getPath
+        else pinPath
+      val r = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), file)
+        .withConf(conf)
+        .build()
+      try {
+        val g = r.read()
+        (g.getLong("n_files", 0), g.getLong("total_bytes", 0),
+          g.getLong("max_mtime", 0), g.getInteger("shingle_size", 0))
+      } finally r.close()
+    }.toOption
 
   /** The shingle artifact's PENDING-RETRACTION set (`_tombstones.parquet`
     * — underscore-prefixed, so plain parquet reads of the artifact ignore
