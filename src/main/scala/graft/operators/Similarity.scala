@@ -51,15 +51,21 @@ object Similarity extends Logging {
     * the map-side cell assignment. Seeds are evenly spaced sample points;
     * an emptied cluster keeps its previous centroid.
     */
+  /** @param countObs optional Observation collecting `n` = the corpus row
+    *   count during the sampling scan (the top-k heap reads every row
+    *   anyway) — lets the ivf build skip its separate full count() job.
+    */
   private[operators] def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, iters: Int = 15, sampleN: Int = 2048): Array[Array[Double]] = {
+      nCells: Int, iters: Int = 15, sampleN: Int = 2048,
+      countObs: Option[org.apache.spark.sql.Observation] = None): Array[Array[Double]] = {
     // Deterministic UNBIASED sample: top-N by id *hash*, not by id — ids are
     // usually assigned in ingest/time order, and the N lowest-id vectors
     // would model only the earliest slice of the corpus. Hash order is a
     // pseudo-random but reproducible permutation; the take is still a
     // bounded top-k heap, never a full sort.
-    val sampled: Array[Array[Double]] = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>"))
+    val base = corpus.select(col(idCol), col(vecCol).cast("array<double>"))
+    val sampled: Array[Array[Double]] = countObs.fold(base)(o =>
+        base.observe(o, count(lit(1)).as("n")))
       .orderBy(xxhash64(col(idCol)), col(idCol)).limit(sampleN)
       .collect()
       .sortBy(r => String.valueOf(r.get(0))) // order-stable seeding start
@@ -420,10 +426,11 @@ object Similarity extends Logging {
             "(round-17 ADVICE: the size probe has no row to read)"))
     // quantized has no leaf directories (leafCount == 1), so nothing before
     // the posting write needs the corpus row count — it is OBSERVED during
-    // the write pass instead of a separate full count() job (one pass over
-    // the corpus instead of two; ivf/lsh still need n up front for the
-    // leaf-layout sizing, and ivf pays its own training scan anyway)
-    val n0 = if (method == "quantized") -1L else c.count()
+    // the write pass instead of a separate full count() job; ivf observes
+    // it during the kmeans training scan (already a full corpus pass).
+    // Only lsh still pays the count up front: it has no earlier full pass,
+    // and the leaf-layout sizing needs n before the write.
+    val n0 = if (method == "lsh") c.count() else -1L
     val meta0: AnnIndexMeta = method match {
       case "quantized" =>
         AnnIndexMeta("quantized", theDim, n0, None, None, None, None, None, None)
@@ -434,8 +441,9 @@ object Similarity extends Logging {
           "reproducibility across snapshots)")
         require(nAssign >= 1 && nAssign <= nCells,
           s"buildIndex nAssign must be in [1, nCells], got $nAssign")
+        val kmObs = org.apache.spark.sql.Observation()
         val cents = kmeansCentroids(corpus.select(col(idCol), col(vecCol)),
-          idCol, vecCol, nCells).map(_.toSeq).toSeq
+          idCol, vecCol, nCells, countObs = Some(kmObs)).map(_.toSeq).toSeq
         // meta stores the DECLARED geometry (what the user asked for and
         // what a consuming knn's preflight compares against); the trained
         // state speaks for itself via vectors.length. kmeans may clamp to
@@ -444,7 +452,7 @@ object Similarity extends Logging {
         // user declared and (b) make indexedTopK's auto-nProbe derive from
         // the clamped count where ivfTopK derives from the declared one,
         // breaking stored == rebuilt
-        AnnIndexMeta("ivf", theDim, n0, Some(nCells),
+        AnnIndexMeta("ivf", theDim, observedOr(kmObs, "n", 0L), Some(nCells),
           Some(nAssign), None, None, None, Some(cents))
       case "lsh" =>
         require(nTables >= 1 && planesPerTable >= 1 && planesPerTable <= 31,
@@ -491,12 +499,12 @@ object Similarity extends Logging {
     // when the corpus is big enough to amortize them — see
     // shouldPartitionLeaves
     val corpusObs =
-      if (n0 < 0) Some(org.apache.spark.sql.Observation()) else None
+      if (meta.n_rows < 0) Some(org.apache.spark.sql.Observation()) else None
     val cWrite = corpusObs.fold(c)(o => c.observe(o, count(lit(1)).as("n")))
     val idxRows = writePostings(cWrite, meta, gen = 0, idxDir,
       overwrite = true,
-      partitionLeaves = shouldPartitionLeaves(spark, meta, n0))
-    val n = corpusObs.fold(n0)(observedOr(_, "n", 0L))
+      partitionLeaves = shouldPartitionLeaves(spark, meta, meta.n_rows))
+    val n = corpusObs.fold(meta.n_rows)(observedOr(_, "n", 0L))
     // PER-CATEGORY sub-index family: one self-contained sub-index per
     // distinct attribute value, built with the SAME declared geometry under
     // `indexPath/attr=<value>/` — the routing target for an equality
