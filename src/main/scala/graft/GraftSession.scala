@@ -20,7 +20,11 @@ object GraftSession {
       // planned sort-merge join to shuffled-hash at runtime when every
       // post-shuffle partition is under the advisory size — measured
       // partition sizes, not estimates, so it scales with the data rather
-      // than the local core count.
+      // than the local core count. MEASURED at sf1 (round 22, plans/r22/
+      // shj_ab_sf1.txt + the *_sf1_shj_{on,off}.txt executed plans): the
+      // rewrite fires on q5_nation_revenue (2.4 -> 1.9-2.1 s) and
+      // x13_salted_join (min 4.0 -> 3.8 s, dodging a 17 s SMJ straggler);
+      // joins whose sides stay large keep SMJ.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.ui.enabled", "false")

@@ -145,15 +145,17 @@ class PlanSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("exact jaccard indexes only prefix shingles and verifies candidates with array_intersect (X2)") {
+  test("exact jaccard indexes only prefix shingles and verifies candidates with sorted_intersect_count (X2)") {
     // Prefix filtering is the uncapped branch's scale lever: the posting
     // explode must slice the sorted shingle array (never explode the whole
     // set), the candidate self-join must stay an equi hash join, and the
-    // final similarity must come from array_intersect verification — not a
-    // full posting-count groupBy over all shared shingles.
+    // final similarity must come from exact intersection verification —
+    // the allocation-free sorted_intersect_count merge (round 22; it
+    // replaced size(array_intersect)) — not a full posting-count groupBy
+    // over all shared shingles.
     val p = plan("x2_jaccard_pairs")
     assert(p.contains("slice(sh"), "posting explode is not prefix-sliced")
-    assert(p.contains("array_intersect"), "candidate verification missing")
+    assert(p.contains("sorted_intersect_count"), "candidate verification missing")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "jaccard join fell back to nested-loop")
   }
