@@ -618,6 +618,11 @@ object Similarity extends Logging {
     // as "no index here" (readIndexMeta fails loudly) instead of a silent
     // half-index — the same crash-ordering discipline as the sink compactor
     Seq(metaFinal).toDS().write.mode("overwrite").parquet(s"$indexPath/meta.parquet")
+    // pre-populate the memo (the swapMeta discipline): the first consumer
+    // of a fresh build — the chain's own append/search — skips the
+    // one-row meta read job
+    cappedPut(metaCache, indexPath, (metaListingSig(spark, indexPath),
+      metaFinal))
     // idxRows is the Observation-measured posting count from the write
     // pass itself — the old full read-back count was a second pass over
     // the entire just-written index on every build
@@ -1647,6 +1652,13 @@ object Similarity extends Logging {
     fs.delete(hpath(s"$indexPath/meta.parquet"), true)
     fs.rename(hpath(s"$indexPath/meta_next.parquet"),
       hpath(s"$indexPath/meta.parquet"))
+    // pre-populate the memo with the meta we just committed: the commit
+    // changed the listing signature, so the NEXT verb/search in a chain
+    // would otherwise re-read the one-row parquet as a Spark job. Same
+    // single-maintainer assumption as the commit protocol itself; an
+    // out-of-band write landing later changes the listing and the memo
+    // re-validates as always.
+    cappedPut(metaCache, indexPath, (metaListingSig(spark, indexPath), m))
   }
 
   /** Recovery half of [[swapMeta]], run at the top of every append: a
